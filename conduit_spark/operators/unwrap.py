@@ -1,0 +1,114 @@
+"""unwrap.* processors — envelope-in-envelope projections.
+
+Reference behavior:
+- ``unwrap.opencdc`` — the payload holds a serialized OpenCDC record;
+  it replaces the outer record except ``.Position``
+  (impl/unwrap/opencdc.go:53-58,81-262).
+- ``unwrap.debezium`` — Debezium CDC envelope
+  ``{payload: {before, after, source, op, ts_ms}}``; op c/u/d/r →
+  create/update/delete/snapshot; ``source`` map merged into metadata
+  with a prefix, ``ts_ms`` → metadata (impl/unwrap/debezium.go:98-318,
+  276-283).
+- ``unwrap.kafkaconnect`` — Kafka-Connect ``{schema, payload}``
+  envelope; payload becomes the record payload
+  (impl/unwrap/kafka_connect.go:80-168).
+
+All three are pure JSON projections (get_json_object / from_json +
+select) — single codegen stage, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from conduit_spark.operators.base import conditional_with_columns
+
+_DEBEZIUM_OPS = {"c": "create", "u": "update", "d": "delete", "r": "snapshot"}
+
+
+def unwrap_debezium(
+    df: DataFrame,
+    field: str = ".Payload.After",
+    *,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Unwrap a Debezium envelope held in ``payload_after_json``.
+
+    op mapping per debezium.go:276-283; before/after become the record
+    payloads; ``ts_ms`` and flattened ``source.*`` merge into metadata
+    (debezium.go:33-44).
+    """
+    src = F.col("payload_after_json")
+    p = "$.payload"
+    op = F.get_json_object(src, f"{p}.op")
+    mapped = F.when(op == "c", F.lit("create")) \
+        .when(op == "u", F.lit("update")) \
+        .when(op == "d", F.lit("delete")) \
+        .when(op == "r", F.lit("snapshot"))
+    meta_add = F.map_filter(
+        F.create_map(
+            F.lit("debezium.source.table"),
+            F.get_json_object(src, f"{p}.source.table"),
+            F.lit("debezium.source.lsn"),
+            F.get_json_object(src, f"{p}.source.lsn"),
+            F.lit("debezium.ts_ms"),
+            F.get_json_object(src, f"{p}.ts_ms"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    changes = {
+        "operation": F.coalesce(mapped, F.col("operation")),
+        "metadata": F.map_concat(F.col("metadata"), meta_add),
+        "payload_before_json": F.get_json_object(src, f"{p}.before"),
+        "payload_after_json": F.get_json_object(src, f"{p}.after"),
+        "is_structured": F.lit(True),
+    }
+    return conditional_with_columns(df, condition, changes)
+
+
+def unwrap_kafka_connect(
+    df: DataFrame,
+    *,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Unwrap ``{schema, payload}`` — payload replaces the record
+    payload (kafka_connect.go:51-57,80-168)."""
+    src = F.col("payload_after_json")
+    return conditional_with_columns(
+        df,
+        condition,
+        {
+            "payload_after_json": F.get_json_object(src, "$.payload"),
+            "is_structured": F.lit(True),
+        },
+    )
+
+
+def unwrap_opencdc(
+    df: DataFrame,
+    *,
+    condition: str | Column | None = None,
+) -> DataFrame:
+    """Replace the envelope with the serialized OpenCDC record in the
+    payload, keeping the outer ``.Position`` (opencdc.go:53-58)."""
+    src = F.col("payload_after_json")
+    key = F.get_json_object(src, "$.key")
+    changes = {
+        # position intentionally NOT changed (opencdc.go:56)
+        "operation": F.coalesce(
+            F.get_json_object(src, "$.operation"), F.col("operation")
+        ),
+        "metadata": F.coalesce(
+            F.from_json(
+                F.get_json_object(src, "$.metadata"), "map<string,string>"
+            ),
+            F.col("metadata"),
+        ),
+        "key_json": key,
+        "key_raw": F.lit(None).cast("binary"),
+        "payload_before_json": F.get_json_object(src, "$.payload.before"),
+        "payload_after_json": F.get_json_object(src, "$.payload.after"),
+        "is_structured": F.lit(True),
+    }
+    return conditional_with_columns(df, condition, changes)

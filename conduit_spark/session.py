@@ -25,6 +25,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # field.set on metadata uses map_concat(old, new) — last write wins,
+    # matching the reference's map assignment semantics.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Scan-side pruning; these are defaults in Spark but pinned here as
     # part of the engine contract (the judge reads .explain for them).
     "spark.sql.parquet.filterPushdown": "true",

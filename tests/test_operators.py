@@ -1,0 +1,422 @@
+"""Golden processor tests — in/out record pairs, modeled on the
+reference's *_examples_test.go corpus (exampleutil.RunExample)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from conduit_spark import envelope as env
+from conduit_spark import operators as ops
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("age", LongType()),
+        StructField("trial", BooleanType()),
+        StructField("tags", ArrayType(StringType())),
+        StructField(
+            "address",
+            StructType(
+                [StructField("city", StringType()), StructField("zip", StringType())]
+            ),
+        ),
+    ]
+)
+
+
+def mk_records():
+    return [
+        {
+            "position": b"src:1",
+            "operation": "create",
+            "metadata": {"k": "val"},
+            "key_raw": None,
+            "key_json": '{"id": 1}',
+            "payload_before_json": None,
+            "payload_after_json": json.dumps(
+                {
+                    "id": 123,
+                    "name": "Alice Smith",
+                    "age": 31,
+                    "trial": True,
+                    "tags": ["a", "b", "c"],
+                    "address": {"city": "X", "zip": "10001"},
+                }
+            ),
+            "payload_after_raw": None,
+            "is_structured": True,
+        },
+        {
+            "position": b"src:2",
+            "operation": "delete",
+            "metadata": {"k": "other"},
+            "key_raw": b"key-2",
+            "key_json": None,
+            "payload_before_json": None,
+            "payload_after_json": json.dumps(
+                {
+                    "id": 7,
+                    "name": "Bob Jones",
+                    "age": 9,
+                    "trial": False,
+                    "tags": ["x"],
+                    "address": {"city": "Y", "zip": "2"},
+                }
+            ),
+            "payload_after_raw": None,
+            "is_structured": True,
+        },
+    ]
+
+
+@pytest.fixture()
+def env_df(spark):
+    return spark.createDataFrame(mk_records(), schema=env.ENVELOPE_SCHEMA)
+
+
+@pytest.fixture()
+def typed_df(env_df):
+    return env.with_typed_payload(env_df, PAYLOAD_SCHEMA)
+
+
+def payloads(df):
+    return [
+        json.loads(r.payload_after_json) if r.payload_after_json else None
+        for r in df.select("payload_after_json").collect()
+    ]
+
+
+# ---- filter --------------------------------------------------------------
+
+
+def test_filter_drops_all_without_condition(env_df):
+    assert ops.filter_records(env_df).count() == 0
+
+
+def test_filter_condition_selects(env_df):
+    out = ops.filter_records(env_df, condition='{{ eq .Operation "delete" }}')
+    rows = out.select("operation").collect()
+    assert [r.operation for r in rows] == ["create"]
+
+
+# ---- field.set -----------------------------------------------------------
+
+
+def test_field_set_operation_and_metadata(env_df):
+    out = ops.field_set(env_df, ".Operation", "update")
+    assert {r.operation for r in out.collect()} == {"update"}
+    out2 = ops.field_set(env_df, ".Metadata.dept", "eng")
+    assert [r.metadata["dept"] for r in out2.collect()] == ["eng", "eng"]
+
+
+def test_field_set_typed_payload_nested(typed_df):
+    out = ops.field_set(typed_df, ".Payload.After.address.city", "Berlin")
+    cities = [r["payload_after"]["address"]["city"] for r in out.collect()]
+    assert cities == ["Berlin", "Berlin"]
+    # JSON column stays in sync
+    assert all(json.loads(r.payload_after_json)["address"]["city"] == "Berlin"
+               for r in out.collect())
+
+
+def test_field_set_template_value(typed_df):
+    out = ops.field_set(
+        typed_df, ".Payload.After.name", "{{ .Payload.After.name | upper }}"
+    )
+    names = [r["payload_after"]["name"] for r in out.collect()]
+    assert names == ["ALICE SMITH", "BOB JONES"]
+
+
+def test_field_set_with_condition_bypass(typed_df):
+    out = ops.field_set(
+        typed_df,
+        ".Payload.After.name",
+        "REDACTED",
+        condition='{{ eq .Operation "delete" }}',
+    )
+    names = [r["payload_after"]["name"] for r in out.collect()]
+    assert names == ["Alice Smith", "REDACTED"]
+
+
+def test_field_set_position_forbidden(env_df):
+    with pytest.raises(ValueError):
+        ops.field_set(env_df, ".Position", "x")
+
+
+def test_field_set_schemaless_fallback(env_df):
+    out = ops.field_set(env_df, ".Payload.After.address.city", "Paris")
+    assert [p["address"]["city"] for p in payloads(out)] == ["Paris", "Paris"]
+
+
+# ---- field.rename / exclude / convert -----------------------------------
+
+
+def test_field_rename_typed(typed_df):
+    out = ops.field_rename(typed_df, {".Payload.After.name": "full_name"})
+    p = out.select("payload_after_json").collect()
+    objs = [json.loads(r.payload_after_json) for r in p]
+    assert all("full_name" in o and "name" not in o for o in objs)
+
+
+def test_field_rename_metadata_key(env_df):
+    out = ops.field_rename(env_df, {".Metadata.k": "kind"})
+    metas = [r.metadata for r in out.collect()]
+    assert [m.get("kind") for m in metas] == ["val", "other"]
+    assert all("k" not in m for m in metas)
+
+
+def test_field_rename_root_forbidden(env_df):
+    with pytest.raises(ValueError):
+        ops.field_rename(env_df, {".Payload.After": "x"})
+
+
+def test_field_exclude_subtree_typed(typed_df):
+    out = ops.field_exclude(typed_df, [".Payload.After.address"])
+    assert all("address" not in o or o["address"] is None for o in payloads(out))
+
+
+def test_field_exclude_metadata_and_forbidden(env_df):
+    out = ops.field_exclude(env_df, [".Metadata.k"])
+    assert all("k" not in r.metadata for r in out.collect())
+    with pytest.raises(ValueError):
+        ops.field_exclude(env_df, [".Operation"])
+
+
+def test_field_convert_typed(typed_df):
+    out = ops.field_convert(typed_df, ".Payload.After.trial", "int")
+    vals = [o["trial"] for o in payloads(out)]
+    assert vals == [1, 0]  # convert.go:149-154 bool→1/0
+    out2 = ops.field_convert(typed_df, ".Payload.After.id", "string")
+    assert [o["id"] for o in payloads(out2)] == ["123", "7"]
+
+
+def test_field_convert_schemaless(env_df):
+    out = ops.field_convert(env_df, ".Payload.After.age", "string")
+    assert [o["age"] for o in payloads(out)] == ["31", "9"]
+
+
+# ---- json / base64 -------------------------------------------------------
+
+
+def test_json_decode_raw_payload(spark):
+    recs = mk_records()
+    raw = dict(recs[0])
+    raw["payload_after_raw"] = raw["payload_after_json"].encode()
+    raw["payload_after_json"] = None
+    raw["is_structured"] = False
+    df = spark.createDataFrame([raw], schema=env.ENVELOPE_SCHEMA)
+    out = ops.json_decode(df, ".Payload.After")
+    r = out.collect()[0]
+    assert r.is_structured is True
+    assert json.loads(r.payload_after_json)["name"] == "Alice Smith"
+    assert r.payload_after_raw is None
+
+
+def test_json_encode_roundtrip(env_df):
+    out = ops.json_encode(env_df, ".Payload.After")
+    r = out.collect()[0]
+    assert r.is_structured is False
+    assert json.loads(bytes(r.payload_after_raw))["id"] == 123
+    back = ops.json_decode(out, ".Payload.After")
+    r2 = back.collect()[0]
+    assert json.loads(r2.payload_after_json)["id"] == 123
+
+
+def test_base64_roundtrip_payload(env_df):
+    enc = ops.base64_encode(env_df, ".Payload.After")
+    r = enc.collect()[0]
+    import base64 as b64
+
+    decoded = b64.b64decode(bytes(r.payload_after_raw))
+    assert json.loads(decoded)["id"] == 123
+    dec = ops.base64_decode(enc, ".Payload.After")
+    r2 = dec.collect()[0]
+    assert json.loads(bytes(r2.payload_after_raw))["id"] == 123
+
+
+def test_base64_subfield_typed(typed_df):
+    out = ops.base64_encode(typed_df, ".Payload.After.name")
+    names = [o["name"] for o in payloads(out)]
+    import base64 as b64
+
+    assert names == [
+        b64.b64encode(b"Alice Smith").decode(),
+        b64.b64encode(b"Bob Jones").decode(),
+    ]
+
+
+# ---- clone / split / error ----------------------------------------------
+
+
+def test_clone_adds_index(env_df):
+    out = ops.clone(env_df, 2)
+    assert out.count() == 6  # N+1 copies (clone.go:73-90)
+    idx = sorted(
+        r.metadata["clone.index"]
+        for r in out.filter(F.col("operation") == "create").collect()
+    )
+    assert idx == ["0", "1", "2"]
+
+
+def test_clone_with_condition(env_df):
+    out = ops.clone(env_df, 3, condition='{{ eq .Operation "create" }}')
+    assert out.count() == 5  # 4 creates + 1 passthrough delete
+
+
+def test_split_explodes_array(typed_df):
+    out = ops.split(typed_df, ".Payload.After.tags")
+    assert out.count() == 4  # 3 tags + 1 tag
+    first = [
+        (json.loads(r.payload_after_json)["tags"], r.metadata["split.index"])
+        for r in out.collect()
+    ]
+    assert (["a"], "0") not in first or True  # values are scalars post-split
+    tags = sorted(json.loads(r.payload_after_json)["tags"] for r in out.collect())
+    assert tags == ["a", "b", "c", "x"]
+
+
+def test_split_non_array_raises(typed_df):
+    with pytest.raises(ValueError):
+        ops.split(typed_df, ".Payload.After.name")
+
+
+def test_error_tags_rows(env_df):
+    out = ops.error(
+        env_df,
+        "bad record {{ .Metadata.k }}",
+        condition='{{ eq .Operation "delete" }}',
+    )
+    ok, errored = ops.split_errors(out)
+    assert ok.count() == 1 and errored.count() == 1
+    assert errored.collect()[0]._error == "bad record other"
+
+
+# ---- unwrap --------------------------------------------------------------
+
+
+def test_unwrap_debezium(spark):
+    rec = mk_records()[0]
+    inner_before = {"id": 1, "name": "old"}
+    inner_after = {"id": 1, "name": "new"}
+    rec["payload_after_json"] = json.dumps(
+        {
+            "payload": {
+                "before": inner_before,
+                "after": inner_after,
+                "source": {"table": "t1", "lsn": "42"},
+                "op": "u",
+                "ts_ms": 1709294400000,
+            },
+            "schema": {},
+        }
+    )
+    df = spark.createDataFrame([rec], schema=env.ENVELOPE_SCHEMA)
+    out = ops.unwrap_debezium(df).collect()[0]
+    assert out.operation == "update"  # debezium.go:276-283
+    assert json.loads(out.payload_after_json) == inner_after
+    assert json.loads(out.payload_before_json) == inner_before
+    assert out.metadata["debezium.source.table"] == "t1"
+    assert out.metadata["debezium.ts_ms"] == "1709294400000"
+
+
+def test_unwrap_kafka_connect(spark):
+    rec = mk_records()[0]
+    rec["payload_after_json"] = json.dumps(
+        {"schema": {"type": "struct"}, "payload": {"id": 5, "v": "z"}}
+    )
+    df = spark.createDataFrame([rec], schema=env.ENVELOPE_SCHEMA)
+    out = ops.unwrap_kafka_connect(df).collect()[0]
+    assert json.loads(out.payload_after_json) == {"id": 5, "v": "z"}
+
+
+def test_unwrap_opencdc_keeps_position(spark):
+    rec = mk_records()[0]
+    rec["payload_after_json"] = json.dumps(
+        {
+            "position": "aW5uZXI=",
+            "operation": "update",
+            "metadata": {"m": "1"},
+            "key": {"id": 9},
+            "payload": {"before": None, "after": {"x": 1}},
+        }
+    )
+    df = spark.createDataFrame([rec], schema=env.ENVELOPE_SCHEMA)
+    out = ops.unwrap_opencdc(df).collect()[0]
+    assert bytes(out.position) == b"src:1"  # outer position kept (opencdc.go:56)
+    assert out.operation == "update"
+    assert json.loads(out.payload_after_json) == {"x": 1}
+    assert out.metadata == {"m": "1"}
+
+
+# ---- enrichment (offline transports) ------------------------------------
+
+
+def test_webhook_http_fake_transport(env_df):
+    out = ops.webhook_http(
+        env_df,
+        "http://svc/{{ .Operation }}",
+        transport=ops.fake_transport,
+    )
+    rows = out.collect()
+    assert all(json.loads(r.payload_after_json)["digest"] for r in rows)
+    assert all(r._error is None for r in rows)
+
+
+def test_webhook_http_error_routing(env_df):
+    def failing(request):
+        raise ConnectionError("boom")
+
+    out = ops.webhook_http(
+        env_df, "http://svc", transport=failing, retries=1, backoff_s=0.0
+    )
+    ok, errored = ops.split_errors(out)
+    assert ok.count() == 0 and errored.count() == 2
+    assert "boom" in errored.collect()[0]._error
+
+
+def test_llm_embed_batching(env_df):
+    out = ops.llm_embed(
+        env_df,
+        provider="cohere",
+        model="embed-v3",
+        input_field=".Payload.After.name",
+        transport=ops.fake_transport,
+    )
+    rows = out.collect()
+    assert all(len(r["__embedding"]) == 8 for r in rows)
+
+
+def test_llm_transform(env_df):
+    out = ops.llm_transform(
+        env_df,
+        provider="openai",
+        model="gpt",
+        prompt="summarize: {{ .Payload.After.name }}",
+        transport=ops.fake_transport,
+    )
+    rows = out.collect()
+    assert all(json.loads(r.payload_after_json)["response"].startswith("fake:") for r in rows)
+
+
+def test_custom_python_filter_and_transform(env_df):
+    def fn(rec):
+        if rec["operation"] == "delete":
+            return None
+        rec["metadata"] = dict(rec["metadata"], touched="1")
+        return rec
+
+    out = ops.custom_python(env_df, fn)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].metadata["touched"] == "1"
