@@ -13,11 +13,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from conduit_spark.analytics import processor_queries, relational
+from conduit_spark.analytics import (
+    dedup,
+    multimodal,
+    processor_queries,
+    relational,
+    similarity,
+    text,
+)
 
 _REGISTRIES = [
     (relational.QUERIES, relational.ORACLES),
     (processor_queries.QUERIES, processor_queries.ORACLES),
+    (text.QUERIES, text.ORACLES),
+    (dedup.QUERIES, dedup.ORACLES),
+    (similarity.QUERIES, similarity.ORACLES),
+    (multimodal.QUERIES, multimodal.ORACLES),
 ]
 
 

@@ -1,0 +1,332 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-designed and oracle-checkable:
+
+- **exact**: hash-groupBy on content digest — one shuffle on the
+  digest, map-side partial agg.
+- **minhash + LSH**: word-shingle → k permutation-min signatures →
+  banded bucket keys → candidate pairs via bucket self-join → exact
+  Jaccard verify. The classic near-dup pipeline (Broder; used by every
+  large-scale corpus dedup) expressed entirely in DataFrame algebra:
+  shuffles are (doc→signature groupBy) + (band bucket join) + the
+  verify join — all on keys, all AQE-skew-splittable. No pairwise
+  O(n²) anywhere.
+- **simhash**: per-token 32-bit hash sign-votes → fingerprint;
+  equal-fingerprint buckets are dup groups. One explode + one groupBy.
+- **n-gram Jaccard**: exact set similarity via shingle-key equi-join —
+  the verify stage of minhash used standalone (bounded by shingle
+  frequency at scale; pair generation never materializes the cross
+  product).
+
+Embedding-cosine near-dup lives in ``similarity`` (shares the LSH
+machinery).
+
+Hash parity with DuckDB comes from functions.hashing.md5_int32, so
+every stage — signatures, buckets, verified pairs — has an exact SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_int32,
+    minhash_params,
+    sql_md5_int32,
+)
+from conduit_spark.sources.tables import load_table
+
+SHINGLE_W = 3  # word-shingle width
+MINHASH_K = 12
+LSH_BANDS = 4  # 4 bands × 3 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+_PARAMS = minhash_params(MINHASH_K)
+
+
+def d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: documents grouped by content digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct word shingles, hashed to int32.
+
+    Shingling is a per-row array op (no shuffle); explode is narrow.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(SHINGLE_W))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(SHINGLE_W)]
+    )
+    shingles = F.array_distinct(F.transform(idx, shingle_at))
+    return (
+        docs.filter(n >= SHINGLE_W)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", md5_int32(F.col("shingle")).alias("x"))
+        .distinct()
+    )
+
+
+def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (the sketch itself).
+
+    h_j = min((a_j * x + b_j) mod P) over shingle hashes x — one
+    groupBy(doc_id) with K min-aggregates: single shuffle, partial
+    aggregation map-side, signature width constant in data size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _band_buckets(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (band_idx, bucket_key) rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"h{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)],
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding, verified with exact
+    Jaccard ≥ threshold.
+
+    Join graph: bucket self-join (equi on band+bucket, a<b) → distinct
+    candidate pairs → shingle-join verify. At 100 TB the bucket join
+    is the scalable candidate generator (no cross product), and the
+    verify join touches only candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = d_minhash_signatures(spark, sf_dir)
+    bb = _band_buckets(sigs)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingles_df(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "x")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "x")
+    inter = (
+        cand.join(sha, "id_a")  # (id_a, id_b, x) — shingles of a per pair
+        .join(shb, ["id_b", "x"])  # keep only shingles b also has
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = (
+        inter.join(
+            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        ).join(
+            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+    )
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        joined.select("id_a", "id_b", F.round(jacc, 9).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1
+    shingle (the standalone verify stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        a.join(b, (F.col("sa.x") == F.col("sb.x")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = (
+        inter.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    )
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(jacc, 9).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (token-frequency weighted).
+
+    explode(tokens) → one groupBy(doc_id) with 32 sign-vote sums →
+    fingerprint assembly. Constant state per doc; single shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h", md5_int32(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+QUERIES = {
+    "d_exact": d_exact,
+    "d_minhash_signatures": d_minhash_signatures,
+    "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
+    "d_ngram_jaccard": d_ngram_jaccard,
+    "d_simhash": d_simhash,
+}
+
+
+_SHINGLE_SQL = f"""
+    SELECT DISTINCT doc_id,
+           {sql_md5_int32("sh")} AS x
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - {SHINGLE_W - 1}),
+                   i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_W - 1}], ' ')
+               ))) AS sh
+        FROM documents
+        WHERE len(string_split(text,' ')) >= {SHINGLE_W}
+    )
+"""
+
+_SIG_AGGS_SQL = ",\n               ".join(
+    f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{j}"
+    for j, (a, b) in enumerate(_PARAMS)
+)
+
+ORACLES = {
+    "d_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS n_copies,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id
+    """,
+    "d_minhash_signatures": f"""
+        SELECT doc_id,
+               {_SIG_AGGS_SQL}
+        FROM ({_SHINGLE_SQL})
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "d_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) /
+                     CAST(ca.n + cb.n - n_inter AS DOUBLE), 9) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+              CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.05
+        ORDER BY id_a, id_b
+    """,
+    "d_minhash_lsh_pairs": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sigs AS (
+            SELECT doc_id, {_SIG_AGGS_SQL}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, "
+                + " || ':' || ".join(
+                    f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+                )
+                + " AS bucket FROM sigs"
+                for b in range(LSH_BANDS)
+            )}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.x = sa.x
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) /
+                     CAST(ca.n + cb.n - n_inter AS DOUBLE), 9) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+              CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "d_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, {sql_md5_int32("t")} AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32))}
+            FROM tok GROUP BY doc_id)
+        SELECT doc_id,
+               {" + ".join(f"CASE WHEN v{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))} AS simhash
+        FROM votes ORDER BY doc_id
+    """,
+}

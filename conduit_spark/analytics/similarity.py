@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k** — the correctness baseline: broadcast
+  the query vector, one narrow pass computing a fold dot-product, then
+  a top-k (Spark's sort-limit is a per-partition top-k + tiny final
+  merge — no full sort).
+- **sign-LSH (random hyperplane) bucketed top-k** — the scale path:
+  deterministic hyperplanes (functions.hashing.hyperplanes) assign a
+  bucket per vector; search touches only the query's bucket. At 100 TB
+  the bucket column is a partition/cluster key so a probe reads one
+  partition, not the corpus. (IVF with learned centroids would slot in
+  the same way; sign-LSH keeps the oracle exact.)
+- **embedding cosine near-dup** — pairs in the same bucket with
+  cosine ≥ threshold (the embedding analog of minhash dedup).
+
+Determinism: dot products fold left-to-right over the array in both
+engines with double accumulation, and results round to 9 decimals —
+bit-identical vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from conduit_spark.functions.hashing import hyperplanes
+from conduit_spark.sources.tables import load_table
+
+N_PLANES = 8
+DIM = 64
+QUERY_VEC_ID = 0
+_PLANES = hyperplanes(N_PLANES, DIM)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    # literal-array dot: plane is a compile-time constant list
+    arr = F.array(*[F.lit(v) for v in plane])
+    return _dot(vec, arr)
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_PLANES):
+        bucket = bucket + F.when(_plane_dot(vec, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _query_vec(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the query vector (vec_id=0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram — the partition-pruning structure itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5: candidates restricted to the query's LSH bucket.
+
+    The bucket filter happens *before* any distance math — at scale,
+    with the table clustered by bucket, this prunes ~(1 - 1/2^planes)
+    of the corpus from the scan."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: same-bucket pairs with cosine ≥ 0.3.
+
+    (The testdata embeddings are near-orthogonal random vectors, so the
+    threshold is set low to exercise the pipeline; corpus embeddings
+    with real duplicates would use ≥ 0.95.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
+
+
+QUERIES = {
+    "s_cosine_topk": s_cosine_topk,
+    "s_lsh_buckets": s_lsh_buckets,
+    "s_ann_lsh_topk": s_ann_lsh_topk,
+    "s_neardup_pairs": s_neardup_pairs,
+}
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform({a}, (x, i) -> "
+        f"CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_plane_array(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = [
+        f"CASE WHEN {_sql_dot(vec, _sql_plane_array(p))} >= 0 THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+ORACLES = {
+    "s_cosine_topk": f"""
+        SELECT e.vec_id, e.label,
+               round({_sql_cosine("e.embedding", "q.embedding")}, 9) AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "s_lsh_buckets": f"""
+        SELECT {_sql_bucket("embedding")} AS bucket, count(*) AS n_vectors
+        FROM embeddings GROUP BY 1 ORDER BY bucket
+    """,
+    "s_ann_lsh_topk": f"""
+        WITH be AS (
+            SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+            FROM embeddings)
+        SELECT e.vec_id, e.bucket,
+               round({_sql_cosine("e.embedding", "q.embedding")}, 9) AS cos_sim
+        FROM be e,
+             (SELECT embedding, bucket FROM be WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID} AND e.bucket = q.bucket
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 5
+    """,
+    "s_neardup_pairs": f"""
+        WITH be AS (
+            SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos_sim
+        FROM be a JOIN be b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.3
+        ORDER BY id_a, id_b
+    """,
+}

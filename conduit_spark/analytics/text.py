@@ -1,0 +1,181 @@
+"""Text analysis for training-data pipelines (beyond the reference).
+
+Language ID (marker-word heuristic), quality scoring (length /
+punctuation / stopword / uniqueness ratios), token counting, and
+document fingerprinting (position-weighted rolling hash) over the
+``documents`` table. Everything is built-in-function column algebra —
+single scan, one optional shuffle, no Python — and each query has an
+exact DuckDB oracle (hash parity via functions.hashing).
+
+The reference's closest precedent is its AI-pipeline processor family
+(cohere/openai/ollama, docs/design-documents/20260724-ai-pipeline-components.md);
+these operators are the deterministic, 100 TB-scalable complement.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
+from conduit_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "fast"),
+    "es": ("el", "la", "los", "una", "es"),
+    "de": ("der", "die", "und", "ist", "ein"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + distinct count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, uniqueness, mean token length.
+
+    Composite score = 0.3*stopword + 0.4*unique + 0.3*min(len/8, 1);
+    every term is exact integer counting followed by IEEE double
+    arithmetic — bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    mean_len = (F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")) / n_tok
+    stop_ratio = n_stop / n_tok
+    uniq_ratio = n_uniq / n_tok
+    score = (
+        F.lit(0.3) * stop_ratio
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 9).alias("stopword_ratio"),
+        F.round(uniq_ratio, 9).alias("uniq_ratio"),
+        F.round(mean_len, 9).alias("mean_token_len"),
+        F.round(score, 9).alias("quality_score"),
+    )
+
+
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie-break order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def marker_count(markers: tuple[str, ...]):
+        # closure, not a default arg: a 2-arg lambda would be treated
+        # as pyspark's (element, index) form
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    best = scores[_LANG_ORDER[0]]
+    pred = F.lit(_LANG_ORDER[0])
+    for lang in _LANG_ORDER[1:]:
+        is_better = scores[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("marker_hits"),
+    )
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling fingerprint:
+    ``sum((i+1) * md5_int32(token_i))`` — order-sensitive, overflow-safe
+    (< 2^51 for realistic docs), reproducible in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    weighted = F.transform(toks, lambda x, i: (i + F.lit(1)).cast("bigint") * md5_int32(x))
+    fp = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "t_token_count": t_token_count,
+    "t_quality": t_quality,
+    "t_langid": t_langid,
+    "t_fingerprint": t_fingerprint,
+}
+
+_SQL_STOP = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text,' '), x -> x IN ({inlist})))"
+
+
+def _langid_sql() -> str:
+    cases = []
+    # mirror the when-chain: later languages win only on strictly greater
+    expr_pred = f"'{_LANG_ORDER[0]}'"
+    expr_best = _sql_marker_count(LANG_MARKERS[_LANG_ORDER[0]])
+    for lang in _LANG_ORDER[1:]:
+        cnt = _sql_marker_count(LANG_MARKERS[lang])
+        expr_pred = f"CASE WHEN {cnt} > {expr_best} THEN '{lang}' ELSE {expr_pred} END"
+        expr_best = f"CASE WHEN {cnt} > {expr_best} THEN {cnt} ELSE {expr_best} END"
+    return f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {expr_pred} AS predicted_lang,
+               CAST({expr_best} AS BIGINT) AS marker_hits
+        FROM documents
+    """
+
+
+ORACLES = {
+    "t_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(text) AS n_chars_actual
+        FROM documents
+    """,
+    "t_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> x IN ({_SQL_STOP}))) AS DOUBLE) AS n_stop,
+                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS n_uniq,
+                   CAST(length(replace(text,' ','')) AS DOUBLE) AS n_nonspace
+            FROM documents)
+        SELECT doc_id,
+               round(n_stop / n_tok, 9) AS stopword_ratio,
+               round(n_uniq / n_tok, 9) AS uniq_ratio,
+               round(n_nonspace / n_tok, 9) AS mean_token_len,
+               round(0.3 * (n_stop / n_tok) + 0.4 * (n_uniq / n_tok)
+                     + 0.3 * least((n_nonspace / n_tok) / 8.0, 1.0), 9) AS quality_score
+        FROM t
+    """,
+    "t_langid": _langid_sql(),
+    "t_fingerprint": f"""
+        SELECT doc_id,
+               list_sum(list_transform(string_split(text,' '),
+                   (x, i) -> CAST(i AS BIGINT) * {sql_md5_int32('x')})) AS fingerprint
+        FROM documents
+    """,
+}

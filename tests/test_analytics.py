@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import pytest
+
+from conduit_spark.analytics import dedup, multimodal, similarity, text
+from tests.oracle_util import compare_spark_duckdb
+
+MODULES = {
+    "text": text,
+    "dedup": dedup,
+    "similarity": similarity,
+    "multimodal": multimodal,
+}
+
+CASES = [
+    (mod_name, qname)
+    for mod_name, mod in MODULES.items()
+    for qname in sorted(mod.QUERIES)
+]
+
+
+@pytest.mark.parametrize("mod_name,name", CASES, ids=[c[1] for c in CASES])
+def test_analytics_matches_oracle(spark, sf_dir, duck, mod_name, name):
+    mod = MODULES[mod_name]
+    df = mod.QUERIES[name](spark, sf_dir)
+    n = df.count()
+    if name not in ("s_neardup_pairs", "d_minhash_lsh_pairs", "d_ngram_jaccard"):
+        assert n > 0, f"{name} produced no rows — vacuous"
+    compare_spark_duckdb(df, duck, mod.ORACLES[name])
