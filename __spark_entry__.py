@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from conduit_spark.analytics import (
     dedup,
     multimodal,
+    pipeline_queries,
     processor_queries,
     relational,
     similarity,
@@ -29,6 +30,7 @@ _REGISTRIES = [
     (dedup.QUERIES, dedup.ORACLES),
     (similarity.QUERIES, similarity.ORACLES),
     (multimodal.QUERIES, multimodal.ORACLES),
+    (pipeline_queries.QUERIES, pipeline_queries.ORACLES),
 ]
 
 

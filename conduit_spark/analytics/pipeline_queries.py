@@ -1,0 +1,115 @@
+"""Pipeline-runtime queries for the correctness gate.
+
+These put the *runtime itself* (generator source, YAML parsing, fan-in,
+processor chains, DLQ split) under the DuckDB oracle, not just the
+individual operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.pipeline import Pipeline, parse_yaml
+from conduit_spark.sources.generator import generator_source
+
+GEN_N = 1000
+
+
+def g_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """builtin:generator field synthesis parity (quickstart.go:50-54
+    spec: id int, name string, trial bool, joined time)."""
+    env = generator_source(
+        spark,
+        fields={"id": "int", "name": "string", "trial": "bool", "joined": "time"},
+        record_count=GEN_N,
+        source_id="gen",
+    )
+    return env.select(
+        F.col("position").cast("string").alias("position"),
+        F.col("operation").alias("operation"),
+        F.get_json_object("payload_after_json", "$.id").cast("bigint").alias("id"),
+        F.get_json_object("payload_after_json", "$.name").alias("name"),
+        F.get_json_object("payload_after_json", "$.trial").cast("boolean").alias("trial"),
+        F.get_json_object("payload_after_json", "$.joined").cast("timestamp").alias("joined"),
+    )
+
+
+_PIPE_YAML = """
+version: "2.2"
+pipelines:
+  - id: gate
+    connectors:
+      - id: g1
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 500, "format.options": {id: int, trial: bool}}
+        processors:
+          - id: tag
+            plugin: field.set
+            settings: {field: .Metadata.src, value: g1}
+      - id: g2
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 250, "format.options": {id: int, trial: bool}}
+      - id: sink
+        type: destination
+        plugin: builtin:log
+        settings: {}
+    processors:
+      - id: drop-trials
+        plugin: filter
+        condition: "{{ eq .Payload.After.trial true }}"
+      - id: stamp
+        plugin: field.set
+        settings: {field: .Metadata.stage, value: "done-{{ .Metadata.src }}"}
+"""
+
+
+def g_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full YAML pipeline (fan-in of 2 generators, source-scoped +
+    pipeline-scoped processors) — the pre-fan-out plan's output."""
+    cfg = parse_yaml(_PIPE_YAML)[0]
+    p = Pipeline(spark, cfg)
+    df = p.build_batch()
+    return df.select(
+        F.col("position").cast("string").alias("position"),
+        F.get_json_object("payload_after_json", "$.id").cast("bigint").alias("id"),
+        F.coalesce(F.col("metadata").getItem("src"), F.lit("")).alias("src"),
+        F.col("metadata").getItem("stage").alias("stage"),
+    )
+
+
+QUERIES = {
+    "g_generator": g_generator,
+    "g_pipeline_chain": g_pipeline_chain,
+}
+
+ORACLES = {
+    # mirrors sources/generator.py synthesis: int=(i*17+3)%1000,
+    # string=f"{name}-{i}", bool=(i%2==0), time=base+i seconds
+    "g_generator": f"""
+        SELECT 'gen:' || CAST(i AS VARCHAR) AS position,
+               'create' AS operation,
+               (i * 17 + 3) % 1000 AS id,
+               'name-' || CAST(i AS VARCHAR) AS name,
+               i % 2 = 0 AS trial,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS joined
+        FROM (SELECT unnest(generate_series(0, {GEN_N - 1})) AS i)
+    """,
+    "g_pipeline_chain": """
+        WITH g1 AS (
+            SELECT 'g1:' || CAST(i AS VARCHAR) AS position,
+                   (i * 17 + 3) % 1000 AS id, i % 2 = 0 AS trial,
+                   'g1' AS src
+            FROM (SELECT unnest(generate_series(0, 499)) AS i)),
+        g2 AS (
+            SELECT 'g2:' || CAST(i AS VARCHAR) AS position,
+                   (i * 17 + 3) % 1000 AS id, i % 2 = 0 AS trial,
+                   '' AS src
+            FROM (SELECT unnest(generate_series(0, 249)) AS i)),
+        merged AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        SELECT position, id, src, 'done-' || src AS stage
+        FROM merged WHERE NOT trial
+    """,
+}

@@ -104,7 +104,9 @@ def resolve(ref: FieldRef | str, df: DataFrame) -> Column:
             return F.col("metadata")
         if len(ref.path) != 1:
             raise ValueError(f"metadata keys are flat strings: {ref}")
-        return F.col("metadata").getItem(ref.path[0])
+        # Go map[string]string access yields the zero value "" for
+        # missing keys — conditions must see "" too, not NULL
+        return F.coalesce(F.col("metadata").getItem(ref.path[0]), F.lit(""))
     if ref.root == "key":
         if "key_struct" in cols and not ref.path:
             return F.col("key_struct")

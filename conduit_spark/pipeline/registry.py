@@ -1,0 +1,242 @@
+"""Plugin registries: processor names → operator factories, connector
+plugins → source builders / sink writers.
+
+Processor names match the reference registry
+(pkg/plugin/processor/builtin/registry.go:46-72). Each factory takes
+the YAML ``settings`` map (+ optional condition, + runtime-injected
+transports) and returns a ``DataFrame -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark import operators as ops
+from conduit_spark.sources.file_source import file_source
+from conduit_spark.sources.generator import generator_source
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+def _require(settings: dict, *keys: str) -> None:
+    missing = [k for k in keys if k not in settings]
+    if missing:
+        raise ValueError(f"missing processor settings: {missing}")
+
+
+def build_processor(
+    plugin: str,
+    settings: dict[str, Any],
+    condition: str | None = None,
+    *,
+    transports: dict[str, Any] | None = None,
+) -> Transform:
+    """Instantiate a processor transform from its YAML declaration."""
+    t = transports or {}
+    c = condition
+
+    if plugin == "filter":
+        return lambda df: ops.filter_records(df, condition=c)
+    if plugin == "field.set":
+        _require(settings, "field", "value")
+        return lambda df: ops.field_set(
+            df, settings["field"], settings["value"], condition=c
+        )
+    if plugin == "field.rename":
+        _require(settings, "mapping")
+        mapping = settings["mapping"]
+        if isinstance(mapping, str):  # "old:new,old2:new2" flat form
+            mapping = dict(pair.split(":", 1) for pair in mapping.split(","))
+        return lambda df: ops.field_rename(df, mapping, condition=c)
+    if plugin == "field.exclude":
+        _require(settings, "fields")
+        fields = settings["fields"]
+        if isinstance(fields, str):
+            fields = [f.strip() for f in fields.split(",")]
+        return lambda df: ops.field_exclude(df, fields, condition=c)
+    if plugin == "field.convert":
+        _require(settings, "field", "type")
+        return lambda df: ops.field_convert(
+            df, settings["field"], settings["type"], condition=c
+        )
+    if plugin == "json.decode":
+        return lambda df: ops.json_decode(
+            df, settings.get("field", ".Payload.After"), condition=c
+        )
+    if plugin == "json.encode":
+        return lambda df: ops.json_encode(
+            df, settings.get("field", ".Payload.After"), condition=c
+        )
+    if plugin == "base64.encode":
+        return lambda df: ops.base64_encode(
+            df, settings.get("field", ".Payload.After"), condition=c
+        )
+    if plugin == "base64.decode":
+        return lambda df: ops.base64_decode(
+            df, settings.get("field", ".Payload.After"), condition=c
+        )
+    if plugin == "avro.encode":
+        _require(settings, "schema")
+        return lambda df: ops.avro_encode(df, settings["schema"], condition=c)
+    if plugin == "avro.decode":
+        _require(settings, "schema")
+        return lambda df: ops.avro_decode(df, settings["schema"], condition=c)
+    if plugin == "clone":
+        _require(settings, "times")
+        return lambda df: ops.clone(df, int(settings["times"]), condition=c)
+    if plugin == "split":
+        _require(settings, "field")
+        return lambda df: ops.split(df, settings["field"], condition=c)
+    if plugin == "error":
+        return lambda df: ops.error(
+            df, settings.get("message", "error processor triggered"), condition=c
+        )
+    if plugin == "unwrap.debezium":
+        return lambda df: ops.unwrap_debezium(df, condition=c)
+    if plugin == "unwrap.kafkaconnect":
+        return lambda df: ops.unwrap_kafka_connect(df, condition=c)
+    if plugin == "unwrap.opencdc":
+        return lambda df: ops.unwrap_opencdc(df, condition=c)
+    if plugin == "webhook.http":
+        _require(settings, "url")
+        return lambda df: ops.webhook_http(
+            df,
+            settings["url"],
+            method=settings.get("method", "GET"),
+            headers=settings.get("headers"),
+            body=settings.get("body"),
+            transport=t.get("http"),
+            retries=int(settings.get("backoffRetry.count", 3)),
+            backoff_s=float(settings.get("backoffRetry.min", 0.1)),
+            condition=c,
+        )
+    if plugin in ("cohere.command", "ollama.request", "openai.textgen"):
+        provider = plugin.split(".")[0]
+        _require(settings, "prompt")
+        return lambda df: ops.llm_transform(
+            df,
+            provider=provider,
+            model=settings.get("model", "default"),
+            prompt=settings["prompt"],
+            transport=t.get(provider) or t.get("llm"),
+            condition=c,
+        )
+    if plugin in ("cohere.embed", "openai.embed"):
+        provider = plugin.split(".")[0]
+        _require(settings, "inputField")
+        return lambda df: ops.llm_embed(
+            df,
+            provider=provider,
+            model=settings.get("model", "default"),
+            input_field=settings["inputField"],
+            transport=t.get(provider) or t.get("llm"),
+            max_texts_per_request=int(settings.get("maxTextsPerRequest", 96)),
+            condition=c,
+        )
+    if plugin == "cohere.rerank":
+        _require(settings, "query", "inputField")
+        return lambda df: ops.llm_rerank(
+            df,
+            provider="cohere",
+            model=settings.get("model", "default"),
+            query=settings["query"],
+            input_field=settings["inputField"],
+            transport=t.get("cohere") or t.get("llm"),
+            condition=c,
+        )
+    raise ValueError(f"unknown processor plugin {plugin!r}")
+
+
+def build_source(
+    spark: SparkSession,
+    plugin: str,
+    settings: dict[str, Any],
+    source_id: str,
+    *,
+    streaming: bool = False,
+) -> DataFrame:
+    """Instantiate a source connector DataFrame."""
+    if plugin == "builtin:generator":
+        fields = settings.get("format.options") or settings.get("fields") or {}
+        return generator_source(
+            spark,
+            fields=dict(fields),
+            record_count=int(settings["recordCount"]) if "recordCount" in settings else None,
+            rate=float(settings.get("rate", 10)),
+            source_id=source_id,
+            streaming=streaming,
+        )
+    if plugin in ("builtin:file", "builtin:s3"):
+        return file_source(
+            spark,
+            settings["path"],
+            fmt=settings.get("format", "text"),
+            source_id=source_id,
+            schema=settings.get("schema"),
+            streaming=streaming,
+        )
+    if plugin == "builtin:kafka":
+        reader = spark.readStream if streaming else spark.read
+        df = (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", settings["servers"])
+            .option("subscribe", settings["topic"])
+            .load()
+        )
+        import pyspark.sql.functions as F
+
+        return df.select(
+            F.concat(
+                F.col("topic"), F.lit(":"),
+                F.col("partition").cast("string"), F.lit(":"),
+                F.col("offset").cast("string"),
+            ).cast("binary").alias("position"),
+            F.lit("create").alias("operation"),
+            F.create_map(
+                F.lit("conduit.source.connector.id"), F.lit(source_id),
+                F.lit("kafka.topic"), F.col("topic"),
+                F.lit("kafka.offset"), F.col("offset").cast("string"),
+            ).alias("metadata"),
+            F.col("key").alias("key_raw"),
+            F.lit(None).cast("string").alias("key_json"),
+            F.lit(None).cast("string").alias("payload_before_json"),
+            F.lit(None).cast("string").alias("payload_after_json"),
+            F.col("value").alias("payload_after_raw"),
+            F.lit(False).alias("is_structured"),
+        )
+    raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def write_destination(
+    df: DataFrame, plugin: str, settings: dict[str, Any]
+) -> None:
+    """Execute a destination write for one (micro-)batch."""
+    from conduit_spark import sinks
+
+    if plugin in ("builtin:file", "builtin:s3"):
+        sinks.file_sink(
+            df,
+            settings["path"],
+            fmt=settings.get("format", "json"),
+            mode=settings.get("mode", "append"),
+            partition_by_collection=bool(settings.get("partitionByCollection", False)),
+        )
+        return
+    if plugin == "builtin:log":
+        sinks.log_sink(df, n=int(settings.get("n", 20)))
+        return
+    if plugin == "builtin:postgres":
+        sinks.jdbc_sink(
+            df,
+            settings["url"],
+            settings["table"],
+            options=settings.get("options"),
+        )
+        return
+    if plugin == "builtin:kafka":
+        sinks.kafka_sink(df, settings["servers"], settings["topic"])
+        return
+    raise ValueError(f"unknown destination plugin {plugin!r}")

@@ -1,0 +1,227 @@
+"""Pipeline runtime — fan-in, processor chains, fan-out, DLQ, recovery.
+
+Replicates the reference's pipeline semantics on Spark's execution
+model (SURVEY.md §3-§4):
+
+- **fan-in**: N sources union into one stream
+  (pkg/lifecycle/stream/fanin.go → unionByName).
+- **per-connector processor chains**: source-scoped processors run
+  before the union; destination-scoped ones after fan-out
+  (pkg/lifecycle/service.go:658,792).
+- **fan-out**: every record to all M destinations; per-batch atomicity
+  via persist + M writes (stream/fanout.go + ADR
+  20260731-archv2-fanout-ack-model.md — micro-batch ack granularity
+  documented delta vs per-record acks).
+- **DLQ**: rows tagged ``_error`` divert to the DLQ destination; the
+  pipeline *fails* (status degraded) when nacks in the window exceed
+  window-nack-threshold (stream/dlq.go:232-257; v2 counts per batch,
+  funnel/dlq.go:76,87 — we match v2: the micro-batch is the window
+  unit when window_size is smaller than the batch).
+- **statuses & recovery**: running / user-stopped / degraded /
+  recovering (pkg/pipeline/instance.go:25-29); streaming restarts
+  resume from the checkpoint (lifecycle/service.go:238-281's backoff
+  loop maps to restart_with_backoff).
+
+Batch and streaming share one code path: ``_apply_chain`` builds the
+plan; batch runs it directly, streaming runs it inside foreachBatch —
+the reference's own v1→v2 conclusion that micro-batches win (ADR
+20260704-pipeline-architecture-v2.md).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.operators.base import ERROR_COL, ensure_error_col, split_errors
+from conduit_spark.pipeline.config import PipelineConfig, ProcessorConfig
+from conduit_spark.pipeline.registry import (
+    build_processor,
+    build_source,
+    write_destination,
+)
+
+STATUS_RUNNING = "running"
+STATUS_USER_STOPPED = "user-stopped"
+STATUS_DEGRADED = "degraded"
+STATUS_RECOVERING = "recovering"
+
+
+class PipelineFailure(RuntimeError):
+    """Raised when DLQ nacks exceed the window threshold
+    (stream/dlq.go:252-257)."""
+
+
+@dataclass
+class BatchResult:
+    delivered: dict[str, int] = field(default_factory=dict)
+    nacked: int = 0
+    status: str = STATUS_RUNNING
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        *,
+        transports: dict[str, Any] | None = None,
+    ):
+        if not config.sources:
+            raise ValueError(f"pipeline {config.id}: needs at least one source")
+        if not config.destinations:
+            raise ValueError(f"pipeline {config.id}: needs at least one destination")
+        self.spark = spark
+        self.config = config
+        self.transports = transports or {}
+        self.status = config.status
+
+    # ---- plan building ---------------------------------------------------
+
+    def _chain(self, df: DataFrame, procs: list[ProcessorConfig]) -> DataFrame:
+        for p in procs:
+            transform = build_processor(
+                p.plugin, p.settings, p.condition, transports=self.transports
+            )
+            df = transform(df)
+        return df
+
+    def build_batch(self) -> DataFrame:
+        """Fan-in + pipeline processors → the pre-fan-out DataFrame."""
+        branches = []
+        for src in self.config.sources:
+            df = build_source(
+                self.spark, src.plugin, src.settings, src.id, streaming=False
+            )
+            df = ensure_error_col(df)
+            branches.append(self._chain(df, src.processors))
+        merged = branches[0]
+        for b in branches[1:]:
+            merged = merged.unionByName(b)
+        return self._chain(merged, self.config.processors)
+
+    def build_streaming(self) -> DataFrame:
+        branches = []
+        for src in self.config.sources:
+            df = build_source(
+                self.spark, src.plugin, src.settings, src.id, streaming=True
+            )
+            df = ensure_error_col(df)
+            branches.append(self._chain(df, src.processors))
+        merged = branches[0]
+        for b in branches[1:]:
+            merged = merged.unionByName(b)
+        return self._chain(merged, self.config.processors)
+
+    # ---- batch execution -------------------------------------------------
+
+    def _deliver(self, df: DataFrame) -> BatchResult:
+        """Fan-out one (micro-)batch: DLQ split, threshold check,
+        M destination writes (persist → atomic per batch)."""
+        res = BatchResult()
+        df = df.persist()
+        try:
+            ok, errored = split_errors(df)
+            nacks = errored.count()
+            res.nacked = nacks
+            dlq = self.config.dlq
+            if nacks > 0 and dlq is not None:
+                dlq_df = errored.withColumn(
+                    "metadata",
+                    F.map_concat(
+                        F.col("metadata"),
+                        F.create_map(
+                            F.lit("conduit.dlq.error"), F.col(ERROR_COL),
+                            F.lit("conduit.dlq.pipeline"), F.lit(self.config.id),
+                        ),
+                    ),
+                ).drop(ERROR_COL)
+                write_destination(dlq_df, dlq.plugin, dlq.settings)
+            threshold = dlq.window_nack_threshold if dlq else 0
+            if nacks > threshold:
+                res.status = STATUS_DEGRADED
+                self.status = STATUS_DEGRADED
+                raise PipelineFailure(
+                    f"pipeline {self.config.id}: {nacks} nacks exceed "
+                    f"window-nack-threshold {threshold}"
+                )
+            out = ok.drop(ERROR_COL)
+            for dest in self.config.destinations:
+                routed = self._chain(ensure_error_col(out), dest.processors)
+                routed_ok, routed_err = split_errors(routed)
+                write_destination(
+                    routed_ok.drop(ERROR_COL), dest.plugin, dest.settings
+                )
+                res.delivered[dest.id] = routed_ok.count()
+            return res
+        finally:
+            df.unpersist()
+
+    def run_batch(self) -> BatchResult:
+        return self._deliver(self.build_batch())
+
+    # ---- streaming execution --------------------------------------------
+
+    def run_streaming(
+        self,
+        checkpoint_dir: str,
+        *,
+        trigger_once: bool = True,
+        await_seconds: float | None = None,
+    ):
+        """Start the streaming query; positions/acks live entirely in
+        the Structured Streaming checkpoint (offset log + commit log
+        per micro-batch — SURVEY.md §3 'Spark replaces ack plumbing')."""
+        stream_df = self.build_streaming()
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self._deliver(batch_df)
+
+        writer = (
+            stream_df.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        if await_seconds is not None:
+            query.awaitTermination(await_seconds)
+        elif trigger_once:
+            query.awaitTermination()
+        return query
+
+    def restart_with_backoff(
+        self,
+        checkpoint_dir: str,
+        *,
+        max_restarts: int = 3,
+        backoff_s: float = 0.5,
+    ):
+        """Recovery loop analog of lifecycle/service.go:238-281: on
+        failure, restart from the checkpoint with exponential backoff."""
+        delay = backoff_s
+        last_err: Exception | None = None
+        for _ in range(max_restarts + 1):
+            try:
+                self.status = STATUS_RUNNING
+                return self.run_streaming(checkpoint_dir)
+            except PipelineFailure:
+                self.status = STATUS_DEGRADED
+                raise  # DLQ threshold breaches don't auto-recover
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                self.status = STATUS_RECOVERING
+                time.sleep(delay)
+                delay *= 2
+        self.status = STATUS_DEGRADED
+        raise RuntimeError(
+            f"pipeline {self.config.id} failed after {max_restarts} restarts"
+        ) from last_err
+
+    def stop(self, query) -> None:
+        query.stop()
+        self.status = STATUS_USER_STOPPED

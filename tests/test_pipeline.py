@@ -1,0 +1,237 @@
+"""Pipeline runtime tests: YAML parse, batch run, fan-in/fan-out, DLQ
+threshold, streaming with checkpoint recovery (chaos-test analog —
+tests/chaos/doc.go:15-31 semantics: no lost records, no double
+delivery after restart)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from conduit_spark.pipeline import Pipeline, PipelineFailure, parse_yaml
+
+PIPELINE_YAML = """
+version: "2.2"
+pipelines:
+  - id: p1
+    status: running
+    description: generator → transforms → file
+    connectors:
+      - id: gen1
+        type: source
+        plugin: builtin:generator
+        settings:
+          recordCount: 100
+          format.options: {id: int, name: string, trial: bool}
+      - id: out1
+        type: destination
+        plugin: builtin:file
+        settings: {path: "%OUT%", format: json, mode: overwrite}
+    processors:
+      - id: drop-evens
+        plugin: filter
+        condition: "{{ eq .Payload.After.trial true }}"
+      - id: tag
+        plugin: field.set
+        settings: {field: .Metadata.stage, value: processed}
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {path: "%DLQ%", format: json, mode: overwrite}
+      window-size: 100
+      window-nack-threshold: 10
+"""
+
+
+def read_json_dir(path):
+    rows = []
+    for f in sorted(glob.glob(os.path.join(path, "*.json"))):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    return rows
+
+
+def test_yaml_parse_model():
+    cfgs = parse_yaml(PIPELINE_YAML)
+    assert len(cfgs) == 1
+    cfg = cfgs[0]
+    assert cfg.id == "p1"
+    assert [c.id for c in cfg.sources] == ["gen1"]
+    assert [c.id for c in cfg.destinations] == ["out1"]
+    assert cfg.processors[0].condition.startswith("{{")
+    assert cfg.dlq.window_nack_threshold == 10
+
+
+def test_batch_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    cfg = parse_yaml(PIPELINE_YAML.replace("%OUT%", out).replace("%DLQ%", dlq))[0]
+    p = Pipeline(spark, cfg)
+    res = p.run_batch()
+    # generator: 100 records, trial = (idx % 2 == 0) → 50 filtered
+    assert res.delivered == {"out1": 50}
+    rows = read_json_dir(out)
+    assert len(rows) == 50
+    payloads = [json.loads(r["payload_after_json"]) for r in rows]
+    assert all(p["trial"] is False for p in payloads)
+    assert all(r["metadata"]["stage"] == "processed" for r in rows)
+
+
+def test_fan_in_fan_out(spark, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p2
+    connectors:
+      - id: g1
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 10, format.options: {{id: int}}}}
+        processors:
+          - id: src-tag
+            plugin: field.set
+            settings: {{field: .Metadata.src, value: g1}}
+      - id: g2
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 5, format.options: {{id: int}}}}
+      - id: da
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out_a}", format: json, mode: overwrite}}
+      - id: db
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out_b}", format: json, mode: overwrite}}
+        processors:
+          - id: only-g1
+            plugin: filter
+            condition: '{{{{ ne .Metadata.src "g1" }}}}'
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    res = Pipeline(spark, cfg).run_batch()
+    assert res.delivered["da"] == 15  # fan-in: 10 + 5, fan-out to both
+    assert res.delivered["db"] == 10  # destination-scoped filter kept g1 only
+    assert len(read_json_dir(out_a)) == 15
+    assert len(read_json_dir(out_b)) == 10
+
+
+def test_dlq_threshold_fails_pipeline(spark, tmp_path):
+    dlq = str(tmp_path / "dlq")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p3
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 20, format.options: {{id: int, trial: bool}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json, mode: overwrite}}
+    processors:
+      - id: fail-trials
+        plugin: error
+        settings: {{message: "trial record rejected"}}
+        condition: "{{{{ eq .Payload.After.trial true }}}}"
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {{path: "{dlq}", format: json, mode: overwrite}}
+      window-size: 20
+      window-nack-threshold: 5
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)
+    with pytest.raises(PipelineFailure):
+        p.run_batch()  # 10 trial records > threshold 5
+    assert p.status == "degraded"
+    dlq_rows = read_json_dir(dlq)
+    assert len(dlq_rows) == 10
+    assert all(
+        r["metadata"]["conduit.dlq.error"] == "trial record rejected" for r in dlq_rows
+    )
+
+
+def test_dlq_below_threshold_continues(spark, tmp_path):
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p4
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 20, format.options: {{id: int}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out}", format: json, mode: overwrite}}
+    processors:
+      - id: fail-one
+        plugin: error
+        settings: {{message: "bad"}}
+        condition: "{{{{ eq .Payload.After.id 3 }}}}"
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {{path: "{dlq}", format: json, mode: overwrite}}
+      window-size: 20
+      window-nack-threshold: 5
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    res = Pipeline(spark, cfg).run_batch()
+    assert res.nacked == 1  # id==3 occurs once in (i*17+3)%1000 for i<20
+    assert res.delivered["d"] == 19
+    assert len(read_json_dir(dlq)) == 1
+
+
+def test_streaming_file_source_checkpoint_resume(spark, tmp_path):
+    """Chaos analog: run → stop → add data → resume from checkpoint;
+    no loss, no double-delivery."""
+    src_dir = tmp_path / "incoming"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("line1\nline2\n")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p5
+    connectors:
+      - id: f
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: text}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out}", format: json, mode: append}}
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)
+    p.run_streaming(ckpt, trigger_once=True)
+    assert len(read_json_dir(out)) == 2
+    # "crash" and restart with new data — checkpoint must dedupe a.txt
+    (src_dir / "b.txt").write_text("line3\n")
+    p.run_streaming(ckpt, trigger_once=True)
+    rows = read_json_dir(out)
+    assert len(rows) == 3  # line3 delivered exactly once, no replays
+    payloads = sorted(r["payload_after_raw"] for r in rows)
+    assert payloads == ["line1", "line2", "line3"]
+
+
+def test_pipeline_queries_match_oracle(spark, sf_dir, duck):
+    from conduit_spark.analytics import pipeline_queries as gq
+    from tests.oracle_util import compare_spark_duckdb
+
+    for name in sorted(gq.QUERIES):
+        df = gq.QUERIES[name](spark, sf_dir)
+        assert df.count() > 0
+        compare_spark_duckdb(df, duck, gq.ORACLES[name])
