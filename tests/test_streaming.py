@@ -1,0 +1,123 @@
+"""Streaming surface tests: windows (batch-unified semantics), the
+inspector tap, and the stateful dedup operator run as a real stream."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from conduit_spark.sources.tables import load_table
+from conduit_spark.streaming import (
+    StreamInspector,
+    running_dedup_state,
+    session_aggregate,
+    tumbling_aggregate,
+)
+
+
+def test_tumbling_matches_batch_oracle(spark, sf_dir, duck):
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_aggregate(
+        ev,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    ).select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n",
+    )
+    exp = duck.execute(
+        """SELECT date_trunc('hour', ts) AS win_start, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    got = sorted((r.win_start, r.event_type, r.n) for r in out.collect())
+    assert got == sorted([(a.replace(tzinfo=None), b, c) for a, b, c in exp])
+
+
+def test_session_windows_merge(spark):
+    rows = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:03:00"),   # same session (gap 5m)
+        ("u1", "2024-01-01 01:00:00"),   # new session
+        ("u2", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts_s"]).select(
+        "user", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = session_aggregate(
+        df, "ts", "5 minutes", keys=["user"], aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    got = sorted((r.user, r.n) for r in out.collect())
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_inspector_batch_tap(spark, sf_dir):
+    from conduit_spark import envelope as env
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    e = env.from_table(ev, key_cols=["event_id"])
+    insp = StreamInspector(buffer_size=5, sample_per_batch=3)
+    insp.tap_batch(e)
+    recs = insp.records()
+    assert 1 <= len(recs) <= 5
+    assert "payload_after_json" in recs[0]
+
+
+def test_inspector_bounded_drop_oldest(spark):
+    insp = StreamInspector(buffer_size=3, sample_per_batch=10)
+    df = spark.range(10).select(F.col("id").alias("v"))
+    insp.tap_batch(df)
+    recs = insp.records()
+    assert len(recs) == 3  # drop-on-full, oldest evicted
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """Run a real two-batch stream; duplicates in batch 2 must be
+    suppressed by checkpointed state."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        "\n".join(json.dumps({"k": k, "p": f"v{k}"}) for k in ["a", "b", "a"])
+    )
+    schema = "k string, p string"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .select(
+            F.col("k").alias("key_json"),
+            F.col("p").alias("payload_after_json"),
+        )
+    )
+    deduped = running_dedup_state(stream)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend(batch_df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.dedup_key for r in results) == ["a", "b"]
+    dropped = {r.dedup_key: r.n_duplicates_dropped for r in results}
+    assert dropped["a"] == 1  # one dup of 'a' in batch 1
+
+    # second run: same keys again → all suppressed by state
+    (src / "batch2.json").write_text(json.dumps({"k": "a", "p": "v-again"}))
+    results.clear()
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    assert results == []  # 'a' already emitted in the stream's lifetime
