@@ -125,7 +125,14 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join touches only candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = d_minhash_signatures(spark, sf_dir)
+    # shingling (split + md5 + distinct) feeds both signature building
+    # and the verify join — persist so it computes once, not 3×
+    sh_cached = _shingles_df(docs).persist()
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_PARAMS)
+    ]
+    sigs = sh_cached.groupBy("doc_id").agg(*aggs)
     bb = _band_buckets(sigs)
     a = bb.alias("a")
     b = bb.alias("b")
@@ -139,7 +146,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = _shingles_df(docs)
+    sh = sh_cached
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("id_a"), "x")
     shb = sh.select(F.col("doc_id").alias("id_b"), "x")
@@ -172,7 +179,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle (the standalone verify stage)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_df(docs)
+    sh = _shingles_df(docs).persist()  # reused by counts + both join sides
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")

@@ -44,8 +44,9 @@ EVENTS_PAYLOAD_SCHEMA = StructType(
 
 def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    e = env.from_table(ev, key_cols=["event_id"], source_id="events-src")
-    return env.with_typed_payload(e, EVENTS_PAYLOAD_SCHEMA)
+    return env.from_table(
+        ev, key_cols=["event_id"], source_id="events-src", typed=True
+    )
 
 
 def p_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,14 +180,9 @@ def p_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tokens = docs.select(
         "doc_id", F.slice(F.split(F.col("text"), " "), 1, 3).alias("tokens")
     )
-    e = env.from_table(with_tokens, key_cols=["doc_id"], source_id="docs")
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("tokens", ArrayType(StringType())),
-        ]
+    e = env.from_table(
+        with_tokens, key_cols=["doc_id"], source_id="docs", typed=True
     )
-    e = env.with_typed_payload(e, schema)
     out = ops.split(e, ".Payload.After.tokens")
     return out.select(
         F.col("payload_after.doc_id").alias("doc_id"),
@@ -255,15 +251,14 @@ def p_error_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected {{ .Payload.After.event_type }}",
         condition='{{ and (eq .Payload.After.event_type "purchase") (gt .Payload.After.value 150.0) }}',
     )
-    ok, errored = ops.split_errors(tagged)
-    return ok.select(
+    # single-pass routing projection (the pipeline runtime uses
+    # split_errors over a persisted batch; an unpersisted double scan
+    # would read the source twice at scale)
+    return tagged.select(
         F.col("payload_after.event_id").alias("event_id"),
-        F.lit("ok").alias("route"),
-    ).unionByName(
-        errored.select(
-            F.col("payload_after.event_id").alias("event_id"),
-            F.lit("dlq").alias("route"),
-        )
+        F.when(F.col(ops.ERROR_COL).isNull(), F.lit("ok"))
+        .otherwise(F.lit("dlq"))
+        .alias("route"),
     )
 
 

@@ -55,8 +55,8 @@ def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every term is exact integer counting followed by IEEE double
     arithmetic — bit-identical across engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    docs = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("double")
     n_stop = F.size(
         F.filter(toks, lambda x: x.isin(*STOPWORDS))
@@ -81,8 +81,11 @@ def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID with deterministic tie-break order."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", _tokens()  # split once; five marker scans reuse it
+    )
+    toks = F.col("__toks")
+
     def marker_count(markers: tuple[str, ...]):
         # closure, not a default arg: a 2-arg lambda would be treated
         # as pyspark's (element, index) form
