@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.analytics import (
+    chunking,
     dedup,
     multimodal,
     pipeline_queries,
@@ -31,6 +32,7 @@ _REGISTRIES = [
     (similarity.QUERIES, similarity.ORACLES),
     (multimodal.QUERIES, multimodal.ORACLES),
     (pipeline_queries.QUERIES, pipeline_queries.ORACLES),
+    (chunking.QUERIES, chunking.ORACLES),
 ]
 
 

@@ -1,0 +1,111 @@
+"""CLI control plane — the ``conduit run``/``conduit pipelines`` analog.
+
+Reference entry point A (SURVEY.md §3): ``conduit run --pipelines
+<dir>`` globs pipeline YAML files, provisions them and starts the
+lifecycle. Here:
+
+    python -m conduit_spark run --pipelines examples/pipelines
+    python -m conduit_spark run --pipelines p.yaml --streaming \
+        --checkpoint-dir /tmp/ckpt
+    python -m conduit_spark list --pipelines examples/pipelines
+
+Batch mode runs each pipeline to completion; streaming mode starts
+each with a checkpoint (positions) and blocks. The gRPC/HTTP control
+surface of the reference is out of scope by design — the CLI + library
+API (conduit_spark.pipeline.Pipeline) are the two entry points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+from conduit_spark.pipeline.config import PipelineConfig, load_pipelines
+
+
+def _gather(path: str) -> list[PipelineConfig]:
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "*.yaml"))
+            + glob.glob(os.path.join(path, "*.yml"))
+        )
+    else:
+        files = [path]
+    configs: list[PipelineConfig] = []
+    for f in files:
+        configs.extend(load_pipelines(f))
+    return configs
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    for cfg in _gather(args.pipelines):
+        srcs = ",".join(c.plugin for c in cfg.sources)
+        dsts = ",".join(c.plugin for c in cfg.destinations)
+        procs = ",".join(p.plugin for p in cfg.processors) or "-"
+        print(f"{cfg.id}\t{cfg.status}\t{srcs} -> [{procs}] -> {dsts}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+
+    spark = get_spark("conduit-spark-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    configs = [c for c in _gather(args.pipelines) if c.status == "running"]
+    if not configs:
+        print("no pipelines with status=running found", file=sys.stderr)
+        return 1
+    failures = 0
+    queries = []
+    for cfg in configs:
+        p = Pipeline(spark, cfg)
+        try:
+            if args.streaming:
+                ckpt = os.path.join(args.checkpoint_dir, cfg.id)
+                queries.append(p.run_streaming(ckpt, trigger_once=args.once))
+                print(f"pipeline {cfg.id}: streaming started (checkpoint {ckpt})")
+            else:
+                res = p.run_batch()
+                print(
+                    f"pipeline {cfg.id}: delivered={res.delivered} "
+                    f"nacked={res.nacked} status={p.status}"
+                )
+        except PipelineFailure as e:
+            failures += 1
+            print(f"pipeline {cfg.id}: FAILED — {e}", file=sys.stderr)
+    for q in queries:
+        if not args.once:
+            q.awaitTermination()
+    return 1 if failures else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="conduit_spark", description="PySpark-native data pipeline engine"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="provision and run pipelines")
+    p_run.add_argument("--pipelines", required=True, help="YAML file or directory")
+    p_run.add_argument("--streaming", action="store_true")
+    p_run.add_argument("--checkpoint-dir", default="/tmp/conduit-spark-checkpoints")
+    p_run.add_argument(
+        "--once",
+        action="store_true",
+        help="streaming: process available data then stop (availableNow)",
+    )
+    p_run.set_defaults(fn=cmd_run)
+
+    p_list = sub.add_parser("list", help="list configured pipelines")
+    p_list.add_argument("--pipelines", required=True)
+    p_list.set_defaults(fn=cmd_list)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

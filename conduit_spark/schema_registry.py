@@ -1,0 +1,202 @@
+"""Schema registry — Confluent-compatible subject/version store.
+
+Reference: an embedded (default) or external Confluent-compatible Avro
+schema registry (pkg/conduit/config.go:45-46,251-262; implementation
+pkg/schemaregistry/ backed by conduit-schema-registry). ``avro.encode``
+supports ``preRegistered`` (fetch subject+version) and ``autoRegister``
+(infer from data and register) strategies (impl/avro/config.go:22-57).
+
+This is the embedded analog: subjects → monotonically versioned
+schemas with content dedup (re-registering an identical schema returns
+the existing version, Confluent semantics), optional JSON-file
+persistence for restarts, and Avro-schema inference from a Spark
+StructType. The Spark data path consumes it by resolving a subject to
+the JSON Avro schema passed to from_avro/to_avro (operators
+codec_ops.avro_encode/avro_decode; requires the spark-avro package on
+the cluster classpath).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from threading import Lock
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+
+class SchemaNotFound(KeyError):
+    pass
+
+
+@dataclass(frozen=True)
+class RegisteredSchema:
+    subject: str
+    version: int
+    schema_id: int
+    schema_json: str
+
+
+def struct_to_avro_schema(st: StructType, name: str = "record") -> str:
+    """Infer a JSON Avro schema from a Spark StructType (the
+    autoRegister strategy's inference step, avro/config.go:39-47)."""
+
+    def conv(dt: DataType, field_name: str) -> object:
+        if isinstance(dt, StringType):
+            return "string"
+        if isinstance(dt, LongType):
+            return "long"
+        if isinstance(dt, IntegerType):
+            return "int"
+        if isinstance(dt, DoubleType):
+            return "double"
+        if isinstance(dt, FloatType):
+            return "float"
+        if isinstance(dt, BooleanType):
+            return "boolean"
+        if isinstance(dt, BinaryType):
+            return "bytes"
+        if isinstance(dt, TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, ArrayType):
+            return {"type": "array", "items": conv(dt.elementType, field_name)}
+        if isinstance(dt, MapType):
+            return {"type": "map", "values": conv(dt.valueType, field_name)}
+        if isinstance(dt, StructType):
+            return {
+                "type": "record",
+                "name": f"{field_name}_rec",
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+                    for f in dt.fields
+                ],
+            }
+        raise TypeError(f"cannot map Spark type {dt} to Avro")
+
+    schema = {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+            for f in st.fields
+        ],
+    }
+    return json.dumps(schema)
+
+
+class SchemaRegistry:
+    """Embedded subject/version registry with optional file persistence."""
+
+    def __init__(self, path: str | None = None):
+        self._path = path
+        self._lock = Lock()
+        self._subjects: dict[str, list[RegisteredSchema]] = {}
+        self._next_id = 1
+        if path and os.path.exists(path):
+            self._load()
+
+    # ---- persistence ----------------------------------------------------
+
+    def _load(self) -> None:
+        with open(self._path, encoding="utf-8") as f:
+            raw = json.load(f)
+        self._next_id = raw["next_id"]
+        self._subjects = {
+            s: [RegisteredSchema(**e) for e in entries]
+            for s, entries in raw["subjects"].items()
+        }
+
+    def _save(self) -> None:
+        if not self._path:
+            return
+        tmp = self._path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "next_id": self._next_id,
+                    "subjects": {
+                        s: [e.__dict__ for e in entries]
+                        for s, entries in self._subjects.items()
+                    },
+                },
+                f,
+            )
+        os.replace(tmp, self._path)  # atomic vs concurrent readers
+
+    # ---- registry API (Confluent-shaped) --------------------------------
+
+    def register(self, subject: str, schema_json: str) -> RegisteredSchema:
+        """Register a schema under a subject; identical content returns
+        the existing registration (Confluent dedup semantics)."""
+        canonical = json.dumps(json.loads(schema_json), sort_keys=True)
+        with self._lock:
+            entries = self._subjects.setdefault(subject, [])
+            for e in entries:
+                if json.dumps(json.loads(e.schema_json), sort_keys=True) == canonical:
+                    return e
+            reg = RegisteredSchema(
+                subject=subject,
+                version=len(entries) + 1,
+                schema_id=self._next_id,
+                schema_json=schema_json,
+            )
+            self._next_id += 1
+            entries.append(reg)
+            self._save()
+            return reg
+
+    def latest(self, subject: str) -> RegisteredSchema:
+        entries = self._subjects.get(subject)
+        if not entries:
+            raise SchemaNotFound(subject)
+        return entries[-1]
+
+    def get(self, subject: str, version: int) -> RegisteredSchema:
+        entries = self._subjects.get(subject)
+        if not entries or not (1 <= version <= len(entries)):
+            raise SchemaNotFound(f"{subject} v{version}")
+        return entries[version - 1]
+
+    def by_id(self, schema_id: int) -> RegisteredSchema:
+        for entries in self._subjects.values():
+            for e in entries:
+                if e.schema_id == schema_id:
+                    return e
+        raise SchemaNotFound(f"id {schema_id}")
+
+    def subjects(self) -> list[str]:
+        return sorted(self._subjects)
+
+    # ---- avro strategy resolution (avro/config.go:22-57) ----------------
+
+    def resolve_encode_schema(
+        self,
+        *,
+        strategy: str,
+        subject: str | None = None,
+        version: int | None = None,
+        payload_schema: StructType | None = None,
+    ) -> RegisteredSchema:
+        if strategy == "preRegistered":
+            if subject is None or version is None:
+                raise ValueError("preRegistered needs subject and version")
+            return self.get(subject, version)
+        if strategy == "autoRegister":
+            if subject is None or payload_schema is None:
+                raise ValueError("autoRegister needs subject and a payload schema")
+            return self.register(subject, struct_to_avro_schema(payload_schema, subject))
+        raise ValueError(f"unknown schema strategy {strategy!r}")
