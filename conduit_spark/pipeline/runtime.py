@@ -75,7 +75,9 @@ class Pipeline:
             raise ValueError(f"pipeline {config.id}: needs at least one source")
         if not config.destinations:
             raise ValueError(f"pipeline {config.id}: needs at least one destination")
-        self.spark = spark
+        from conduit_spark.session import ensure_session_confs
+
+        self.spark = ensure_session_confs(spark)
         self.config = config
         self.transports = transports or {}
         self.status = config.status

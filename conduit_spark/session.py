@@ -39,6 +39,26 @@ _DEFAULTS = {
 }
 
 
+# Conf the engine *requires* and that is session-level settable at
+# runtime — applied defensively by query entry points because the
+# driver harness may hand us a SparkSession built without session.py.
+_RUNTIME_REQUIRED = {
+    "spark.sql.session.timeZone": "UTC",  # timestamp parity vs DuckDB
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",  # field.set on metadata
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts NANOS
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    for k, v in _RUNTIME_REQUIRED.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable on some builds
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "conduit-spark",
     *,

@@ -51,6 +51,9 @@ def generator_source(
     ``rate`` rows/sec (Spark ``rate`` source; its ``value`` column is
     the record index, so batch and stream synthesize identically).
     """
+    from conduit_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     if streaming:
         reader = spark.readStream.format("rate").option(
             "rowsPerSecond", int(rate or 10)

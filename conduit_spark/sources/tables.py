@@ -33,14 +33,16 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from conduit_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # driver-provided sessions lack our confs
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
-        # rejects; read nanos as long (session-level legacy flag) and
+        # rejects; the nanosAsLong flag (set above) reads it as long;
         # convert to a micros timestamp with exact integer division —
         # identical to DuckDB's nanos->micros truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

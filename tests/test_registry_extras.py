@@ -111,3 +111,24 @@ def test_new_relational_matches_oracle(spark, sf_dir, duck, name):
     df = relational.QUERIES[name](spark, sf_dir)
     assert df.count() > 0
     compare_spark_duckdb(df, duck, relational.ORACLES[name])
+
+
+def test_queries_survive_foreign_session_confs(spark, sf_dir, duck):
+    """The driver hands us ITS SparkSession — ensure_session_confs must
+    repair timezone/map-policy/nanos flags at query time."""
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    foreign.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    foreign.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    from conduit_spark.analytics import processor_queries, relational
+
+    compare_spark_duckdb(
+        relational.q_events_hourly(foreign, sf_dir),
+        duck,
+        relational.ORACLES["q_events_hourly"],
+    )
+    compare_spark_duckdb(
+        processor_queries.p_field_set(foreign, sf_dir),
+        duck,
+        processor_queries.ORACLES["p_field_set"],
+    )
