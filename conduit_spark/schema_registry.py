@@ -98,6 +98,27 @@ def struct_to_avro_schema(st: StructType, name: str = "record") -> str:
     return json.dumps(schema)
 
 
+def frame_wire_format(df_col, schema_id: int):
+    """Confluent wire format: 0x00 magic + big-endian int32 schema id +
+    payload (what avro.decode strips to find the registry schema,
+    impl/avro/decode.go:114-166). Pure column expression."""
+    import pyspark.sql.functions as F
+
+    header = bytes([0]) + schema_id.to_bytes(4, "big")
+    return F.concat(F.lit(header), df_col.cast("binary"))
+
+
+def unframe_wire_format(df_col):
+    """(schema_id column, payload column) from wire-format bytes."""
+    import pyspark.sql.functions as F
+
+    payload = F.expr(f"substring({df_col}, 6, 2147483647)") if isinstance(df_col, str) else None
+    if payload is None:
+        raise TypeError("pass the column NAME for unframe_wire_format")
+    sid = F.conv(F.hex(F.expr(f"substring({df_col}, 2, 4)")), 16, 10).cast("int")
+    return sid, payload
+
+
 class SchemaRegistry:
     """Embedded subject/version registry with optional file persistence."""
 

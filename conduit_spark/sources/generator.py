@@ -44,6 +44,7 @@ def generator_source(
     rate: float | None = None,
     source_id: str = "generator",
     streaming: bool = False,
+    typed: bool = False,
 ) -> DataFrame:
     """Produce OpenCDC envelopes from a field spec.
 
@@ -67,7 +68,7 @@ def generator_source(
     payload = F.struct(
         *[_synth(name, ftype, idx).alias(name) for name, ftype in fields.items()]
     )
-    return base.select(
+    cols = [
         F.concat(F.lit(f"{source_id}:"), idx.cast("string")).cast("binary").alias("position"),
         F.lit("create").alias("operation"),
         F.create_map(
@@ -79,4 +80,7 @@ def generator_source(
         F.to_json(payload).alias("payload_after_json"),
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
-    )
+    ]
+    if typed:  # bind the struct directly — keeps operator chains codegen'd
+        cols.append(payload.alias("payload_after"))
+    return base.select(*cols)

@@ -1,0 +1,42 @@
+"""Replay a bounded table as a stream (the events-table streaming
+fixture — TESTDATA.md: 'the events table doubles as the
+streaming-source fixture').
+
+Spark's parquet file source streams existing files with exactly-once
+tracking, so a batch table replays as a stream with identical
+semantics — the engine's batch/stream unification made testable: any
+windowed aggregation must produce byte-identical results in both
+modes (asserted in tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.session import ensure_session_confs
+
+EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events.parquet as a streaming DataFrame (ts normalized to a
+    micros timestamp exactly like the batch loader)."""
+    ensure_session_confs(spark)
+    # the streaming file source requires a directory — point it at the
+    # sf dir and glob-filter to the events file
+    reader = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

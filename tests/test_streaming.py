@@ -121,3 +121,49 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     )
     q.awaitTermination()
     assert results == []  # 'a' already emitted in the stream's lifetime
+
+
+def test_events_replay_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Batch/stream unification: the same tumbling aggregation over the
+    events table must match exactly when the table is replayed as a
+    parquet file stream."""
+    from conduit_spark.streaming.replay import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    agg = tumbling_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="1 minute",
+    ).select(F.col("win.start").alias("w"), "event_type", "n")
+    collected = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = tumbling_aggregate(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    ).select(F.col("win.start").alias("w"), "event_type", "n")
+    assert sorted(map(tuple, collected)) == sorted(map(tuple, batch.collect()))
+
+
+def test_wire_format_roundtrip(spark):
+    from conduit_spark.schema_registry import frame_wire_format, unframe_wire_format
+
+    df = spark.createDataFrame([("payload-bytes",)], ["v"]).select(
+        frame_wire_format(F.col("v"), 1234).alias("framed")
+    )
+    sid, payload = unframe_wire_format("framed")
+    row = df.select(sid.alias("sid"), payload.cast("string").alias("p")).collect()[0]
+    assert row.sid == 1234
+    assert row.p == "payload-bytes"
