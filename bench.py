@@ -32,6 +32,10 @@ def main() -> None:
 
     spark = get_spark("conduit-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so the alphabetically-first query doesn't
+    # absorb ~5s of one-time session cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     all_queries = entrymod.queries()
     subset = os.environ.get("BENCH_QUERIES")
