@@ -231,6 +231,9 @@ def p_unwrap_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
+    # (~4s/100k rows at sf0.1 is inherent JVM JSON cost — measured:
+    # to_json 0.7s, from_json 0.7s, each get_json_object ~0.25s; the
+    # synthesis half is test scaffolding, not operator cost)
     out = ops.unwrap_debezium(e)
     return out.select(
         F.get_json_object(F.col("payload_after_json"), "$.event_id")

@@ -235,3 +235,73 @@ def test_pipeline_queries_match_oracle(spark, sf_dir, duck):
         df = gq.QUERIES[name](spark, sf_dir)
         assert df.count() > 0
         compare_spark_duckdb(df, duck, gq.ORACLES[name])
+
+
+def test_multi_collection_routing(spark, tmp_path):
+    """opencdc.collection metadata routes records to per-collection
+    partitions (the destination-table-template analog,
+    docs/design-documents/20240402-multiple-collections.md)."""
+    import pyspark.sql.functions as F
+    from conduit_spark import sinks
+    from conduit_spark.sources.generator import generator_source
+
+    env = generator_source(
+        spark, fields={"id": "int"}, record_count=20, typed=True
+    )
+    env = env.withColumn(
+        "metadata",
+        F.map_concat(
+            F.col("metadata"),
+            F.create_map(
+                F.lit("opencdc.collection"),
+                F.when(F.col("payload_after.id") % 2 == 0, "employees").otherwise(
+                    "orders_cdc"
+                ),
+            ),
+        ),
+    ).drop("payload_after")
+    out = str(tmp_path / "routed")
+    sinks.file_sink(env, out, fmt="json", mode="overwrite", partition_by_collection=True)
+    import glob
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "collection=*"))
+    )
+    assert dirs == ["collection=employees", "collection=orders_cdc"]
+
+
+def test_restart_with_backoff_recovers(spark, tmp_path, monkeypatch):
+    """Recovery loop (lifecycle/service.go:238-281 analog): transient
+    failures retry with backoff, then succeed from the checkpoint."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("x\ny\n")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p6
+    connectors:
+      - id: f
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: text}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json, mode: append}}
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)
+    calls = {"n": 0}
+    real = p.run_streaming
+
+    def flaky(ckpt, **kw):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient source failure")
+        return real(ckpt, **kw)
+
+    p.run_streaming = flaky
+    p.restart_with_backoff(str(tmp_path / "ck"), max_restarts=3, backoff_s=0.01)
+    assert calls["n"] == 3
+    assert p.status == "running"
+    assert len(read_json_dir(str(tmp_path / "out"))) == 2
