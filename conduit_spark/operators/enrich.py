@@ -60,6 +60,23 @@ def fake_transport(request: dict) -> dict:
     return {"status": 200, "body": f'{{"digest":"{digest[:16]}"}}'}
 
 
+def http_transport(request: dict) -> dict:
+    """Default webhook transport over urllib (stdlib; no extra deps).
+
+    Used on clusters with egress; this container has no network, so
+    tests inject ``fake_transport`` instead."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        request["url"],
+        data=(request.get("body") or "").encode() or None,
+        headers=request.get("headers") or {},
+        method=request.get("method", "GET"),
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return {"status": resp.status, "body": resp.read().decode()}
+
+
 def _with_retries(
     transport: Transport, request: dict, *, retries: int, backoff_s: float
 ) -> tuple[dict | None, str | None]:

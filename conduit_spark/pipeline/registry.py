@@ -178,6 +178,35 @@ def build_source(
             schema=settings.get("schema"),
             streaming=streaming,
         )
+    if plugin == "builtin:postgres":
+        # snapshot-mode source (JDBC batch read → envelopes with
+        # operation=snapshot). CDC parity comes from a Debezium-format
+        # Kafka topic + the unwrap.debezium processor (COVERAGE.md).
+        if streaming:
+            raise ValueError(
+                "builtin:postgres streams via kafka+unwrap.debezium; "
+                "direct source is snapshot (batch) only"
+            )
+        import pyspark.sql.functions as F
+
+        from conduit_spark import envelope as env
+
+        df = (
+            spark.read.format("jdbc")
+            .option("url", settings["url"])
+            .option("dbtable", settings["table"])
+            .options(**{k: str(v) for k, v in (settings.get("options") or {}).items()})
+            .load()
+        )
+        key_cols = settings.get("keyColumns")
+        if isinstance(key_cols, str):
+            key_cols = [k.strip() for k in key_cols.split(",")]
+        return env.from_table(
+            df,
+            key_cols=key_cols or [df.columns[0]],
+            source_id=source_id,
+            operation="snapshot",
+        )
     if plugin == "builtin:kafka":
         reader = spark.readStream if streaming else spark.read
         df = (

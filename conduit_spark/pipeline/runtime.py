@@ -121,9 +121,17 @@ class Pipeline:
 
     # ---- batch execution -------------------------------------------------
 
-    def _deliver(self, df: DataFrame) -> BatchResult:
+    def _deliver(self, df: DataFrame, batch_id: int | None = None) -> BatchResult:
         """Fan-out one (micro-)batch: DLQ split, threshold check,
-        M destination writes (persist → atomic per batch)."""
+        M destination writes (persist → atomic per batch).
+
+        ``batch_id`` (streaming) makes file-destination writes
+        idempotent: each micro-batch lands in its own
+        ``batch_id=N`` subdirectory and a replayed batch (foreachBatch
+        re-delivery after failure) overwrites rather than duplicates —
+        at-least-once delivery upgraded to effective exactly-once for
+        file/s3 sinks, the analog of the reference's ordered-ack
+        invariants (source.go:517-576) on micro-batch granularity."""
         res = BatchResult()
         df = df.persist()
         try:
@@ -155,8 +163,18 @@ class Pipeline:
             for dest in self.config.destinations:
                 routed = self._chain(ensure_error_col(out), dest.processors)
                 routed_ok, routed_err = split_errors(routed)
+                settings = dest.settings
+                if batch_id is not None and dest.plugin in (
+                    "builtin:file",
+                    "builtin:s3",
+                ):
+                    settings = dict(settings)
+                    settings["path"] = (
+                        settings["path"].rstrip("/") + f"/batch_id={batch_id}"
+                    )
+                    settings["mode"] = "overwrite"  # replays overwrite, not dup
                 write_destination(
-                    routed_ok.drop(ERROR_COL), dest.plugin, dest.settings
+                    routed_ok.drop(ERROR_COL), dest.plugin, settings
                 )
                 res.delivered[dest.id] = routed_ok.count()
             return res
@@ -181,7 +199,7 @@ class Pipeline:
         stream_df = self.build_streaming()
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-            self._deliver(batch_df)
+            self._deliver(batch_df, batch_id=batch_id)
 
         writer = (
             stream_df.writeStream.foreachBatch(process_batch)

@@ -47,7 +47,8 @@ pipelines:
 
 def read_json_dir(path):
     rows = []
-    for f in sorted(glob.glob(os.path.join(path, "*.json"))):
+    # recursive pattern also matches top-level files — one glob only
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.json"), recursive=True)):
         with open(f) as fh:
             rows.extend(json.loads(line) for line in fh if line.strip())
     return rows

@@ -167,3 +167,35 @@ def test_wire_format_roundtrip(spark):
     row = df.select(sid.alias("sid"), payload.cast("string").alias("p")).collect()[0]
     assert row.sid == 1234
     assert row.p == "payload-bytes"
+
+
+def test_sliding_windows(spark, sf_dir, duck):
+    from conduit_spark.streaming import sliding_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_aggregate(
+        ev, "ts", "2 hours", "1 hour", aggs=[F.count(F.lit(1)).alias("n")]
+    ).select(F.col("win.start").alias("w"), "n")
+    got = {(r.w, r.n) for r in out.collect()}
+    exp = duck.execute(
+        """
+        WITH h AS (SELECT date_trunc('hour', ts) AS hb FROM events)
+        SELECT w, count(*) AS n FROM (
+            SELECT hb AS w FROM h
+            UNION ALL
+            SELECT hb - INTERVAL 1 HOUR AS w FROM h)
+        GROUP BY w"""
+    ).fetchall()
+    assert got == {(a.replace(tzinfo=None), b) for a, b in exp}
+
+
+def test_inspector_streaming_attach(spark, sf_dir, tmp_path):
+    from conduit_spark.streaming import StreamInspector
+    from conduit_spark.streaming.replay import events_stream
+
+    insp = StreamInspector(buffer_size=8, sample_per_batch=5)
+    q = insp.attach(events_stream(spark, sf_dir), str(tmp_path / "ck"))
+    q.awaitTermination()
+    recs = insp.records()
+    assert 1 <= len(recs) <= 8
+    assert "event_type" in recs[0]
