@@ -19,6 +19,7 @@ from conduit_spark.analytics import (
     multimodal,
     pipeline_queries,
     processor_queries,
+    rag,
     relational,
     similarity,
     text,
@@ -33,6 +34,7 @@ _REGISTRIES = [
     (multimodal.QUERIES, multimodal.ORACLES),
     (pipeline_queries.QUERIES, pipeline_queries.ORACLES),
     (chunking.QUERIES, chunking.ORACLES),
+    (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
 ]
 
 

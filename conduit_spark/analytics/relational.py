@@ -472,6 +472,67 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share (conditional aggregation
+    ratio; LIKE predicate on the broadcast dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, disc).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier counts per brand/size bucket
+    (distinct aggregation after a fact join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+        .limit(40)
+    )
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers who shipped more than half a part's
+    1996 volume (nested aggregate threshold + semi-join chain)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sq")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("pq")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == per_p.pk)
+        .filter(F.col("sq") > F.lit(0.5) * F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: median-free gap stats between consecutive
     events per user (sequence analysis over the event stream)."""
@@ -503,6 +564,9 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_customers": q22_idle_customers,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
     "q_user_event_gaps": q_user_event_gaps,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
@@ -592,6 +656,42 @@ ORACLES = {
               WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY 1 ORDER BY 1
+    """,
+    "q14_promo_revenue": """
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+        LIMIT 40
+    """,
+    "q20_part_share_suppliers": """
+        WITH f AS (
+            SELECT * FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+            FROM f GROUP BY 1, 2),
+        per_p AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS pq
+            FROM f GROUP BY 1)
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (
+            SELECT 1 FROM per_ps JOIN per_p ON l_partkey = pk
+            WHERE l_suppkey = s_suppkey AND sq > 0.5 * pq)
+        ORDER BY s_suppkey
     """,
     "q_user_event_gaps": """
         SELECT user_id, count(*) AS n_gaps,

@@ -147,10 +147,50 @@ def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
 
 
+N_CENTROIDS = 8
+_CENTROIDS = hyperplanes(N_CENTROIDS, DIM, seed=29)  # fixed pseudo-random centroids
+
+
+def ivf_cell(vec: Column) -> Column:
+    """IVF cell id: argmax dot-product against fixed centroids
+    (first-max wins via array_position).
+
+    A production IVF trains centroids (k-means on a sample); fixed
+    deterministic centroids keep the oracle exact while exercising the
+    same plan shape — cell assignment is a narrow per-row argmax, the
+    probe reads one cell's partition."""
+    sims = F.array(
+        *[_dot(vec, F.array(*[F.lit(v) for v in c])) for c in _CENTROIDS]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within the query vector's IVF cell (nprobe=1)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", ivf_cell(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
+    "s_ivf_topk": s_ivf_topk,
     "s_neardup_pairs": s_neardup_pairs,
 }
 
@@ -182,7 +222,27 @@ def _sql_bucket(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def _sql_ivf_cell(vec: str) -> str:
+    # argmax via list_position(first max wins), mirroring ivf_cell
+    sims = "[" + ", ".join(
+        _sql_dot(vec, _sql_plane_array(c)) for c in _CENTROIDS
+    ) + "]"
+    return f"CAST(list_position({sims}, list_max({sims})) - 1 AS INT)"
+
+
 ORACLES = {
+    "s_ivf_topk": f"""
+        WITH ce AS (
+            SELECT vec_id, embedding, {_sql_ivf_cell("embedding")} AS cell
+            FROM embeddings)
+        SELECT e.vec_id, e.cell,
+               round({_sql_cosine("e.embedding", "q.embedding")}, 9) AS cos_sim
+        FROM ce e,
+             (SELECT embedding, cell FROM ce WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID} AND e.cell = q.cell
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 5
+    """,
     "s_cosine_topk": f"""
         SELECT e.vec_id, e.label,
                round({_sql_cosine("e.embedding", "q.embedding")}, 9) AS cos_sim

@@ -27,3 +27,16 @@ def test_analytics_matches_oracle(spark, sf_dir, duck, mod_name, name):
     if name not in ("s_neardup_pairs", "d_minhash_lsh_pairs", "d_ngram_jaccard"):
         assert n > 0, f"{name} produced no rows — vacuous"
     compare_spark_duckdb(df, duck, mod.ORACLES[name])
+
+
+def test_rag_end_to_end(spark, sf_dir):
+    from conduit_spark.analytics import rag
+
+    rows = rag.rag_ingest_retrieve(spark, sf_dir).collect()
+    assert len(rows) == rag.TOP_K
+    assert all(-1.0 <= r.score <= 1.0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic across runs (fake transport is content-hashed)
+    rows2 = rag.rag_ingest_retrieve(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
