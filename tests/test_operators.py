@@ -420,3 +420,35 @@ def test_custom_python_filter_and_transform(env_df):
     out = ops.custom_python(env_df, fn)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].metadata["touched"] == "1"
+
+
+def test_field_convert_time_targets(typed_df, spark):
+    import datetime
+    import json as _json
+
+    recs = mk_records()
+    recs[0]["payload_after_json"] = _json.dumps(
+        {"id": 1, "name": "t", "age": 0, "trial": False, "tags": [],
+         "address": {"city": "X", "zip": "1"},
+         }
+    )
+    df = spark.createDataFrame(
+        [
+            {**recs[0], "payload_after_json": _json.dumps(
+                {"when_ns": 1709294400000000000, "when_str": "2024-03-01T12:00:00Z"})},
+        ],
+        schema=env.ENVELOPE_SCHEMA,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("when_ns", StringType()),
+        StructField("when_str", StringType()),
+    ])
+    tdf = env.with_typed_payload(df, schema)
+    out_ns = ops.field_convert(tdf, ".Payload.After.when_ns", "time")
+    v = out_ns.select("payload_after.when_ns").collect()[0][0]
+    assert v == datetime.datetime(2024, 3, 1, 12, 0)  # unix-nanos path
+    out_s = ops.field_convert(tdf, ".Payload.After.when_str", "time")
+    v2 = out_s.select("payload_after.when_str").collect()[0][0]
+    assert v2 == datetime.datetime(2024, 3, 1, 12, 0)  # RFC3339 path
