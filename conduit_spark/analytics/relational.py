@@ -472,6 +472,39 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (Spark's exact ``percentile``
+    uses linear interpolation — numerically identical to DuckDB's
+    quantile_cont; at 100 TB swap for approx_percentile and accept
+    a rows-only gate)."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pcts[0].alias("p25"),
+            pcts[1].alias("p50"),
+            pcts[2].alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (binning is pure integer
+    arithmetic — one scan, one tiny shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(20.0)).cast("int") + 1, F.lit(0)),
+        F.lit(11),
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style: promo revenue share (conditional aggregation
     ratio; LIKE predicate on the broadcast dim)."""
@@ -564,6 +597,8 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_customers": q22_idle_customers,
+    "q_value_percentiles": q_value_percentiles,
+    "q_value_histogram": q_value_histogram,
     "q14_promo_revenue": q14_promo_revenue,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q20_part_share_suppliers": q20_part_share_suppliers,
@@ -656,6 +691,18 @@ ORACLES = {
               WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY 1 ORDER BY 1
+    """,
+    "q_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q_value_histogram": """
+        SELECT least(greatest(CAST(floor(value / 20.0) AS INT) + 1, 0), 11) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "q14_promo_revenue": """
         SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
