@@ -247,6 +247,58 @@ def _fn_default(args, df):
     return F.coalesce(_compile_node(args[1], df), _compile_node(args[0], df))
 
 
+def _fn_replace(args, df):
+    # sprig: replace old new string
+    return F.replace(
+        _compile_node(args[2], df).cast("string"),
+        _compile_node(args[0], df).cast("string"),
+        _compile_node(args[1], df).cast("string"),
+    )
+
+
+def _fn_substr(args, df):
+    # sprig: substr start end string (end exclusive, 0-based)
+    start = _compile_node(args[0], df).cast("int")
+    end = _compile_node(args[1], df).cast("int")
+    s = _compile_node(args[2], df).cast("string")
+    return F.substring(s, start + F.lit(1), end - start)
+
+
+def _fn_len(args, df):
+    return F.length(_compile_node(args[0], df).cast("string"))
+
+
+def _fn_trim_prefix(args, df):
+    # sprig: trimPrefix prefix string
+    pre = _compile_node(args[0], df).cast("string")
+    s = _compile_node(args[1], df).cast("string")
+    return F.when(
+        s.startswith(pre),
+        F.substring(s, F.length(pre) + F.lit(1), F.lit(2**31 - 1)),
+    ).otherwise(s)
+
+
+def _fn_trim_suffix(args, df):
+    suf = _compile_node(args[0], df).cast("string")
+    s = _compile_node(args[1], df).cast("string")
+    return F.when(
+        s.endswith(suf), F.substring(s, F.lit(1), F.length(s) - F.length(suf))
+    ).otherwise(s)
+
+
+def _arith(op):
+    def run(args, df):
+        cols = [_compile_node(a, df).cast("double") for a in args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = op(out, c)
+        # Go template math on ints renders without decimal point; keep
+        # integral results integral for string rendering parity
+        return F.when(out == out.cast("long").cast("double"), out.cast("long").cast("string")).otherwise(out.cast("string"))
+
+    return run
+
+
 _FUNCTIONS = {
     "eq": _cmp(lambda a, b: a == b),
     "ne": _cmp(lambda a, b: a != b),
@@ -267,6 +319,20 @@ _FUNCTIONS = {
     "toJson": _fn_to_json,
     "printf": _fn_printf,
     "default": _fn_default,
+    "replace": _fn_replace,
+    "substr": _fn_substr,
+    "len": _fn_len,
+    "trimPrefix": _fn_trim_prefix,
+    "trimSuffix": _fn_trim_suffix,
+    "b64enc": lambda args, df: F.base64(
+        _compile_node(args[0], df).cast("string").cast("binary")
+    ),
+    "b64dec": lambda args, df: F.unbase64(
+        _compile_node(args[0], df).cast("string")
+    ).cast("string"),
+    "add": _arith(lambda a, b: a + b),
+    "sub": _arith(lambda a, b: a - b),
+    "mul": _arith(lambda a, b: a * b),
 }
 
 

@@ -173,10 +173,21 @@ class Pipeline:
                         settings["path"].rstrip("/") + f"/batch_id={batch_id}"
                     )
                     settings["mode"] = "overwrite"  # replays overwrite, not dup
-                write_destination(
-                    routed_ok.drop(ERROR_COL), dest.plugin, settings
-                )
-                res.delivered[dest.id] = routed_ok.count()
+                final = routed_ok.drop(ERROR_COL)
+                if dest.plugin == "builtin:log":
+                    # show(n) short-circuits the scan — observation
+                    # would undercount; count from the persisted base
+                    write_destination(final, dest.plugin, settings)
+                    res.delivered[dest.id] = final.count()
+                else:
+                    # MetricsNode analog: the observation rides the
+                    # write job itself — no second pass over the plan
+                    from pyspark.sql import Observation
+
+                    obs = Observation(f"deliver-{dest.id}")
+                    to_write = final.observe(obs, F.count(F.lit(1)).alias("n"))
+                    write_destination(to_write, dest.plugin, settings)
+                    res.delivered[dest.id] = int(obs.get["n"])
             return res
         finally:
             df.unpersist()

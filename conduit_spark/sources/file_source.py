@@ -22,6 +22,7 @@ def file_source(
     source_id: str = "file",
     schema: StructType | str | None = None,
     streaming: bool = False,
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read a file/directory as OpenCDC envelopes.
 
@@ -34,6 +35,8 @@ def file_source(
     (SURVEY.md §3).
     """
     reader = spark.readStream if streaming else spark.read
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     if fmt == "text":
         if streaming and schema is None:
             df = reader.format("text").load(path)

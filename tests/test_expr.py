@@ -115,3 +115,31 @@ def test_parse_ref_roundtrip():
     r = parse_ref(".Payload.After.address.city")
     assert r.root == "payload.after" and r.path == ("address", "city")
     assert str(r) == ".Payload.After.address.city"
+
+
+SPRIG_EXTRAS = [
+    ('{{ replace "Smith" "Doe" .Payload.After.name }}', ["Alice Doe", "Bob Jones"]),
+    ("{{ substr 0 5 .Payload.After.name }}", ["Alice", "Bob J"]),
+    ("{{ len .Payload.After.name }}", ["11", "9"]),
+    ('{{ trimPrefix "Alice " .Payload.After.name }}', ["Smith", "Bob Jones"]),
+    ('{{ trimSuffix " Jones" .Payload.After.name }}', ["Alice Smith", "Bob"]),
+    ('{{ b64enc "hi" }}', ["aGk=", "aGk="]),
+    ('{{ b64dec "aGk=" }}', ["hi", "hi"]),
+    ("{{ add .Payload.After.id 1 }}", ["124", "8"]),
+    ("{{ sub .Payload.After.id 2 }}", ["121", "5"]),
+    ("{{ mul .Payload.After.id 2 }}", ["246", "14"]),
+]
+
+
+@pytest.mark.parametrize("template,expected", SPRIG_EXTRAS)
+def test_sprig_extras(env_df, template, expected):
+    got = [
+        r.v
+        for r in env_df.select(
+            __import__("conduit_spark.expr", fromlist=["compile_template"])
+            .compile_template(template, env_df)
+            .cast("string")
+            .alias("v")
+        ).collect()
+    ]
+    assert got == expected, template
