@@ -265,8 +265,134 @@ def p_error_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.encode: structured payload → raw JSON bytes
+    (impl/json/encode.go:77-109); round-trip decode proves inverse."""
+    e = _events_envelope(spark, sf_dir)
+    slim = e.withColumn(
+        "payload_after",
+        F.struct(
+            F.col("payload_after.event_id").alias("event_id"),
+            F.col("payload_after.event_type").alias("event_type"),
+        ),
+    ).withColumn("payload_after_json", F.to_json(F.col("payload_after")))
+    enc = ops.json_encode(slim, ".Payload.After")
+    return enc.select(
+        F.get_json_object(F.col("payload_after_raw").cast("string"), "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.get_json_object(F.col("payload_after_raw").cast("string"), "$.event_type")
+        .alias("event_type"),
+        F.col("is_structured"),
+    )
+
+
+def p_unwrap_kafka_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unwrap.kafkaconnect: {schema,payload} envelope → payload
+    (impl/unwrap/kafka_connect.go:80-168)."""
+    ev = load_table(spark, sf_dir, "events")
+    wrapped = ev.select(
+        F.col("event_id"),
+        F.to_json(
+            F.struct(
+                F.struct(F.lit("struct").alias("type")).alias("schema"),
+                F.struct(F.col("event_id"), F.col("user_id"), F.col("value")).alias(
+                    "payload"
+                ),
+            )
+        ).alias("payload_after_json"),
+    )
+    e = wrapped.select(
+        F.col("event_id").cast("string").cast("binary").alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.lit(None).cast("string").alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.col("payload_after_json"),
+        F.lit(None).cast("binary").alias("payload_after_raw"),
+        F.lit(True).alias("is_structured"),
+    )
+    out = ops.unwrap_kafka_connect(e)
+    return out.select(
+        F.get_json_object("payload_after_json", "$.event_id").cast("bigint").alias("event_id"),
+        F.get_json_object("payload_after_json", "$.user_id").cast("bigint").alias("user_id"),
+        F.get_json_object("payload_after_json", "$.value").cast("double").alias("value"),
+    )
+
+
+def p_unwrap_opencdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unwrap.opencdc: serialized inner record replaces the outer
+    envelope except .Position (impl/unwrap/opencdc.go:53-58)."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = F.to_json(
+        F.struct(
+            F.lit("inner-pos").alias("position"),
+            F.lit("update").alias("operation"),
+            F.struct(F.col("event_type").alias("etype")).alias("metadata"),
+            F.struct(F.col("event_id")).alias("key"),
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.struct(F.col("event_id"), F.col("user_id")).alias("after"),
+            ).alias("payload"),
+        )
+    )
+    e = ev.select(
+        F.concat(F.lit("outer:"), F.col("event_id").cast("string"))
+        .cast("binary")
+        .alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map(F.lit("outer"), F.lit("1")).alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.lit(None).cast("string").alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        inner.alias("payload_after_json"),
+        F.lit(None).cast("binary").alias("payload_after_raw"),
+        F.lit(True).alias("is_structured"),
+    )
+    out = ops.unwrap_opencdc(e)
+    return out.select(
+        F.col("position").cast("string").alias("position"),  # outer kept
+        F.col("operation"),
+        F.col("metadata").getItem("etype").alias("etype"),
+        F.get_json_object("key_json", "$.event_id").cast("bigint").alias("key_id"),
+        F.get_json_object("payload_after_json", "$.user_id")
+        .cast("bigint")
+        .alias("user_id"),
+    )
+
+
+def _md5_transport(request: dict) -> dict:
+    """Deterministic transport whose response the SQL oracle can
+    reproduce: body = md5 hex of the templated URL."""
+    import hashlib
+
+    return {"status": 200, "body": hashlib.md5(request["url"].encode()).hexdigest()}
+
+
+def p_webhook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """webhook.http end-to-end through mapInPandas with a
+    SQL-reproducible transport — proves template URL rendering, Arrow
+    batching, and response-to-payload plumbing against the oracle."""
+    e = _events_envelope(spark, sf_dir)
+    out = ops.webhook_http(
+        e,
+        "http://svc/events/{{ .Payload.After.event_type }}/{{ .Payload.After.event_id }}",
+        transport=_md5_transport,
+        retries=0,
+    )
+    return out.select(
+        F.col("payload_after.event_id").alias("event_id"),
+        F.col("payload_after_json").alias("url_digest"),
+    )
+
+
 QUERIES = {
     "p_filter": p_filter,
+    "p_json_encode": p_json_encode,
+    "p_unwrap_kafka_connect": p_unwrap_kafka_connect,
+    "p_unwrap_opencdc": p_unwrap_opencdc,
+    "p_webhook": p_webhook,
     "p_field_set": p_field_set,
     "p_field_rename": p_field_rename,
     "p_field_exclude": p_field_exclude,
@@ -280,6 +406,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "p_json_encode": """
+        SELECT event_id, event_type, false AS is_structured FROM events
+    """,
+    "p_unwrap_kafka_connect": """
+        SELECT event_id, user_id, value FROM events
+    """,
+    "p_unwrap_opencdc": """
+        SELECT 'outer:' || CAST(event_id AS VARCHAR) AS position,
+               'update' AS operation,
+               event_type AS etype,
+               event_id AS key_id,
+               user_id
+        FROM events
+    """,
+    "p_webhook": """
+        SELECT event_id,
+               md5('http://svc/events/' || event_type || '/'
+                   || CAST(event_id AS VARCHAR)) AS url_digest
+        FROM events
+    """,
     "p_filter": """
         SELECT event_id, event_type FROM events WHERE event_type <> 'error'
     """,
