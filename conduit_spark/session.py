@@ -56,7 +56,46 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — non-settable on some builds
             pass
+    _ensure_package_on_executors(spark)
     return spark
+
+
+_PYFILES_SENT: set[str] = set()
+
+
+def _ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship conduit_spark to executors via addPyFile.
+
+    Pandas-UDF closures reference this package by name; when the
+    driver process was launched from outside the repo (the harness
+    does), Python workers can't import it unless the package rides the
+    job. One zip per session, cached."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"conduit_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    arc = os.path.join(
+                        "conduit_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — e.g. already added under this name
+        pass
+    _PYFILES_SENT.add(app_id)
 
 
 def get_spark(
