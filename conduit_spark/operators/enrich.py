@@ -134,31 +134,31 @@ def webhook_http(
         for pdf in batches:
             out_payload = []
             out_err = []
-            for _, row in pdf.iterrows():
-                if not row["__wh_go"]:
-                    out_payload.append(row["payload_after_json"])
-                    out_err.append(row[ERROR_COL])
+            # zip over columns, not iterrows() — ~20× less per-row
+            # overhead in the Python stage
+            for go, url, body, payload, prev_err in zip(
+                pdf["__wh_go"], pdf["__wh_url"], pdf["__wh_body"],
+                pdf["payload_after_json"], pdf[ERROR_COL],
+            ):
+                if not go:
+                    out_payload.append(payload)
+                    out_err.append(prev_err)
                     continue
                 resp, err = _with_retries(
                     transport,
-                    {
-                        "url": row["__wh_url"],
-                        "method": method,
-                        "headers": hdrs,
-                        "body": row["__wh_body"],
-                    },
+                    {"url": url, "method": method, "headers": hdrs, "body": body},
                     retries=retries,
                     backoff_s=backoff_s,
                 )
                 if err is not None or resp is None:
-                    out_payload.append(row["payload_after_json"])
+                    out_payload.append(payload)
                     out_err.append(f"webhook.http: {err}")
                 elif resp.get("status", 500) >= 400:
-                    out_payload.append(row["payload_after_json"])
+                    out_payload.append(payload)
                     out_err.append(f"webhook.http: status {resp['status']}")
                 else:
                     out_payload.append(resp.get("body"))
-                    out_err.append(row[ERROR_COL])
+                    out_err.append(prev_err)
             pdf = pdf.copy()
             pdf["payload_after_json"] = out_payload
             pdf[ERROR_COL] = out_err
@@ -200,10 +200,13 @@ def llm_transform(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, errs = [], []
-            for _, row in pdf.iterrows():
-                if not row["__llm_go"]:
-                    payloads.append(row["payload_after_json"])
-                    errs.append(row[ERROR_COL])
+            for go, prompt_v, payload, prev_err in zip(
+                pdf["__llm_go"], pdf["__llm_prompt"],
+                pdf["payload_after_json"], pdf[ERROR_COL],
+            ):
+                if not go:
+                    payloads.append(payload)
+                    errs.append(prev_err)
                     continue
                 resp, err = _with_retries(
                     transport,
@@ -211,17 +214,17 @@ def llm_transform(
                         "provider": provider,
                         "model": model,
                         "kind": "generate",
-                        "input": row["__llm_prompt"],
+                        "input": prompt_v,
                     },
                     retries=retries,
                     backoff_s=backoff_s,
                 )
                 if err is not None or resp is None:
-                    payloads.append(row["payload_after_json"])
+                    payloads.append(payload)
                     errs.append(f"{provider}: {err}")
                 else:
                     payloads.append(json.dumps({"response": resp.get("output")}))
-                    errs.append(row[ERROR_COL])
+                    errs.append(prev_err)
             pdf = pdf.copy()
             pdf["payload_after_json"] = payloads
             pdf[ERROR_COL] = errs
