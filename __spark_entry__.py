@@ -3,8 +3,16 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps
 every implemented operator/query to a ``(spark, sf_dir) -> DataFrame``
 callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL the driver
-uses for the correctness gate. Query registries live next to their
-implementations in ``conduit_spark`` and are aggregated here.
+uses for the correctness gate.
+
+The driver's oracle harness checks at most the FIRST 50 entries
+(round-1: all similarity/multimodal/pipeline/chunking/rag names fell
+past the cap and shipped unverified), so ``queries()`` returns a
+curated 50-entry gate: every processor/connector/topology/analytics
+family first, then a representative relational core. The remaining
+relational queries stay fully implemented and locally oracle-verified
+(tests/ + scripts/gate_check.py run BOTH sets) and are exposed via
+``extended_queries()`` — bench.py times the whole thing.
 """
 
 from __future__ import annotations
@@ -29,17 +37,42 @@ from conduit_spark.analytics import (
     text,
 )
 
+# Registries in gate-priority order: operator-parity and the novel
+# analytics families first (each name must hold a driver CORRECTNESS
+# row), relational core last.
 _REGISTRIES = [
-    (relational.QUERIES, relational.ORACLES),
     (processor_queries.QUERIES, processor_queries.ORACLES),
-    (text.QUERIES, text.ORACLES),
-    (dedup.QUERIES, dedup.ORACLES),
     (similarity.QUERIES, similarity.ORACLES),
     (multimodal.QUERIES, multimodal.ORACLES),
     (pipeline_queries.QUERIES, pipeline_queries.ORACLES),
     (chunking.QUERIES, chunking.ORACLES),
+    (dedup.QUERIES, dedup.ORACLES),
+    (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
+    (relational.QUERIES, relational.ORACLES),
 ]
+
+# Relational queries beyond the gate cap. All were driver-green in
+# round 1 (CORRECTNESS_r01) and remain pytest/gate_check-verified
+# against the same DuckDB oracles every round.
+_EXTENDED_RELATIONAL = (
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q_value_histogram",
+    "q_brand_revenue",
+    "q_order_priority",
+    "q_customer_orders_topn",
+    "q_events_by_type",
+    "q_events_hourly",
+)
+
+GATE_CAP = 50
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,7 +80,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for q, _ in _REGISTRIES:
         overlap = out.keys() & q.keys()
@@ -57,7 +90,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {
+        k: v for k, v in _all_queries().items() if k not in _EXTENDED_RELATIONAL
+    }
+    if len(out) > GATE_CAP:
+        raise ValueError(
+            f"gate has {len(out)} queries; driver verifies only the first "
+            f"{GATE_CAP} — move entries to _EXTENDED_RELATIONAL"
+        )
+    return out
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full suite: gate + beyond-cap relational queries."""
+    return _all_queries()
+
+
 def oracle_sql() -> dict[str, str]:
+    gate = queries().keys()
+    return {k: v for k, v in extended_oracle_sql().items() if k in gate}
+
+
+def extended_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for _, o in _REGISTRIES:
         out.update(o)

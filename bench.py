@@ -37,7 +37,8 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    all_queries = entrymod.queries()
+    # extended = gate + beyond-cap relational; bench times everything
+    all_queries = entrymod.extended_queries()
     subset = os.environ.get("BENCH_QUERIES")
     names = (
         [n for n in subset.split(",") if n in all_queries]

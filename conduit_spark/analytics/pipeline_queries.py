@@ -133,7 +133,7 @@ ORACLES = {
     """,
     "g_throughput_1m": f"""
         SELECT count(*) AS n_records,
-               sum((i * 17 + 3) % 1000) AS id_checksum,
+               CAST(sum((i * 17 + 3) % 1000) AS BIGINT) AS id_checksum,
                count(*) AS n_staged
         FROM (SELECT unnest(generate_series(0, {THROUGHPUT_N - 1})) AS i)
         WHERE i % 2 <> 0

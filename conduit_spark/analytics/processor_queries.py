@@ -380,6 +380,10 @@ def p_webhook(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http://svc/events/{{ .Payload.After.event_type }}/{{ .Payload.After.event_id }}",
         transport=_md5_transport,
         retries=0,
+        # the oracle transport is a local md5 (pure CPU): the thread
+        # pool would only add GIL contention. concurrency>1 is for
+        # real network transports, where it hides round-trip latency.
+        concurrency=1,
     )
     return out.select(
         F.col("payload_after.event_id").alias("event_id"),

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from conduit_spark.sources.tables import load_table
+from conduit_spark.sources.tables import load_events_raw, load_table
 
 
 def _dec(col, scale: int = 2):
@@ -567,8 +567,13 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead analytics: median-free gap stats between consecutive
-    events per user (sequence analysis over the event stream)."""
+    """lag/lead analytics: gap stats between consecutive events per
+    user. Both engines see identical micros values (DuckDB 1.0 reads
+    parquet TIMESTAMP_NANOS as micros-TIMESTAMP with truncation; our
+    loader does the same exact ``ts div 1000``), so window ordering and
+    gaps agree exactly; the round-1 hash mismatch was DuckDB's
+    ``sum(BIGINT)`` → HUGEINT → float64 via pandas, fixed by the
+    BIGINT cast in the oracle."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn(
@@ -633,8 +638,8 @@ ORACLES = {
     """,
     "q12_priority_by_status": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1
     """,
@@ -743,7 +748,7 @@ ORACLES = {
     "q_user_event_gaps": """
         SELECT user_id, count(*) AS n_gaps,
                min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
-               sum(gap_us) AS total_gap_us
+               CAST(sum(gap_us) AS BIGINT) AS total_gap_us
         FROM (
             SELECT user_id,
                    epoch_us(ts)

@@ -177,8 +177,8 @@ ORACLES = {
     "t_langid": _langid_sql(),
     "t_fingerprint": f"""
         SELECT doc_id,
-               list_sum(list_transform(string_split(text,' '),
-                   (x, i) -> CAST(i AS BIGINT) * {sql_md5_int32('x')})) AS fingerprint
+               CAST(list_sum(list_transform(string_split(text,' '),
+                   (x, i) -> CAST(i AS BIGINT) * {sql_md5_int32('x')})) AS BIGINT) AS fingerprint
         FROM documents
     """,
 }

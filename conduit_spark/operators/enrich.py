@@ -93,6 +93,72 @@ def _with_retries(
     return None, "unreachable"
 
 
+def _run_pool(
+    transport: Transport,
+    requests: list[dict],
+    *,
+    retries: int,
+    backoff_s: float,
+    concurrency: int,
+) -> list[tuple[dict | None, str | None]]:
+    """Issue requests with bounded in-flight concurrency per partition.
+
+    At 100 TB the wall-clock of per-record transports is round-trip
+    dominated; ~``concurrency`` overlapping calls per partition (×
+    partitions across executors) hides that latency while per-record
+    retry/backoff and error routing are preserved — each task is its
+    own ``_with_retries``. Blocking socket I/O releases the GIL, so
+    threads are the right tool here (no asyncio dependency in the
+    executor Python)."""
+    if not requests:
+        return []
+    if concurrency <= 1 or len(requests) == 1:
+        return [
+            _with_retries(transport, r, retries=retries, backoff_s=backoff_s)
+            for r in requests
+        ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(concurrency, len(requests))) as pool:
+        return list(
+            pool.map(
+                lambda r: _with_retries(
+                    transport, r, retries=retries, backoff_s=backoff_s
+                ),
+                requests,
+            )
+        )
+
+
+def _write_response(
+    out: DataFrame, target_ref: str, resp_col: str, *, default_json: bool
+) -> DataFrame:
+    """Write a temp response column to the addressed envelope field.
+
+    ``.Payload.After`` (the default) replaces the JSON payload text
+    wholesale; any other ref goes through ``field_set``'s resolver so
+    ``response_field``/``output_field`` configs are honored (round-1
+    advice: they were accepted but ignored)."""
+    from conduit_spark.operators.field_ops import field_set
+
+    got = F.col(resp_col).isNotNull()
+    if target_ref in (".Payload.After", ""):
+        out = out.withColumn(
+            "payload_after_json",
+            F.when(got, F.col(resp_col)).otherwise(F.col("payload_after_json")),
+        )
+        if default_json and "payload_after" in out.columns:
+            out = out.withColumn(
+                "payload_after",
+                F.when(
+                    got,
+                    F.from_json(F.col(resp_col), out.schema["payload_after"].dataType),
+                ).otherwise(F.col("payload_after")),
+            )
+        return out.drop(resp_col)
+    return field_set(out, target_ref, F.col(resp_col), condition=got).drop(resp_col)
+
+
 def webhook_http(
     df: DataFrame,
     url: str,
@@ -104,12 +170,14 @@ def webhook_http(
     transport: Transport | None = None,
     retries: int = 3,
     backoff_s: float = 0.1,
+    concurrency: int = 16,
     condition: str | Column | None = None,
 ) -> DataFrame:
-    """Call a webhook per record; response body into the payload.
+    """Call a webhook per record; response body into ``response_field``.
 
     URL/body are templates evaluated per record *JVM-side*; only the
-    HTTP call itself crosses into Python (mapInPandas). Failed records
+    HTTP call itself crosses into Python (mapInPandas), with up to
+    ``concurrency`` requests in flight per partition. Failed records
     are tagged in ``_error`` (→ DLQ), matching ErrorRecord semantics.
     """
     if transport is None:
@@ -127,44 +195,48 @@ def webhook_http(
     work = work.withColumn(
         "__wh_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
     )
-    schema = work.schema
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(work.schema.fields) + [StructField("__wh_resp", StringType(), True)]
+    )
     hdrs = headers or {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payload = []
-            out_err = []
+            n = len(pdf)
+            resps: list = [None] * n
+            errs = list(pdf[ERROR_COL])
+            reqs, idxs = [], []
             # zip over columns, not iterrows() — ~20× less per-row
             # overhead in the Python stage
-            for go, url, body, payload, prev_err in zip(
-                pdf["__wh_go"], pdf["__wh_url"], pdf["__wh_body"],
-                pdf["payload_after_json"], pdf[ERROR_COL],
+            for i, (go, url_v, body_v) in enumerate(
+                zip(pdf["__wh_go"], pdf["__wh_url"], pdf["__wh_body"])
             ):
-                if not go:
-                    out_payload.append(payload)
-                    out_err.append(prev_err)
-                    continue
-                resp, err = _with_retries(
-                    transport,
-                    {"url": url, "method": method, "headers": hdrs, "body": body},
-                    retries=retries,
-                    backoff_s=backoff_s,
-                )
+                if go:
+                    reqs.append(
+                        {"url": url_v, "method": method, "headers": hdrs,
+                         "body": body_v}
+                    )
+                    idxs.append(i)
+            results = _run_pool(
+                transport, reqs, retries=retries, backoff_s=backoff_s,
+                concurrency=concurrency,
+            )
+            for i, (resp, err) in zip(idxs, results):
                 if err is not None or resp is None:
-                    out_payload.append(payload)
-                    out_err.append(f"webhook.http: {err}")
+                    errs[i] = f"webhook.http: {err}"
                 elif resp.get("status", 500) >= 400:
-                    out_payload.append(payload)
-                    out_err.append(f"webhook.http: status {resp['status']}")
+                    errs[i] = f"webhook.http: status {resp['status']}"
                 else:
-                    out_payload.append(resp.get("body"))
-                    out_err.append(prev_err)
+                    resps[i] = resp.get("body")
             pdf = pdf.copy()
-            pdf["payload_after_json"] = out_payload
-            pdf[ERROR_COL] = out_err
+            pdf["__wh_resp"] = resps
+            pdf[ERROR_COL] = errs
             yield pdf
 
     out = work.mapInPandas(run, schema)
+    out = _write_response(out, response_field, "__wh_resp", default_json=False)
     return out.drop("__wh_url", "__wh_body", "__wh_go")
 
 
@@ -178,6 +250,7 @@ def llm_transform(
     transport: Transport | None = None,
     retries: int = 3,
     backoff_s: float = 0.1,
+    concurrency: int = 16,
     condition: str | Column | None = None,
 ) -> DataFrame:
     """Shared text-generation processor for cohere.command /
@@ -185,7 +258,8 @@ def llm_transform(
     impl/ollama/ollama.go:102-308, impl/openai/textgen.go:125-186).
 
     The templated prompt renders JVM-side; generation happens in
-    Arrow-batched partitions; output replaces ``.Payload.After``.
+    Arrow-batched partitions with up to ``concurrency`` in-flight
+    requests each; output lands in ``output_field``.
     """
     if transport is None:
         raise ValueError("llm_transform needs a transport; use fake_transport offline")
@@ -195,42 +269,42 @@ def llm_transform(
     work = work.withColumn(
         "__llm_go", F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
     )
-    schema = work.schema
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(work.schema.fields) + [StructField("__llm_resp", StringType(), True)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, errs = [], []
-            for go, prompt_v, payload, prev_err in zip(
-                pdf["__llm_go"], pdf["__llm_prompt"],
-                pdf["payload_after_json"], pdf[ERROR_COL],
+            resps: list = [None] * len(pdf)
+            errs = list(pdf[ERROR_COL])
+            reqs, idxs = [], []
+            for i, (go, prompt_v) in enumerate(
+                zip(pdf["__llm_go"], pdf["__llm_prompt"])
             ):
-                if not go:
-                    payloads.append(payload)
-                    errs.append(prev_err)
-                    continue
-                resp, err = _with_retries(
-                    transport,
-                    {
-                        "provider": provider,
-                        "model": model,
-                        "kind": "generate",
-                        "input": prompt_v,
-                    },
-                    retries=retries,
-                    backoff_s=backoff_s,
-                )
+                if go:
+                    reqs.append(
+                        {"provider": provider, "model": model,
+                         "kind": "generate", "input": prompt_v}
+                    )
+                    idxs.append(i)
+            results = _run_pool(
+                transport, reqs, retries=retries, backoff_s=backoff_s,
+                concurrency=concurrency,
+            )
+            for i, (resp, err) in zip(idxs, results):
                 if err is not None or resp is None:
-                    payloads.append(payload)
-                    errs.append(f"{provider}: {err}")
+                    errs[i] = f"{provider}: {err}"
                 else:
-                    payloads.append(json.dumps({"response": resp.get("output")}))
-                    errs.append(prev_err)
+                    resps[i] = json.dumps({"response": resp.get("output")})
             pdf = pdf.copy()
-            pdf["payload_after_json"] = payloads
+            pdf["__llm_resp"] = resps
             pdf[ERROR_COL] = errs
             yield pdf
 
     out = work.mapInPandas(run, schema)
+    out = _write_response(out, output_field, "__llm_resp", default_json=False)
     return out.drop("__llm_prompt", "__llm_go")
 
 
@@ -245,6 +319,7 @@ def llm_rerank(
     transport: Transport | None = None,
     retries: int = 3,
     backoff_s: float = 0.1,
+    concurrency: int = 16,
     condition: str | Column | None = None,
 ) -> DataFrame:
     """Rerank text vs a query (impl/cohere/rerank.go:134-301).
@@ -271,21 +346,19 @@ def llm_rerank(
         for pdf in batches:
             scores: list = [None] * len(pdf)
             errs = list(pdf[ERROR_COL])
+            reqs, idxs = [], []
             for i, (go, text) in enumerate(zip(pdf["__rr_go"], pdf["__rr_in"])):
-                if not go or text is None:
-                    continue
-                resp, err = _with_retries(
-                    transport,
-                    {
-                        "provider": provider,
-                        "model": model,
-                        "kind": "rerank",
-                        "input": text,
-                        "query": query,
-                    },
-                    retries=retries,
-                    backoff_s=backoff_s,
-                )
+                if go and text is not None:
+                    reqs.append(
+                        {"provider": provider, "model": model, "kind": "rerank",
+                         "input": text, "query": query}
+                    )
+                    idxs.append(i)
+            results = _run_pool(
+                transport, reqs, retries=retries, backoff_s=backoff_s,
+                concurrency=concurrency,
+            )
+            for i, (resp, err) in zip(idxs, results):
                 if err is not None or resp is None:
                     errs[i] = f"{provider}.rerank: {err}"
                     continue

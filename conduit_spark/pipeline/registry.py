@@ -108,9 +108,11 @@ def build_processor(
             method=settings.get("method", "GET"),
             headers=settings.get("headers"),
             body=settings.get("body"),
+            response_field=settings.get("response.body", ".Payload.After"),
             transport=t.get("http"),
             retries=int(settings.get("backoffRetry.count", 3)),
             backoff_s=float(settings.get("backoffRetry.min", 0.1)),
+            concurrency=int(settings.get("concurrency", 16)),
             condition=c,
         )
     if plugin in ("cohere.command", "ollama.request", "openai.textgen"):
@@ -121,7 +123,9 @@ def build_processor(
             provider=provider,
             model=settings.get("model", "default"),
             prompt=settings["prompt"],
+            output_field=settings.get("responseBodyRef", ".Payload.After"),
             transport=t.get(provider) or t.get("llm"),
+            concurrency=int(settings.get("concurrency", 16)),
             condition=c,
         )
     if plugin in ("cohere.embed", "openai.embed"):

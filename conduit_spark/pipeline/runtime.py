@@ -135,34 +135,48 @@ class Pipeline:
         res = BatchResult()
         df = df.persist()
         try:
-            ok, errored = split_errors(df)
-            nacks = errored.count()
-            res.nacked = nacks
             dlq = self.config.dlq
-            if nacks > 0 and dlq is not None:
-                dlq_df = errored.withColumn(
-                    "metadata",
-                    F.map_concat(
-                        F.col("metadata"),
-                        F.create_map(
-                            F.lit("conduit.dlq.error"), F.col(ERROR_COL),
-                            F.lit("conduit.dlq.pipeline"), F.lit(self.config.id),
-                        ),
-                    ),
-                ).drop(ERROR_COL)
-                write_destination(dlq_df, dlq.plugin, dlq.settings)
             threshold = dlq.window_nack_threshold if dlq else 0
-            if nacks > threshold:
-                res.status = STATUS_DEGRADED
-                self.status = STATUS_DEGRADED
-                raise PipelineFailure(
-                    f"pipeline {self.config.id}: {nacks} nacks exceed "
-                    f"window-nack-threshold {threshold}"
-                )
+
+            def nack(errored: DataFrame, scope: str) -> int:
+                """DLQ-divert errored rows (any scope — reference routes
+                processor failures to the DLQ regardless of whether the
+                chain is pipeline- or destination-scoped,
+                funnel/dlq.go:76-87) and enforce the window threshold."""
+                n = errored.count()
+                if n == 0:
+                    return 0
+                res.nacked += n
+                if dlq is not None:
+                    dlq_df = errored.withColumn(
+                        "metadata",
+                        F.map_concat(
+                            F.col("metadata"),
+                            F.create_map(
+                                F.lit("conduit.dlq.error"), F.col(ERROR_COL),
+                                F.lit("conduit.dlq.pipeline"), F.lit(self.config.id),
+                                F.lit("conduit.dlq.scope"), F.lit(scope),
+                            ),
+                        ),
+                    ).drop(ERROR_COL)
+                    write_destination(dlq_df, dlq.plugin, dlq.settings)
+                if res.nacked > threshold:
+                    res.status = STATUS_DEGRADED
+                    self.status = STATUS_DEGRADED
+                    raise PipelineFailure(
+                        f"pipeline {self.config.id}: {res.nacked} nacks exceed "
+                        f"window-nack-threshold {threshold}"
+                    )
+                return n
+
+            ok, errored = split_errors(df)
+            nack(errored, "pipeline")
             out = ok.drop(ERROR_COL)
             for dest in self.config.destinations:
                 routed = self._chain(ensure_error_col(out), dest.processors)
                 routed_ok, routed_err = split_errors(routed)
+                if dest.processors:  # chain may have errored rows
+                    nack(routed_err, f"destination:{dest.id}")
                 settings = dest.settings
                 if batch_id is not None and dest.plugin in (
                     "builtin:file",

@@ -32,6 +32,19 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as the raw int64 epoch-nanos column (no
+    micros conversion) — for queries that need nanos-exact ordering
+    parity with DuckDB's TIMESTAMP_NS (``epoch_ns``)."""
+    from conduit_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") != "bigint":  # pre-nanos parquet writer
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from conduit_spark.session import ensure_session_confs
 

@@ -410,6 +410,100 @@ def test_llm_transform(env_df):
     assert all(json.loads(r.payload_after_json)["response"].startswith("fake:") for r in rows)
 
 
+def test_webhook_response_field_honored(env_df):
+    """response_field targets a non-default ref (round-1 advice: the
+    param was accepted but silently ignored)."""
+    before = {bytes(r.position): r.payload_after_json for r in env_df.collect()}
+    out = ops.webhook_http(
+        env_df,
+        "http://svc/{{ .Operation }}",
+        response_field=".Metadata.http_resp",
+        transport=ops.fake_transport,
+    )
+    rows = out.collect()
+    for r in rows:
+        assert json.loads(r.metadata["http_resp"])["digest"]
+        assert r.payload_after_json == before[bytes(r.position)]  # untouched
+
+
+def test_llm_transform_output_field_honored(env_df):
+    out = ops.llm_transform(
+        env_df,
+        provider="openai",
+        model="gpt",
+        prompt="summarize: {{ .Payload.After.name }}",
+        output_field=".Metadata.summary",
+        transport=ops.fake_transport,
+    )
+    rows = out.collect()
+    assert all(
+        json.loads(r.metadata["summary"])["response"].startswith("fake:")
+        for r in rows
+    )
+
+
+def test_llm_rerank_score_alignment_and_errors(env_df):
+    """Scores must align record-to-record and failures route per record
+    (impl/cohere/rerank.go:134-301 semantics)."""
+    def scoring(request):
+        text = request["input"]
+        if "Bob" in text:
+            raise ValueError("rerank refused")
+        return {"output": float(len(text))}
+
+    out = ops.llm_rerank(
+        env_df,
+        provider="cohere",
+        model="rerank-v3",
+        query="who?",
+        input_field=".Payload.After.name",
+        transport=scoring,
+        retries=0,
+        backoff_s=0.0,
+    )
+    rows = {json.loads(r.payload_after_json)["name"]: r for r in out.collect()}
+    alice, bob = rows["Alice Smith"], rows["Bob Jones"]
+    assert alice["__rerank_score"] == float(len("Alice Smith"))
+    assert alice["_error"] is None
+    assert bob["__rerank_score"] is None
+    assert "rerank refused" in bob["_error"]
+
+
+def test_transport_pool_runs_concurrently():
+    """The per-partition pool must overlap requests and preserve order +
+    per-record retry/error isolation (round-1 verdict: sequential
+    blocking transport was the scale-killer). Unit-level: the pool runs
+    inside each Python worker, so concurrency is observed directly."""
+    import threading
+    import time as _time
+
+    from conduit_spark.operators.enrich import _run_pool
+
+    state = {"cur": 0, "max": 0}
+    lock = threading.Lock()
+
+    def slow(request):
+        with lock:
+            state["cur"] += 1
+            state["max"] = max(state["max"], state["cur"])
+        _time.sleep(0.03)
+        with lock:
+            state["cur"] -= 1
+        if request["i"] == 7:
+            raise ValueError("only seven fails")
+        return {"ok": request["i"]}
+
+    reqs = [{"i": i} for i in range(24)]
+    results = _run_pool(slow, reqs, retries=0, backoff_s=0.0, concurrency=8)
+    assert state["max"] > 1  # genuinely overlapped
+    assert len(results) == 24
+    for i, (resp, err) in enumerate(results):
+        if i == 7:
+            assert resp is None and "only seven fails" in err
+        else:
+            assert resp == {"ok": i} and err is None  # order preserved
+
+
 def test_custom_python_filter_and_transform(env_df):
     def fn(rec):
         if rec["operation"] == "delete":

@@ -193,6 +193,79 @@ pipelines:
     assert len(read_json_dir(dlq)) == 1
 
 
+def test_destination_scoped_errors_reach_dlq(spark, tmp_path):
+    """Records erroring in a destination-scoped chain must hit the DLQ
+    and count as nacks (reference routes processor failures to the DLQ
+    regardless of scope) — round-1 advice: they were silently dropped."""
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p5
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 20, format.options: {{id: int, trial: bool}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out}", format: json, mode: overwrite}}
+        processors:
+          - id: reject-trials
+            plugin: error
+            settings: {{message: "dest rejected"}}
+            condition: "{{{{ eq .Payload.After.trial true }}}}"
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {{path: "{dlq}", format: json, mode: append}}
+      window-size: 20
+      window-nack-threshold: 15
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    res = Pipeline(spark, cfg).run_batch()
+    assert res.nacked == 10  # 10 of 20 records have trial=true
+    assert res.delivered["d"] == 10
+    dlq_rows = read_json_dir(dlq)
+    assert len(dlq_rows) == 10
+    assert all(
+        r["metadata"]["conduit.dlq.error"] == "dest rejected" for r in dlq_rows
+    )
+    assert all(
+        r["metadata"]["conduit.dlq.scope"] == "destination:d" for r in dlq_rows
+    )
+
+
+def test_destination_scoped_errors_fail_without_dlq(spark, tmp_path):
+    """With no DLQ configured, destination-chain errors must fail the
+    batch (threshold 0), not vanish."""
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: p6
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 20, format.options: {{id: int, trial: bool}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out2'}", format: json, mode: overwrite}}
+        processors:
+          - id: reject-trials
+            plugin: error
+            settings: {{message: "dest rejected"}}
+            condition: "{{{{ eq .Payload.After.trial true }}}}"
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)
+    with pytest.raises(PipelineFailure):
+        p.run_batch()
+    assert p.status == "degraded"
+
+
 def test_streaming_file_source_checkpoint_resume(spark, tmp_path):
     """Chaos analog: run → stop → add data → resume from checkpoint;
     no loss, no double-delivery."""
