@@ -391,8 +391,55 @@ def p_webhook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_DOC_SCHEMA = (
+    '{"type":"record","name":"doc","fields":'
+    '[{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}'
+)
+
+
+def p_avro_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avro.encode byte-level parity (impl/avro/encode.go:135-206):
+    the oracle rebuilds the Avro binary from first principles —
+    zigzag-varint(doc_id) + varint(utf8-len) + utf8 bytes — so the
+    pure-Python codec's wire output is checked against the spec, not
+    against itself."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = env.from_table(docs, key_cols=["doc_id"], source_id="docs", typed=True)
+    out = ops.avro_encode(e, _AVRO_DOC_SCHEMA)
+    return out.select(
+        F.get_json_object(F.col("key_json"), "$.doc_id").cast("bigint").alias("doc_id"),
+        F.hex(F.col("payload_after_raw")).alias("avro_hex"),
+        F.col("is_structured").alias("is_structured"),
+    )
+
+
+def p_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avro.decode round-trip through the schema registry: autoRegister
+    infers the schema, the payload is Confluent-framed (0x00 magic +
+    int32 id), decode resolves the schema by id and rebinds the typed
+    payload (impl/avro/decode.go:114-166, config.go:22-57)."""
+    from conduit_spark.schema_registry import SchemaRegistry
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    e = env.from_table(docs, key_cols=["doc_id"], source_id="docs", typed=True)
+    reg = SchemaRegistry()
+    enc = ops.avro_encode(e, registry=reg, subject="documents")
+    framed = enc.withColumn(
+        "__frame_hex", F.hex(F.expr("substring(payload_after_raw, 1, 5)"))
+    )
+    out = ops.avro_decode(framed, registry=reg)
+    return out.select(
+        F.col("payload_after.doc_id").alias("doc_id"),
+        F.col("payload_after.text").alias("text"),
+        F.col("payload_after.lang").alias("lang"),
+        F.col("__frame_hex").alias("frame_hex"),
+    )
+
+
 QUERIES = {
     "p_filter": p_filter,
+    "p_avro_encode": p_avro_encode,
+    "p_avro_decode": p_avro_decode,
     "p_json_encode": p_json_encode,
     "p_unwrap_kafka_connect": p_unwrap_kafka_connect,
     "p_unwrap_opencdc": p_unwrap_opencdc,
@@ -409,7 +456,29 @@ QUERIES = {
     "p_error_dlq": p_error_dlq,
 }
 
+def _sql_varint_hex(n: str) -> str:
+    """Hex of the Avro zigzag-varint of non-negative ``n`` (≤ 3 bytes,
+    i.e. n < 2^20) — reconstructs the codec's wire bytes in pure SQL."""
+    z = f"(2 * ({n}))"
+    return f"""CASE
+        WHEN {z} < 128 THEN printf('%02X', {z})
+        WHEN {z} < 16384 THEN printf('%02X%02X', {z} % 128 + 128, {z} // 128)
+        ELSE printf('%02X%02X%02X', {z} % 128 + 128, ({z} // 128) % 128 + 128, {z} // 16384)
+    END"""
+
+
 ORACLES = {
+    "p_avro_encode": f"""
+        SELECT doc_id,
+               {_sql_varint_hex('doc_id')}
+                 || {_sql_varint_hex('strlen(text)')}
+                 || hex(text) AS avro_hex,
+               false AS is_structured
+        FROM documents
+    """,
+    "p_avro_decode": """
+        SELECT doc_id, text, lang, '0000000001' AS frame_hex FROM documents
+    """,
     "p_json_encode": """
         SELECT event_id, event_type, false AS is_structured FROM events
     """,

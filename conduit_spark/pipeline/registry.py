@@ -79,11 +79,38 @@ def build_processor(
             df, settings.get("field", ".Payload.After"), condition=c
         )
     if plugin == "avro.encode":
-        _require(settings, "schema")
-        return lambda df: ops.avro_encode(df, settings["schema"], condition=c)
+        # explicit `schema`, or registry strategies per
+        # impl/avro/config.go:22-57 (registry object injected via
+        # transports["schema_registry"])
+        reg = t.get("schema_registry")
+        if "schema" in settings:
+            return lambda df: ops.avro_encode(df, settings["schema"], condition=c)
+        strategy = settings.get("schema.strategy", "autoRegister")
+        subject = settings.get(
+            f"schema.{strategy}.subject", settings.get("schema.subject")
+        )
+        version = settings.get("schema.preRegistered.version")
+        if reg is None:
+            raise ValueError(
+                "avro.encode needs `schema` or a schema_registry transport"
+            )
+        return lambda df: ops.avro_encode(
+            df,
+            registry=reg,
+            subject=subject,
+            strategy=strategy,
+            version=int(version) if version is not None else None,
+            condition=c,
+        )
     if plugin == "avro.decode":
-        _require(settings, "schema")
-        return lambda df: ops.avro_decode(df, settings["schema"], condition=c)
+        reg = t.get("schema_registry")
+        if "schema" not in settings and reg is None:
+            raise ValueError(
+                "avro.decode needs `schema` or a schema_registry transport"
+            )
+        return lambda df: ops.avro_decode(
+            df, settings.get("schema"), registry=reg, condition=c
+        )
     if plugin == "clone":
         _require(settings, "times")
         return lambda df: ops.clone(df, int(settings["times"]), condition=c)

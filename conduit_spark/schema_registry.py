@@ -98,6 +98,53 @@ def struct_to_avro_schema(st: StructType, name: str = "record") -> str:
     return json.dumps(schema)
 
 
+def avro_schema_to_struct(schema_json: str | dict) -> StructType:
+    """Inverse of ``struct_to_avro_schema``: a Spark StructType from a
+    JSON Avro record schema, so ``avro.decode`` can bind a typed
+    payload column (impl/avro/decode.go:114-166 extracts the schema to
+    re-structure the record the same way)."""
+    import json as _json
+
+    from pyspark.sql.types import StructField
+
+    sch = _json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+
+    def conv(s) -> DataType:
+        if isinstance(s, list):  # union: first non-null branch, nullable
+            branches = [b for b in s if b != "null"]
+            if not branches:
+                return StringType()
+            return conv(branches[0])
+        if isinstance(s, dict):
+            t = s["type"]
+            if s.get("logicalType") in ("timestamp-micros", "timestamp-millis"):
+                return TimestampType()
+            if t == "record":
+                return StructType(
+                    [StructField(f["name"], conv(f["type"]), True) for f in s["fields"]]
+                )
+            if t == "array":
+                return ArrayType(conv(s["items"]))
+            if t == "map":
+                return MapType(StringType(), conv(s["values"]))
+            s = t
+        return {
+            "string": StringType(),
+            "long": LongType(),
+            "int": IntegerType(),
+            "double": DoubleType(),
+            "float": FloatType(),
+            "boolean": BooleanType(),
+            "bytes": BinaryType(),
+            "null": StringType(),
+        }[s]
+
+    st = conv(sch)
+    if not isinstance(st, StructType):
+        raise TypeError("top-level Avro schema must be a record")
+    return st
+
+
 def frame_wire_format(df_col, schema_id: int):
     """Confluent wire format: 0x00 magic + big-endian int32 schema id +
     payload (what avro.decode strips to find the registry schema,
