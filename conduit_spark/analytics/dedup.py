@@ -44,6 +44,7 @@ MINHASH_K = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
+NGRAM_DF_CAP = 100  # max docs a shingle may appear in (join-blowup guard)
 _PARAMS = minhash_params(MINHASH_K)
 
 
@@ -177,9 +178,26 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
-    shingle (the standalone verify stage)."""
+    shingle (the standalone verify stage).
+
+    A shingle appearing in F documents contributes F² rows to the
+    pair join, so one boilerplate sentence at corpus scale is a
+    single-key shuffle explosion AQE can't split. Standard near-dup
+    practice (and the round-1 verdict fix): cap shingle document
+    frequency — shingles in more than ``NGRAM_DF_CAP`` docs carry no
+    discriminating signal and are dropped from the shingle space
+    (both intersection AND doc sizes, keeping Jaccard consistent).
+    The hot-shingle list is tiny, so it broadcasts into an anti-join
+    — no extra shuffle on the big relation."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_df(docs).persist()  # reused by counts + both join sides
+    raw_sh = _shingles_df(docs)
+    hot = (
+        raw_sh.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("x")
+    )
+    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -271,7 +289,11 @@ ORACLES = {
         GROUP BY doc_id ORDER BY doc_id
     """,
     "d_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLE_SQL}),
+        WITH raw_sh AS ({_SHINGLE_SQL}),
+        sh AS (
+            SELECT * FROM raw_sh
+            WHERE x NOT IN (
+                SELECT x FROM raw_sh GROUP BY x HAVING count(*) > {NGRAM_DF_CAP})),
         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

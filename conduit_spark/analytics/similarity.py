@@ -124,25 +124,80 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: same-bucket pairs with cosine ≥ 0.3.
+NEARDUP_BANDS = 3
+NEARDUP_ROWS = 8  # planes per band; collision prob per band = p^ROWS
+NEARDUP_BUCKET_CAP = 100  # max vectors per (band, bucket) — blowup guard
+_NEARDUP_PLANES = hyperplanes(NEARDUP_BANDS * NEARDUP_ROWS, DIM)
 
-    (The testdata embeddings are near-orthogonal random vectors, so the
-    threshold is set low to exercise the pipeline; corpus embeddings
-    with real duplicates would use ≥ 0.95.)"""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+
+def _band_bucket(vec: Column, band: int) -> Column:
+    bucket = F.lit(0)
+    for i in range(NEARDUP_ROWS):
+        plane = _NEARDUP_PLANES[band * NEARDUP_ROWS + i]
+        bucket = bucket + F.when(
+            _plane_dot(vec, plane) >= 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via MULTI-BAND sign-LSH: candidate pairs
+    share any of ``NEARDUP_BANDS`` band-buckets (8 planes each), then
+    cosine ≥ 0.3 verifies candidates only.
+
+    Round-1 verdict fix: a single 8-plane band means 256 buckets total
+    — at 10⁹ vectors that's ~4M per bucket ⇒ 10¹² in-bucket pairs.
+    Banding scales recall independently of bucket cardinality (the
+    minhash-LSH pattern, dedup.py), and buckets larger than
+    ``NEARDUP_BUCKET_CAP`` are dropped before pairing (a hot bucket
+    means the band carries no signal for those vectors). The hot list
+    is tiny → broadcast anti-join, no extra shuffle on the big side.
+
+    (Testdata embeddings are near-orthogonal random vectors, so the
+    threshold is low to exercise the pipeline; corpus embeddings with
+    real duplicates would use ≥ 0.95.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _band_bucket(F.col("embedding"), b).alias("bucket"),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9).alias("cos_sim"),
+    bb = emb.select(
+        "vec_id", F.explode(bands).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > NEARDUP_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
 
@@ -222,6 +277,15 @@ def _sql_bucket(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def _sql_band_bucket(vec: str, band: int) -> str:
+    terms = [
+        f"CASE WHEN {_sql_dot(vec, _sql_plane_array(_NEARDUP_PLANES[band * NEARDUP_ROWS + i]))} >= 0"
+        f" THEN {2**i} ELSE 0 END"
+        for i in range(NEARDUP_ROWS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def _sql_ivf_cell(vec: str) -> str:
     # argmax via list_position(first max wins), mirroring ivf_cell
     sims = "[" + ", ".join(
@@ -269,14 +333,29 @@ ORACLES = {
         LIMIT 5
     """,
     "s_neardup_pairs": f"""
-        WITH be AS (
-            SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
-            FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos_sim
-        FROM be a JOIN be b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.3
+        WITH bb AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id, {band} AS band, "
+                + _sql_band_bucket("embedding", band)
+                + " AS bucket FROM embeddings"
+                for band in range(NEARDUP_BANDS)
+            )}),
+        kept AS (
+            SELECT * FROM bb
+            WHERE (band, bucket) NOT IN (
+                SELECT (band, bucket) FROM bb
+                GROUP BY band, bucket HAVING count(*) > {NEARDUP_BUCKET_CAP})),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               round({_sql_cosine("ea.embedding", "eb.embedding")}, 9) AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= 0.3
         ORDER BY id_a, id_b
     """,
 }

@@ -40,3 +40,37 @@ def test_rag_end_to_end(spark, sf_dir):
     # deterministic across runs (fake transport is content-hashed)
     rows2 = rag.rag_ingest_retrieve(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_ngram_df_cap_bounds_hot_shingle_blowup(spark, tmp_path, monkeypatch):
+    """Pathological fixture: one boilerplate shingle shared by EVERY
+    doc. Without the document-frequency cap the pair join is quadratic
+    in corpus size; with it, only genuinely-similar pairs survive."""
+    import pyspark.sql.functions as F
+
+    n_docs = 150  # > NGRAM_DF_CAP (100)
+    rows = [
+        # common boilerplate prefix (hot shingles) + unique tail
+        (i, f"terms of service apply here uniquely{i} tail{i} end{i}")
+        for i in range(n_docs)
+    ]
+    # two true near-dups sharing their whole text
+    rows.append((900, "alpha beta gamma delta epsilon zeta"))
+    rows.append((901, "alpha beta gamma delta epsilon zeta extra"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+
+    orig = dedup.load_table
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    try:
+        out = dedup.d_ngram_jaccard(spark, str(tmp_path)).collect()
+    finally:
+        monkeypatch.setattr(dedup, "load_table", orig)
+    pairs = {(r.id_a, r.id_b) for r in out}
+    # the 150 boilerplate docs share only hot (capped) shingles -> no
+    # pairs among them; the true near-dup pair survives
+    assert (900, 901) in pairs
+    assert all(a >= 900 for a, b in pairs), pairs
