@@ -190,7 +190,10 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot-shingle list is tiny, so it broadcasts into an anti-join
     — no extra shuffle on the big relation."""
     docs = load_table(spark, sf_dir, "documents")
-    raw_sh = _shingles_df(docs)
+    # persist the RAW shingle relation: it feeds the hot-list agg AND
+    # the capped relation (itself used by counts + both join sides) —
+    # without the cache the distinct() shuffle runs twice
+    raw_sh = _shingles_df(docs).persist()
     hot = (
         raw_sh.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
