@@ -436,10 +436,82 @@ def p_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip: a synthesized Debezium changelog (create per
+    event, update for event_id%3==0, delete for event_id%5==0, ordered
+    by LSN) through ``unwrap.debezium`` then ``cdc_apply`` — the final
+    materialized state must equal the equivalent direct SQL over the
+    base table (impl/unwrap/debezium.go:98-318; upsert semantics of
+    the reference's destination connectors)."""
+    from conduit_spark.operators.cdc import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def dbz(op: str, seq: int, after):
+        inner = [
+            F.struct(
+                F.lit("events").alias("table"),
+                F.lit(str(seq)).alias("lsn"),
+            ).alias("source"),
+            F.lit(op).alias("op"),
+            F.lit(1709294400000).alias("ts_ms"),
+        ]
+        if after is not None:
+            inner.insert(0, after.alias("after"))
+        return F.to_json(F.struct(F.struct(*inner).alias("payload")))
+
+    create_env = dbz("c", 1, F.struct(F.col("event_id"), F.col("value")))
+    update_env = dbz("u", 2, F.struct(F.col("event_id"), (F.col("value") * 2).alias("value")))
+    delete_env = dbz("d", 3, None)
+    changes = F.array_compact(
+        F.array(
+            F.struct(F.lit(1).alias("seq"), create_env.alias("env")),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.struct(F.lit(2).alias("seq"), update_env.alias("env")),
+            ),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.struct(F.lit(3).alias("seq"), delete_env.alias("env")),
+            ),
+        )
+    )
+    stream = ev.select(
+        "event_id", F.explode(changes).alias("ch")
+    )
+    e = stream.select(
+        F.concat_ws(":", F.col("event_id"), F.col("ch.seq")).cast("binary").alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        F.to_json(F.struct("event_id")).alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.col("ch.env").alias("payload_after_json"),
+        F.lit(None).cast("binary").alias("payload_after_raw"),
+        F.lit(True).alias("is_structured"),
+    )
+    unwrapped = ops.unwrap_debezium(e)
+    final = cdc_apply(
+        unwrapped,
+        F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint"),
+        F.col("metadata").getItem("debezium.source.lsn").cast("int"),
+    )
+    return final.select(
+        F.get_json_object(F.col("payload_after_json"), "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.get_json_object(F.col("payload_after_json"), "$.value")
+        .cast("double")
+        .alias("value"),
+        F.col("operation").alias("last_op"),
+    )
+
+
 QUERIES = {
     "p_filter": p_filter,
     "p_avro_encode": p_avro_encode,
     "p_avro_decode": p_avro_decode,
+    "p_cdc_upsert": p_cdc_upsert,
     "p_json_encode": p_json_encode,
     "p_unwrap_kafka_connect": p_unwrap_kafka_connect,
     "p_unwrap_opencdc": p_unwrap_opencdc,
@@ -478,6 +550,13 @@ ORACLES = {
     """,
     "p_avro_decode": """
         SELECT doc_id, text, lang, '0000000001' AS frame_hex FROM documents
+    """,
+    "p_cdc_upsert": """
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+               CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'create' END AS last_op
+        FROM events
+        WHERE event_id % 5 <> 0
     """,
     "p_json_encode": """
         SELECT event_id, event_type, false AS is_structured FROM events

@@ -301,6 +301,100 @@ pipelines:
     assert payloads == ["line1", "line2", "line3"]
 
 
+def test_cdc_roundtrip_file_debezium_upsert(spark, tmp_path):
+    """CDC round-trip fixture (round-1 verdict #7): file-based Debezium
+    changelog → streaming pipeline with unwrap.debezium → keyed upsert
+    materialization; final state must equal the logical table state
+    (impl/unwrap/debezium.go:98-318 semantics; snapshot + c/u/d)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from conduit_spark.operators.cdc import cdc_apply
+
+    src_dir = tmp_path / "cdc"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+
+    def env_line(op, lsn, before=None, after=None):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": before,
+                    "after": after,
+                    "source": {"table": "t", "lsn": str(lsn)},
+                    "op": op,
+                    "ts_ms": 1700000000000 + lsn,
+                }
+            }
+        )
+
+    # snapshot: ids 1..4 with v = 10*id
+    (src_dir / "batch1.json").write_text(
+        "\n".join(
+            env_line("r", i, after={"id": i, "v": 10 * i}) for i in (1, 2, 3, 4)
+        )
+        + "\n"
+    )
+    schema = (
+        "payload struct<before:struct<id:bigint,v:bigint>,"
+        "after:struct<id:bigint,v:bigint>,"
+        "source:struct<table:string,lsn:string>,op:string,ts_ms:bigint>"
+    )
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: cdc-rt
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: json, schema: "{schema}"}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out}", format: json, mode: append}}
+    processors:
+      - id: unwrap
+        plugin: unwrap.debezium
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)
+    p.run_streaming(ckpt, trigger_once=True)
+
+    # changelog arrives: update id=2, delete id=3, insert id=5
+    (src_dir / "batch2.json").write_text(
+        "\n".join(
+            [
+                env_line("u", 5, before={"id": 2, "v": 20}, after={"id": 2, "v": 999}),
+                env_line("d", 6, before={"id": 3, "v": 30}),
+                env_line("c", 7, after={"id": 5, "v": 50}),
+            ]
+        )
+        + "\n"
+    )
+    p.run_streaming(ckpt, trigger_once=True)  # resume from checkpoint
+
+    sunk = spark.read.json(f"{out}/batch_id=*")
+    final = cdc_apply(
+        sunk,
+        F.coalesce(
+            F.get_json_object("payload_after_json", "$.id"),
+            F.get_json_object("payload_before_json", "$.id"),
+        ).cast("bigint"),
+        F.col("metadata").getItem("debezium.source.lsn").cast("bigint"),
+    )
+    state = {
+        int(r.id): int(r.v)
+        for r in final.select(
+            F.get_json_object("payload_after_json", "$.id").alias("id"),
+            F.get_json_object("payload_after_json", "$.v").alias("v"),
+        ).collect()
+    }
+    assert state == {1: 10, 2: 999, 4: 40, 5: 50}  # id 3 deleted
+
+
 def test_pipeline_queries_match_oracle(spark, sf_dir, duck):
     from conduit_spark.analytics import pipeline_queries as gq
     from tests.oracle_util import compare_spark_duckdb
