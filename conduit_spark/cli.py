@@ -18,29 +18,55 @@ API (conduit_spark.pipeline.Pipeline) are the two entry points.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
 
-from conduit_spark.pipeline.config import PipelineConfig, load_pipelines
+from conduit_spark.pipeline.config import (
+    PipelineConfig,
+    load_pipeline_dir,
+    load_pipelines,
+)
 
 
 def _gather(path: str) -> list[PipelineConfig]:
+    """Provision from a file or directory; bad files in a directory are
+    reported to stderr and skipped (pkg/provisioning/service.go:74)."""
     if os.path.isdir(path):
-        files = sorted(
-            glob.glob(os.path.join(path, "*.yaml"))
-            + glob.glob(os.path.join(path, "*.yml"))
-        )
-    else:
-        files = [path]
-    configs: list[PipelineConfig] = []
-    for f in files:
-        configs.extend(load_pipelines(f))
-    return configs
+        res = load_pipeline_dir(path)
+        for f, err in res.errors.items():
+            print(f"provisioning {f}: {err}", file=sys.stderr)
+        return res.pipelines
+    return load_pipelines(path)
 
 
 def cmd_list(args: argparse.Namespace) -> int:
-    for cfg in _gather(args.pipelines):
+    configs = _gather(args.pipelines)
+    if getattr(args, "json", False):
+        # machine-readable status surface — the minimal analog of the
+        # reference's PipelineService.List (proto/api/v1/api.proto:318+)
+        import json
+
+        print(
+            json.dumps(
+                [
+                    {
+                        "id": c.id,
+                        "status": c.status,
+                        "sources": [
+                            {"id": s.id, "plugin": s.plugin} for s in c.sources
+                        ],
+                        "destinations": [
+                            {"id": d.id, "plugin": d.plugin} for d in c.destinations
+                        ],
+                        "processors": [p.plugin for p in c.processors],
+                        "dlq": c.dlq.plugin if c.dlq else None,
+                    }
+                    for c in configs
+                ]
+            )
+        )
+        return 0
+    for cfg in configs:
         srcs = ",".join(c.plugin for c in cfg.sources)
         dsts = ",".join(c.plugin for c in cfg.destinations)
         procs = ",".join(p.plugin for p in cfg.processors) or "-"
@@ -101,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p_list = sub.add_parser("list", help="list configured pipelines")
     p_list.add_argument("--pipelines", required=True)
+    p_list.add_argument("--json", action="store_true", help="machine-readable output")
     p_list.set_defaults(fn=cmd_list)
 
     args = parser.parse_args(argv)

@@ -48,7 +48,10 @@ from conduit_spark.operators.codec_ops import (  # noqa: F401
     json_decode,
     json_encode,
 )
-from conduit_spark.operators.custom import custom_python  # noqa: F401
+from conduit_spark.operators.custom import (  # noqa: F401
+    custom_python,
+    custom_subprocess,
+)
 from conduit_spark.operators.enrich import (  # noqa: F401
     fake_transport,
     llm_embed,

@@ -14,6 +14,7 @@ stream/parallel.go's coordinator is subsumed).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -66,6 +67,11 @@ class PipelineConfig:
 
 
 def _parse_processor(raw: dict) -> ProcessorConfig:
+    if "plugin" not in raw and "type" in raw:
+        # v1 model named the field `type`
+        # (pkg/provisioning/config/yaml/v1/model.go); migrated with a
+        # changelog warning in parse_yaml
+        raw = dict(raw, plugin=raw["type"])
     return ProcessorConfig(
         id=str(raw.get("id", raw["plugin"])),
         plugin=raw["plugin"],
@@ -98,28 +104,92 @@ def parse_pipeline_dict(raw: dict) -> PipelineConfig:
             window_size=int(dlq_raw.get("window-size", 1)),
             window_nack_threshold=int(dlq_raw.get("window-nack-threshold", 0)),
         )
+    connectors = [_parse_connector(c) for c in raw.get("connectors") or []]
+    seen: set[str] = set()
+    for c in connectors:
+        if c.id in seen:
+            raise ValueError(
+                f"pipeline {raw['id']!r}: duplicate connector id {c.id!r}"
+            )
+        seen.add(c.id)
     return PipelineConfig(
         id=str(raw["id"]),
         status=raw.get("status", "running"),
         name=raw.get("name", ""),
         description=raw.get("description", ""),
-        connectors=[_parse_connector(c) for c in raw.get("connectors") or []],
+        connectors=connectors,
         processors=[_parse_processor(p) for p in raw.get("processors") or []],
         dlq=dlq,
     )
 
 
 def parse_yaml(text: str) -> list[PipelineConfig]:
-    """Parse a pipeline file (version 2.x)."""
+    """Parse a pipeline file (version 2.x; 1.x migrates with a
+    deprecation warning, mirroring the reference's v1→v2 changelog
+    handling in pkg/provisioning/config/yaml/parser.go)."""
     doc = yaml.safe_load(text)
     if not isinstance(doc, dict) or "pipelines" not in doc:
         raise ValueError("pipeline file must have a top-level 'pipelines' list")
     version = str(doc.get("version", "2.2"))
-    if not version.startswith("2"):
+    if version.startswith("1"):
+        import warnings
+
+        warnings.warn(
+            f"pipeline config version {version} is deprecated; "
+            "auto-migrating to 2.x (processor `type:` → `plugin:`)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    elif not version.startswith("2"):
         raise ValueError(f"unsupported pipeline config version {version!r}")
-    return [parse_pipeline_dict(p) for p in doc["pipelines"]]
+    pipelines = [parse_pipeline_dict(p) for p in doc["pipelines"]]
+    ids = [p.id for p in pipelines]
+    dupes = {i for i in ids if ids.count(i) > 1}
+    if dupes:
+        raise ValueError(f"duplicate pipeline ids: {sorted(dupes)}")
+    return pipelines
 
 
 def load_pipelines(path: str) -> list[PipelineConfig]:
     with open(path, encoding="utf-8") as f:
         return parse_yaml(f.read())
+
+
+@dataclass
+class ProvisionResult:
+    """Outcome of provisioning a directory of pipeline files
+    (pkg/provisioning/service.go:74 — bad files are reported and
+    skipped; good pipelines still provision)."""
+
+    pipelines: list[PipelineConfig] = field(default_factory=list)
+    errors: dict[str, str] = field(default_factory=dict)  # file → error
+
+
+def load_pipeline_dir(path: str, *, strict: bool = False) -> ProvisionResult:
+    """Provision every ``*.yml``/``*.yaml`` under ``path`` (sorted, so
+    provisioning order is deterministic). A malformed file records an
+    error and is skipped unless ``strict``; a pipeline id appearing in
+    two files is an error against the second file."""
+    import glob as _glob
+
+    res = ProvisionResult()
+    seen_ids: dict[str, str] = {}
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.yml"))
+        + _glob.glob(os.path.join(path, "*.yaml"))
+    )
+    for f in files:
+        try:
+            for p in load_pipelines(f):
+                if p.id in seen_ids:
+                    raise ValueError(
+                        f"pipeline id {p.id!r} already provisioned from "
+                        f"{seen_ids[p.id]}"
+                    )
+                seen_ids[p.id] = f
+                res.pipelines.append(p)
+        except Exception as e:  # noqa: BLE001 — collected per file
+            if strict:
+                raise
+            res.errors[f] = f"{type(e).__name__}: {e}"
+    return res

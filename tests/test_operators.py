@@ -504,6 +504,30 @@ def test_transport_pool_runs_concurrently():
             assert resp == {"ok": i} and err is None  # order preserved
 
 
+def test_custom_subprocess_standalone_plugin(env_df):
+    """Standalone-plugin isolation (pkg/plugin/processor/standalone/
+    analog): records stream through an external executable over
+    JSON-lines; it filters deletes and stamps metadata — same contract
+    as custom_python but across a process boundary."""
+    import sys
+
+    child = (
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    rec = json.loads(line)\n"
+        "    if rec['operation'] == 'delete':\n"
+        "        print('null'); sys.stdout.flush(); continue\n"
+        "    rec['metadata'] = dict(rec['metadata'] or {}, touched='sub')\n"
+        "    rec['position'] = 'tamper-attempt'\n"
+        "    print(json.dumps(rec)); sys.stdout.flush()\n"
+    )
+    out = ops.custom_subprocess(env_df, [sys.executable, "-u", "-c", child])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].metadata["touched"] == "sub"
+    assert bytes(rows[0].position) == b"src:1"  # immutability enforced
+
+
 def test_custom_python_filter_and_transform(env_df):
     def fn(rec):
         if rec["operation"] == "delete":

@@ -1,0 +1,114 @@
+"""Provisioning corpus tests — table-driven over fixture dirs, the
+shape of the reference's pkg/provisioning/test/pipelines1…4: multi-file
+dirs, malformed configs that must not block valid ones, duplicate-id
+detection, DLQ config variants, and v1→v2 migration warnings."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conduit_spark.pipeline.config import (
+    load_pipeline_dir,
+    parse_yaml,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "provisioning")
+
+
+def test_single_file_dir():
+    res = load_pipeline_dir(os.path.join(FIXTURES, "pipelines1"))
+    assert not res.errors
+    assert [p.id for p in res.pipelines] == ["basic"]
+    p = res.pipelines[0]
+    assert [c.id for c in p.sources] == ["gen"]
+    assert [c.id for c in p.destinations] == ["sink"]
+
+
+def test_multi_file_dir_deterministic_order_and_dlq():
+    res = load_pipeline_dir(os.path.join(FIXTURES, "pipelines2-multifile"))
+    assert not res.errors
+    # files provision in sorted order: a.yml then b.yml
+    assert [p.id for p in res.pipelines] == ["with-dlq", "second", "third"]
+    dlq = res.pipelines[0].dlq
+    assert dlq is not None
+    assert (dlq.window_size, dlq.window_nack_threshold) == (5, 2)
+    assert res.pipelines[0].processors[0].plugin == "field.set"
+
+
+def test_malformed_files_skipped_valid_provisioned():
+    d = os.path.join(FIXTURES, "pipelines3-malformed")
+    res = load_pipeline_dir(d)
+    assert [p.id for p in res.pipelines] == ["survivor"]
+    assert set(res.errors) == {
+        os.path.join(d, "bad.yml"),
+        os.path.join(d, "notyaml.yml"),
+    }
+    assert "source/destination" in res.errors[os.path.join(d, "bad.yml")]
+    with pytest.raises(Exception):
+        load_pipeline_dir(d, strict=True)
+
+
+def test_duplicate_pipeline_id_across_files():
+    d = os.path.join(FIXTURES, "pipelines4-dupid")
+    res = load_pipeline_dir(d)
+    assert [p.id for p in res.pipelines] == ["dup"]  # first wins
+    assert os.path.join(d, "b.yml") in res.errors
+    assert "already provisioned" in res.errors[os.path.join(d, "b.yml")]
+
+
+def test_duplicate_pipeline_id_same_file():
+    text = """
+version: "2.2"
+pipelines:
+  - id: x
+    connectors: []
+  - id: x
+    connectors: []
+"""
+    with pytest.raises(ValueError, match="duplicate pipeline ids"):
+        parse_yaml(text)
+
+
+def test_duplicate_connector_id_rejected():
+    text = """
+version: "2.2"
+pipelines:
+  - id: x
+    connectors:
+      - {id: c, type: source, plugin: builtin:generator}
+      - {id: c, type: destination, plugin: builtin:log}
+"""
+    with pytest.raises(ValueError, match="duplicate connector id"):
+        parse_yaml(text)
+
+
+def test_v1_config_migrates_with_warning():
+    text = """
+version: "1.1"
+pipelines:
+  - id: legacy
+    connectors:
+      - id: gen
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 3}
+    processors:
+      - id: tag
+        type: field.set
+        settings: {field: .Metadata.env, value: prod}
+"""
+    with pytest.warns(DeprecationWarning, match="deprecated"):
+        pipelines = parse_yaml(text)
+    assert pipelines[0].processors[0].plugin == "field.set"
+
+
+def test_unsupported_version_rejected():
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_yaml('version: "3.0"\npipelines: []\n')
+
+
+def test_missing_pipelines_key_rejected():
+    with pytest.raises(ValueError, match="pipelines"):
+        parse_yaml("just: nonsense\n")
