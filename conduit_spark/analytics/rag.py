@@ -34,30 +34,33 @@ def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_text(docs).select(
         "doc_id", "chunk_idx", F.col("chunk_text").alias("text")
     )
+
+    def embed(df: DataFrame) -> DataFrame:
+        env_df = env.from_table(
+            df, key_cols=["doc_id", "chunk_idx"], source_id="rag", typed=True
+        )
+        out = ops.llm_embed(
+            env_df,
+            provider="cohere",
+            model="embed-v3",
+            input_field=".Payload.After.text",
+            output_col="embedding",
+            transport=ops.fake_transport,
+        )
+        return out.select(
+            F.col("payload_after.doc_id").alias("doc_id"),
+            F.col("payload_after.chunk_idx").alias("chunk_idx"),
+            F.col("embedding"),
+        )
+
+    # embed the 1-row query through the SAME transport as the corpus,
+    # but as its own tiny plan — unioning it into the corpus made the
+    # qvec filter re-execute the whole corpus chunk+embed pipeline
+    vecs = embed(chunks)
     query = spark.createDataFrame([(-1, -1, QUERY_TEXT)], ["doc_id", "chunk_idx", "text"])
-    corpus = chunks.unionByName(query)
-    env_df = env.from_table(
-        corpus, key_cols=["doc_id", "chunk_idx"], source_id="rag", typed=True
-    )
-    embedded = ops.llm_embed(
-        env_df,
-        provider="cohere",
-        model="embed-v3",
-        input_field=".Payload.After.text",
-        output_col="embedding",
-        transport=ops.fake_transport,
-    )
-    vecs = embedded.select(
-        F.col("payload_after.doc_id").alias("doc_id"),
-        F.col("payload_after.chunk_idx").alias("chunk_idx"),
-        F.col("embedding"),
-    )
-    qvec = vecs.filter(F.col("doc_id") == -1).select(
-        F.col("embedding").alias("qvec")
-    )
+    qvec = embed(query).select(F.col("embedding").alias("qvec"))
     return (
-        vecs.filter(F.col("doc_id") >= 0)
-        .crossJoin(F.broadcast(qvec))
+        vecs.crossJoin(F.broadcast(qvec))
         .select(
             "doc_id",
             "chunk_idx",
