@@ -56,6 +56,7 @@ _REGISTRIES = [
 # round 1 (CORRECTNESS_r01) and remain pytest/gate_check-verified
 # against the same DuckDB oracles every round.
 _EXTENDED_RELATIONAL = (
+    "q_user_sessions",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",

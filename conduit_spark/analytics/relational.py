@@ -592,8 +592,28 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the batch
+    form of Structured Streaming's ``session_window`` (the same
+    expression works under ``readStream`` + watermark;
+    streaming/windows.py). Oracle = the classic gap-and-islands SQL,
+    proving Spark's merge semantics (new session when the gap is
+    ≥ the timeout) value-exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q_user_sessions": q_user_sessions,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q12_priority_by_status": q12_priority_by_status,
@@ -744,6 +764,26 @@ ORACLES = {
             SELECT 1 FROM per_ps JOIN per_p ON l_partkey = pk
             WHERE l_suppkey = s_suppkey AND sq > 0.5 * pq)
         ORDER BY s_suppkey
+    """,
+    "q_user_sessions": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
     """,
     "q_user_event_gaps": """
         SELECT user_id, count(*) AS n_gaps,

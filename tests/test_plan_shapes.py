@@ -1,0 +1,95 @@
+"""Physical-plan regression tests.
+
+The 100 TB story rests on plan shapes, not just row equality: filters
+reach the parquet scan, column pruning holds, dimension joins
+broadcast, hot paths stay inside WholeStageCodegen, and nothing
+cartesian sneaks in. These assertions freeze those properties so a
+refactor that silently trades them away fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from conduit_spark.analytics import relational
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    """AQE wraps plans in AdaptiveSparkPlan(isFinalPlan=false), hiding
+    WholeStageCodegen spans from pre-execution explain; disable it just
+    for codegen-shape assertions."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_pushdown_and_pruning(no_aqe, sf):
+    plan = plan_of(relational.q6_forecast_revenue(no_aqe, sf))
+    assert "PushedFilters: [" in plan
+    # the shipdate range must reach the scan, not sit in a Filter above
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema  # pruned
+    # "*" prefixes mark operators inside a WholeStageCodegen span
+    assert "* HashAggregate" in plan and "* Project" in plan
+
+
+def test_q5_dimension_joins_broadcast(spark, sf):
+    plan = plan_of(relational.q5_region_revenue(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian_and_topk_sort(spark, sf):
+    plan = plan_of(relational.q3_shipping_priority(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+def test_processor_chain_single_codegen_over_scan(no_aqe, sf):
+    """Envelope construction + operator chain + projection must fuse —
+    a chain that breaks codegen re-serializes every record."""
+    from conduit_spark.analytics import processor_queries as pq
+
+    plan = plan_of(pq.p_field_set(no_aqe, sf))
+    assert "* Project" in plan  # codegen span over the scan
+    assert "Exchange" not in plan  # pure narrow pipeline, no shuffle
+
+
+def test_dedup_exact_partial_aggregation(no_aqe, sf):
+    from conduit_spark.analytics import dedup
+
+    plan = plan_of(dedup.d_exact(no_aqe, sf))
+    # map-side partial agg before the exchange: two HashAggregate levels
+    assert plan.count("* HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
+    from conduit_spark.analytics import similarity
+
+    plan = plan_of(similarity.s_cosine_topk(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the corpus side must not be exchanged before the broadcast join
+    corpus_section = plan.split("Broadcast")[0]
+    assert "Exchange hashpartitioning" not in corpus_section
