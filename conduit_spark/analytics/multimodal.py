@@ -25,7 +25,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -108,6 +110,103 @@ def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, n_frames: int = 4, real_codecs: bool = False
+) -> DataFrame:
+    """1→N frame sampling over binary media (the video keyframe-extract
+    shape): each media row yields up to ``n_frames`` frames.
+
+    ``real_codecs=True`` is the ffmpeg integration point (absent here →
+    NotImplementedError). The deterministic stand-in slices the content
+    into equal byte windows — the Spark-side plumbing (binary in,
+    exploded binary rows out, partition-parallel, Arrow-batched) is
+    exactly what a real decoder needs, and the slicing is
+    SQL-reproducible so even the stub is oracle-gated.
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "video codecs (ffmpeg) are not available in this environment; "
+            "plug a decoder into sample_frames.run when they are"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "offset": [], "frame_bytes": []
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                width = max(1, len(raw) // n_frames)
+                for k in range(n_frames):
+                    off = k * width
+                    if off >= len(raw):
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["offset"].append(off)
+                    out["frame_bytes"].append(raw[off : off + width])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, *, real_model: bool = False) -> DataFrame:
+    """Media → embedding column (the CLIP/wav2vec feature-extract
+    shape). ``real_model=True`` is the model integration point (no
+    vision/audio models in this container → NotImplementedError); the
+    deterministic stand-in derives ``FEATURE_DIM`` doubles from the
+    content digest, so schema/batching/partitioning are real and the
+    values oracle-checkable."""
+    if real_model:
+        raise NotImplementedError(
+            "feature-extraction models are not available in this environment"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for content in pdf["content"]:
+                if content is None:
+                    embs.append(None)
+                    continue
+                d = hashlib.md5(bytes(content)).hexdigest()
+                embs.append(
+                    [int(d[j * 4 : (j + 1) * 4], 16) / 65535.0 for j in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
 def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as fake image bytes → decode metadata."""
     docs = load_table(spark, sf_dir, "documents")
@@ -115,7 +214,36 @@ def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("media_id")
 
 
-QUERIES = {"m_decode_stub": m_decode_stub}
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as fake video bytes → sampled frames (1→N).
+
+    Frames project as hex for the oracle compare (DuckDB 1.0 has no
+    BLOB substring, so the oracle slices the hex string instead)."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "text", "doc_id", "video")
+    frames = sample_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "offset",
+        F.hex(F.col("frame_bytes")).alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")
+
+
+def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as fake audio bytes → digest-derived embedding."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "text", "doc_id", "audio")
+    return extract_features(media).orderBy("media_id")
+
+
+QUERIES = {
+    "m_decode_stub": m_decode_stub,
+    "m_frame_sample": m_frame_sample,
+    "m_features": m_features,
+}
 
 ORACLES = {
     "m_decode_stub": """
@@ -125,6 +253,26 @@ ORACLES = {
                md5(text) AS digest,
                CAST(('0x' || substr(md5(text), 1, 2)) AS INT) + 1 AS width,
                CAST(('0x' || substr(md5(text), 3, 2)) AS INT) + 1 AS height
+        FROM documents ORDER BY media_id
+    """,
+    "m_frame_sample": """
+        WITH m AS (
+            SELECT doc_id AS media_id, hex(text) AS hx,
+                   strlen(text) AS n,
+                   greatest(1, strlen(text) // 4) AS w
+            FROM documents)
+        SELECT media_id, CAST(k AS INT) AS frame_idx,
+               CAST(k * w AS BIGINT) AS "offset",
+               substr(hx, k * w * 2 + 1, w * 2) AS frame_hex
+        FROM m, (SELECT unnest(generate_series(0, 3)) AS k)
+        WHERE k * w < n
+        ORDER BY media_id, frame_idx
+    """,
+    "m_features": f"""
+        SELECT doc_id AS media_id, 'audio' AS modality,
+               list_transform(generate_series(0, {FEATURE_DIM - 1}),
+                   j -> CAST(('0x' || substr(md5(text), j * 4 + 1, 4)) AS INT)
+                        / 65535.0) AS embedding
         FROM documents ORDER BY media_id
     """,
 }

@@ -143,3 +143,53 @@ def test_avro_encode_explicit_schema_bare_bytes(spark):
     dec = ops.avro_decode(enc, sch)
     row = dec.filter("payload_after.doc_id = 1").collect()[0]
     assert row["payload_after"]["text"] == "hello world"
+
+
+# ---- property-based round-trip (hypothesis) ------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    PROP_SCHEMA = json.loads(
+        """{"type":"record","name":"r","fields":[
+        {"name":"i","type":"long"},
+        {"name":"s","type":"string"},
+        {"name":"maybe","type":["null","string"]},
+        {"name":"b","type":"boolean"},
+        {"name":"x","type":"double"},
+        {"name":"raw","type":"bytes"},
+        {"name":"tags","type":{"type":"array","items":"long"}},
+        {"name":"m","type":{"type":"map","values":"string"}}]}"""
+    )
+
+    record_st = st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "s": st.text(max_size=200),
+            "maybe": st.none() | st.text(max_size=50),
+            "b": st.booleans(),
+            "x": st.floats(allow_nan=False),
+            "raw": st.binary(max_size=100),
+            "tags": st.lists(st.integers(-(2**31), 2**31), max_size=10),
+            "m": st.dictionaries(st.text(max_size=20), st.text(max_size=20), max_size=5),
+        }
+    )
+
+    @given(record_st)
+    @settings(max_examples=200, deadline=None)
+    def test_avro_property_roundtrip(rec):
+        assert ac.decode_record(ac.encode_record(rec, PROP_SCHEMA), PROP_SCHEMA) == rec
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_varint_roundtrip(n):
+        import io as _io
+
+        buf = _io.BytesIO(ac.varint_bytes(n))
+        assert ac.read_long(buf) == n
