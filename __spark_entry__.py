@@ -60,6 +60,7 @@ _EXTENDED = (
     "q_user_sessions",
     "m_frame_sample",
     "m_features",
+    "t_bpe_tokens",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",

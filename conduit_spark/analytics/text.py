@@ -48,6 +48,28 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization classes (the GPT-2 pattern's shape without
+# lookahead, so one regex works identically in Java and RE2): letter
+# runs, digit runs, runs of other non-space symbols.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token count: how many letter/digit/symbol runs a
+    subword tokenizer would see (the cheap proxy for LLM token cost —
+    whitespace counting undercounts code/punctuation-heavy text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_bpe_distinct"),
+        (F.length("text").cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, uniqueness, mean token length.
 
@@ -119,6 +141,7 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_bpe_tokens": t_bpe_tokens,
     "t_quality": t_quality,
     "t_langid": t_langid,
     "t_fingerprint": t_fingerprint,
@@ -150,6 +173,19 @@ def _langid_sql() -> str:
 
 
 ORACLES = {
+    "t_bpe_tokens": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '{BPE_PATTERN}') AS toks,
+                   length(text) AS n_chars
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
+               CAST(n_chars AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+                   AS chars_per_token
+        FROM t
+    """,
     "t_token_count": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
