@@ -9,12 +9,19 @@ envelopes become operations, docs/design-documents/
 20240402-multiple-collections.md:19-51 for multi-collection routing).
 
 Spark-first shape: ``max_by(struct(*), order)`` per key — ONE shuffle
-on the key with map-side partial aggregation, no window sort. At 100 TB
-this is the minimal plan for "last write wins": each partition reduces
-to one candidate row per key before the exchange, the reducer keeps the
+on the key with map-side partial aggregation. At 100 TB this is the
+minimal plan for "last write wins": each partition reduces to one
+candidate row per key before the exchange (the shuffle carries ≤1 row
+per (partition, key), not the full changelog), the reducer keeps the
 global winner, and a trailing filter drops keys whose final operation
-is ``delete``. (A window row_number() would sort every key-group;
-max_by is associative and streams.)
+is ``delete``.
+
+Note: struct-valued aggregation buffers use ObjectHashAggregate with
+a sort-based fallback above the group threshold — measured at parity
+with a window ``row_number`` locally (6.0s vs 6.6s per 187k rows at
+sf0.1, scaffolding dominating both). max_by still wins at scale
+because the partial aggregate shrinks the exchange; a window variant
+shuffles every changelog row.
 """
 
 from __future__ import annotations
