@@ -385,8 +385,12 @@ def p_webhook(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real network transports, where it hides round-trip latency.
         concurrency=1,
     )
+    # the typed payload struct is dropped on payload replace (the
+    # response has an unknown schema) — read the id from the key
     return out.select(
-        F.col("payload_after.event_id").alias("event_id"),
+        F.get_json_object(F.col("key_json"), "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
         F.col("payload_after_json").alias("url_digest"),
     )
 

@@ -138,7 +138,12 @@ def _write_response(
     ``.Payload.After`` (the default) replaces the JSON payload text
     wholesale; any other ref goes through ``field_set``'s resolver so
     ``response_field``/``output_field`` configs are honored (round-1
-    advice: they were accepted but ignored)."""
+    advice: they were accepted but ignored).
+
+    On whole-payload replace the typed ``payload_after`` struct no
+    longer describes the payload (the response has an unknown schema):
+    it is DROPPED so downstream operators fall back to the JSON path
+    instead of silently reading stale pre-response values."""
     from conduit_spark.operators.field_ops import field_set
 
     got = F.col(resp_col).isNotNull()
@@ -147,14 +152,19 @@ def _write_response(
             "payload_after_json",
             F.when(got, F.col(resp_col)).otherwise(F.col("payload_after_json")),
         )
-        if default_json and "payload_after" in out.columns:
-            out = out.withColumn(
-                "payload_after",
-                F.when(
-                    got,
-                    F.from_json(F.col(resp_col), out.schema["payload_after"].dataType),
-                ).otherwise(F.col("payload_after")),
-            )
+        if "payload_after" in out.columns:
+            if default_json:
+                out = out.withColumn(
+                    "payload_after",
+                    F.when(
+                        got,
+                        F.from_json(
+                            F.col(resp_col), out.schema["payload_after"].dataType
+                        ),
+                    ).otherwise(F.col("payload_after")),
+                )
+            else:
+                out = out.drop("payload_after")
         return out.drop(resp_col)
     return field_set(out, target_ref, F.col(resp_col), condition=got).drop(resp_col)
 
