@@ -27,6 +27,16 @@ from conduit_spark.operators.base import conditional_with_columns
 _DEBEZIUM_OPS = {"c": "create", "u": "update", "d": "delete", "r": "snapshot"}
 
 
+def _drop_stale_typed(df: DataFrame) -> DataFrame:
+    """Unwrapping replaces the payload with the inner document, whose
+    schema differs from whatever the typed struct was bound to — drop
+    the typed columns so downstream uses the fresh JSON (same staleness
+    class as the enrichment payload-replace fix)."""
+    return df.drop(
+        *[c for c in ("payload_after", "payload_before") if c in df.columns]
+    )
+
+
 def unwrap_debezium(
     df: DataFrame,
     field: str = ".Payload.After",
@@ -70,7 +80,7 @@ def unwrap_debezium(
         "payload_after_json": F.get_json_object(src, "$.payload.after"),
         "is_structured": F.lit(True),
     }
-    return conditional_with_columns(df, condition, changes)
+    return conditional_with_columns(_drop_stale_typed(df), condition, changes)
 
 
 def unwrap_kafka_connect(
@@ -82,7 +92,7 @@ def unwrap_kafka_connect(
     payload (kafka_connect.go:51-57,80-168)."""
     src = F.col("payload_after_json")
     return conditional_with_columns(
-        df,
+        _drop_stale_typed(df),
         condition,
         {
             "payload_after_json": F.get_json_object(src, "$.payload"),
@@ -117,4 +127,4 @@ def unwrap_opencdc(
         "payload_after_json": F.get_json_object(src, "$.payload.after"),
         "is_structured": F.lit(True),
     }
-    return conditional_with_columns(df, condition, changes)
+    return conditional_with_columns(_drop_stale_typed(df), condition, changes)
