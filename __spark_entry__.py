@@ -57,14 +57,17 @@ _REGISTRIES = [
 # 50 slots. All remain pytest/gate_check-verified against the same
 # DuckDB oracles every round, and bench.py times them.
 _EXTENDED = (
+    "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q_user_sessions",
     "m_frame_sample",
     "m_features",
     "t_bpe_tokens",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q16_part_supplier_counts",
     "q18_large_orders",
     "q19_disjunctive_revenue",

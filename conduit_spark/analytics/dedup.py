@@ -116,9 +116,8 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
     )
 
 
-def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs from LSH banding, verified with exact
-    Jaccard ≥ threshold.
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (id_a, id_b, jaccard), unordered.
 
     Join graph: bucket self-join (equi on band+bucket, a<b) → distinct
     candidate pairs → shingle-join verify. At 100 TB the bucket join
@@ -169,10 +168,102 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
+    return joined.select("id_a", "id_b", F.round(jacc, 9).alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs from LSH banding + exact-Jaccard verify."""
+    return _lsh_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+MAX_CC_ITERS = 25  # min-label propagation rounds (≥ any near-dup cluster diameter)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) undirected pair relation → (node, lbl) where lbl is
+    the minimum node id reachable from ``node`` (its component label).
+
+    Iterative min-label propagation: per round one keyed join (edge →
+    neighbor label), one groupBy(min), one keyed update — all shuffles
+    on node id. ``localCheckpoint`` truncates lineage so the plan stays
+    constant-size across rounds; the loop exits when a round changes no
+    label (the per-round ``count`` is a scalar aggregate, not a data
+    collect). Converges in O(component diameter) rounds.
+    """
+    # materialize the (small) pair relation once — the symmetric union
+    # below references it twice, and without this the upstream pair plan
+    # (LSH candidate generation + verify) would evaluate twice
+    pairs = pairs.localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        cand = labels.join(nbr_min, labels.node == nbr_min.node2).select(
+            "node", "lbl", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("cand")
+        )
+        # pointer jump (label-of-label): cand is itself a node id, so one
+        # self-join replaces it with cand's own (≤) label — convergence
+        # drops from O(diameter) to O(log diameter) rounds
+        lut = cand.select(F.col("node").alias("jn"), F.col("cand").alias("jl"))
+        upd = (
+            cand.join(lut, cand.cand == lut.jn)
+            .select("node", "lbl", F.col("jl").alias("new_lbl"))
+            .localCheckpoint()
+        )
+        # count runs on the checkpointed frame — no recompute, no extra join
+        changed = upd.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = upd.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components over the verified
+    near-dup pair graph, labeling every clustered doc with the minimum
+    doc_id in its component (the canonical representative a corpus
+    pipeline would keep).
+
+    Spark-first shape: iterative min-label propagation — per round one
+    keyed join (edge → neighbor label) + one groupBy(min) + one keyed
+    label update, all shuffles on doc_id. ``localCheckpoint`` truncates
+    lineage each round so the plan stays constant-size. Convergence in
+    O(component diameter) rounds; near-dup components are shallow
+    (chains of mutually-similar docs), and the loop exits as soon as a
+    round changes nothing — the per-round ``count`` is a scalar
+    aggregate, not a data collect. At 10⁹+ nodes swap the propagation
+    loop for alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log n) rounds with the same per-round plan shape.
+    """
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
-        joined.select("id_a", "id_b", F.round(jacc, 9).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("id_a", "id_b")
+        labels.join(sizes, labels.lbl == sizes.cluster_id)
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -255,6 +346,7 @@ QUERIES = {
     "d_exact": d_exact,
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
+    "d_dedup_clusters": d_dedup_clusters,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
 }
@@ -278,6 +370,45 @@ _SIG_AGGS_SQL = ",\n               ".join(
     f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{j}"
     for j, (a, b) in enumerate(_PARAMS)
 )
+
+# Shared CTE chain ending in ``lsh_pairs(id_a, id_b, jaccard)`` — used by
+# the pairs oracle directly and by the connected-components oracle below.
+_LSH_CTES = f"""
+        sh AS ({_SHINGLE_SQL}),
+        sigs AS (
+            SELECT doc_id, {_SIG_AGGS_SQL}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, "
+                + " || ':' || ".join(
+                    f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+                )
+                + " AS bucket FROM sigs"
+                for b in range(LSH_BANDS)
+            )}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.x = sa.x
+            GROUP BY 1, 2),
+        lsh_pairs AS (
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE) /
+                         CAST(ca.n + cb.n - n_inter AS DOUBLE), 9) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) /
+                  CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD})
+"""
 
 ORACLES = {
     "d_exact": """
@@ -313,40 +444,29 @@ ORACLES = {
         ORDER BY id_a, id_b
     """,
     "d_minhash_lsh_pairs": f"""
-        WITH sh AS ({_SHINGLE_SQL}),
-        sigs AS (
-            SELECT doc_id, {_SIG_AGGS_SQL}
-            FROM sh GROUP BY doc_id),
-        buckets AS (
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band, "
-                + " || ':' || ".join(
-                    f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
-                )
-                + " AS bucket FROM sigs"
-                for b in range(LSH_BANDS)
-            )}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM buckets a JOIN buckets b
-              ON a.band = b.band AND a.bucket = b.bucket
-             AND a.doc_id < b.doc_id),
-        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.id_a
-            JOIN sh sb ON sb.doc_id = c.id_b AND sb.x = sa.x
-            GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               round(CAST(n_inter AS DOUBLE) /
-                     CAST(ca.n + cb.n - n_inter AS DOUBLE), 9) AS jaccard
-        FROM inter
-        JOIN counts ca ON ca.doc_id = id_a
-        JOIN counts cb ON cb.doc_id = id_b
-        WHERE CAST(n_inter AS DOUBLE) /
-              CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        WITH {_LSH_CTES}
+        SELECT id_a, id_b, jaccard FROM lsh_pairs
         ORDER BY id_a, id_b
+    """,
+    # min-reachable-id per node == min doc_id of the connected
+    # component (edges made symmetric; UNION dedupes → terminates)
+    "d_dedup_clusters": f"""
+        WITH RECURSIVE {_LSH_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                  FROM cc GROUP BY cluster_id)
+        SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
+               cc.node = cc.cluster_id AS is_canonical
+        FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+        ORDER BY doc_id
     """,
     "d_simhash": f"""
         WITH tok AS (

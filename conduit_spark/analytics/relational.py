@@ -539,6 +539,87 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted: NATION_3 suppliers' share of ECONOMY-part
+    revenue sold to ASIA customers, per order year.
+
+    All dims (part-filtered, customer-in-region, supplier-nation)
+    broadcast; the only big shuffle is lineitem ⋈ orders on orderkey.
+    Share = decimal-exact sums cast to double before the division, so
+    both engines divide identical doubles.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = load_table(spark, sf_dir, "nation")
+    nation_s = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    cust_in_region = (
+        cust.join(F.broadcast(nation_c), cust.c_nationkey == nation_c.n_nationkey)
+        .join(F.broadcast(region), nation_c.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation_s), supp.s_nationkey == nation_s.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 adapted: supplier(s) with max revenue in 1996Q1.
+
+    Revenue per supplier is one keyed agg; the max-filter is a window
+    over the already-aggregated (tiny) relation — no second scan of
+    lineitem, unlike the view-based original.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec(F.col("l_extendedprice"))
+            * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style: suppliers who shipped more than half a part's
     1996 volume (nested aggregate threshold + semi-join chain)."""
@@ -626,6 +707,8 @@ QUERIES = {
     "q_value_histogram": q_value_histogram,
     "q14_promo_revenue": q14_promo_revenue,
     "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "q_user_event_gaps": q_user_event_gaps,
     "q9_product_profit": q9_product_profit,
@@ -737,6 +820,46 @@ ORACLES = {
                AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q8_market_share": """
+        WITH cust_in_region AS (
+            SELECT c_custkey
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+        supp_nation AS (
+            SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cust_in_region ON o_custkey = c_custkey
+        JOIN supp_nation ON l_suppkey = s_suppkey
+        WHERE p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
     """,
     "q16_part_supplier_counts": """
         SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -29,6 +29,19 @@ def test_analytics_matches_oracle(spark, sf_dir, duck, mod_name, name):
     compare_spark_duckdb(df, duck, mod.ORACLES[name])
 
 
+def test_connected_components_multihop(spark):
+    """Chain 1-2-3-4-5 plus isolated pair 10-11: label propagation must
+    cross multiple hops (chain diameter 4 > 1 round) and keep disjoint
+    components separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.lbl for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_rag_end_to_end(spark, sf_dir):
     from conduit_spark.analytics import rag
 
