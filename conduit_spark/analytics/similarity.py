@@ -166,9 +166,15 @@ def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(NEARDUP_BANDS)
         ]
     )
-    bb = emb.select(
-        "vec_id", F.explode(bands).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize the (vec_id, band, bucket) relation once: it feeds the
+    # hot-bucket agg, the anti-join, and BOTH sides of the candidate
+    # self-join — without this the 24-hyperplane bucket expression
+    # (24 × 64-element fold per row) evaluates ~4×
+    bb = (
+        emb.select("vec_id", F.explode(bands).alias("bb"))
+        .select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint()
+    )
     hot = (
         bb.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
