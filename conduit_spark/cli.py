@@ -8,6 +8,7 @@ lifecycle. Here:
     python -m conduit_spark run --pipelines p.yaml --streaming \
         --checkpoint-dir /tmp/ckpt
     python -m conduit_spark list --pipelines examples/pipelines
+    python -m conduit_spark describe --pipelines p.yaml --id demo
 
 Batch mode runs each pipeline to completion; streaming mode starts
 each with a checkpoint (positions) and blocks. The gRPC/HTTP control
@@ -74,6 +75,78 @@ def cmd_list(args: argparse.Namespace) -> int:
     return 0
 
 
+_SECRET_HINTS = ("password", "secret", "token", "apikey", "api_key", "credential")
+
+
+def _redact(settings: dict) -> dict:
+    """Mask secret-looking settings values (the reference redacts
+    credentials in API/describe output)."""
+    return {
+        k: "***" if any(h in k.lower() for h in _SECRET_HINTS) else v
+        for k, v in settings.items()
+    }
+
+
+def _proc_json(p) -> dict:
+    return {
+        "id": p.id,
+        "plugin": p.plugin,
+        "settings": _redact(p.settings),
+        "condition": p.condition,
+        "workers": p.workers,
+    }
+
+
+def cmd_describe(args: argparse.Namespace) -> int:
+    """Full-detail JSON for one pipeline (or all) — the
+    ``conduit pipelines describe`` / PipelineService.Get analog
+    (proto/api/v1/api.proto Pipeline/Connector/Processor messages)."""
+    import json
+
+    configs = _gather(args.pipelines)
+    if args.id:
+        configs = [c for c in configs if c.id == args.id]
+        if not configs:
+            print(f"pipeline {args.id!r} not found", file=sys.stderr)
+            return 1
+    print(
+        json.dumps(
+            [
+                {
+                    "id": c.id,
+                    "status": c.status,
+                    "name": c.name,
+                    "description": c.description,
+                    "connectors": [
+                        {
+                            "id": conn.id,
+                            "type": conn.type,
+                            "plugin": conn.plugin,
+                            "settings": _redact(conn.settings),
+                            "processors": [_proc_json(p) for p in conn.processors],
+                        }
+                        for conn in c.connectors
+                    ],
+                    "processors": [_proc_json(p) for p in c.processors],
+                    "dlq": (
+                        {
+                            "plugin": c.dlq.plugin,
+                            "settings": _redact(c.dlq.settings),
+                            "window_size": c.dlq.window_size,
+                            "window_nack_threshold": c.dlq.window_nack_threshold,
+                        }
+                        if c.dlq
+                        else None
+                    ),
+                }
+                for c in configs
+            ],
+            indent=2,
+        )
+    )
+    return 0
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     from conduit_spark import get_spark
     from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
@@ -129,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
     p_list.add_argument("--pipelines", required=True)
     p_list.add_argument("--json", action="store_true", help="machine-readable output")
     p_list.set_defaults(fn=cmd_list)
+
+    p_desc = sub.add_parser(
+        "describe", help="full pipeline detail as JSON (secrets redacted)"
+    )
+    p_desc.add_argument("--pipelines", required=True)
+    p_desc.add_argument("--id", help="describe only this pipeline id")
+    p_desc.set_defaults(fn=cmd_describe)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,104 @@
+"""CLI control-plane tests: list / list --json / describe.
+
+The reference's operability surface is `conduit pipelines ls|describe`
+plus PipelineService.List/Get (proto/api/v1/api.proto:318+); the CLI
+analogs here must stay machine-readable and must never leak secrets.
+No SparkSession involved — pure config-plane.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conduit_spark import cli
+
+PIPELINE_YAML = """
+version: "2.2"
+pipelines:
+  - id: demo
+    status: running
+    description: test pipeline
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 10, format.options: {id: int}}
+      - id: dst
+        type: destination
+        plugin: builtin:postgres
+        settings: {url: jdbc:derby:memory:x, password: hunter2, table: t}
+    processors:
+      - id: keep
+        plugin: filter
+        condition: '{{ eq .Payload.After.id 1 }}'
+    dead-letter-queue:
+      plugin: builtin:log
+      settings: {apiKey: sk-123}
+"""
+
+
+@pytest.fixture()
+def pipeline_file(tmp_path):
+    f = tmp_path / "p.yaml"
+    f.write_text(PIPELINE_YAML)
+    return str(f)
+
+
+def test_list_plain(pipeline_file, capsys):
+    assert cli.main(["list", "--pipelines", pipeline_file]) == 0
+    out = capsys.readouterr().out
+    assert "demo" in out and "builtin:generator" in out and "builtin:postgres" in out
+
+
+def test_list_json(pipeline_file, capsys):
+    assert cli.main(["list", "--pipelines", pipeline_file, "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["id"] for r in rows] == ["demo"]
+    assert rows[0]["sources"] == [{"id": "src", "plugin": "builtin:generator"}]
+    assert rows[0]["processors"] == ["filter"]
+    assert rows[0]["dlq"] == "builtin:log"
+
+
+def test_describe_full_detail(pipeline_file, capsys):
+    assert cli.main(["describe", "--pipelines", pipeline_file]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    (p,) = rows
+    assert p["id"] == "demo" and p["description"] == "test pipeline"
+    conns = {c["id"]: c for c in p["connectors"]}
+    assert conns["src"]["type"] == "source"
+    assert conns["dst"]["settings"]["table"] == "t"
+    assert p["processors"][0]["plugin"] == "filter"
+    assert p["processors"][0]["condition"].startswith("{{")
+    assert p["dlq"]["plugin"] == "builtin:log"
+
+
+def test_describe_redacts_secrets(pipeline_file, capsys):
+    cli.main(["describe", "--pipelines", pipeline_file])
+    out = capsys.readouterr().out
+    assert "hunter2" not in out and "sk-123" not in out
+    rows = json.loads(out)
+    conns = {c["id"]: c for c in rows[0]["connectors"]}
+    assert conns["dst"]["settings"]["password"] == "***"
+    assert rows[0]["dlq"]["settings"]["apiKey"] == "***"
+
+
+def test_describe_by_id_and_missing(pipeline_file, capsys):
+    assert cli.main(["describe", "--pipelines", pipeline_file, "--id", "demo"]) == 0
+    capsys.readouterr()
+    assert (
+        cli.main(["describe", "--pipelines", pipeline_file, "--id", "nope"]) == 1
+    )
+    assert "not found" in capsys.readouterr().err
+
+
+def test_describe_directory(tmp_path, capsys):
+    (tmp_path / "a.yaml").write_text(PIPELINE_YAML)
+    (tmp_path / "bad.yaml").write_text("version: '2.2'\npipelines: [{nope: 1}]\n")
+    assert cli.main(["describe", "--pipelines", str(tmp_path)]) == 0
+    captured = capsys.readouterr()
+    rows = json.loads(captured.out)
+    assert [r["id"] for r in rows] == ["demo"]
+    # the malformed file is reported, not fatal (provisioning isolation)
+    assert "bad.yaml" in captured.err
