@@ -84,6 +84,38 @@ def test_dedup_exact_partial_aggregation(no_aqe, sf):
     assert "hashpartitioning" in plan
 
 
+def test_q8_dims_broadcast_facts_pushdown(spark, sf):
+    """q8's four dim joins must all broadcast; the date range on orders
+    and the p_type filter must reach their parquet scans."""
+    plan = plan_of(relational.q8_market_share(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("p_type" in p and "EqualTo" in p for p in pushed)
+
+
+def test_q15_single_lineitem_scan(spark, sf):
+    """The window-max formulation must not rescan lineitem the way the
+    view-based original would."""
+    plan = plan_of(relational.q15_top_supplier(spark, sf))
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_keyed_joins_only(spark, sf):
+    """Connected components must stay keyed: no cartesian products, and
+    candidate generation via the band-bucket equi-join (hash join on the
+    bucket key), never an all-pairs comparison."""
+    from conduit_spark.analytics import dedup
+
+    plan = plan_of(dedup.d_dedup_clusters(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
     from conduit_spark.analytics import similarity
 
