@@ -262,6 +262,7 @@ def llm_transform(
     backoff_s: float = 0.1,
     concurrency: int = 16,
     condition: str | Column | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Shared text-generation processor for cohere.command /
     ollama.request / openai.textgen (impl/cohere/command.go:135-284,
@@ -269,7 +270,11 @@ def llm_transform(
 
     The templated prompt renders JVM-side; generation happens in
     Arrow-batched partitions with up to ``concurrency`` in-flight
-    requests each; output lands in ``output_field``.
+    requests each; output lands in ``output_field``. ``params`` carries
+    provider generation knobs (temperature, max_tokens, top_p, seed, …
+    — openai/textgen.go request fields) verbatim to the transport;
+    omitted entirely when empty so request digests (and the offline
+    fake-transport outputs derived from them) stay stable.
     """
     if transport is None:
         raise ValueError("llm_transform needs a transport; use fake_transport offline")
@@ -294,10 +299,11 @@ def llm_transform(
                 zip(pdf["__llm_go"], pdf["__llm_prompt"])
             ):
                 if go:
-                    reqs.append(
-                        {"provider": provider, "model": model,
-                         "kind": "generate", "input": prompt_v}
-                    )
+                    req = {"provider": provider, "model": model,
+                           "kind": "generate", "input": prompt_v}
+                    if params:
+                        req["params"] = params
+                    reqs.append(req)
                     idxs.append(i)
             results = _run_pool(
                 transport, reqs, retries=retries, backoff_s=backoff_s,
@@ -331,6 +337,7 @@ def llm_rerank(
     backoff_s: float = 0.1,
     concurrency: int = 16,
     condition: str | Column | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Rerank text vs a query (impl/cohere/rerank.go:134-301).
 
@@ -359,10 +366,11 @@ def llm_rerank(
             reqs, idxs = [], []
             for i, (go, text) in enumerate(zip(pdf["__rr_go"], pdf["__rr_in"])):
                 if go and text is not None:
-                    reqs.append(
-                        {"provider": provider, "model": model, "kind": "rerank",
-                         "input": text, "query": query}
-                    )
+                    req = {"provider": provider, "model": model, "kind": "rerank",
+                           "input": text, "query": query}
+                    if params:
+                        req["params"] = params
+                    reqs.append(req)
                     idxs.append(i)
             results = _run_pool(
                 transport, reqs, retries=retries, backoff_s=backoff_s,
@@ -399,6 +407,7 @@ def llm_embed(
     retries: int = 3,
     backoff_s: float = 0.1,
     condition: str | Column | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Embedding processor for cohere.embed / openai.embed
     (impl/cohere/embed.go:159-325 — request batching via
@@ -438,14 +447,17 @@ def llm_embed(
             for start in range(0, len(texts), max_texts_per_request):
                 chunk = texts[start : start + max_texts_per_request]
                 chunk_idx = idxs[start : start + max_texts_per_request]
+                req = {
+                    "provider": provider,
+                    "model": model,
+                    "kind": "embed",
+                    "input": chunk,
+                }
+                if params:
+                    req["params"] = params
                 resp, err = _with_retries(
                     transport,
-                    {
-                        "provider": provider,
-                        "model": model,
-                        "kind": "embed",
-                        "input": chunk,
-                    },
+                    req,
                     retries=retries,
                     backoff_s=backoff_s,
                 )

@@ -27,6 +27,27 @@ def _require(settings: dict, *keys: str) -> None:
         raise ValueError(f"missing processor settings: {missing}")
 
 
+# Provider generation knobs forwarded verbatim to the transport
+# (openai/textgen.go + cohere/command.go + ollama request fields).
+_TEXTGEN_PARAMS = (
+    "temperature", "max_tokens", "max_completion_tokens", "top_p", "n",
+    "seed", "stop", "frequency_penalty", "presence_penalty",
+    "logit_bias", "log_probs", "top_log_probs", "user", "store",
+    "stream", "reasoning_effort", "developer_message", "strict_output",
+)
+_EMBED_PARAMS = ("dimensions", "encoding_format", "inputType")
+
+
+def _gen_params(settings: dict, names: tuple[str, ...]) -> dict | None:
+    """Collect provider knobs from flat settings; a nested ``params``
+    dict passes through and wins on key conflicts."""
+    out = {k: settings[k] for k in names if k in settings}
+    nested = settings.get("params")
+    if isinstance(nested, dict):
+        out.update(nested)
+    return out or None
+
+
 def build_processor(
     plugin: str,
     settings: dict[str, Any],
@@ -154,6 +175,7 @@ def build_processor(
             transport=t.get(provider) or t.get("llm"),
             concurrency=int(settings.get("concurrency", 16)),
             condition=c,
+            params=_gen_params(settings, _TEXTGEN_PARAMS),
         )
     if plugin in ("cohere.embed", "openai.embed"):
         provider = plugin.split(".")[0]
@@ -166,6 +188,7 @@ def build_processor(
             transport=t.get(provider) or t.get("llm"),
             max_texts_per_request=int(settings.get("maxTextsPerRequest", 96)),
             condition=c,
+            params=_gen_params(settings, _EMBED_PARAMS),
         )
     if plugin == "cohere.rerank":
         _require(settings, "query", "inputField")
@@ -177,6 +200,7 @@ def build_processor(
             input_field=settings["inputField"],
             transport=t.get("cohere") or t.get("llm"),
             condition=c,
+            params=_gen_params(settings, ()),
         )
     raise ValueError(f"unknown processor plugin {plugin!r}")
 

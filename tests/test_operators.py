@@ -442,6 +442,47 @@ def test_llm_transform_output_field_honored(env_df):
     )
 
 
+def test_llm_params_reach_transport(env_df):
+    """Generation knobs (temperature, max_tokens, …) must ride the
+    request verbatim; absent params must leave the request unchanged
+    (offline fake-transport outputs are request-digest-derived)."""
+
+    def echo_params(request: dict) -> dict:
+        return {"output": json.dumps(request.get("params", "ABSENT"))}
+
+    with_params = ops.llm_transform(
+        env_df,
+        provider="openai",
+        model="gpt",
+        prompt="x",
+        params={"temperature": 0.2, "max_tokens": 64},
+        transport=echo_params,
+    ).collect()
+    for r in with_params:
+        got = json.loads(json.loads(r.payload_after_json)["response"])
+        assert got == {"temperature": 0.2, "max_tokens": 64}
+    without = ops.llm_transform(
+        env_df, provider="openai", model="gpt", prompt="x", transport=echo_params
+    ).collect()
+    assert all(
+        json.loads(json.loads(r.payload_after_json)["response"]) == "ABSENT"
+        for r in without
+    )
+
+
+def test_registry_gen_params_mapping():
+    from conduit_spark.pipeline.registry import (
+        _EMBED_PARAMS,
+        _TEXTGEN_PARAMS,
+        _gen_params,
+    )
+
+    s = {"temperature": 0.7, "seed": 5, "model": "m", "params": {"seed": 9}}
+    assert _gen_params(s, _TEXTGEN_PARAMS) == {"temperature": 0.7, "seed": 9}
+    assert _gen_params({"model": "m"}, _TEXTGEN_PARAMS) is None
+    assert _gen_params({"dimensions": 256}, _EMBED_PARAMS) == {"dimensions": 256}
+
+
 def test_llm_rerank_score_alignment_and_errors(env_df):
     """Scores must align record-to-record and failures route per record
     (impl/cohere/rerank.go:134-301 semantics)."""
