@@ -176,14 +176,20 @@ def webhook_http(
     method: str = "GET",
     headers: dict[str, str] | None = None,
     body: str | None = None,
+    content_type: str | None = None,
     response_field: str = ".Payload.After",
+    response_status_field: str | None = None,
     transport: Transport | None = None,
     retries: int = 3,
     backoff_s: float = 0.1,
     concurrency: int = 16,
     condition: str | Column | None = None,
 ) -> DataFrame:
-    """Call a webhook per record; response body into ``response_field``.
+    """Call a webhook per record; response body into ``response_field``,
+    and (when ``response_status_field`` is set) the HTTP status code
+    into that ref — webhook/http.go's ResponseBodyRef/ResponseStatusRef
+    pair; ``content_type`` is the request.contentType shorthand for a
+    Content-Type header.
 
     URL/body are templates evaluated per record *JVM-side*; only the
     HTTP call itself crosses into Python (mapInPandas), with up to
@@ -208,14 +214,21 @@ def webhook_http(
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType(
-        list(work.schema.fields) + [StructField("__wh_resp", StringType(), True)]
+        list(work.schema.fields)
+        + [
+            StructField("__wh_resp", StringType(), True),
+            StructField("__wh_status", StringType(), True),
+        ]
     )
-    hdrs = headers or {}
+    hdrs = dict(headers or {})
+    if content_type:
+        hdrs.setdefault("Content-Type", content_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             resps: list = [None] * n
+            stats: list = [None] * n
             errs = list(pdf[ERROR_COL])
             reqs, idxs = [], []
             # zip over columns, not iterrows() — ~20× less per-row
@@ -234,6 +247,8 @@ def webhook_http(
                 concurrency=concurrency,
             )
             for i, (resp, err) in zip(idxs, results):
+                if resp is not None and "status" in resp:
+                    stats[i] = str(resp["status"])
                 if err is not None or resp is None:
                     errs[i] = f"webhook.http: {err}"
                 elif resp.get("status", 500) >= 400:
@@ -242,11 +257,16 @@ def webhook_http(
                     resps[i] = resp.get("body")
             pdf = pdf.copy()
             pdf["__wh_resp"] = resps
+            pdf["__wh_status"] = stats
             pdf[ERROR_COL] = errs
             yield pdf
 
     out = work.mapInPandas(run, schema)
     out = _write_response(out, response_field, "__wh_resp", default_json=False)
+    if response_status_field:
+        out = _write_response(out, response_status_field, "__wh_status", default_json=False)
+    else:
+        out = out.drop("__wh_status")
     return out.drop("__wh_url", "__wh_body", "__wh_go")
 
 

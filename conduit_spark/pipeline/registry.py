@@ -149,14 +149,19 @@ def build_processor(
     if plugin == "unwrap.opencdc":
         return lambda df: ops.unwrap_opencdc(df, condition=c)
     if plugin == "webhook.http":
-        _require(settings, "url")
+        # accept both the reference's request.* names and the bare ones
+        url = settings.get("request.url") or settings.get("url")
+        if not url:
+            raise ValueError("webhook.http needs 'request.url' (or 'url')")
         return lambda df: ops.webhook_http(
             df,
-            settings["url"],
-            method=settings.get("method", "GET"),
+            url,
+            method=settings.get("request.method") or settings.get("method", "GET"),
             headers=settings.get("headers"),
-            body=settings.get("body"),
+            body=settings.get("request.body") or settings.get("body"),
+            content_type=settings.get("request.contentType"),
             response_field=settings.get("response.body", ".Payload.After"),
+            response_status_field=settings.get("response.status"),
             transport=t.get("http"),
             retries=int(settings.get("backoffRetry.count", 3)),
             backoff_s=float(settings.get("backoffRetry.min", 0.1)),

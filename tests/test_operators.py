@@ -442,6 +442,36 @@ def test_llm_transform_output_field_honored(env_df):
     )
 
 
+def test_webhook_status_ref_and_content_type(env_df):
+    """ResponseStatusRef parity: the HTTP status code lands in the
+    addressed field even for non-2xx (which still routes to _error);
+    request.contentType becomes a Content-Type header."""
+
+    def t(request: dict) -> dict:
+        status = 404 if request["url"].endswith("/delete") else 200
+        return {
+            "status": status,
+            "body": json.dumps({"ct": request["headers"].get("Content-Type")}),
+        }
+
+    out = ops.webhook_http(
+        env_df,
+        "http://svc/{{ .Operation }}",
+        content_type="application/json",
+        response_field=".Metadata.resp",
+        response_status_field=".Metadata.http_status",
+        transport=t,
+    ).collect()
+    assert out
+    for r in out:
+        if r.operation == "delete":
+            assert r.metadata["http_status"] == "404"
+            assert "webhook.http: status 404" in (r._error or "")
+        else:
+            assert r.metadata["http_status"] == "200"
+            assert json.loads(r.metadata["resp"])["ct"] == "application/json"
+
+
 def test_llm_params_reach_transport(env_df):
     """Generation knobs (temperature, max_tokens, …) must ride the
     request verbatim; absent params must leave the request unchanged
