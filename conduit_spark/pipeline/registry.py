@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark import operators as ops
@@ -48,6 +49,19 @@ def _gen_params(settings: dict, names: tuple[str, ...]) -> dict | None:
     return out or None
 
 
+def _with_condition_passthrough(df, condition, transform):
+    """Apply ``transform`` only to records matching ``condition``;
+    non-matching records pass through untouched (the reference
+    evaluates processor conditions per record before Process)."""
+    if condition is None:
+        return transform(df)
+    from conduit_spark.operators.base import to_condition
+
+    cond = to_condition(df, condition)
+    matched = transform(df.filter(F.coalesce(cond, F.lit(False))))
+    return matched.unionByName(df.filter(~F.coalesce(cond, F.lit(False))))
+
+
 def build_processor(
     plugin: str,
     settings: dict[str, Any],
@@ -71,6 +85,8 @@ def build_processor(
         mapping = settings["mapping"]
         if isinstance(mapping, str):  # "old:new,old2:new2" flat form
             mapping = dict(pair.split(":", 1) for pair in mapping.split(","))
+        elif isinstance(mapping, list):  # reference form: ["ref:name", ...]
+            mapping = dict(pair.split(":", 1) for pair in mapping)
         return lambda df: ops.field_rename(df, mapping, condition=c)
     if plugin == "field.exclude":
         _require(settings, "fields")
@@ -133,14 +149,48 @@ def build_processor(
             df, settings.get("schema"), registry=reg, condition=c
         )
     if plugin == "clone":
-        _require(settings, "times")
-        return lambda df: ops.clone(df, int(settings["times"]), condition=c)
+        # reference name is `count` (clone.go:41); `times` kept as alias
+        n = settings.get("count", settings.get("times"))
+        if n is None:
+            raise ValueError("clone needs 'count'")
+        return lambda df: ops.clone(df, int(n), condition=c)
     if plugin == "split":
         _require(settings, "field")
         return lambda df: ops.split(df, settings["field"], condition=c)
     if plugin == "error":
         return lambda df: ops.error(
             df, settings.get("message", "error processor triggered"), condition=c
+        )
+    if plugin in ("custom.python", "custom.javascript"):
+        if plugin == "custom.javascript":
+            raise ValueError(
+                "custom.javascript (goja) is not embedded; declare the same "
+                "per-record logic as custom.python with a `script` defining "
+                "process(record) -> record|None "
+                "(ADR 20260704-no-bespoke-dsl)"
+            )
+        src = settings.get("script")
+        path = settings.get("script.path")
+        if not src and not path:
+            raise ValueError("custom.python needs 'script' or 'script.path'")
+        if not src:
+            with open(path) as fh:
+                src = fh.read()
+        ns: dict[str, Any] = {}
+        exec(compile(src, path or "<custom.python>", "exec"), ns)  # noqa: S102 — config-declared user code, same trust model as the reference's JS scripts
+        fn = ns.get("process")
+        if not callable(fn):
+            raise ValueError("custom.python script must define process(record)")
+        return lambda df: _with_condition_passthrough(
+            df, c, lambda d: ops.custom_python(d, fn)
+        )
+    if plugin == "custom.standalone":
+        _require(settings, "command")
+        cmd = settings["command"]
+        if isinstance(cmd, str):
+            cmd = cmd.split()
+        return lambda df: _with_condition_passthrough(
+            df, c, lambda d: ops.custom_subprocess(d, list(cmd))
         )
     if plugin == "unwrap.debezium":
         return lambda df: ops.unwrap_debezium(df, condition=c)
