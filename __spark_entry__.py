@@ -33,6 +33,7 @@ from conduit_spark.analytics import (
     processor_queries,
     rag,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -46,6 +47,7 @@ _REGISTRIES = [
     (multimodal.QUERIES, multimodal.ORACLES),
     (pipeline_queries.QUERIES, pipeline_queries.ORACLES),
     (chunking.QUERIES, chunking.ORACLES),
+    (sampling.QUERIES, sampling.ORACLES),
     (dedup.QUERIES, dedup.ORACLES),
     (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
@@ -58,6 +60,10 @@ _REGISTRIES = [
 # DuckDB oracles every round, and bench.py times them.
 _EXTENDED = (
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
+    "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
+    "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
+    "s_knn_join",  # kNN-graph builder; bucketed-ANN family already gate-verified via s_ann_lsh_topk
+    "t_tfidf_top_terms",  # text family already gate-verified 5×
     "q_user_sessions",
     "m_frame_sample",
     "m_features",

@@ -199,10 +199,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
+    # init = round 0 for free: every node's label starts at
+    # min(node, min neighbor) — one aggregation instead of a
+    # distinct + a full propagation round
     labels = (
-        edges.select(F.col("id_a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("id_b").alias("m"))
+        .select("node", F.least(F.col("node"), F.col("m")).alias("lbl"))
         .localCheckpoint()
     )
     for _ in range(MAX_CC_ITERS):

@@ -208,6 +208,46 @@ def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
 
 
+KNN_K = 3
+
+
+def s_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN join: top-``KNN_K`` neighbors for EVERY vector,
+    candidates restricted to the vector's sign-LSH bucket — the
+    kNN-graph builder behind diversity sampling, graph-based dedup,
+    and semantic clustering of a training corpus.
+
+    Plan: bucket assign (narrow) → bucket equi self-join (keyed, never
+    all-pairs) → per-source top-k via window row_number. Shuffles only
+    on bucket and src. At 10⁹ vectors the bucket is the partition key
+    and the window's per-key state is K rows; recall is tuned by
+    probing neighboring buckets (multi-probe), same plan shape.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # materialize the bucket assignment once: both join sides use it,
+    # and the 8-plane expression is ~8 × 64-element folds per row
+    be = emb.withColumn("bucket", lsh_bucket(F.col("embedding"))).localCheckpoint()
+    a = be.select(F.col("vec_id").alias("src"), "bucket", F.col("embedding").alias("ea"))
+    b = be.select(F.col("vec_id").alias("dst"), "bucket", F.col("embedding").alias("eb"))
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("ea"), F.col("eb")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .orderBy("src", "rank")
+    )
+
+
 N_CENTROIDS = 8
 _CENTROIDS = hyperplanes(N_CENTROIDS, DIM, seed=29)  # fixed pseudo-random centroids
 
@@ -253,6 +293,7 @@ QUERIES = {
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
     "s_neardup_pairs": s_neardup_pairs,
+    "s_knn_join": s_knn_join,
 }
 
 
@@ -363,5 +404,24 @@ ORACLES = {
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE {_sql_cosine("ea.embedding", "eb.embedding")} >= 0.3
         ORDER BY id_a, id_b
+    """,
+    "s_knn_join": f"""
+        WITH be AS (
+            SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+            FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos_sim
+            FROM be a JOIN be b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        ranked AS (
+            SELECT src, dst, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY src ORDER BY cos_sim DESC, dst ASC
+                   ) AS BIGINT) AS rank
+            FROM scored)
+        SELECT src, dst, cos_sim, rank
+        FROM ranked WHERE rank <= {KNN_K}
+        ORDER BY src, rank
     """,
 }

@@ -139,12 +139,57 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+TFIDF_TOP = 3
+
+
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` most characteristic terms per document by
+    tf × (N/df) — the log-free TF-IDF variant (rank-equivalent to the
+    log form for fixed N, and exactly reproducible cross-engine where
+    ``ln`` is libm-dependent).
+
+    Plan: explode → (doc,term) count → term document-frequency agg →
+    broadcast N → per-doc top-k window. Shuffles only on (doc,term),
+    term, and doc_id. The vocabulary relation is Zipf-small relative to
+    the corpus, and per-doc window state is K rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_bpe_tokens": t_bpe_tokens,
     "t_quality": t_quality,
     "t_langid": t_langid,
     "t_fingerprint": t_fingerprint,
+    "t_tfidf_top_terms": t_tfidf_top_terms,
 }
 
 _SQL_STOP = ",".join(f"'{w}'" for w in STOPWORDS)
@@ -216,5 +261,29 @@ ORACLES = {
                CAST(list_sum(list_transform(string_split(text,' '),
                    (x, i) -> CAST(i AS BIGINT) * {sql_md5_int32('x')})) AS BIGINT) AS fingerprint
         FROM documents
+    """,
+    "t_tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+                   round(CAST(tf.tf AS DOUBLE) *
+                         (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                          / CAST(dfreq.df AS DOUBLE)), 9) AS score
+            FROM tf JOIN dfreq USING (term)),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS BIGINT) AS rank
+            FROM scored)
+        SELECT doc_id, term, tf, df, score, rank
+        FROM ranked WHERE rank <= {TFIDF_TOP}
+        ORDER BY doc_id, rank
     """,
 }

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import pytest
 
-from conduit_spark.analytics import dedup, multimodal, similarity, text
+from conduit_spark.analytics import dedup, multimodal, sampling, similarity, text
 from tests.oracle_util import compare_spark_duckdb
 
 MODULES = {
@@ -10,6 +10,7 @@ MODULES = {
     "dedup": dedup,
     "similarity": similarity,
     "multimodal": multimodal,
+    "sampling": sampling,
 }
 
 CASES = [
