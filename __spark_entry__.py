@@ -63,6 +63,7 @@ _EXTENDED = (
     "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_knn_join",  # kNN-graph builder; bucketed-ANN family already gate-verified via s_ann_lsh_topk
+    "s_quantized_topk",  # int8 scalar-quantized search variant
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "q_user_sessions",
     "m_frame_sample",
@@ -84,6 +85,7 @@ _EXTENDED = (
     "q_customer_orders_topn",
     "q_events_by_type",
     "q_events_hourly",
+    "q_props_json_stats",
 )
 
 GATE_CAP = 50

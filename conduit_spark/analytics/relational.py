@@ -620,6 +620,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a JSON property from the events
+    ``props`` column and aggregate per event type — the
+    get_json_object path stays JVM-side (Jackson in codegen), no UDF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count(k).cast("double")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style: suppliers who shipped more than half a part's
     1996 volume (nested aggregate threshold + semi-join chain)."""
@@ -709,6 +727,7 @@ QUERIES = {
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
+    "q_props_json_stats": q_props_json_stats,
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "q_user_event_gaps": q_user_event_gaps,
     "q9_product_profit": q9_product_profit,
@@ -860,6 +879,16 @@ ORACLES = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         ORDER BY s_suppkey
+    """,
+    "q_props_json_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / CAST(count(json_extract_string(props, '$.k')) AS DOUBLE) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "q16_part_supplier_counts": """
         SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

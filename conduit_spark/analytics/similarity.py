@@ -248,6 +248,46 @@ def s_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_LEVELS = 127  # int8 scalar quantization
+
+
+def s_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 over int8-scalar-quantized embeddings:
+    q_i = floor(x_i / max|x| * 127), searched dequantized against the
+    full-precision query vector.
+
+    The storage-scale technique (4× smaller vectors, SIMD-friendly int8
+    dot products) expressed as pure array algebra — quantize and
+    dequantize are narrow per-row transforms, the search plan is
+    identical to s_cosine_topk. ``floor`` (not cast) keeps the
+    quantization grid bit-identical across engines (Spark int casts
+    truncate, DuckDB's round).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    deq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("__m") * QUANT_LEVELS).cast("double")
+        * F.col("__m")
+        / QUANT_LEVELS,
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__m", m)
+        .withColumn("__deq", deq)
+    )
+    q = _query_vec(emb)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("__deq"), F.col("qvec")), 9).alias("cos_q"),
+        )
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 N_CENTROIDS = 8
 _CENTROIDS = hyperplanes(N_CENTROIDS, DIM, seed=29)  # fixed pseudo-random centroids
 
@@ -294,6 +334,7 @@ QUERIES = {
     "s_ivf_topk": s_ivf_topk,
     "s_neardup_pairs": s_neardup_pairs,
     "s_knn_join": s_knn_join,
+    "s_quantized_topk": s_quantized_topk,
 }
 
 
@@ -423,5 +464,24 @@ ORACLES = {
         SELECT src, dst, cos_sim, rank
         FROM ranked WHERE rank <= {KNN_K}
         ORDER BY src, rank
+    """,
+    "s_quantized_topk": f"""
+        WITH deq AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       floor(CAST(x AS DOUBLE) / m * {QUANT_LEVELS})
+                       * m / {QUANT_LEVELS}) AS dv
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS m
+                FROM embeddings))
+        SELECT d.vec_id,
+               round({_sql_cosine("d.dv", "q.embedding")}, 9) AS cos_q
+        FROM deq d,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE d.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cos_q DESC, d.vec_id ASC
+        LIMIT 10
     """,
 }
