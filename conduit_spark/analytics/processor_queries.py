@@ -231,9 +231,12 @@ def p_unwrap_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
-    # (~4s/100k rows at sf0.1 is inherent JVM JSON cost — measured:
-    # to_json 0.7s, from_json 0.7s, each get_json_object ~0.25s; the
-    # synthesis half is test scaffolding, not operator cost)
+    # barrier: without it CollapseProject inlines the to_json envelope
+    # synthesis into every JSON-parse reference downstream (see
+    # p_cdc_upsert) — the scaffolding cost multiplies by the number of
+    # parse sites. JSON costs measured per 100k rows: to_json 0.7s,
+    # from_json 0.7s, each get_json_object ~0.25s.
+    e = e.localCheckpoint()
     out = ops.unwrap_debezium(e)
     return out.select(
         F.get_json_object(F.col("payload_after_json"), "$.event_id")
@@ -350,6 +353,9 @@ def p_unwrap_opencdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
+    # barrier: stop CollapseProject inlining the to_json synthesis into
+    # the unwrap's JSON-parse references (see p_cdc_upsert)
+    e = e.localCheckpoint()
     out = ops.unwrap_opencdc(e)
     return out.select(
         F.col("position").cast("string").alias("position"),  # outer kept
@@ -494,6 +500,11 @@ def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
+    # barrier between synthesis and the operator: CollapseProject would
+    # otherwise inline the to_json envelope construction into EVERY
+    # JSON-parse reference inside unwrap (from_json + 2× get_json_object
+    # → the scaffolding cost triples); measured 10.6s → ~6s at sf0.1
+    e = e.localCheckpoint()
     unwrapped = ops.unwrap_debezium(e)
     final = cdc_apply(
         unwrapped,
