@@ -271,6 +271,12 @@ def build_source(
     """Instantiate a source connector DataFrame."""
     if plugin == "builtin:generator":
         fields = settings.get("format.options") or settings.get("fields") or {}
+        ops_setting = settings.get("operations")
+        if isinstance(ops_setting, str):
+            ops_setting = [o.strip() for o in ops_setting.split(",")]
+        colls = settings.get("collections")
+        if isinstance(colls, str):
+            colls = [x.strip() for x in colls.split(",")]
         return generator_source(
             spark,
             fields=dict(fields),
@@ -278,6 +284,9 @@ def build_source(
             rate=float(settings.get("rate", 10)),
             source_id=source_id,
             streaming=streaming,
+            operations=ops_setting,
+            fmt=settings.get("format.type", "structured"),
+            collections=colls,
         )
     if plugin in ("builtin:file", "builtin:s3"):
         return file_source(

@@ -45,12 +45,21 @@ def generator_source(
     source_id: str = "generator",
     streaming: bool = False,
     typed: bool = False,
+    operations: list[str] | None = None,
+    fmt: str = "structured",
+    collections: list[str] | None = None,
 ) -> DataFrame:
     """Produce OpenCDC envelopes from a field spec.
 
     Batch: ``record_count`` rows. Streaming: unbounded at
     ``rate`` rows/sec (Spark ``rate`` source; its ``value`` column is
     the record index, so batch and stream synthesize identically).
+
+    Reference-connector parity knobs: ``operations`` cycles the record
+    operation per index (default all-create), ``fmt="raw"`` puts the
+    serialized payload into ``payload_after_raw`` instead of the JSON
+    column, and ``collections`` cycles the ``opencdc.collection``
+    metadata key so multi-collection routing is exercisable end-to-end.
     """
     from conduit_spark.session import ensure_session_confs
 
@@ -64,23 +73,46 @@ def generator_source(
         if not record_count:
             raise ValueError("batch generator needs record_count")
         base = spark.range(record_count).select(F.col("id").alias("__idx"))
+    if fmt not in ("structured", "raw"):
+        raise ValueError("generator format.type must be structured or raw")
     idx = F.col("__idx")
     payload = F.struct(
         *[_synth(name, ftype, idx).alias(name) for name, ftype in fields.items()]
     )
+    if operations:
+        op = None
+        for i, o in enumerate(operations):
+            branch = F.when(idx % len(operations) == i, F.lit(o))
+            op = branch if op is None else op.when(idx % len(operations) == i, F.lit(o))
+    else:
+        op = F.lit("create")
+    meta_pairs = [F.lit("conduit.source.connector.id"), F.lit(source_id)]
+    if collections:
+        coll = None
+        for i, name in enumerate(collections):
+            branch = F.when(idx % len(collections) == i, F.lit(name))
+            coll = branch if coll is None else coll.when(
+                idx % len(collections) == i, F.lit(name)
+            )
+        meta_pairs += [F.lit("opencdc.collection"), coll]
     cols = [
         F.concat(F.lit(f"{source_id}:"), idx.cast("string")).cast("binary").alias("position"),
-        F.lit("create").alias("operation"),
-        F.create_map(
-            F.lit("conduit.source.connector.id"), F.lit(source_id)
-        ).alias("metadata"),
+        op.alias("operation"),
+        F.create_map(*meta_pairs).alias("metadata"),
         F.lit(None).cast("binary").alias("key_raw"),
         F.to_json(F.struct(idx.alias("id"))).alias("key_json"),
         F.lit(None).cast("string").alias("payload_before_json"),
-        F.to_json(payload).alias("payload_after_json"),
-        F.lit(None).cast("binary").alias("payload_after_raw"),
-        F.lit(True).alias("is_structured"),
+        (
+            F.lit(None).cast("string") if fmt == "raw" else F.to_json(payload)
+        ).alias("payload_after_json"),
+        (
+            F.to_json(payload).cast("binary")
+            if fmt == "raw"
+            else F.lit(None).cast("binary")
+        ).alias("payload_after_raw"),
+        F.lit(fmt == "structured").alias("is_structured"),
     ]
-    if typed:  # bind the struct directly — keeps operator chains codegen'd
+    if typed and fmt == "structured":
+        # bind the struct directly — keeps operator chains codegen'd
         cols.append(payload.alias("payload_after"))
     return base.select(*cols)

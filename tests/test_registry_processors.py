@@ -84,3 +84,32 @@ def test_custom_javascript_redirects():
 def test_custom_python_requires_process():
     with pytest.raises(ValueError, match="process"):
         build_processor("custom.python", {"script": "x = 1"})
+
+
+def test_generator_operations_format_collections(spark):
+    from conduit_spark.pipeline.registry import build_source
+
+    df = build_source(
+        spark,
+        "builtin:generator",
+        {
+            "recordCount": 6,
+            "format.options": {"id": "int"},
+            "operations": "create,update,delete",
+            "collections": "users,orders",
+        },
+        "gen",
+    )
+    rows = df.collect()
+    assert [r.operation for r in rows] == ["create", "update", "delete"] * 2
+    assert [r.metadata["opencdc.collection"] for r in rows] == [
+        "users", "orders"] * 3
+    raw = build_source(
+        spark,
+        "builtin:generator",
+        {"recordCount": 2, "format.options": {"id": "int"}, "format.type": "raw"},
+        "gen",
+    ).collect()
+    for r in raw:
+        assert r.payload_after_json is None and not r.is_structured
+        assert json.loads(bytes(r.payload_after_raw))["id"] is not None
