@@ -27,7 +27,8 @@ def file_source(
     """Read a file/directory as OpenCDC envelopes.
 
     - ``text``: each line → raw payload (file-source parity)
-    - ``json``/``parquet``: rows → structured payload
+    - ``json``/``parquet``/``csv``: rows → structured payload (csv
+      defaults to header=true, schema inference in batch)
 
     Position is content+file derived (deterministic); streaming mode
     relies on Spark's file-source checkpointing for exactly-once —
@@ -57,12 +58,18 @@ def file_source(
             line.cast("binary").alias("payload_after_raw"),
             F.lit(False).alias("is_structured"),
         )
-    if fmt in ("json", "parquet"):
+    if fmt in ("json", "parquet", "csv"):
+        if fmt == "csv" and "header" not in (reader_options or {}):
+            reader = reader.option("header", "true")
         if streaming:
             if schema is None:
-                raise ValueError("streaming json/parquet sources need an explicit schema")
+                raise ValueError(
+                    "streaming json/parquet/csv sources need an explicit schema"
+                )
             df = reader.format(fmt).schema(schema).load(path)
         else:
+            if fmt == "csv" and schema is None:
+                reader = reader.option("inferSchema", "true")
             df = reader.format(fmt).load(path)
         payload = F.struct(*[F.col(c) for c in df.columns])
         return df.select(

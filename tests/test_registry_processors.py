@@ -86,6 +86,18 @@ def test_custom_python_requires_process():
         build_processor("custom.python", {"script": "x = 1"})
 
 
+def test_csv_file_source(spark, tmp_path):
+    from conduit_spark.sources.file_source import file_source
+
+    f = tmp_path / "data.csv"
+    f.write_text("id,name\n1,alice\n2,bob\n")
+    rows = file_source(spark, str(f), fmt="csv").collect()
+    assert len(rows) == 2
+    payloads = sorted(json.loads(r.payload_after_json)["name"] for r in rows)
+    assert payloads == ["alice", "bob"]
+    assert all(r.is_structured for r in rows)
+
+
 def test_generator_operations_format_collections(spark):
     from conduit_spark.pipeline.registry import build_source
 
