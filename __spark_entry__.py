@@ -68,6 +68,7 @@ _EXTENDED = (
     "q_user_sessions",
     "m_frame_sample",
     "m_features",
+    "m_resize",
     "t_bpe_tokens",
     "q6_forecast_revenue",
     "q7_nation_volume",

@@ -162,6 +162,67 @@ def sample_frames(
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_TARGET = (32, 32)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("out_n_bytes", LongType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    target: tuple[int, int] = RESIZE_TARGET,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Media → resized media (the thumbnail/downscale shape).
+
+    ``real_codecs=True`` is the PIL/ffmpeg integration point (absent
+    here → NotImplementedError). The deterministic stand-in scales the
+    byte length by the pixel ratio target/(w×h) (dims from the decode
+    fake) and crops — binary in, binary out, partition-parallel, and
+    the crop rule is SQL-reproducible so the stub stays oracle-gated.
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "image codecs (PIL) are not available in this environment; "
+            "plug a resizer into resize_media.run when they are"
+        )
+    tw, th = target
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {k.name: [] for k in RESIZED_SCHEMA.fields}
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                d = hashlib.md5(raw).hexdigest()
+                w, h = int(d[0:2], 16) + 1, int(d[2:4], 16) + 1
+                ratio = min(1.0, float(tw * th) / float(w * h))
+                out_n = max(1, math.floor(len(raw) * ratio))
+                crop = raw[:out_n]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+                out["out_n_bytes"].append(out_n)
+                out["resized_digest"].append(hashlib.md5(crop).hexdigest())
+        yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = StructType(
@@ -239,10 +300,19 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).orderBy("media_id")
 
 
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as fake image bytes → proportional byte-crop
+    resize (thumbnail shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media(docs, "text", "doc_id", "image")
+    return resize_media(media).orderBy("media_id")
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_frame_sample": m_frame_sample,
     "m_features": m_features,
+    "m_resize": m_resize,
 }
 
 ORACLES = {
@@ -274,5 +344,22 @@ ORACLES = {
                    j -> CAST(('0x' || substr(md5(text), j * 4 + 1, 4)) AS INT)
                         / 65535.0) AS embedding
         FROM documents ORDER BY media_id
+    """,
+    "m_resize": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text, strlen(text) AS n,
+                   CAST(('0x' || substr(md5(text), 1, 2)) AS INT) + 1 AS width,
+                   CAST(('0x' || substr(md5(text), 3, 2)) AS INT) + 1 AS height
+            FROM documents),
+        r AS (
+            SELECT *, greatest(1, CAST(floor(n * least(1.0,
+                       {float(RESIZE_TARGET[0] * RESIZE_TARGET[1])} / (width * height)))
+                   AS BIGINT)) AS out_n
+            FROM m)
+        SELECT media_id, width, height,
+               {RESIZE_TARGET[0]} AS target_w, {RESIZE_TARGET[1]} AS target_h,
+               out_n AS out_n_bytes,
+               md5(substr(text, 1, CAST(out_n AS INT))) AS resized_digest
+        FROM r ORDER BY media_id
     """,
 }
