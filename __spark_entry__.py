@@ -87,6 +87,7 @@ _EXTENDED = (
     "q_events_by_type",
     "q_events_hourly",
     "q_props_json_stats",
+    "q_user_retention",
 )
 
 GATE_CAP = 50

@@ -638,6 +638,45 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention: of the users active on day D,
+    how many are active on D+1 (the classic events self-join).
+
+    Two keyed aggregations + one equi self-join on (user, day) — the
+    daily-active relation is tiny relative to events, so the join cost
+    is bounded by distinct (user, day), not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    nxt = active.select(
+        F.col("user_id").alias("u2"), F.date_sub(F.col("day"), 1).alias("d2")
+    )
+    return (
+        active.join(
+            nxt,
+            (F.col("user_id") == F.col("u2")) & (F.col("day") == F.col("d2")),
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_day"),
+        )
+        # DATE → TIMESTAMP for the output: a pandas/Arrow-based harness
+        # coerces DATE to datetime64, so a date column can never
+        # hash-match cross-engine; every other date in the suite is
+        # already a timestamp
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "active_users",
+            "retained_next_day",
+        )
+        .orderBy("day")
+    )
+
+
 def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style: suppliers who shipped more than half a part's
     1996 volume (nested aggregate threshold + semi-join chain)."""
@@ -728,6 +767,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q_props_json_stats": q_props_json_stats,
+    "q_user_retention": q_user_retention,
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "q_user_event_gaps": q_user_event_gaps,
     "q9_product_profit": q9_product_profit,
@@ -889,6 +929,17 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_user_retention": """
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT CAST(a.day AS TIMESTAMP) AS day,
+               count(*) AS active_users,
+               count(b.user_id) AS retained_next_day
+        FROM active a
+        LEFT JOIN active b
+          ON b.user_id = a.user_id AND b.day = a.day + 1
+        GROUP BY a.day ORDER BY a.day
     """,
     "q16_part_supplier_counts": """
         SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

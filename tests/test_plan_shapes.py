@@ -116,6 +116,36 @@ def test_dedup_clusters_keyed_joins_only(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_knn_join_keyed_only(spark, sf):
+    """The kNN join must stay an equi-join on the bucket key plus a
+    windowed top-k — no cartesian/nested-loop pairing."""
+    from conduit_spark.analytics import similarity
+
+    plan = plan_of(similarity.s_knn_join(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_stratified_sample_single_scan_no_join(no_aqe, sf):
+    """Hash-gated sampling is one narrow scan + tiny aggs; the id-level
+    variant must not shuffle at all before the gate filter."""
+    from conduit_spark.analytics import sampling
+
+    plan = plan_of(sampling.smp_stratified_ids(no_aqe, sf))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_tfidf_no_cartesian(spark, sf):
+    from conduit_spark.analytics import text
+
+    plan = plan_of(text.t_tfidf_top_terms(spark, sf))
+    assert "CartesianProduct" not in plan
+    # the scalar N crosses in as a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
     from conduit_spark.analytics import similarity
 
