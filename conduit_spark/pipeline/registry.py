@@ -377,6 +377,19 @@ def write_destination(
         sinks.log_sink(df, n=int(settings.get("n", 20)))
         return
     if plugin == "builtin:postgres":
+        if settings.get("writeMode") == "upsert":
+            key_cols = settings["keyColumns"]
+            if isinstance(key_cols, str):
+                key_cols = [k.strip() for k in key_cols.split(",")]
+            sinks.jdbc_cdc_sink(
+                df,
+                settings["url"],
+                settings["table"],
+                key_cols,
+                settings["payloadSchema"],
+                options=settings.get("options"),
+            )
+            return
         sinks.jdbc_sink(
             df,
             settings["url"],

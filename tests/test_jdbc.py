@@ -70,3 +70,76 @@ def test_jdbc_sink_roundtrip(spark, tmp_path):
     assert sorted((r.k, r.v) for r in back.collect()) == [
         (i, i * 10) for i in range(5)
     ]
+
+
+def test_jdbc_upsert_merge(spark, tmp_path):
+    """Staging + MERGE upsert: overlapping keys update, new keys
+    insert — the reference postgres destination's write semantics."""
+    from conduit_spark.sinks import jdbc_upsert_sink
+
+    url = _url(tmp_path, "upsertdb")
+    seed = spark.range(3).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    jdbc_sink(seed, url, "tgt", options={"driver": DRIVER})
+    batch = spark.createDataFrame(
+        [(1, "new1"), (2, "new2"), (7, "new7")], "k long, v string"
+    )
+    jdbc_upsert_sink(batch, url, "tgt", ["k"], options={"driver": DRIVER})
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "tgt").option("driver", DRIVER)
+        .load()
+    )
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (0, "old"), (1, "new1"), (2, "new2"), (7, "new7"),
+    ]
+
+
+def test_jdbc_cdc_sink_applies_changelog(spark, tmp_path):
+    """Envelope changelog → upsert + delete against Derby: final table
+    state must reflect creates, updates, and deletes."""
+    import json as _json
+
+    from conduit_spark.sinks import jdbc_cdc_sink
+
+    url = _url(tmp_path, "cdcdb")
+    seed = spark.range(4).select(F.col("id").alias("k"), F.lit("seed").alias("v"))
+    jdbc_sink(seed, url, "state", options={"driver": DRIVER})
+
+    def env_row(op, k, v=None):
+        return {
+            "position": f"p:{op}:{k}".encode(),
+            "operation": op,
+            "metadata": {},
+            "key_raw": None,
+            "key_json": _json.dumps({"k": k}),
+            "payload_before_json": None,
+            "payload_after_json": (
+                _json.dumps({"k": k, "v": v}) if v is not None else None
+            ),
+            "payload_after_raw": None,
+            "is_structured": True,
+        }
+
+    from conduit_spark import envelope as env
+
+    changes = spark.createDataFrame(
+        [
+            env_row("update", 1, "u1"),
+            env_row("create", 9, "c9"),
+            env_row("delete", 2),
+            env_row("delete", 3),
+        ],
+        schema=env.ENVELOPE_SCHEMA,
+    )
+    jdbc_cdc_sink(
+        changes, url, "state", ["k"], "k long, v string",
+        options={"driver": DRIVER},
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "state").option("driver", DRIVER)
+        .load()
+    )
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (0, "seed"), (1, "u1"), (9, "c9"),
+    ]
