@@ -167,9 +167,17 @@ def jdbc_cdc_sink(
         for f in upserts.schema.fields
         if f.name in key_columns
     )
+    # a Debezium delete carries the key in `before` when the envelope
+    # has no explicit key (file-sourced changelogs)
     deletes = (
         env_df.filter(F.col("operation") == "delete")
-        .withColumn("__k", F.from_json(F.col("key_json"), key_schema))
+        .withColumn(
+            "__k",
+            F.from_json(
+                F.coalesce(F.col("key_json"), F.col("payload_before_json")),
+                key_schema,
+            ),
+        )
         .select("__k.*")
         .distinct()
     )

@@ -143,3 +143,86 @@ def test_jdbc_cdc_sink_applies_changelog(spark, tmp_path):
     assert sorted((r.k, r.v) for r in back.collect()) == [
         (0, "seed"), (1, "u1"), (9, "c9"),
     ]
+
+
+def test_streaming_cdc_pipeline_into_jdbc_upsert(spark, tmp_path):
+    """Full connector loop: file-based Debezium changelog → streaming
+    pipeline (unwrap.debezium) → JDBC upsert destination; the Derby
+    table's final state must equal the logical table state."""
+    import json as _json
+
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    url = _url(tmp_path, "cdcstreamdb")
+    # target table pre-exists (snapshot load), as for a real upsert dest
+    seed = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+    )
+    jdbc_sink(seed, url, "state", options={"driver": DRIVER})
+
+    src_dir = tmp_path / "cdc"
+    src_dir.mkdir()
+
+    def env_line(op, lsn, before=None, after=None):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": before,
+                    "after": after,
+                    "source": {"table": "state", "lsn": str(lsn)},
+                    "op": op,
+                    "ts_ms": 1700000000000 + lsn,
+                }
+            }
+        )
+
+    (src_dir / "changes.json").write_text(
+        "\n".join(
+            [
+                env_line("u", 5, before={"id": 2, "v": 20}, after={"id": 2, "v": 999}),
+                env_line("d", 6, before={"id": 3, "v": 30}),
+                env_line("c", 7, after={"id": 5, "v": 50}),
+            ]
+        )
+        + "\n"
+    )
+    schema = (
+        "payload struct<before:struct<id:bigint,v:bigint>,"
+        "after:struct<id:bigint,v:bigint>,"
+        "source:struct<table:string,lsn:string>,op:string,ts_ms:bigint>"
+    )
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: cdc-jdbc
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: json, schema: "{schema}"}}
+      - id: db
+        type: destination
+        plugin: builtin:postgres
+        settings:
+          url: "{url}"
+          table: state
+          writeMode: upsert
+          keyColumns: id
+          payloadSchema: "id long, v long"
+          options: {{driver: {DRIVER}}}
+    processors:
+      - id: unwrap
+        plugin: unwrap.debezium
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    Pipeline(spark, cfg).run_streaming(str(tmp_path / "ckpt"), trigger_once=True)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "state").option("driver", DRIVER)
+        .load()
+    )
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (1, 10), (2, 999), (4, 40), (5, 50),
+    ]
