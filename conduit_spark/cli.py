@@ -147,6 +147,59 @@ def cmd_describe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_validate(args: argparse.Namespace) -> int:
+    """Parse-only check of pipeline configs (``conduit pipelines
+    validate`` analog): exit 0 iff every file provisions cleanly."""
+    if os.path.isdir(args.pipelines):
+        from conduit_spark.pipeline.config import load_pipeline_dir
+
+        res = load_pipeline_dir(args.pipelines)
+        for f, err in res.errors.items():
+            print(f"INVALID {f}: {err}", file=sys.stderr)
+        for cfg in res.pipelines:
+            print(f"ok {cfg.id}")
+        return 1 if res.errors else 0
+    try:
+        for cfg in load_pipelines(args.pipelines):
+            print(f"ok {cfg.id}")
+    except Exception as e:  # noqa: BLE001 — any parse error is the answer
+        print(f"INVALID {args.pipelines}: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+_INIT_TEMPLATE = """version: "2.2"
+pipelines:
+  - id: {id}
+    status: running
+    description: ""
+    connectors:
+      - id: source1
+        type: source
+        plugin: builtin:generator
+        settings:
+          recordCount: 100
+          format.options: {{id: int, name: string}}
+      - id: destination1
+        type: destination
+        plugin: builtin:file
+        settings: {{path: /tmp/{id}-out, format: json, mode: append}}
+    processors: []
+"""
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    """Scaffold a runnable pipeline YAML (``conduit pipelines init``)."""
+    out = args.path or f"{args.id}.yaml"
+    if os.path.exists(out) and not args.force:
+        print(f"{out} exists (use --force to overwrite)", file=sys.stderr)
+        return 1
+    with open(out, "w") as fh:
+        fh.write(_INIT_TEMPLATE.format(id=args.id))
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     from conduit_spark import get_spark
     from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
@@ -209,6 +262,16 @@ def main(argv: list[str] | None = None) -> int:
     p_desc.add_argument("--pipelines", required=True)
     p_desc.add_argument("--id", help="describe only this pipeline id")
     p_desc.set_defaults(fn=cmd_describe)
+
+    p_val = sub.add_parser("validate", help="parse-check configs; nonzero on errors")
+    p_val.add_argument("--pipelines", required=True)
+    p_val.set_defaults(fn=cmd_validate)
+
+    p_init = sub.add_parser("init", help="scaffold a runnable pipeline YAML")
+    p_init.add_argument("--id", default="my-pipeline")
+    p_init.add_argument("--path", help="output file (default <id>.yaml)")
+    p_init.add_argument("--force", action="store_true")
+    p_init.set_defaults(fn=cmd_init)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -93,6 +93,31 @@ def test_describe_by_id_and_missing(pipeline_file, capsys):
     assert "not found" in capsys.readouterr().err
 
 
+def test_validate_ok_and_invalid(pipeline_file, tmp_path, capsys):
+    assert cli.main(["validate", "--pipelines", pipeline_file]) == 0
+    assert "ok demo" in capsys.readouterr().out
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("version: '2.2'\npipelines: [{nope: 1}]\n")
+    assert cli.main(["validate", "--pipelines", str(bad)]) == 1
+    assert "INVALID" in capsys.readouterr().err
+    # directory mode: one good + one bad → nonzero but good one listed
+    (tmp_path / "good.yaml").write_text(PIPELINE_YAML)
+    assert cli.main(["validate", "--pipelines", str(tmp_path)]) == 1
+    captured = capsys.readouterr()
+    assert "ok demo" in captured.out and "bad.yaml" in captured.err
+
+
+def test_init_scaffold_validates(tmp_path, capsys):
+    out = str(tmp_path / "p.yaml")
+    assert cli.main(["init", "--id", "scaffolded", "--path", out]) == 0
+    capsys.readouterr()
+    assert cli.main(["validate", "--pipelines", out]) == 0
+    assert "ok scaffolded" in capsys.readouterr().out
+    # refuses to clobber without --force
+    assert cli.main(["init", "--id", "scaffolded", "--path", out]) == 1
+    assert cli.main(["init", "--id", "scaffolded", "--path", out, "--force"]) == 0
+
+
 def test_describe_directory(tmp_path, capsys):
     (tmp_path / "a.yaml").write_text(PIPELINE_YAML)
     (tmp_path / "bad.yaml").write_text("version: '2.2'\npipelines: [{nope: 1}]\n")
