@@ -333,6 +333,15 @@ _FUNCTIONS = {
     "add": _arith(lambda a, b: a + b),
     "sub": _arith(lambda a, b: a - b),
     "mul": _arith(lambda a, b: a * b),
+    "div": _arith(lambda a, b: a / b),
+    "mod": _arith(lambda a, b: a % b),
+    # sprig ternary: value-if-true, value-if-false, condition
+    "ternary": lambda args, df: F.when(
+        _to_bool(_compile_node(args[2], df)), _compile_node(args[0], df)
+    ).otherwise(_compile_node(args[1], df)),
+    "coalesce": lambda args, df: F.coalesce(
+        *[_compile_node(a, df) for a in args]
+    ),
 }
 
 
