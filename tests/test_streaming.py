@@ -199,3 +199,77 @@ def test_inspector_streaming_attach(spark, sf_dir, tmp_path):
     recs = insp.records()
     assert 1 <= len(recs) <= 8
     assert "event_type" in recs[0]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event older than the watermark arriving in
+    a later micro-batch is DROPPED from the windowed aggregate (append
+    mode emits only finalized windows). The reference never needed this
+    policy (it acks by position); in Spark it is the state-bounding
+    contract, so pin it."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from conduit_spark.streaming.windows import tumbling_aggregate
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, k string"
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.format("json").schema(schema).load(str(src))
+        )
+        agg = tumbling_aggregate(
+            stream, "ts", "1 minute",
+            keys=["k"],
+            aggs=[F.count(F.lit(1)).alias("n")],
+            watermark="30 seconds",
+        ).select(F.col("win.start").alias("ws"), "k", "n")
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # batch 1: two events in minute 0, watermark advances to 10:05-0:30
+    write_batch("b1.json", [
+        {"ts": "2024-01-01 10:00:10", "k": "a"},
+        {"ts": "2024-01-01 10:00:20", "k": "a"},
+    ])
+    run_once()
+    # batch 2: advance event time far ahead so the 10:00 window
+    # finalizes, plus a VERY LATE event for 10:00 that must be dropped
+    write_batch("b2.json", [
+        {"ts": "2024-01-01 10:10:00", "k": "a"},
+        {"ts": "2024-01-01 10:00:30", "k": "a"},  # late but WITHIN watermark (still 09:59:50) — counted
+    ])
+    run_once()
+    # batch 3: another late event for 10:00 now clearly beyond the
+    # watermark (10:10:00 - 30s = 10:09:30 > 10:01)
+    write_batch("b3.json", [
+        {"ts": "2024-01-01 10:00:40", "k": "a"},  # dropped
+        {"ts": "2024-01-01 10:20:00", "k": "a"},  # finalizes 10:10 window
+    ])
+    run_once()
+
+    rows = {
+        (r.ws.strftime("%H:%M"), r.k): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalized with the batch-2 late-but-within-
+    # watermark event counted (3), NOT the batch-3 beyond-watermark one
+    assert rows[("10:00", "a")] == 3
+    assert rows[("10:10", "a")] == 1
