@@ -345,6 +345,75 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
 
 
+SIMHASH_BANDS = 4  # 8 bits per band; near-dups must share ≥1 full band
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_BUCKET_CAP = 200  # max docs per (band, bucket) — blowup guard
+
+
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of four
+    8-bit bands of the 32-bit fingerprint (the pigeonhole guarantee:
+    hamming ≤ 3 implies a shared band; we verify up to
+    ``SIMHASH_MAX_HAMMING`` to keep recall meaningful on this corpus),
+    verified with ``bit_count(xor)``.
+
+    The classic Manku/Jain/Sarma web-dedup pipeline: band equi-join
+    for candidates (never all-pairs), O(1) verify per candidate. The
+    fingerprint relation is tiny (doc_id, int64) — checkpointed so the
+    32-vote aggregation runs once, not once per band reference.
+    Buckets larger than ``SIMHASH_BUCKET_CAP`` are dropped before
+    pairing (an overfull 8-bit band carries no discriminating signal —
+    the same guard as the minhash/sign-LSH paths); at corpus scale use
+    a 64-bit fingerprint with 16-bit bands so bucket cardinality
+    scales, keeping this plan shape unchanged.
+    """
+    fps = d_simhash(spark, sf_dir).localCheckpoint()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("bucket"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bb = fps.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SIMHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "d_exact": d_exact,
     "d_minhash_signatures": d_minhash_signatures,
@@ -352,6 +421,7 @@ QUERIES = {
     "d_dedup_clusters": d_dedup_clusters,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
+    "d_simhash_pairs": d_simhash_pairs,
 }
 
 
@@ -373,6 +443,23 @@ _SIG_AGGS_SQL = ",\n               ".join(
     f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{j}"
     for j, (a, b) in enumerate(_PARAMS)
 )
+
+# fps(doc_id, simhash) — shared by the fingerprint oracle and the
+# hamming-pairs oracle.
+_SIMHASH_CTES = f"""
+        tok AS (
+            SELECT doc_id, {sql_md5_int32("t")} AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32))}
+            FROM tok GROUP BY doc_id),
+        fps AS (
+            SELECT doc_id,
+                   {" + ".join(f"CASE WHEN v{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))} AS simhash
+            FROM votes)
+"""
 
 # Shared CTE chain ending in ``lsh_pairs(id_a, id_b, jaccard)`` — used by
 # the pairs oracle directly and by the connected-components oracle below.
@@ -472,16 +559,32 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "d_simhash": f"""
-        WITH tok AS (
-            SELECT doc_id, {sql_md5_int32("t")} AS h
-            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
-        ),
-        votes AS (
-            SELECT doc_id,
-                   {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32))}
-            FROM tok GROUP BY doc_id)
-        SELECT doc_id,
-               {" + ".join(f"CASE WHEN v{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))} AS simhash
-        FROM votes ORDER BY doc_id
+        WITH {_SIMHASH_CTES}
+        SELECT doc_id, simhash FROM fps ORDER BY doc_id
+    """,
+    "d_simhash_pairs": f"""
+        WITH {_SIMHASH_CTES},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, simhash, {b} AS band, "
+                f"(simhash >> {b * 8}) & 255 AS bucket FROM fps"
+                for b in range(SIMHASH_BANDS)
+            )}),
+        kept AS (
+            SELECT * FROM bands
+            WHERE (band, bucket) NOT IN (
+                SELECT (band, bucket) FROM bands
+                GROUP BY band, bucket HAVING count(*) > {SIMHASH_BUCKET_CAP})),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY id_a, id_b
     """,
 }
