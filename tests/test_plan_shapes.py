@@ -146,6 +146,14 @@ def test_tfidf_no_cartesian(spark, sf):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_simhash_pairs_keyed_only(spark, sf):
+    from conduit_spark.analytics import dedup
+
+    plan = plan_of(dedup.d_simhash_pairs(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
     from conduit_spark.analytics import similarity
 
