@@ -593,9 +593,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 adapted: supplier(s) with max revenue in 1996Q1.
 
-    Revenue per supplier is one keyed agg; the max-filter is a window
-    over the already-aggregated (tiny) relation — no second scan of
-    lineitem, unlike the view-based original.
+    Revenue per supplier is one keyed agg; the max-filter is a scalar
+    ``agg(max)`` broadcast back as an equi-join — NOT a
+    ``Window.partitionBy()`` over the aggregate, which would funnel
+    every supplier row (10M at sf1000) into a single WindowExec task.
+    The aggregate is localCheckpoint-ed so the scalar max and the join
+    probe both read the materialized relation: exactly ONE lineitem
+    scan (a naive self-reference re-evaluates the agg, and plan-level
+    exchange reuse is not guaranteed under AQE replanning).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -609,11 +614,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("total_revenue")
-    )
-    w = Window.partitionBy()
+    ).localCheckpoint(eager=True)
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(w))
-        .filter(F.col("total_revenue") == F.col("max_rev"))
+        rev.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_rev"),
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

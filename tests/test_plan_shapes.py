@@ -98,10 +98,12 @@ def test_q8_dims_broadcast_facts_pushdown(spark, sf):
 
 
 def test_q15_single_lineitem_scan(spark, sf):
-    """The window-max formulation must not rescan lineitem the way the
-    view-based original would."""
+    """The per-supplier revenue agg is localCheckpoint-ed, so the plan
+    reads the materialized relation (ExistingRDD) and lineitem itself
+    never appears twice — the view-based original rescans it."""
     plan = plan_of(relational.q15_top_supplier(spark, sf))
-    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("lineitem.parquet") <= 1
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -152,6 +154,34 @@ def test_simhash_pairs_keyed_only(spark, sf):
     plan = plan_of(dedup.d_simhash_pairs(spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _global_windows(plan: str) -> bool:
+    """A partition-less window renders ``windowspecdefinition(`` opening
+    directly with ``specifiedwindowframe(`` (no partition columns) —
+    that's Spark's "No Partition Defined ... moving all data to a single
+    partition" shape, a single-task funnel at scale."""
+    return "windowspecdefinition(specifiedwindowframe" in plan
+
+
+def test_no_partitionless_window_anywhere(spark, sf):
+    """No gate or extended query may use a global (partition-less)
+    window — the q15 round-2 regression class. Covers every query whose
+    plan contains a Window node."""
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    for name, fn in entry_mod.extended_queries().items():
+        plan = plan_of(fn(spark, sf))
+        if _global_windows(plan):
+            offenders.append(name)
+    assert not offenders, f"global-window queries: {offenders}"
+
+
+def test_q15_no_global_window(spark, sf):
+    plan = plan_of(relational.q15_top_supplier(spark, sf))
+    assert not _global_windows(plan)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
