@@ -3,13 +3,17 @@
 The reference's RAG precedent is its e2e pipeline test
 (rag-e2e.yml workflow) built from cohere.embed + processors; here the
 whole flow is one DataFrame plan: overlapping chunking (array
-algebra), Arrow-batched embedding (deterministic offline transport),
-sign-LSH bucketing, and per-bucket top-k retrieval against a query
-string — no driver-side loops, every stage partition-parallel.
+algebra), Arrow-batched embedding, sign-LSH-ready vectors, and top-k
+retrieval against a query string — no driver-side loops, every stage
+partition-parallel.
 
-This query has **no SQL oracle** (the embedding UDF is not
-SQL-expressible); the driver records the weaker rows-only check, and
-unit tests assert the structural invariants.
+The embedding stage runs through the real ``llm_embed`` operator
+(envelope, mapInPandas, batching, error routing) with the
+``hash_embed_transport`` — per-text md5-derived vectors that are
+batch- and partition-invariant, so the WHOLE pipeline (chunk → embed
+→ cosine top-k) has an exact DuckDB oracle: the embedding of each
+chunk is ``md5(model:text:dim)`` scaled to [0,1), reproduced in SQL
+via the cross-engine md5 trick (functions/hashing.py).
 """
 
 from __future__ import annotations
@@ -19,12 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark import envelope as env
 from conduit_spark import operators as ops
-from conduit_spark.analytics.chunking import chunk_text
+from conduit_spark.analytics.chunking import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    _STRIDE,
+    chunk_text,
+)
 from conduit_spark.analytics.similarity import cosine
+from conduit_spark.operators.enrich import HASH_EMBED_DIM
 from conduit_spark.sources.tables import load_table
 
 TOP_K = 5
 QUERY_TEXT = "fast hash join on big table"
+EMBED_MODEL = "embed-v3"
 
 
 def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,10 +53,10 @@ def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ops.llm_embed(
             env_df,
             provider="cohere",
-            model="embed-v3",
+            model=EMBED_MODEL,
             input_field=".Payload.After.text",
             output_col="embedding",
-            transport=ops.fake_transport,
+            transport=ops.hash_embed_transport,
         )
         return out.select(
             F.col("payload_after.doc_id").alias("doc_id"),
@@ -71,5 +82,56 @@ def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hash_vec(text_expr: str) -> str:
+    """DuckDB list literal mirroring hash_embed_transport."""
+    dims = ", ".join(
+        f"CAST('0x' || substr(md5('{EMBED_MODEL}:' || {text_expr} || ':{j}'), 1, 8)"
+        f" AS BIGINT) / 4294967296.0"
+        for j in range(HASH_EMBED_DIM)
+    )
+    return f"[{dims}]"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform({a}, (x, i) -> x * {b}[i]))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
 QUERIES = {"rag_ingest_retrieve": rag_ingest_retrieve}
-ORACLES: dict[str, str] = {}  # rows-only: embedding UDF is not SQL-expressible
+
+ORACLES = {
+    "rag_ingest_retrieve": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+        starts AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       greatest(CAST(ceil(CAST(n - {CHUNK_OVERLAP} AS DOUBLE)
+                                / {_STRIDE}) AS INT), 1) - 1)) AS c
+            FROM t),
+        chunks AS (
+            SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+                   array_to_string(
+                       toks[c * {_STRIDE} + 1 : c * {_STRIDE} + {CHUNK_SIZE}],
+                       ' ') AS chunk_text
+            FROM starts),
+        emb AS (
+            SELECT doc_id, chunk_idx,
+                   {_sql_hash_vec("chunk_text")} AS v
+            FROM chunks),
+        q AS (SELECT {_sql_hash_vec(f"'{QUERY_TEXT}'")} AS qv)
+        SELECT doc_id, chunk_idx,
+               round({_sql_dot("v", "qv")}
+                     / ({_sql_norm("v")} * {_sql_norm("qv")}), 9) AS score
+        FROM emb, q
+        ORDER BY score DESC, doc_id ASC, chunk_idx ASC
+        LIMIT {TOP_K}
+    """,
+}

@@ -54,6 +54,7 @@ from conduit_spark.operators.custom import (  # noqa: F401
 )
 from conduit_spark.operators.enrich import (  # noqa: F401
     fake_transport,
+    hash_embed_transport,
     llm_embed,
     llm_rerank,
     llm_transform,

@@ -60,6 +60,39 @@ def fake_transport(request: dict) -> dict:
     return {"status": 200, "body": f'{{"digest":"{digest[:16]}"}}'}
 
 
+HASH_EMBED_DIM = 8
+
+
+def hash_embed_transport(request: dict) -> dict:
+    """Per-text deterministic embedding transport.
+
+    Unlike :func:`fake_transport` (which digests the whole request, so
+    every text in an Arrow batch shares one vector and results depend
+    on batch boundaries), this embeds EACH text independently:
+
+        v[j] = int(md5(f"{model}:{text}:{j}")[:8], 16) / 2**32
+
+    Batch-invariant, partition-invariant, and exactly reproducible in
+    SQL (``CAST('0x'||substr(md5(model||':'||text||':'||j),1,8) AS
+    BIGINT) / 4294967296.0``) — which makes end-to-end embedding
+    pipelines oracle-checkable, not just rows-countable.
+    """
+    if request.get("kind") != "embed":
+        return fake_transport(request)
+    model = request.get("model", "")
+    vecs = [
+        [
+            int(
+                hashlib.md5(f"{model}:{text}:{j}".encode()).hexdigest()[:8], 16
+            )
+            / 2**32
+            for j in range(HASH_EMBED_DIM)
+        ]
+        for text in request.get("input", [])
+    ]
+    return {"output": vecs}
+
+
 def http_transport(request: dict) -> dict:
     """Default webhook transport over urllib (stdlib; no extra deps).
 
