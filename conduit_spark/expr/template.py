@@ -299,6 +299,35 @@ def _arith(op):
     return run
 
 
+def _sprig_empty(col: Column, df: DataFrame) -> Column:
+    """sprig's ``empty()``: nil, numeric zero, false, "" and empty
+    collections are all empty — typed, not stringified ("0" the STRING
+    is non-empty). Type comes from a driver-side analysis of the
+    compiled expression (once per template compile)."""
+    from pyspark.sql import types as T
+
+    dt = df.select(col.alias("__c")).schema[0].dataType
+    if isinstance(dt, T.BooleanType):
+        return col.isNull() | ~col
+    if isinstance(dt, T.NumericType):
+        return col.isNull() | (col == F.lit(0).cast(dt))
+    if isinstance(dt, T.StringType):
+        return col.isNull() | (col == "")
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return col.isNull() | (F.size(col) == 0)
+    return col.isNull()
+
+
+def _fn_coalesce_sprig(args, df):
+    # sprig: first non-EMPTY argument (not merely non-null — see
+    # processor_condition.go:40 wiring sprig's FuncMap)
+    out = F.lit(None)
+    for a in reversed(args):
+        c = _compile_node(a, df)
+        out = F.when(~_sprig_empty(c, df), c).otherwise(out)
+    return out
+
+
 _FUNCTIONS = {
     "eq": _cmp(lambda a, b: a == b),
     "ne": _cmp(lambda a, b: a != b),
@@ -333,15 +362,18 @@ _FUNCTIONS = {
     "add": _arith(lambda a, b: a + b),
     "sub": _arith(lambda a, b: a - b),
     "mul": _arith(lambda a, b: a * b),
-    "div": _arith(lambda a, b: a / b),
+    # sprig `div` is INTEGER division (Go int64 `/`, truncation toward
+    # zero — Spark's double→long cast truncates the same way); `divf`
+    # is the float form (processor_condition.go:40 wires sprig's
+    # FuncMap, where div=toInt64 division).
+    "div": _arith(lambda a, b: (a / b).cast("long")),
+    "divf": _arith(lambda a, b: a / b),
     "mod": _arith(lambda a, b: a % b),
     # sprig ternary: value-if-true, value-if-false, condition
     "ternary": lambda args, df: F.when(
         _to_bool(_compile_node(args[2], df)), _compile_node(args[0], df)
     ).otherwise(_compile_node(args[1], df)),
-    "coalesce": lambda args, df: F.coalesce(
-        *[_compile_node(a, df) for a in args]
-    ),
+    "coalesce": _fn_coalesce_sprig,
 }
 
 

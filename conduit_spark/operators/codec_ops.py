@@ -262,9 +262,13 @@ def avro_encode(
             from conduit_spark.schema_registry import frame_wire_format
 
             raw = frame_wire_format(raw, schema_id)
-        return df.withColumn("payload_after_raw", raw).withColumn(
+        out = df.withColumn("payload_after_raw", raw).withColumn(
             "payload_after_json", F.lit(None).cast("string")
         ).withColumn("is_structured", F.lit(False))
+        # the typed struct no longer describes the (now-raw) payload —
+        # drop it on this path too, so the envelope schema is identical
+        # whether or not the spark-avro jar is on the classpath
+        return out.drop(typed)
 
     # pure-Python fallback: encode from the JSON payload text
     import json as _json
@@ -316,6 +320,7 @@ def avro_decode(
     *,
     registry=None,
     typed: bool = True,
+    framed: bool | None = None,
     condition: str | Column | None = None,
 ) -> DataFrame:
     """Decode Avro bytes in ``payload_after_raw`` back into the JSON
@@ -324,6 +329,14 @@ def avro_decode(
     With a ``registry``, Confluent-framed input resolves its schema by
     id per record (a snapshot of the registry ships to executors);
     with an explicit ``json_schema``, bytes are decoded bare.
+
+    ``framed`` pins the wire format explicitly (mirroring
+    impl/avro/decode.go's config-driven framing rather than sniffing):
+    ``True`` always strips the 5-byte Confluent frame (required when
+    bytes from ``avro_encode(registry=...)`` are decoded later with
+    only the schema), ``False`` never strips (a bare record whose
+    first byte happens to be 0x00 stays intact), and ``None`` (default)
+    keeps the magic-byte inference for back-compat.
     """
     ref = parse_ref(field)
     if ref.root != "payload.after":
@@ -334,9 +347,10 @@ def avro_decode(
     from_avro, _ = _avro_funcs()
     if from_avro is not None and json_schema is not None and registry is None and condition is None:
         typed_name = _PAYLOAD_TYPED[ref.root]
-        out = df.withColumn(
-            typed_name, from_avro(F.col("payload_after_raw"), json_schema)
-        )
+        raw_col = F.col("payload_after_raw")
+        if framed is True:  # strip the 5-byte Confluent frame JVM-side
+            raw_col = F.substring(raw_col, 6, 2147483647)
+        out = df.withColumn(typed_name, from_avro(raw_col, json_schema))
         out = out.withColumn("payload_after_json", F.to_json(F.col(typed_name)))
         return out.withColumn("is_structured", F.lit(True)).withColumn(
             "payload_after_raw", F.lit(None).cast("binary")
@@ -378,7 +392,12 @@ def avro_decode(
                     continue
                 data = bytes(raw)
                 schema_obj = explicit
-                if data[:1] == ac.MAGIC and (has_registry or explicit is None):
+                do_unframe = (
+                    framed
+                    if framed is not None
+                    else data[:1] == ac.MAGIC and (has_registry or explicit is None)
+                )
+                if do_unframe:
                     sid, payload = ac.unframe(data)
                     if sid in by_id:
                         schema_obj, data = by_id[sid], payload

@@ -95,7 +95,14 @@ def custom_subprocess(
                 out[k] = v.item()
             else:
                 out[k] = v
-        return json.dumps(out)
+            # NaN/Inf would serialize as bare `NaN`/`Infinity` tokens —
+            # invalid JSON that a strict parser in a non-Python child
+            # runtime rejects mid-stream; map to null (allow_nan=False
+            # below enforces the protocol stays spec-compliant)
+            fv = out[k]
+            if isinstance(fv, float) and (fv != fv or fv in (float("inf"), float("-inf"))):
+                out[k] = None
+        return json.dumps(out, allow_nan=False)
 
     def _de(obj: dict) -> dict:
         return {

@@ -180,14 +180,20 @@ def load_pipeline_dir(path: str, *, strict: bool = False) -> ProvisionResult:
     )
     for f in files:
         try:
-            for p in load_pipelines(f):
+            # validate the WHOLE file (parse + cross-file dup ids)
+            # before registering anything, so a file provisions
+            # atomically — a bad second pipeline must not leave the
+            # first half-provisioned (service.go:74 skips the file).
+            file_pipelines = load_pipelines(f)
+            for p in file_pipelines:
                 if p.id in seen_ids:
                     raise ValueError(
                         f"pipeline id {p.id!r} already provisioned from "
                         f"{seen_ids[p.id]}"
                     )
+            for p in file_pipelines:
                 seen_ids[p.id] = f
-                res.pipelines.append(p)
+            res.pipelines.extend(file_pipelines)
         except Exception as e:  # noqa: BLE001 — collected per file
             if strict:
                 raise

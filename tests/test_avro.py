@@ -145,6 +145,38 @@ def test_avro_encode_explicit_schema_bare_bytes(spark):
     assert row["payload_after"]["text"] == "hello world"
 
 
+def test_avro_decode_framed_with_only_schema(spark):
+    """Bytes framed by avro_encode(registry=...) must decode with just
+    the schema when framing is pinned explicitly — no registry and no
+    magic-byte guessing (impl/avro/decode.go config-driven framing)."""
+    reg = SchemaRegistry()
+    e = _docs_env(spark)
+    sch = (
+        '{"type":"record","name":"docs","fields":'
+        '[{"name":"doc_id","type":["null","long"]},'
+        '{"name":"text","type":["null","string"]}]}'
+    )
+    enc = ops.avro_encode(e, registry=reg, subject="docs")
+    dec = ops.avro_decode(enc, sch, framed=True)
+    out = {r["doc_id"]: r["text"] for r in dec.select(
+        "payload_after.doc_id", "payload_after.text").collect()}
+    assert out == {1: "hello world", 2: "x", 3: ""}
+
+
+def test_avro_decode_framed_false_keeps_leading_zero_byte(spark):
+    """A bare record whose first byte is legitimately 0x00 must not be
+    mis-unframed when framing is pinned off."""
+    sch = '{"type":"record","name":"r","fields":[{"name":"n","type":"long"}]}'
+    rows = [(0,)]  # zigzag(0) encodes as byte 0x00
+    df = spark.createDataFrame(rows, "n: long")
+    e = env.from_table(df, key_cols=["n"], source_id="t", typed=True)
+    enc = ops.avro_encode(e, sch)
+    row = enc.collect()[0]
+    assert bytes(row.payload_after_raw)[:1] == b"\x00"  # looks framed
+    dec = ops.avro_decode(enc, sch, framed=False)
+    assert dec.select("payload_after.n").collect()[0][0] == 0
+
+
 # ---- property-based round-trip (hypothesis) ------------------------------
 
 try:

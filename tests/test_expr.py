@@ -128,10 +128,15 @@ SPRIG_EXTRAS = [
     ("{{ add .Payload.After.id 1 }}", ["124", "8"]),
     ("{{ sub .Payload.After.id 2 }}", ["121", "5"]),
     ("{{ mul .Payload.After.id 2 }}", ["246", "14"]),
-    ("{{ div .Payload.After.id 2 }}", ["61.5", "3.5"]),
+    # sprig div is Go int64 division (truncation toward zero)
+    ("{{ div .Payload.After.id 2 }}", ["61", "3"]),
+    ("{{ divf .Payload.After.id 2 }}", ["61.5", "3.5"]),
     ("{{ mod .Payload.After.id 5 }}", ["3", "2"]),
     ('{{ ternary "big" "small" (gt .Payload.After.id 100) }}', ["big", "small"]),
     ("{{ coalesce .Payload.After.missing .Payload.After.id }}", ["123", "7"]),
+    # sprig coalesce skips EMPTY values (0, "", false), not just null
+    ('{{ coalesce 0 .Payload.After.id }}', ["123", "7"]),
+    ('{{ coalesce "" "fallback" }}', ["fallback", "fallback"]),
 ]
 
 

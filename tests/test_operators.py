@@ -599,6 +599,33 @@ def test_custom_subprocess_standalone_plugin(env_df):
     assert bytes(rows[0].position) == b"src:1"  # immutability enforced
 
 
+def test_custom_subprocess_nan_stays_valid_json(spark):
+    """float NaN must not reach the child as a bare `NaN` token —
+    that's invalid JSON a strict non-Python runtime rejects. The
+    protocol maps non-finite floats to null (allow_nan=False)."""
+    import sys
+
+    from conduit_spark import envelope as env
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 2.5)], "id: long, score: double"
+    )
+    e = env.from_table(df, key_cols=["id"], source_id="t")
+    # a STRICT child: json.loads with parse_constant that raises
+    child = (
+        "import sys, json\n"
+        "def boom(x): raise ValueError('non-standard JSON token: %s' % x)\n"
+        "for line in sys.stdin:\n"
+        "    rec = json.loads(line, parse_constant=boom)\n"
+        "    print(json.dumps(rec)); sys.stdout.flush()\n"
+    )
+    out = ops.custom_subprocess(e, [sys.executable, "-u", "-c", child])
+    rows = {
+        int(__import__("json").loads(r.key_json)["id"]): r for r in out.collect()
+    }
+    assert len(rows) == 2  # strict child parsed every line
+
+
 def test_custom_python_filter_and_transform(env_df):
     def fn(rec):
         if rec["operation"] == "delete":

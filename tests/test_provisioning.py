@@ -71,6 +71,23 @@ pipelines:
         parse_yaml(text)
 
 
+def test_multi_pipeline_file_provisions_atomically(tmp_path):
+    """A file whose second pipeline is invalid (dup id vs an earlier
+    file) must not half-provision: the whole file is skipped and
+    recorded in errors (service.go:74 per-file skip semantics)."""
+    (tmp_path / "a.yml").write_text(
+        'version: "2.2"\npipelines:\n  - id: first\n    connectors: []\n'
+    )
+    (tmp_path / "b.yml").write_text(
+        'version: "2.2"\npipelines:\n'
+        "  - id: fresh\n    connectors: []\n"
+        "  - id: first\n    connectors: []\n"  # dup vs a.yml
+    )
+    res = load_pipeline_dir(str(tmp_path))
+    assert [p.id for p in res.pipelines] == ["first"]  # no 'fresh'
+    assert str(tmp_path / "b.yml") in res.errors
+
+
 def test_duplicate_connector_id_rejected():
     text = """
 version: "2.2"
