@@ -44,28 +44,13 @@ def cmd_list(args: argparse.Namespace) -> int:
     configs = _gather(args.pipelines)
     if getattr(args, "json", False):
         # machine-readable status surface — the minimal analog of the
-        # reference's PipelineService.List (proto/api/v1/api.proto:318+)
+        # reference's PipelineService.List (proto/api/v1/api.proto:318+);
+        # same builder as GET /v1/pipelines, so CLI and HTTP can't drift
         import json
 
-        print(
-            json.dumps(
-                [
-                    {
-                        "id": c.id,
-                        "status": c.status,
-                        "sources": [
-                            {"id": s.id, "plugin": s.plugin} for s in c.sources
-                        ],
-                        "destinations": [
-                            {"id": d.id, "plugin": d.plugin} for d in c.destinations
-                        ],
-                        "processors": [p.plugin for p in c.processors],
-                        "dlq": c.dlq.plugin if c.dlq else None,
-                    }
-                    for c in configs
-                ]
-            )
-        )
+        from conduit_spark.pipeline.views import pipeline_summary
+
+        print(json.dumps([pipeline_summary(c) for c in configs]))
         return 0
     for cfg in configs:
         srcs = ",".join(c.plugin for c in cfg.sources)
@@ -75,33 +60,13 @@ def cmd_list(args: argparse.Namespace) -> int:
     return 0
 
 
-_SECRET_HINTS = ("password", "secret", "token", "apikey", "api_key", "credential")
-
-
-def _redact(settings: dict) -> dict:
-    """Mask secret-looking settings values (the reference redacts
-    credentials in API/describe output)."""
-    return {
-        k: "***" if any(h in k.lower() for h in _SECRET_HINTS) else v
-        for k, v in settings.items()
-    }
-
-
-def _proc_json(p) -> dict:
-    return {
-        "id": p.id,
-        "plugin": p.plugin,
-        "settings": _redact(p.settings),
-        "condition": p.condition,
-        "workers": p.workers,
-    }
-
-
 def cmd_describe(args: argparse.Namespace) -> int:
     """Full-detail JSON for one pipeline (or all) — the
     ``conduit pipelines describe`` / PipelineService.Get analog
     (proto/api/v1/api.proto Pipeline/Connector/Processor messages)."""
     import json
+
+    from conduit_spark.pipeline.views import pipeline_detail
 
     configs = _gather(args.pipelines)
     if args.id:
@@ -109,41 +74,7 @@ def cmd_describe(args: argparse.Namespace) -> int:
         if not configs:
             print(f"pipeline {args.id!r} not found", file=sys.stderr)
             return 1
-    print(
-        json.dumps(
-            [
-                {
-                    "id": c.id,
-                    "status": c.status,
-                    "name": c.name,
-                    "description": c.description,
-                    "connectors": [
-                        {
-                            "id": conn.id,
-                            "type": conn.type,
-                            "plugin": conn.plugin,
-                            "settings": _redact(conn.settings),
-                            "processors": [_proc_json(p) for p in conn.processors],
-                        }
-                        for conn in c.connectors
-                    ],
-                    "processors": [_proc_json(p) for p in c.processors],
-                    "dlq": (
-                        {
-                            "plugin": c.dlq.plugin,
-                            "settings": _redact(c.dlq.settings),
-                            "window_size": c.dlq.window_size,
-                            "window_nack_threshold": c.dlq.window_nack_threshold,
-                        }
-                        if c.dlq
-                        else None
-                    ),
-                }
-                for c in configs
-            ],
-            indent=2,
-        )
-    )
+    print(json.dumps([pipeline_detail(c) for c in configs], indent=2))
     return 0
 
 
@@ -234,6 +165,24 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 1 if failures else 0
 
 
+def cmd_api(args: argparse.Namespace) -> int:
+    """Serve the HTTP control plane (PipelineService REST analog,
+    proto/api/v1/api.proto:318-569) over the provisioned pipelines."""
+    from conduit_spark.http_api import ControlPlane, start_server
+
+    plane = ControlPlane(_gather(args.pipelines))
+    srv = start_server(plane, host=args.host, port=args.port)
+    host, port = srv.server_address[:2]
+    print(f"serving control plane on http://{host}:{port}/v1/pipelines")
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="conduit_spark", description="PySpark-native data pipeline engine"
@@ -272,6 +221,14 @@ def main(argv: list[str] | None = None) -> int:
     p_init.add_argument("--path", help="output file (default <id>.yaml)")
     p_init.add_argument("--force", action="store_true")
     p_init.set_defaults(fn=cmd_init)
+
+    p_api = sub.add_parser(
+        "api", help="serve the HTTP control plane (REST, JSON)"
+    )
+    p_api.add_argument("--pipelines", required=True)
+    p_api.add_argument("--host", default="127.0.0.1")
+    p_api.add_argument("--port", type=int, default=8080)
+    p_api.set_defaults(fn=cmd_api)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,293 @@
+"""HTTP control plane — the minimal analog of the reference's
+grpc-gateway REST surface (proto/api/v1/api.proto:318-569
+PipelineService; pkg/http/api/ serves it over HTTP).
+
+Routes (mirroring the reference's gateway paths):
+
+    GET    /v1/pipelines             list (same JSON as `list --json`)
+    POST   /v1/pipelines             create from a v2 pipeline object
+    GET    /v1/pipelines/{id}        full detail (same as `describe`)
+    PUT    /v1/pipelines/{id}        replace config (not while running)
+    DELETE /v1/pipelines/{id}        remove (not while running)
+    POST   /v1/pipelines/{id}/start  run async (batch by default)
+    POST   /v1/pipelines/{id}/stop   request stop
+
+stdlib ``http.server`` only — no new dependencies; the JSON bodies
+come from the same ``pipeline/views.py`` builders the CLI uses, so
+the two control surfaces cannot drift.
+
+Runtime statuses follow the reference lifecycle names
+(pkg/lifecycle/service.go): provisioned → running → done | failed |
+stopped.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from conduit_spark.pipeline.config import PipelineConfig, parse_pipeline_dict
+from conduit_spark.pipeline.views import pipeline_detail, pipeline_summary
+
+class Conflict(RuntimeError):
+    """409: duplicate id, or an operation that needs a stopped pipeline."""
+
+
+Runner = Callable[[PipelineConfig, threading.Event], str]
+"""Executes one pipeline; returns the final status. The stop event is
+set by POST /stop — a cooperative runner checks it between batches."""
+
+
+def default_batch_runner(cfg: PipelineConfig, stop: threading.Event) -> str:
+    """Run the pipeline once in batch mode on the engine session."""
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+
+    spark = get_spark("conduit-spark-api")
+    try:
+        Pipeline(spark, cfg).run_batch()
+    except PipelineFailure:
+        return "failed"
+    return "stopped" if stop.is_set() else "done"
+
+
+class ControlPlane:
+    """In-memory pipeline registry + lifecycle, one per server."""
+
+    def __init__(
+        self,
+        configs: list[PipelineConfig] | None = None,
+        *,
+        runner: Runner | None = None,
+    ) -> None:
+        self._lock = threading.Lock()
+        self._configs: dict[str, PipelineConfig] = {}
+        self._status: dict[str, str] = {}
+        self._threads: dict[str, threading.Thread] = {}
+        self._stop_events: dict[str, threading.Event] = {}
+        self._runner = runner or default_batch_runner
+        for c in configs or []:
+            self._configs[c.id] = c
+            self._status[c.id] = "provisioned"
+
+    # -- queries ------------------------------------------------------
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            return [
+                pipeline_summary(c, self._status[c.id])
+                for c in self._configs.values()
+            ]
+
+    def get(self, pid: str) -> dict | None:
+        with self._lock:
+            c = self._configs.get(pid)
+            if c is None:
+                return None
+            return pipeline_detail(c, self._status[pid])
+
+    def status(self, pid: str) -> str | None:
+        with self._lock:
+            return self._status.get(pid)
+
+    # -- CRUD ---------------------------------------------------------
+
+    @staticmethod
+    def _parse(doc: dict) -> PipelineConfig:
+        try:
+            return parse_pipeline_dict(doc)
+        except Exception as e:  # normalize: any parse failure is a 400,
+            # never a LookupError that would masquerade as a 404
+            raise ValueError(f"invalid pipeline config: {e}") from e
+
+    def create(self, doc: dict) -> dict:
+        cfg = self._parse(doc)
+        with self._lock:
+            if cfg.id in self._configs:
+                raise Conflict(f"pipeline {cfg.id!r} already exists")
+            self._configs[cfg.id] = cfg
+            self._status[cfg.id] = "provisioned"
+            return pipeline_detail(cfg, "provisioned")
+
+    def update(self, pid: str, doc: dict) -> dict | None:
+        doc = dict(doc, id=pid)
+        cfg = self._parse(doc)
+        with self._lock:
+            if pid not in self._configs:
+                return None
+            if self._status[pid] == "running":
+                raise Conflict("pipeline is running; stop it first")
+            self._configs[pid] = cfg
+            self._status[pid] = "provisioned"
+            return pipeline_detail(cfg, "provisioned")
+
+    def delete(self, pid: str) -> bool:
+        with self._lock:
+            if pid not in self._configs:
+                return False
+            if self._status[pid] == "running":
+                raise Conflict("pipeline is running; stop it first")
+            del self._configs[pid]
+            del self._status[pid]
+            self._stop_events.pop(pid, None)
+            self._threads.pop(pid, None)
+            return True
+
+    # -- lifecycle ----------------------------------------------------
+
+    def start(self, pid: str) -> str:
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            if self._status[pid] == "running":
+                raise Conflict("already running")
+            cfg = self._configs[pid]
+            stop = threading.Event()
+            self._stop_events[pid] = stop
+            self._status[pid] = "running"
+
+            def work() -> None:
+                try:
+                    final = self._runner(cfg, stop)
+                except Exception:  # noqa: BLE001 — runner crash = failed
+                    final = "failed"
+                with self._lock:
+                    if self._status.get(pid) == "running":
+                        self._status[pid] = final
+
+            t = threading.Thread(target=work, daemon=True, name=f"pipeline-{pid}")
+            self._threads[pid] = t
+            t.start()
+            return "running"
+
+    def stop(self, pid: str) -> str:
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            ev = self._stop_events.get(pid)
+            if ev is not None:
+                ev.set()
+            running = self._status[pid] == "running"
+        if running:
+            t = self._threads.get(pid)
+            if t is not None:
+                t.join(timeout=30)
+        with self._lock:
+            if self._status[pid] == "running":  # runner ignored the stop
+                self._status[pid] = "stopped"
+            return self._status[pid]
+
+    def wait(self, pid: str, timeout: float = 60) -> str | None:
+        """Test/ops helper: block until the pipeline leaves 'running'."""
+        t = self._threads.get(pid)
+        if t is not None:
+            t.join(timeout=timeout)
+        return self.status(pid)
+
+
+_ROUTES = [
+    ("GET", re.compile(r"^/v1/pipelines$"), "list"),
+    ("POST", re.compile(r"^/v1/pipelines$"), "create"),
+    ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
+    ("PUT", re.compile(r"^/v1/pipelines/([^/]+)$"), "update"),
+    ("DELETE", re.compile(r"^/v1/pipelines/([^/]+)$"), "delete"),
+    ("POST", re.compile(r"^/v1/pipelines/([^/]+)/start$"), "start"),
+    ("POST", re.compile(r"^/v1/pipelines/([^/]+)/stop$"), "stop"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "conduit-spark-api/1"
+
+    @property
+    def plane(self) -> ControlPlane:
+        return self.server.plane  # type: ignore[attr-defined]
+
+    def log_message(self, *a) -> None:  # quiet; tests capture responses
+        pass
+
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _dispatch(self, method: str) -> None:
+        for m, rx, op in _ROUTES:
+            if m != method:
+                continue
+            match = rx.match(self.path)
+            if not match:
+                continue
+            try:
+                self._handle(op, *match.groups())
+            except Conflict as e:
+                self._send(409, {"error": str(e)})
+            except LookupError as e:
+                self._send(404, {"error": f"pipeline {e.args[0]!r} not found"})
+            except Exception as e:  # noqa: BLE001 — config parse errors etc.
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._send(404, {"error": f"no route {method} {self.path}"})
+
+    def _handle(self, op: str, *groups: str) -> None:
+        plane = self.plane
+        if op == "list":
+            self._send(200, plane.list())
+        elif op == "create":
+            self._send(201, plane.create(self._body()))
+        elif op == "get":
+            doc = plane.get(groups[0])
+            if doc is None:
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+            else:
+                self._send(200, doc)
+        elif op == "update":
+            doc = plane.update(groups[0], self._body())
+            if doc is None:
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+            else:
+                self._send(200, doc)
+        elif op == "delete":
+            if plane.delete(groups[0]):
+                self._send(200, {"deleted": groups[0]})
+            else:
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+        elif op == "start":
+            self._send(200, {"id": groups[0], "status": plane.start(groups[0])})
+        elif op == "stop":
+            self._send(200, {"id": groups[0], "status": plane.stop(groups[0])})
+
+    def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+        self._dispatch("GET")
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._dispatch("POST")
+
+    def do_PUT(self) -> None:  # noqa: N802
+        self._dispatch("PUT")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        self._dispatch("DELETE")
+
+
+def start_server(
+    plane: ControlPlane, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Serve the control plane in a daemon thread; returns the server
+    (``server.server_address[1]`` is the bound port; call
+    ``shutdown()`` to stop)."""
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.plane = plane  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True, name="conduit-api")
+    t.start()
+    return srv

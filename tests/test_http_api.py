@@ -1,0 +1,233 @@
+"""HTTP control-plane tests (PipelineService REST analog).
+
+Spin the stdlib server on an ephemeral port, drive the full CRUD +
+lifecycle round-trip with urllib, and pin payload parity with the CLI
+surfaces (`list --json` / `describe`) — both are built from
+pipeline/views.py, and these tests keep that true.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from conduit_spark import cli
+from conduit_spark.http_api import ControlPlane, start_server
+from conduit_spark.pipeline.config import parse_yaml
+
+PIPELINE_YAML = """
+version: "2.2"
+pipelines:
+  - id: demo
+    status: running
+    description: test pipeline
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 10, format.options: {id: int}}
+      - id: dst
+        type: destination
+        plugin: builtin:file
+        settings: {path: /tmp/api-out, format: json, password: hunter2}
+    processors:
+      - id: keep
+        plugin: filter
+        condition: '{{ eq .Payload.After.id 1 }}'
+"""
+
+NEW_PIPELINE = {
+    "id": "created",
+    "status": "running",
+    "connectors": [
+        {
+            "id": "g",
+            "type": "source",
+            "plugin": "builtin:generator",
+            "settings": {"recordCount": 5, "format.options": {"id": "int"}},
+        },
+        {
+            "id": "out",
+            "type": "destination",
+            "plugin": "builtin:log",
+            "settings": {},
+        },
+    ],
+    "processors": [],
+}
+
+
+def _configs():
+    return parse_yaml(PIPELINE_YAML)
+
+
+def _req(port, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method
+    )
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+@pytest.fixture()
+def plane_and_port():
+    """A server whose runner blocks until stopped — lifecycle is
+    observable without a SparkSession."""
+    started = threading.Event()
+
+    def runner(cfg, stop):
+        started.set()
+        stop.wait(timeout=30)
+        return "stopped"
+
+    plane = ControlPlane(_configs(), runner=runner)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    yield plane, port, started
+    srv.shutdown()
+
+
+def test_list_parity_with_cli(plane_and_port, tmp_path, capsys):
+    _, port, _ = plane_and_port
+    status, rows = _req(port, "GET", "/v1/pipelines")
+    assert status == 200
+
+    f = tmp_path / "p.yaml"
+    f.write_text(PIPELINE_YAML)
+    assert cli.main(["list", "--pipelines", str(f), "--json"]) == 0
+    cli_rows = json.loads(capsys.readouterr().out)
+    # identical payloads except runtime status (API tracks lifecycle)
+    for r in rows:
+        r["status"] = "running"
+    assert rows == cli_rows
+
+
+def test_describe_parity_and_redaction(plane_and_port, tmp_path, capsys):
+    _, port, _ = plane_and_port
+    status, doc = _req(port, "GET", "/v1/pipelines/demo")
+    assert status == 200
+
+    f = tmp_path / "p.yaml"
+    f.write_text(PIPELINE_YAML)
+    assert cli.main(["describe", "--pipelines", str(f), "--id", "demo"]) == 0
+    cli_doc = json.loads(capsys.readouterr().out)[0]
+    doc["status"] = "running"
+    assert doc == cli_doc
+    # secrets must be masked on the wire
+    dst = next(c for c in doc["connectors"] if c["id"] == "dst")
+    assert dst["settings"]["password"] == "***"
+    assert "hunter2" not in json.dumps(doc)
+
+
+def test_crud_round_trip(plane_and_port):
+    _, port, _ = plane_and_port
+    # create
+    status, doc = _req(port, "POST", "/v1/pipelines", NEW_PIPELINE)
+    assert status == 201 and doc["id"] == "created"
+    # duplicate create → 409
+    status, err = _req(port, "POST", "/v1/pipelines", NEW_PIPELINE)
+    assert status == 409 and "already exists" in err["error"]
+    # read it back
+    status, doc = _req(port, "GET", "/v1/pipelines/created")
+    assert status == 200 and doc["status"] == "provisioned"
+    # update
+    upd = dict(NEW_PIPELINE, description="updated!")
+    status, doc = _req(port, "PUT", "/v1/pipelines/created", upd)
+    assert status == 200 and doc["description"] == "updated!"
+    # delete
+    status, doc = _req(port, "DELETE", "/v1/pipelines/created")
+    assert status == 200
+    status, err = _req(port, "GET", "/v1/pipelines/created")
+    assert status == 404
+    # malformed create → 400
+    status, err = _req(port, "POST", "/v1/pipelines", {"nope": 1})
+    assert status == 400
+
+
+def test_start_stop_lifecycle(plane_and_port):
+    plane, port, started = plane_and_port
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/start")
+    assert status == 200 and doc["status"] == "running"
+    assert started.wait(timeout=10)
+    # double-start → 409
+    status, err = _req(port, "POST", "/v1/pipelines/demo/start")
+    assert status == 409
+    # delete while running → 409
+    status, err = _req(port, "DELETE", "/v1/pipelines/demo")
+    assert status == 409
+    # stop joins the runner and reports its final status
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/stop")
+    assert status == 200 and doc["status"] == "stopped"
+    assert plane.status("demo") == "stopped"
+    # restart works after stop
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/start")
+    assert status == 200 and doc["status"] == "running"
+    _req(port, "POST", "/v1/pipelines/demo/stop")
+
+
+def test_unknown_routes_and_ids(plane_and_port):
+    _, port, _ = plane_and_port
+    assert _req(port, "GET", "/v1/nope")[0] == 404
+    assert _req(port, "GET", "/v1/pipelines/ghost")[0] == 404
+    assert _req(port, "POST", "/v1/pipelines/ghost/start")[0] == 404
+    assert _req(port, "POST", "/v1/pipelines/ghost/stop")[0] == 404
+
+
+def test_default_runner_executes_real_pipeline(spark, tmp_path):
+    """start → the default batch runner runs the generator→file
+    pipeline for real; status lands on done and the file exists."""
+    out_dir = tmp_path / "out"
+    doc = {
+        "id": "real",
+        "status": "running",
+        "connectors": [
+            {
+                "id": "g",
+                "type": "source",
+                "plugin": "builtin:generator",
+                "settings": {
+                    "recordCount": 7,
+                    "format.options": {"id": "int"},
+                },
+            },
+            {
+                "id": "f",
+                "type": "destination",
+                "plugin": "builtin:file",
+                "settings": {
+                    "path": str(out_dir),
+                    "format": "json",
+                },
+            },
+        ],
+        "processors": [],
+    }
+    plane = ControlPlane()
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        assert _req(port, "POST", "/v1/pipelines", doc)[0] == 201
+        assert _req(port, "POST", "/v1/pipelines/real/start")[0] == 200
+        final = plane.wait("real", timeout=120)
+        assert final == "done"
+        files = list(out_dir.rglob("*.json"))
+        assert files, "destination wrote no json files"
+        n = sum(
+            1
+            for f in files
+            for line in f.read_text().splitlines()
+            if line.strip()
+        )
+        assert n == 7
+    finally:
+        srv.shutdown()
