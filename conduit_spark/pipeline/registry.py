@@ -326,6 +326,23 @@ def build_source(
             source_id=source_id,
             operation="snapshot",
         )
+    if plugin == "custom.standalone":
+        # any-language source plugin as a subprocess (the standalone
+        # connector dispenser analog, dispenser.go:25)
+        if streaming:
+            raise ValueError(
+                "custom.standalone sources are batch/snapshot only; wrap "
+                "the plugin in a file/kafka stream for continuous feeds"
+            )
+        from conduit_spark.sources.standalone import standalone_source
+
+        child_settings = {k: v for k, v in settings.items() if k != "command"}
+        return standalone_source(
+            spark,
+            settings["command"],
+            settings=child_settings,
+            source_id=source_id,
+        )
     if plugin == "builtin:kafka":
         reader = spark.readStream if streaming else spark.read
         df = (
@@ -399,5 +416,16 @@ def write_destination(
         return
     if plugin == "builtin:kafka":
         sinks.kafka_sink(df, settings["servers"], settings["topic"])
+        return
+    if plugin == "custom.standalone":
+        from conduit_spark.sources.standalone import standalone_sink
+
+        child_settings = {k: v for k, v in settings.items() if k != "command"}
+        standalone_sink(
+            df,
+            settings["command"],
+            settings=child_settings,
+            connector_id=settings.get("connectorId", "standalone"),
+        )
         return
     raise ValueError(f"unknown destination plugin {plugin!r}")

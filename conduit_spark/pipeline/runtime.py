@@ -188,9 +188,12 @@ class Pipeline:
                     )
                     settings["mode"] = "overwrite"  # replays overwrite, not dup
                 final = routed_ok.drop(ERROR_COL)
-                if dest.plugin == "builtin:log":
-                    # show(n) short-circuits the scan — observation
-                    # would undercount; count from the persisted base
+                if dest.plugin in ("builtin:log", "custom.standalone"):
+                    # show(n) short-circuits the scan, and the
+                    # standalone sink delivers via foreachPartition (an
+                    # RDD action that never fires the Dataset
+                    # observation listener → obs.get would hang);
+                    # count from the persisted base instead
                     write_destination(final, dest.plugin, settings)
                     res.delivered[dest.id] = final.count()
                 else:
