@@ -48,9 +48,17 @@ def cmd_list(args: argparse.Namespace) -> int:
         # same builder as GET /v1/pipelines, so CLI and HTTP can't drift
         import json
 
+        from conduit_spark.pipeline.metrics import GLOBAL_METRICS
         from conduit_spark.pipeline.views import pipeline_summary
 
-        print(json.dumps([pipeline_summary(c) for c in configs]))
+        rows = []
+        for c in configs:
+            row = pipeline_summary(c)
+            m = GLOBAL_METRICS.snapshot(c.id)
+            if m:  # only populated when pipelines ran in this process
+                row["metrics"] = m
+            rows.append(row)
+        print(json.dumps(rows))
         return 0
     for cfg in configs:
         srcs = ",".join(c.plugin for c in cfg.sources)
@@ -165,6 +173,34 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 1 if failures else 0
 
 
+def cmd_metrics(args: argparse.Namespace) -> int:
+    """Run the provisioned pipelines once (batch) and print the
+    per-pipeline counters — delivered per destination, nacks, DLQ
+    routes, batch durations (pkg/foundation/metrics analog; there the
+    counters are scraped from a live server, here the CLI is one-shot
+    so the run and the scrape are one command)."""
+    import json
+
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.metrics import GLOBAL_METRICS
+    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+
+    spark = get_spark("conduit-spark-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    configs = [c for c in _gather(args.pipelines) if c.status == "running"]
+    if not configs:
+        print("no pipelines with status=running found", file=sys.stderr)
+        return 1
+    failures = 0
+    for cfg in configs:
+        try:
+            Pipeline(spark, cfg).run_batch()
+        except PipelineFailure:
+            failures += 1
+    print(json.dumps(GLOBAL_METRICS.snapshot(), indent=2))
+    return 1 if failures else 0
+
+
 def cmd_api(args: argparse.Namespace) -> int:
     """Serve the HTTP control plane (PipelineService REST analog,
     proto/api/v1/api.proto:318-569) over the provisioned pipelines."""
@@ -221,6 +257,12 @@ def main(argv: list[str] | None = None) -> int:
     p_init.add_argument("--path", help="output file (default <id>.yaml)")
     p_init.add_argument("--force", action="store_true")
     p_init.set_defaults(fn=cmd_init)
+
+    p_met = sub.add_parser(
+        "metrics", help="run pipelines once and print delivery counters"
+    )
+    p_met.add_argument("--pipelines", required=True)
+    p_met.set_defaults(fn=cmd_metrics)
 
     p_api = sub.add_parser(
         "api", help="serve the HTTP control plane (REST, JSON)"

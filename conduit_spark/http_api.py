@@ -189,6 +189,7 @@ class ControlPlane:
 
 
 _ROUTES = [
+    ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
@@ -241,7 +242,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle(self, op: str, *groups: str) -> None:
         plane = self.plane
-        if op == "list":
+        if op == "metrics":
+            from conduit_spark.pipeline.metrics import GLOBAL_METRICS
+
+            self._send(200, GLOBAL_METRICS.snapshot())
+        elif op == "list":
             self._send(200, plane.list())
         elif op == "create":
             self._send(201, plane.create(self._body()))

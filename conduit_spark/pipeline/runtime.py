@@ -60,6 +60,7 @@ class PipelineFailure(RuntimeError):
 class BatchResult:
     delivered: dict[str, int] = field(default_factory=dict)
     nacked: int = 0
+    dlq_routed: int = 0
     status: str = STATUS_RUNNING
 
 
@@ -70,17 +71,20 @@ class Pipeline:
         config: PipelineConfig,
         *,
         transports: dict[str, Any] | None = None,
+        metrics: Any | None = None,
     ):
         if not config.sources:
             raise ValueError(f"pipeline {config.id}: needs at least one source")
         if not config.destinations:
             raise ValueError(f"pipeline {config.id}: needs at least one destination")
+        from conduit_spark.pipeline.metrics import GLOBAL_METRICS
         from conduit_spark.session import ensure_session_confs
 
         self.spark = ensure_session_confs(spark)
         self.config = config
         self.transports = transports or {}
         self.status = config.status
+        self.metrics = metrics if metrics is not None else GLOBAL_METRICS
 
     # ---- plan building ---------------------------------------------------
 
@@ -125,6 +129,10 @@ class Pipeline:
         """Fan-out one (micro-)batch: DLQ split, threshold check,
         M destination writes (persist → atomic per batch).
 
+        Every batch — delivered or failed — reports into the metrics
+        registry (MetricsNode analog; the counts ride the delivery
+        observations, no extra pass).
+
         ``batch_id`` (streaming) makes file-destination writes
         idempotent: each micro-batch lands in its own
         ``batch_id=N`` subdirectory and a replayed batch (foreachBatch
@@ -133,6 +141,8 @@ class Pipeline:
         file/s3 sinks, the analog of the reference's ordered-ack
         invariants (source.go:517-576) on micro-batch granularity."""
         res = BatchResult()
+        t0 = time.monotonic()
+        completed = False
         df = df.persist()
         try:
             dlq = self.config.dlq
@@ -148,6 +158,7 @@ class Pipeline:
                     return 0
                 res.nacked += n
                 if dlq is not None:
+                    res.dlq_routed += n
                     dlq_df = errored.withColumn(
                         "metadata",
                         F.map_concat(
@@ -205,9 +216,18 @@ class Pipeline:
                     to_write = final.observe(obs, F.count(F.lit(1)).alias("n"))
                     write_destination(to_write, dest.plugin, settings)
                     res.delivered[dest.id] = int(obs.get["n"])
+            completed = True
             return res
         finally:
             df.unpersist()
+            self.metrics.record_batch(
+                self.config.id,
+                delivered=res.delivered,
+                nacked=res.nacked,
+                dlq_routed=res.dlq_routed,
+                duration_ms=(time.monotonic() - t0) * 1000,
+                failed=not completed,
+            )
 
     def run_batch(self) -> BatchResult:
         return self._deliver(self.build_batch())
@@ -224,6 +244,9 @@ class Pipeline:
         """Start the streaming query; positions/acks live entirely in
         the Structured Streaming checkpoint (offset log + commit log
         per micro-batch — SURVEY.md §3 'Spark replaces ack plumbing')."""
+        from conduit_spark.pipeline.metrics import attach_stream_listener
+
+        attach_stream_listener(self.spark, self.metrics)
         stream_df = self.build_streaming()
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -231,6 +254,7 @@ class Pipeline:
 
         writer = (
             stream_df.writeStream.foreachBatch(process_batch)
+            .queryName(f"conduit-{self.config.id}")
             .option("checkpointLocation", checkpoint_dir)
         )
         if trigger_once:

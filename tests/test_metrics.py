@@ -1,0 +1,172 @@
+"""Metrics-surface tests (pkg/foundation/metrics / MetricsNode analog).
+
+The counters must agree exactly with the BatchResult the runtime
+returns — they ride the same delivery observations — including the
+DLQ-routed path, and streaming progress must land via the
+StreamingQueryListener keyed by query name.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conduit_spark.pipeline.config import parse_yaml
+from conduit_spark.pipeline.metrics import GLOBAL_METRICS, MetricsRegistry
+from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+
+
+def _dlq_yaml(tmp_path, threshold=5):
+    return f"""
+version: "2.2"
+pipelines:
+  - id: metered
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 20, format.options: {{id: int}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json, mode: overwrite}}
+    processors:
+      - id: fail-one
+        plugin: error
+        settings: {{message: "bad"}}
+        condition: "{{{{ eq .Payload.After.id 3 }}}}"
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {{path: "{tmp_path / 'dlq'}", format: json, mode: overwrite}}
+      window-size: 20
+      window-nack-threshold: {threshold}
+"""
+
+
+def test_batch_metrics_match_batch_result(spark, tmp_path):
+    reg = MetricsRegistry()
+    cfg = parse_yaml(_dlq_yaml(tmp_path))[0]
+    p = Pipeline(spark, cfg, metrics=reg)
+    res = p.run_batch()
+    m = reg.snapshot("metered")
+    assert m["batches"] == 1 and m["failures"] == 0
+    assert m["delivered"] == res.delivered == {"d": 19}
+    assert m["nacked"] == res.nacked == 1
+    assert m["dlq_routed"] == res.dlq_routed == 1
+    assert m["last_batch_duration_ms"] > 0
+    assert m["total_duration_ms"] >= m["last_batch_duration_ms"]
+
+    # second run accumulates
+    p.run_batch()
+    m = reg.snapshot("metered")
+    assert m["batches"] == 2 and m["delivered"] == {"d": 38}
+
+
+def test_failed_batch_counts_as_failure(spark, tmp_path):
+    reg = MetricsRegistry()
+    cfg = parse_yaml(_dlq_yaml(tmp_path, threshold=0))[0]
+    p = Pipeline(spark, cfg, metrics=reg)
+    with pytest.raises(PipelineFailure):
+        p.run_batch()
+    m = reg.snapshot("metered")
+    assert m["batches"] == 1 and m["failures"] == 1
+    assert m["nacked"] == 1 and m["dlq_routed"] == 1
+
+
+def test_streaming_progress_lands_in_registry(spark, tmp_path):
+    """availableNow streaming run: the listener must record micro-batch
+    progress for the query named conduit-<id>. Uses GLOBAL_METRICS —
+    the listener attaches once per session, keyed to it."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.jsonl").write_text(
+        "\n".join(json.dumps({"id": i, "v": f"x{i}"}) for i in range(9)) + "\n"
+    )
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: stream-metered
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: json, schema: "id long, v string"}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json}}
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    p = Pipeline(spark, cfg)  # GLOBAL registry → listener wired to it
+    query = p.run_streaming(str(tmp_path / "ckpt"), trigger_once=True)
+    query.awaitTermination()
+    # listener events are delivered asynchronously
+    import time
+
+    deadline = time.time() + 15
+    m = {}
+    while time.time() < deadline:
+        m = GLOBAL_METRICS.snapshot("stream-metered")
+        if m.get("stream_input_rows", 0) >= 9:
+            break
+        time.sleep(0.25)
+    assert m.get("stream_batches", 0) >= 1
+    assert m.get("stream_input_rows") == 9
+    # foreachBatch delivery also recorded as batch metrics
+    assert m["delivered"] == {"d": 9}
+
+
+def test_metrics_cli_verb(tmp_path, capsys):
+    from conduit_spark import cli
+
+    GLOBAL_METRICS.reset()
+    f = tmp_path / "p.yaml"
+    f.write_text(
+        f"""
+version: "2.2"
+pipelines:
+  - id: cli-metered
+    status: running
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 5, format.options: {{id: int}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json}}
+"""
+    )
+    assert cli.main(["metrics", "--pipelines", str(f)]) == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["cli-metered"]["delivered"] == {"d": 5}
+    assert snap["cli-metered"]["batches"] == 1
+
+    # list --json now carries the metrics field for this process
+    assert cli.main(["list", "--pipelines", str(f), "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["metrics"]["delivered"] == {"d": 5}
+
+
+def test_http_metrics_endpoint(tmp_path):
+    import urllib.request
+
+    from conduit_spark.http_api import ControlPlane, start_server
+
+    GLOBAL_METRICS.reset()
+    GLOBAL_METRICS.record_batch(
+        "api-metered", delivered={"d": 3}, nacked=1, dlq_routed=1, duration_ms=2.0
+    )
+    srv = start_server(ControlPlane())
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/metrics", timeout=5
+        ) as resp:
+            snap = json.loads(resp.read().decode())
+        assert snap["api-metered"]["delivered"] == {"d": 3}
+        assert snap["api-metered"]["dlq_routed"] == 1
+    finally:
+        srv.shutdown()
