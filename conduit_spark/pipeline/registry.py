@@ -289,6 +289,8 @@ def build_source(
             collections=colls,
         )
     if plugin in ("builtin:file", "builtin:s3"):
+        if plugin == "builtin:s3":
+            apply_s3_conf(spark, settings)
         return file_source(
             spark,
             settings["path"],
@@ -345,34 +347,83 @@ def build_source(
         )
     if plugin == "builtin:kafka":
         reader = spark.readStream if streaming else spark.read
-        df = (
-            reader.format("kafka")
-            .option("kafka.bootstrap.servers", settings["servers"])
-            .option("subscribe", settings["topic"])
-            .load()
-        )
-        import pyspark.sql.functions as F
-
-        return df.select(
-            F.concat(
-                F.col("topic"), F.lit(":"),
-                F.col("partition").cast("string"), F.lit(":"),
-                F.col("offset").cast("string"),
-            ).cast("binary").alias("position"),
-            F.lit("create").alias("operation"),
-            F.create_map(
-                F.lit("conduit.source.connector.id"), F.lit(source_id),
-                F.lit("kafka.topic"), F.col("topic"),
-                F.lit("kafka.offset"), F.col("offset").cast("string"),
-            ).alias("metadata"),
-            F.col("key").alias("key_raw"),
-            F.lit(None).cast("string").alias("key_json"),
-            F.lit(None).cast("string").alias("payload_before_json"),
-            F.lit(None).cast("string").alias("payload_after_json"),
-            F.col("value").alias("payload_after_raw"),
-            F.lit(False).alias("is_structured"),
-        )
+        df = reader.format("kafka").options(**kafka_reader_options(settings)).load()
+        return envelope_from_kafka(df, source_id)
     raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def kafka_reader_options(settings: dict[str, Any]) -> dict[str, str]:
+    """Settings → spark-sql-kafka reader options (conduit-connector-
+    kafka's servers/topics model). ``kafkaOptions`` passes through
+    arbitrary ``kafka.*`` client / source options verbatim, so
+    security configs (SASL/TLS) declare exactly like the reference's
+    connector settings."""
+    opts = {
+        "kafka.bootstrap.servers": str(settings["servers"]),
+        "subscribe": str(settings["topic"]),
+    }
+    if "startingOffsets" in settings:
+        opts["startingOffsets"] = str(settings["startingOffsets"])
+    if "failOnDataLoss" in settings:
+        opts["failOnDataLoss"] = str(settings["failOnDataLoss"]).lower()
+    for k, v in (settings.get("kafkaOptions") or {}).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
+def envelope_from_kafka(df: DataFrame, source_id: str) -> DataFrame:
+    """Project the kafka source schema (key, value, topic, partition,
+    offset) into OpenCDC envelopes; position is topic:partition:offset
+    — the reference's kafka position encoding."""
+    import pyspark.sql.functions as F
+
+    return df.select(
+        F.concat(
+            F.col("topic"), F.lit(":"),
+            F.col("partition").cast("string"), F.lit(":"),
+            F.col("offset").cast("string"),
+        ).cast("binary").alias("position"),
+        F.lit("create").alias("operation"),
+        F.create_map(
+            F.lit("conduit.source.connector.id"), F.lit(source_id),
+            F.lit("kafka.topic"), F.col("topic"),
+            F.lit("kafka.offset"), F.col("offset").cast("string"),
+        ).alias("metadata"),
+        F.col("key").alias("key_raw"),
+        F.lit(None).cast("string").alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.lit(None).cast("string").alias("payload_after_json"),
+        F.col("value").alias("payload_after_raw"),
+        F.lit(False).alias("is_structured"),
+    )
+
+
+# conduit-connector-s3-style setting names → fs.s3a.* Hadoop conf
+_S3_CONF_MAP = {
+    "aws.accessKeyId": "fs.s3a.access.key",
+    "aws.secretAccessKey": "fs.s3a.secret.key",
+    "aws.sessionToken": "fs.s3a.session.token",
+    "aws.region": "fs.s3a.endpoint.region",
+    "aws.url": "fs.s3a.endpoint",  # custom endpoint (minio etc.)
+    "aws.pathStyle": "fs.s3a.path.style.access",
+}
+
+
+def apply_s3_conf(spark: SparkSession, settings: dict[str, Any]) -> dict[str, str]:
+    """Map the reference's S3 connector credentials/endpoint settings
+    onto the Hadoop s3a filesystem conf of this session; returns what
+    was applied. Called for every builtin:s3 connector so a YAML
+    pipeline ports 1:1 from the reference."""
+    applied: dict[str, str] = {}
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for setting, hadoop_key in _S3_CONF_MAP.items():
+        if setting in settings:
+            val = str(settings[setting])
+            if setting == "aws.pathStyle":
+                val = val.lower()
+            conf.set(hadoop_key, val)
+            applied[hadoop_key] = val
+    return applied
 
 
 def write_destination(
@@ -382,6 +433,8 @@ def write_destination(
     from conduit_spark import sinks
 
     if plugin in ("builtin:file", "builtin:s3"):
+        if plugin == "builtin:s3":
+            apply_s3_conf(df.sparkSession, settings)
         sinks.file_sink(
             df,
             settings["path"],
@@ -415,7 +468,12 @@ def write_destination(
         )
         return
     if plugin == "builtin:kafka":
-        sinks.kafka_sink(df, settings["servers"], settings["topic"])
+        sinks.kafka_sink(
+            df,
+            settings["servers"],
+            settings["topic"],
+            extra_options=settings.get("kafkaOptions"),
+        )
         return
     if plugin == "custom.standalone":
         from conduit_spark.sources.standalone import standalone_sink

@@ -198,21 +198,39 @@ def jdbc_cdc_sink(
     )
 
 
-def kafka_sink(
-    df: DataFrame,
-    bootstrap_servers: str,
-    topic: str,
-) -> None:
-    """builtin:kafka destination — envelope → key/value Kafka records."""
-    out = df.select(
+def kafka_records(df: DataFrame) -> DataFrame:
+    """Envelope → the (key, value) binary projection Kafka writes:
+    structured records send their JSON, raw records their bytes."""
+    return df.select(
         F.coalesce(F.col("key_json"), F.col("key_raw").cast("string")).cast("binary").alias("key"),
         F.coalesce(
             F.col("payload_after_json"), F.col("payload_after_raw").cast("string")
         ).cast("binary").alias("value"),
     )
+
+
+def kafka_writer_options(
+    bootstrap_servers: str, topic: str, extra_options: dict | None = None
+) -> dict[str, str]:
+    """Writer options; ``extra_options`` passes arbitrary ``kafka.*``
+    producer configs (SASL/TLS) straight through."""
+    opts = {"kafka.bootstrap.servers": str(bootstrap_servers), "topic": str(topic)}
+    for k, v in (extra_options or {}).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    extra_options: dict | None = None,
+) -> None:
+    """builtin:kafka destination — envelope → key/value Kafka records."""
     (
-        out.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
+        kafka_records(df)
+        .write.format("kafka")
+        .options(**kafka_writer_options(bootstrap_servers, topic, extra_options))
         .save()
     )
