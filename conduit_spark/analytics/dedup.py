@@ -45,6 +45,7 @@ LSH_BANDS = 4  # 4 bands × 3 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 NGRAM_DF_CAP = 100  # max docs a shingle may appear in (join-blowup guard)
+MINHASH_BUCKET_CAP = 200  # max docs per (band, bucket) — blowup guard
 _PARAMS = minhash_params(MINHASH_K)
 
 
@@ -122,7 +123,10 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join graph: bucket self-join (equi on band+bucket, a<b) → distinct
     candidate pairs → shingle-join verify. At 100 TB the bucket join
     is the scalable candidate generator (no cross product), and the
-    verify join touches only candidates.
+    verify join touches only candidates. Buckets larger than
+    ``MINHASH_BUCKET_CAP`` are dropped before pairing — a degenerate
+    band value shared by k docs would otherwise emit k² candidates in
+    one task (the same guard as the simhash/sign-LSH paths).
     """
     docs = load_table(spark, sf_dir, "documents")
     # shingling (split + md5 + distinct) feeds both signature building
@@ -133,7 +137,18 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, (a, b) in enumerate(_PARAMS)
     ]
     sigs = sh_cached.groupBy("doc_id").agg(*aggs)
-    bb = _band_buckets(sigs)
+    # checkpoint the small (doc_id, band, bucket) relation so the
+    # hot-bucket agg and both sides of the candidate self-join read the
+    # materialization instead of re-running the signature pipeline
+    # (self-referencing plans recompute, they don't reuse)
+    bb = _band_buckets(sigs).localCheckpoint()
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MINHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = bb.alias("a")
     b = bb.alias("b")
     cand = (
@@ -477,9 +492,14 @@ _LSH_CTES = f"""
                 + " AS bucket FROM sigs"
                 for b in range(LSH_BANDS)
             )}),
+        kept AS (
+            SELECT * FROM buckets
+            WHERE (band, bucket) NOT IN (
+                SELECT (band, bucket) FROM buckets
+                GROUP BY band, bucket HAVING count(*) > {MINHASH_BUCKET_CAP})),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM buckets a JOIN buckets b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id),
         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
