@@ -118,8 +118,9 @@ def build_processor(
     if plugin == "avro.encode":
         # explicit `schema`, or registry strategies per
         # impl/avro/config.go:22-57 (registry object injected via
-        # transports["schema_registry"])
-        reg = t.get("schema_registry")
+        # transports["schema_registry"], or an EXTERNAL Confluent
+        # registry via `registry.url` — config.go:45-46 external type)
+        reg = t.get("schema_registry") or _rest_registry(settings)
         if "schema" in settings:
             return lambda df: ops.avro_encode(df, settings["schema"], condition=c)
         strategy = settings.get("schema.strategy", "autoRegister")
@@ -140,7 +141,7 @@ def build_processor(
             condition=c,
         )
     if plugin == "avro.decode":
-        reg = t.get("schema_registry")
+        reg = t.get("schema_registry") or _rest_registry(settings)
         if "schema" not in settings and reg is None:
             raise ValueError(
                 "avro.decode needs `schema` or a schema_registry transport"
@@ -258,6 +259,17 @@ def build_processor(
             params=_gen_params(settings, ()),
         )
     raise ValueError(f"unknown processor plugin {plugin!r}")
+
+
+def _rest_registry(settings: dict[str, Any]):
+    """An external Confluent registry client when `registry.url` is
+    declared (pkg/conduit/config.go external schema-registry type)."""
+    url = settings.get("registry.url")
+    if not url:
+        return None
+    from conduit_spark.schema_registry import RestSchemaRegistry
+
+    return RestSchemaRegistry(str(url))
 
 
 def build_source(

@@ -268,3 +268,194 @@ class SchemaRegistry:
                 raise ValueError("autoRegister needs subject and a payload schema")
             return self.register(subject, struct_to_avro_schema(payload_schema, subject))
         raise ValueError(f"unknown schema strategy {strategy!r}")
+
+
+class RestSchemaRegistry:
+    """Client for an EXTERNAL Confluent-compatible schema registry
+    (pkg/conduit/config.go:45-46,251-262 — the ``external`` registry
+    type with a connection string). Speaks the Confluent REST wire
+    protocol over stdlib urllib and implements the same interface as
+    the embedded :class:`SchemaRegistry`, so ``avro.encode/decode``
+    accept either without caring which.
+
+    Endpoints used: ``POST /subjects/{s}/versions``,
+    ``GET /subjects/{s}/versions/{v|latest}``,
+    ``GET /schemas/ids/{id}``, ``GET /subjects``.
+    """
+
+    def __init__(self, base_url: str, *, timeout: float = 10.0):
+        self._base = base_url.rstrip("/")
+        self._timeout = timeout
+
+    # ---- transport ------------------------------------------------------
+
+    def _request(self, method: str, path: str, body: dict | None = None):
+        import urllib.error
+        import urllib.request
+
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            self._base + path, data=data, method=method
+        )
+        req.add_header("Accept", "application/vnd.schemaregistry.v1+json")
+        if data is not None:
+            req.add_header(
+                "Content-Type", "application/vnd.schemaregistry.v1+json"
+            )
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise SchemaNotFound(path) from e
+            raise
+
+    # ---- SchemaRegistry interface ---------------------------------------
+
+    def register(self, subject: str, schema_json: str) -> RegisteredSchema:
+        out = self._request(
+            "POST", f"/subjects/{subject}/versions", {"schema": schema_json}
+        )
+        # Confluent returns only the global id on POST; fetch the
+        # version via a lookup of the same content
+        look = self._request(
+            "POST", f"/subjects/{subject}", {"schema": schema_json}
+        )
+        return RegisteredSchema(
+            subject=subject,
+            version=int(look["version"]),
+            schema_id=int(out["id"]),
+            schema_json=schema_json,
+        )
+
+    def _version(self, subject: str, version: int | str) -> RegisteredSchema:
+        out = self._request("GET", f"/subjects/{subject}/versions/{version}")
+        return RegisteredSchema(
+            subject=out["subject"],
+            version=int(out["version"]),
+            schema_id=int(out["id"]),
+            schema_json=out["schema"],
+        )
+
+    def latest(self, subject: str) -> RegisteredSchema:
+        return self._version(subject, "latest")
+
+    def get(self, subject: str, version: int) -> RegisteredSchema:
+        return self._version(subject, version)
+
+    def by_id(self, schema_id: int) -> RegisteredSchema:
+        out = self._request("GET", f"/schemas/ids/{schema_id}")
+        return RegisteredSchema(
+            subject=out.get("subject", ""),
+            version=int(out.get("version", 0)),
+            schema_id=schema_id,
+            schema_json=out["schema"],
+        )
+
+    def subjects(self) -> list[str]:
+        return sorted(self._request("GET", "/subjects"))
+
+    resolve_encode_schema = SchemaRegistry.resolve_encode_schema
+
+
+def start_registry_server(registry: SchemaRegistry, host: str = "127.0.0.1", port: int = 0):
+    """Serve an embedded :class:`SchemaRegistry` over the Confluent
+    REST wire protocol (the conduit-schema-registry service analog) —
+    also the offline test double for :class:`RestSchemaRegistry`.
+    Returns the HTTPServer; ``server_address[1]`` is the port."""
+    import re as _re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a) -> None:
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header(
+                "Content-Type", "application/vnd.schemaregistry.v1+json"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self) -> None:  # noqa: N802
+            try:
+                if self.path == "/subjects":
+                    self._send(200, registry.subjects())
+                    return
+                m = _re.match(r"^/subjects/([^/]+)/versions/(latest|\d+)$", self.path)
+                if m:
+                    subject, v = m.groups()
+                    e = (
+                        registry.latest(subject)
+                        if v == "latest"
+                        else registry.get(subject, int(v))
+                    )
+                    self._send(
+                        200,
+                        {
+                            "subject": e.subject,
+                            "version": e.version,
+                            "id": e.schema_id,
+                            "schema": e.schema_json,
+                        },
+                    )
+                    return
+                m = _re.match(r"^/schemas/ids/(\d+)$", self.path)
+                if m:
+                    e = registry.by_id(int(m.group(1)))
+                    self._send(
+                        200,
+                        {
+                            "schema": e.schema_json,
+                            "subject": e.subject,
+                            "version": e.version,
+                        },
+                    )
+                    return
+                self._send(404, {"error_code": 40401, "message": "not found"})
+            except SchemaNotFound:
+                self._send(404, {"error_code": 40401, "message": "not found"})
+
+        def do_POST(self) -> None:  # noqa: N802
+            try:
+                m = _re.match(r"^/subjects/([^/]+)/versions$", self.path)
+                if m:
+                    e = registry.register(m.group(1), self._body()["schema"])
+                    self._send(200, {"id": e.schema_id})
+                    return
+                m = _re.match(r"^/subjects/([^/]+)$", self.path)
+                if m:  # content lookup
+                    subject = m.group(1)
+                    want = json.dumps(
+                        json.loads(self._body()["schema"]), sort_keys=True
+                    )
+                    for v in range(1, len(registry._subjects.get(subject, [])) + 1):
+                        e = registry.get(subject, v)
+                        if json.dumps(json.loads(e.schema_json), sort_keys=True) == want:
+                            self._send(
+                                200,
+                                {
+                                    "subject": subject,
+                                    "version": e.version,
+                                    "id": e.schema_id,
+                                    "schema": e.schema_json,
+                                },
+                            )
+                            return
+                    self._send(404, {"error_code": 40403, "message": "schema not found"})
+                    return
+                self._send(404, {"error_code": 40401, "message": "not found"})
+            except SchemaNotFound:
+                self._send(404, {"error_code": 40401, "message": "not found"})
+
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
