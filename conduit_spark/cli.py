@@ -197,7 +197,12 @@ def cmd_metrics(args: argparse.Namespace) -> int:
             Pipeline(spark, cfg).run_batch()
         except PipelineFailure:
             failures += 1
-    print(json.dumps(GLOBAL_METRICS.snapshot(), indent=2))
+    if getattr(args, "prometheus", False):
+        from conduit_spark.pipeline.metrics import prometheus_text
+
+        print(prometheus_text(GLOBAL_METRICS.snapshot()), end="")
+    else:
+        print(json.dumps(GLOBAL_METRICS.snapshot(), indent=2))
     return 1 if failures else 0
 
 
@@ -262,6 +267,11 @@ def main(argv: list[str] | None = None) -> int:
         "metrics", help="run pipelines once and print delivery counters"
     )
     p_met.add_argument("--pipelines", required=True)
+    p_met.add_argument(
+        "--prometheus",
+        action="store_true",
+        help="print the Prometheus text exposition instead of JSON",
+    )
     p_met.set_defaults(fn=cmd_metrics)
 
     p_api = sub.add_parser(

@@ -190,6 +190,7 @@ class ControlPlane:
 
 _ROUTES = [
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
+    ("GET", re.compile(r"^/metrics$"), "prometheus"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
@@ -246,6 +247,17 @@ class _Handler(BaseHTTPRequestHandler):
             from conduit_spark.pipeline.metrics import GLOBAL_METRICS
 
             self._send(200, GLOBAL_METRICS.snapshot())
+        elif op == "prometheus":
+            from conduit_spark.pipeline.metrics import GLOBAL_METRICS, prometheus_text
+
+            body = prometheus_text(GLOBAL_METRICS.snapshot()).encode()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif op == "list":
             self._send(200, plane.list())
         elif op == "create":

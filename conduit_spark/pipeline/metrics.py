@@ -111,6 +111,76 @@ class MetricsRegistry:
             self._by_id.clear()
 
 
+def _prom_label(value: str) -> str:
+    """Escape a label value per the Prometheus text exposition rules."""
+    return value.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
+
+_PROM_SPECS = [
+    # (metric suffix, type, help, attribute)
+    ("pipeline_batches_total", "counter", "Batches executed per pipeline", "batches"),
+    ("pipeline_failures_total", "counter", "Failed batches per pipeline", "failures"),
+    ("pipeline_nacked_total", "counter", "Records nacked per pipeline", "nacked"),
+    ("pipeline_dlq_total", "counter", "Records routed to the DLQ", "dlq_routed"),
+    (
+        "pipeline_duration_ms_total",
+        "counter",
+        "Cumulative batch wall-clock in milliseconds",
+        "total_duration_ms",
+    ),
+    (
+        "pipeline_last_batch_duration_ms",
+        "gauge",
+        "Duration of the most recent batch in milliseconds",
+        "last_batch_duration_ms",
+    ),
+    (
+        "stream_batches_total",
+        "counter",
+        "Streaming micro-batches observed per pipeline",
+        "stream_batches",
+    ),
+    (
+        "stream_input_rows_total",
+        "counter",
+        "Streaming input rows observed per pipeline",
+        "stream_input_rows",
+    ),
+]
+
+
+def prometheus_text(snapshot: dict) -> str:
+    """Render a ``MetricsRegistry.snapshot()`` in the Prometheus text
+    exposition format (the reference serves the same counters from its
+    promhttp endpoint — pkg/foundation/metrics/prometheus.go).
+
+    Counter families carry a ``pipeline_id`` label; per-destination
+    delivery counts add a ``destination`` label.
+    """
+    lines: list[str] = []
+    pids = sorted(snapshot)
+    for suffix, mtype, help_text, attr in _PROM_SPECS:
+        name = f"conduit_{suffix}"
+        lines.append(f"# HELP {name} {help_text}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for pid in pids:
+            v = snapshot[pid].get(attr, 0)
+            lines.append(
+                f'{name}{{pipeline_id="{_prom_label(pid)}"}} {v}'
+            )
+    name = "conduit_connector_records_total"
+    lines.append(f"# HELP {name} Records delivered per destination connector")
+    lines.append(f"# TYPE {name} counter")
+    for pid in pids:
+        for dest in sorted(snapshot[pid].get("delivered", {})):
+            n = snapshot[pid]["delivered"][dest]
+            lines.append(
+                f'{name}{{pipeline_id="{_prom_label(pid)}",'
+                f'destination="{_prom_label(dest)}"}} {n}'
+            )
+    return "\n".join(lines) + "\n"
+
+
 GLOBAL_METRICS = MetricsRegistry()
 
 _QUERY_PREFIX = "conduit-"

@@ -170,3 +170,94 @@ def test_http_metrics_endpoint(tmp_path):
         assert snap["api-metered"]["dlq_routed"] == 1
     finally:
         srv.shutdown()
+
+
+def test_prometheus_exposition_format():
+    from conduit_spark.pipeline.metrics import MetricsRegistry, prometheus_text
+
+    reg = MetricsRegistry()
+    reg.record_batch(
+        'pipe"a', delivered={"d1": 3, "d2": 2}, nacked=1, dlq_routed=1,
+        duration_ms=2.5,
+    )
+    reg.record_batch('pipe"a', delivered={"d1": 4}, duration_ms=1.5)
+    reg.record_stream_progress("other", input_rows=7)
+    text = prometheus_text(reg.snapshot())
+
+    # counters aggregate across batches; label values escaped
+    assert 'conduit_pipeline_batches_total{pipeline_id="pipe\\"a"} 2' in text
+    assert (
+        'conduit_connector_records_total{pipeline_id="pipe\\"a",destination="d1"} 7'
+        in text
+    )
+    assert (
+        'conduit_connector_records_total{pipeline_id="pipe\\"a",destination="d2"} 2'
+        in text
+    )
+    assert 'conduit_pipeline_nacked_total{pipeline_id="pipe\\"a"} 1' in text
+    assert 'conduit_stream_input_rows_total{pipeline_id="other"} 7' in text
+    assert 'conduit_pipeline_last_batch_duration_ms{pipeline_id="pipe\\"a"} 1.5' in text
+    # every sample line's family has HELP+TYPE headers preceding it
+    seen: set[str] = set()
+    for line in text.splitlines():
+        if line.startswith("# TYPE "):
+            seen.add(line.split()[2])
+        elif line and not line.startswith("#"):
+            assert line.split("{")[0] in seen
+
+
+def test_http_prometheus_endpoint(tmp_path):
+    import urllib.request
+
+    from conduit_spark.http_api import ControlPlane, start_server
+
+    GLOBAL_METRICS.reset()
+    GLOBAL_METRICS.record_batch(
+        "prom-metered", delivered={"d": 3}, dlq_routed=2, duration_ms=2.0
+    )
+    srv = start_server(ControlPlane())
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert 'conduit_pipeline_dlq_total{pipeline_id="prom-metered"} 2' in text
+        assert (
+            'conduit_connector_records_total{pipeline_id="prom-metered",destination="d"} 3'
+            in text
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_metrics_cli_prometheus_flag(tmp_path, capsys):
+    from conduit_spark import cli
+
+    GLOBAL_METRICS.reset()
+    f = tmp_path / "p.yaml"
+    f.write_text(
+        f"""
+version: "2.2"
+pipelines:
+  - id: cli-prom
+    status: running
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 4, format.options: {{id: int}}}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json}}
+"""
+    )
+    assert cli.main(["metrics", "--pipelines", str(f), "--prometheus"]) == 0
+    text = capsys.readouterr().out
+    assert 'conduit_pipeline_batches_total{pipeline_id="cli-prom"} 1' in text
+    assert (
+        'conduit_connector_records_total{pipeline_id="cli-prom",destination="d"} 4'
+        in text
+    )
