@@ -35,6 +35,7 @@ from conduit_spark.analytics import (
     relational,
     sampling,
     similarity,
+    sketches,
     text,
 )
 
@@ -49,6 +50,7 @@ _REGISTRIES = [
     (chunking.QUERIES, chunking.ORACLES),
     (sampling.QUERIES, sampling.ORACLES),
     (dedup.QUERIES, dedup.ORACLES),
+    (sketches.QUERIES, sketches.ORACLES),
     (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
     (relational.QUERIES, relational.ORACLES),
@@ -60,6 +62,8 @@ _REGISTRIES = [
 # DuckDB oracles every round, and bench.py times them.
 _EXTENDED = (
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
+    "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
+    "q20_part_share_suppliers",  # displaced by sk_kmv_distinct (semi/anti-join family kept via q_orders_antijoin)
     "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_knn_join",  # kNN-graph builder; bucketed-ANN family already gate-verified via s_ann_lsh_topk
@@ -71,6 +75,8 @@ _EXTENDED = (
     "m_features",
     "m_resize",
     "t_bpe_tokens",
+    "t_repetition",  # text family already gate-verified 5×
+    "t_redact_pii",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",

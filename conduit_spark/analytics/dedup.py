@@ -62,21 +62,35 @@ def d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_grams(k: int):
+    """Array of word ``k``-grams of ``text``, as one expr.
+
+    Single ``transform`` over a position sequence with
+    ``array_join(slice(...))`` per gram — NOT per-position
+    ``element_at`` chains: Catalyst inlines the outer ``split`` into
+    every element reference (CollapseProject), re-tokenizing each doc
+    k× per gram. Measured 3× faster at sf0.1 (4.3s → 1.4s for the
+    4-gram relation). Caller must pre-filter docs with fewer than
+    ``k`` tokens: ``sequence(1, 0)`` is DESCENDING in Spark.
+    """
+    return F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {k}), ' '))"
+    )
+
+
 def _shingles_df(docs: DataFrame) -> DataFrame:
     """doc_id → exploded distinct word shingles, hashed to int32.
 
     Shingling is a per-row array op (no shuffle); explode is narrow.
+    In-doc duplicate shingles are dropped by the hash-level
+    ``.distinct()`` (no ``array_distinct`` pre-pass — the explode is
+    cheaper than the quadratic in-array scan).
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - F.lit(SHINGLE_W))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(SHINGLE_W)]
-    )
-    shingles = F.array_distinct(F.transform(idx, shingle_at))
+    n = F.size(F.split(F.col("text"), " "))
     return (
         docs.filter(n >= SHINGLE_W)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.explode(word_grams(SHINGLE_W)).alias("shingle"))
         .select("doc_id", md5_int32(F.col("shingle")).alias("x"))
         .distinct()
     )
@@ -429,8 +443,59 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_MOD = 11  # doc_id % MOD == 0 → "benchmark" membership
+CONTAM_K = 4  # word n-gram width for overlap detection
+
+
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document,
+    the fraction of its distinct word ``CONTAM_K``-grams that appear
+    anywhere in the held-out "benchmark" slice (docs with
+    ``doc_id % CONTAM_MOD == 0``) — the decontamination pass every
+    LLM data pipeline runs before training (GPT-3 App. C / Dolma
+    style n-gram overlap).
+
+    Plan shape: one narrow explode to a hashed (doc_id, gram) relation
+    (md5_int32 keeps it 16 bytes/row and oracle-reproducible),
+    materialized once and reused by all three consumers (benchmark
+    side, totals, match join). Candidate matching is a left-semi
+    equi-join on the gram hash — never a cross product; the benchmark
+    relation is distinct-hashed and Zipf-small, so at cluster scale
+    AQE broadcasts it. Only contaminated docs are emitted.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= CONTAM_K)
+        .select("doc_id", F.explode(word_grams(CONTAM_K)).alias("gram"))
+        .select("doc_id", md5_int32(F.col("gram")).alias("x"))
+        .distinct()  # dedup at the hash level, mirroring the oracle
+    ).localCheckpoint()
+    bench = rel.filter(F.col("doc_id") % CONTAM_MOD == 0).select("x").distinct()
+    nonb = rel.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    totals = nonb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        nonb.join(bench, "x", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_grams").cast("double"), 9
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "d_exact": d_exact,
+    "d_contamination": d_contamination,
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
@@ -521,6 +586,33 @@ _LSH_CTES = f"""
 """
 
 ORACLES = {
+    "d_contamination": f"""
+        WITH rel AS (
+            SELECT DISTINCT doc_id, {sql_md5_int32("g")} AS x
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text,' ')) - {CONTAM_K - 1}),
+                           i -> array_to_string(
+                               string_split(text,' ')[i:i+{CONTAM_K - 1}], ' ')
+                       )) AS g
+                FROM documents
+                WHERE len(string_split(text,' ')) >= {CONTAM_K})),
+        bench AS (
+            SELECT DISTINCT x FROM rel WHERE doc_id % {CONTAM_MOD} = 0),
+        nonb AS (SELECT * FROM rel WHERE doc_id % {CONTAM_MOD} <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM nonb GROUP BY 1),
+        m AS (
+            SELECT doc_id, count(*) AS n_matched FROM nonb
+            WHERE x IN (SELECT x FROM bench) GROUP BY 1)
+        SELECT m.doc_id,
+               CAST(tot.n_grams AS BIGINT) AS n_grams,
+               CAST(m.n_matched AS BIGINT) AS n_matched,
+               round(CAST(m.n_matched AS DOUBLE)
+                     / CAST(tot.n_grams AS DOUBLE), 9) AS contamination_frac
+        FROM m JOIN tot USING (doc_id)
+        ORDER BY doc_id
+    """,
     "d_exact": """
         SELECT md5(text) AS text_hash, count(*) AS n_copies,
                min(doc_id) AS keep_doc_id

@@ -183,8 +183,109 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-bigram fraction, adjacent-repeat fraction
+    (Rae et al. 2021, "Scaling Language Models", App. A quality
+    filters — repetitious text is the strongest single web-quality
+    signal).
+
+    Entirely array algebra on one scan — NO shuffle: the top-bigram
+    count is the longest run in the *sorted* bigram array, computed by
+    a single-pass ``aggregate`` fold instead of explode + groupBy, so
+    the operator keeps its per-doc cost O(n log n) and ships nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("__toks", _tokens())
+    n = F.size(F.col("__toks"))
+    n_uniq = F.size(F.array_distinct(F.col("__toks")))
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1),"
+        " (x, i) -> concat(x, ' ', __toks[i + 1]))"
+    )
+    top_run = F.expr(
+        "aggregate(array_sort(transform(slice(__toks, 1, size(__toks) - 1),"
+        " (x, i) -> concat(x, ' ', __toks[i + 1]))),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(acc.prev is not null and x = acc.prev, acc.run + 1, 1L),"
+        "   'best', greatest(acc.best,"
+        "       if(acc.prev is not null and x = acc.prev, acc.run + 1, 1L))),"
+        " acc -> acc.best)"
+    )
+    n_adj = F.aggregate(
+        F.expr(
+            "transform(slice(__toks, 1, size(__toks) - 1),"
+            " (x, i) -> if(x = __toks[i + 1], 1L, 0L))"
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nb = (n - F.lit(1)).cast("double")  # bigram count
+    guard = n > F.lit(1)
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - n_uniq.cast("double") / n.cast("double"), 9
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(guard, top_run.cast("double") / nb).otherwise(F.lit(0.0)), 9
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(guard, n_adj.cast("double") / nb).otherwise(F.lit(0.0)), 9
+        ).alias("adjacent_repeat_frac"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(col):
+    """Redact emails, IPv4 addresses, and short phone numbers from a
+    string column — the standard scrub pass before training-data
+    release. Order matters: emails first (their local part may embed
+    digits), then IPs (dotted quads would otherwise half-match the
+    phone pattern), then phones."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: deterministically inject an email, an IP
+    and a phone number into each document (the corpus itself is
+    synthetic-clean), then count and redact them. Single scan, no
+    shuffle, built-in regex only."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_IP)).cast("bigint").alias("n_ips"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        redact_pii(F.col("dirty")).alias("redacted"),
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_repetition": t_repetition,
+    "t_redact_pii": t_redact_pii,
     "t_bpe_tokens": t_bpe_tokens,
     "t_quality": t_quality,
     "t_langid": t_langid,
@@ -218,6 +319,55 @@ def _langid_sql() -> str:
 
 
 ORACLES = {
+    "t_repetition": """
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+        pos AS (
+            SELECT doc_id, n, unnest(generate_series(1, n - 1)) AS g, t
+            FROM base WHERE n > 1),
+        bg AS (
+            SELECT doc_id, n, t[g] || ' ' || t[g + 1] AS bigram,
+                   CASE WHEN t[g] = t[g + 1] THEN 1 ELSE 0 END AS adj
+            FROM pos),
+        cnts AS (
+            SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id, max(c) AS topc, count(*) AS n_dbg FROM cnts GROUP BY 1),
+        adjs AS (
+            SELECT doc_id, sum(adj) AS nadj FROM bg GROUP BY 1)
+        SELECT b.doc_id,
+               round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                     / CAST(n AS DOUBLE), 9) AS dup_word_frac,
+               round(COALESCE(CAST(agg.topc AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE), 0.0), 9) AS top_bigram_frac,
+               round(COALESCE(CAST(adjs.nadj AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE), 0.0), 9) AS adjacent_repeat_frac,
+               CAST(COALESCE(agg.n_dbg, 0) AS BIGINT) AS n_distinct_bigrams
+        FROM base b
+        LEFT JOIN agg USING (doc_id)
+        LEFT JOIN adjs USING (doc_id)
+    """,
+    "t_redact_pii": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.1' AS dirty
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(dirty, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(dirty, '{PII_IP}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(dirty, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(dirty,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IP}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM d
+    """,
     "t_bpe_tokens": f"""
         WITH t AS (
             SELECT doc_id,

@@ -2,7 +2,14 @@ from __future__ import annotations
 
 import pytest
 
-from conduit_spark.analytics import dedup, multimodal, sampling, similarity, text
+from conduit_spark.analytics import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    text,
+)
 from tests.oracle_util import compare_spark_duckdb
 
 MODULES = {
@@ -11,6 +18,7 @@ MODULES = {
     "similarity": similarity,
     "multimodal": multimodal,
     "sampling": sampling,
+    "sketches": sketches,
 }
 
 CASES = [
@@ -88,3 +96,89 @@ def test_ngram_df_cap_bounds_hot_shingle_blowup(spark, tmp_path, monkeypatch):
     # pairs among them; the true near-dup pair survives
     assert (900, 901) in pairs
     assert all(a >= 900 for a, b in pairs), pairs
+
+
+def test_redact_pii_patterns(spark):
+    """The scrub handles multiple occurrences, leaves clean text alone,
+    and applies email-before-ip-before-phone ordering."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a@b.com then c.d-e@sub.domain.org", "<EMAIL> then <EMAIL>"),
+            ("ip 10.0.0.1 and 192.168.255.3 end", "ip <IP> and <IP> end"),
+            ("call 555-0199 or 555-0200", "call <PHONE> or <PHONE>"),
+            ("clean text stays clean", "clean text stays clean"),
+            ("mix a@b.co 1.2.3.4 555-1234", "mix <EMAIL> <IP> <PHONE>"),
+        ],
+        "dirty string, want string",
+    )
+    rows = df.select(text.redact_pii(F.col("dirty")).alias("got"), "want").collect()
+    for r in rows:
+        assert r.got == r.want
+
+
+def test_repetition_signals_on_crafted_docs(spark, tmp_path):
+    """A fully-repetitive doc maxes the signals; an all-distinct doc
+    zeroes them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "s", 19),
+            (2, "all words here differ", "en", "s", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = tmp_path / "documents.parquet"
+    docs.write.parquet(str(out))
+    got = {
+        r.doc_id: r
+        for r in text.t_repetition(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 4 tokens, 1 distinct -> dup 0.75; bigrams all "spam spam"
+    assert got[1].dup_word_frac == 0.75
+    assert got[1].top_bigram_frac == 1.0
+    assert got[1].adjacent_repeat_frac == 1.0
+    assert got[1].n_distinct_bigrams == 1
+    # doc 2: no repetition at all
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].top_bigram_frac == pytest.approx(1 / 3)
+    assert got[2].adjacent_repeat_frac == 0.0
+    assert got[2].n_distinct_bigrams == 3
+
+
+def test_contamination_flags_benchmark_copies(spark, tmp_path):
+    """A doc that copies a benchmark doc verbatim scores frac 1.0;
+    unrelated docs are absent from the result."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text, "en", "s", 1),            # benchmark (0 % 11 == 0)
+            (1, bench_text, "en", "s", 1),            # verbatim copy -> 1.0
+            (2, "one two three four five six", "en", "s", 1),  # clean
+            (3, "x y z alpha beta gamma delta tail", "en", "s", 1),  # partial
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in dedup.d_contamination(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].contamination_frac == 1.0
+    # doc 3 has 5 grams; only the "alpha beta gamma delta" window is in bench
+    assert got[3].n_matched == 1
+    assert got[3].n_grams == 5
+    assert got[3].contamination_frac == 0.2
+
+
+def test_kmv_estimate_tracks_exact(spark, sf_dir):
+    """KMV-64 over ~1.2-1.5k distinct shingles should land within 40%
+    of exact (k=64 -> sigma ~ 12.5%), and the sketch must degrade to
+    exact when a source has < k distinct values."""
+    rows = sketches.sk_kmv_distinct(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        if r.kth_hash is None:
+            assert r.est_distinct == float(r.n_exact)
+            assert r.rel_error == 0.0
+        else:
+            assert r.n_exact >= sketches.KMV_K
+            assert r.rel_error < 0.4, (r.source, r.rel_error)
