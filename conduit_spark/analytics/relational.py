@@ -12,10 +12,18 @@ DOUBLE at the end, so Spark's partition-order-dependent double addition
 can never hash-differently from DuckDB's.
 
 Scale notes (100 TB): every query below shuffles only on its group/join
-keys; dimension joins (region/nation/customer/supplier/part) stay under
-the broadcast threshold at any realistic SF for dims; fact-fact joins
-(orders ⋈ lineitem) hash-partition on the join key and benefit from AQE
-skew splitting. No driver-side collection anywhere.
+keys; fact-fact joins (orders ⋈ lineitem) hash-partition on the join
+key and benefit from AQE skew splitting. No driver-side collection
+anywhere.
+
+Broadcast-hint policy: explicit ``F.broadcast`` hints appear ONLY on
+relations whose size is constant in SF — nation (25 rows), region (5),
+and 1-row scalar aggregates. customer/supplier/part grow linearly with
+SF (150M customers at sf1000), so a forced hint would OOM executors at
+cluster scale; those joins are left unhinted and Catalyst/AQE promotes
+them to broadcast at runtime whenever the actual size is under
+``spark.sql.autoBroadcastJoinThreshold`` — same local plan, no
+scale-up hazard.
 """
 
 from __future__ import annotations
@@ -77,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -111,9 +119,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (dims.c_nationkey == supp.s_nationkey),
         )
@@ -128,7 +136,7 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
@@ -247,9 +255,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
@@ -271,7 +279,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(revenue.cast("double").alias("revenue"))
@@ -287,7 +295,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -334,8 +342,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -392,7 +400,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_by_part), li.l_partkey == avg_by_part.p_key)
+        li.join(avg_by_part, li.l_partkey == avg_by_part.p_key)
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
@@ -414,7 +422,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(25)
@@ -432,7 +440,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 50))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(
@@ -514,7 +522,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
     )
     promo = F.col("p_type").startswith("PROMO")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
@@ -531,7 +539,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
@@ -571,10 +579,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation_s), supp.s_nationkey == nation_s.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             (
@@ -621,7 +629,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             F.col("total_revenue") == F.col("max_rev"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -699,7 +707,7 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     heavy = (
-        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == per_p.pk)
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
         .filter(F.col("sq") > F.lit(0.5) * F.col("pq"))
         .select("l_suppkey")
         .distinct()
