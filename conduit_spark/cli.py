@@ -40,6 +40,33 @@ def _gather(path: str) -> list[PipelineConfig]:
     return load_pipelines(path)
 
 
+def cmd_plugins(args: argparse.Namespace) -> int:
+    """List available plugins — the `conduit connectors/processors list`
+    analog, same payload as GET /v1/{processors,connectors}/plugins."""
+    import json
+
+    from conduit_spark.pipeline.registry import (
+        CONNECTOR_PLUGINS,
+        PROCESSOR_PLUGINS,
+    )
+
+    print(
+        json.dumps(
+            {
+                "processors": [
+                    {"name": k, "description": v}
+                    for k, v in sorted(PROCESSOR_PLUGINS.items())
+                ],
+                "connectors": [
+                    {"name": k, **v} for k, v in sorted(CONNECTOR_PLUGINS.items())
+                ],
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     configs = _gather(args.pipelines)
     if getattr(args, "json", False):
@@ -281,6 +308,11 @@ def main(argv: list[str] | None = None) -> int:
     p_api.add_argument("--host", default="127.0.0.1")
     p_api.add_argument("--port", type=int, default=8080)
     p_api.set_defaults(fn=cmd_api)
+
+    p_plugins = sub.add_parser(
+        "plugins", help="list available processor and connector plugins"
+    )
+    p_plugins.set_defaults(fn=cmd_plugins)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -191,6 +191,8 @@ class ControlPlane:
 _ROUTES = [
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/metrics$"), "prometheus"),
+    ("GET", re.compile(r"^/v1/processors/plugins$"), "processor_plugins"),
+    ("GET", re.compile(r"^/v1/connectors/plugins$"), "connector_plugins"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
@@ -258,6 +260,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif op == "processor_plugins":
+            from conduit_spark.pipeline.registry import PROCESSOR_PLUGINS
+
+            self._send(
+                200,
+                [
+                    {"name": k, "description": v}
+                    for k, v in sorted(PROCESSOR_PLUGINS.items())
+                ],
+            )
+        elif op == "connector_plugins":
+            from conduit_spark.pipeline.registry import CONNECTOR_PLUGINS
+
+            self._send(
+                200,
+                [{"name": k, **v} for k, v in sorted(CONNECTOR_PLUGINS.items())],
+            )
         elif op == "list":
             self._send(200, plane.list())
         elif op == "create":

@@ -62,6 +62,78 @@ def _with_condition_passthrough(df, condition, transform):
     return matched.unionByName(df.filter(~F.coalesce(cond, F.lit(False))))
 
 
+# Plugin inventory — the ProcessorService.ListProcessorPlugins /
+# ConnectorService.ListConnectorPlugins analog (proto/api/v1/api.proto).
+# Names here are exactly the literals build_processor/build_source/
+# write_destination dispatch on; a contract test pins the two in sync.
+PROCESSOR_PLUGINS: dict[str, str] = {
+    "filter": "drop records matching the condition",
+    "field.set": "set a field from a literal or template",
+    "field.rename": "rename fields",
+    "field.exclude": "remove fields",
+    "field.convert": "convert a field's type",
+    "json.decode": "parse a JSON string field into structured data",
+    "json.encode": "serialize a structured field to a JSON string",
+    "base64.encode": "base64-encode a field",
+    "base64.decode": "base64-decode a field",
+    "avro.encode": "Avro-encode the payload (schema registry aware)",
+    "avro.decode": "Avro-decode the payload (schema registry aware)",
+    "clone": "emit N copies of each record (adds clone.index)",
+    "split": "split an array field into one record per element",
+    "error": "route matching records to the DLQ",
+    "unwrap.opencdc": "unwrap an OpenCDC envelope from the payload",
+    "unwrap.debezium": "unwrap a Debezium envelope from the payload",
+    "unwrap.kafkaconnect": "unwrap a Kafka Connect envelope",
+    "webhook.http": "call an HTTP endpoint per record",
+    "custom.python": "in-process per-record script: process(record)",
+    "custom.standalone": "external executable over JSON-lines (any language)",
+    "cohere.command": "LLM text generation (cohere)",
+    "cohere.embed": "LLM embeddings (cohere)",
+    "cohere.rerank": "LLM reranking (cohere)",
+    "ollama.request": "LLM text generation (ollama)",
+    "openai.embed": "LLM embeddings (openai)",
+    "openai.textgen": "LLM text generation (openai)",
+}
+
+CONNECTOR_PLUGINS: dict[str, dict[str, Any]] = {
+    "builtin:file": {
+        "source": True,
+        "destination": True,
+        "description": "text/json/csv/parquet files, batch + streaming",
+    },
+    "builtin:generator": {
+        "source": True,
+        "destination": False,
+        "description": "synthetic records from field specs",
+    },
+    "builtin:kafka": {
+        "source": True,
+        "destination": True,
+        "description": "Kafka topics (kafka.* client passthrough)",
+    },
+    "builtin:log": {
+        "source": False,
+        "destination": True,
+        "description": "log records to the driver log",
+    },
+    "builtin:postgres": {
+        "source": True,
+        "destination": True,
+        "description": "JDBC snapshot source; insert/upsert/CDC-apply sinks",
+    },
+    "builtin:s3": {
+        "source": True,
+        "destination": True,
+        "description": "s3a:// paths with credential/endpoint settings",
+    },
+    "custom.standalone": {
+        "source": True,
+        "destination": True,
+        "description": "external executable speaking envelope JSON-lines",
+    },
+}
+
+
 def build_processor(
     plugin: str,
     settings: dict[str, Any],
