@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.analytics import (
     chunking,
+    curation,
     dedup,
     multimodal,
     pipeline_queries,
@@ -51,6 +52,7 @@ _REGISTRIES = [
     (sampling.QUERIES, sampling.ORACLES),
     (dedup.QUERIES, dedup.ORACLES),
     (sketches.QUERIES, sketches.ORACLES),
+    (curation.QUERIES, curation.ORACLES),
     (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
     (relational.QUERIES, relational.ORACLES),
@@ -77,6 +79,7 @@ _EXTENDED = (
     "t_bpe_tokens",
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
+    "cur_funnel",  # composes gate-verified stages; strict-mirror verified
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",

@@ -1,0 +1,163 @@
+"""End-to-end corpus curation funnel (beyond the reference).
+
+The composition every LLM training-data pipeline runs before a
+training job (RefinedWeb/FineWeb/Dolma shape): quality filter →
+exact dedup → benchmark holdout + decontamination → stratified
+sampling, reported as a per-stage attrition funnel. Each stage reuses
+the production operator (text quality score, md5 exact-dedup keeper,
+``dedup.contamination_scores``, ``sampling.stratified_sample``), so
+the funnel is an integration proof, not a re-implementation.
+
+Plan shape: the quality-surviving (doc_id, lang, text-hash) relation
+is materialized ONCE (narrow scan + per-row expressions), after which
+every stage is a keyed agg or an equi-join on it; the contamination
+branch is the operator's own bounded pipeline. Five scalar counts —
+no driver-side loops, no cross products, SF-linear end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from conduit_spark.analytics.dedup import (
+    CONTAM_MOD,
+    contamination_scores,
+)
+from conduit_spark.analytics.sampling import RATES, stratified_sample
+from conduit_spark.analytics.text import STOPWORDS
+from conduit_spark.sources.tables import load_table
+
+QUALITY_MIN = 0.35  # min composite quality score (see text.t_quality)
+CONTAM_MAX = 0.2  # max tolerated benchmark n-gram overlap fraction
+
+
+def _quality_score():
+    """The t_quality composite score as one expression over ``text``."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_tok
+    return (
+        F.lit(0.3) * (n_stop / n_tok)
+        + F.lit(0.4) * (n_uniq / n_tok)
+        + F.lit(0.3) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+    )
+
+
+def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage document counts of the curation pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: quality gate — materialize the survivors once
+    q1 = (
+        docs.filter(F.round(_quality_score(), 9) >= QUALITY_MIN)
+        .select("doc_id", "lang", F.md5(F.col("text")).alias("h"))
+    ).localCheckpoint()
+
+    # stage 2: exact dedup among survivors — keeper = min doc_id per hash
+    keepers = q1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    s2 = q1.join(keepers, ["h", "doc_id"], "left_semi")
+
+    # stage 3: benchmark holdout + decontamination
+    contaminated = (
+        contamination_scores(docs)
+        .filter(F.col("contamination_frac") >= CONTAM_MAX)
+        .select("doc_id")
+    )
+    s3 = s2.filter(F.col("doc_id") % CONTAM_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # stage 4: stratified hash-gated sample
+    s4 = stratified_sample(s3, "lang", "doc_id", RATES)
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "input", docs)
+        .unionByName(stage(1, "quality", q1))
+        .unionByName(stage(2, "dedup", s2))
+        .unionByName(stage(3, "decontaminate", s3))
+        .unionByName(stage(4, "sample", s4))
+        .orderBy("stage_idx")
+    )
+
+
+QUERIES = {"cur_funnel": cur_funnel}
+
+
+def _oracle() -> str:
+    from conduit_spark.analytics.dedup import ORACLES as _DEDUP_ORACLES  # noqa: F401
+    from conduit_spark.analytics.sampling import _GATE, _RATE
+    from conduit_spark.analytics.text import ORACLES as _TEXT_ORACLES  # noqa: F401
+    from conduit_spark.analytics.dedup import CONTAM_K
+    from conduit_spark.functions.hashing import sql_md5_int32
+
+    stop = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, md5(text) AS h
+            FROM (
+                SELECT doc_id, lang, text,
+                       CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tok,
+                       CAST(len(list_filter(string_split(text,' '),
+                            x -> x IN ({stop}))) AS DOUBLE) AS n_stop,
+                       CAST(len(list_distinct(string_split(text,' ')))
+                            AS DOUBLE) AS n_uniq,
+                       CAST(length(replace(text,' ','')) AS DOUBLE) AS n_nonspace
+                FROM documents)
+            WHERE round(0.3 * (n_stop / n_tok) + 0.4 * (n_uniq / n_tok)
+                  + 0.3 * least((n_nonspace / n_tok) / 8.0, 1.0), 9)
+                  >= {QUALITY_MIN}),
+        keepers AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h),
+        s2 AS (SELECT scored.* FROM scored
+               JOIN keepers USING (h, doc_id)),
+        rel AS (
+            SELECT DISTINCT doc_id, {sql_md5_int32("g")} AS x
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text,' ')) - {CONTAM_K - 1}),
+                           i -> array_to_string(
+                               string_split(text,' ')[i:i+{CONTAM_K - 1}], ' ')
+                       )) AS g
+                FROM documents
+                WHERE len(string_split(text,' ')) >= {CONTAM_K})),
+        bench AS (SELECT DISTINCT x FROM rel WHERE doc_id % {CONTAM_MOD} = 0),
+        nonb AS (SELECT * FROM rel WHERE doc_id % {CONTAM_MOD} <> 0),
+        contam AS (
+            SELECT m.doc_id
+            FROM (SELECT doc_id, count(*) AS n_matched FROM nonb
+                  WHERE x IN (SELECT x FROM bench) GROUP BY 1) m
+            JOIN (SELECT doc_id, count(*) AS n_grams FROM nonb GROUP BY 1) t
+              USING (doc_id)
+            WHERE round(CAST(m.n_matched AS DOUBLE)
+                        / CAST(t.n_grams AS DOUBLE), 9) >= {CONTAM_MAX}),
+        s3 AS (
+            SELECT * FROM s2
+            WHERE doc_id % {CONTAM_MOD} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        s4 AS (SELECT * FROM s3 WHERE {_GATE} < {_RATE})
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+                   CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+            UNION ALL SELECT 1, 'quality',
+                   CAST((SELECT count(*) FROM scored) AS BIGINT)
+            UNION ALL SELECT 2, 'dedup',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL SELECT 3, 'decontaminate',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)
+            UNION ALL SELECT 4, 'sample',
+                   CAST((SELECT count(*) FROM s4) AS BIGINT))
+        ORDER BY stage_idx
+    """
+
+
+ORACLES = {"cur_funnel": _oracle()}

@@ -464,6 +464,13 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts it. Only contaminated docs are emitted.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return contamination_scores(docs).orderBy("doc_id")
+
+
+def contamination_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_matched, contamination_frac) for every
+    non-benchmark doc sharing at least one ``CONTAM_K``-gram with the
+    benchmark slice. See :func:`d_contamination` for the plan shape."""
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= CONTAM_K)
@@ -479,17 +486,13 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    return (
-        matched.join(totals, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_matched").cast("bigint").alias("n_matched"),
-            F.round(
-                F.col("n_matched").cast("double") / F.col("n_grams").cast("double"), 9
-            ).alias("contamination_frac"),
-        )
-        .orderBy("doc_id")
+    return matched.join(totals, "doc_id").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_grams").cast("double"), 9
+        ).alias("contamination_frac"),
     )
 
 

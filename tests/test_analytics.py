@@ -3,6 +3,7 @@ from __future__ import annotations
 import pytest
 
 from conduit_spark.analytics import (
+    curation,
     dedup,
     multimodal,
     sampling,
@@ -19,6 +20,7 @@ MODULES = {
     "multimodal": multimodal,
     "sampling": sampling,
     "sketches": sketches,
+    "curation": curation,
 }
 
 CASES = [
@@ -182,3 +184,15 @@ def test_kmv_estimate_tracks_exact(spark, sf_dir):
         else:
             assert r.n_exact >= sketches.KMV_K
             assert r.rel_error < 0.4, (r.source, r.rel_error)
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    rows = sorted(
+        curation.cur_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "input", "quality", "dedup", "decontaminate", "sample",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[0] > 0 and counts[-1] > 0  # non-vacuous at both ends
