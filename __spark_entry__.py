@@ -37,6 +37,7 @@ from conduit_spark.analytics import (
     sampling,
     similarity,
     sketches,
+    temporal,
     text,
 )
 
@@ -53,6 +54,7 @@ _REGISTRIES = [
     (dedup.QUERIES, dedup.ORACLES),
     (sketches.QUERIES, sketches.ORACLES),
     (curation.QUERIES, curation.ORACLES),
+    (temporal.QUERIES, temporal.ORACLES),
     (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
     (relational.QUERIES, relational.ORACLES),
@@ -80,6 +82,8 @@ _EXTENDED = (
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
     "cur_funnel",  # composes gate-verified stages; strict-mirror verified
+    "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
+    "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
