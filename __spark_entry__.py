@@ -82,6 +82,8 @@ _EXTENDED = (
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
     "cur_funnel",  # composes gate-verified stages; strict-mirror verified
+    "cur_shards",  # shard-balance audit for the training_shard_sink writer
+    "cur_mix",  # source-mixing weights; same agg family as cur_funnel
     "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
     "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)
     "q6_forecast_revenue",

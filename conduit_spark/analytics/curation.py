@@ -26,6 +26,7 @@ from conduit_spark.analytics.dedup import (
 )
 from conduit_spark.analytics.sampling import RATES, stratified_sample
 from conduit_spark.analytics.text import STOPWORDS
+from conduit_spark.functions.hashing import md5_int32
 from conduit_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.35  # min composite quality score (see text.t_quality)
@@ -90,7 +91,89 @@ def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cur_funnel": cur_funnel}
+N_SHARDS = 16  # config-sized here; thousands at 100 TB
+MIX_BUDGET_FRAC = 0.3  # sample 30% of total tokens, equal share/source
+
+
+def shard_of(key, n_shards: int = N_SHARDS):
+    """Deterministic shard id in [0, n_shards) — md5-derived so any
+    engine (and the SQL oracle) reproduces the assignment."""
+    return (md5_int32(key) % F.lit(n_shards)).cast("bigint")
+
+
+def cur_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard audit: docs/tokens/id-range per deterministic
+    shard. The balance this reports is what you check before a 100 TB
+    write — shard skew here is write skew there. One narrow scan +
+    one keyed agg; SF-linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            shard_of(F.col("doc_id")).alias("shard_id"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+            "doc_id",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing weights (Dolma/Pile-style): given a token budget
+    of ``MIX_BUDGET_FRAC`` × corpus and an equal target share per
+    source, the per-source keep rate = min(1, target/available) and
+    the tokens that rate would sample. Per-source agg + one scalar
+    total broadcast back — no shuffle beyond the 20-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = (
+        F.lit(MIX_BUDGET_FRAC)
+        * F.col("total_tokens").cast("double")
+        / F.col("n_sources").cast("double")
+    )
+    rate = F.round(
+        F.least(F.lit(1.0), target / F.col("n_tokens").cast("double")), 9
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate.alias("rate"),
+            F.round(rate * F.col("n_tokens").cast("double"), 6).alias(
+                "exp_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "cur_funnel": cur_funnel,
+    "cur_shards": cur_shards,
+    "cur_mix": cur_mix,
+}
 
 
 def _oracle() -> str:
@@ -160,4 +243,48 @@ def _oracle() -> str:
     """
 
 
-ORACLES = {"cur_funnel": _oracle()}
+def _shards_oracle() -> str:
+    from conduit_spark.functions.hashing import sql_md5_int32
+
+    shard = f"{sql_md5_int32('CAST(doc_id AS VARCHAR)')} % {N_SHARDS}"
+    return f"""
+        SELECT CAST({shard} AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY shard_id
+    """
+
+
+def _mix_oracle() -> str:
+    return f"""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+        totals AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_src)
+        SELECT source, n_docs, n_tokens,
+               round(least(1.0, {MIX_BUDGET_FRAC} * CAST(total_tokens AS DOUBLE)
+                     / CAST(n_sources AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)), 9) AS rate,
+               round(round(least(1.0,
+                     {MIX_BUDGET_FRAC} * CAST(total_tokens AS DOUBLE)
+                     / CAST(n_sources AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)), 9)
+                     * CAST(n_tokens AS DOUBLE), 6) AS exp_tokens
+        FROM per_src, totals
+        ORDER BY source
+    """
+
+
+ORACLES = {
+    "cur_funnel": _oracle(),
+    "cur_shards": _shards_oracle(),
+    "cur_mix": _mix_oracle(),
+}

@@ -234,3 +234,33 @@ def kafka_sink(
         .options(**kafka_writer_options(bootstrap_servers, topic, extra_options))
         .save()
     )
+
+
+def training_shard_sink(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as N deterministic training shards
+    (``path/shard=K/``), assignment = md5-hash-mod so the same row
+    lands in the same shard on any cluster layout or rerun.
+
+    The frame is repartitioned ON the shard column first, so each
+    shard is written by exactly one task — N output files, not
+    tasks×N small files. Pick ``n_shards`` so a shard ≈ one training
+    worker's slice (thousands at 100 TB); the audit query
+    ``analytics.curation.cur_shards`` reports the balance this write
+    would produce.
+    """
+    from conduit_spark.analytics.curation import shard_of
+
+    (
+        df.withColumn("shard", shard_of(F.col(key_col), n_shards))
+        .repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

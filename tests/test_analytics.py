@@ -196,3 +196,33 @@ def test_curation_funnel_monotone(spark, sf_dir):
     counts = [r.n_docs for r in rows]
     assert counts == sorted(counts, reverse=True), counts
     assert counts[0] > 0 and counts[-1] > 0  # non-vacuous at both ends
+
+
+def test_training_shard_sink_deterministic(spark, sf_dir, tmp_path):
+    from conduit_spark import sinks
+    from conduit_spark.analytics.curation import shard_of
+    from conduit_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    sinks.training_shard_sink(docs, out, n_shards=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # membership follows the md5 rule for every row
+    bad = back.filter(
+        F.col("shard") != shard_of(F.col("doc_id"), 8)
+    ).count()
+    assert bad == 0
+    # one data file per shard (repartition-on-shard, not tasks×shards)
+    import glob, os
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # rerun writes the identical multiset per shard
+    out2 = str(tmp_path / "shards2")
+    sinks.training_shard_sink(docs, out2, n_shards=8)
+    a = sorted(r.doc_id for r in spark.read.parquet(out).filter("shard=3").collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(out2).filter("shard=3").collect())
+    assert a == b and len(a) > 0
