@@ -81,6 +81,7 @@ _EXTENDED = (
     "t_bpe_tokens",
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
+    "t_entropy",  # char-entropy quality signal; text family gate-verified 4×
     "cur_funnel",  # composes gate-verified stages; strict-mirror verified
     "cur_shards",  # shard-balance audit for the training_shard_sink writer
     "cur_mix",  # source-mixing weights; same agg family as cur_funnel

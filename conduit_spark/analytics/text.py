@@ -282,8 +282,42 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate signal (near-0 = repeated filler, ~4.x bits
+    = natural English, higher = random noise).
+
+    Built entirely from array higher-order functions (split →
+    array_distinct → per-char count via filter), so the histogram
+    never leaves the row: no explode, no shuffle, SF-linear. The
+    distinct-char list is SORTED before the fold so both engines sum
+    the same float sequence in the same order — bit-identical doubles,
+    exact oracle. Cost is O(distinct_chars × len) per doc; distinct
+    chars in text is ~dozens, so effectively linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars).cast("double")
+    probs = F.transform(
+        F.array_sort(F.array_distinct(chars)),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+    )
+    # entropy in bits: -sum p*log2 p
+    ent = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_chars_split"),
+        F.round(ent, 9).alias("char_entropy_bits"),
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_entropy": t_entropy,
     "t_repetition": t_repetition,
     "t_redact_pii": t_redact_pii,
     "t_bpe_tokens": t_bpe_tokens,
@@ -319,6 +353,20 @@ def _langid_sql() -> str:
 
 
 ORACLES = {
+    "t_entropy": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, '') AS cs,
+                   CAST(len(string_split(text, '')) AS DOUBLE) AS n
+            FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars_split,
+               round(-list_sum(list_transform(
+                   list_sort(list_distinct(cs)),
+                   c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+                        * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+               )), 9) AS char_entropy_bits
+        FROM t
+    """,
     "t_repetition": """
         WITH base AS (
             SELECT doc_id, string_split(text, ' ') AS t,

@@ -226,3 +226,31 @@ def test_training_shard_sink_deterministic(spark, sf_dir, tmp_path):
     a = sorted(r.doc_id for r in spark.read.parquet(out).filter("shard=3").collect())
     b = sorted(r.doc_id for r in spark.read.parquet(out2).filter("shard=3").collect())
     assert a == b and len(a) > 0
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Entropy is exact on analytically-known distributions."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", "s", 4),      # single symbol -> 0 bits
+            (2, "abab", "en", "s", 4),      # uniform over 2 -> 1 bit
+            (3, "abcdabcd", "en", "s", 8),  # uniform over 4 -> 2 bits
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.char_entropy_bits
+        for r in text.t_entropy(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_entropy_plan_is_shuffle_free(spark, sf_dir):
+    plan = (
+        text.t_entropy(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # histogram never leaves the row
