@@ -4,6 +4,7 @@ inspector tap, and the stateful dedup operator run as a real stream."""
 from __future__ import annotations
 
 import json
+import time
 
 import pyspark.sql.functions as F
 
@@ -273,3 +274,61 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # watermark event counted (3), NOT the batch-3 beyond-watermark one
     assert rows[("10:00", "a")] == 3
     assert rows[("10:10", "a")] == 1
+
+
+def test_stateful_dedup_ttl_evicts_and_reemits(spark, tmp_path):
+    """With a TTL, a key silent longer than the TTL is evicted (state
+    stays bounded) and a later sighting re-emits it.
+
+    Runs ONE continuous query (processing-time trigger): Spark 4.1's
+    availableNow + ProcessingTimeTimeout combination hangs in the
+    state-cleanup batch, so per-run restarts can't exercise timers.
+    """
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "k string, p string"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .select(
+            F.col("k").alias("key_json"),
+            F.col("p").alias("payload_after_json"),
+        )
+    )
+    deduped = running_dedup_state(stream, ttl_ms=800)
+    seen = []
+
+    def sink(batch_df, _id):
+        rows = batch_df.collect()
+        if rows:
+            seen.append(sorted(r.dedup_key for r in rows))
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="400 milliseconds")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        def wait_for(pred, deadline=30.0):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                if pred():
+                    return True
+                time.sleep(0.2)
+            return False
+
+        (src / "b1.json").write_text(json.dumps({"k": "a", "p": "v1"}))
+        assert wait_for(lambda: any("a" in ks for ks in seen))
+
+        time.sleep(2.0)  # key 'a' goes silent for > ttl
+        # a batch with another key fires a's expired timer -> eviction
+        (src / "b2.json").write_text(json.dumps({"k": "b", "p": "v2"}))
+        assert wait_for(lambda: any("b" in ks for ks in seen))
+
+        time.sleep(1.0)  # let the eviction batch run
+        # a's marker is gone -> next sighting re-emits, not suppressed
+        (src / "b3.json").write_text(json.dumps({"k": "a", "p": "v3"}))
+        assert wait_for(lambda: sum("a" in ks for ks in seen) >= 2)
+    finally:
+        q.stop()
