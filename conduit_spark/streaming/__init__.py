@@ -17,3 +17,8 @@ from conduit_spark.streaming.windows import (  # noqa: F401
 )
 from conduit_spark.streaming.inspector import StreamInspector  # noqa: F401
 from conduit_spark.streaming.stateful import running_dedup_state  # noqa: F401
+from conduit_spark.streaming.rollup import (  # noqa: F401
+    merge_rollup_batch,
+    rollup_aggregate,
+    start_incremental_rollup,
+)

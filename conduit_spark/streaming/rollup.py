@@ -1,0 +1,121 @@
+"""Incremental time-bucket rollup (continuous-aggregate analog).
+
+The hypertable/continuous-aggregate pattern: a streaming query
+maintains a materialized per-window aggregate table that readers can
+scan cheaply. Spark-first shape:
+
+    stream → watermark → tumbling groupBy(window, keys) agg
+      → outputMode(update)          # only windows/keys that changed
+      → foreachBatch: per-partition merge into a parquet table
+        partitioned by window start
+
+The merge touches ONLY the window partitions present in the batch
+(partition-pruned read + dynamic partition overwrite) — at 100 TB the
+per-batch work is proportional to the windows that changed, never to
+the size of the rollup table. Update-mode batches carry the NEW
+running total per (window, keys) from the state store, so merge =
+"replace matching (window, keys) rows, keep the rest of the
+partition" — an idempotent rewrite (retry-safe: rewriting a partition
+twice converges), the same guarantee a transactional MERGE gives
+without requiring a table format.
+
+Late data within the watermark updates its window in place; beyond
+the watermark it is dropped — the documented contract
+(streaming/windows.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+WIN_COL = "win_start_us"  # partition column: window start in epoch micros
+
+
+def rollup_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The continuous-aggregate plan: watermarked tumbling agg with the
+    window start flattened to an epoch-micros partition column."""
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(*aggs)
+        .withColumn(WIN_COL, F.unix_micros(F.col("win.start")))
+        .drop("win")
+    )
+
+
+def merge_rollup_batch(
+    spark, batch_df: DataFrame, target_path: str, keys: list[str]
+) -> None:
+    """Merge one update-mode micro-batch into the rollup table.
+
+    Reads ONLY the window partitions the batch touches (partition
+    filter on ``WIN_COL``), keeps their rows for (window, keys) not in
+    the batch, and rewrites those partitions with batch rows winning —
+    dynamic partition overwrite, so untouched windows are never
+    rewritten."""
+    from pyspark.errors import AnalysisException
+
+    batch_df = batch_df.localCheckpoint()  # small: changed windows only
+    wins = [r[WIN_COL] for r in batch_df.select(WIN_COL).distinct().collect()]
+    if not wins:
+        return
+    merged = batch_df
+    try:
+        existing = spark.read.parquet(target_path).filter(
+            F.col(WIN_COL).isin(wins)
+        )
+        keep = existing.join(
+            batch_df.select(WIN_COL, *keys), [WIN_COL, *keys], "left_anti"
+        )
+        # cut lineage to the target's files BEFORE overwriting them —
+        # a lazy self-read-then-overwrite would race its own input.
+        # Materialized size = the touched windows' rows only.
+        merged = keep.unionByName(batch_df).localCheckpoint()
+    except AnalysisException:  # first batch: target doesn't exist yet
+        pass
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(WIN_COL)
+        .parquet(target_path)
+    )
+
+
+def start_incremental_rollup(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    aggs: list[Column],
+    target_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    trigger: dict | None = None,
+):
+    """Wire the rollup: returns the started StreamingQuery maintaining
+    ``target_path`` as a parquet table partitioned by ``WIN_COL``."""
+    agg = rollup_aggregate(stream_df, ts_col, window, keys, aggs, watermark)
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_rollup_batch(spark, batch_df, target_path, keys)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -332,3 +332,98 @@ def test_stateful_dedup_ttl_evicts_and_reemits(spark, tmp_path):
         assert wait_for(lambda: sum("a" in ks for ks in seen) >= 2)
     finally:
         q.stop()
+
+
+def test_incremental_rollup_merges_late_window(spark, tmp_path):
+    """Continuous-aggregate analog: batch 2 updates an existing window
+    in place and adds a new one; the rollup table ends equal to a full
+    recompute, and only touched window partitions are rewritten."""
+    import os
+
+    from conduit_spark.streaming import rollup as R
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ckpt")
+    schema = "ts timestamp, k string, v double"
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    def run():
+        q = R.start_incremental_rollup(
+            stream(),
+            ts_col="ts",
+            window="1 hour",
+            keys=["k"],
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+            ],
+            target_path=target,
+            checkpoint=ck,
+            watermark="2 hours",
+        )
+        q.awaitTermination()
+
+    rows1 = [
+        {"ts": "2024-01-01 10:05:00", "k": "a", "v": 1.0},
+        {"ts": "2024-01-01 10:45:00", "k": "a", "v": 2.0},
+        {"ts": "2024-01-01 11:05:00", "k": "b", "v": 5.0},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    run()
+    got1 = {
+        (r["win_start_us"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(target).collect()
+    }
+    h10 = 1704103200000000  # 2024-01-01 10:00 UTC in epoch micros
+    h11 = h10 + 3_600_000_000
+    h12 = h11 + 3_600_000_000
+    assert got1 == {(h10, "a"): (2, 3.0), (h11, "b"): (1, 5.0)}
+
+    # batch 2: late row into hour-10 (within watermark) + new hour-12
+    rows2 = [
+        {"ts": "2024-01-01 10:55:00", "k": "a", "v": 4.0},
+        {"ts": "2024-01-01 12:01:00", "k": "c", "v": 7.0},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    mtime_h11 = max(
+        os.path.getmtime(os.path.join(target, f"win_start_us={h11}", f))
+        for f in os.listdir(os.path.join(target, f"win_start_us={h11}"))
+    )
+    run()
+    got2 = {
+        (r["win_start_us"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == {
+        (h10, "a"): (3, 7.0),  # updated in place
+        (h11, "b"): (1, 5.0),  # untouched
+        (h12, "c"): (1, 7.0),  # new window
+    }
+    # the untouched window partition was NOT rewritten
+    mtime_h11_after = max(
+        os.path.getmtime(os.path.join(target, f"win_start_us={h11}", f))
+        for f in os.listdir(os.path.join(target, f"win_start_us={h11}"))
+    )
+    assert mtime_h11_after == mtime_h11
+
+
+def test_rollup_merge_is_idempotent(spark, tmp_path):
+    """Re-merging the same batch (a retry) converges to the same table."""
+    from conduit_spark.streaming import rollup as R
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1000, "a", 2, 3.0), (2000, "b", 1, 5.0)],
+        f"{R.WIN_COL} long, k string, n long, total double",
+    )
+    for _ in range(2):
+        R.merge_rollup_batch(spark, batch, target, ["k"])
+    got = sorted(
+        (r[R.WIN_COL], r["k"], r["n"], r["total"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == [(1000, "a", 2, 3.0), (2000, "b", 1, 5.0)]
