@@ -32,6 +32,7 @@ from conduit_spark.analytics import (
     multimodal,
     pipeline_queries,
     processor_queries,
+    quality_checks,
     rag,
     relational,
     sampling,
@@ -55,6 +56,7 @@ _REGISTRIES = [
     (sketches.QUERIES, sketches.ORACLES),
     (curation.QUERIES, curation.ORACLES),
     (temporal.QUERIES, temporal.ORACLES),
+    (quality_checks.QUERIES, quality_checks.ORACLES),
     (text.QUERIES, text.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
     (relational.QUERIES, relational.ORACLES),
@@ -84,6 +86,7 @@ _EXTENDED = (
     "t_entropy",  # char-entropy quality signal; text family gate-verified 4×
     "cur_funnel",  # composes gate-verified stages; strict-mirror verified
     "cur_shards",  # shard-balance audit for the training_shard_sink writer
+    "dq_documents",  # Deequ-style corpus QA; single-pass agg family gate-verified via cur_mix
     "cur_mix",  # source-mixing weights; same agg family as cur_funnel
     "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
     "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)

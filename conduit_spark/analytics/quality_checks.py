@@ -1,0 +1,167 @@
+"""Declarative data-quality checks (Deequ-style) for corpus QA.
+
+Before a 100 TB training run you assert the corpus, not eyeball it:
+null/unique keys, derived-column consistency, category domains,
+length floors. The reference has per-record validation only (schema
+decode errors → DLQ); dataset-level constraints are a Spark-native
+addition in the spirit of its error-routing design.
+
+Execution shape: every row-local constraint compiles into ONE
+aggregate pass over the table (conditional sums — map-side partials,
+a single scan, no Expand); uniqueness constraints each add one keyed
+agg on a hashed key (md5 of the value, so wide text never shuffles).
+The per-check result rows are built by exploding a literal
+struct-array over the joined 1-row metric frames — constant-size
+driver plan, SF-linear cluster work.
+
+Each check emits (check, metric, threshold, passed): ``metric`` is an
+exact ratio of exact counts (bit-identical cross-engine after
+round 9), ``passed`` = metric <= threshold evaluated identically in
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from conduit_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A row-local constraint: ``bad`` marks violating rows; the check
+    passes when the violating fraction is <= ``max_frac``."""
+
+    name: str
+    bad: Column
+    max_frac: float = 0.0
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """Column(s) must be unique; metric = fraction of surplus rows
+    (rows beyond the first per key)."""
+
+    name: str
+    cols: tuple[str, ...]
+    max_frac: float = 0.0
+
+
+def run_checks(
+    df: DataFrame, checks: list[RowCheck | UniqueCheck]
+) -> DataFrame:
+    """(check, metric, threshold, passed) per constraint, one scan for
+    all RowChecks + one hashed keyed agg per UniqueCheck."""
+    row_checks = [c for c in checks if isinstance(c, RowCheck)]
+    uniq_checks = [c for c in checks if isinstance(c, UniqueCheck)]
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in row_checks:
+        aggs.append(
+            F.sum(F.when(c.bad, 1).otherwise(0)).cast("double").alias(f"__bad_{c.name}")
+        )
+    metrics = df.agg(*aggs)
+
+    for c in uniq_checks:
+        key = F.md5(F.concat_ws("\x1f", *[F.col(x).cast("string") for x in c.cols]))
+        surplus = (
+            df.select(key.alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(
+                (F.sum("__cnt") - F.count(F.lit(1)))
+                .cast("double")
+                .alias(f"__bad_{c.name}")
+            )
+        )
+        metrics = metrics.crossJoin(F.broadcast(surplus))
+
+    entries = []
+    for c in checks:
+        metric = F.round(F.col(f"__bad_{c.name}") / F.col("__n"), 9)
+        thr = float(c.max_frac)
+        entries.append(
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                metric.alias("metric"),
+                F.lit(thr).alias("threshold"),
+                (metric <= F.lit(thr)).alias("passed"),
+            )
+        )
+    return (
+        metrics.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.check_name", "e.metric", "e.threshold", "e.passed")
+        .orderBy("check_name")
+    )
+
+
+# --- the documents QA suite ------------------------------------------
+
+LATIN_LANGS = ("de", "en", "es", "fr")
+ALL_LANGS = LATIN_LANGS + ("zh",)
+MIN_CHARS = 64
+SHORT_MAX_FRAC = 0.01
+
+
+def documents_checks() -> list[RowCheck | UniqueCheck]:
+    return [
+        RowCheck("doc_id_not_null", F.col("doc_id").isNull()),
+        UniqueCheck("doc_id_unique", ("doc_id",)),
+        UniqueCheck("text_unique", ("text",)),
+        RowCheck(
+            "n_chars_consistent",
+            F.col("n_chars") != F.length(F.col("text")),
+        ),
+        RowCheck("lang_known", ~F.col("lang").isin(*ALL_LANGS)),
+        # intentionally strict: proves failed-check reporting (zh docs)
+        RowCheck("lang_latin_only", ~F.col("lang").isin(*LATIN_LANGS)),
+        RowCheck(
+            "min_length",
+            F.length(F.col("text")) < MIN_CHARS,
+            max_frac=SHORT_MAX_FRAC,
+        ),
+    ]
+
+
+def dq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus QA gate a training pipeline runs before sharding."""
+    return run_checks(load_table(spark, sf_dir, "documents"), documents_checks())
+
+
+QUERIES = {"dq_documents": dq_documents}
+
+_SQL_ALL = ",".join(f"'{x}'" for x in ALL_LANGS)
+_SQL_LATIN = ",".join(f"'{x}'" for x in LATIN_LANGS)
+
+ORACLES = {
+    "dq_documents": f"""
+        WITH m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS bad_null,
+                   CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS DOUBLE) AS bad_cons,
+                   CAST(sum(CASE WHEN lang NOT IN ({_SQL_ALL}) THEN 1 ELSE 0 END) AS DOUBLE) AS bad_known,
+                   CAST(sum(CASE WHEN lang NOT IN ({_SQL_LATIN}) THEN 1 ELSE 0 END) AS DOUBLE) AS bad_latin,
+                   CAST(sum(CASE WHEN length(text) < {MIN_CHARS} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_short
+            FROM documents),
+        uid AS (
+            SELECT CAST(count(*) - count(DISTINCT md5(CAST(doc_id AS VARCHAR))) AS DOUBLE) AS surplus
+            FROM documents),
+        utx AS (
+            SELECT CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) AS surplus
+            FROM documents)
+        SELECT check_name, round(bad / n, 9) AS metric, threshold,
+               round(bad / n, 9) <= threshold AS passed
+        FROM (
+            SELECT 'doc_id_not_null' AS check_name, bad_null AS bad, n, 0.0 AS threshold FROM m
+            UNION ALL SELECT 'doc_id_unique', uid.surplus, n, 0.0 FROM m, uid
+            UNION ALL SELECT 'text_unique', utx.surplus, n, 0.0 FROM m, utx
+            UNION ALL SELECT 'n_chars_consistent', bad_cons, n, 0.0 FROM m
+            UNION ALL SELECT 'lang_known', bad_known, n, 0.0 FROM m
+            UNION ALL SELECT 'lang_latin_only', bad_latin, n, 0.0 FROM m
+            UNION ALL SELECT 'min_length', bad_short, n, {SHORT_MAX_FRAC} FROM m)
+        ORDER BY check_name
+    """,
+}

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from conduit_spark.analytics import (
     curation,
@@ -254,3 +255,39 @@ def test_entropy_plan_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan  # histogram never leaves the row
+
+
+def test_run_checks_on_crafted_table(spark):
+    from conduit_spark.analytics.quality_checks import (
+        RowCheck,
+        UniqueCheck,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (None, "z")],
+        "id long, v string",
+    )
+    out = {
+        r.check_name: r
+        for r in run_checks(
+            df,
+            [
+                RowCheck("no_null_id", F.col("id").isNull()),
+                RowCheck("null_ok_half", F.col("id").isNull(), max_frac=0.5),
+                UniqueCheck("v_unique", ("v",)),
+            ],
+        ).collect()
+    }
+    assert out["no_null_id"].metric == 0.25 and not out["no_null_id"].passed
+    assert out["null_ok_half"].passed  # same metric, looser threshold
+    assert out["v_unique"].metric == 0.25 and not out["v_unique"].passed
+
+
+def test_dq_documents_reports_expected_verdicts(spark, sf_dir):
+    from conduit_spark.analytics.quality_checks import dq_documents
+
+    got = {r.check_name: r.passed for r in dq_documents(spark, sf_dir).collect()}
+    assert got["doc_id_not_null"] and got["doc_id_unique"]
+    assert got["n_chars_consistent"] and got["lang_known"]
+    assert not got["lang_latin_only"]  # zh docs exist → strict check fails
