@@ -251,6 +251,35 @@ def cmd_api(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan(args: argparse.Namespace) -> int:
+    """Print a registered query's executed physical plan plus the
+    scale-smell audit (conduit_spark.plans) — the pre-flight a query
+    gets before running on a real cluster."""
+    import json
+
+    from conduit_spark import get_spark
+    from conduit_spark.plans import audit_plan, executed_plan
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.extended_queries()
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; choose from:", file=sys.stderr)
+        for name in sorted(queries):
+            print(f"  {name}", file=sys.stderr)
+        return 1
+    spark = get_spark("conduit-spark-plan")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = queries[args.query](spark, args.sf_dir)
+    audit = audit_plan(df)
+    if args.json:
+        print(json.dumps({"query": args.query, **audit}, indent=2))
+    else:
+        print(executed_plan(df))
+        print(json.dumps({"query": args.query, **audit}, indent=2))
+    return 2 if audit["smells"] else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="conduit_spark", description="PySpark-native data pipeline engine"
@@ -308,6 +337,17 @@ def main(argv: list[str] | None = None) -> int:
     p_api.add_argument("--host", default="127.0.0.1")
     p_api.add_argument("--port", type=int, default=8080)
     p_api.set_defaults(fn=cmd_api)
+
+    p_plan = sub.add_parser(
+        "plan", help="physical plan + scale-smell audit for a query"
+    )
+    p_plan.add_argument("query", help="query name from the registry")
+    p_plan.add_argument(
+        "--sf", dest="sf_dir", default="/root/testdata/sf0.001",
+        help="table directory (default sf0.001)",
+    )
+    p_plan.add_argument("--json", action="store_true", help="audit JSON only")
+    p_plan.set_defaults(fn=cmd_plan)
 
     p_plugins = sub.add_parser(
         "plugins", help="list available processor and connector plugins"

@@ -127,3 +127,21 @@ def test_describe_directory(tmp_path, capsys):
     assert [r["id"] for r in rows] == ["demo"]
     # the malformed file is reported, not fatal (provisioning isolation)
     assert "bad.yaml" in captured.err
+
+
+def test_cli_plan_audits_query(capsys):
+    import json
+
+    from conduit_spark.cli import main
+
+    rc = main(["plan", "q1_pricing_summary", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["smells"] == []
+    assert out["pushed_filters"]  # shipdate filter reached the scan
+
+
+def test_cli_plan_unknown_query(capsys):
+    from conduit_spark.cli import main
+
+    assert main(["plan", "nope", "--json"]) == 1
+    assert "unknown query" in capsys.readouterr().err
