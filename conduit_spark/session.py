@@ -25,6 +25,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Testdata timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+    # Spark 4 would infer TIMESTAMP_NTZ, which unix_micros & friends
+    # reject. Read them as LTZ instead — with the UTC session timezone
+    # the raw micros are taken verbatim, bit-identical to DuckDB's
+    # naive-timestamp reading of the same files.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # field.set on metadata uses map_concat(old, new) — last write wins,
     # matching the reference's map assignment semantics.
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
@@ -46,6 +52,9 @@ _RUNTIME_REQUIRED = {
     "spark.sql.session.timeZone": "UTC",  # timestamp parity vs DuckDB
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",  # field.set on metadata
     "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts NANOS
+    # ts columns are TIMESTAMP(micros, isAdjustedToUTC=false) in the
+    # regenerated testdata — read as LTZ (UTC session), not NTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

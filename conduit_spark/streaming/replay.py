@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.session import ensure_session_confs
 
-EVENTS_DDL = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+_EVENTS_DDL = "event_id bigint, ts {ts_type}, user_id bigint, event_type string, value double, props string"
 
 
 def events_stream(
@@ -29,14 +29,26 @@ def events_stream(
     """events.parquet as a streaming DataFrame (ts normalized to a
     micros timestamp exactly like the batch loader)."""
     ensure_session_confs(spark)
+    # probe the parquet footer via the batch reader: older testdata has
+    # ts as TIMESTAMP(NANOS) (bigint under nanosAsLong, needs div 1000),
+    # regenerated testdata has plain micros (read as timestamp directly)
+    ts_is_nanos = (
+        dict(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+        ).get("ts")
+        == "bigint"
+    )
+    ddl = _EVENTS_DDL.format(ts_type="bigint" if ts_is_nanos else "timestamp")
     # the streaming file source requires a directory — point it at the
     # sf dir and glob-filter to the events file
     reader = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(ddl)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
