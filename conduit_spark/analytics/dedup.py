@@ -496,9 +496,73 @@ def contamination_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- corpus-wide span dedup (C4 §3.1 / Dolma-style) ------------------
+
+SPAN_W = 10  # words per non-overlapping span
+# span_idx < 2^20 encodes (doc_id, span_idx) into one bigint for an
+# exact cross-engine "first occurrence" min — docs are ≪ 1M words
+_SPAN_ENC = 1 << 20
+
+
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact span dedup: split every document into
+    non-overlapping ``SPAN_W``-word spans, keep each distinct span only
+    at its first occurrence (smallest ``(doc_id, span_idx)``) and count
+    the rest as removable duplicates — C4's "three-sentence span"
+    dedup re-expressed for whitespace corpora.
+
+    Scale shape: spans are a narrow ``posexplode``; the winner per
+    span-hash is a keyed ``min`` with map-side partial aggregation —
+    deliberately NOT a window over the hash: a window funnels every
+    occurrence of a viral span into one task, while partial aggs crush
+    hot keys before the shuffle. One agg shuffle + one equi-join back
+    on the uniform hash + one per-doc agg. No O(n²) state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # one transform over a position sequence — the split() is evaluated
+    # once per span, not inlined per element (see word_grams above)
+    spans = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) div {SPAN_W}),"
+        f" j -> array_join(slice(split(text, ' '), (j - 1) * {SPAN_W} + 1,"
+        f" {SPAN_W}), ' '))"
+    )
+    occ = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= SPAN_W)
+        .select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        .select(
+            "doc_id",
+            "span_idx",
+            md5_int32(F.col("span")).alias("h"),
+            (F.col("doc_id") * _SPAN_ENC + F.col("span_idx")).alias("occ_key"),
+        )
+        .localCheckpoint()  # feeds the winner agg AND the join back
+    )
+    winners = occ.groupBy("h").agg(F.min("occ_key").alias("win_key"))
+    return (
+        occ.join(winners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("occ_key") != F.col("win_key"), 1).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            (F.col("n_spans") - F.col("n_dup_spans"))
+            .cast("bigint")
+            .alias("n_kept_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "d_exact": d_exact,
     "d_contamination": d_contamination,
+    "d_span_dedup": d_span_dedup,
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
@@ -589,6 +653,36 @@ _LSH_CTES = f"""
 """
 
 ORACLES = {
+    "d_span_dedup": f"""
+        WITH occ AS (
+            SELECT doc_id,
+                   u.j - 1 AS span_idx,
+                   {sql_md5_int32("u.s")} AS h,
+                   doc_id * {_SPAN_ENC} + (u.j - 1) AS occ_key
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text,' ')) // {SPAN_W}),
+                           j -> {{'j': j,
+                                 's': array_to_string(
+                                     string_split(text,' ')
+                                         [(j-1)*{SPAN_W}+1:(j-1)*{SPAN_W}+{SPAN_W}],
+                                     ' ')}}
+                       )) AS u
+                FROM documents
+                WHERE len(string_split(text,' ')) >= {SPAN_W})),
+        winners AS (SELECT h, min(occ_key) AS win_key FROM occ GROUP BY h)
+        SELECT occ.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN occ.occ_key <> w.win_key THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               CAST(count(*) - sum(CASE WHEN occ.occ_key <> w.win_key
+                                        THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept_spans
+        FROM occ JOIN winners w USING (h)
+        GROUP BY occ.doc_id
+        ORDER BY occ.doc_id
+    """,
     "d_contamination": f"""
         WITH rel AS (
             SELECT DISTINCT doc_id, {sql_md5_int32("g")} AS x

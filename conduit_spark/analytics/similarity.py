@@ -327,6 +327,107 @@ def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means centroid training (IVF learns its cells from this) ------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1_000_000  # fixed-point micro-units: floor(x * 1e6)
+
+# q = the embedding in integer micro-units. floor() (not round) because
+# floor is defined identically in every engine; from here on ALL math
+# is int64 — sums are order-independent and exact, so the oracle
+# matches bit-for-bit with no float-summation-order tricks.
+_QUANT_EXPR = (
+    f"transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0) AS BIGINT))"
+)
+
+
+def _assign_expr(cents: list[tuple[int, list[int]]]) -> str:
+    """Cluster assignment as ONE projection expression over literal
+    centroids: argmin_c ||q - c||² with ties to the smallest cluster
+    id, encoded as ``min(dist * n + position)``. No join, no shuffle —
+    the centroids are O(K·d) driver state (the canonical distributed
+    k-means loop), so assignment stays inside whole-stage codegen.
+    """
+    n = len(cents)
+    arrs = ", ".join(
+        "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in cents
+    )
+    ids = ",".join(f"{cl}L" for cl, _ in cents)
+    enc = (
+        f"array_min(transform(array({arrs}), (c, i) -> "
+        f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+        f"BIGINT(0), (acc, x) -> acc + x) * {n}L + i))"
+    )
+    return f"element_at(array({ids}), CAST(({enc}) % {n}L AS INT) + 1)"
+
+
+def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``KMEANS_ITERS`` Lloyd iterations of quantized k-means over the
+    embedding table: deterministic init (the first ``KMEANS_K``
+    vectors), integer micro-unit arithmetic throughout, truncating
+    integer mean. Returns the final centroids with member counts —
+    the trainer that ``ivf_cell`` would consume instead of its fixed
+    pseudo-random centroids.
+
+    Scale shape per iteration: assignment is a pure projection
+    (centroid literals, zero shuffle); the update is one
+    ``posexplode`` + keyed sum over ``(cluster, dim)`` — map-side
+    partials crush every partition to ≤ K·d rows before the shuffle —
+    and O(K·d) centroid state returns to the driver. Nothing else
+    leaves the executors; the final relation is computed
+    distributed, not driver-assembled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QUANT_EXPR).alias("q")).localCheckpoint()
+    cents = [
+        (r["vec_id"], list(r["q"]))
+        for r in vecs.filter(F.col("vec_id") < KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    # truncating integer mean (identical in Spark and DuckDB: `div`
+    # floors on the non-negative magnitude, sign reapplied)
+    comp = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr("abs(s) div n")
+    cents_df = None
+    for it in range(KMEANS_ITERS):
+        assigned = vecs.select(
+            "q", F.expr(_assign_expr(cents)).alias("cl")
+        )
+        upd = (
+            assigned.select("cl", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents_df = (
+            upd.groupBy("cl")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", comp.alias("c")))
+                ).alias("pc"),
+                F.max("n").alias("n_members"),
+            )
+            .select(
+                "cl",
+                F.expr("transform(pc, x -> x.c)").alias("carr"),
+                "n_members",
+            )
+        )
+        if it < KMEANS_ITERS - 1:
+            cents = [
+                (r["cl"], list(r["carr"]))
+                for r in cents_df.orderBy("cl").collect()
+            ]
+    return cents_df.select(
+        F.col("cl").cast("bigint").alias("cluster_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.array_join(
+            F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
+        ).alias("centroid"),
+    ).orderBy("cluster_id")
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_lsh_buckets": s_lsh_buckets,
@@ -335,7 +436,43 @@ QUERIES = {
     "s_neardup_pairs": s_neardup_pairs,
     "s_knn_join": s_knn_join,
     "s_quantized_topk": s_quantized_topk,
+    "s_kmeans_centroids": s_kmeans_centroids,
 }
+
+
+def _sql_kmeans_iter(t: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs (cross-join argmin
+    — the oracle mirrors semantics, not the plan). Distances and the
+    ``dist*K + cl`` argmin encoding stay in exact integer arithmetic
+    (DuckDB sums BIGINT into HUGEINT), matching the Spark side's
+    tie-break toward the smallest cluster id."""
+    K, D = KMEANS_K, DIM
+    return f"""
+        a{t} AS (
+            SELECT vec_id, q,
+                   CAST(min(list_sum(list_transform(
+                           generate_series(1, {D}),
+                           i -> (q[i] - carr[i]) * (q[i] - carr[i])
+                       )) * {K} + cl) % {K} AS BIGINT) AS cl
+            FROM v, c{t}
+            GROUP BY vec_id, q),
+        u{t} AS (
+            SELECT cl, u.i AS pos, sum(u.v) AS s, count(*) AS n
+            FROM (
+                SELECT cl,
+                       unnest(list_transform(
+                           generate_series(1, {D}),
+                           i -> {{'i': i, 'v': q[i]}})) AS u
+                FROM a{t})
+            GROUP BY cl, u.i),
+        c{t + 1} AS (
+            SELECT cl,
+                   list(CAST(CASE WHEN s < 0 THEN -(abs(s) // n)
+                                  ELSE abs(s) // n END AS BIGINT)
+                        ORDER BY pos) AS carr,
+                   max(n) AS n_members
+            FROM u{t}
+            GROUP BY cl)"""
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -383,6 +520,24 @@ def _sql_ivf_cell(vec: str) -> str:
 
 
 ORACLES = {
+    "s_kmeans_centroids": f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
+                            AS BIGINT)) AS q
+            FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cl, q AS carr FROM v
+            WHERE vec_id < {KMEANS_K}),
+        {_sql_kmeans_iter(0)},
+        {_sql_kmeans_iter(1)}
+        SELECT CAST(cl AS BIGINT) AS cluster_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               array_to_string(carr, ',') AS centroid
+        FROM c{KMEANS_ITERS}
+        ORDER BY cluster_id
+    """,
     "s_ivf_topk": f"""
         WITH ce AS (
             SELECT vec_id, embedding, {_sql_ivf_cell("embedding")} AS cell

@@ -77,6 +77,80 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog (Flajolet et al. 2007) -------------------------------
+
+HLL_B = 6  # 2^6 = 64 buckets
+HLL_M = 1 << HLL_B
+# alpha_64 = 0.7213 / (1 + 1.079/64), the standard bias constant
+HLL_ALPHA = 0.709366
+_REST_BITS = 32 - HLL_B  # md5_int32 is 32-bit
+
+
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-gram count via a 64-bucket HyperLogLog,
+    next to the exact count and the relative error (same shape as
+    ``sk_kmv_distinct`` — a production run drops the exact branch).
+
+    The md5 hash makes the sketch deterministic, and every float step
+    is an exact power of two (``pow(2, -Mj)``) summed in sorted bucket
+    order — so even the *estimate* is bit-identical vs DuckDB.
+
+    Scale: per-bucket ``max(rho)`` is a keyed agg with map-side
+    partials — each executor partition reduces to ≤ 64 rows per
+    source before the shuffle, the textbook mergeable-sketch shape
+    (KMV needs a top-k merge; HLL's merge is just ``max``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= SHINGLE_W)
+        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
+        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .distinct()
+    ).localCheckpoint()  # feeds the sketch AND the exact count
+    rest = F.expr(f"x div {HLL_M}")  # top 26 bits
+    # rho = 1-based position of the first set bit in the 26-bit field,
+    # scanning from the high bit; all-zero field → 27. String-domain
+    # bit scan (bin/lpad/instr) is defined identically in both engines.
+    rho = F.instr(F.lpad(F.bin(rest), _REST_BITS, "0"), "1")
+    buckets = (
+        rel.select(
+            "source",
+            (F.col("x") % HLL_M).alias("bucket"),
+            F.when(rho == 0, F.lit(_REST_BITS + 1)).otherwise(rho).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # Z = sum 2^-Mj over all 64 buckets (absent buckets contribute
+    # 2^0 = 1), folded in sorted bucket order
+    z = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bucket", "mj"))),
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(2.0), -s["mj"].cast("double")),
+    ) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+    sk = buckets.groupBy("source").agg(
+        z.alias("z"), F.count(F.lit(1)).alias("n_buckets_hit")
+    )
+    exact = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("z")
+    return (
+        exact.join(sk, "source")
+        .select(
+            "source",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_buckets_hit").cast("bigint").alias("n_buckets_hit"),
+            F.round(est, 6).alias("est_distinct"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
 _REL_SQL = f"""
     SELECT DISTINCT source, {sql_md5_int32("g")} AS x
     FROM (
@@ -91,9 +165,41 @@ _REL_SQL = f"""
 
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_hll_distinct": sk_hll_distinct,
 }
 
 ORACLES = {
+    "sk_hll_distinct": f"""
+        WITH rel AS ({_REL_SQL}),
+        b AS (
+            SELECT source, x % {HLL_M} AS bucket,
+                   CASE WHEN instr(lpad(bin(x // {HLL_M}), {_REST_BITS}, '0'), '1') = 0
+                        THEN {_REST_BITS + 1}
+                        ELSE instr(lpad(bin(x // {HLL_M}), {_REST_BITS}, '0'), '1')
+                   END AS rho
+            FROM rel),
+        bk AS (SELECT source, bucket, max(rho) AS mj FROM b GROUP BY 1, 2),
+        sk AS (
+            SELECT source,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(
+                           list_sort(list({{'bucket': bucket, 'mj': mj}})),
+                           s -> pow(2.0, -CAST(s.mj AS DOUBLE)))),
+                       (acc, x) -> acc + x)
+                   + CAST({HLL_M} - count(*) AS DOUBLE) AS z,
+                   count(*) AS n_buckets_hit
+            FROM bk GROUP BY source),
+        exact AS (SELECT source, count(*) AS n_exact FROM rel GROUP BY 1)
+        SELECT e.source,
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST(sk.n_buckets_hit AS BIGINT) AS n_buckets_hit,
+               round({HLL_ALPHA} * {HLL_M} * {HLL_M} / sk.z, 6) AS est_distinct,
+               round(abs({HLL_ALPHA} * {HLL_M} * {HLL_M} / sk.z
+                         - CAST(e.n_exact AS DOUBLE))
+                     / CAST(e.n_exact AS DOUBLE), 6) AS rel_error
+        FROM exact e JOIN sk USING (source)
+        ORDER BY e.source
+    """,
     "sk_kmv_distinct": f"""
         WITH rel AS ({_REL_SQL}),
         kth AS (

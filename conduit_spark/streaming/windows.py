@@ -55,6 +55,46 @@ def sliding_aggregate(
     return df.groupBy(*group).agg(*aggs)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    *,
+    watermark: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join where the right event falls in
+    ``[left_ts - lookback, left_ts]`` — the windowed join every
+    attribution pipeline needs (purchase ⋈ clicks in the prior hour).
+
+    Both sides get event-time watermarks; together with the interval
+    condition Spark bounds the join state to ``lookback + watermark``
+    per key and evicts behind the watermark — state is O(rate ×
+    lookback), independent of stream lifetime. The same call works on
+    batch DataFrames (the condition degrades to a plain range
+    predicate), which is how the batch-equality test pins semantics.
+
+    ``left_ts`` / ``right_ts`` (and any non-key columns) must have
+    disjoint names across the two sides — rename before joining, as
+    any stream-stream join output would otherwise be ambiguous.
+    """
+    lcol, rcol = f"`{left_ts}`", f"`{right_ts}`"
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        F.expr(f"{rcol} >= {lcol} - INTERVAL {lookback}")
+        & F.expr(f"{rcol} <= {lcol}")
+    )
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    return left.join(right, cond, how)
+
+
 def session_aggregate(
     df: DataFrame,
     ts_col: str,

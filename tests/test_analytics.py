@@ -291,3 +291,57 @@ def test_dq_documents_reports_expected_verdicts(spark, sf_dir):
     assert got["doc_id_not_null"] and got["doc_id_unique"]
     assert got["n_chars_consistent"] and got["lang_known"]
     assert not got["lang_latin_only"]  # zh docs exist → strict check fails
+
+
+def test_span_dedup_crafted(spark, tmp_path):
+    """Span-level first-occurrence semantics: later copies of a span
+    count as duplicates, including copies within one document."""
+    from conduit_spark.analytics.dedup import SPAN_W, d_span_dedup
+
+    span = lambda ch: " ".join([ch] * SPAN_W)  # noqa: E731
+    rows = [
+        (1, span("a") + " " + span("b"), "en", "s", 0),
+        (2, span("b") + " " + span("c"), "en", "s", 0),  # b is a dup
+        (3, span("a") + " " + span("a"), "en", "s", 0),  # both dup doc 1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in d_span_dedup(spark, str(tmp_path)).collect()}
+    assert (got[1].n_spans, got[1].n_dup_spans) == (2, 0)
+    assert (got[2].n_spans, got[2].n_dup_spans) == (2, 1)
+    assert (got[3].n_spans, got[3].n_dup_spans) == (2, 2)
+    assert got[2].n_kept_spans == 1
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    """Every vector lands in exactly one cluster; centroids keep full
+    dimensionality in integer micro-units."""
+    from conduit_spark.analytics.similarity import (
+        DIM,
+        KMEANS_K,
+        s_kmeans_centroids,
+    )
+
+    from conduit_spark.sources.tables import load_table
+
+    out = s_kmeans_centroids(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_vecs
+    assert 1 <= len(out) <= KMEANS_K
+    assert all(len(r.centroid.split(",")) == DIM for r in out)
+
+
+def test_hll_estimate_tracks_exact(spark, sf_dir):
+    """64-bucket HLL: raw estimate lands within a loose multiple of
+    the ~13% standard error on every source, and the sketch never
+    degenerates (some buckets hit, positive estimate)."""
+    from conduit_spark.analytics.sketches import sk_hll_distinct
+
+    rows = sk_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets_hit > 0
+        assert r.est_distinct > 0
+        assert r.rel_error < 0.6, (r.source, r.rel_error)

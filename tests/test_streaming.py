@@ -427,3 +427,58 @@ def test_rollup_merge_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     )
     assert got == [(1000, "a", 2, 3.0), (2000, "b", 1, 5.0)]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (purchase ⋈ clicks by
+    the same user in the prior hour) matches the identical batch join
+    — Spark's unified semantics, pinned end-to-end."""
+    from conduit_spark.streaming.replay import events_stream
+    from conduit_spark.streaming.windows import stream_interval_join
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+
+    def run_join(left, right):
+        return stream_interval_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+            lookback="1 HOUR",
+        ).select("purchase_id", "click_id")
+
+    joined = run_join(
+        purchases(events_stream(spark, sf_dir)),
+        clicks(events_stream(spark, sf_dir)),
+    )
+    collected = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _: collected.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # two independent scans so the batch self-join is unambiguous
+    batch = run_join(
+        purchases(load_table(spark, sf_dir, "events")),
+        clicks(load_table(spark, sf_dir, "events")),
+    )
+    assert len(collected) > 0
+    assert sorted(map(tuple, collected)) == sorted(map(tuple, batch.collect()))
