@@ -4,6 +4,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from conduit_spark.analytics import (
+    chunking,
     curation,
     dedup,
     multimodal,
@@ -15,6 +16,7 @@ from conduit_spark.analytics import (
 from tests.oracle_util import compare_spark_duckdb
 
 MODULES = {
+    "chunking": chunking,
     "text": text,
     "dedup": dedup,
     "similarity": similarity,
@@ -345,3 +347,25 @@ def test_hll_estimate_tracks_exact(spark, sf_dir):
         assert r.n_buckets_hit > 0
         assert r.est_distinct > 0
         assert r.rel_error < 0.6, (r.source, r.rel_error)
+
+
+def test_pack_blocks_crafted(spark, tmp_path):
+    """Known token counts → exact offsets and block spans, including a
+    doc that straddles a block boundary."""
+    from conduit_spark.analytics.chunking import PACK_BLOCK, c_pack_blocks
+
+    text = lambda n: " ".join(["w"] * n)  # noqa: E731
+    rows = [
+        (0, text(500), "en", "s", 0),
+        (1, text(20), "en", "s", 0),   # offset 500, spans block 0→1
+        (2, text(4), "en", "s", 0),    # offset 520, inside block 1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in c_pack_blocks(spark, str(tmp_path)).collect()}
+    assert PACK_BLOCK == 512
+    assert (got[0].token_offset, got[0].start_block, got[0].end_block) == (0, 0, 0)
+    assert (got[1].token_offset, got[1].start_block, got[1].end_block) == (500, 0, 1)
+    assert (got[2].token_offset, got[2].start_block, got[2].end_block) == (520, 1, 1)
