@@ -99,7 +99,7 @@ CONNECTOR_PLUGINS: dict[str, dict[str, Any]] = {
     "builtin:file": {
         "source": True,
         "destination": True,
-        "description": "text/json/csv/parquet files, batch + streaming",
+        "description": "text/json/csv/parquet/orc files, batch + streaming",
     },
     "builtin:generator": {
         "source": True,

@@ -36,7 +36,7 @@ def file_sink(
     mode: str = "append",
     partition_by_collection: bool = False,
 ) -> None:
-    """Write envelopes to files (json/parquet/text).
+    """Write envelopes to files (json/parquet/orc/text).
 
     ``partition_by_collection=True`` routes records to per-collection
     directories (the destination-table-template analog) — at scale

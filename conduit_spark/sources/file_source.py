@@ -1,4 +1,4 @@
-"""builtin:file source + parquet/json table sources.
+"""builtin:file source + parquet/json/orc table sources.
 
 Reference: the file source tails a file line-by-line, each line one
 raw record (pkg/plugin/connector/builtin/registry.go:42-49). Spark
@@ -27,8 +27,8 @@ def file_source(
     """Read a file/directory as OpenCDC envelopes.
 
     - ``text``: each line → raw payload (file-source parity)
-    - ``json``/``parquet``/``csv``: rows → structured payload (csv
-      defaults to header=true, schema inference in batch)
+    - ``json``/``parquet``/``csv``/``orc``: rows → structured payload
+      (csv defaults to header=true, schema inference in batch)
 
     Position is content+file derived (deterministic); streaming mode
     relies on Spark's file-source checkpointing for exactly-once —
@@ -58,13 +58,13 @@ def file_source(
             line.cast("binary").alias("payload_after_raw"),
             F.lit(False).alias("is_structured"),
         )
-    if fmt in ("json", "parquet", "csv"):
+    if fmt in ("json", "parquet", "csv", "orc"):
         if fmt == "csv" and "header" not in (reader_options or {}):
             reader = reader.option("header", "true")
         if streaming:
             if schema is None:
                 raise ValueError(
-                    "streaming json/parquet/csv sources need an explicit schema"
+                    "streaming json/parquet/csv/orc sources need an explicit schema"
                 )
             df = reader.format(fmt).schema(schema).load(path)
         else:

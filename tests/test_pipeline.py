@@ -473,3 +473,30 @@ pipelines:
     assert calls["n"] == 3
     assert p.status == "running"
     assert len(read_json_dir(str(tmp_path / "out"))) == 2
+
+
+def test_file_orc_round_trip(spark, tmp_path):
+    """ORC source/sink parity: structured envelopes survive an ORC
+    write → read round trip (Spark-native columnar format the
+    reference's file connector lacks)."""
+    from conduit_spark.sinks import file_sink
+    from conduit_spark.sources.file_source import file_source
+
+    import pyspark.sql.functions as F
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    raw = str(tmp_path / "raw_orc")
+    src.write.orc(raw)
+    env = file_source(spark, raw, fmt="orc", source_id="s1")
+    assert env.count() == 2
+    assert env.filter(F.col("is_structured")).count() == 2
+    out = str(tmp_path / "out_orc")
+    file_sink(env.drop("position", "key_raw"), out, fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == 2
+    payloads = sorted(
+        r.payload_after_json for r in back.select("payload_after_json").collect()
+    )
+    assert '"name":"a"' in payloads[0]
