@@ -151,6 +151,72 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- histogram quantile sketch ---------------------------------------
+
+HIST_BIN_W = 8.0  # events.value spans 0..~500
+HIST_NBINS = 64
+_HIST_PS = (0.5, 0.9, 0.99)
+
+
+def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate percentiles from a fixed 64-bin
+    histogram sketch of ``events.value`` — the mergeable alternative to
+    an exact sort when all you need is percentile-grade accuracy
+    (error ≤ one bin width). The sketch state is an integer bin-count
+    vector: merge = element-wise sum, so partial aggregation reduces
+    every partition to ≤ types × 64 rows before the one shuffle.
+    ``floor(value / w)`` is the same IEEE operation in both engines,
+    so bin counts — and therefore the estimates — are oracle-exact.
+
+    Estimate for percentile p: the upper edge of the first bin whose
+    cumulative count reaches ``p × n``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / F.lit(HIST_BIN_W)), F.lit(0)
+            ),
+            F.lit(HIST_NBINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    est = [
+        (F.min(F.when(F.col("cum").cast("double") >= F.lit(p) * F.col("n").cast("double"), F.col("bin"))) + 1)
+        .cast("double")
+        .alias(f"p{int(p * 100)}_est")
+        for p in _HIST_PS
+    ]
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n"), *est)
+        .select(
+            "event_type",
+            "n",
+            *[
+                (F.col(f"p{int(p * 100)}_est") * HIST_BIN_W).alias(
+                    f"p{int(p * 100)}_est"
+                )
+                for p in _HIST_PS
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
 _REL_SQL = f"""
     SELECT DISTINCT source, {sql_md5_int32("g")} AS x
     FROM (
@@ -166,9 +232,39 @@ _REL_SQL = f"""
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_hist_quantiles": sk_hist_quantiles,
 }
 
+_HIST_EST_SQL = ",\n               ".join(
+    # CAST the bin-width literal: DuckDB parses `8.0` as DECIMAL and
+    # would return Decimal values where Spark returns DOUBLE
+    f"CAST((min(CASE WHEN CAST(cum AS DOUBLE) >= {p} * CAST(n AS DOUBLE)"
+    f" THEN bin END) + 1) * {HIST_BIN_W} AS DOUBLE) AS p{int(p * 100)}_est"
+    for p in _HIST_PS
+)
+
 ORACLES = {
+    "sk_hist_quantiles": f"""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(least(greatest(floor(value / {HIST_BIN_W}), 0),
+                              {HIST_NBINS - 1}) AS BIGINT) AS bin
+            FROM events),
+        c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM c)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               {_HIST_EST_SQL}
+        FROM cum
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "sk_hll_distinct": f"""
         WITH rel AS ({_REL_SQL}),
         b AS (

@@ -369,3 +369,22 @@ def test_pack_blocks_crafted(spark, tmp_path):
     assert (got[0].token_offset, got[0].start_block, got[0].end_block) == (0, 0, 0)
     assert (got[1].token_offset, got[1].start_block, got[1].end_block) == (500, 0, 1)
     assert (got[2].token_offset, got[2].start_block, got[2].end_block) == (520, 1, 1)
+
+
+def test_hist_quantile_estimates_bounded_by_bin_width(spark, sf_dir, duck):
+    """The estimate for percentile p is the upper edge of the bin that
+    contains the ceil(p*n)-th order statistic — pinned exactly."""
+    import math
+
+    from conduit_spark.analytics.sketches import HIST_BIN_W, sk_hist_quantiles
+
+    est = {r.event_type: r for r in sk_hist_quantiles(spark, sf_dir).collect()}
+    for t, r in est.items():
+        for p, got in ((0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)):
+            k = math.ceil(p * r.n)
+            kth = duck.execute(
+                "SELECT value FROM events WHERE event_type = ?"
+                " ORDER BY value LIMIT 1 OFFSET ?",
+                [t, k - 1],
+            ).fetchone()[0]
+            assert got - HIST_BIN_W <= kth < got, (t, p, got, kth)
