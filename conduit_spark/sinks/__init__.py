@@ -264,3 +264,69 @@ def training_shard_sink(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Compact a small-file-fragmented dataset in place: rewrite each
+    (optionally partitioned) dataset with file counts sized from the
+    actual on-disk bytes, not the writing job's task count.
+
+    Streaming sinks and per-batch idempotent writers (this engine's
+    ``batch_id=N`` layout included) accumulate files proportional to
+    *batches × tasks*; at 100 TB scan cost becomes metadata-bound long
+    before it is IO-bound. Compaction = read → ``repartition(ceil(
+    bytes / target))`` (hash on the partition column so dynamic
+    partition overwrite rewrites each partition with its own right-
+    sized file set) → overwrite. Returns {files_before, files_after,
+    bytes} for the caller's audit log.
+
+    The rewrite stages into ``<path>.__compact_tmp`` and swaps only
+    after success — an in-place overwrite that reads its own input
+    would truncate the dataset on failure. The stat/swap step here is
+    local-filesystem (os/shutil); on HDFS/S3 the same two-phase
+    pattern runs through the FileSystem API (rename is atomic on HDFS;
+    on S3 you flip a manifest/prefix pointer instead).
+    """
+    import math
+    import os
+    import shutil
+
+    def walk_stats(p):
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = walk_stats(path)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    if partition_col:
+        df = df.repartition(n_files, F.col(partition_col))
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.format(fmt).save(tmp)
+    rollback = path.rstrip("/") + ".__compact_old"
+    shutil.move(path, rollback)
+    shutil.move(tmp, path)
+    shutil.rmtree(rollback)
+    files_after, _ = walk_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -500,3 +500,31 @@ def test_file_orc_round_trip(spark, tmp_path):
         r.payload_after_json for r in back.select("payload_after_json").collect()
     )
     assert '"name":"a"' in payloads[0]
+
+
+def test_compact_partitions_preserves_rows_and_merges_files(spark, tmp_path):
+    """A deliberately fragmented dataset (40 tasks × tiny rows)
+    compacts to few files with identical content, including under a
+    partition column."""
+    from conduit_spark.sinks import compact_partitions
+
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "frag")
+    (
+        spark.range(2000)
+        .select("id", (F.col("id") % 3).alias("p"))
+        .repartition(40)
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+    before = sorted(
+        (r.id, r.p) for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_partitions(
+        spark, path, partition_col="p", target_file_bytes=64 * 1024 * 1024
+    )
+    after = sorted((r.id, r.p) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert stats["files_before"] > 100  # 40 tasks × 3 partitions
+    assert stats["files_after"] <= 3  # one right-sized file per partition
