@@ -292,16 +292,22 @@ N_CENTROIDS = 8
 _CENTROIDS = hyperplanes(N_CENTROIDS, DIM, seed=29)  # fixed pseudo-random centroids
 
 
-def ivf_cell(vec: Column) -> Column:
-    """IVF cell id: argmax dot-product against fixed centroids
+def ivf_cell(vec: Column, centroids: list[list[float]] | None = None) -> Column:
+    """IVF cell id: argmax dot-product against the centroid list
     (first-max wins via array_position).
 
-    A production IVF trains centroids (k-means on a sample); fixed
-    deterministic centroids keep the oracle exact while exercising the
-    same plan shape — cell assignment is a narrow per-row argmax, the
-    probe reads one cell's partition."""
+    ``centroids`` defaults to fixed deterministic pseudo-random ones —
+    they keep the oracle exact while exercising the same plan shape.
+    A production index passes learned centroids instead: train with
+    :func:`s_kmeans_centroids` (or any sample-based k-means), divide
+    the integer micro-unit components by ``KMEANS_SCALE``, and hand
+    them here — cell assignment stays a narrow per-row argmax either
+    way, and the probe still reads one cell's partition."""
     sims = F.array(
-        *[_dot(vec, F.array(*[F.lit(v) for v in c])) for c in _CENTROIDS]
+        *[
+            _dot(vec, F.array(*[F.lit(v) for v in c]))
+            for c in (centroids if centroids is not None else _CENTROIDS)
+        ]
     )
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 

@@ -388,3 +388,37 @@ def test_hist_quantile_estimates_bounded_by_bin_width(spark, sf_dir, duck):
                 [t, k - 1],
             ).fetchone()[0]
             assert got - HIST_BIN_W <= kth < got, (t, p, got, kth)
+
+
+def test_ivf_with_learned_centroids(spark, sf_dir):
+    """The k-means trainer output plugs into ivf_cell: every vector
+    gets a valid cell, cells match the trainer's own assignment
+    (argmin L2 == argmax dot for unit-ish data need not hold, so we
+    only require a valid, *stable* partition), and the learned index
+    still supports a one-cell probe."""
+    from conduit_spark.analytics.similarity import (
+        KMEANS_SCALE,
+        ivf_cell,
+        s_kmeans_centroids,
+    )
+    from conduit_spark.sources.tables import load_table
+
+    cents = [
+        [float(c) / KMEANS_SCALE for c in r.centroid.split(",")]
+        for r in s_kmeans_centroids(spark, sf_dir).collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", ivf_cell(F.col("embedding"), cents).alias("cell")
+    )
+    n = emb.count()
+    assert cells.filter(
+        (F.col("cell") >= 0) & (F.col("cell") < len(cents))
+    ).count() == n
+    # stable across evaluations (pure column algebra, no RNG)
+    again = cells.collect()
+    assert sorted(map(tuple, cells.collect())) == sorted(map(tuple, again))
+    # a probe of the query vector's cell touches a strict subset
+    qcell = cells.filter(F.col("vec_id") == 0).collect()[0].cell
+    probe = cells.filter(F.col("cell") == qcell).count()
+    assert 0 < probe < n
