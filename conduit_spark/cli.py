@@ -271,13 +271,44 @@ def cmd_plan(args: argparse.Namespace) -> int:
     spark = get_spark("conduit-spark-plan")
     spark.sparkContext.setLogLevel("ERROR")
     df = queries[args.query](spark, args.sf_dir)
-    audit = audit_plan(df)
+    audit = audit_plan(df, query=args.query)
     if args.json:
         print(json.dumps({"query": args.query, **audit}, indent=2))
     else:
         print(executed_plan(df))
         print(json.dumps({"query": args.query, **audit}, indent=2))
     return 2 if audit["smells"] else 0
+
+
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Scale-smell audit across EVERY registered query — the fleet
+    pre-flight. One JSON line per query; exits 2 if any query smells,
+    so CI can gate on plan shape the way tests/test_plan_shapes.py
+    gates the named invariants."""
+    import json
+
+    from conduit_spark import get_spark
+    from conduit_spark.plans import audit_plan
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.extended_queries()
+    spark = get_spark("conduit-spark-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name in sorted(queries):
+        try:
+            audit = audit_plan(queries[name](spark, args.sf_dir), query=name)
+        except Exception as exc:  # noqa: BLE001 — report, keep auditing
+            print(json.dumps({"query": name, "error": str(exc)[:200]}))
+            bad += 1
+            continue
+        if audit["smells"]:
+            bad += 1
+        print(json.dumps({"query": name, **audit}))
+    print(f"# {len(queries)} queries audited, {bad} with smells/errors",
+          file=sys.stderr)
+    return 2 if bad else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -348,6 +379,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_plan.add_argument("--json", action="store_true", help="audit JSON only")
     p_plan.set_defaults(fn=cmd_plan)
+
+    p_audit = sub.add_parser(
+        "audit", help="scale-smell audit across every registered query"
+    )
+    p_audit.add_argument(
+        "--sf", dest="sf_dir", default="/root/testdata/sf0.001",
+        help="table directory (default sf0.001)",
+    )
+    p_audit.set_defaults(fn=cmd_audit)
 
     p_plugins = sub.add_parser(
         "plugins", help="list available processor and connector plugins"

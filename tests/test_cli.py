@@ -145,3 +145,31 @@ def test_cli_plan_unknown_query(capsys):
 
     assert main(["plan", "nope", "--json"]) == 1
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_audit_plan_scalar_aggs_benign_and_waivers(spark):
+    """A unioned pair of scalar aggregates (two SinglePartition
+    exchanges, both feeding keys=[] partial aggs) must not smell; a
+    declared waiver moves the smell out of the failure set."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.plans import audit_plan
+
+    df = spark.range(100)
+    scalars = df.agg(F.count(F.lit(1)).alias("v")).unionAll(
+        df.agg(F.sum("id").alias("v"))
+    )
+    audit = audit_plan(scalars)
+    assert audit["single_partition_exchanges"] == 0
+    assert audit["smells"] == []
+
+    from conduit_spark.analytics.chunking import c_pack_blocks
+
+    audit = audit_plan(
+        c_pack_blocks(spark, "/root/testdata/sf0.001"), query="c_pack_blocks"
+    )
+    assert audit["smells"] == []
+    assert set(audit["waived"]) == {"global-window", "single-partition-exchange"}
+    # without the query name the same plan DOES fail the audit
+    audit_anon = audit_plan(c_pack_blocks(spark, "/root/testdata/sf0.001"))
+    assert "single-partition-exchange" in audit_anon["smells"]
