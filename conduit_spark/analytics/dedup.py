@@ -499,9 +499,11 @@ def contamination_scores(docs: DataFrame) -> DataFrame:
 # --- corpus-wide span dedup (C4 §3.1 / Dolma-style) ------------------
 
 SPAN_W = 10  # words per non-overlapping span
-# span_idx < 2^20 encodes (doc_id, span_idx) into one bigint for an
-# exact cross-engine "first occurrence" min — docs are ≪ 1M words
-_SPAN_ENC = 1 << 20
+# (doc_id, span_idx) packed into one bigint for an exact cross-engine
+# "first occurrence" min. 24 bits of span_idx = 16M spans = 160M words
+# per document (far beyond any real corpus doc); doc_id then has 39
+# bits (550B documents) before the packing overflows int64.
+_SPAN_ENC = 1 << 24
 
 
 def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
