@@ -67,11 +67,16 @@ _REGISTRIES = [
 # 50 slots. All remain pytest/gate_check-verified against the same
 # DuckDB oracles every round, and bench.py times them.
 _EXTENDED = (
-    "d_span_dedup",  # C4-style span dedup; exact-dedup family gate-verified via d_exact
+    # Round-4 rotation: five thrice-driver-verified processor rows move
+    # here so c_pack_blocks / sk_hist_quantiles / t_entropy /
+    # d_span_dedup / q_user_sessions each get a CORRECTNESS row.
+    "p_clone",  # driver-green r1-r3; topology family kept via p_error_dlq
+    "p_split",  # driver-green r1-r3
+    "p_field_rename",  # driver-green r1-r3; field family kept via p_field_set/convert
+    "p_field_exclude",  # driver-green r1-r3
+    "p_json_encode",  # driver-green r1-r3; codec family kept via p_json_decode/p_base64
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
-    "c_pack_blocks",  # sequence packing; chunking family gate-verified via c_chunk_documents
-    "sk_hist_quantiles",  # histogram quantile sketch; sketch family gate-verified via sk_kmv_distinct
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
     "q20_part_share_suppliers",  # displaced by sk_kmv_distinct (semi/anti-join family kept via q_orders_antijoin)
@@ -81,14 +86,12 @@ _EXTENDED = (
     "s_quantized_topk",  # int8 scalar-quantized search variant
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
-    "q_user_sessions",
     "m_frame_sample",
     "m_features",
     "m_resize",
     "t_bpe_tokens",
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
-    "t_entropy",  # char-entropy quality signal; text family gate-verified 4×
     "cur_funnel",  # composes gate-verified stages; strict-mirror verified
     "cur_shards",  # shard-balance audit for the training_shard_sink writer
     "dq_documents",  # Deequ-style corpus QA; single-pass agg family gate-verified via cur_mix

@@ -74,16 +74,43 @@ def as_media(df: DataFrame, content_col: str, id_col: str, modality: str) -> Dat
 def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     """Decode media content → metadata (mapInPandas, Arrow-batched).
 
-    ``real_codecs=True`` is the integration point for PIL/ffmpeg-style
-    decoding (unavailable here → NotImplementedError). The default
-    deterministic fake derives width/height from the content digest —
-    stable, partition-parallel, and SQL-reproducible.
+    ``real_codecs=True`` decodes PNG and WAV for real with the
+    stdlib-only codecs in ``media_codecs`` (zlib inflate + scanline
+    unfilter for PNG; RIFF chunk walk for WAV): width/height are the
+    true image dimensions, and for audio (n_frames, n_channels) fill
+    the same slots. JPEG/MP4 still raise NotImplementedError inside
+    the task — those need PIL/ffmpeg and remain documented seams. The
+    default deterministic fake derives width/height from the content
+    digest — stable, partition-parallel, and SQL-reproducible.
     """
     if real_codecs:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this environment; "
-            "plug a decoder into decode_media.run when they are"
-        )
+        from conduit_spark.analytics.media_codecs import decode_any
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows: dict[str, list] = {
+                    k.name: [] for k in DECODED_SCHEMA.fields
+                }
+                for mid, mod, c, nb in zip(
+                    pdf["media_id"], pdf["modality"], pdf["content"], pdf["n_bytes"]
+                ):
+                    if c is None:
+                        continue
+                    raw = bytes(c)
+                    meta = decode_any(raw)
+                    if meta["format"] == "png":
+                        w, h = meta["width"], meta["height"]
+                    else:  # wav: geometry rides the same two slots
+                        w, h = meta["n_frames"], meta["n_channels"]
+                    rows["media_id"].append(mid)
+                    rows["modality"].append(mod)
+                    rows["n_bytes"].append(nb)
+                    rows["digest"].append(hashlib.md5(raw).hexdigest())
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                yield pd.DataFrame(rows)
+
+        return df.mapInPandas(run_real, DECODED_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -287,30 +287,57 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish/boilerplate signal (near-0 = repeated filler, ~4.x bits
     = natural English, higher = random noise).
 
-    Built entirely from array higher-order functions (split →
-    array_distinct → per-char count via filter), so the histogram
-    never leaves the row: no explode, no shuffle, SF-linear. The
-    distinct-char list is SORTED before the fold so both engines sum
-    the same float sequence in the same order — bit-identical doubles,
-    exact oracle. Cost is O(distinct_chars × len) per doc; distinct
-    chars in text is ~dozens, so effectively linear.
+    Built entirely from array higher-order functions, no explode, no
+    shuffle, SF-linear. Single-pass sorted-run counting: sort the char
+    array once, find run starts with an indexed filter (O(1) ``F.get``
+    per element), and each run's length IS that character's count —
+    O(len log len) per doc instead of the earlier
+    O(distinct_chars × len) distinct×filter-count fold, which was the
+    slowest map stage in the fleet for long high-alphabet docs. Runs
+    come out in sorted-char order, so the fold adds the same float
+    sequence in the same order as the DuckDB oracle — bit-identical
+    doubles, exact hash match.
     """
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
-    n = F.size(chars).cast("double")
-    probs = F.transform(
-        F.array_sort(F.array_distinct(chars)),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+    # Each stage materializes its array as a PROJECTED COLUMN before any
+    # lambda references it: a lambda body that captures a full
+    # expression tree (e.g. array_sort(split(...))) is re-evaluated per
+    # element by the HOF interpreter — O(n² log n). Attribute refs are
+    # evaluated once per row; multi-use keeps CollapseProject from
+    # re-inlining them.
+    d = docs.select("doc_id", F.array_sort(F.split(F.col("text"), "")).alias("cs"))
+    d = d.select("doc_id", "cs", F.size("cs").alias("n"))
+    # 0-based indices where a new run (distinct char) begins; F.get is
+    # 0-based and null-safe out of bounds (no ANSI element_at error)
+    d = d.select(
+        "doc_id",
+        "n",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: (i == 0) | (F.get(F.col("cs"), i) != F.get(F.col("cs"), i - 1)),
+        ).alias("starts"),
     )
+    # run length = next start (or n) - this start
+    d = d.select(
+        "doc_id",
+        "n",
+        F.transform(
+            F.col("starts"),
+            lambda s, j: (
+                F.coalesce(F.get(F.col("starts"), j + 1), F.col("n")) - s
+            ).cast("double"),
+        ).alias("counts"),
+    )
+    nd = F.col("n").cast("double")
     # entropy in bits: -sum p*log2 p
     ent = -F.aggregate(
-        probs,
+        F.col("counts"),
         F.lit(0.0),
-        lambda acc, p: acc + p * F.log2(p),
+        lambda acc, c: acc + (c / nd) * F.log2(c / nd),
     )
-    return docs.select(
+    return d.select(
         "doc_id",
-        F.size(chars).cast("bigint").alias("n_chars_split"),
+        F.col("n").cast("bigint").alias("n_chars_split"),
         F.round(ent, 9).alias("char_entropy_bits"),
     )
 

@@ -11,6 +11,8 @@ Routes (mirroring the reference's gateway paths):
     DELETE /v1/pipelines/{id}        remove (not while running)
     POST   /v1/pipelines/{id}/start  run async (batch by default)
     POST   /v1/pipelines/{id}/stop   request stop
+    GET    /v1/connectors/{id}/inspect?count=N   sampled in-flight records
+    GET    /v1/processors/{id}/inspect?count=N   (api.proto:775,1011-1018)
 
 stdlib ``http.server`` only — no new dependencies; the JSON bodies
 come from the same ``pipeline/views.py`` builders the CLI uses, so
@@ -41,14 +43,16 @@ Runner = Callable[[PipelineConfig, threading.Event], str]
 set by POST /stop — a cooperative runner checks it between batches."""
 
 
-def default_batch_runner(cfg: PipelineConfig, stop: threading.Event) -> str:
+def default_batch_runner(
+    cfg: PipelineConfig, stop: threading.Event, inspectors: dict | None = None
+) -> str:
     """Run the pipeline once in batch mode on the engine session."""
     from conduit_spark import get_spark
     from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
 
     spark = get_spark("conduit-spark-api")
     try:
-        Pipeline(spark, cfg).run_batch()
+        Pipeline(spark, cfg, inspectors=inspectors).run_batch()
     except PipelineFailure:
         return "failed"
     return "stopped" if stop.is_set() else "done"
@@ -68,6 +72,9 @@ class ControlPlane:
         self._status: dict[str, str] = {}
         self._threads: dict[str, threading.Thread] = {}
         self._stop_events: dict[str, threading.Event] = {}
+        # (pipeline id, node id) -> StreamInspector; attached lazily on
+        # the first /inspect call and sampled by every later run
+        self._inspectors: dict[tuple[str, str], object] = {}
         self._runner = runner or default_batch_runner
         for c in configs or []:
             self._configs[c.id] = c
@@ -148,10 +155,23 @@ class ControlPlane:
             stop = threading.Event()
             self._stop_events[pid] = stop
             self._status[pid] = "running"
+            taps = {
+                nid: insp
+                for (p, nid), insp in self._inspectors.items()
+                if p == pid
+            }
 
             def work() -> None:
+                import inspect as _inspect
+
                 try:
-                    final = self._runner(cfg, stop)
+                    takes_inspectors = (
+                        "inspectors" in _inspect.signature(self._runner).parameters
+                    )
+                    if takes_inspectors:
+                        final = self._runner(cfg, stop, inspectors=taps)
+                    else:  # 2-arg custom runner (tests, embedders)
+                        final = self._runner(cfg, stop)
                 except Exception:  # noqa: BLE001 — runner crash = failed
                     final = "failed"
                 with self._lock:
@@ -187,12 +207,73 @@ class ControlPlane:
             t.join(timeout=timeout)
         return self.status(pid)
 
+    # -- inspection ---------------------------------------------------
+
+    def _resolve_node(self, node_id: str, kind: str) -> tuple[str, str]:
+        """Resolve a connector/processor id to (pipeline id, node id).
+        Accepts the reference's fully-qualified ``pipeline:node`` form
+        (connector ids are pipeline-scoped there, api.proto:767-782)
+        or a bare node id when it is unambiguous."""
+        with self._lock:
+            configs = list(self._configs.values())
+
+        def nodes(c: PipelineConfig):
+            if kind == "connector":
+                return [n.id for n in (*c.sources, *c.destinations)]
+            out = [p.id for p in c.processors]
+            for conn in (*c.sources, *c.destinations):
+                out.extend(p.id for p in conn.processors)
+            return out
+
+        if ":" in node_id:
+            pid, _, nid = node_id.partition(":")
+            for c in configs:
+                if c.id == pid and nid in nodes(c):
+                    return pid, nid
+            raise LookupError(node_id)
+        hits = [(c.id, node_id) for c in configs if node_id in nodes(c)]
+        if not hits:
+            raise LookupError(node_id)
+        if len(hits) > 1:
+            raise Conflict(
+                f"{kind} id {node_id!r} exists in pipelines "
+                f"{sorted(p for p, _ in hits)}; use 'pipeline:{node_id}'"
+            )
+        return hits[0]
+
+    def inspect(self, node_id: str, kind: str, count: int = 10) -> dict:
+        """Attach (idempotently) an inspector to a connector/processor
+        and return the records buffered so far — the HTTP analog of the
+        reference's InspectConnector/InspectProcessor server streams
+        (api.proto:775,1011-1018): buffered, drop-oldest-on-full, zero
+        cost until a session attaches. Records accumulate across runs;
+        poll after starting the pipeline."""
+        from conduit_spark.streaming.inspector import StreamInspector, jsonable
+
+        pid, nid = self._resolve_node(node_id, kind)
+        with self._lock:
+            insp = self._inspectors.get((pid, nid))
+            attached = insp is None
+            if insp is None:
+                insp = StreamInspector(sample_per_batch=max(count, 10))
+                self._inspectors[(pid, nid)] = insp
+        records = insp.records()[-count:]
+        return {
+            "pipeline": pid,
+            "id": nid,
+            "type": kind,
+            "attached": attached,
+            "records": [jsonable(r) for r in records],
+        }
+
 
 _ROUTES = [
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/metrics$"), "prometheus"),
     ("GET", re.compile(r"^/v1/processors/plugins$"), "processor_plugins"),
     ("GET", re.compile(r"^/v1/connectors/plugins$"), "connector_plugins"),
+    ("GET", re.compile(r"^/v1/connectors/([^/]+)/inspect$"), "inspect_connector"),
+    ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect$"), "inspect_processor"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
@@ -226,10 +307,14 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n) or b"{}")
 
     def _dispatch(self, method: str) -> None:
+        from urllib.parse import parse_qs, urlsplit
+
+        split = urlsplit(self.path)
+        self.query = {k: v[-1] for k, v in parse_qs(split.query).items()}
         for m, rx, op in _ROUTES:
             if m != method:
                 continue
-            match = rx.match(self.path)
+            match = rx.match(split.path)
             if not match:
                 continue
             try:
@@ -237,7 +322,7 @@ class _Handler(BaseHTTPRequestHandler):
             except Conflict as e:
                 self._send(409, {"error": str(e)})
             except LookupError as e:
-                self._send(404, {"error": f"pipeline {e.args[0]!r} not found"})
+                self._send(404, {"error": f"{e.args[0]!r} not found"})
             except Exception as e:  # noqa: BLE001 — config parse errors etc.
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -277,6 +362,10 @@ class _Handler(BaseHTTPRequestHandler):
                 200,
                 [{"name": k, **v} for k, v in sorted(CONNECTOR_PLUGINS.items())],
             )
+        elif op in ("inspect_connector", "inspect_processor"):
+            kind = "connector" if op == "inspect_connector" else "processor"
+            count = int(self.query.get("count", "10"))
+            self._send(200, plane.inspect(groups[0], kind, count=count))
         elif op == "list":
             self._send(200, plane.list())
         elif op == "create":

@@ -384,13 +384,48 @@ def build_source(
             streaming=streaming,
         )
     if plugin == "builtin:postgres":
-        # snapshot-mode source (JDBC batch read → envelopes with
-        # operation=snapshot). CDC parity comes from a Debezium-format
-        # Kafka topic + the unwrap.debezium processor (COVERAGE.md).
+        # Three modes, mirroring the reference source's snapshot + CDC
+        # (pkg/plugin/connector/builtin/registry.go:42-49):
+        #   cdc.format=wal2json  — logical-replication feed captured by
+        #     pg_recvlogical into cdc.path (v2 line format; v1 via
+        #     cdc.formatVersion: 1); streaming tails the directory
+        #   cdc.format=pgoutput  — length-framed binary capture files
+        #   (default)            — JDBC snapshot (operation=snapshot)
+        cdc_format = settings.get("cdc.format")
+        if cdc_format:
+            from conduit_spark.sources.postgres_wal import (
+                pgoutput_source,
+                wal2json_source,
+            )
+
+            key_cols = settings.get("keyColumns")
+            if isinstance(key_cols, str):
+                key_cols = [k.strip() for k in key_cols.split(",")]
+            if cdc_format == "wal2json":
+                return wal2json_source(
+                    spark,
+                    settings["cdc.path"],
+                    source_id=source_id,
+                    streaming=streaming,
+                    format_version=int(settings.get("cdc.formatVersion", 2)),
+                    key_cols=key_cols,
+                )
+            if cdc_format == "pgoutput":
+                if streaming:
+                    raise ValueError(
+                        "cdc.format=pgoutput captures are batch-replayed; "
+                        "use cdc.format=wal2json for a streaming tail"
+                    )
+                return pgoutput_source(
+                    spark, settings["cdc.path"], source_id=source_id
+                )
+            raise ValueError(
+                f"cdc.format must be wal2json or pgoutput, got {cdc_format!r}"
+            )
         if streaming:
             raise ValueError(
-                "builtin:postgres streams via kafka+unwrap.debezium; "
-                "direct source is snapshot (batch) only"
+                "builtin:postgres streams via cdc.format=wal2json or "
+                "kafka+unwrap.debezium; direct source is snapshot (batch) only"
             )
         import pyspark.sql.functions as F
 

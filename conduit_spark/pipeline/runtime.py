@@ -72,6 +72,7 @@ class Pipeline:
         *,
         transports: dict[str, Any] | None = None,
         metrics: Any | None = None,
+        inspectors: dict[str, Any] | None = None,
     ):
         if not config.sources:
             raise ValueError(f"pipeline {config.id}: needs at least one source")
@@ -85,8 +86,21 @@ class Pipeline:
         self.transports = transports or {}
         self.status = config.status
         self.metrics = metrics if metrics is not None else GLOBAL_METRICS
+        # node id (connector or processor) -> StreamInspector; taps are
+        # sampled only for attached ids, so an uninspected pipeline pays
+        # zero extra jobs (reference: pkg/inspector/inspector.go:33-68 —
+        # sessions only observe while attached)
+        self.inspectors = inspectors or {}
 
     # ---- plan building ---------------------------------------------------
+
+    def _tap(self, node_id: str, df: DataFrame) -> None:
+        """Sample df into the node's attached inspector (batch mode
+        only — streaming plans can't be collected mid-build; the
+        micro-batch tap in ``_deliver`` covers them)."""
+        insp = self.inspectors.get(node_id)
+        if insp is not None and not df.isStreaming:
+            insp.tap_batch(df)
 
     def _chain(self, df: DataFrame, procs: list[ProcessorConfig]) -> DataFrame:
         for p in procs:
@@ -94,6 +108,7 @@ class Pipeline:
                 p.plugin, p.settings, p.condition, transports=self.transports
             )
             df = transform(df)
+            self._tap(p.id, df)
         return df
 
     def build_batch(self) -> DataFrame:
@@ -104,6 +119,7 @@ class Pipeline:
                 self.spark, src.plugin, src.settings, src.id, streaming=False
             )
             df = ensure_error_col(df)
+            self._tap(src.id, df)
             branches.append(self._chain(df, src.processors))
         merged = branches[0]
         for b in branches[1:]:
@@ -199,6 +215,7 @@ class Pipeline:
                     )
                     settings["mode"] = "overwrite"  # replays overwrite, not dup
                 final = routed_ok.drop(ERROR_COL)
+                self._tap(dest.id, final)
                 if dest.plugin in ("builtin:log", "custom.standalone"):
                     # show(n) short-circuits the scan, and the
                     # standalone sink delivers via foreachPartition (an

@@ -53,15 +53,50 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _window_spec_args(plan: str):
+    """Yield the argument list of every ``windowspecdefinition(...)`` in
+    the plan, split at top-level commas with paren-depth tracking — a
+    flat regex span cannot cross a parenthesized sort key like
+    ``cast(x as double) ASC``."""
+    marker = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan.find(marker, start)
+        if i < 0:
+            return
+        j = i + len(marker)
+        depth, arg_start, args = 1, j, []
+        while j < len(plan) and depth > 0:
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[arg_start:j].strip())
+            elif c == "," and depth == 1:
+                args.append(plan[arg_start:j].strip())
+                arg_start = j + 1
+            j += 1
+        yield [a for a in args if a]
+        start = j
+
+
 def _global_windows(plan: str) -> bool:
-    if "windowspecdefinition(specifiedwindowframe" in plan:
-        return True
-    for m in re.finditer(
-        r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan
-    ):
-        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
-        if args and all((" ASC" in a) or (" DESC" in a) for a in args):
-            return True
+    for args in _window_spec_args(plan):
+        # partition columns render bare; order columns carry ASC/DESC;
+        # the frame spec is the trailing specifiedwindowframe(...) arg.
+        # No bare arg => no partition columns => global window.
+        non_frame = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if not non_frame:
+            return True  # frame-only spec
+        if all(
+            a.endswith((" ASC", " DESC"))
+            or " ASC NULLS" in a
+            or " DESC NULLS" in a
+            for a in non_frame
+        ):
+            return True  # order-only spec (no partitioning)
     return False
 
 
@@ -70,10 +105,19 @@ def _hot_single_partition_exchanges(plan: str) -> int:
     aggregate (``keys=[]``) — the ones that funnel real data."""
     hot = 0
     lines = plan.splitlines()
+    # AQE / codegen wrappers that can sit between the Exchange and the
+    # partial aggregate without changing the data flow
+    wrapper = re.compile(
+        r"^[\s*+:()\-]*(ShuffleQueryStage|AQEShuffleRead|InputAdapter|"
+        r"WholeStageCodegen|ReusedExchange)"
+    )
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        child = lines[i + 1] if i + 1 < len(lines) else ""
+        j = i + 1
+        while j < len(lines) and wrapper.search(lines[j]):
+            j += 1
+        child = lines[j] if j < len(lines) else ""
         if re.search(r"(Hash|Sort)Aggregate\(keys=\[\]", child):
             continue  # scalar-agg idiom
         hot += 1

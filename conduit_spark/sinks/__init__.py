@@ -273,6 +273,7 @@ def compact_partitions(
     fmt: str = "parquet",
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_col: str | None = None,
+    schema=None,
 ) -> dict:
     """Compact a small-file-fragmented dataset in place: rewrite each
     (optionally partitioned) dataset with file counts sized from the
@@ -310,7 +311,13 @@ def compact_partitions(
 
     files_before, total_bytes = walk_stats(path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.format(fmt).load(path)
+    # Pin one schema across the rewrite + both validation reads so the
+    # partition column's type cannot drift mid-operation. Callers that
+    # know the writer's true schema pass it explicitly (inference can
+    # narrow a bigint partition column whose values all fit int).
+    src_schema = schema or spark.read.format(fmt).load(path).schema
+    df = spark.read.format(fmt).schema(src_schema).load(path)
+    rows_before = df.count()
     if partition_col:
         df = df.repartition(n_files, F.col(partition_col))
     else:
@@ -320,13 +327,32 @@ def compact_partitions(
     if partition_col:
         w = w.partitionBy(partition_col)
     w.format(fmt).save(tmp)
+    # Validate the rewrite BEFORE touching the original: a corrupt or
+    # short output must never destroy the only copy.
+    rows_after = spark.read.format(fmt).schema(src_schema).load(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction aborted: rewrite has {rows_after} rows, "
+            f"source has {rows_before}; original left untouched at {path}"
+        )
     rollback = path.rstrip("/") + ".__compact_old"
     shutil.move(path, rollback)
     shutil.move(tmp, path)
+    # Post-swap sanity read before discarding the rollback copy — a
+    # crash between the two moves leaves `rollback` as the recovery
+    # point, and an unreadable swapped dataset keeps it too.
+    try:
+        spark.read.format(fmt).schema(src_schema).load(path).limit(1).collect()
+    except Exception:
+        shutil.move(path, tmp)
+        shutil.move(rollback, path)
+        raise
     shutil.rmtree(rollback)
     files_after, _ = walk_stats(path)
     return {
         "files_before": files_before,
         "files_after": files_after,
+        "rows": rows_before,
         "bytes": total_bytes,
     }

@@ -1,0 +1,408 @@
+"""Postgres logical-replication CDC source: wal2json + pgoutput.
+
+The reference's ``builtin:postgres`` source tails a logical replication
+slot (pkg/plugin/connector/builtin/registry.go:42-49; the connector
+supports both the wal2json and pgoutput output plugins). A Spark driver
+cannot hold a replication-protocol socket per partition, so this module
+consumes the two public *formats* from a file/subprocess feed — the
+capture side (pg_recvlogical, a Debezium dump, or a replication proxy)
+appends to a path; Spark parses at scale:
+
+- **wal2json** (v2 line-per-action and v1 transaction-document JSON):
+  parsed entirely JVM-side — ``spark.read.text`` →
+  ``from_json`` with a VARIANT-typed ``value`` field, so column values
+  of any JSON type re-serialize losslessly into the envelope payload
+  without a Python round-trip. Streaming works via ``readStream.text``
+  on the feed directory (micro-batch tailing).
+
+- **pgoutput** (PostgreSQL's binary logical replication protocol):
+  length-framed message captures parsed by a pure-Python decoder
+  inside ``mapInPandas`` — sequential per file (Relation messages
+  precede the data messages that reference them), parallel across
+  files, which matches how captures shard in practice (one file per
+  slot/segment).
+
+Both produce standard OpenCDC envelopes (conduit_spark.envelope) and
+compose with ``operators.cdc.cdc_apply`` for materialization, exactly
+like the unwrap.debezium route.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from conduit_spark.envelope import META_COLLECTION, META_SOURCE_ID
+
+# wal2json v2: one JSON document per line, actions B/C/I/U/D/T/M
+_WAL2JSON_V2_SCHEMA = (
+    "struct<action:string,`schema`:string,`table`:string,lsn:string,"
+    "columns:array<struct<name:string,type:string,value:variant>>,"
+    "identity:array<struct<name:string,type:string,value:variant>>,"
+    "pk:array<struct<name:string,type:string>>>"
+)
+
+# wal2json v1: one JSON document per *transaction*, changes nested
+_WAL2JSON_V1_SCHEMA = (
+    "struct<xid:bigint,nextlsn:string,timestamp:string,"
+    "change:array<struct<kind:string,`schema`:string,`table`:string,"
+    "columnnames:array<string>,columntypes:array<string>,"
+    "columnvalues:array<variant>,"
+    "oldkeys:struct<keynames:array<string>,keytypes:array<string>,"
+    "keyvalues:array<variant>>>>>"
+)
+
+_OP_BY_ACTION = {"I": "create", "U": "update", "D": "delete"}
+_OP_BY_KIND = {"insert": "create", "update": "update", "delete": "delete"}
+
+
+def lsn_to_long(lsn: str | Column) -> Column:
+    """Postgres LSN text (``hi/lo`` in hex) → orderable bigint
+    ``(hi << 32) | lo`` — the standard pg_lsn comparison, usable as
+    the ``order`` argument of ``cdc_apply``."""
+    c = F.col(lsn) if isinstance(lsn, str) else lsn
+    hi = F.conv(F.split_part(c, F.lit("/"), F.lit(1)), 16, 10).cast("bigint")
+    lo = F.conv(F.split_part(c, F.lit("/"), F.lit(2)), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32) + lo
+
+
+def _json_object(cols: Column) -> Column:
+    """array<struct<name,value:variant>> → JSON object text. to_json on
+    VARIANT re-emits the original JSON value (string/number/bool/null/
+    nested), so the payload is byte-faithful to what wal2json saw."""
+    return F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                cols,
+                lambda c: F.concat(
+                    F.to_json(F.struct(c["name"].alias("k"))).substr(F.lit(6), F.length(F.to_json(F.struct(c["name"].alias("k")))) - 6),
+                    F.lit(":"),
+                    F.to_json(c["value"]),
+                ),
+            ),
+        ),
+        F.lit("}"),
+    )
+
+
+def _envelope_from_parts(
+    *,
+    op: Column,
+    collection: Column,
+    lsn: Column,
+    after_cols: Column,
+    before_cols: Column,
+    key_cols_expr: Column,
+    source_id: str,
+    position: Column | None = None,
+) -> list[Column]:
+    meta = F.create_map(
+        F.lit(META_COLLECTION), collection,
+        F.lit(META_SOURCE_ID), F.lit(source_id),
+        F.lit("postgres.lsn"), F.coalesce(lsn, F.lit("")),
+    )
+    after = F.when(op != "delete", _json_object(after_cols))
+    before = F.when(
+        op.isin("update", "delete") & before_cols.isNotNull(),
+        _json_object(before_cols),
+    )
+    key = F.when(key_cols_expr.isNotNull(), _json_object(key_cols_expr))
+    if position is None:
+        position = lsn
+    return [
+        F.coalesce(position, F.lit("")).cast("binary").alias("position"),
+        op.alias("operation"),
+        meta.alias("metadata"),
+        F.lit(None).cast("binary").alias("key_raw"),
+        key.alias("key_json"),
+        before.alias("payload_before_json"),
+        after.alias("payload_after_json"),
+        F.lit(None).cast("binary").alias("payload_after_raw"),
+        F.lit(True).alias("is_structured"),
+    ]
+
+
+def wal2json_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    source_id: str = "postgres",
+    streaming: bool = False,
+    format_version: int = 2,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parse a wal2json capture (the output of ``pg_recvlogical
+    --plugin=wal2json``) into OpenCDC envelopes.
+
+    ``key_cols`` names the replica-identity columns; the key is taken
+    from the row payload for inserts/updates and from the identity
+    (old-keys) block for deletes. Without it, the key falls back to
+    the identity block alone (null for inserts — snapshot-free feeds
+    should pass key_cols)."""
+    reader = spark.readStream if streaming else spark.read
+    lines = reader.text(path).filter(F.length(F.trim("value")) > 0)
+    if format_version == 2:
+        j = lines.select(
+            F.from_json("value", _WAL2JSON_V2_SCHEMA).alias("j")
+        ).select("j.*")
+        rows = j.filter(F.col("action").isin(*_OP_BY_ACTION))
+        op = _map_expr(F.col("action"), _OP_BY_ACTION)
+        after = F.col("columns")
+        before = F.col("identity")
+    elif format_version == 1:
+        j = lines.select(
+            F.from_json("value", _WAL2JSON_V1_SCHEMA).alias("j")
+        ).select(
+            F.col("j.nextlsn").alias("__lsn"),
+            F.posexplode(F.col("j.change")).alias("__seq", "ch"),
+        )
+        rows = j.select(
+            "__lsn",
+            "__seq",
+            F.col("ch.kind").alias("kind"),
+            F.col("ch.schema").alias("schema"),
+            F.col("ch.table").alias("table"),
+            F.arrays_zip(
+                F.col("ch.columnnames").alias("name"),
+                F.col("ch.columnvalues").alias("value"),
+            ).alias("columns"),
+            F.when(
+                F.col("ch.oldkeys").isNotNull(),
+                F.arrays_zip(
+                    F.col("ch.oldkeys.keynames").alias("name"),
+                    F.col("ch.oldkeys.keyvalues").alias("value"),
+                ),
+            ).alias("identity"),
+        ).filter(F.col("kind").isin(*_OP_BY_KIND))
+        op = _map_expr(F.col("kind"), _OP_BY_KIND)
+        after = F.col("columns")
+        before = F.col("identity")
+    else:
+        raise ValueError(f"wal2json format_version must be 1 or 2, got {format_version}")
+
+    lsn = F.col("lsn") if format_version == 2 else F.col("__lsn")
+    if key_cols:
+        key_src = F.when(op != "delete", after).otherwise(before)
+        key_expr = F.filter(key_src, lambda c: c["name"].isin(*key_cols))
+    else:
+        key_expr = before
+    # v1's lsn is per-transaction — the intra-tx sequence keeps
+    # positions unique and cdc_apply ordering total
+    position = (
+        lsn
+        if format_version == 2
+        else F.concat_ws(":", lsn, F.col("__seq").cast("string"))
+    )
+    return rows.select(
+        *_envelope_from_parts(
+            op=op,
+            collection=F.concat_ws(".", F.col("schema"), F.col("table")),
+            lsn=lsn,
+            after_cols=after,
+            before_cols=before,
+            key_cols_expr=key_expr,
+            source_id=source_id,
+            position=position,
+        )
+    )
+
+
+def _map_expr(col: Column, mapping: dict[str, str]) -> Column:
+    expr = F.lit(None).cast("string")
+    for k, v in mapping.items():
+        expr = F.when(col == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# pgoutput — PostgreSQL binary logical replication protocol
+# ---------------------------------------------------------------------------
+
+
+def parse_pgoutput(data: bytes) -> list[dict]:
+    """Decode a length-framed pgoutput capture (4-byte big-endian
+    length + message, repeated — the natural dump format for XLogData
+    payloads) into change dicts.
+
+    Messages handled per the public protocol docs (PostgreSQL
+    "Logical Streaming Replication Protocol", protocol version 1):
+    Begin 'B', Commit 'C', Relation 'R', Insert 'I', Update 'U',
+    Delete 'D'; Origin/Type/Truncate are skipped. TupleData kinds:
+    't' text value, 'n' null, 'u' unchanged TOAST (rendered as null
+    with a marker in the column list)."""
+    import struct
+
+    rels: dict[int, dict] = {}
+    out: list[dict] = []
+    tx_lsn = 0
+    pos = 0
+    n = len(data)
+
+    def cstr(buf: bytes, at: int) -> tuple[str, int]:
+        end = buf.index(b"\x00", at)
+        return buf[at:end].decode("utf-8"), end + 1
+
+    def tuple_data(buf: bytes, at: int) -> tuple[list, int]:
+        (ncols,) = struct.unpack_from(">H", buf, at)
+        at += 2
+        vals: list = []
+        for _ in range(ncols):
+            kind = buf[at : at + 1]
+            at += 1
+            if kind == b"n":
+                vals.append(None)
+            elif kind == b"u":
+                vals.append(None)  # unchanged TOAST — value not sent
+            elif kind == b"t":
+                (ln,) = struct.unpack_from(">I", buf, at)
+                at += 4
+                vals.append(buf[at : at + ln].decode("utf-8"))
+                at += ln
+            else:
+                raise ValueError(f"unknown TupleData kind {kind!r}")
+        return vals, at
+
+    seq = 0
+    while pos + 4 <= n:
+        (mlen,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        msg = data[pos : pos + mlen]
+        pos += mlen
+        if not msg:
+            continue
+        tag = msg[0:1]
+        at = 1
+        if tag == b"B":
+            (tx_lsn,) = struct.unpack_from(">Q", msg, at)
+        elif tag == b"R":
+            (oid,) = struct.unpack_from(">I", msg, at)
+            at += 4
+            ns, at = cstr(msg, at)
+            name, at = cstr(msg, at)
+            at += 1  # replica identity setting
+            (ncols,) = struct.unpack_from(">H", msg, at)
+            at += 2
+            cols = []
+            keys = []
+            for _ in range(ncols):
+                flags = msg[at]
+                at += 1
+                cname, at = cstr(msg, at)
+                at += 8  # type oid + atttypmod
+                cols.append(cname)
+                if flags & 1:
+                    keys.append(cname)
+            rels[oid] = {"schema": ns, "table": name, "cols": cols, "keys": keys}
+        elif tag in (b"I", b"U", b"D"):
+            (oid,) = struct.unpack_from(">I", msg, at)
+            at += 4
+            rel = rels.get(oid)
+            if rel is None:
+                raise ValueError(f"data message for unknown relation {oid}")
+            before = None
+            after = None
+            if tag == b"I":
+                assert msg[at : at + 1] == b"N"
+                after, _ = tuple_data(msg, at + 1)
+                op = "create"
+            elif tag == b"U":
+                marker = msg[at : at + 1]
+                if marker in (b"K", b"O"):
+                    before, at2 = tuple_data(msg, at + 1)
+                    at = at2
+                    marker = msg[at : at + 1]
+                assert marker == b"N"
+                after, _ = tuple_data(msg, at + 1)
+                op = "update"
+            else:
+                marker = msg[at : at + 1]
+                assert marker in (b"K", b"O")
+                before, _ = tuple_data(msg, at + 1)
+                op = "delete"
+            seq += 1
+            out.append(
+                {
+                    "op": op,
+                    "schema": rel["schema"],
+                    "table": rel["table"],
+                    "cols": rel["cols"],
+                    "keys": rel["keys"],
+                    "before": before,
+                    "after": after,
+                    "lsn": tx_lsn,
+                    "seq": seq,
+                }
+            )
+        # 'C', 'O', 'Y', 'T' and anything else: no record to emit
+    return out
+
+
+def pgoutput_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    source_id: str = "postgres",
+) -> DataFrame:
+    """Length-framed pgoutput capture files → OpenCDC envelopes.
+
+    One decoder pass per file inside ``mapInPandas`` (Arrow-batched;
+    the protocol is stateful within a stream, so per-file sequential is
+    the correct unit) — files parallelize across the cluster. Values
+    arrive in pgoutput text representation, so payload JSON renders
+    every column as string-or-null, keyed by the Relation message's
+    column names."""
+    import json as _json
+
+    from conduit_spark.envelope import ENVELOPE_SCHEMA
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for ch in parse_pgoutput(bytes(content)):
+                    obj = (
+                        dict(zip(ch["cols"], ch["after"]))
+                        if ch["after"] is not None
+                        else None
+                    )
+                    old = (
+                        dict(zip(ch["cols"], ch["before"]))
+                        if ch["before"] is not None
+                        else None
+                    )
+                    key_source = obj if obj is not None else (old or {})
+                    key = {
+                        k: key_source.get(k)
+                        for k in ch["keys"]
+                        if k in key_source
+                    } or None
+                    rows.append(
+                        {
+                            "position": f"{ch['lsn']}:{ch['seq']}".encode(),
+                            "operation": ch["op"],
+                            "metadata": {
+                                META_COLLECTION: f"{ch['schema']}.{ch['table']}",
+                                META_SOURCE_ID: source_id,
+                                "postgres.lsn": str(ch["lsn"]),
+                                "postgres.seq": str(ch["seq"]),
+                            },
+                            "key_raw": None,
+                            "key_json": _json.dumps(key) if key else None,
+                            "payload_before_json": _json.dumps(old) if old else None,
+                            "payload_after_json": _json.dumps(obj) if obj else None,
+                            "payload_after_raw": None,
+                            "is_structured": True,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in ENVELOPE_SCHEMA.fields],
+            )
+
+    return files.mapInPandas(decode, schema=ENVELOPE_SCHEMA)

@@ -61,3 +61,24 @@ class StreamInspector:
     def stop(self) -> None:
         if self._query is not None:
             self._query.stop()
+
+
+def jsonable(value):
+    """Record values → JSON-clean: bytes become base64 text (the
+    reference's OpenCDC JSON renders raw data the same way), temporal
+    and Decimal values become strings."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(value, dict):
+        return {k: jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [jsonable(v) for v in value]
+    if isinstance(value, (bytes, bytearray)):
+        return base64.b64encode(bytes(value)).decode("ascii")
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    return value

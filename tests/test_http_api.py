@@ -290,3 +290,123 @@ def test_plugin_inventory_matches_dispatch():
             assert f'"{name}"' in src_body, f"{name} not in build_source"
         if meta["destination"]:
             assert f'"{name}"' in dst_body, f"{name} not in write_destination"
+
+
+def test_inspect_routes_attach_and_buffer(plane_and_port):
+    """Inspector attach semantics without a SparkSession: first GET
+    attaches (empty buffer), a runner that receives the taps fills
+    them, later GETs drain the drop-oldest buffer — the HTTP analog of
+    the reference's InspectConnector/InspectProcessor streams
+    (api.proto:775,1011-1018)."""
+    plane, port, _ = plane_and_port
+
+    # unknown node → 404; bad kind namespace too
+    assert _req(port, "GET", "/v1/connectors/ghost/inspect")[0] == 404
+    assert _req(port, "GET", "/v1/processors/ghost/inspect")[0] == 404
+
+    # first call attaches, returns no records yet
+    status, doc = _req(port, "GET", "/v1/connectors/src/inspect")
+    assert status == 200
+    assert doc == {
+        "pipeline": "demo",
+        "id": "src",
+        "type": "connector",
+        "attached": True,
+        "records": [],
+    }
+    # idempotent re-attach
+    status, doc = _req(port, "GET", "/v1/connectors/demo:src/inspect")
+    assert status == 200 and doc["attached"] is False
+
+    # processor namespace resolves processor ids only
+    assert _req(port, "GET", "/v1/processors/keep/inspect")[0] == 200
+    assert _req(port, "GET", "/v1/connectors/keep/inspect")[0] == 404
+
+    # a runner that taps records (the Pipeline runtime does this for
+    # real in test_inspect_end_to_end)
+    seen = {}
+
+    def runner(cfg, stop, inspectors=None):
+        seen.update(inspectors or {})
+        for i in range(30):
+            for insp in inspectors.values():
+                insp.buffer.append({"id": i})
+        return "done"
+
+    plane._runner = runner
+    plane.start("demo")
+    plane.wait("demo", timeout=10)
+    assert set(seen) == {"src", "keep"}
+
+    status, doc = _req(port, "GET", "/v1/connectors/src/inspect?count=5")
+    assert status == 200 and doc["attached"] is False
+    assert [r["id"] for r in doc["records"]] == [25, 26, 27, 28, 29]
+
+
+def test_inspect_end_to_end_real_pipeline(spark, tmp_path):
+    """Attach inspectors to source, processor, and destination of a
+    real generator→filter→file run; each tap samples the records that
+    flowed through that node, with binary envelope fields rendered as
+    base64 text."""
+    out_dir = tmp_path / "insp-out"
+    doc = {
+        "id": "inspected",
+        "status": "running",
+        "connectors": [
+            {
+                "id": "g",
+                "type": "source",
+                "plugin": "builtin:generator",
+                "settings": {
+                    "recordCount": 20,
+                    "format.options": {"id": "int"},
+                },
+            },
+            {
+                "id": "f",
+                "type": "destination",
+                "plugin": "builtin:file",
+                "settings": {"path": str(out_dir), "format": "json"},
+            },
+        ],
+        "processors": [
+            {
+                "id": "keep-small",
+                "plugin": "filter",
+                "condition": "{{ lt .Payload.After.id 60 }}",
+            }
+        ],
+    }
+    plane = ControlPlane()
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        assert _req(port, "POST", "/v1/pipelines", doc)[0] == 201
+        # attach BEFORE the run; records appear after it
+        for path in (
+            "/v1/connectors/g/inspect",
+            "/v1/processors/keep-small/inspect",
+            "/v1/connectors/f/inspect",
+        ):
+            status, d = _req(port, "GET", path)
+            assert status == 200 and d["attached"] is True
+
+        assert _req(port, "POST", "/v1/pipelines/inspected/start")[0] == 200
+        assert plane.wait("inspected", timeout=120) == "done"
+
+        _, src = _req(port, "GET", "/v1/connectors/g/inspect?count=10")
+        _, proc = _req(port, "GET", "/v1/processors/keep-small/inspect?count=10")
+        _, dst = _req(port, "GET", "/v1/connectors/f/inspect?count=10")
+        assert src["records"] and proc["records"] and dst["records"]
+        # source saw the raw envelope; binary position is base64 text
+        assert all(isinstance(r["position"], str) for r in src["records"])
+        # the filter processor DROPS matching records (reference filter
+        # semantics): ids < 60 must not reach the destination tap
+        import json as _json
+
+        dst_ids = [
+            _json.loads(r["payload_after_json"])["id"] for r in dst["records"]
+        ]
+        assert dst_ids and all(i >= 60 for i in dst_ids)
+    finally:
+        srv.shutdown()

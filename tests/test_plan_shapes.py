@@ -156,26 +156,9 @@ def test_simhash_pairs_keyed_only(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def _global_windows(plan: str) -> bool:
-    """Detect partition-less windows — Spark's "No Partition Defined
-    ... moving all data to a single partition" shape, a single-task
-    funnel at scale. Two renderings in the formatted plan:
-
-    - no partition, no order: ``windowspecdefinition(`` opens directly
-      with ``specifiedwindowframe(`` (the q15 round-2 regression);
-    - no partition, ordered: every argument before the frame is a sort
-      spec (``col ASC NULLS FIRST``/``DESC``) — partition columns
-      render bare, so a leading bare column means partitioned.
-    """
-    import re
-
-    if "windowspecdefinition(specifiedwindowframe" in plan:
-        return True
-    for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan):
-        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
-        if args and all((" ASC" in a) or (" DESC" in a) for a in args):
-            return True
-    return False
+# the single detector lives in conduit_spark.plans — the static test
+# and the operational `cli audit` must never drift apart
+from conduit_spark.plans import _global_windows  # noqa: E402
 
 
 def test_no_partitionless_window_anywhere(spark, sf):
