@@ -1,0 +1,220 @@
+"""Kafka RecordBatch v2 wire format — pure-stdlib encode/decode.
+
+Upgrades the engine's ``builtin:kafka`` parity from options-level to
+protocol-level without a broker: these functions produce and consume
+the exact on-wire/on-disk record batch layout (magic 2) from the
+public Kafka protocol spec — varint/zigzag record framing, header
+arrays, and the CRC32C (Castagnoli) integrity field over the batch
+body. A capture of real broker traffic (or a segment file) decodes
+with ``decode_record_batches``; batches we encode are byte-valid for a
+real producer path.
+
+Reference behavior: the conduit kafka connector moves OpenCDC
+key/value/headers through franz-go, which speaks this format
+(conduit-connector-kafka source/destination). The envelope mapping
+lives in ``pipeline/registry.envelope_from_kafka`` and
+``sinks.kafka_records``; this module is the byte layer underneath.
+
+Scale note: this codec is for verification and capture replay —
+the hot path on a cluster stays ``spark-sql-kafka`` (JVM, zero-copy).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — table-driven
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc = ~crc & 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return ~crc & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# varint / zigzag (protobuf-style, as used by Kafka record framing)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(n: int) -> bytes:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, at: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[at]
+        at += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(val), at
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2
+# ---------------------------------------------------------------------------
+
+def _encode_record(
+    offset_delta: int,
+    ts_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: dict[str, bytes] | None,
+) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # record attributes (unused)
+    body += _write_varint(ts_delta)
+    body += _write_varint(offset_delta)
+    for blob in (key, value):
+        if blob is None:
+            body += _write_varint(-1)
+        else:
+            body += _write_varint(len(blob)) + blob
+    hdrs = list((headers or {}).items())
+    body += _write_varint(len(hdrs))
+    for hk, hv in hdrs:
+        kb = hk.encode("utf-8")
+        body += _write_varint(len(kb)) + kb
+        if hv is None:
+            body += _write_varint(-1)
+        else:
+            body += _write_varint(len(hv)) + hv
+    return _write_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[dict],
+    *,
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+) -> bytes:
+    """Records (``{key: bytes|None, value: bytes|None, headers:
+    dict[str, bytes], timestamp: int}``) → one RecordBatch v2
+    (uncompressed, non-transactional)."""
+    if not records:
+        raise ValueError("a record batch holds at least one record")
+    timestamps = [int(r.get("timestamp", base_timestamp)) for r in records]
+    base_ts = min(timestamps)
+    max_ts = max(timestamps)
+    payload = b"".join(
+        _encode_record(
+            i,
+            timestamps[i] - base_ts,
+            r.get("key"),
+            r.get("value"),
+            r.get("headers"),
+        )
+        for i, r in enumerate(records)
+    )
+    # everything after the crc field, in order
+    after_crc = (
+        struct.pack(">h", 0)  # attributes: no compression, create-time
+        + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
+        + struct.pack(">q", base_ts)
+        + struct.pack(">q", max_ts)
+        + struct.pack(">q", -1)  # producerId
+        + struct.pack(">h", -1)  # producerEpoch
+        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">i", len(records))
+        + payload
+    )
+    crc = crc32c(after_crc)
+    body = struct.pack(">i", 0) + b"\x02" + struct.pack(">I", crc) + after_crc
+    # body = partitionLeaderEpoch + magic + crc + after_crc
+    return struct.pack(">q", base_offset) + struct.pack(">i", len(body)) + body
+
+
+def decode_record_batches(data: bytes, *, verify_crc: bool = True) -> list[dict]:
+    """A concatenation of RecordBatch v2 frames (e.g. a segment-file or
+    fetch-response capture) → flat record dicts with batch context."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos + 12 <= n:
+        base_offset, batch_len = struct.unpack_from(">qi", data, pos)
+        body = data[pos + 12 : pos + 12 + batch_len]
+        pos += 12 + batch_len
+        magic = body[4]
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        (crc,) = struct.unpack_from(">I", body, 5)
+        after_crc = body[9:]
+        if verify_crc and crc32c(after_crc) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        attributes, last_offset_delta = struct.unpack_from(">hi", after_crc, 0)
+        if attributes & 0x07:
+            raise ValueError("compressed batches not supported by this decoder")
+        base_ts, _max_ts = struct.unpack_from(">qq", after_crc, 6)
+        (record_count,) = struct.unpack_from(">i", after_crc, 36)
+        at = 40
+        for _ in range(record_count):
+            rec_len, at = _read_varint(after_crc, at)
+            end = at + rec_len
+            at += 1  # record attributes
+            ts_delta, at = _read_varint(after_crc, at)
+            offset_delta, at = _read_varint(after_crc, at)
+            klen, at = _read_varint(after_crc, at)
+            key = None
+            if klen >= 0:
+                key = after_crc[at : at + klen]
+                at += klen
+            vlen, at = _read_varint(after_crc, at)
+            value = None
+            if vlen >= 0:
+                value = after_crc[at : at + vlen]
+                at += vlen
+            hcount, at = _read_varint(after_crc, at)
+            headers: dict[str, bytes | None] = {}
+            for _h in range(hcount):
+                hklen, at = _read_varint(after_crc, at)
+                hk = after_crc[at : at + hklen].decode("utf-8")
+                at += hklen
+                hvlen, at = _read_varint(after_crc, at)
+                if hvlen >= 0:
+                    headers[hk] = after_crc[at : at + hvlen]
+                    at += hvlen
+                else:
+                    headers[hk] = None
+            if at != end:
+                raise ValueError("record length mismatch")
+            out.append(
+                {
+                    "offset": base_offset + offset_delta,
+                    "timestamp": base_ts + ts_delta,
+                    "key": key,
+                    "value": value,
+                    "headers": headers,
+                }
+            )
+        assert not out or out[-1]["offset"] == base_offset + last_offset_delta
+    return out

@@ -152,3 +152,104 @@ def test_s3_source_local_path_is_file_path_code(spark, tmp_path):
     p.write_text("hello\nworld\n")
     env = build_source(spark, "builtin:s3", {"path": str(p)}, "s3-src")
     assert env.count() == 2
+
+
+# --- RecordBatch v2 wire format (protocol-level, no broker needed) --------
+
+
+class TestKafkaWireFormat:
+    """The byte layer under builtin:kafka: RecordBatch v2 encode/decode
+    per the public Kafka protocol (magic 2, varint/zigzag records,
+    CRC32C over the batch body). Protocol-level proof the option-level
+    wiring rides a correct record model."""
+
+    def test_crc32c_spec_vector(self):
+        from conduit_spark.functions.kafka_wire import crc32c
+
+        # RFC 3720 appendix B test vector for CRC32C("123456789")
+        assert crc32c(b"123456789") == 0xE3069283
+
+    def test_round_trip_offsets_timestamps_headers(self):
+        from conduit_spark.functions.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        recs = [
+            {"key": b"k1", "value": b"v1", "headers": {"h": b"x"}, "timestamp": 100},
+            {"key": None, "value": b"v2", "headers": {}, "timestamp": 105},
+            {"key": b"k3", "value": None, "headers": {"a": None, "b": b""}, "timestamp": 101},
+        ]
+        seg = encode_record_batch(recs, base_offset=42) + encode_record_batch(
+            [{"key": b"z", "value": b"w", "timestamp": 7}], base_offset=45
+        )
+        out = decode_record_batches(seg)
+        assert [r["offset"] for r in out] == [42, 43, 44, 45]
+        assert [r["timestamp"] for r in out] == [100, 105, 101, 7]
+        assert out[0]["key"] == b"k1" and out[1]["key"] is None
+        assert out[2]["value"] is None
+        assert out[2]["headers"] == {"a": None, "b": b""}
+
+    def test_corruption_detected_by_crc(self):
+        import pytest
+
+        from conduit_spark.functions.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        blob = bytearray(
+            encode_record_batch([{"key": b"k", "value": b"v", "timestamp": 1}])
+        )
+        blob[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_record_batches(bytes(blob))
+
+    def test_envelope_wire_round_trip(self, spark):
+        """OpenCDC envelopes → sink projection (kafka_records) → wire
+        bytes → decode → source projection (envelope_from_kafka):
+        payloads and keys survive the full protocol path."""
+        import pyspark.sql.functions as F
+
+        from conduit_spark import envelope as env
+        from conduit_spark.functions.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+        from conduit_spark.pipeline.registry import envelope_from_kafka
+        from conduit_spark.sinks import kafka_records
+
+        base = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+        )
+        envelopes = env.from_table(base, key_cols=["id"], source_id="t")
+        kv = kafka_records(envelopes).collect()
+
+        wire = encode_record_batch(
+            [
+                {"key": bytes(r["key"]), "value": bytes(r["value"]), "timestamp": i}
+                for i, r in enumerate(kv)
+            ],
+            base_offset=1000,
+        )
+        decoded = decode_record_batches(wire)
+
+        # rebuild the spark-sql-kafka source schema from the wire bytes
+        src = spark.createDataFrame(
+            [
+                (r["key"], r["value"], "t1", 0, r["offset"])
+                for r in decoded
+            ],
+            "key binary, value binary, topic string, partition int, offset long",
+        )
+        back = envelope_from_kafka(src, "kafka-src").collect()
+        names = sorted(
+            __import__("json").loads(bytes(r["payload_after_raw"]).decode())["name"]
+            for r in back
+        )
+        assert names == ["alpha", "beta", "gamma"]
+        assert [bytes(r["position"]).decode() for r in back] == [
+            "t1:0:1000",
+            "t1:0:1001",
+            "t1:0:1002",
+        ]
