@@ -526,12 +526,12 @@ def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _cdc_changelog(spark, sf_dir)
     unwrapped = ops.unwrap_debezium(e)
-    final = cdc_apply(
-        unwrapped,
-        F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint"),
-        F.col("metadata").getItem("debezium.source.lsn").cast("int"),
-    )
-    return final.select(
+    # Project BEFORE the keyed shuffle: extraction is deterministic per
+    # row, so pulling the four needed fields out of the envelope first
+    # shrinks the max_by exchange from full envelopes (payload JSON +
+    # metadata map per row) to 4 scalar columns — the
+    # project-before-shuffle rule that matters most at 100 TB.
+    slim = unwrapped.select(
         F.get_json_object(F.col("payload_after_json"), "$.event_id")
         .cast("bigint")
         .alias("event_id"),
@@ -539,7 +539,13 @@ def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
         F.col("operation").alias("last_op"),
+        F.get_json_object(F.col("key_json"), "$.event_id")
+        .cast("bigint")
+        .alias("__key"),
+        F.col("metadata").getItem("debezium.source.lsn").cast("int").alias("__ord"),
     )
+    final = cdc_apply(slim, F.col("__key"), F.col("__ord"), op_col="last_op")
+    return final.select("event_id", "value", "last_op")
 
 
 QUERIES = {
