@@ -76,6 +76,7 @@ _EXTENDED = (
     "p_field_exclude",  # driver-green r1-r3
     "p_json_encode",  # driver-green r1-r3; codec family kept via p_json_decode/p_base64
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
+    "sk_bloom_filter",  # mergeable OR-union bloom; sketch family holds 2 gate slots already
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)

@@ -217,6 +217,104 @@ def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- Bloom filter sketch ---------------------------------------------
+
+BLOOM_M = 65536  # bits — sized so typical per-source gram sets don't saturate
+BLOOM_K = 4  # hash functions
+_BLOOM_WORD_BITS = 32  # 32-bit words in bigint slots: shifts stay positive
+BLOOM_WORDS = BLOOM_M // _BLOOM_WORD_BITS
+
+
+def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom filter of the distinct word-grams (m=1024 bits,
+    k=4 md5-derived hash functions) with the standard fill-ratio
+    cardinality estimate ``-(m/k)·ln(1 - X/m)`` next to the exact
+    count. ``filter_md5`` fingerprints the bitmap itself so the oracle
+    pins the sketch *content*, not just the estimate.
+
+    Mergeability at scale: the state per (source) is BLOOM_WORDS
+    integer words and union is bitwise OR — ``bit_or`` partial
+    aggregation reduces every partition to ≤ WORDS rows per source
+    before the single shuffle (same shape as the HLL max). Words are
+    32-bit inside bigint slots so shift/or semantics are identical in
+    Spark and DuckDB (no sign-bit divergence at 1<<63).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= SHINGLE_W)
+        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
+        .select("source", "gram")
+        .distinct()
+    ).localCheckpoint()  # feeds the filter AND the exact count
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    pos = (
+        rel.select(
+            "source",
+            F.explode(
+                F.transform(
+                    seeds,
+                    lambda j: md5_int32(
+                        F.concat_ws("#", F.col("gram"), j.cast("string"))
+                    )
+                    % BLOOM_M,
+                )
+            ).alias("pos"),
+        )
+    )
+    words = (
+        pos.select(
+            "source",
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("bigint").alias("word"),
+            # F.shiftleft needs a literal bit count; the SQL form takes
+            # a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("source", "word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    fingerprint = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "w"))),
+                lambda s: F.concat_ws(":", s["word"].cast("string"), s["w"].cast("string")),
+            ),
+        )
+    )
+    sk = words.groupBy("source").agg(
+        F.sum(F.bit_count("w")).alias("bits_set"),
+        fingerprint.alias("filter_md5"),
+    )
+    exact = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_M))
+    # a saturated filter (all bits set) has no estimate: ln(0) diverges
+    # and differs across engines (null vs -inf) — report NULL, the
+    # caller's signal to resize m
+    est = F.when(
+        F.col("bits_set") < BLOOM_M,
+        F.lit(-BLOOM_M / BLOOM_K) * F.log(F.lit(1.0) - fill),
+    )
+    return (
+        exact.join(sk, "source")
+        .select(
+            "source",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("bits_set").cast("bigint").alias("bits_set"),
+            F.round(est, 6).alias("est_distinct"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+            "filter_md5",
+        )
+        .orderBy("source")
+    )
+
 _REL_SQL = f"""
     SELECT DISTINCT source, {sql_md5_int32("g")} AS x
     FROM (
@@ -231,6 +329,7 @@ _REL_SQL = f"""
 
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_bloom_filter": sk_bloom_filter,
     "sk_hll_distinct": sk_hll_distinct,
     "sk_hist_quantiles": sk_hist_quantiles,
 }
@@ -244,6 +343,46 @@ _HIST_EST_SQL = ",\n               ".join(
 )
 
 ORACLES = {
+    "sk_bloom_filter": f"""
+        WITH relg AS (
+            SELECT DISTINCT source, g
+            FROM (
+                SELECT source,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(string_split(text,' ')) - {SHINGLE_W - 1}),
+                           i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_W - 1}], ' ')
+                       ))) AS g
+                FROM documents
+                WHERE len(string_split(text,' ')) >= {SHINGLE_W})),
+        pos AS (
+            SELECT source,
+                   ({sql_md5_int32("g || '#' || CAST(s AS VARCHAR)")}) % {BLOOM_M} AS pos
+            FROM relg, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS s)),
+        words AS (
+            SELECT source, pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS w
+            FROM pos GROUP BY 1, 2),
+        sk AS (
+            SELECT source,
+                   sum(bit_count(w)) AS bits_set,
+                   md5(string_agg(CAST(word AS VARCHAR) || ':' || CAST(w AS VARCHAR),
+                                  ',' ORDER BY word)) AS filter_md5
+            FROM words GROUP BY source),
+        exact AS (SELECT source, count(*) AS n_exact FROM relg GROUP BY source),
+        j AS (
+            SELECT source, n_exact, bits_set, filter_md5,
+                   CASE WHEN bits_set < {BLOOM_M}
+                        THEN {-BLOOM_M / BLOOM_K} * ln(1.0 - CAST(bits_set AS DOUBLE) / {float(BLOOM_M)})
+                   END AS est
+            FROM exact JOIN sk USING (source))
+        SELECT source,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(bits_set AS BIGINT) AS bits_set,
+               round(est, 6) AS est_distinct,
+               round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error,
+               filter_md5
+        FROM j ORDER BY source
+    """,
     "sk_hist_quantiles": f"""
         WITH b AS (
             SELECT event_type,

@@ -422,3 +422,70 @@ def test_ivf_with_learned_centroids(spark, sf_dir):
     qcell = cells.filter(F.col("vec_id") == 0).collect()[0].cell
     probe = cells.filter(F.col("cell") == qcell).count()
     assert 0 < probe < n
+
+
+def test_bloom_filter_estimate_and_mergeability(spark, sf_dir):
+    """Per-source Bloom sketch: the fill-ratio estimate tracks the
+    exact count, and the sketch is OR-mergeable — the bitwise union of
+    two half-corpus filters equals the full-corpus filter (the property
+    that makes the state shippable between executors)."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics import sketches
+
+    rows = sketches.sk_bloom_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.bits_set <= sketches.BLOOM_M
+        if r.bits_set < sketches.BLOOM_M:
+            assert r.est_distinct is not None
+            assert r.rel_error < 0.35, (r.source, r.rel_error)
+        assert len(r.filter_md5) == 32
+
+    # mergeability on a crafted corpus: filter(A ∪ B) == filter(A) OR filter(B)
+    from conduit_spark.analytics.dedup import SHINGLE_W
+    from conduit_spark.functions.hashing import md5_int32
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12)), "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+
+    def words_of(df):
+        from conduit_spark.analytics.dedup import word_grams
+
+        grams = (
+            df.select(F.explode(word_grams(SHINGLE_W)).alias("gram"))
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            md5_int32(
+                                F.concat_ws("#", F.col("gram"), F.lit(str(j)))
+                            )
+                            % sketches.BLOOM_M
+                            for j in range(sketches.BLOOM_K)
+                        ]
+                    )
+                ).alias("pos")
+            )
+            .select(
+                (F.col("pos") / 32).cast("bigint").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                    "mask"
+                ),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("w"))
+        )
+        return {r["word"]: r["w"] for r in grams.collect()}
+
+    a = words_of(docs.filter("doc_id < 20"))
+    b = words_of(docs.filter("doc_id >= 20"))
+    full = words_of(docs)
+    merged: dict = {}
+    for d in (a, b):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) | v
+    assert merged == full
