@@ -42,10 +42,41 @@ EVENTS_PAYLOAD_SCHEMA = StructType(
 )
 
 
+_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _materialized_fixture(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Synthesize a fixture relation ONCE per session into temp parquet
+    and re-read it afterwards. Two reasons (both from the r3 verdict):
+    benchmark timings should measure the operator under test, not the
+    to_json envelope-synthesis scaffolding re-run every repetition; and
+    the parquet scan doubles as the CollapseProject barrier that keeps
+    the synthesis from inlining into every downstream JSON-parse
+    reference (the old per-query ``localCheckpoint``). Correctness is
+    unaffected — the first call builds and writes exactly the rows the
+    inline plan produced."""
+    import tempfile
+
+    key = (name, sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"conduit_fixture_{name}_") + "/data"
+        build().write.mode("overwrite").parquet(path)
+        _FIXTURE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return env.from_table(
-        ev, key_cols=["event_id"], source_id="events-src", typed=True
+    return _materialized_fixture(
+        "events_env",
+        spark,
+        sf_dir,
+        lambda: env.from_table(
+            load_table(spark, sf_dir, "events"),
+            key_cols=["event_id"],
+            source_id="events-src",
+            typed=True,
+        ),
     )
 
 
@@ -109,24 +140,34 @@ def p_field_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raw_props_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-payload envelope fixture (events ``props`` JSON as bytes),
+    shared by ``p_json_decode`` and ``p_base64``."""
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            F.concat(F.lit("ev:"), F.col("event_id").cast("string"))
+            .cast("binary")
+            .alias("position"),
+            F.lit("create").alias("operation"),
+            F.create_map(F.lit("src"), F.lit("events")).alias("metadata"),
+            F.lit(None).cast("binary").alias("key_raw"),
+            F.to_json(F.struct("event_id")).alias("key_json"),
+            F.lit(None).cast("string").alias("payload_before_json"),
+            F.lit(None).cast("string").alias("payload_after_json"),
+            F.col("props").cast("binary").alias("payload_after_raw"),
+            F.lit(False).alias("is_structured"),
+        )
+
+    return _materialized_fixture("raw_props_env", spark, sf_dir, build)
+
+
 def p_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json.decode raw bytes → structured (impl/json/decode.go:78-129).
 
     The events ``props`` JSON string plays the raw payload."""
-    ev = load_table(spark, sf_dir, "events")
-    raw_env = ev.select(
-        F.concat(F.lit("ev:"), F.col("event_id").cast("string"))
-        .cast("binary")
-        .alias("position"),
-        F.lit("create").alias("operation"),
-        F.create_map(F.lit("src"), F.lit("events")).alias("metadata"),
-        F.lit(None).cast("binary").alias("key_raw"),
-        F.to_json(F.struct("event_id")).alias("key_json"),
-        F.lit(None).cast("string").alias("payload_before_json"),
-        F.lit(None).cast("string").alias("payload_after_json"),
-        F.col("props").cast("binary").alias("payload_after_raw"),
-        F.lit(False).alias("is_structured"),
-    )
+    raw_env = _raw_props_envelope(spark, sf_dir)
     decoded = ops.json_decode(raw_env, ".Payload.After")
     return decoded.select(
         F.get_json_object(F.col("key_json"), "$.event_id").cast("bigint").alias("event_id"),
@@ -136,19 +177,12 @@ def p_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """base64.encode of the raw payload (impl/base64/encode.go:79-122)."""
-    ev = load_table(spark, sf_dir, "events")
-    raw_env = ev.select(
-        F.col("event_id").cast("string").cast("binary").alias("position"),
-        F.lit("create").alias("operation"),
-        F.create_map().cast("map<string,string>").alias("metadata"),
-        F.lit(None).cast("binary").alias("key_raw"),
-        F.to_json(F.struct("event_id")).alias("key_json"),
-        F.lit(None).cast("string").alias("payload_before_json"),
-        F.lit(None).cast("string").alias("payload_after_json"),
-        F.col("props").cast("binary").alias("payload_after_raw"),
-        F.lit(False).alias("is_structured"),
-    )
+    """base64.encode of the raw payload (impl/base64/encode.go:79-122).
+
+    Shares the raw-props envelope fixture with ``p_json_decode`` (the
+    operator only reads key_json + payload_after_raw, identical in
+    both)."""
+    raw_env = _raw_props_envelope(spark, sf_dir)
     enc = ops.base64_encode(raw_env, ".Payload.After")
     dec = ops.base64_decode(enc, ".Payload.After")
     return enc.alias("e").select(
@@ -180,8 +214,13 @@ def p_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tokens = docs.select(
         "doc_id", F.slice(F.split(F.col("text"), " "), 1, 3).alias("tokens")
     )
-    e = env.from_table(
-        with_tokens, key_cols=["doc_id"], source_id="docs", typed=True
+    e = _materialized_fixture(
+        "docs_tokens_env",
+        spark,
+        sf_dir,
+        lambda: env.from_table(
+            with_tokens, key_cols=["doc_id"], source_id="docs", typed=True
+        ),
     )
     out = ops.split(e, ".Payload.After.tokens")
     return out.select(
@@ -197,6 +236,21 @@ def p_unwrap_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A Debezium envelope is synthesized from each event row (pure
     projection), then unwrapped by the operator."""
+    e = _materialized_fixture(
+        "dbz_env", spark, sf_dir, lambda: _build_dbz_envelope(spark, sf_dir)
+    )
+    out = ops.unwrap_debezium(e)
+    return out.select(
+        F.get_json_object(F.col("payload_after_json"), "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.col("operation").alias("operation"),
+        F.get_json_object(F.col("payload_after_json"), "$.event_type").alias("event_type"),
+        F.col("metadata").getItem("debezium.source.table").alias("src_table"),
+    )
+
+
+def _build_dbz_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dbz = ev.select(
         F.col("event_id"),
@@ -231,21 +285,11 @@ def p_unwrap_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
-    # barrier: without it CollapseProject inlines the to_json envelope
-    # synthesis into every JSON-parse reference downstream (see
-    # p_cdc_upsert) — the scaffolding cost multiplies by the number of
-    # parse sites. JSON costs measured per 100k rows: to_json 0.7s,
-    # from_json 0.7s, each get_json_object ~0.25s.
-    e = e.localCheckpoint()
-    out = ops.unwrap_debezium(e)
-    return out.select(
-        F.get_json_object(F.col("payload_after_json"), "$.event_id")
-        .cast("bigint")
-        .alias("event_id"),
-        F.col("operation").alias("operation"),
-        F.get_json_object(F.col("payload_after_json"), "$.event_type").alias("event_type"),
-        F.col("metadata").getItem("debezium.source.table").alias("src_table"),
-    )
+    # JSON costs measured per 100k rows: to_json 0.7s, from_json 0.7s,
+    # each get_json_object ~0.25s — which is why the synthesis is
+    # materialized once rather than re-run (and re-inlined by
+    # CollapseProject) on every benchmark repetition.
+    return e
 
 
 def p_error_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +337,18 @@ def p_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_unwrap_kafka_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unwrap.kafkaconnect: {schema,payload} envelope → payload
     (impl/unwrap/kafka_connect.go:80-168)."""
+    e = _materialized_fixture(
+        "kc_env", spark, sf_dir, lambda: _build_kc_envelope(spark, sf_dir)
+    )
+    out = ops.unwrap_kafka_connect(e)
+    return out.select(
+        F.get_json_object("payload_after_json", "$.event_id").cast("bigint").alias("event_id"),
+        F.get_json_object("payload_after_json", "$.user_id").cast("bigint").alias("user_id"),
+        F.get_json_object("payload_after_json", "$.value").cast("double").alias("value"),
+    )
+
+
+def _build_kc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     wrapped = ev.select(
         F.col("event_id"),
@@ -316,17 +372,28 @@ def p_unwrap_kafka_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
-    out = ops.unwrap_kafka_connect(e)
-    return out.select(
-        F.get_json_object("payload_after_json", "$.event_id").cast("bigint").alias("event_id"),
-        F.get_json_object("payload_after_json", "$.user_id").cast("bigint").alias("user_id"),
-        F.get_json_object("payload_after_json", "$.value").cast("double").alias("value"),
-    )
+    return e
 
 
 def p_unwrap_opencdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unwrap.opencdc: serialized inner record replaces the outer
     envelope except .Position (impl/unwrap/opencdc.go:53-58)."""
+    e = _materialized_fixture(
+        "opencdc_env", spark, sf_dir, lambda: _build_opencdc_envelope(spark, sf_dir)
+    )
+    out = ops.unwrap_opencdc(e)
+    return out.select(
+        F.col("position").cast("string").alias("position"),  # outer kept
+        F.col("operation"),
+        F.col("metadata").getItem("etype").alias("etype"),
+        F.get_json_object("key_json", "$.event_id").cast("bigint").alias("key_id"),
+        F.get_json_object("payload_after_json", "$.user_id")
+        .cast("bigint")
+        .alias("user_id"),
+    )
+
+
+def _build_opencdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     inner = F.to_json(
         F.struct(
@@ -353,19 +420,7 @@ def p_unwrap_opencdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
-    # barrier: stop CollapseProject inlining the to_json synthesis into
-    # the unwrap's JSON-parse references (see p_cdc_upsert)
-    e = e.localCheckpoint()
-    out = ops.unwrap_opencdc(e)
-    return out.select(
-        F.col("position").cast("string").alias("position"),  # outer kept
-        F.col("operation"),
-        F.col("metadata").getItem("etype").alias("etype"),
-        F.get_json_object("key_json", "$.event_id").cast("bigint").alias("key_id"),
-        F.get_json_object("payload_after_json", "$.user_id")
-        .cast("bigint")
-        .alias("user_id"),
-    )
+    return e
 
 
 def _md5_transport(request: dict) -> dict:
@@ -413,8 +468,17 @@ def p_avro_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zigzag-varint(doc_id) + varint(utf8-len) + utf8 bytes — so the
     pure-Python codec's wire output is checked against the spec, not
     against itself."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = env.from_table(docs, key_cols=["doc_id"], source_id="docs", typed=True)
+    e = _materialized_fixture(
+        "docs2_env",
+        spark,
+        sf_dir,
+        lambda: env.from_table(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            key_cols=["doc_id"],
+            source_id="docs",
+            typed=True,
+        ),
+    )
     out = ops.avro_encode(e, _AVRO_DOC_SCHEMA)
     return out.select(
         F.get_json_object(F.col("key_json"), "$.doc_id").cast("bigint").alias("doc_id"),
@@ -430,8 +494,17 @@ def p_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload (impl/avro/decode.go:114-166, config.go:22-57)."""
     from conduit_spark.schema_registry import SchemaRegistry
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    e = env.from_table(docs, key_cols=["doc_id"], source_id="docs", typed=True)
+    e = _materialized_fixture(
+        "docs3_env",
+        spark,
+        sf_dir,
+        lambda: env.from_table(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+            key_cols=["doc_id"],
+            source_id="docs",
+            typed=True,
+        ),
+    )
     reg = SchemaRegistry()
     enc = ops.avro_encode(e, registry=reg, subject="documents")
     framed = enc.withColumn(
@@ -446,24 +519,16 @@ def p_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_CHANGELOG_CACHE: dict[str, str] = {}
-
-
 def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize the Debezium changelog fixture ONCE per session into a
-    temp parquet and re-read it on later calls, so benchmark timings
-    measure unwrap+apply (the operator under test), not the to_json
-    envelope synthesis scaffolding. The parquet scan also acts as the
-    CollapseProject barrier the old ``localCheckpoint`` provided —
-    without one, the to_json construction inlines into every
-    JSON-parse reference inside unwrap and the scaffolding cost
-    triples."""
-    import tempfile
+    """Debezium changelog fixture (create per event, update for
+    event_id%3==0, delete for event_id%5==0), materialized via
+    :func:`_materialized_fixture`."""
+    return _materialized_fixture(
+        "cdc_changelog", spark, sf_dir, lambda: _build_cdc_changelog(spark, sf_dir)
+    )
 
-    path = _CDC_CHANGELOG_CACHE.get(sf_dir)
-    if path is not None:
-        return spark.read.parquet(path)
 
+def _build_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def dbz(op: str, seq: int, after):
@@ -509,10 +574,7 @@ def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("payload_after_raw"),
         F.lit(True).alias("is_structured"),
     )
-    path = tempfile.mkdtemp(prefix="conduit_cdc_changelog_") + "/envelopes"
-    e.write.mode("overwrite").parquet(path)
-    _CDC_CHANGELOG_CACHE[sf_dir] = path
-    return spark.read.parquet(path)
+    return e
 
 
 def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
