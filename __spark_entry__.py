@@ -86,6 +86,7 @@ _EXTENDED = (
     "s_knn_join",  # kNN-graph builder; bucketed-ANN family already gate-verified via s_ann_lsh_topk
     "s_quantized_topk",  # int8 scalar-quantized search variant
     "t_tfidf_top_terms",  # text family already gate-verified 5×
+    "t_unigram_logprob",  # perplexity-proxy scorer; text family holds 5 gate slots
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_frame_sample",
     "m_features",

@@ -342,8 +342,55 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the perplexity-proxy
+    quality signal (low mean logprob = rare-token soup / OCR noise;
+    high = common-word boilerplate) used by corpus filters alongside
+    heuristic quality scores.
+
+    Two keyed shuffles, both SF-linear: corpus unigram counts, then a
+    token join back to per-doc counts (AQE picks broadcast when the
+    vocabulary fits). The per-doc float fold runs over the token-sorted
+    list so both engines sum the same doubles in the same order —
+    oracle-exact like ``t_entropy``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = corpus.agg(F.sum("c").cast("double").alias("total"))
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        per_doc.join(corpus, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "tok",
+            "n",
+            F.log(F.col("c").cast("double") / F.col("total")).alias("logp"),
+        )
+    )
+    per = j.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "n", "logp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["n"].cast("double") * s["logp"],
+        ).alias("sum_logp"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_logp") / F.col("n_tokens").cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_unigram_logprob": t_unigram_logprob,
     "t_entropy": t_entropy,
     "t_repetition": t_repetition,
     "t_redact_pii": t_redact_pii,
@@ -380,6 +427,29 @@ def _langid_sql() -> str:
 
 
 ORACLES = {
+    "t_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        corpus AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM corpus),
+        per_doc AS (
+            SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        j AS (
+            SELECT doc_id, tok, n,
+                   ln(CAST(c AS DOUBLE) / (SELECT total FROM tot)) AS logp
+            FROM per_doc JOIN corpus USING (tok)),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   list_sum(list_transform(
+                       list_sort(list(struct_pack(tok := tok, n := n, logp := logp))),
+                       s -> CAST(s.n AS DOUBLE) * s.logp)) AS sum_logp
+            FROM j GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(sum_logp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+        FROM per ORDER BY doc_id
+    """,
     "t_entropy": """
         WITH t AS (
             SELECT doc_id, string_split(text, '') AS cs,
