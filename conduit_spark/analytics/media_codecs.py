@@ -68,9 +68,10 @@ def decode_png(raw: bytes) -> dict:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
         raise ValueError(
-            f"unsupported PNG profile (bit_depth={bit_depth}, interlace={interlace})"
+            f"unsupported PNG profile (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
         )
     channels = _PNG_CHANNELS[color_type]
     stride = width * channels

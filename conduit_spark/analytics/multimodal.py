@@ -95,13 +95,25 @@ def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
                     pdf["media_id"], pdf["modality"], pdf["content"], pdf["n_bytes"]
                 ):
                     if c is None:
+                        # emit the row with null decode fields, exactly
+                        # like the fake path — both modes must be
+                        # row-count-preserving
+                        rows["media_id"].append(mid)
+                        rows["modality"].append(mod)
+                        rows["n_bytes"].append(nb)
+                        rows["digest"].append(None)
+                        rows["width"].append(None)
+                        rows["height"].append(None)
                         continue
                     raw = bytes(c)
                     meta = decode_any(raw)
                     if meta["format"] == "png":
                         w, h = meta["width"], meta["height"]
-                    else:  # wav: geometry rides the same two slots
-                        w, h = meta["n_frames"], meta["n_channels"]
+                    else:  # wav: geometry rides the same two int32
+                        # slots; clamp n_frames (a >2^31-frame capture
+                        # would overflow the Arrow conversion)
+                        w = min(meta["n_frames"], 2**31 - 1)
+                        h = meta["n_channels"]
                     rows["media_id"].append(mid)
                     rows["modality"].append(mod)
                     rows["n_bytes"].append(nb)

@@ -227,8 +227,8 @@ BLOOM_WORDS = BLOOM_M // _BLOOM_WORD_BITS
 
 
 def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Bloom filter of the distinct word-grams (m=1024 bits,
-    k=4 md5-derived hash functions) with the standard fill-ratio
+    """Per-source Bloom filter of the distinct word-grams (m=BLOOM_M
+    =65536 bits, k=4 md5-derived hash functions) with the standard fill-ratio
     cardinality estimate ``-(m/k)·ln(1 - X/m)`` next to the exact
     count. ``filter_md5`` fingerprints the bitmap itself so the oracle
     pins the sketch *content*, not just the estimate.

@@ -250,6 +250,8 @@ class ControlPlane:
         poll after starting the pipeline."""
         from conduit_spark.streaming.inspector import StreamInspector, jsonable
 
+        if count < 0:
+            raise ValueError(f"count must be >= 0, got {count}")
         pid, nid = self._resolve_node(node_id, kind)
         with self._lock:
             insp = self._inspectors.get((pid, nid))
@@ -257,7 +259,7 @@ class ControlPlane:
             if insp is None:
                 insp = StreamInspector(sample_per_batch=max(count, 10))
                 self._inspectors[(pid, nid)] = insp
-        records = insp.records()[-count:]
+        records = insp.records()[-count:] if count > 0 else []
         return {
             "pipeline": pid,
             "id": nid,

@@ -95,9 +95,12 @@ class Pipeline:
     # ---- plan building ---------------------------------------------------
 
     def _tap(self, node_id: str, df: DataFrame) -> None:
-        """Sample df into the node's attached inspector (batch mode
-        only — streaming plans can't be collected mid-build; the
-        micro-batch tap in ``_deliver`` covers them)."""
+        """Sample df into the node's attached inspector. Node-accurate
+        taps are batch-mode only (streaming plans can't be collected
+        mid-build); in streaming, ``_deliver`` feeds every attached
+        non-destination inspector the merged post-chain micro-batch
+        instead — records still flow, at pipeline rather than node
+        granularity."""
         insp = self.inspectors.get(node_id)
         if insp is not None and not df.isStreaming:
             insp.tap_batch(df)
@@ -160,6 +163,15 @@ class Pipeline:
         t0 = time.monotonic()
         completed = False
         df = df.persist()
+        if batch_id is not None and self.inspectors:
+            # streaming micro-batch: source/processor taps were skipped
+            # at build time (plan not collectable) — feed those
+            # inspectors the merged batch so inspection still observes
+            # the stream (pipeline granularity; see _tap docstring)
+            dest_ids = {d.id for d in self.config.destinations}
+            for node_id, insp in self.inspectors.items():
+                if node_id not in dest_ids:
+                    insp.tap_batch(df)
         try:
             dlq = self.config.dlq
             threshold = dlq.window_nack_threshold if dlq else 0

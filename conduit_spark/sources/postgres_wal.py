@@ -69,18 +69,25 @@ def lsn_to_long(lsn: str | Column) -> Column:
 def _json_object(cols: Column) -> Column:
     """array<struct<name,value:variant>> → JSON object text. to_json on
     VARIANT re-emits the original JSON value (string/number/bool/null/
-    nested), so the payload is byte-faithful to what wal2json saw."""
+    nested), so the payload is byte-faithful to what wal2json saw.
+    Column names are JSON-escaped with two regexp passes (backslash,
+    quote) — ONE pass over the name per element, instead of the earlier
+    double to_json(struct(...)) serialization (HOF lambdas re-evaluate
+    every captured expression per element)."""
+
+    def quoted(name: Column) -> Column:
+        escaped = F.regexp_replace(
+            F.regexp_replace(name, r"\\", r"\\\\"), '"', r'\\"'
+        )
+        return F.concat(F.lit('"'), escaped, F.lit('":'))
+
     return F.concat(
         F.lit("{"),
         F.concat_ws(
             ",",
             F.transform(
                 cols,
-                lambda c: F.concat(
-                    F.to_json(F.struct(c["name"].alias("k"))).substr(F.lit(6), F.length(F.to_json(F.struct(c["name"].alias("k")))) - 6),
-                    F.lit(":"),
-                    F.to_json(c["value"]),
-                ),
+                lambda c: F.concat(quoted(c["name"]), F.to_json(c["value"])),
             ),
         ),
         F.lit("}"),
@@ -304,7 +311,9 @@ def parse_pgoutput(data: bytes) -> list[dict]:
             before = None
             after = None
             if tag == b"I":
-                assert msg[at : at + 1] == b"N"
+                marker = msg[at : at + 1]
+                if marker != b"N":
+                    raise ValueError(f"Insert tuple marker {marker!r}, expected b'N'")
                 after, _ = tuple_data(msg, at + 1)
                 op = "create"
             elif tag == b"U":
@@ -313,12 +322,16 @@ def parse_pgoutput(data: bytes) -> list[dict]:
                     before, at2 = tuple_data(msg, at + 1)
                     at = at2
                     marker = msg[at : at + 1]
-                assert marker == b"N"
+                if marker != b"N":
+                    raise ValueError(f"Update new-tuple marker {marker!r}, expected b'N'")
                 after, _ = tuple_data(msg, at + 1)
                 op = "update"
             else:
                 marker = msg[at : at + 1]
-                assert marker in (b"K", b"O")
+                if marker not in (b"K", b"O"):
+                    raise ValueError(
+                        f"Delete tuple marker {marker!r}, expected b'K' or b'O'"
+                    )
                 before, _ = tuple_data(msg, at + 1)
                 op = "delete"
             seq += 1
