@@ -528,3 +528,39 @@ def test_compact_partitions_preserves_rows_and_merges_files(spark, tmp_path):
     assert after == before
     assert stats["files_before"] > 100  # 40 tasks × 3 partitions
     assert stats["files_after"] <= 3  # one right-sized file per partition
+
+
+def test_streaming_inspectors_receive_microbatch(spark, tmp_path):
+    """In streaming mode, node-accurate taps can't run at build time;
+    attached source/processor inspectors must still observe records via
+    the merged micro-batch in _deliver (destination taps stay
+    node-accurate)."""
+    from conduit_spark.streaming.inspector import StreamInspector
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("r1\nr2\nr3\n")
+    yaml_text = f"""
+version: "2.2"
+pipelines:
+  - id: insp-stream
+    connectors:
+      - id: f
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src_dir}", format: text}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json, mode: append}}
+"""
+    cfg = parse_yaml(yaml_text)[0]
+    src_insp, dst_insp = StreamInspector(), StreamInspector()
+    p = Pipeline(spark, cfg, inspectors={"f": src_insp, "d": dst_insp})
+    p.run_streaming(str(tmp_path / "ckpt"), trigger_once=True)
+    assert len(src_insp.records()) == 3  # merged micro-batch tap
+    assert len(dst_insp.records()) == 3  # node-accurate destination tap
+    payloads = sorted(
+        bytes(r["payload_after_raw"]).decode() for r in src_insp.records()
+    )
+    assert payloads == ["r1", "r2", "r3"]
