@@ -200,6 +200,47 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 1 if failures else 0
 
 
+def cmd_inspect(args: argparse.Namespace) -> int:
+    """Run one pipeline in batch with an inspector attached to a node
+    and print the sampled records as JSON lines — the CLI counterpart
+    of GET /v1/{connectors,processors}/{id}/inspect (reference
+    semantics: buffered, drop-oldest, api.proto:775,1011-1018)."""
+    import json as _json
+
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+    from conduit_spark.streaming.inspector import StreamInspector, jsonable
+
+    configs = _gather(args.pipelines)
+    cfg = next((c for c in configs if c.id == args.id), None)
+    if cfg is None:
+        print(f"pipeline {args.id!r} not found", file=sys.stderr)
+        return 1
+    node_ids = {n.id for n in (*cfg.sources, *cfg.destinations)}
+    node_ids |= {p.id for p in cfg.processors}
+    for conn in (*cfg.sources, *cfg.destinations):
+        node_ids |= {p.id for p in conn.processors}
+    if args.node not in node_ids:
+        print(
+            f"node {args.node!r} not in pipeline {args.id!r} "
+            f"(have: {sorted(node_ids)})",
+            file=sys.stderr,
+        )
+        return 1
+
+    spark = get_spark("conduit-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    insp = StreamInspector(sample_per_batch=args.count)
+    p = Pipeline(spark, cfg, inspectors={args.node: insp})
+    try:
+        p.run_batch()
+    except PipelineFailure as e:
+        print(f"pipeline {args.id}: FAILED — {e}", file=sys.stderr)
+    for rec in insp.records()[-args.count :]:
+        print(_json.dumps(jsonable(rec)))
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     """Run the provisioned pipelines once (batch) and print the
     per-pipeline counters — delivered per destination, nacks, DLQ
@@ -388,6 +429,16 @@ def main(argv: list[str] | None = None) -> int:
         help="table directory (default sf0.001)",
     )
     p_audit.set_defaults(fn=cmd_audit)
+
+    p_insp = sub.add_parser(
+        "inspect",
+        help="run a pipeline once and print records sampled at a node",
+    )
+    p_insp.add_argument("--pipelines", required=True)
+    p_insp.add_argument("--id", required=True, help="pipeline id")
+    p_insp.add_argument("--node", required=True, help="connector or processor id")
+    p_insp.add_argument("--count", type=int, default=10)
+    p_insp.set_defaults(fn=cmd_inspect)
 
     p_plugins = sub.add_parser(
         "plugins", help="list available processor and connector plugins"

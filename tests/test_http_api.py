@@ -410,3 +410,44 @@ def test_inspect_end_to_end_real_pipeline(spark, tmp_path):
         assert dst_ids and all(i >= 60 for i in dst_ids)
     finally:
         srv.shutdown()
+
+
+def test_cli_inspect_verb(spark, tmp_path, capsys):
+    """`conduit_spark inspect --id ... --node ...` prints JSON-line
+    samples from the node — CLI counterpart of the /inspect routes."""
+    import json as _json
+
+    from conduit_spark import cli
+
+    f = tmp_path / "p.yaml"
+    f.write_text(
+        """
+version: "2.2"
+pipelines:
+  - id: clidemo
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 8, format.options: {id: int}}
+      - id: out
+        type: destination
+        plugin: builtin:file
+        settings: {path: "%s", format: json, mode: overwrite}
+    processors: []
+"""
+        % (tmp_path / "cli-out")
+    )
+    rc = cli.main(
+        ["inspect", "--pipelines", str(f), "--id", "clidemo", "--node", "g", "--count", "5"]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    recs = [_json.loads(l) for l in out]
+    assert len(recs) == 5
+    assert all("payload_after_json" in r for r in recs)
+    # unknown node → error exit
+    rc = cli.main(
+        ["inspect", "--pipelines", str(f), "--id", "clidemo", "--node", "nope"]
+    )
+    assert rc == 1
