@@ -118,6 +118,9 @@ _EXTENDED = (
     "q_events_hourly",
     "q_props_json_stats",
     "q_user_retention",
+    "q2_min_cost_supplier",  # round-4 addition: completes TPC-H 22/22
+    "q11_important_parts",  # round-4 addition
+    "q21_waiting_suppliers",  # round-4 addition
 )
 
 GATE_CAP = 50

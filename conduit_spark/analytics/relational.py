@@ -764,6 +764,150 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (schema has no partsupp; lineitem is the
+    supply relation): for each small STANDARD part, the EUROPE
+    supplier(s) offering the minimum observed unit price.
+
+    The correlated min-subquery becomes a keyed agg + equi-join-back
+    (never a window over all offers — that single-tasks per-part data
+    at scale). nation/region are SF-constant and broadcast; the two
+    offer aggregations shuffle on (partkey[, suppkey]) only, and both
+    probe sides read ONE localCheckpoint-materialized offer relation,
+    so lineitem is scanned once. Unit price is an IEEE double division
+    (double/double), bit-identical in Spark and DuckDB, so the
+    min-equality join is exact.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.bk)
+            & (offers.unit_cost == best.min_cost),
+        )
+        .join(supp, offers.l_suppkey == supp.s_suppkey)
+        .join(part, offers.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose revenue through suppliers of one
+    nation exceeds a fraction of that nation's total (HAVING against a
+    scalar subquery).
+
+    The scalar total is a 1-row aggregate broadcast into the filter —
+    a cross-join with a 1-row relation, not a window. Per-part sums
+    are exact DECIMAL (order-insensitive) cast to DOUBLE at the end;
+    the threshold compare runs on the same double values both engines
+    compute, so the HAVING boundary cannot flip between Spark and
+    DuckDB.
+    """
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    value_expr = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    per_part = (
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value_expr).alias("value_dec"))
+        .localCheckpoint(eager=True)
+    )
+    # Threshold compare stays in exact decimal end-to-end — a
+    # double-rounded boundary could flip a borderline part between
+    # engines; only the OUTPUT column is cast to double.
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec")
+            > F.lit("0.001").cast("decimal(4,3)") * F.col("total_dec")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers who were the SOLE late shipper in a
+    multi-supplier finalized order ("kept orders waiting"); late means
+    shipping >60 days after the order date.
+
+    The EXISTS / NOT-EXISTS pair over lineitem becomes two keyed
+    aggregations: per (order, supplier) late-line counts, then per
+    order supplier/late-supplier counts — no correlated re-scans, no
+    self-join explosion; everything shuffles on l_orderkey once and on
+    (l_orderkey, l_suppkey) once. numwait counts late LINES (official
+    Q21 counts l1 rows, not distinct pairs).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    pair = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("late_lines"))
+        .localCheckpoint(eager=True)
+    )
+    ostats = pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    winners = pair.filter(F.col("late_lines") > 0).join(
+        ostats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        pair.l_orderkey == F.col("ok"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        winners.groupBy("l_suppkey")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_user_sessions": q_user_sessions,
@@ -796,9 +940,72 @@ QUERIES = {
     "q_customer_orders_topn": q_customer_orders_topn,
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH region_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        small_parts AS (
+            SELECT p_partkey, p_name FROM part
+            WHERE p_type = 'STANDARD' AND p_size <= 10),
+        offers AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            JOIN small_parts ON l_partkey = p_partkey
+            JOIN region_supp ON l_suppkey = s_suppkey
+            GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM offers
+        JOIN region_supp ON l_suppkey = s_suppkey
+        JOIN small_parts ON l_partkey = p_partkey
+        WHERE unit_cost = (
+            SELECT min(o2.unit_cost) FROM offers o2
+            WHERE o2.l_partkey = offers.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1)
+        SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM per_part
+        WHERE value_dec > CAST(0.001 AS DECIMAL(4,3)) * (
+            SELECT sum(value_dec) FROM per_part)
+        ORDER BY value DESC, p_partkey
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
     "q7_nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
