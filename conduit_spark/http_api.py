@@ -13,6 +13,17 @@ Routes (mirroring the reference's gateway paths):
     POST   /v1/pipelines/{id}/stop   request stop
     GET    /v1/connectors/{id}/inspect?count=N   sampled in-flight records
     GET    /v1/processors/{id}/inspect?count=N   (api.proto:775,1011-1018)
+    GET/PUT /v1/pipelines/{id}/dead-letter-queue DLQ settings (api.proto:519-533)
+    POST   /v1/pipelines/{id}/export  full unredacted v2 config doc
+    POST   /v1/pipelines/import       create from an exported doc
+    POST   /v1/pipelines/plan         diff desired vs stored config + hash
+    POST   /v1/pipelines/apply        execute a reviewed plan (hash-gated)
+    GET    /v1/connectors[?pipeline_id=]  connectors as entities
+    GET    /v1/connectors/{id}        one connector (pipeline-scoped id)
+    POST   /v1/connectors/validate    config validation, no instantiation
+    GET    /v1/processors[?pipeline_id=], /v1/processors/{id}
+    GET    /info                      version/os/arch
+    GET    /v1/plugins[?name=rx]      deprecated combined plugin list
 
 stdlib ``http.server`` only — no new dependencies; the JSON bodies
 come from the same ``pipeline/views.py`` builders the CLI uses, so
@@ -66,7 +77,9 @@ class ControlPlane:
         configs: list[PipelineConfig] | None = None,
         *,
         runner: Runner | None = None,
+        live_restart_apply: bool = False,
     ) -> None:
+        self.live_restart_apply = live_restart_apply
         self._lock = threading.Lock()
         self._configs: dict[str, PipelineConfig] = {}
         self._status: dict[str, str] = {}
@@ -207,6 +220,180 @@ class ControlPlane:
             t.join(timeout=timeout)
         return self.status(pid)
 
+    # -- DLQ / export / import (api.proto:519-551) --------------------
+
+    def get_dlq(self, pid: str) -> dict:
+        from conduit_spark.pipeline.config import DLQConfig
+
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            dlq = self._configs[pid].dlq or DLQConfig()
+            return {
+                "plugin": dlq.plugin,
+                "settings": dict(dlq.settings),
+                "window_size": dlq.window_size,
+                "window_nack_threshold": dlq.window_nack_threshold,
+            }
+
+    def update_dlq(self, pid: str, doc: dict) -> dict:
+        from conduit_spark.pipeline.config import DLQConfig
+
+        dlq = DLQConfig(
+            plugin=doc.get("plugin", "builtin:log"),
+            settings=dict(doc.get("settings") or {}),
+            window_size=int(doc.get("window_size", doc.get("window-size", 1))),
+            window_nack_threshold=int(
+                doc.get("window_nack_threshold", doc.get("window-nack-threshold", 0))
+            ),
+        )
+        if dlq.window_nack_threshold >= dlq.window_size > 0:
+            raise ValueError(
+                "window_nack_threshold must be < window_size (the reference "
+                "rejects a window that can never ack)"
+            )
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            if self._status[pid] == "running":
+                raise Conflict("pipeline is running; stop it first")
+            self._configs[pid].dlq = dlq
+        return self.get_dlq(pid)
+
+    def export_pipeline(self, pid: str) -> dict:
+        """Full UNREDACTED v2 config document — an export must
+        re-import runnable (reference ExportPipeline returns the real
+        connector settings for exactly this reason)."""
+        from conduit_spark.pipeline.config import pipeline_to_dict
+
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            return pipeline_to_dict(self._configs[pid])
+
+    # -- plan / apply (api.proto:554-573) -----------------------------
+
+    def plan(self, doc: dict) -> dict:
+        from conduit_spark.pipeline.deploy import plan_diff
+
+        desired = self._parse(doc)
+        with self._lock:
+            current = self._configs.get(desired.id)
+        return plan_diff(current, desired)
+
+    def apply(self, doc: dict, plan_hash: str) -> dict:
+        """Execute the reviewed plan. The hash must match a fresh
+        recompute — a caller holding a plan for config-as-edited or for
+        state-that-moved is refused (provisioning.plan_stale), never
+        partially applied. Restart-class changes against a running
+        pipeline are refused unless the plane was built with
+        ``live_restart_apply=True`` (the operator flag in the
+        reference's live-restart-apply design), in which case apply
+        stops, reconfigures, and restarts."""
+        from conduit_spark.pipeline.deploy import plan_diff
+
+        desired = self._parse(doc)
+        with self._lock:
+            current = self._configs.get(desired.id)
+        diff = plan_diff(current, desired)
+        if plan_hash != diff["hash"]:
+            raise Conflict(
+                "provisioning.plan_stale: config or server state changed "
+                "since the plan was computed; re-plan and review"
+            )
+        if not diff["changes"]:
+            return diff
+        needs_restart = any(c["effect"] == "restart" for c in diff["changes"])
+        running = self.status(desired.id) == "running"
+        if running and needs_restart and not self.live_restart_apply:
+            raise Conflict(
+                "plan includes restart-class changes and the pipeline is "
+                "running; stop it first or start the server with "
+                "live_restart_apply"
+            )
+        if running and needs_restart:
+            self.stop(desired.id)
+        with self._lock:
+            self._configs[desired.id] = desired
+            if self._status.get(desired.id) != "running":
+                self._status[desired.id] = "provisioned"
+        if running and needs_restart:
+            self.start(desired.id)
+        return diff
+
+    # -- connector / processor entity views (api.proto:766-1134) ------
+
+    def list_connectors(self, pipeline_id: str | None = None) -> list[dict]:
+        from conduit_spark.pipeline.views import connector_json
+
+        with self._lock:
+            configs = [
+                c
+                for c in self._configs.values()
+                if pipeline_id is None or c.id == pipeline_id
+            ]
+        out = []
+        for c in configs:
+            out.extend(connector_json(c.id, conn) for conn in c.connectors)
+        return out
+
+    def get_connector(self, node_id: str) -> dict:
+        from conduit_spark.pipeline.views import connector_json
+
+        pid, nid = self._resolve_node(node_id, "connector")
+        with self._lock:
+            c = self._configs[pid]
+            conn = next(n for n in c.connectors if n.id == nid)
+            return connector_json(pid, conn)
+
+    def list_processors(self, pipeline_id: str | None = None) -> list[dict]:
+        from conduit_spark.pipeline.views import processor_json
+
+        with self._lock:
+            configs = [
+                c
+                for c in self._configs.values()
+                if pipeline_id is None or c.id == pipeline_id
+            ]
+        out = []
+        for c in configs:
+            for p in c.processors:
+                out.append(
+                    dict(processor_json(p), parent={"type": "pipeline", "id": c.id})
+                )
+            for conn in c.connectors:
+                for p in conn.processors:
+                    out.append(
+                        dict(
+                            processor_json(p),
+                            parent={"type": "connector", "id": f"{c.id}:{conn.id}"},
+                        )
+                    )
+        return out
+
+    def get_processor(self, node_id: str) -> dict:
+        from conduit_spark.pipeline.views import processor_json
+
+        pid, nid = self._resolve_node(node_id, "processor")
+        with self._lock:
+            c = self._configs[pid]
+            for p in c.processors:
+                if p.id == nid:
+                    return dict(
+                        processor_json(p), parent={"type": "pipeline", "id": pid}
+                    )
+            for conn in c.connectors:
+                for p in conn.processors:
+                    if p.id == nid:
+                        return dict(
+                            processor_json(p),
+                            parent={
+                                "type": "connector",
+                                "id": f"{pid}:{conn.id}",
+                            },
+                        )
+        raise LookupError(node_id)
+
     # -- inspection ---------------------------------------------------
 
     def _resolve_node(self, node_id: str, kind: str) -> tuple[str, str]:
@@ -270,14 +457,27 @@ class ControlPlane:
 
 
 _ROUTES = [
+    ("GET", re.compile(r"^/info$"), "info"),
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/metrics$"), "prometheus"),
+    ("GET", re.compile(r"^/v1/plugins$"), "plugins_deprecated"),
     ("GET", re.compile(r"^/v1/processors/plugins$"), "processor_plugins"),
     ("GET", re.compile(r"^/v1/connectors/plugins$"), "connector_plugins"),
+    ("GET", re.compile(r"^/v1/connectors$"), "list_connectors"),
+    ("POST", re.compile(r"^/v1/connectors/validate$"), "validate_connector"),
     ("GET", re.compile(r"^/v1/connectors/([^/]+)/inspect$"), "inspect_connector"),
+    ("GET", re.compile(r"^/v1/connectors/([^/]+)$"), "get_connector"),
+    ("GET", re.compile(r"^/v1/processors$"), "list_processors"),
     ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect$"), "inspect_processor"),
+    ("GET", re.compile(r"^/v1/processors/([^/]+)$"), "get_processor"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
+    ("POST", re.compile(r"^/v1/pipelines/import$"), "import_pipeline"),
+    ("POST", re.compile(r"^/v1/pipelines/plan$"), "plan"),
+    ("POST", re.compile(r"^/v1/pipelines/apply$"), "apply"),
+    ("GET", re.compile(r"^/v1/pipelines/([^/]+)/dead-letter-queue$"), "get_dlq"),
+    ("PUT", re.compile(r"^/v1/pipelines/([^/]+)/dead-letter-queue$"), "update_dlq"),
+    ("POST", re.compile(r"^/v1/pipelines/([^/]+)/export$"), "export_pipeline"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)$"), "get"),
     ("PUT", re.compile(r"^/v1/pipelines/([^/]+)$"), "update"),
     ("DELETE", re.compile(r"^/v1/pipelines/([^/]+)$"), "delete"),
@@ -332,7 +532,73 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle(self, op: str, *groups: str) -> None:
         plane = self.plane
-        if op == "metrics":
+        if op == "info":
+            import platform
+
+            from conduit_spark import __version__
+
+            self._send(
+                200,
+                {
+                    "version": __version__,
+                    "os": platform.system().lower(),
+                    "arch": platform.machine(),
+                },
+            )
+        elif op == "plugins_deprecated":
+            # reference PluginService.ListPlugins (api.proto:1223-1233,
+            # deprecated there too): combined processor plugin list,
+            # optional ?name= regex filter
+            from conduit_spark.pipeline.registry import PROCESSOR_PLUGINS
+
+            rx = re.compile(self.query["name"]) if "name" in self.query else None
+            self._send(
+                200,
+                [
+                    {"name": k, "description": v}
+                    for k, v in sorted(PROCESSOR_PLUGINS.items())
+                    if rx is None or rx.search(k)
+                ],
+            )
+        elif op == "list_connectors":
+            self._send(200, plane.list_connectors(self.query.get("pipeline_id")))
+        elif op == "get_connector":
+            self._send(200, plane.get_connector(groups[0]))
+        elif op == "validate_connector":
+            from conduit_spark.pipeline.registry import validate_connector
+
+            body = self._body()
+            errors = validate_connector(
+                body.get("type", ""),
+                body.get("plugin", ""),
+                dict(body.get("settings") or {}),
+            )
+            if errors:
+                self._send(400, {"valid": False, "errors": errors})
+            else:
+                self._send(200, {"valid": True, "errors": []})
+        elif op == "list_processors":
+            self._send(200, plane.list_processors(self.query.get("pipeline_id")))
+        elif op == "get_processor":
+            self._send(200, plane.get_processor(groups[0]))
+        elif op == "get_dlq":
+            self._send(200, plane.get_dlq(groups[0]))
+        elif op == "update_dlq":
+            self._send(200, plane.update_dlq(groups[0], self._body()))
+        elif op == "export_pipeline":
+            self._send(200, plane.export_pipeline(groups[0]))
+        elif op == "import_pipeline":
+            self._send(201, plane.create(self._body()))
+        elif op == "plan":
+            body = self._body()
+            self._send(200, plane.plan(body.get("config", body)))
+        elif op == "apply":
+            body = self._body()
+            self._send(
+                200,
+                plane.apply(body.get("config", body), body.get("hash", "")),
+            )
+        elif op == "metrics":
             from conduit_spark.pipeline.metrics import GLOBAL_METRICS
 
             self._send(200, GLOBAL_METRICS.snapshot())

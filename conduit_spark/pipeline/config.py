@@ -123,6 +123,57 @@ def parse_pipeline_dict(raw: dict) -> PipelineConfig:
     )
 
 
+def _processor_to_dict(p: ProcessorConfig) -> dict:
+    out: dict[str, Any] = {"id": p.id, "plugin": p.plugin}
+    if p.settings:
+        out["settings"] = dict(p.settings)
+    if p.condition is not None:
+        out["condition"] = p.condition
+    if p.workers != 1:
+        out["workers"] = p.workers
+    return out
+
+
+def pipeline_to_dict(cfg: PipelineConfig) -> dict:
+    """Serialize a config back to its v2 pipeline dict — the exact
+    inverse of ``parse_pipeline_dict`` (round-trip pinned by test), so
+    the API's export/import and plan/apply verbs (reference
+    ExportPipeline/ImportPipeline/PlanPipeline, api.proto:535-573)
+    operate on the same document shape the YAML provisioner reads.
+    Settings are NOT redacted: an export must re-import runnable.
+    """
+    out: dict[str, Any] = {"id": cfg.id, "status": cfg.status}
+    if cfg.name:
+        out["name"] = cfg.name
+    if cfg.description:
+        out["description"] = cfg.description
+    if cfg.connectors:
+        out["connectors"] = [
+            {
+                "id": c.id,
+                "type": c.type,
+                "plugin": c.plugin,
+                **({"settings": dict(c.settings)} if c.settings else {}),
+                **(
+                    {"processors": [_processor_to_dict(p) for p in c.processors]}
+                    if c.processors
+                    else {}
+                ),
+            }
+            for c in cfg.connectors
+        ]
+    if cfg.processors:
+        out["processors"] = [_processor_to_dict(p) for p in cfg.processors]
+    if cfg.dlq is not None:
+        out["dead-letter-queue"] = {
+            "plugin": cfg.dlq.plugin,
+            **({"settings": dict(cfg.dlq.settings)} if cfg.dlq.settings else {}),
+            "window-size": cfg.dlq.window_size,
+            "window-nack-threshold": cfg.dlq.window_nack_threshold,
+        }
+    return out
+
+
 def parse_yaml(text: str) -> list[PipelineConfig]:
     """Parse a pipeline file (version 2.x; 1.x migrates with a
     deprecation warning, mirroring the reference's v1→v2 changelog

@@ -133,6 +133,52 @@ CONNECTOR_PLUGINS: dict[str, dict[str, Any]] = {
     },
 }
 
+# Settings without which build_source/write_destination raise KeyError,
+# per (plugin, direction) — what ConnectorService.ValidateConnector
+# (api.proto:824-850) checks before a pipeline ever runs.
+_CONNECTOR_REQUIRED: dict[tuple[str, str], tuple[str, ...]] = {
+    ("builtin:file", "source"): ("path",),
+    ("builtin:file", "destination"): ("path",),
+    ("builtin:s3", "source"): ("path",),
+    ("builtin:s3", "destination"): ("path",),
+    ("builtin:kafka", "source"): ("servers", "topic"),
+    ("builtin:kafka", "destination"): ("servers", "topic"),
+    ("builtin:postgres", "source"): ("url", "table"),
+    ("builtin:postgres", "destination"): ("url", "table"),
+    ("custom.standalone", "source"): ("command",),
+    ("custom.standalone", "destination"): ("command",),
+}
+
+
+def validate_connector(
+    ctype: str, plugin: str, settings: dict[str, Any]
+) -> list[str]:
+    """Config validation without instantiation — returns a list of
+    human-readable errors (empty = valid). Mirrors the reference's
+    ValidateConnector semantics: unknown plugin, wrong direction, and
+    missing required settings are all reported at once."""
+    errors: list[str] = []
+    if ctype not in ("source", "destination"):
+        errors.append(f"type must be source/destination, got {ctype!r}")
+        return errors
+    info = CONNECTOR_PLUGINS.get(plugin)
+    if info is None:
+        errors.append(
+            f"unknown connector plugin {plugin!r}; "
+            f"known: {sorted(CONNECTOR_PLUGINS)}"
+        )
+        return errors
+    if not info.get(ctype, False):
+        errors.append(f"plugin {plugin!r} cannot act as a {ctype}")
+    for key in _CONNECTOR_REQUIRED.get((plugin, ctype), ()):
+        if key not in settings:
+            errors.append(f"missing required setting {key!r}")
+    if plugin == "builtin:postgres" and settings.get("writeMode") == "upsert":
+        for key in ("keyColumns", "payloadSchema"):
+            if key not in settings:
+                errors.append(f"writeMode=upsert requires setting {key!r}")
+    return errors
+
 
 def build_processor(
     plugin: str,

@@ -33,6 +33,19 @@ def processor_json(p) -> dict:
     }
 
 
+def connector_json(pipeline_id: str, conn) -> dict:
+    """Connector as an addressable entity (ConnectorService.Get/List,
+    api.proto:766-792): the id is pipeline-scoped like the reference's."""
+    return {
+        "id": f"{pipeline_id}:{conn.id}",
+        "pipeline_id": pipeline_id,
+        "type": conn.type,
+        "plugin": conn.plugin,
+        "settings": redact(conn.settings),
+        "processors": [processor_json(p) for p in conn.processors],
+    }
+
+
 def pipeline_summary(c: PipelineConfig, status: str | None = None) -> dict:
     """The ``list`` row (PipelineService.ListPipelines analog)."""
     return {

@@ -451,3 +451,217 @@ pipelines:
         ["inspect", "--pipelines", str(f), "--id", "clidemo", "--node", "nope"]
     )
     assert rc == 1
+
+
+# -- round-4: DLQ / export-import / plan-apply / entity views ---------
+
+
+def test_dlq_get_put_round_trip(plane_and_port):
+    _, port, _ = plane_and_port
+    # default DLQ when the config declares none
+    status, dlq = _req(port, "GET", "/v1/pipelines/demo/dead-letter-queue")
+    assert status == 200
+    assert dlq == {
+        "plugin": "builtin:log",
+        "settings": {},
+        "window_size": 1,
+        "window_nack_threshold": 0,
+    }
+    new = {
+        "plugin": "builtin:file",
+        "settings": {"path": "/tmp/dlq-out", "format": "json"},
+        "window_size": 5,
+        "window_nack_threshold": 2,
+    }
+    status, dlq = _req(port, "PUT", "/v1/pipelines/demo/dead-letter-queue", new)
+    assert status == 200 and dlq == new
+    status, dlq = _req(port, "GET", "/v1/pipelines/demo/dead-letter-queue")
+    assert dlq == new
+    # invariant from the reference: a window that can never ack is refused
+    bad = dict(new, window_nack_threshold=5)
+    status, err = _req(port, "PUT", "/v1/pipelines/demo/dead-letter-queue", bad)
+    assert status == 400 and "window_nack_threshold" in err["error"]
+    status, _ = _req(port, "GET", "/v1/pipelines/nope/dead-letter-queue")
+    assert status == 404
+
+
+def test_export_import_round_trip(plane_and_port):
+    _, port, _ = plane_and_port
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/export")
+    assert status == 200
+    # export is unredacted — it must re-import runnable
+    dst = next(c for c in doc["connectors"] if c["id"] == "dst")
+    assert dst["settings"]["password"] == "hunter2"
+    doc["id"] = "demo-copy"
+    status, created = _req(port, "POST", "/v1/pipelines/import", doc)
+    assert status == 201 and created["id"] == "demo-copy"
+    # the copy exports byte-identically (modulo id)
+    status, doc2 = _req(port, "POST", "/v1/pipelines/demo-copy/export")
+    assert status == 200
+    assert {k: v for k, v in doc2.items() if k != "id"} == {
+        k: v for k, v in doc.items() if k != "id"
+    }
+
+
+def test_plan_apply_workflow(plane_and_port):
+    plane, port, _ = plane_and_port
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/export")
+    assert status == 200
+    # no-op plan: empty change set, apply is idempotent
+    status, diff = _req(port, "POST", "/v1/pipelines/plan", {"config": doc})
+    assert status == 200 and diff["changes"] == []
+    status, applied = _req(
+        port, "POST", "/v1/pipelines/apply",
+        {"config": doc, "hash": diff["hash"]},
+    )
+    assert status == 200 and applied["changes"] == []
+
+    # metadata-only change is in_place; settings change is restart-class
+    desired = json.loads(json.dumps(doc))
+    desired["description"] = "updated description"
+    src = next(c for c in desired["connectors"] if c["id"] == "src")
+    src["settings"]["recordCount"] = 99
+    status, diff = _req(port, "POST", "/v1/pipelines/plan", {"config": desired})
+    assert status == 200
+    by_resource = {c["resource"]: c for c in diff["changes"]}
+    assert by_resource["pipeline"]["effect"] == "in_place"
+    assert by_resource["pipeline"]["config_paths"] == ["description"]
+    assert by_resource["connector"]["effect"] == "restart"
+    assert by_resource["connector"]["id"] == "demo:src"
+    assert "settings.recordCount" in by_resource["connector"]["config_paths"]
+
+    # stale hash (config edited after planning) → 409, nothing applied
+    desired2 = json.loads(json.dumps(desired))
+    desired2["connectors"][0]["settings"]["recordCount"] = 100
+    status, err = _req(
+        port, "POST", "/v1/pipelines/apply",
+        {"config": desired2, "hash": diff["hash"]},
+    )
+    assert status == 409 and "plan_stale" in err["error"]
+    status, check = _req(port, "POST", "/v1/pipelines/demo/export")
+    assert check == doc  # untouched
+
+    # correct hash applies
+    status, applied = _req(
+        port, "POST", "/v1/pipelines/apply",
+        {"config": desired, "hash": diff["hash"]},
+    )
+    assert status == 200 and applied["changes"] == diff["changes"]
+    status, after = _req(port, "POST", "/v1/pipelines/demo/export")
+    assert after["description"] == "updated description"
+    src_after = next(c for c in after["connectors"] if c["id"] == "src")
+    assert src_after["settings"]["recordCount"] == 99
+
+
+def test_apply_restart_gating(plane_and_port):
+    """Restart-class changes on a RUNNING pipeline are refused without
+    the live_restart_apply operator flag."""
+    _, port, _ = plane_and_port
+    status, doc = _req(port, "POST", "/v1/pipelines/demo/export")
+    _req(port, "POST", "/v1/pipelines/demo/start")
+    desired = json.loads(json.dumps(doc))
+    next(c for c in desired["connectors"] if c["id"] == "src")["settings"][
+        "recordCount"
+    ] = 77
+    status, diff = _req(port, "POST", "/v1/pipelines/plan", {"config": desired})
+    assert status == 200  # plan is read-only, safe while running
+    status, err = _req(
+        port, "POST", "/v1/pipelines/apply",
+        {"config": desired, "hash": diff["hash"]},
+    )
+    assert status == 409 and "restart" in err["error"]
+    _req(port, "POST", "/v1/pipelines/demo/stop")
+
+
+def test_apply_live_restart():
+    """With live_restart_apply the plane stops, reconfigures, restarts."""
+    runs = []
+
+    def runner(cfg, stop):
+        runs.append(cfg.description)
+        stop.wait(timeout=30)
+        return "stopped"
+
+    plane = ControlPlane(_configs(), runner=runner, live_restart_apply=True)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        _, doc = _req(port, "POST", "/v1/pipelines/demo/export")
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        desired = json.loads(json.dumps(doc))
+        desired["description"] = "v2"
+        next(c for c in desired["connectors"] if c["id"] == "src")["settings"][
+            "recordCount"
+        ] = 55
+        _, diff = _req(port, "POST", "/v1/pipelines/plan", {"config": desired})
+        status, _ = _req(
+            port, "POST", "/v1/pipelines/apply",
+            {"config": desired, "hash": diff["hash"]},
+        )
+        assert status == 200
+        assert plane.status("demo") == "running"  # restarted on new config
+        assert runs == ["test pipeline", "v2"]
+        _req(port, "POST", "/v1/pipelines/demo/stop")
+    finally:
+        srv.shutdown()
+
+
+def test_connector_processor_entity_routes(plane_and_port):
+    _, port, _ = plane_and_port
+    status, conns = _req(port, "GET", "/v1/connectors")
+    assert status == 200
+    assert {c["id"] for c in conns} == {"demo:src", "demo:dst"}
+    assert all(c["pipeline_id"] == "demo" for c in conns)
+    status, conns = _req(port, "GET", "/v1/connectors?pipeline_id=nope")
+    assert status == 200 and conns == []
+    status, one = _req(port, "GET", "/v1/connectors/demo:src")
+    assert status == 200 and one["plugin"] == "builtin:generator"
+    # secrets redacted on the entity view (unlike export)
+    status, dst = _req(port, "GET", "/v1/connectors/dst")  # bare id, unambiguous
+    assert status == 200 and dst["settings"]["password"] == "***"
+
+    status, procs = _req(port, "GET", "/v1/processors")
+    assert status == 200
+    assert [p["id"] for p in procs] == ["keep"]
+    assert procs[0]["parent"] == {"type": "pipeline", "id": "demo"}
+    status, one = _req(port, "GET", "/v1/processors/demo:keep")
+    assert status == 200 and one["plugin"] == "filter"
+    status, _ = _req(port, "GET", "/v1/processors/nope")
+    assert status == 404
+
+
+def test_validate_connector_route(plane_and_port):
+    _, port, _ = plane_and_port
+    ok = {
+        "type": "source",
+        "plugin": "builtin:file",
+        "settings": {"path": "/tmp/x", "format": "json"},
+    }
+    status, body = _req(port, "POST", "/v1/connectors/validate", ok)
+    assert status == 200 and body == {"valid": True, "errors": []}
+    # all errors reported at once
+    bad = {"type": "source", "plugin": "builtin:kafka", "settings": {}}
+    status, body = _req(port, "POST", "/v1/connectors/validate", bad)
+    assert status == 400 and len(body["errors"]) == 2
+    status, body = _req(
+        port, "POST", "/v1/connectors/validate",
+        {"type": "source", "plugin": "builtin:log", "settings": {}},
+    )
+    assert status == 400 and "cannot act as a source" in body["errors"][0]
+    status, body = _req(
+        port, "POST", "/v1/connectors/validate",
+        {"type": "source", "plugin": "no:such", "settings": {}},
+    )
+    assert status == 400 and "unknown connector plugin" in body["errors"][0]
+
+
+def test_info_and_deprecated_plugins_routes(plane_and_port):
+    _, port, _ = plane_and_port
+    status, info = _req(port, "GET", "/info")
+    assert status == 200
+    assert set(info) == {"version", "os", "arch"} and info["os"] == "linux"
+    status, plugins = _req(port, "GET", "/v1/plugins?name=unwrap")
+    assert status == 200
+    assert {p["name"] for p in plugins} == {
+        "unwrap.opencdc", "unwrap.debezium", "unwrap.kafkaconnect",
+    }

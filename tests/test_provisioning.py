@@ -129,3 +129,99 @@ def test_unsupported_version_rejected():
 def test_missing_pipelines_key_rejected():
     with pytest.raises(ValueError, match="pipelines"):
         parse_yaml("just: nonsense\n")
+
+
+def test_pipeline_to_dict_round_trip():
+    """pipeline_to_dict is the exact inverse of parse_pipeline_dict:
+    parse(serialize(cfg)) is a fixed point, and serializing again is
+    byte-identical — the property export/import and plan/apply rely on."""
+    from conduit_spark.pipeline.config import (
+        parse_pipeline_dict,
+        pipeline_to_dict,
+    )
+
+    doc = {
+        "id": "rt",
+        "status": "stopped",
+        "name": "Round Trip",
+        "description": "with every optional field set",
+        "connectors": [
+            {
+                "id": "src",
+                "type": "source",
+                "plugin": "builtin:file",
+                "settings": {"path": "/tmp/in", "format": "parquet"},
+                "processors": [
+                    {
+                        "id": "cp",
+                        "plugin": "field.set",
+                        "settings": {"field": ".Payload.After.x", "value": "1"},
+                        "condition": "{{ eq .Operation \"create\" }}",
+                        "workers": 3,
+                    }
+                ],
+            },
+            {"id": "dst", "type": "destination", "plugin": "builtin:log"},
+        ],
+        "processors": [{"id": "p1", "plugin": "filter"}],
+        "dead-letter-queue": {
+            "plugin": "builtin:file",
+            "settings": {"path": "/tmp/dlq"},
+            "window-size": 4,
+            "window-nack-threshold": 1,
+        },
+    }
+    cfg = parse_pipeline_dict(doc)
+    ser = pipeline_to_dict(cfg)
+    cfg2 = parse_pipeline_dict(ser)
+    assert pipeline_to_dict(cfg2) == ser
+    assert cfg2 == cfg
+    # minimal config serializes without noise keys
+    minimal = pipeline_to_dict(parse_pipeline_dict({"id": "m"}))
+    assert minimal == {"id": "m", "status": "running"}
+
+
+def test_plan_diff_deterministic_and_classified():
+    from conduit_spark.pipeline.config import parse_pipeline_dict
+    from conduit_spark.pipeline.deploy import plan_diff
+
+    base = parse_pipeline_dict(
+        {
+            "id": "d",
+            "connectors": [
+                {"id": "s", "type": "source", "plugin": "builtin:generator"},
+            ],
+            "processors": [{"id": "p", "plugin": "filter"}],
+        }
+    )
+    # create-from-nothing lists every resource
+    d = plan_diff(None, base)
+    assert [(c["resource"], c["action"]) for c in d["changes"]] == [
+        ("pipeline", "create"), ("connector", "create"), ("processor", "create"),
+    ]
+    assert d["hash"] == plan_diff(None, base)["hash"]  # deterministic
+
+    desired = parse_pipeline_dict(
+        {
+            "id": "d",
+            "name": "renamed",
+            "connectors": [
+                {"id": "s", "type": "source", "plugin": "builtin:generator",
+                 "settings": {"recordCount": 1}},
+                {"id": "out", "type": "destination", "plugin": "builtin:log"},
+            ],
+        }
+    )
+    d = plan_diff(base, desired)
+    by_id = {(c["resource"], c["id"]): c for c in d["changes"]}
+    assert by_id[("pipeline", "d")]["effect"] == "in_place"
+    assert by_id[("connector", "d:s")]["action"] == "update"
+    assert by_id[("connector", "d:s")]["config_paths"] == ["settings"]
+    assert by_id[("connector", "d:out")]["action"] == "create"
+    assert by_id[("processor", "d:p")]["action"] == "delete"
+    assert all(
+        c["code"] == f"provisioning.{c['resource']}.{c['action']}"
+        for c in d["changes"]
+    )
+    # different desired state → different hash
+    assert d["hash"] != plan_diff(None, base)["hash"]
