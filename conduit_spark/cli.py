@@ -292,6 +292,131 @@ def cmd_api(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_version(args: argparse.Namespace) -> int:
+    """Print version/os/arch — same payload as GET /info."""
+    import json
+    import platform
+
+    from conduit_spark import __version__
+
+    print(
+        json.dumps(
+            {
+                "version": __version__,
+                "os": platform.system().lower(),
+                "arch": platform.machine(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_deploy(args: argparse.Namespace) -> int:
+    """Plan (and optionally apply) local pipeline configs against a
+    running API server — the `conduit pipelines deploy` analog: POST
+    /v1/pipelines/plan per pipeline, print the reviewed change set,
+    and with ``--apply`` execute it hash-gated so the server refuses
+    anything that moved since the plan was computed."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from conduit_spark.pipeline.config import pipeline_to_dict
+
+    def post(path: str, body: dict) -> tuple[int, dict]:
+        req = urllib.request.Request(
+            args.server.rstrip("/") + path,
+            data=json.dumps(body).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    rc = 0
+    for cfg in _gather(args.pipelines):
+        doc = pipeline_to_dict(cfg)
+        status, diff = post("/v1/pipelines/plan", {"config": doc})
+        if status != 200:
+            print(f"{cfg.id}: plan failed: {diff.get('error')}", file=sys.stderr)
+            rc = 1
+            continue
+        if not diff["changes"]:
+            print(f"{cfg.id}: up to date")
+            continue
+        for c in diff["changes"]:
+            paths = f" [{', '.join(c['config_paths'])}]" if c["config_paths"] else ""
+            print(
+                f"{cfg.id}: {c['action']} {c['resource']} {c['id']}"
+                f" ({c['effect']}){paths}"
+            )
+        if not args.apply:
+            print(f"{cfg.id}: plan only (pass --apply to execute)")
+            continue
+        status, applied = post(
+            "/v1/pipelines/apply", {"config": doc, "hash": diff["hash"]}
+        )
+        if status != 200:
+            print(f"{cfg.id}: apply refused: {applied.get('error')}", file=sys.stderr)
+            rc = 1
+        else:
+            print(f"{cfg.id}: applied {len(applied['changes'])} change(s)")
+    return rc
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """Environment health checks — the `conduit doctor` analog.
+    Verifies the runtime stack without starting a SparkSession (pass
+    ``--full`` to also spin one and run a 3-row round trip)."""
+    import importlib
+    import shutil
+    import subprocess
+
+    checks: list[tuple[str, bool, str]] = []
+
+    def check(name: str, ok: bool, detail: str) -> None:
+        checks.append((name, ok, detail))
+
+    for mod in ("pyspark", "pyarrow", "pandas", "numpy", "duckdb", "yaml"):
+        try:
+            m = importlib.import_module(mod)
+            check(mod, True, getattr(m, "__version__", "?"))
+        except ImportError as e:
+            check(mod, False, str(e))
+    java_home = os.environ.get("JAVA_HOME", "")
+    java = (
+        os.path.join(java_home, "bin", "java")
+        if java_home
+        else shutil.which("java") or ""
+    )
+    if java and os.path.exists(java):
+        out = subprocess.run(
+            [java, "-version"], capture_output=True, text=True, timeout=30
+        )
+        first = (out.stderr or out.stdout).splitlines()[0]
+        check("java", out.returncode == 0, first)
+    else:
+        check("java", False, "no JAVA_HOME and no java on PATH")
+    if args.full:
+        try:
+            from conduit_spark import get_spark
+
+            spark = get_spark("doctor")
+            n = spark.range(3).count()
+            check("spark-session", n == 3, f"local round trip ({n} rows)")
+        except Exception as e:  # noqa: BLE001 — any failure is the finding
+            check("spark-session", False, f"{type(e).__name__}: {e}")
+    bad = False
+    for name, ok, detail in checks:
+        mark = "ok " if ok else "FAIL"
+        print(f"[{mark}] {name}: {detail}")
+        bad = bad or not ok
+    return 1 if bad else 0
+
+
 def cmd_plan(args: argparse.Namespace) -> int:
     """Print a registered query's executed physical plan plus the
     scale-smell audit (conduit_spark.plans) — the pre-flight a query
@@ -444,6 +569,24 @@ def main(argv: list[str] | None = None) -> int:
         "plugins", help="list available processor and connector plugins"
     )
     p_plugins.set_defaults(fn=cmd_plugins)
+
+    p_ver = sub.add_parser("version", help="print version/os/arch JSON")
+    p_ver.set_defaults(fn=cmd_version)
+
+    p_dep = sub.add_parser(
+        "deploy",
+        help="plan (and --apply) local configs against a running API server",
+    )
+    p_dep.add_argument("--pipelines", required=True)
+    p_dep.add_argument("--server", default="http://127.0.0.1:8080")
+    p_dep.add_argument("--apply", action="store_true")
+    p_dep.set_defaults(fn=cmd_deploy)
+
+    p_doc = sub.add_parser("doctor", help="environment health checks")
+    p_doc.add_argument(
+        "--full", action="store_true", help="also start a SparkSession"
+    )
+    p_doc.set_defaults(fn=cmd_doctor)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -173,3 +173,82 @@ def test_audit_plan_scalar_aggs_benign_and_waivers(spark):
     # without the query name the same plan DOES fail the audit
     audit_anon = audit_plan(c_pack_blocks(spark, "/root/testdata/sf0.001"))
     assert "single-partition-exchange" in audit_anon["smells"]
+
+
+def test_cli_version(capsys):
+    import json as _json
+
+    from conduit_spark import __version__, cli
+
+    assert cli.main(["version"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["version"] == __version__ and out["os"] == "linux"
+
+
+def test_cli_doctor(capsys):
+    from conduit_spark import cli
+
+    assert cli.main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "[ok ] pyspark" in out and "[ok ] java" in out
+
+
+def test_cli_deploy_plan_and_apply(tmp_path, capsys):
+    """deploy drives the HTTP plan/apply routes end-to-end: first call
+    reports the change set, --apply executes it, re-plan is a no-op."""
+    import threading
+
+    from conduit_spark import cli
+    from conduit_spark.http_api import ControlPlane, start_server
+    from conduit_spark.pipeline.config import parse_yaml
+
+    base = """
+version: "2.2"
+pipelines:
+  - id: dep
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 5, format.options: {id: int}}
+      - id: out
+        type: destination
+        plugin: builtin:log
+"""
+    desired = base.replace("recordCount: 5", "recordCount: 9")
+
+    def runner(cfg, stop):
+        stop.wait(timeout=5)
+        return "stopped"
+
+    plane = ControlPlane(parse_yaml(base), runner=runner)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        f = tmp_path / "p.yaml"
+        f.write_text(desired)
+        server = f"http://127.0.0.1:{port}"
+        # plan-only prints the change and does not apply
+        assert cli.main(["deploy", "--pipelines", str(f), "--server", server]) == 0
+        out = capsys.readouterr().out
+        assert "update connector dep:src (restart) [settings.recordCount]" in out
+        assert "plan only" in out
+        assert plane.export_pipeline("dep")["connectors"][0]["settings"][
+            "recordCount"
+        ] == 5
+        # --apply executes it
+        assert (
+            cli.main(
+                ["deploy", "--pipelines", str(f), "--server", server, "--apply"]
+            )
+            == 0
+        )
+        assert "applied 1 change(s)" in capsys.readouterr().out
+        assert plane.export_pipeline("dep")["connectors"][0]["settings"][
+            "recordCount"
+        ] == 9
+        # now up to date
+        assert cli.main(["deploy", "--pipelines", str(f), "--server", server]) == 0
+        assert "up to date" in capsys.readouterr().out
+    finally:
+        srv.shutdown()
