@@ -61,7 +61,14 @@ def _materialized_fixture(name: str, spark: SparkSession, sf_dir: str, build) ->
     path = _FIXTURE_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix=f"conduit_fixture_{name}_") + "/data"
-        build().write.mode("overwrite").parquet(path)
+        # Spread across the session's cores: the source tables at test
+        # SF fit one parquet split, so without this every fixture lands
+        # in ONE file and every downstream envelope query runs its JSON
+        # parsing on ONE task (measured 3.7s → 0.4s for the debezium
+        # unwrap at sf0.1 on local[32]).
+        build().repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
         _FIXTURE_CACHE[key] = path
     return spark.read.parquet(path)
 
