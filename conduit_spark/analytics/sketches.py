@@ -40,7 +40,7 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates to the exact count (rank k is absent → estimate :=
     exact), mirrored in the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
@@ -100,7 +100,7 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     source before the shuffle, the textbook mergeable-sketch shape
     (KMV needs a top-k merge; HLL's merge is just ``max``).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
@@ -240,7 +240,7 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit inside bigint slots so shift/or semantics are identical in
     Spark and DuckDB (no sign-bit divergence at 1<<63).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)

@@ -103,7 +103,7 @@ def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID with deterministic tie-break order."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", fanout=True).withColumn(
         "__toks", _tokens()  # split once; five marker scans reuse it
     )
     toks = F.col("__toks")
@@ -298,7 +298,7 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence in the same order as the DuckDB oracle — bit-identical
     doubles, exact hash match.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # Each stage materializes its array as a PROJECTED COLUMN before any
     # lambda references it: a lambda body that captures a full
     # expression tree (e.g. array_sort(split(...))) is re-evaluated per

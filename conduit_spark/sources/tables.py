@@ -45,24 +45,70 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Scan fan-out bounds: below the floor a table is dim-sized (shuffling
+# it buys nothing); above the ceiling the files carry enough natural
+# splits that adding a shuffle would be a 100 TB-scale mistake.
+_FANOUT_MIN_BYTES = 256 << 10
+_FANOUT_MAX_BYTES = 1 << 30
+
+
+def _scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin-spread a scan whose natural split count is below the
+    session's core count. The test parquet is written as ONE row group
+    per table, so a scan — and the map-side work above it (JSON parse,
+    tokenization, shingling) — otherwise runs as ONE task no matter the
+    core count. Filter pushdown and column pruning are unaffected
+    (Catalyst moves both through Repartition; pinned by test). On a
+    real cluster the condition cannot trigger for large tables: 100 TB
+    of properly-sized files always has splits >= cores, and sub-GiB
+    relations cost nothing to shuffle once.
+
+    Opt-in per query (``load_table(..., fanout=True)``), NOT global:
+    measured A/B at sf0.1 shows it wins 2-3x exactly where pre-shuffle
+    per-row compute dominates and the first shuffle reduces (character
+    folds, n-gram shingling into sketches), and loses ~0.3-0.6s where
+    the query is join/shuffle-bound anyway (the extra exchange is pure
+    overhead — TPC-H-style joins shuffle on their keys immediately)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if not (_FANOUT_MIN_BYTES <= size < _FANOUT_MAX_BYTES):
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        max_pb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except ValueError:  # "128m"-style values
+        max_pb = 128 * 1024 * 1024
+    if size // max_pb >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = False
+) -> DataFrame:
     from conduit_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)  # driver-provided sessions lack our confs
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
         # rejects; the nanosAsLong flag (set above) reads it as long;
         # convert to a micros timestamp with exact integer division —
         # identical to DuckDB's nanos->micros truncation.
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(path)
+    return _scan_fanout(spark, df, path) if fanout else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -216,3 +216,31 @@ def test_cosine_topk_broadcast_no_shuffle_of_corpus(spark, sf):
     # the corpus side must not be exchanged before the broadcast join
     corpus_section = plan.split("Broadcast")[0]
     assert "Exchange hashpartitioning" not in corpus_section
+
+
+def test_scan_fanout_rules(spark):
+    """Fan-out is opt-in: small single-row-group tables spread across
+    cores only when asked; dim-sized tables and default loads are left
+    alone; pushdown and pruning move through the fan-out exchange."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.sources.tables import load_table
+
+    sf01 = "/root/testdata/sf0.1"
+    cores = spark.sparkContext.defaultParallelism
+    # lineitem at sf0.1: 10 MB, one row group -> fanned out on request
+    li = load_table(spark, sf01, "lineitem", fanout=True)
+    assert li.rdd.getNumPartitions() == cores
+    # default load: natural split count, no extra exchange
+    assert load_table(spark, sf01, "lineitem").rdd.getNumPartitions() == 1
+    # nation: dim-sized, below the floor -> untouched even with fanout
+    assert (
+        load_table(spark, sf01, "nation", fanout=True).rdd.getNumPartitions()
+        == 1
+    )
+    # pushdown + pruning through the fan-out exchange
+    plan = plan_of(li.filter(F.col("l_quantity") < 2).select("l_orderkey"))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed and "LessThan" in pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
