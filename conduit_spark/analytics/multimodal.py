@@ -74,12 +74,14 @@ def as_media(df: DataFrame, content_col: str, id_col: str, modality: str) -> Dat
 def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     """Decode media content → metadata (mapInPandas, Arrow-batched).
 
-    ``real_codecs=True`` decodes PNG and WAV for real with the
-    stdlib-only codecs in ``media_codecs`` (zlib inflate + scanline
-    unfilter for PNG; RIFF chunk walk for WAV): width/height are the
-    true image dimensions, and for audio (n_frames, n_channels) fill
-    the same slots. JPEG/MP4 still raise NotImplementedError inside
-    the task — those need PIL/ffmpeg and remain documented seams. The
+    ``real_codecs=True`` decodes PNG, WAV, baseline JPEG, and MP4
+    container metadata for real with the pure-Python codecs in
+    ``media_codecs`` (zlib inflate + scanline unfilter for PNG; RIFF
+    chunk walk for WAV; Huffman + IDCT + YCbCr→RGB for JPEG; ISO BMFF
+    box walk for MP4): width/height are the true image/video
+    dimensions, and for audio (n_frames, n_channels) fill the same
+    slots. Progressive JPEG and MP4 *frame* decode raise inside the
+    task — those need native codecs and remain documented seams. The
     default deterministic fake derives width/height from the content
     digest — stable, partition-parallel, and SQL-reproducible.
     """
@@ -107,13 +109,14 @@ def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
                         continue
                     raw = bytes(c)
                     meta = decode_any(raw)
-                    if meta["format"] == "png":
-                        w, h = meta["width"], meta["height"]
-                    else:  # wav: geometry rides the same two int32
+                    if meta["format"] == "wav":
+                        # audio geometry rides the same two int32
                         # slots; clamp n_frames (a >2^31-frame capture
                         # would overflow the Arrow conversion)
                         w = min(meta["n_frames"], 2**31 - 1)
                         h = meta["n_channels"]
+                    else:  # png/jpeg/mp4: true pixel geometry
+                        w, h = meta["width"], meta["height"]
                     rows["media_id"].append(mid)
                     rows["modality"].append(mod)
                     rows["n_bytes"].append(nb)
