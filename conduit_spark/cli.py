@@ -292,6 +292,133 @@ def cmd_api(args: argparse.Namespace) -> int:
     return 0
 
 
+def _config_files(path: str) -> list[str]:
+    """A single .yml/.yaml file, or the files of a directory (not
+    recursed) — the reference's lint/dry-run path handling."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".yml", ".yaml"))
+        )
+    return [path]
+
+
+def cmd_lint(args: argparse.Namespace) -> int:
+    """Everything ``validate`` checks, plus advisory warnings
+    (deprecated v1 spellings, unknown fields, version fallback) — the
+    `conduit pipelines lint` analog. Warnings are advisory: exit 0
+    unless ``--strict`` escalates them to 2; parse failures exit 1."""
+    import warnings as warnmod
+
+    import yaml
+
+    from conduit_spark.pipeline.config import lint_pipeline_dict, parse_yaml
+
+    n_fail = n_warn = 0
+    for f in _config_files(args.path):
+        try:
+            text = open(f, encoding="utf-8").read()
+            doc = yaml.safe_load(text)
+        except Exception as e:  # noqa: BLE001 — any unreadable file is a finding
+            print(f"{f}: FAIL {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        findings: list[str] = []
+        with warnmod.catch_warnings(record=True) as caught:
+            warnmod.simplefilter("always")
+            try:
+                parse_yaml(text)
+            except Exception as e:  # noqa: BLE001
+                print(f"{f}: FAIL {e}")
+                n_fail += 1
+                continue
+        findings.extend(str(w.message) for w in caught)
+        if isinstance(doc, dict):
+            for p in doc.get("pipelines") or []:
+                if isinstance(p, dict):
+                    findings.extend(lint_pipeline_dict(p))
+        for w in findings:
+            print(f"{f}: warning: {w}")
+        n_warn += len(findings)
+        if not findings and not args.quiet:
+            print(f"{f}: ok")
+    print(f"lint: {n_fail} failure(s), {n_warn} warning(s)")
+    if n_fail:
+        return 1
+    return 2 if (args.strict and n_warn) else 0
+
+
+def cmd_dry_run(args: argparse.Namespace) -> int:
+    """Everything ``validate`` checks, then print the fully-enriched
+    pipeline graph (final node ids, injected DLQ defaults, worker
+    counts) that ``run`` would load, and check referenced builtin
+    plugins exist (standalone commands stay advisory) — the
+    `conduit pipelines dry-run` analog. Offline, no side effects."""
+    import json
+
+    from conduit_spark.pipeline.config import DLQConfig, load_pipelines
+    from conduit_spark.pipeline.registry import (
+        CONNECTOR_PLUGINS,
+        PROCESSOR_PLUGINS,
+    )
+    from conduit_spark.pipeline.views import pipeline_detail
+
+    n_fail = 0
+    for f in _config_files(args.path):
+        try:
+            configs = load_pipelines(f)
+        except Exception as e:  # noqa: BLE001
+            print(f"{f}: FAIL {e}")
+            n_fail += 1
+            continue
+        for cfg in configs:
+            if cfg.dlq is None:  # show the injected default
+                cfg.dlq = DLQConfig()
+            doc = pipeline_detail(cfg, "dry-run")
+            problems: list[str] = []
+            advisories: list[str] = []
+            if args.resolve_plugins:
+                for conn in cfg.connectors:
+                    if conn.plugin.startswith("builtin:"):
+                        info = CONNECTOR_PLUGINS.get(conn.plugin)
+                        if info is None:
+                            problems.append(
+                                f"connector {conn.id}: unknown builtin "
+                                f"plugin {conn.plugin!r}"
+                            )
+                        elif not info.get(conn.type, False):
+                            problems.append(
+                                f"connector {conn.id}: {conn.plugin!r} "
+                                f"cannot act as a {conn.type}"
+                            )
+                    else:  # standalone: existence is a runtime concern
+                        advisories.append(
+                            f"connector {conn.id}: standalone plugin "
+                            f"{conn.plugin!r} not resolved offline"
+                        )
+                procs = list(cfg.processors) + [
+                    p for c in cfg.connectors for p in c.processors
+                ]
+                for p in procs:
+                    if (
+                        p.plugin not in PROCESSOR_PLUGINS
+                        and p.plugin != "custom.standalone"
+                    ):
+                        problems.append(
+                            f"processor {p.id}: unknown plugin {p.plugin!r}"
+                        )
+            doc["dry_run"] = {
+                "problems": problems,
+                "advisories": advisories,
+            }
+            print(json.dumps(doc, indent=None if args.quiet else 1))
+            for msg in problems:
+                print(f"{f}: {cfg.id}: FAIL {msg}", file=sys.stderr)
+            n_fail += len(problems)
+    return 1 if n_fail else 0
+
+
 def cmd_version(args: argparse.Namespace) -> int:
     """Print version/os/arch — same payload as GET /info."""
     import json
@@ -587,6 +714,27 @@ def main(argv: list[str] | None = None) -> int:
         "--full", action="store_true", help="also start a SparkSession"
     )
     p_doc.set_defaults(fn=cmd_doctor)
+
+    p_lint = sub.add_parser(
+        "lint", help="validate + advisory warnings (unknown/deprecated fields)"
+    )
+    p_lint.add_argument("path")
+    p_lint.add_argument("--strict", action="store_true")
+    p_lint.add_argument("-q", "--quiet", action="store_true")
+    p_lint.set_defaults(fn=cmd_lint)
+
+    p_dry = sub.add_parser(
+        "dry-run",
+        help="print the enriched pipeline graph run would load; no side effects",
+    )
+    p_dry.add_argument("path")
+    p_dry.add_argument(
+        "--resolve-plugins",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
+    p_dry.add_argument("-q", "--quiet", action="store_true")
+    p_dry.set_defaults(fn=cmd_dry_run)
 
     args = parser.parse_args(argv)
     return args.fn(args)

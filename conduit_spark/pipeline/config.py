@@ -123,6 +123,61 @@ def parse_pipeline_dict(raw: dict) -> PipelineConfig:
     )
 
 
+# Known config keys per level — the lint surface (reference
+# `pipelines lint`, cmd/conduit/root/pipelines/lint.go: validate plus
+# advisory warnings for deprecated/renamed/unknown fields).
+_KNOWN_KEYS = {
+    "pipeline": {
+        "id", "status", "name", "description",
+        "connectors", "processors", "dead-letter-queue",
+    },
+    "connector": {"id", "type", "plugin", "settings", "processors"},
+    "processor": {"id", "plugin", "type", "settings", "condition", "workers"},
+    "dead-letter-queue": {
+        "plugin", "settings", "window-size", "window-nack-threshold",
+    },
+}
+
+
+def lint_pipeline_dict(raw: dict) -> list[str]:
+    """Advisory warnings for one pipeline dict: unknown fields at any
+    level, and the deprecated v1 ``type:`` processor spelling. Parse
+    FAILURES are not reported here — run ``parse_pipeline_dict`` for
+    those; lint is the advisory layer on top."""
+    warnings: list[str] = []
+    pid = raw.get("id", "?")
+
+    def unknown(level: str, doc: dict, where: str) -> None:
+        for k in sorted(set(doc) - _KNOWN_KEYS[level]):
+            warnings.append(f"{where}: unknown field {k!r}")
+
+    def lint_processor(p: dict, where: str) -> None:
+        if not isinstance(p, dict):
+            return
+        unknown("processor", p, where)
+        if "type" in p and "plugin" not in p:
+            warnings.append(
+                f"{where}: deprecated v1 'type:' — rename to 'plugin:'"
+            )
+
+    if isinstance(raw, dict):
+        unknown("pipeline", raw, f"pipeline {pid}")
+        for c in raw.get("connectors") or []:
+            if not isinstance(c, dict):
+                continue
+            where = f"pipeline {pid} connector {c.get('id', '?')}"
+            unknown("connector", c, where)
+            for p in c.get("processors") or []:
+                lint_processor(p, f"{where} processor {p.get('id', '?')}")
+        for p in raw.get("processors") or []:
+            if isinstance(p, dict):
+                lint_processor(p, f"pipeline {pid} processor {p.get('id', '?')}")
+        dlq = raw.get("dead-letter-queue")
+        if isinstance(dlq, dict):
+            unknown("dead-letter-queue", dlq, f"pipeline {pid} dead-letter-queue")
+    return warnings
+
+
 def _processor_to_dict(p: ProcessorConfig) -> dict:
     out: dict[str, Any] = {"id": p.id, "plugin": p.plugin}
     if p.settings:

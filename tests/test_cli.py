@@ -252,3 +252,117 @@ pipelines:
         assert "up to date" in capsys.readouterr().out
     finally:
         srv.shutdown()
+
+
+def test_cli_lint(tmp_path, capsys):
+    from conduit_spark import cli
+
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        """
+version: "2.2"
+pipelines:
+  - id: ok
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:generator
+      - id: d
+        type: destination
+        plugin: builtin:log
+"""
+    )
+    assert cli.main(["lint", str(good)]) == 0
+    assert "ok" in capsys.readouterr().out
+
+    warny = tmp_path / "warny.yaml"
+    warny.write_text(
+        """
+version: "1.1"
+pipelines:
+  - id: legacy
+    frobnicate: true
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:generator
+        retries: 3
+    processors:
+      - id: p
+        type: filter
+"""
+    )
+    # advisory only -> exit 0; --strict escalates to 2
+    assert cli.main(["lint", str(warny)]) == 0
+    out = capsys.readouterr().out
+    assert "deprecated" in out  # version 1.x migration warning
+    assert "unknown field 'frobnicate'" in out
+    assert "unknown field 'retries'" in out
+    assert "deprecated v1 'type:'" in out
+    assert cli.main(["lint", str(warny), "--strict"]) == 2
+    capsys.readouterr()
+
+    broken = tmp_path / "broken.yaml"
+    broken.write_text("pipelines:\n  - connectors: {]\n")
+    assert cli.main(["lint", str(broken)]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_dry_run(tmp_path, capsys):
+    import json as _json
+
+    from conduit_spark import cli
+
+    f = tmp_path / "p.yaml"
+    f.write_text(
+        """
+version: "2.2"
+pipelines:
+  - id: dr
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 3, format.options: {id: int}}
+      - id: d
+        type: destination
+        plugin: builtin:log
+    processors:
+      - id: p1
+        plugin: filter
+        condition: 'x'
+"""
+    )
+    assert cli.main(["dry-run", str(f)]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    # enriched graph: injected DLQ default + final node ids
+    assert doc["dlq"]["plugin"] == "builtin:log"
+    assert [c["id"] for c in doc["connectors"]] == ["s", "d"]
+    assert doc["dry_run"] == {"problems": [], "advisories": []}
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        """
+version: "2.2"
+pipelines:
+  - id: dr2
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:nosuch
+      - id: d
+        type: destination
+        plugin: ./my-connector.sh
+    processors:
+      - id: p1
+        plugin: not.a.processor
+"""
+    )
+    assert cli.main(["dry-run", str(bad)]) == 1
+    out = capsys.readouterr()
+    doc = _json.loads(out.out)
+    assert any("builtin:nosuch" in p for p in doc["dry_run"]["problems"])
+    assert any("not.a.processor" in p for p in doc["dry_run"]["problems"])
+    assert any("my-connector.sh" in a for a in doc["dry_run"]["advisories"])
+    # --no-resolve-plugins downgrades everything to offline-parse only
+    assert cli.main(["dry-run", str(bad), "--no-resolve-plugins"]) == 0
