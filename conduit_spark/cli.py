@@ -419,6 +419,47 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_mcp(args: argparse.Namespace) -> int:
+    """Serve the MCP tool catalog on stdio (`conduit mcp` analog).
+    Write tools require the process-level ``--allow-mutations`` flag —
+    never a tool argument an agent could pass."""
+    from conduit_spark.mcp import MCPServer
+
+    MCPServer(
+        allow_mutations=args.allow_mutations,
+        api_address=args.api_address,
+    ).serve_stdio()
+    return 0
+
+
+def cmd_repair(args: argparse.Namespace) -> int:
+    """Fix plan for one pipeline file (read mode prints the plan +
+    hash); ``--apply`` with a matching ``--plan-hash`` (or ``--yes``)
+    rewrites the file atomically. Safe fixes only, unless a
+    data-path-adjacent fix is explicitly ``--fix``-selected AND
+    ``--escalate``-d — the `conduit pipelines repair` analog."""
+    import json
+
+    from conduit_spark.pipeline import repair
+
+    if not args.apply:
+        print(json.dumps(repair.collect(args.path), indent=1))
+        return 0
+    try:
+        result = repair.apply(
+            args.path,
+            plan_hash=args.plan_hash,
+            yes=args.yes,
+            fix_paths=args.fix or None,
+            escalate=args.escalate,
+        )
+    except (PermissionError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    print(json.dumps(result, indent=1))
+    return 0
+
+
 def cmd_version(args: argparse.Namespace) -> int:
     """Print version/os/arch — same payload as GET /info."""
     import json
@@ -735,6 +776,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_dry.add_argument("-q", "--quiet", action="store_true")
     p_dry.set_defaults(fn=cmd_dry_run)
+
+    p_rep = sub.add_parser(
+        "repair", help="fix plan for a pipeline file; --apply rewrites it"
+    )
+    p_rep.add_argument("path")
+    p_rep.add_argument("--apply", action="store_true")
+    p_rep.add_argument("--plan-hash", default=None)
+    p_rep.add_argument("-y", "--yes", action="store_true")
+    p_rep.add_argument("--fix", action="append")
+    p_rep.add_argument("--escalate", action="store_true")
+    p_rep.set_defaults(fn=cmd_repair)
+
+    p_mcp = sub.add_parser(
+        "mcp", help="serve the engine's operations as MCP tools on stdio"
+    )
+    p_mcp.add_argument(
+        "--allow-mutations",
+        action="store_true",
+        help="register the write tools (apply/start/stop/scaffold/"
+        "repair_apply); a process-level flag, never agent-settable",
+    )
+    p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
+    p_mcp.set_defaults(fn=cmd_mcp)
 
     args = parser.parse_args(argv)
     return args.fn(args)
