@@ -624,11 +624,27 @@ class _Handler(BaseHTTPRequestHandler):
                 ],
             )
         elif op == "connector_plugins":
-            from conduit_spark.pipeline.registry import CONNECTOR_PLUGINS
+            from conduit_spark.pipeline.registry import (
+                _CONNECTOR_REQUIRED,
+                CONNECTOR_PLUGINS,
+            )
 
             self._send(
                 200,
-                [{"name": k, **v} for k, v in sorted(CONNECTOR_PLUGINS.items())],
+                [
+                    {
+                        "name": k,
+                        **v,
+                        # parameter metadata, the ListConnectorPlugins
+                        # params analog: required settings per direction
+                        "required_settings": {
+                            d: list(_CONNECTOR_REQUIRED.get((k, d), ()))
+                            for d in ("source", "destination")
+                            if v.get(d, False)
+                        },
+                    }
+                    for k, v in sorted(CONNECTOR_PLUGINS.items())
+                ],
             )
         elif op in ("inspect_connector", "inspect_processor"):
             kind = "connector" if op == "inspect_connector" else "processor"

@@ -257,6 +257,14 @@ def test_plugin_listing_endpoints():
     assert by_name["builtin:generator"]["source"] is True
     assert by_name["builtin:generator"]["destination"] is False
     assert by_name["builtin:log"]["destination"] is True
+    # parameter metadata: required settings per direction
+    assert by_name["builtin:file"]["required_settings"] == {
+        "source": ["path"], "destination": ["path"],
+    }
+    assert by_name["builtin:kafka"]["required_settings"]["source"] == [
+        "servers", "topic",
+    ]
+    assert by_name["builtin:log"]["required_settings"] == {"destination": []}
 
 
 def test_plugin_inventory_matches_dispatch():

@@ -481,3 +481,42 @@ def test_decode_any_covers_all_four_containers():
         assert decode_any(raw)["format"] == fmt
     with pytest.raises(NotImplementedError):
         decode_any(b"\x00unknown-container")
+
+
+def test_jpeg_roundtrip_property():
+    """Property: arbitrary 8-bit images survive encode->decode within
+    the flat-16 quantization error bound, across shapes that exercise
+    MCU padding, both for grayscale and RGB."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(4, 20),
+        w=st.integers(4, 20),
+        seed=st.integers(0, 2**31 - 1),
+        color=st.booleans(),
+        smooth=st.booleans(),
+    )
+    def check(h, w, seed, color, smooth):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        if smooth:
+            base = rng.uniform(30, 220)
+            img = np.clip(base + rng.normal(0, 4, shape), 0, 255)
+        else:
+            img = rng.uniform(0, 255, shape)
+        raw = encode_jpeg(img)
+        meta = decode_jpeg(raw)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["channels"] == (3 if color else 1)
+        err = np.abs(meta["pixels"].astype(float) - img)
+        # smooth images stay within a few quant steps; white noise has
+        # unbounded per-pixel DCT error in theory but tiny mean error
+        if smooth:
+            assert err.max() <= 24
+        assert err.mean() <= (30 if not smooth else 4)
+
+    check()
