@@ -419,6 +419,43 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_connectors(args: argparse.Namespace) -> int:
+    """Connector-plugin registry verbs (`conduit connectors
+    install/uninstall/list` analog): install resolves name[@version]
+    against a JSON index and verifies the artifact digest fail-closed
+    before anything becomes resolvable; installed plugins are
+    addressable from YAML as ``standalone:<name>[@version]``."""
+    import json
+
+    from conduit_spark import plugin_registry as reg
+
+    try:
+        if args.verb == "install":
+            entry = reg.install(
+                args.ref,
+                index_path=args.index,
+                root=args.root,
+                allow_unsigned=args.allow_unsigned,
+            )
+            print(json.dumps(entry, indent=1))
+        elif args.verb == "uninstall":
+            for key in reg.uninstall(args.ref, root=args.root):
+                print(f"uninstalled {key}")
+        elif args.verb == "installed":
+            print(json.dumps(reg.list_installed(args.root), indent=1))
+        elif args.verb == "list":
+            index = reg.load_index(args.index)
+            for name, versions in sorted(index["connectors"].items()):
+                for v, e in sorted(versions.items()):
+                    signed = "signed" if e.get("sha256") else "UNSIGNED"
+                    print(f"{name}@{reg.normalize_version(v)} [{signed}] "
+                          f"{e.get('description', '')}")
+    except reg.RegistryError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_mcp(args: argparse.Namespace) -> int:
     """Serve the MCP tool catalog on stdio (`conduit mcp` analog).
     Write tools require the process-level ``--allow-mutations`` flag —
@@ -799,6 +836,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
     p_mcp.set_defaults(fn=cmd_mcp)
+
+    p_conn = sub.add_parser(
+        "connectors", help="standalone connector-plugin registry"
+    )
+    conn_sub = p_conn.add_subparsers(dest="verb", required=True)
+    from conduit_spark.plugin_registry import DEFAULT_ROOT as _PLUGIN_ROOT
+
+    for verb in ("install", "uninstall", "installed", "list"):
+        pv = conn_sub.add_parser(verb)
+        if verb in ("install", "uninstall"):
+            pv.add_argument("ref", help="name[@version]")
+        if verb in ("install", "list"):
+            pv.add_argument("--index", required=True, help="index JSON path")
+        if verb == "install":
+            pv.add_argument("--allow-unsigned", action="store_true")
+        pv.add_argument("--root", default=_PLUGIN_ROOT)
+        pv.set_defaults(fn=cmd_connectors)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -161,6 +161,18 @@ def validate_connector(
     if ctype not in ("source", "destination"):
         errors.append(f"type must be source/destination, got {ctype!r}")
         return errors
+    if plugin.startswith("standalone:"):
+        # installed-plugin form: valid when the manifest resolves it
+        from conduit_spark import plugin_registry
+
+        try:
+            plugin_registry.resolve_installed(
+                plugin.split(":", 1)[1],
+                root=settings.get("pluginRoot", plugin_registry.DEFAULT_ROOT),
+            )
+        except plugin_registry.RegistryError as e:
+            errors.append(str(e))
+        return errors
     info = CONNECTOR_PLUGINS.get(plugin)
     if info is None:
         errors.append(
@@ -493,20 +505,23 @@ def build_source(
             source_id=source_id,
             operation="snapshot",
         )
-    if plugin == "custom.standalone":
+    if plugin == "custom.standalone" or plugin.startswith("standalone:"):
         # any-language source plugin as a subprocess (the standalone
-        # connector dispenser analog, dispenser.go:25)
+        # connector dispenser analog, dispenser.go:25); the
+        # "standalone:<name>[@version]" form resolves the executable
+        # through the installed-plugin manifest (plugin_registry.py)
         if streaming:
             raise ValueError(
-                "custom.standalone sources are batch/snapshot only; wrap "
+                "standalone sources are batch/snapshot only; wrap "
                 "the plugin in a file/kafka stream for continuous feeds"
             )
         from conduit_spark.sources.standalone import standalone_source
 
+        command = _standalone_command(plugin, settings)
         child_settings = {k: v for k, v in settings.items() if k != "command"}
         return standalone_source(
             spark,
-            settings["command"],
+            command,
             settings=child_settings,
             source_id=source_id,
         )
@@ -640,15 +655,28 @@ def write_destination(
             extra_options=settings.get("kafkaOptions"),
         )
         return
-    if plugin == "custom.standalone":
+    if plugin == "custom.standalone" or plugin.startswith("standalone:"):
         from conduit_spark.sources.standalone import standalone_sink
 
+        command = _standalone_command(plugin, settings)
         child_settings = {k: v for k, v in settings.items() if k != "command"}
         standalone_sink(
             df,
-            settings["command"],
+            command,
             settings=child_settings,
             connector_id=settings.get("connectorId", "standalone"),
         )
         return
     raise ValueError(f"unknown destination plugin {plugin!r}")
+
+
+def _standalone_command(plugin: str, settings: dict[str, Any]):
+    """The subprocess command for a standalone connector: explicit
+    ``command`` for ``custom.standalone``; manifest resolution for the
+    installed form ``standalone:<name>[@version]``."""
+    if plugin == "custom.standalone":
+        return settings["command"]
+    from conduit_spark import plugin_registry
+
+    root = settings.get("pluginRoot", plugin_registry.DEFAULT_ROOT)
+    return [plugin_registry.resolve_installed(plugin.split(":", 1)[1], root=root)]

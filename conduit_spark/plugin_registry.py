@@ -1,0 +1,233 @@
+"""Connector-plugin registry: resolve ``name[@version]`` against an
+index, install the artifact with fail-closed verification, and pin
+installs in a manifest — the engine analog of the reference's
+connector registry (pkg/registry: install.go/manifest.go/semver.go,
+FailClosedVerifier in verify.go; CLI `conduit connectors
+install/uninstall/list`).
+
+Index format (JSON, local file — the signed-index transport of the
+reference is network territory; file indexes keep the trust model
+testable offline):
+
+    {"connectors": {
+        "<name>": {
+            "<version>": {"artifact": "<path or file:// url>",
+                           "sha256": "<hex>",
+                           "description": "..."}}}}
+
+Trust model, mirroring the reference's tiers:
+
+- verification is **fail-closed**: an index entry without a sha256 is
+  refused unless the caller passes ``allow_unsigned=True`` (the
+  `--allow-unsigned` operator flag); a digest mismatch always refuses
+  and leaves nothing behind.
+- the artifact is staged to a temp file, hashed, and only then moved
+  into place — a partial download can never be resolved.
+- the manifest is keyed ``name@version`` so two pipelines can pin two
+  versions of one connector simultaneously (the reference's
+  load-bearing manifest fix, plan-v2 §3).
+
+Installed plugins are addressable from pipeline YAML as
+``standalone:<name>[@<version>]`` (latest installed when unpinned),
+resolved by ``pipeline/registry.py`` into the subprocess command the
+standalone connector runtime executes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+import tempfile
+import urllib.request
+
+DEFAULT_ROOT = os.path.expanduser("~/.conduit-spark/plugins")
+
+
+class RegistryError(RuntimeError):
+    """Raised with a stable dotted code prefix (registry.*)."""
+
+
+def normalize_version(v: str) -> str:
+    """The one version-comparison primitive: semver equality tolerates
+    a leading 'v' (reference semver.go — never bare string compares)."""
+    return v[1:] if v.startswith("v") else v
+
+
+def _version_key(v: str) -> tuple:
+    parts = re.split(r"[.\-+]", normalize_version(v))
+    return tuple(
+        (0, int(p)) if p.isdigit() else (1, p) for p in parts
+    )
+
+
+def parse_ref(ref: str) -> tuple[str, str | None]:
+    """``name[@version]`` → (name, version|None)."""
+    name, _, version = ref.partition("@")
+    if not name:
+        raise RegistryError(f"registry.bad_ref: empty name in {ref!r}")
+    return name, (normalize_version(version) or None)
+
+
+def load_index(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict) or "connectors" not in doc:
+        raise RegistryError(
+            f"registry.bad_index: {path} has no 'connectors' key"
+        )
+    return doc
+
+
+def resolve_index(index: dict, name: str, version: str | None) -> tuple[str, dict]:
+    """Pick the entry for name@version (latest by semver if None)."""
+    versions = index["connectors"].get(name)
+    if not versions:
+        raise RegistryError(
+            f"registry.unknown_connector: {name!r} not in index "
+            f"(known: {sorted(index['connectors'])})"
+        )
+    norm = {normalize_version(v): e for v, e in versions.items()}
+    if version is None:
+        version = max(norm, key=_version_key)
+    if version not in norm:
+        raise RegistryError(
+            f"registry.unknown_version: {name}@{version} not in index "
+            f"(known: {sorted(norm, key=_version_key)})"
+        )
+    return version, norm[version]
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "manifest.json")
+
+
+def _load_manifest(root: str) -> dict:
+    try:
+        with open(_manifest_path(root), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_manifest(root: str, manifest: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(root))
+
+
+def _fetch(artifact: str, dest: str) -> None:
+    if artifact.startswith(("http://", "https://", "file://")):
+        with urllib.request.urlopen(artifact, timeout=60) as resp:  # noqa: S310
+            with open(dest, "wb") as f:
+                shutil.copyfileobj(resp, f)
+    else:
+        shutil.copyfile(artifact, dest)
+
+
+def install(
+    ref: str,
+    *,
+    index_path: str,
+    root: str = DEFAULT_ROOT,
+    allow_unsigned: bool = False,
+) -> dict:
+    """Resolve → stage → verify → place → pin. Fail-closed at every
+    step: nothing is resolvable until the digest matched."""
+    name, version = parse_ref(ref)
+    version, entry = resolve_index(load_index(index_path), name, version)
+    want = entry.get("sha256")
+    if want is None and not allow_unsigned:
+        raise RegistryError(
+            f"registry.unsigned_artifact: {name}@{version} has no sha256 "
+            "in the index; pass allow_unsigned to install anyway"
+        )
+    os.makedirs(root, exist_ok=True)
+    fd, staged = tempfile.mkstemp(dir=root, suffix=".staged")
+    os.close(fd)
+    try:
+        _fetch(entry["artifact"], staged)
+        got = hashlib.sha256(open(staged, "rb").read()).hexdigest()
+        if want is not None and got != want:
+            raise RegistryError(
+                f"registry.artifact_verification_failed: {name}@{version} "
+                f"digest {got[:12]}… != index {want[:12]}…; refusing"
+            )
+        dest_dir = os.path.join(root, name, version)
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(
+            dest_dir, os.path.basename(entry["artifact"].rstrip("/"))
+        )
+        os.replace(staged, dest)
+        os.chmod(dest, 0o755)
+    except BaseException:
+        if os.path.exists(staged):
+            os.unlink(staged)
+        raise
+    manifest = _load_manifest(root)
+    manifest[f"{name}@{version}"] = {
+        "name": name,
+        "version": version,
+        "path": dest,
+        "sha256": got,
+        "verified": want is not None,
+    }
+    _write_manifest(root, manifest)
+    return manifest[f"{name}@{version}"]
+
+
+def uninstall(ref: str, *, root: str = DEFAULT_ROOT) -> list[str]:
+    """Remove name@version (or every version when unpinned)."""
+    name, version = parse_ref(ref)
+    manifest = _load_manifest(root)
+    keys = [
+        k
+        for k, e in manifest.items()
+        if e["name"] == name and (version is None or e["version"] == version)
+    ]
+    if not keys:
+        raise RegistryError(f"registry.not_installed: {ref}")
+    for k in keys:
+        entry = manifest.pop(k)
+        shutil.rmtree(os.path.dirname(entry["path"]), ignore_errors=True)
+    with_name = os.path.join(root, name)
+    if os.path.isdir(with_name) and not os.listdir(with_name):
+        os.rmdir(with_name)
+    _write_manifest(root, manifest)
+    return keys
+
+
+def list_installed(root: str = DEFAULT_ROOT) -> list[dict]:
+    return sorted(
+        _load_manifest(root).values(),
+        key=lambda e: (e["name"], _version_key(e["version"])),
+    )
+
+
+def resolve_installed(
+    ref: str, *, root: str = DEFAULT_ROOT
+) -> str:
+    """``name[@version]`` → executable path (latest installed when
+    unpinned). The resolution every ``standalone:`` pipeline plugin
+    goes through."""
+    name, version = parse_ref(ref)
+    candidates = [
+        e
+        for e in _load_manifest(root).values()
+        if e["name"] == name and (version is None or e["version"] == version)
+    ]
+    if not candidates:
+        raise RegistryError(
+            f"registry.not_installed: {ref}; run "
+            f"`conduit_spark connectors install {ref}` first"
+        )
+    best = max(candidates, key=lambda e: _version_key(e["version"]))
+    if not os.path.exists(best["path"]):
+        raise RegistryError(
+            f"registry.corrupt_install: {best['path']} missing; reinstall"
+        )
+    return best["path"]

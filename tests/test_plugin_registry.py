@@ -1,0 +1,198 @@
+"""Connector-plugin registry: index resolution, fail-closed install
+verification, manifest pinning, and the ``standalone:<name>[@ver]``
+pipeline plugin form resolving through the installed manifest."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import pytest
+
+from conduit_spark import plugin_registry as reg
+
+ECHO_V1 = """#!/usr/bin/env python3
+import sys, json, base64
+conf = json.loads(sys.stdin.readline())
+n = int(conf["settings"].get("recordCount", 3))
+for i in range(n):
+    print(json.dumps({
+        "position": base64.b64encode(f"v1:{i}".encode()).decode(),
+        "operation": "create",
+        "metadata": {"version": "1.0.0"},
+        "key_json": json.dumps({"id": i}),
+        "payload_after_json": json.dumps({"id": i, "v": "one"}),
+        "is_structured": True,
+    })); sys.stdout.flush()
+"""
+
+ECHO_V2 = ECHO_V1.replace('"one"', '"two"').replace("v1:", "v2:").replace(
+    '"1.0.0"', '"2.0.0"'
+)
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    """A local index with two signed versions and one unsigned."""
+    arts = tmp_path / "artifacts"
+    arts.mkdir()
+    (arts / "echo-1.0.0.py").write_text(ECHO_V1)
+    (arts / "echo-2.0.0.py").write_text(ECHO_V2)
+    (arts / "shady-0.1.0.py").write_text("#!/usr/bin/env python3\n")
+
+    def sha(p):
+        return hashlib.sha256(p.read_bytes()).hexdigest()
+
+    index = {
+        "connectors": {
+            "echo": {
+                "v1.0.0": {
+                    "artifact": str(arts / "echo-1.0.0.py"),
+                    "sha256": sha(arts / "echo-1.0.0.py"),
+                },
+                "2.0.0": {
+                    "artifact": f"file://{arts / 'echo-2.0.0.py'}",
+                    "sha256": sha(arts / "echo-2.0.0.py"),
+                },
+            },
+            "shady": {
+                "0.1.0": {"artifact": str(arts / "shady-0.1.0.py")},
+            },
+        }
+    }
+    index_path = tmp_path / "index.json"
+    index_path.write_text(json.dumps(index))
+    root = tmp_path / "plugins"
+    return str(index_path), str(root)
+
+
+def test_install_resolves_latest_and_pins_both(registry):
+    index_path, root = registry
+    # unpinned -> latest by semver (2.0.0, despite the v-prefixed 1.0.0)
+    e2 = reg.install("echo", index_path=index_path, root=root)
+    assert (e2["version"], e2["verified"]) == ("2.0.0", True)
+    e1 = reg.install("echo@v1.0.0", index_path=index_path, root=root)
+    assert e1["version"] == "1.0.0"
+    # both versions pinned simultaneously (manifest keyed name@version)
+    installed = reg.list_installed(root)
+    assert [(e["name"], e["version"]) for e in installed] == [
+        ("echo", "1.0.0"), ("echo", "2.0.0"),
+    ]
+    # resolution: unpinned -> latest; pinned -> exact
+    assert reg.resolve_installed("echo", root=root) == e2["path"]
+    assert reg.resolve_installed("echo@1.0.0", root=root) == e1["path"]
+
+
+def test_fail_closed_verification(registry, tmp_path):
+    index_path, root = registry
+    # unsigned refused by default, installable only with the flag
+    with pytest.raises(reg.RegistryError, match="unsigned_artifact"):
+        reg.install("shady", index_path=index_path, root=root)
+    e = reg.install(
+        "shady", index_path=index_path, root=root, allow_unsigned=True
+    )
+    assert e["verified"] is False
+
+    # digest mismatch: refuse, and nothing becomes resolvable
+    doc = json.loads(open(index_path).read())
+    doc["connectors"]["echo"]["v1.0.0"]["sha256"] = "0" * 64
+    tampered = tmp_path / "tampered.json"
+    tampered.write_text(json.dumps(doc))
+    with pytest.raises(reg.RegistryError, match="verification_failed"):
+        reg.install("echo@1.0.0", index_path=str(tampered), root=root)
+    with pytest.raises(reg.RegistryError, match="not_installed"):
+        reg.resolve_installed("echo@1.0.0", root=root)
+    # no staged leftovers
+    assert not [f for f in os.listdir(root) if f.endswith(".staged")]
+
+
+def test_unknown_refs_and_uninstall(registry):
+    index_path, root = registry
+    with pytest.raises(reg.RegistryError, match="unknown_connector"):
+        reg.install("nope", index_path=index_path, root=root)
+    with pytest.raises(reg.RegistryError, match="unknown_version"):
+        reg.install("echo@9.9.9", index_path=index_path, root=root)
+    reg.install("echo", index_path=index_path, root=root)
+    reg.install("echo@1.0.0", index_path=index_path, root=root)
+    assert reg.uninstall("echo@2.0.0", root=root) == ["echo@2.0.0"]
+    assert reg.resolve_installed("echo", root=root).endswith("echo-1.0.0.py")
+    assert reg.uninstall("echo", root=root) == ["echo@1.0.0"]
+    assert reg.list_installed(root) == []
+
+
+def test_standalone_plugin_form_runs_pipeline(registry, spark, tmp_path):
+    """standalone:<name>@<version> resolves through the manifest and
+    runs as a real pipeline source; the validate surface agrees."""
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.registry import validate_connector
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    index_path, root = registry
+    reg.install("echo@1.0.0", index_path=index_path, root=root)
+    reg.install("echo@2.0.0", index_path=index_path, root=root)
+
+    out = tmp_path / "out"
+    cfg = parse_yaml(
+        f"""
+version: "2.2"
+pipelines:
+  - id: reg-e2e
+    connectors:
+      - id: src
+        type: source
+        plugin: standalone:echo@1.0.0
+        settings: {{recordCount: 4, pluginRoot: "{root}"}}
+      - id: dst
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{out}", format: json}}
+"""
+    )[0]
+    Pipeline(spark, cfg).run_batch()
+    rows = [
+        json.loads(line)
+        for f in os.listdir(out)
+        if not f.startswith((".", "_"))
+        for line in open(out / f)
+        if line.strip()
+    ]
+    payloads = [json.loads(r["payload_after_json"]) for r in rows]
+    assert sorted(p["id"] for p in payloads) == [0, 1, 2, 3]
+    assert all(p["v"] == "one" for p in payloads)  # pinned 1.0.0, not latest
+
+    assert validate_connector(
+        "source", "standalone:echo@1.0.0", {"pluginRoot": root}
+    ) == []
+    errs = validate_connector(
+        "source", "standalone:ghost", {"pluginRoot": root}
+    )
+    assert errs and "not_installed" in errs[0]
+
+
+def test_cli_connectors_verbs(registry, capsys):
+    from conduit_spark import cli
+
+    index_path, root = registry
+    assert cli.main(["connectors", "list", "--index", index_path]) == 0
+    out = capsys.readouterr().out
+    assert "echo@1.0.0 [signed]" in out and "shady@0.1.0 [UNSIGNED]" in out
+    assert (
+        cli.main(
+            ["connectors", "install", "echo", "--index", index_path, "--root", root]
+        )
+        == 0
+    )
+    entry = json.loads(capsys.readouterr().out)
+    assert entry["version"] == "2.0.0"
+    assert (
+        cli.main(
+            ["connectors", "install", "shady", "--index", index_path, "--root", root]
+        )
+        == 2
+    )
+    assert "unsigned_artifact" in capsys.readouterr().err
+    assert cli.main(["connectors", "installed", "--root", root]) == 0
+    assert json.loads(capsys.readouterr().out)[0]["name"] == "echo"
+    assert cli.main(["connectors", "uninstall", "echo", "--root", root]) == 0
