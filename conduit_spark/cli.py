@@ -450,6 +450,12 @@ def cmd_connectors(args: argparse.Namespace) -> int:
                     signed = "signed" if e.get("sha256") else "UNSIGNED"
                     print(f"{name}@{reg.normalize_version(v)} [{signed}] "
                           f"{e.get('description', '')}")
+        elif args.verb == "audit":
+            findings = reg.audit(args.root, index_path=args.index)
+            print(json.dumps(findings, indent=1))
+            return 0 if all(f["ok"] for f in findings) else 1
+        elif args.verb == "new":
+            print(f"wrote {reg.scaffold(args.name, args.path)}")
     except reg.RegistryError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -843,14 +849,19 @@ def main(argv: list[str] | None = None) -> int:
     conn_sub = p_conn.add_subparsers(dest="verb", required=True)
     from conduit_spark.plugin_registry import DEFAULT_ROOT as _PLUGIN_ROOT
 
-    for verb in ("install", "uninstall", "installed", "list"):
+    for verb in ("install", "uninstall", "installed", "list", "audit", "new"):
         pv = conn_sub.add_parser(verb)
         if verb in ("install", "uninstall"):
             pv.add_argument("ref", help="name[@version]")
         if verb in ("install", "list"):
             pv.add_argument("--index", required=True, help="index JSON path")
+        if verb == "audit":
+            pv.add_argument("--index", default=None, help="index JSON path")
         if verb == "install":
             pv.add_argument("--allow-unsigned", action="store_true")
+        if verb == "new":
+            pv.add_argument("name")
+            pv.add_argument("path")
         pv.add_argument("--root", default=_PLUGIN_ROOT)
         pv.set_defaults(fn=cmd_connectors)
 

@@ -208,6 +208,83 @@ def list_installed(root: str = DEFAULT_ROOT) -> list[dict]:
     )
 
 
+def audit(root: str = DEFAULT_ROOT, *, index_path: str | None = None) -> list[dict]:
+    """Integrity audit of every installed plugin (reference
+    corruption.go / connectoraudit.go): the on-disk artifact must
+    still hash to the manifest's pinned digest, and — when an index is
+    given — the index must still publish that exact version+digest.
+    Returns one finding dict per install; ``ok`` is False for missing,
+    tampered, or index-drifted artifacts."""
+    index = load_index(index_path) if index_path else None
+    findings = []
+    for e in list_installed(root):
+        f = {"ref": f"{e['name']}@{e['version']}", "ok": True, "problems": []}
+        if not os.path.exists(e["path"]):
+            f["problems"].append("registry.corrupt_install: artifact missing")
+        else:
+            got = hashlib.sha256(open(e["path"], "rb").read()).hexdigest()
+            if got != e["sha256"]:
+                f["problems"].append(
+                    "registry.corrupt_install: on-disk digest drifted from "
+                    "the manifest pin"
+                )
+        if not e.get("verified", False):
+            f["problems"].append(
+                "registry.unsigned_artifact: installed with allow_unsigned"
+            )
+        if index is not None:
+            try:
+                _, entry = resolve_index(index, e["name"], e["version"])
+                if entry.get("sha256") not in (None, e["sha256"]):
+                    f["problems"].append(
+                        "registry.index_drift: index now publishes a "
+                        "different digest for this version"
+                    )
+            except RegistryError:
+                f["problems"].append(
+                    "registry.index_drift: version no longer in the index"
+                )
+        f["ok"] = not f["problems"]
+        findings.append(f)
+    return findings
+
+
+SCAFFOLD_TEMPLATE = '''#!/usr/bin/env python3
+"""Standalone source connector: emits OpenCDC envelopes as JSON
+lines (see conduit_spark/sources/standalone.py for the protocol)."""
+import base64
+import json
+import sys
+
+conf = json.loads(sys.stdin.readline())
+settings = conf["settings"]
+n = int(settings.get("recordCount", 10))
+for i in range(n):
+    record = {{
+        "position": base64.b64encode(f"{name}:{{i}}".encode()).decode(),
+        "operation": "create",
+        "metadata": {{"plugin": "{name}",
+                      "conduit.source.connector.id": conf["connector_id"]}},
+        "key_json": json.dumps({{"id": i}}),
+        "payload_after_json": json.dumps({{"id": i}}),
+        "is_structured": True,
+    }}
+    print(json.dumps(record))
+    sys.stdout.flush()
+'''
+
+
+def scaffold(name: str, path: str) -> str:
+    """Write a runnable standalone source-connector skeleton — the
+    `conduit connectors new` analog."""
+    if os.path.exists(path):
+        raise RegistryError(f"registry.exists: {path} already exists")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(SCAFFOLD_TEMPLATE.format(name=name))
+    os.chmod(path, 0o755)
+    return path
+
+
 def resolve_installed(
     ref: str, *, root: str = DEFAULT_ROOT
 ) -> str:

@@ -196,3 +196,54 @@ def test_cli_connectors_verbs(registry, capsys):
     assert cli.main(["connectors", "installed", "--root", root]) == 0
     assert json.loads(capsys.readouterr().out)[0]["name"] == "echo"
     assert cli.main(["connectors", "uninstall", "echo", "--root", root]) == 0
+
+
+def test_audit_detects_tamper_and_drift(registry, tmp_path, capsys):
+    from conduit_spark import cli
+
+    index_path, root = registry
+    reg.install("echo@1.0.0", index_path=index_path, root=root)
+    reg.install("shady", index_path=index_path, root=root, allow_unsigned=True)
+    findings = {f["ref"]: f for f in reg.audit(root, index_path=index_path)}
+    assert findings["echo@1.0.0"]["ok"] is True
+    assert findings["shady@0.1.0"]["ok"] is False  # unsigned install flagged
+    assert "unsigned_artifact" in findings["shady@0.1.0"]["problems"][0]
+
+    # tamper with the installed artifact on disk
+    path = reg.resolve_installed("echo@1.0.0", root=root)
+    with open(path, "a") as f:
+        f.write("# backdoor\n")
+    findings = {f["ref"]: f for f in reg.audit(root)}
+    assert findings["echo@1.0.0"]["ok"] is False
+    assert "digest drifted" in findings["echo@1.0.0"]["problems"][0]
+    # CLI exit mirrors the audit
+    assert cli.main(["connectors", "audit", "--root", root]) == 1
+    capsys.readouterr()
+
+
+def test_scaffold_new_connector_runs(registry, tmp_path, capsys):
+    """connectors new writes a runnable source skeleton that speaks
+    the JSON-lines protocol."""
+    import subprocess
+
+    from conduit_spark import cli
+
+    _, root = registry
+    path = str(tmp_path / "my-src.py")
+    assert cli.main(["connectors", "new", "my-src", path, "--root", root]) == 0
+    capsys.readouterr()
+    proc = subprocess.run(
+        [sys.executable, path],
+        input=json.dumps(
+            {"settings": {"recordCount": 2}, "connector_id": "c1"}
+        )
+        + "\n",
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    assert proc.returncode == 0
+    recs = [json.loads(x) for x in proc.stdout.splitlines()]
+    assert len(recs) == 2
+    assert json.loads(recs[1]["payload_after_json"]) == {"id": 1}
+    assert recs[0]["metadata"]["plugin"] == "my-src"
