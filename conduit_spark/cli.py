@@ -134,34 +134,27 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
-_INIT_TEMPLATE = """version: "2.2"
-pipelines:
-  - id: {id}
-    status: running
-    description: ""
-    connectors:
-      - id: source1
-        type: source
-        plugin: builtin:generator
-        settings:
-          recordCount: 100
-          format.options: {{id: int, name: string}}
-      - id: destination1
-        type: destination
-        plugin: builtin:file
-        settings: {{path: /tmp/{id}-out, format: json, mode: append}}
-    processors: []
-"""
-
-
 def cmd_init(args: argparse.Namespace) -> int:
-    """Scaffold a runnable pipeline YAML (``conduit pipelines init``)."""
+    """Scaffold a runnable pipeline YAML from the template gallery
+    (``conduit pipelines init --template``); ``--list-templates``
+    prints the gallery."""
+    from conduit_spark.pipeline.templates import TEMPLATES, render
+
+    if args.list_templates:
+        for name, t in sorted(TEMPLATES.items()):
+            print(f"{name}: {t['description']}")
+        return 0
     out = args.path or f"{args.id}.yaml"
     if os.path.exists(out) and not args.force:
         print(f"{out} exists (use --force to overwrite)", file=sys.stderr)
         return 1
+    try:
+        text = render(args.template, args.id)
+    except KeyError as e:
+        print(e.args[0], file=sys.stderr)
+        return 1
     with open(out, "w") as fh:
-        fh.write(_INIT_TEMPLATE.format(id=args.id))
+        fh.write(text)
     print(f"wrote {out}")
     return 0
 
@@ -417,6 +410,57 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
                 print(f"{f}: {cfg.id}: FAIL {msg}", file=sys.stderr)
             n_fail += len(problems)
     return 1 if n_fail else 0
+
+
+def cmd_dev(args: argparse.Namespace) -> int:
+    """Dev hot-reload loop (`conduit run --dev` analog): run the
+    file's pipelines as continuous streams and watch the file.
+    Processor-config and name/description edits land at the next
+    micro-batch boundary WITHOUT a restart; connector/DLQ/topology
+    edits drain and restart that pipeline; a file that stops parsing
+    is reported and the last good config keeps running."""
+    import time
+
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.dev import DevSession
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    spark = get_spark("conduit-spark-dev")
+    spark.sparkContext.setLogLevel("WARN")
+    live: dict[str, Pipeline] = {}
+    queries: dict[str, object] = {}
+
+    def start(cfg) -> None:
+        p = Pipeline(spark, cfg)
+        q = p.run_streaming(
+            os.path.join(args.checkpoint_dir, cfg.id),
+            trigger_once=False,
+            live_processors=True,
+        )
+        live[cfg.id] = p
+        queries[cfg.id] = q
+
+    def restart(cfg, diff) -> None:
+        q = queries.pop(cfg.id, None)
+        if q is not None:
+            q.stop()
+        live.pop(cfg.id, None)
+        start(cfg)
+
+    session = DevSession(args.pipelines, live, restart)
+    for cfg in session.prime():
+        start(cfg)
+        print(f"{cfg.id}: dev stream started")
+    try:
+        while True:
+            time.sleep(args.interval)
+            for r in session.poll():
+                if r.action != "none":
+                    print(f"[{r.action}] {r.detail}")
+    except KeyboardInterrupt:
+        for q in queries.values():
+            q.stop()
+        return 0
 
 
 def cmd_connectors(args: argparse.Namespace) -> int:
@@ -725,6 +769,8 @@ def main(argv: list[str] | None = None) -> int:
     p_init.add_argument("--id", default="my-pipeline")
     p_init.add_argument("--path", help="output file (default <id>.yaml)")
     p_init.add_argument("--force", action="store_true")
+    p_init.add_argument("--template", default="generator-to-file")
+    p_init.add_argument("--list-templates", action="store_true")
     p_init.set_defaults(fn=cmd_init)
 
     p_met = sub.add_parser(
@@ -842,6 +888,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
     p_mcp.set_defaults(fn=cmd_mcp)
+
+    p_dev = sub.add_parser(
+        "dev", help="run pipelines with file-watch hot reload"
+    )
+    p_dev.add_argument("--pipelines", required=True)
+    p_dev.add_argument("--checkpoint-dir", default="/tmp/conduit-spark-dev")
+    p_dev.add_argument("--interval", type=float, default=1.0)
+    p_dev.set_defaults(fn=cmd_dev)
 
     p_conn = sub.add_parser(
         "connectors", help="standalone connector-plugin registry"

@@ -129,7 +129,15 @@ class Pipeline:
             merged = merged.unionByName(b)
         return self._chain(merged, self.config.processors)
 
-    def build_streaming(self) -> DataFrame:
+    def build_streaming(self, *, defer_pipeline_chain: bool = False) -> DataFrame:
+        """``defer_pipeline_chain`` leaves the PIPELINE-level processor
+        chain out of the static streaming plan so ``_deliver`` can
+        apply it per micro-batch from the CURRENT config — the
+        live-swap hook dev mode uses (a processor-config edit lands at
+        the next batch boundary, no restart). Per-source chains and
+        connectors stay in the static plan: they carry position/ack
+        state and are restart-class (the reference's exact
+        invariant-safety line, 20260712-pipeline-dev-hot-reload.md)."""
         branches = []
         for src in self.config.sources:
             df = build_source(
@@ -140,6 +148,8 @@ class Pipeline:
         merged = branches[0]
         for b in branches[1:]:
             merged = merged.unionByName(b)
+        if defer_pipeline_chain:
+            return merged
         return self._chain(merged, self.config.processors)
 
     # ---- batch execution -------------------------------------------------
@@ -269,16 +279,25 @@ class Pipeline:
         *,
         trigger_once: bool = True,
         await_seconds: float | None = None,
+        live_processors: bool = False,
     ):
         """Start the streaming query; positions/acks live entirely in
         the Structured Streaming checkpoint (offset log + commit log
-        per micro-batch — SURVEY.md §3 'Spark replaces ack plumbing')."""
+        per micro-batch — SURVEY.md §3 'Spark replaces ack plumbing').
+
+        ``live_processors`` applies the pipeline-level processor chain
+        per micro-batch from the current ``self.config`` instead of
+        baking it into the static plan — swapping
+        ``self.config.processors`` between batches takes effect at the
+        next batch boundary without a restart (dev hot-reload)."""
         from conduit_spark.pipeline.metrics import attach_stream_listener
 
         attach_stream_listener(self.spark, self.metrics)
-        stream_df = self.build_streaming()
+        stream_df = self.build_streaming(defer_pipeline_chain=live_processors)
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if live_processors:
+                batch_df = self._chain(batch_df, self.config.processors)
             self._deliver(batch_df, batch_id=batch_id)
 
         writer = (

@@ -366,3 +366,40 @@ pipelines:
     assert any("my-connector.sh" in a for a in doc["dry_run"]["advisories"])
     # --no-resolve-plugins downgrades everything to offline-parse only
     assert cli.main(["dry-run", str(bad), "--no-resolve-plugins"]) == 0
+
+
+def test_init_template_gallery(tmp_path, capsys):
+    """Every gallery template scaffolds a file that parses clean and
+    survives dry-run offline plugin resolution (standalone templates
+    are advisory-only, never hard failures)."""
+    import json as _json
+
+    from conduit_spark import cli
+    from conduit_spark.pipeline.templates import TEMPLATES
+
+    assert cli.main(["init", "--list-templates"]) == 0
+    listing = capsys.readouterr().out
+    assert all(name in listing for name in TEMPLATES)
+
+    for name in TEMPLATES:
+        out = tmp_path / f"{name}.yaml"
+        assert (
+            cli.main(
+                ["init", "--id", f"t-{name}", "--path", str(out),
+                 "--template", name]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        assert cli.main(["validate", "--pipelines", str(out)]) == 0
+        assert cli.main(["lint", str(out), "--strict"]) == 0
+        capsys.readouterr()
+        rc = cli.main(["dry-run", str(out)])
+        doc = _json.loads(capsys.readouterr().out)
+        if name == "standalone-source":
+            # not installed yet: resolution is advisory for standalone
+            assert doc["dry_run"]["problems"] == [] or rc == 1
+        else:
+            assert rc == 0 and doc["dry_run"]["problems"] == []
+
+    assert cli.main(["init", "--template", "nope", "--path", str(tmp_path / "x")]) == 1
