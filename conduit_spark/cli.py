@@ -159,6 +159,48 @@ def cmd_init(args: argparse.Namespace) -> int:
     return 0
 
 
+def install_graceful_shutdown(queries: list, *, signals=None) -> object:
+    """SIGTERM/SIGINT → stop every streaming query at its micro-batch
+    boundary (Structured Streaming ``stop()`` lets the in-flight batch
+    commit its checkpoint) instead of the default immediate kill —
+    `docker stop`/`kubectl delete` deliver SIGTERM, and an unhandled
+    one means duplicate re-delivery on every pod recycle (reference
+    20260704-graceful-shutdown-sigterm.md, invariant 7). Returns the
+    handler (tests invoke it directly)."""
+    import signal as _signal
+    import threading
+
+    done = threading.Event()
+
+    def drain():
+        for q in list(queries):
+            try:
+                q.stop()  # blocks until the current micro-batch commits
+            except Exception as e:  # noqa: BLE001 — best-effort drain
+                print(f"stop failed: {e}", file=sys.stderr)
+        done.set()
+
+    def handler(signum=None, frame=None):
+        print(
+            f"signal {signum}: draining {len(queries)} stream(s) and "
+            "checkpointing before exit",
+            file=sys.stderr,
+        )
+        # NOT inline: the handler interrupts a thread that may be
+        # blocked inside a py4j call (awaitTermination); a reentrant
+        # gateway call from the same thread would deadlock. A drain
+        # thread stops the queries, which unblocks awaitTermination.
+        t = threading.Thread(target=drain, daemon=True, name="drain")
+        t.start()
+        if signum is None:  # direct invocation (tests, KeyboardInterrupt path)
+            t.join(timeout=60)
+
+    handler.done = done  # type: ignore[attr-defined]
+    for sig in signals or (_signal.SIGTERM, _signal.SIGINT):
+        _signal.signal(sig, handler)
+    return handler
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     from conduit_spark import get_spark
     from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
@@ -171,6 +213,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         return 1
     failures = 0
     queries = []
+    if args.streaming and not args.once:
+        install_graceful_shutdown(queries)
     for cfg in configs:
         p = Pipeline(spark, cfg)
         try:
@@ -451,16 +495,31 @@ def cmd_dev(args: argparse.Namespace) -> int:
     for cfg in session.prime():
         start(cfg)
         print(f"{cfg.id}: dev stream started")
+    stoppable = _DictValues(queries)
+    handler = install_graceful_shutdown(stoppable)
     try:
-        while True:
+        while not handler.done.is_set():
             time.sleep(args.interval)
             for r in session.poll():
                 if r.action != "none":
                     print(f"[{r.action}] {r.detail}")
     except KeyboardInterrupt:
-        for q in queries.values():
-            q.stop()
-        return 0
+        handler()
+    return 0
+
+
+class _DictValues:
+    """Live view of a dict's values (the dev loop swaps queries in and
+    out; the shutdown handler must stop the CURRENT set)."""
+
+    def __init__(self, d: dict) -> None:
+        self._d = d
+
+    def __iter__(self):
+        return iter(list(self._d.values()))
+
+    def __len__(self) -> int:
+        return len(self._d)
 
 
 def cmd_connectors(args: argparse.Namespace) -> int:

@@ -403,3 +403,86 @@ def test_init_template_gallery(tmp_path, capsys):
             assert rc == 0 and doc["dry_run"]["problems"] == []
 
     assert cli.main(["init", "--template", "nope", "--path", str(tmp_path / "x")]) == 1
+
+
+def test_graceful_shutdown_handler_unit():
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    from conduit_spark.cli import install_graceful_shutdown
+
+    qs = [FakeQuery(), FakeQuery()]
+    handler = install_graceful_shutdown(qs)
+    assert not handler.done.is_set()
+    handler(15, None)
+    assert handler.done.wait(timeout=10)
+    assert all(q.stopped for q in qs)
+
+
+def test_sigterm_drains_streaming_run(tmp_path):
+    """docker-stop semantics: SIGTERM to a continuous `run --streaming`
+    stops the query at a batch boundary and exits 0 with committed
+    checkpoints — not the default immediate kill."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("one\ntwo\n")
+    f = tmp_path / "p.yaml"
+    f.write_text(
+        f"""
+version: "2.2"
+pipelines:
+  - id: sig
+    connectors:
+      - id: s
+        type: source
+        plugin: builtin:file
+        settings: {{path: "{src}", format: text}}
+      - id: d
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json, mode: append}}
+"""
+    )
+    proc = subprocess.Popen(
+        [
+            _sys.executable, "-m", "conduit_spark", "run",
+            "--pipelines", str(f), "--streaming",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd="/root/repo",
+    )
+    # wait for the stream to come up, then deliver SIGTERM
+    deadline = _time.time() + 120
+    up = False
+    while _time.time() < deadline:
+        line = proc.stdout.readline()
+        if "streaming started" in line:
+            up = True
+            break
+    assert up, "stream never started"
+    # wait for at least one committed micro-batch before signaling
+    commits_dir = tmp_path / "ckpt" / "sig" / "commits"
+    while _time.time() < deadline:
+        if commits_dir.is_dir() and list(commits_dir.iterdir()):
+            break
+        _time.sleep(0.5)
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=60)
+    err = proc.stderr.read()
+    assert "draining 1 stream(s)" in err
+    assert rc == 0
+    # the drained checkpoint has committed batches
+    commits = tmp_path / "ckpt" / "sig" / "commits"
+    assert commits.is_dir() and len(list(commits.iterdir())) >= 1
