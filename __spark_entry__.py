@@ -121,6 +121,7 @@ _EXTENDED = (
     "q2_min_cost_supplier",  # round-4 addition: completes TPC-H 22/22
     "q11_important_parts",  # round-4 addition
     "q21_waiting_suppliers",  # round-4 addition
+    "cur_shuffle",  # round-4 addition: deterministic training shuffle
 )
 
 GATE_CAP = 50

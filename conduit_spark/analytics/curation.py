@@ -26,7 +26,7 @@ from conduit_spark.analytics.dedup import (
 )
 from conduit_spark.analytics.sampling import RATES, stratified_sample
 from conduit_spark.analytics.text import STOPWORDS
-from conduit_spark.functions.hashing import md5_int32
+from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
 from conduit_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.35  # min composite quality score (see text.t_quality)
@@ -124,6 +124,35 @@ def cur_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cur_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global pseudorandom shuffle — the step every
+    training-data writer runs between curation and sharding (a model
+    must not see the corpus in crawl order).
+
+    Rank = md5(doc_id): reproducible across engines and runs, no RNG
+    state. Scale shape: the global ORDER BY compiles to Spark's
+    range-partitioned sort (sampled bounds, fully parallel — never a
+    single-task window), and each doc's position WITHIN its output
+    shard comes from a window PARTITIONED by shard_id, so the widest
+    window state is one shard's docs. At 100 TB with thousands of
+    shards this is exactly the write plan: sort by hash, write
+    per-shard position-ordered files.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        shard_of(F.col("doc_id")).alias("shard_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        "doc_id",
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key")
+    return (
+        d.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .orderBy("shard_id", "pos_in_shard")
+    )
+
+
 def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixing weights (Dolma/Pile-style): given a token budget
     of ``MIX_BUDGET_FRAC`` × corpus and an equal target share per
@@ -173,6 +202,7 @@ QUERIES = {
     "cur_funnel": cur_funnel,
     "cur_shards": cur_shards,
     "cur_mix": cur_mix,
+    "cur_shuffle": cur_shuffle,
 }
 
 
@@ -287,4 +317,14 @@ ORACLES = {
     "cur_funnel": _oracle(),
     "cur_shards": _shards_oracle(),
     "cur_mix": _mix_oracle(),
+    "cur_shuffle": f"""
+        SELECT {sql_md5_int32("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard_id,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY {sql_md5_int32("CAST(doc_id AS VARCHAR)")} % {N_SHARDS}
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos_in_shard
+        FROM documents
+        ORDER BY shard_id, pos_in_shard
+    """,
 }

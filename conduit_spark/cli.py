@@ -456,6 +456,76 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_docs(args: argparse.Namespace) -> int:
+    """Generate ``llms.txt`` — a complete, agent-readable map of the
+    engine (reference 20260712-llms-txt-generation.md): CLI verbs,
+    plugin catalogs, HTTP routes, and the YAML shape, all pulled from
+    the LIVE registries and route table so the document cannot drift
+    from the code."""
+    from conduit_spark import __version__
+    from conduit_spark.http_api import _ROUTES
+    from conduit_spark.pipeline.registry import (
+        CONNECTOR_PLUGINS,
+        PROCESSOR_PLUGINS,
+    )
+    from conduit_spark.pipeline.templates import TEMPLATES
+
+    lines = [
+        f"# conduit_spark {__version__}",
+        "",
+        "> PySpark-native streaming/batch data-integration engine: "
+        "declarative YAML pipelines of source -> processors -> "
+        "destination connectors over OpenCDC-style envelopes, plus a "
+        "training-data analytics suite (dedup, similarity search, "
+        "text quality, curation).",
+        "",
+        "## CLI verbs (python -m conduit_spark <verb>)",
+        "",
+    ]
+    parser = _build_parser()
+    sub = next(
+        a for a in parser._actions if isinstance(a, argparse._SubParsersAction)
+    )
+    helps = {a.dest: a.help or "" for a in sub._choices_actions}
+    for name in sorted(sub.choices):
+        lines.append(f"- {name}: {helps.get(name, '')}")
+    lines += ["", "## Processor plugins", ""]
+    for k, v in sorted(PROCESSOR_PLUGINS.items()):
+        lines.append(f"- {k}: {v}")
+    lines += ["", "## Connector plugins", ""]
+    for k, v in sorted(CONNECTOR_PLUGINS.items()):
+        dirs = "/".join(d for d in ("source", "destination") if v.get(d))
+        lines.append(f"- {k} ({dirs}): {v['description']}")
+    lines += [
+        "",
+        "## HTTP API routes (grpc-gateway-shaped; serve with the api verb)",
+        "",
+    ]
+    for method, rx, _op in _ROUTES:
+        lines.append(f"- {method} {rx.pattern.strip('^$')}")
+    lines += ["", "## Pipeline YAML templates (init --template <name>)", ""]
+    for name, t in sorted(TEMPLATES.items()):
+        lines.append(f"- {name}: {t['description']}")
+    lines += [
+        "",
+        "## Entry points",
+        "",
+        "- CLI: python -m conduit_spark run --pipelines <dir>",
+        "- HTTP: python -m conduit_spark api --pipelines <dir>",
+        "- MCP (agents): python -m conduit_spark mcp [--allow-mutations]",
+        "- Library: from conduit_spark.pipeline import Pipeline",
+        "",
+    ]
+    text = "\n".join(lines)
+    if args.out == "-":
+        print(text)
+    else:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_dev(args: argparse.Namespace) -> int:
     """Dev hot-reload loop (`conduit run --dev` analog): run the
     file's pipelines as continuous streams and watch the file.
@@ -791,7 +861,7 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 2 if bad else 0
 
 
-def main(argv: list[str] | None = None) -> int:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="conduit_spark", description="PySpark-native data pipeline engine"
     )
@@ -948,6 +1018,12 @@ def main(argv: list[str] | None = None) -> int:
     p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
     p_mcp.set_defaults(fn=cmd_mcp)
 
+    p_docsv = sub.add_parser(
+        "docs", help="generate llms.txt from the live registries"
+    )
+    p_docsv.add_argument("--out", default="llms.txt", help="'-' for stdout")
+    p_docsv.set_defaults(fn=cmd_docs)
+
     p_dev = sub.add_parser(
         "dev", help="run pipelines with file-watch hot reload"
     )
@@ -978,7 +1054,11 @@ def main(argv: list[str] | None = None) -> int:
         pv.add_argument("--root", default=_PLUGIN_ROOT)
         pv.set_defaults(fn=cmd_connectors)
 
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -486,3 +486,29 @@ pipelines:
     # the drained checkpoint has committed batches
     commits = tmp_path / "ckpt" / "sig" / "commits"
     assert commits.is_dir() and len(list(commits.iterdir())) >= 1
+
+
+def test_cli_docs_llms_txt(tmp_path, capsys):
+    """llms.txt is generated from the live registries — every verb,
+    plugin, route, and template appears; nothing can drift."""
+    from conduit_spark import cli
+    from conduit_spark.http_api import _ROUTES
+    from conduit_spark.pipeline.registry import (
+        CONNECTOR_PLUGINS,
+        PROCESSOR_PLUGINS,
+    )
+    from conduit_spark.pipeline.templates import TEMPLATES
+
+    out = tmp_path / "llms.txt"
+    assert cli.main(["docs", "--out", str(out)]) == 0
+    text = out.read_text()
+    for k in PROCESSOR_PLUGINS:
+        assert f"- {k}:" in text
+    for k in CONNECTOR_PLUGINS:
+        assert f"- {k} (" in text
+    for name in TEMPLATES:
+        assert f"- {name}:" in text
+    for _m, rx, _op in _ROUTES:
+        assert rx.pattern.strip("^$") in text
+    for verb in ("run", "deploy", "repair", "mcp", "dev", "connectors"):
+        assert f"- {verb}:" in text
