@@ -442,13 +442,53 @@ def build_source(
             streaming=streaming,
         )
     if plugin == "builtin:postgres":
-        # Three modes, mirroring the reference source's snapshot + CDC
+        # Four modes, mirroring the reference source's snapshot + CDC
         # (pkg/plugin/connector/builtin/registry.go:42-49):
+        #   url+table+cdc.path+cdc.snapshotLsn — snapshot→CDC HANDOFF:
+        #     JDBC snapshot as of the slot LSN, then only WAL changes
+        #     strictly after it (the reference's consistent cutover)
         #   cdc.format=wal2json  — logical-replication feed captured by
         #     pg_recvlogical into cdc.path (v2 line format; v1 via
         #     cdc.formatVersion: 1); streaming tails the directory
         #   cdc.format=pgoutput  — length-framed binary capture files
         #   (default)            — JDBC snapshot (operation=snapshot)
+        if "url" in settings and "cdc.path" in settings:
+            from conduit_spark.sources.postgres_wal import (
+                snapshot_handoff_source,
+            )
+
+            if "cdc.snapshotLsn" not in settings:
+                raise ValueError(
+                    "snapshot+CDC handoff needs cdc.snapshotLsn (the "
+                    "replication slot's consistent point; the reference "
+                    "source records it when creating the slot)"
+                )
+            key_cols = settings.get("keyColumns")
+            if isinstance(key_cols, str):
+                key_cols = [k.strip() for k in key_cols.split(",")]
+            snapshot_df = (
+                spark.read.format("jdbc")
+                .option("url", settings["url"])
+                .option("dbtable", settings["table"])
+                .options(
+                    **{
+                        k: str(v)
+                        for k, v in (settings.get("options") or {}).items()
+                    }
+                )
+                .load()
+            )
+            return snapshot_handoff_source(
+                spark,
+                snapshot_df,
+                settings["cdc.path"],
+                snapshot_lsn=settings["cdc.snapshotLsn"],
+                key_cols=key_cols or [snapshot_df.columns[0]],
+                collection=settings.get("collection", settings["table"]),
+                source_id=source_id,
+                streaming_tail=streaming,
+                format_version=int(settings.get("cdc.formatVersion", 2)),
+            )
         cdc_format = settings.get("cdc.format")
         if cdc_format:
             from conduit_spark.sources.postgres_wal import (

@@ -419,3 +419,68 @@ def pgoutput_source(
             )
 
     return files.mapInPandas(decode, schema=ENVELOPE_SCHEMA)
+
+
+def snapshot_handoff_source(
+    spark: SparkSession,
+    snapshot_df: DataFrame,
+    wal_path: str,
+    *,
+    snapshot_lsn: str,
+    key_cols: list[str],
+    collection: str = "public.table",
+    source_id: str = "postgres",
+    streaming_tail: bool = False,
+    format_version: int = 2,
+) -> DataFrame:
+    """Initial snapshot + WAL tail with a consistent LSN cutover — the
+    reference postgres source's snapshot→CDC handoff (its source takes
+    the snapshot in the same transaction that creates the replication
+    slot, so the slot's LSN is exactly the snapshot's consistent
+    point; conduit-connector-postgres source docs).
+
+    ``snapshot_df`` is the table as of ``snapshot_lsn`` (any relation:
+    JDBC read, parquet restore, ...); the WAL feed contributes ONLY
+    changes with ``lsn > snapshot_lsn`` — the strict inequality is the
+    whole invariant: a change at or before the snapshot point is
+    already IN the snapshot, and replaying it would double-apply
+    deletes-then-reinserts and resurrect dead rows.
+
+    Output envelopes order totally under ``cdc_apply`` with
+    ``lsn_to_long(metadata['postgres.lsn'])``: snapshot rows carry the
+    snapshot LSN itself, so any later change to the same key wins.
+    Scale shape: snapshot scan and WAL parse are independent parallel
+    scans; the union is narrow; the one shuffle is cdc_apply's keyed
+    max — at 100 TB the snapshot side is the big relation and
+    partitions by whatever the table scan provides.
+    """
+    from conduit_spark import envelope as env
+
+    snap = env.from_table(
+        snapshot_df,
+        key_cols=key_cols,
+        source_id=source_id,
+        operation="snapshot",
+    )
+    snap = snap.withColumn(
+        "metadata",
+        F.map_concat(
+            "metadata",
+            F.create_map(
+                F.lit("postgres.lsn"), F.lit(snapshot_lsn),
+                F.lit(META_COLLECTION), F.lit(collection),
+            ),
+        ),
+    )
+    tail = wal2json_source(
+        spark,
+        wal_path,
+        source_id=source_id,
+        streaming=streaming_tail,
+        format_version=format_version,
+        key_cols=key_cols,
+    ).filter(
+        lsn_to_long(F.col("metadata").getItem("postgres.lsn"))
+        > lsn_to_long(F.lit(snapshot_lsn))
+    )
+    return snap.unionByName(tail)

@@ -226,3 +226,86 @@ pipelines:
     assert sorted((r.id, r.v) for r in back.collect()) == [
         (1, 10), (2, 999), (4, 40), (5, 50),
     ]
+
+
+def test_postgres_snapshot_cdc_handoff_via_yaml(spark, tmp_path):
+    """YAML builtin:postgres with url+table+cdc.path+cdc.snapshotLsn:
+    JDBC snapshot at the slot LSN plus only the WAL changes strictly
+    after it — the reference source's snapshot→CDC handoff, end to end
+    through the registry."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from conduit_spark.operators.cdc import cdc_apply
+    from conduit_spark.pipeline.registry import build_source
+    from conduit_spark.sources.postgres_wal import lsn_to_long
+
+    url = _url(tmp_path, "handoffdb")
+    # table state as of LSN 0/1000003: alice updated, bob still present
+    snap = spark.createDataFrame(
+        [(1, "alice", 99.9), (2, "bob", 20.0)],
+        "id long, name string, balance double",
+    )
+    snap.write.format("jdbc").option("url", url).option(
+        "dbtable", "accounts"
+    ).option("driver", DRIVER).mode("overwrite").save()
+    wal = tmp_path / "wal.jsonl"
+    wal.write_text(
+        "\n".join(
+            [
+                # already in the snapshot (must NOT double-apply)
+                '{"action":"I","schema":"public","table":"accounts","lsn":"0/1000001","columns":[{"name":"id","type":"integer","value":1},{"name":"name","type":"text","value":"alice"},{"name":"balance","type":"numeric","value":10.5}]}',
+                '{"action":"I","schema":"public","table":"accounts","lsn":"0/1000002","columns":[{"name":"id","type":"integer","value":2},{"name":"name","type":"text","value":"bob"},{"name":"balance","type":"numeric","value":20.0}]}',
+                '{"action":"U","schema":"public","table":"accounts","lsn":"0/1000003","columns":[{"name":"id","type":"integer","value":1},{"name":"name","type":"text","value":"alice"},{"name":"balance","type":"numeric","value":99.9}],"identity":[{"name":"id","type":"integer","value":1}]}',
+                # after the cutover: the tail applies these two
+                '{"action":"I","schema":"public","table":"accounts","lsn":"0/1000004","columns":[{"name":"id","type":"integer","value":3},{"name":"name","type":"text","value":"carol"},{"name":"balance","type":"numeric","value":7.25}]}',
+                '{"action":"D","schema":"public","table":"accounts","lsn":"0/1000005","identity":[{"name":"id","type":"integer","value":2}]}',
+            ]
+        )
+        + "\n"
+    )
+    env = build_source(
+        spark,
+        "builtin:postgres",
+        {
+            "url": url,
+            "table": "accounts",
+            "options": {"driver": DRIVER},
+            "cdc.path": str(wal),
+            "cdc.snapshotLsn": "0/1000003",
+            "keyColumns": "id",
+        },
+        "pg",
+    )
+    assert env.filter(F.col("operation") == "snapshot").count() == 2
+    assert env.filter(F.col("operation") != "snapshot").count() == 2
+    final = cdc_apply(
+        env,
+        F.get_json_object(
+            F.coalesce(F.col("key_json"), F.col("payload_after_json")), "$.id"
+        ).cast("bigint"),
+        F.struct(
+            lsn_to_long(F.col("metadata").getItem("postgres.lsn")),
+            F.col("position").cast("string"),
+        ),
+    )
+    rows = {
+        json.loads(r["payload_after_json"])["id"]: json.loads(
+            r["payload_after_json"]
+        )
+        for r in final.collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["balance"] == 99.9 and rows[3]["name"] == "carol"
+
+    # missing the consistent point is refused, never silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cdc.snapshotLsn"):
+        build_source(
+            spark,
+            "builtin:postgres",
+            {"url": url, "table": "accounts", "cdc.path": str(wal)},
+            "pg",
+        )

@@ -231,8 +231,10 @@ def test_scan_fanout_rules(spark):
     # lineitem at sf0.1: 10 MB, one row group -> fanned out on request
     li = load_table(spark, sf01, "lineitem", fanout=True)
     assert li.rdd.getNumPartitions() == cores
-    # default load: natural split count, no extra exchange
-    assert load_table(spark, sf01, "lineitem").rdd.getNumPartitions() == 1
+    # default load: natural split count (size/openCost-derived, a few
+    # for a 10 MB file), no fan-out exchange to the core count
+    default_parts = load_table(spark, sf01, "lineitem").rdd.getNumPartitions()
+    assert default_parts < cores
     # nation: dim-sized, below the floor -> untouched even with fanout
     assert (
         load_table(spark, sf01, "nation", fanout=True).rdd.getNumPartitions()

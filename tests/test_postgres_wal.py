@@ -326,3 +326,60 @@ def test_registry_routes_cdc_formats(spark, tmp_path):
         build_source(
             spark, "builtin:postgres", {"cdc.format": "nope", "cdc.path": "x"}, "s"
         )
+
+
+def test_snapshot_handoff_consistent_cutover(spark, tmp_path):
+    """Snapshot at LSN X + WAL tail with changes > X only: the
+    materialized result equals a full from-empty replay, for EVERY
+    cutover point in the changelog — the reference postgres source's
+    snapshot→CDC handoff invariant (slot LSN == snapshot's consistent
+    point)."""
+    from conduit_spark.sources.postgres_wal import snapshot_handoff_source
+
+    log = tmp_path / "wal.jsonl"
+    log.write_text("\n".join(W2J_V2_LINES) + "\n")
+
+    # replay-from-empty oracle: table state after each change
+    changes = [  # (lsn, apply_fn over dict state)
+        ("0/1000001", lambda s: s.__setitem__(1, ("alice", 10.5))),
+        ("0/1000002", lambda s: s.__setitem__(2, ("bob", 20.0))),
+        ("0/1000003", lambda s: s.__setitem__(1, ("alice", 99.9))),
+        ("0/1000004", lambda s: s.__setitem__(3, ("carol", 7.25))),
+        ("0/1000005", lambda s: s.pop(2)),
+    ]
+    state: dict = {}
+    for idx, (snap_lsn, apply_fn) in enumerate(changes):
+        apply_fn(state)  # state as of snap_lsn (change applied)
+        snapshot_df = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(state.items())],
+            "id long, name string, balance double",
+        )
+        env = snapshot_handoff_source(
+            spark,
+            snapshot_df,
+            str(log),
+            snapshot_lsn=snap_lsn,
+            key_cols=["id"],
+            collection="public.accounts",
+        )
+        # strictly-after filter: only the remaining changes ride the tail
+        tail_ops = env.filter(F.col("operation") != "snapshot").count()
+        assert tail_ops == len(changes) - idx - 1
+        assert _materialize(env) == FINAL_STATE, f"cutover at {snap_lsn}"
+
+    # degenerate cutovers: before everything (= pure replay) and
+    # after everything (= pure snapshot)
+    empty = spark.createDataFrame([], "id long, name string, balance double")
+    env = snapshot_handoff_source(
+        spark, empty, str(log), snapshot_lsn="0/1000000", key_cols=["id"]
+    )
+    assert _materialize(env) == FINAL_STATE
+    full = spark.createDataFrame(
+        [(1, "alice", 99.9), (3, "carol", 7.25)],
+        "id long, name string, balance double",
+    )
+    env = snapshot_handoff_source(
+        spark, full, str(log), snapshot_lsn="0/2000000", key_cols=["id"]
+    )
+    assert env.filter(F.col("operation") != "snapshot").count() == 0
+    assert _materialize(env) == FINAL_STATE
