@@ -383,3 +383,33 @@ def test_snapshot_handoff_consistent_cutover(spark, tmp_path):
     )
     assert env.filter(F.col("operation") != "snapshot").count() == 0
     assert _materialize(env) == FINAL_STATE
+
+
+def test_wal2json_schema_evolution_mid_stream(spark, tmp_path):
+    """A column added (or dropped) mid-stream must flow through: each
+    change's payload JSON carries exactly the columns wal2json saw for
+    that row — no fixed schema to violate, the downstream decides how
+    to widen (the payload is schemaless JSON text by design)."""
+    lines = [
+        '{"action":"I","schema":"public","table":"t","lsn":"0/1","columns":[{"name":"id","type":"integer","value":1},{"name":"name","type":"text","value":"a"}]}',
+        # ALTER TABLE ADD COLUMN tier: later rows carry the new column
+        '{"action":"I","schema":"public","table":"t","lsn":"0/2","columns":[{"name":"id","type":"integer","value":2},{"name":"name","type":"text","value":"b"},{"name":"tier","type":"text","value":"gold"}]}',
+        # and an update back-fills it on an old row
+        '{"action":"U","schema":"public","table":"t","lsn":"0/3","columns":[{"name":"id","type":"integer","value":1},{"name":"name","type":"text","value":"a"},{"name":"tier","type":"text","value":"silver"}],"identity":[{"name":"id","type":"integer","value":1}]}',
+    ]
+    log = tmp_path / "wal.jsonl"
+    log.write_text("\n".join(lines) + "\n")
+    env = wal2json_source(spark, str(log), key_cols=["id"])
+    payloads = {
+        json.loads(r["key_json"])["id"]: json.loads(r["payload_after_json"])
+        for r in env.filter(F.col("operation") == "create").collect()
+    }
+    assert "tier" not in payloads[1] and payloads[2]["tier"] == "gold"
+    final = _materialize(env)
+    assert set(final) == {1, 2}
+    # the update's widened payload won for id=1
+    upd = {
+        json.loads(r["key_json"])["id"]: json.loads(r["payload_after_json"])
+        for r in env.filter(F.col("operation") == "update").collect()
+    }
+    assert upd[1]["tier"] == "silver"
