@@ -456,6 +456,39 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_config(args: argparse.Namespace) -> int:
+    """Print the effective engine configuration (the `conduit config`
+    analog): env knobs, the Spark confs the session factory pins, and
+    the runtime-required confs re-asserted on foreign sessions — all
+    from the live session module, without starting a JVM."""
+    import json
+
+    from conduit_spark import session as sess
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(
+        json.dumps(
+            {
+                "env": {
+                    "SPARK_GRAFT_CPUS": cpus,
+                    "SPARK_MASTER": os.environ.get(
+                        "SPARK_MASTER", f"local[{cpus}]"
+                    ),
+                    "SPARK_GRAFT_SF_DIR": os.environ.get(
+                        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                    ),
+                    "JAVA_HOME": os.environ.get("JAVA_HOME", ""),
+                },
+                "session_defaults": dict(sess._DEFAULTS),
+                "runtime_required": dict(sess._RUNTIME_REQUIRED),
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_docs(args: argparse.Namespace) -> int:
     """Generate ``llms.txt`` — a complete, agent-readable map of the
     engine (reference 20260712-llms-txt-generation.md): CLI verbs,
@@ -1017,6 +1050,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
     p_mcp.set_defaults(fn=cmd_mcp)
+
+    p_cfg = sub.add_parser(
+        "config", help="print the effective engine configuration"
+    )
+    p_cfg.set_defaults(fn=cmd_config)
 
     p_docsv = sub.add_parser(
         "docs", help="generate llms.txt from the live registries"

@@ -512,3 +512,16 @@ def test_cli_docs_llms_txt(tmp_path, capsys):
         assert rx.pattern.strip("^$") in text
     for verb in ("run", "deploy", "repair", "mcp", "dev", "connectors"):
         assert f"- {verb}:" in text
+
+
+def test_cli_config(capsys):
+    import json as _json
+
+    from conduit_spark import cli
+    from conduit_spark.session import _DEFAULTS, _RUNTIME_REQUIRED
+
+    assert cli.main(["config"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["session_defaults"] == dict(_DEFAULTS)
+    assert out["runtime_required"] == dict(_RUNTIME_REQUIRED)
+    assert "SPARK_GRAFT_CPUS" in out["env"]
