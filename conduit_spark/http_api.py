@@ -394,6 +394,145 @@ class ControlPlane:
                         )
         raise LookupError(node_id)
 
+    # -- connector / processor write CRUD (api.proto:803-916,1046-1131)
+
+    def _pipeline_for_edit(self, pid: str) -> PipelineConfig:
+        if pid not in self._configs:
+            raise LookupError(pid)
+        if self._status[pid] == "running":
+            raise Conflict("pipeline is running; stop it first")
+        return self._configs[pid]
+
+    def create_connector(self, doc: dict) -> dict:
+        from conduit_spark.pipeline.config import ConnectorConfig, _parse_processor
+        from conduit_spark.pipeline.registry import validate_connector
+        from conduit_spark.pipeline.views import connector_json
+
+        pid = doc.get("pipeline_id")
+        if not pid:
+            raise ValueError("pipeline_id is required")
+        conn = ConnectorConfig(
+            id=str(doc.get("id") or (doc.get("config") or {}).get("name") or ""),
+            type=doc.get("type", ""),
+            plugin=doc.get("plugin", ""),
+            settings=dict(
+                doc.get("settings") or (doc.get("config") or {}).get("settings") or {}
+            ),
+            processors=[
+                _parse_processor(p) for p in doc.get("processors") or []
+            ],
+        )
+        if not conn.id:
+            raise ValueError("connector id (or config.name) is required")
+        errors = validate_connector(conn.type, conn.plugin, conn.settings)
+        if errors:
+            raise ValueError("; ".join(errors))
+        with self._lock:
+            cfg = self._pipeline_for_edit(pid)
+            if any(c.id == conn.id for c in cfg.connectors):
+                raise Conflict(f"connector {conn.id!r} already exists in {pid!r}")
+            cfg.connectors.append(conn)
+            return connector_json(pid, conn)
+
+    def update_connector(self, node_id: str, doc: dict) -> dict:
+        from conduit_spark.pipeline.registry import validate_connector
+        from conduit_spark.pipeline.views import connector_json
+
+        pid, nid = self._resolve_node(node_id, "connector")
+        with self._lock:
+            cfg = self._pipeline_for_edit(pid)
+            conn = next(c for c in cfg.connectors if c.id == nid)
+            plugin = doc.get("plugin", conn.plugin)
+            settings = dict(
+                doc.get("settings")
+                or (doc.get("config") or {}).get("settings")
+                or conn.settings
+            )
+            errors = validate_connector(conn.type, plugin, settings)
+            if errors:
+                raise ValueError("; ".join(errors))
+            conn.plugin = plugin
+            conn.settings = settings
+            return connector_json(pid, conn)
+
+    def delete_connector(self, node_id: str) -> dict:
+        pid, nid = self._resolve_node(node_id, "connector")
+        with self._lock:
+            cfg = self._pipeline_for_edit(pid)
+            cfg.connectors = [c for c in cfg.connectors if c.id != nid]
+        return {"deleted": f"{pid}:{nid}"}
+
+    def create_processor(self, doc: dict) -> dict:
+        from conduit_spark.pipeline.config import ProcessorConfig
+        from conduit_spark.pipeline.registry import PROCESSOR_PLUGINS
+        from conduit_spark.pipeline.views import processor_json
+
+        parent = doc.get("parent") or {}
+        ptype = parent.get("type", "pipeline")
+        parent_id = parent.get("id")
+        if not parent_id:
+            raise ValueError("parent.id is required")
+        plugin = doc.get("plugin") or doc.get("type", "")
+        if plugin not in PROCESSOR_PLUGINS and plugin != "custom.standalone":
+            raise ValueError(
+                f"unknown processor plugin {plugin!r}; "
+                f"known: {sorted(PROCESSOR_PLUGINS)}"
+            )
+        proc = ProcessorConfig(
+            id=str(doc.get("id") or plugin),
+            plugin=plugin,
+            settings=dict(
+                doc.get("settings") or (doc.get("config") or {}).get("settings") or {}
+            ),
+            condition=doc.get("condition"),
+            workers=int(
+                doc.get("workers", (doc.get("config") or {}).get("workers", 1))
+            ),
+        )
+        if ptype != "pipeline":  # connector parent: pipeline-scoped id
+            # resolve OUTSIDE the lock (the resolver locks too)
+            pid, nid = self._resolve_node(parent_id, "connector")
+        with self._lock:
+            if ptype == "pipeline":
+                cfg = self._pipeline_for_edit(parent_id)
+                target = cfg.processors
+                parent_desc = {"type": "pipeline", "id": parent_id}
+            else:
+                cfg = self._pipeline_for_edit(pid)
+                conn = next(c for c in cfg.connectors if c.id == nid)
+                target = conn.processors
+                parent_desc = {"type": "connector", "id": f"{pid}:{nid}"}
+            if any(p.id == proc.id for p in target):
+                raise Conflict(f"processor {proc.id!r} already exists")
+            target.append(proc)
+        return dict(processor_json(proc), parent=parent_desc)
+
+    def update_processor(self, node_id: str, doc: dict) -> dict:
+        pid, nid = self._resolve_node(node_id, "processor")
+        with self._lock:
+            cfg = self._pipeline_for_edit(pid)
+            procs = list(cfg.processors) + [
+                p for c in cfg.connectors for p in c.processors
+            ]
+            proc = next(p for p in procs if p.id == nid)
+            if "settings" in doc:
+                proc.settings = dict(doc["settings"])
+            if "condition" in doc:
+                proc.condition = doc["condition"]
+            if "workers" in doc:
+                proc.workers = int(doc["workers"])
+        # read-back OUTSIDE the (non-reentrant) lock
+        return self.get_processor(f"{pid}:{nid}")
+
+    def delete_processor(self, node_id: str) -> dict:
+        pid, nid = self._resolve_node(node_id, "processor")
+        with self._lock:
+            cfg = self._pipeline_for_edit(pid)
+            cfg.processors = [p for p in cfg.processors if p.id != nid]
+            for c in cfg.connectors:
+                c.processors = [p for p in c.processors if p.id != nid]
+        return {"deleted": f"{pid}:{nid}"}
+
     # -- inspection ---------------------------------------------------
 
     def _resolve_node(self, node_id: str, kind: str) -> tuple[str, str]:
@@ -465,11 +604,17 @@ _ROUTES = [
     ("GET", re.compile(r"^/v1/connectors/plugins$"), "connector_plugins"),
     ("GET", re.compile(r"^/v1/connectors$"), "list_connectors"),
     ("POST", re.compile(r"^/v1/connectors/validate$"), "validate_connector"),
+    ("POST", re.compile(r"^/v1/connectors$"), "create_connector"),
     ("GET", re.compile(r"^/v1/connectors/([^/]+)/inspect$"), "inspect_connector"),
     ("GET", re.compile(r"^/v1/connectors/([^/]+)$"), "get_connector"),
+    ("PUT", re.compile(r"^/v1/connectors/([^/]+)$"), "update_connector"),
+    ("DELETE", re.compile(r"^/v1/connectors/([^/]+)$"), "delete_connector"),
     ("GET", re.compile(r"^/v1/processors$"), "list_processors"),
+    ("POST", re.compile(r"^/v1/processors$"), "create_processor"),
     ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect$"), "inspect_processor"),
     ("GET", re.compile(r"^/v1/processors/([^/]+)$"), "get_processor"),
+    ("PUT", re.compile(r"^/v1/processors/([^/]+)$"), "update_processor"),
+    ("DELETE", re.compile(r"^/v1/processors/([^/]+)$"), "delete_processor"),
     ("GET", re.compile(r"^/v1/pipelines$"), "list"),
     ("POST", re.compile(r"^/v1/pipelines$"), "create"),
     ("POST", re.compile(r"^/v1/pipelines/import$"), "import_pipeline"),
@@ -581,6 +726,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, plane.list_processors(self.query.get("pipeline_id")))
         elif op == "get_processor":
             self._send(200, plane.get_processor(groups[0]))
+        elif op == "create_connector":
+            self._send(201, plane.create_connector(self._body()))
+        elif op == "update_connector":
+            self._send(200, plane.update_connector(groups[0], self._body()))
+        elif op == "delete_connector":
+            self._send(200, plane.delete_connector(groups[0]))
+        elif op == "create_processor":
+            self._send(201, plane.create_processor(self._body()))
+        elif op == "update_processor":
+            self._send(200, plane.update_processor(groups[0], self._body()))
+        elif op == "delete_processor":
+            self._send(200, plane.delete_processor(groups[0]))
         elif op == "get_dlq":
             self._send(200, plane.get_dlq(groups[0]))
         elif op == "update_dlq":

@@ -673,3 +673,94 @@ def test_info_and_deprecated_plugins_routes(plane_and_port):
     assert {p["name"] for p in plugins} == {
         "unwrap.opencdc", "unwrap.debezium", "unwrap.kafkaconnect",
     }
+
+
+def test_connector_processor_write_crud(plane_and_port):
+    """POST/PUT/DELETE for connectors and processors as entities —
+    the ConnectorService/ProcessorService write RPCs: edits land in
+    the owning pipeline's config, refuse while running, and validate
+    before mutating."""
+    _, port, _ = plane_and_port
+    # create a connector on the demo pipeline
+    status, conn = _req(
+        port, "POST", "/v1/connectors",
+        {
+            "pipeline_id": "demo",
+            "id": "extra",
+            "type": "destination",
+            "plugin": "builtin:file",
+            "settings": {"path": "/tmp/extra", "format": "json"},
+        },
+    )
+    assert status == 201 and conn["id"] == "demo:extra"
+    status, doc = _req(port, "GET", "/v1/pipelines/demo")
+    assert "extra" in [c["id"] for c in doc["connectors"]]
+    # invalid create: validation errors refused before mutation
+    status, err = _req(
+        port, "POST", "/v1/connectors",
+        {"pipeline_id": "demo", "id": "bad", "type": "source",
+         "plugin": "builtin:kafka", "settings": {}},
+    )
+    assert status == 400 and "missing required setting" in err["error"]
+    # duplicate id → 409
+    status, _ = _req(
+        port, "POST", "/v1/connectors",
+        {"pipeline_id": "demo", "id": "extra", "type": "destination",
+         "plugin": "builtin:log", "settings": {}},
+    )
+    assert status == 409
+    # update settings (validated)
+    status, conn = _req(
+        port, "PUT", "/v1/connectors/demo:extra",
+        {"settings": {"path": "/tmp/extra2", "format": "parquet"}},
+    )
+    assert status == 200 and conn["settings"]["path"] == "/tmp/extra2"
+    status, err = _req(
+        port, "PUT", "/v1/connectors/demo:extra", {"plugin": "no:such"}
+    )
+    assert status == 400
+
+    # processor CRUD: pipeline parent and connector parent
+    status, proc = _req(
+        port, "POST", "/v1/processors",
+        {
+            "parent": {"type": "pipeline", "id": "demo"},
+            "id": "mask",
+            "plugin": "field.exclude",
+            "settings": {"fields": ".Payload.After.secret"},
+        },
+    )
+    assert status == 201 and proc["parent"] == {"type": "pipeline", "id": "demo"}
+    status, proc = _req(
+        port, "POST", "/v1/processors",
+        {
+            "parent": {"type": "connector", "id": "demo:extra"},
+            "id": "stamp",
+            "plugin": "field.set",
+            "settings": {"field": ".Metadata.x", "value": "1"},
+        },
+    )
+    assert status == 201 and proc["parent"]["id"] == "demo:extra"
+    status, err = _req(
+        port, "POST", "/v1/processors",
+        {"parent": {"type": "pipeline", "id": "demo"}, "plugin": "nope"},
+    )
+    assert status == 400 and "unknown processor plugin" in err["error"]
+    # update + read back
+    status, proc = _req(
+        port, "PUT", "/v1/processors/demo:mask", {"workers": 4}
+    )
+    assert status == 200 and proc["workers"] == 4
+    # refuse edits while running
+    _req(port, "POST", "/v1/pipelines/demo/start")
+    status, err = _req(port, "DELETE", "/v1/connectors/demo:extra")
+    assert status == 409 and "running" in err["error"]
+    _req(port, "POST", "/v1/pipelines/demo/stop")
+    # delete both
+    status, _ = _req(port, "DELETE", "/v1/processors/demo:mask")
+    assert status == 200
+    status, _ = _req(port, "DELETE", "/v1/connectors/demo:extra")
+    assert status == 200
+    status, doc = _req(port, "GET", "/v1/pipelines/demo")
+    assert "extra" not in [c["id"] for c in doc["connectors"]]
+    assert "mask" not in [p["id"] for p in doc["processors"]]
