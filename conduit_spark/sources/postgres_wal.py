@@ -484,3 +484,144 @@ def snapshot_handoff_source(
         > lsn_to_long(F.lit(snapshot_lsn))
     )
     return snap.unionByName(tail)
+
+
+class LiveWalTail:
+    """Live logical-replication tail: spawn ``pg_recvlogical`` against
+    a replication slot and pump its stdout into ROTATING capture files
+    a Structured Streaming text source can consume.
+
+    This is the missing piece between the offline wal2json parser and
+    a real database: Spark's file streaming source treats files as
+    immutable once seen, so appending to one capture file would never
+    deliver new data — the pump writes complete batches to numbered
+    files (``wal-000001.jsonl``, staged as dotfiles then renamed, so a
+    half-written file is never picked up) on a line-count or age
+    threshold.
+
+    The subprocess is the reference's own transport choice for testing
+    (pg_recvlogical is the canonical wal2json client); everything
+    downstream — parsing, envelopes, cdc_apply, snapshot handoff — is
+    the same code the offline replay uses. ``command`` is injectable
+    so the wrapper itself is testable without a postgres (a fake
+    emitter script in tests), and so pgoutput or wrapped/dockerized
+    clients slot in.
+    """
+
+    def __init__(
+        self,
+        capture_dir: str,
+        *,
+        dbname: str | None = None,
+        slot: str = "conduit_spark",
+        command: list[str] | None = None,
+        max_lines: int = 500,
+        max_secs: float = 1.0,
+        format_version: int = 2,
+    ) -> None:
+        import os
+
+        self.capture_dir = capture_dir
+        self.max_lines = max_lines
+        self.max_secs = max_secs
+        self.format_version = format_version
+        if command is None:
+            if dbname is None:
+                raise ValueError("need dbname (or an explicit command)")
+            command = [
+                "pg_recvlogical", "-d", dbname, "--slot", slot, "--start",
+                "-o", f"format-version={format_version}", "-f", "-",
+            ]
+        self.command = command
+        self._proc = None
+        self._thread = None
+        self._stop = None
+        self._n_files = 0
+        os.makedirs(capture_dir, exist_ok=True)
+
+    def start(self) -> "LiveWalTail":
+        import os
+        import subprocess
+        import threading
+        import time
+
+        self._stop = threading.Event()
+        self._proc = subprocess.Popen(
+            self.command,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+        )
+
+        def flush(buf: list[str]) -> None:
+            if not buf:
+                return
+            self._n_files += 1
+            final = os.path.join(
+                self.capture_dir, f"wal-{self._n_files:06d}.jsonl"
+            )
+            staged = os.path.join(
+                self.capture_dir, f".wal-{self._n_files:06d}.jsonl.tmp"
+            )
+            with open(staged, "w", encoding="utf-8") as f:
+                f.write("\n".join(buf) + "\n")
+            os.replace(staged, final)
+            buf.clear()
+
+        def pump() -> None:
+            buf: list[str] = []
+            last = time.monotonic()
+            stdout = self._proc.stdout
+            while not self._stop.is_set():
+                line = stdout.readline()
+                if not line:  # subprocess exited
+                    break
+                line = line.rstrip("\n")
+                if line:
+                    buf.append(line)
+                now = time.monotonic()
+                if len(buf) >= self.max_lines or (
+                    buf and now - last >= self.max_secs
+                ):
+                    flush(buf)
+                    last = now
+            flush(buf)
+
+        self._thread = threading.Thread(
+            target=pump, daemon=True, name="wal-tail-pump"
+        )
+        self._thread.start()
+        return self
+
+    def stream(
+        self,
+        spark: SparkSession,
+        *,
+        source_id: str = "postgres",
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """The streaming envelope DataFrame tailing the capture dir."""
+        return wal2json_source(
+            spark,
+            self.capture_dir,
+            source_id=source_id,
+            streaming=True,
+            format_version=self.format_version,
+            key_cols=key_cols,
+        )
+
+    def stop(self, timeout: float = 10.0) -> int:
+        """Terminate the client and drain the pump; returns the number
+        of capture files written."""
+        if self._stop is not None:
+            self._stop.set()
+        if self._proc is not None and self._proc.poll() is None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=timeout)
+            except Exception:  # noqa: BLE001 — escalate to kill
+                self._proc.kill()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+        return self._n_files

@@ -413,3 +413,67 @@ def test_wal2json_schema_evolution_mid_stream(spark, tmp_path):
         for r in env.filter(F.col("operation") == "update").collect()
     }
     assert upd[1]["tier"] == "silver"
+
+
+def test_live_wal_tail_end_to_end(spark, tmp_path):
+    """LiveWalTail: a (fake) pg_recvlogical subprocess streams wal2json
+    lines; the pump rotates them into immutable capture files; the
+    streaming source materializes the change stream to the oracle
+    state. Covers the rotation invariant Spark's file source needs —
+    appended-to files would never re-deliver."""
+    import os
+    import stat
+    import sys as _sys
+    import time
+
+    from conduit_spark.sources.postgres_wal import LiveWalTail
+
+    # fake client: emits the standard changelog slowly, like a slot tail
+    fake = tmp_path / "fake_pg_recvlogical.py"
+    lines_py = repr(W2J_V2_LINES)
+    fake.write_text(
+        f"""#!{_sys.executable}
+import sys, time
+for line in {lines_py}:
+    print(line); sys.stdout.flush()
+    time.sleep(0.05)
+time.sleep(60)  # a real tail never exits on its own
+"""
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+    capture = tmp_path / "capture"
+    tail = LiveWalTail(
+        str(capture), command=[str(fake)], max_lines=3, max_secs=0.2
+    ).start()
+    try:
+        # wait until the pump has written every data line
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            total = sum(
+                1
+                for f in os.listdir(capture)
+                if not f.startswith(".")
+                for _ in open(capture / f)
+            )
+            if total >= len(W2J_V2_LINES):
+                break
+            time.sleep(0.1)
+        env = tail.stream(spark, key_cols=["id"])
+        assert env.isStreaming
+        out = str(tmp_path / "sink")
+        q = (
+            env.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        n_files = tail.stop()
+    assert n_files >= 2  # rotation actually happened
+    # no half-written staging files left behind
+    assert not [f for f in os.listdir(capture) if f.startswith(".wal-")]
+    batch = spark.read.parquet(out)
+    assert _materialize(batch) == FINAL_STATE
