@@ -316,10 +316,17 @@ def cmd_api(args: argparse.Namespace) -> int:
     proto/api/v1/api.proto:318-569) over the provisioned pipelines."""
     from conduit_spark.http_api import ControlPlane, start_server
 
+    mcp = None
+    if args.mcp or args.mcp_allow_mutations:
+        from conduit_spark.mcp import MCPServer
+
+        mcp = MCPServer(allow_mutations=args.mcp_allow_mutations)
     plane = ControlPlane(_gather(args.pipelines))
-    srv = start_server(plane, host=args.host, port=args.port)
+    srv = start_server(plane, host=args.host, port=args.port, mcp=mcp)
     host, port = srv.server_address[:2]
     print(f"serving control plane on http://{host}:{port}/v1/pipelines")
+    if mcp is not None:
+        print(f"MCP transport on http://{host}:{port}/mcp")
     try:
         import threading
 
@@ -952,6 +959,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p_api.add_argument("--pipelines", required=True)
     p_api.add_argument("--host", default="127.0.0.1")
     p_api.add_argument("--port", type=int, default=8080)
+    p_api.add_argument(
+        "--mcp", action="store_true", help="serve read-only MCP tools at /mcp"
+    )
+    p_api.add_argument(
+        "--mcp-allow-mutations",
+        action="store_true",
+        help="serve MCP incl. write tools (process-level gate)",
+    )
     p_api.set_defaults(fn=cmd_api)
 
     p_plan = sub.add_parser(

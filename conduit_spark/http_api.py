@@ -596,6 +596,7 @@ class ControlPlane:
 
 
 _ROUTES = [
+    ("POST", re.compile(r"^/mcp$"), "mcp"),
     ("GET", re.compile(r"^/info$"), "info"),
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/metrics$"), "prometheus"),
@@ -677,7 +678,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle(self, op: str, *groups: str) -> None:
         plane = self.plane
-        if op == "info":
+        if op == "mcp":
+            # MCP over HTTP (reference `conduit mcp --http`,
+            # 20260712-mcp-http-transport.md): one JSON-RPC message per
+            # POST; notifications get 202 with no body. Registered only
+            # when the server was started with an MCPServer — the
+            # mutation gate stays a process-level decision.
+            mcp = getattr(self.server, "mcp", None)
+            if mcp is None:
+                self._send(404, {"error": "MCP transport not enabled"})
+                return
+            resp = mcp.handle(self._body())
+            if resp is None:
+                self.send_response(202)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                self._send(200, resp)
+        elif op == "info":
             import platform
 
             from conduit_spark import __version__
@@ -847,13 +865,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def start_server(
-    plane: ControlPlane, host: str = "127.0.0.1", port: int = 0
+    plane: ControlPlane,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    *,
+    mcp=None,
 ) -> ThreadingHTTPServer:
     """Serve the control plane in a daemon thread; returns the server
     (``server.server_address[1]`` is the bound port; call
-    ``shutdown()`` to stop)."""
+    ``shutdown()`` to stop). Pass an ``mcp.MCPServer`` to also serve
+    the agent tool catalog at POST /mcp (the reference's HTTP
+    transport; the write-tool gate rides the MCPServer the OPERATOR
+    constructed, never a request parameter)."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.plane = plane  # type: ignore[attr-defined]
+    srv.mcp = mcp  # type: ignore[attr-defined]
     t = threading.Thread(target=srv.serve_forever, daemon=True, name="conduit-api")
     t.start()
     return srv

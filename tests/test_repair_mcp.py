@@ -294,3 +294,75 @@ def test_mcp_stdio_round_trip():
     assert lines[0]["id"] == 1 and "serverInfo" in lines[0]["result"]
     assert lines[1]["error"]["code"] == -32700  # the bad line
     assert lines[2]["id"] == 2 and lines[2]["result"]["tools"]
+
+
+def test_mcp_http_transport(tmp_path):
+    """POST /mcp serves the tool catalog over HTTP (the reference's
+    mcp --http mode): JSON-RPC per request, 202 for notifications,
+    404 when the operator did not enable the transport."""
+    import urllib.request
+
+    from conduit_spark.http_api import ControlPlane, start_server
+    from conduit_spark.mcp import MCPServer
+
+    def post(port, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/mcp",
+            data=json.dumps(body).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+
+    srv = start_server(ControlPlane(), mcp=MCPServer())
+    port = srv.server_address[1]
+    try:
+        status, resp = post(
+            port, {"jsonrpc": "2.0", "id": 1, "method": "initialize"}
+        )
+        assert status == 200
+        assert resp["result"]["serverInfo"]["name"] == "conduit-spark"
+        status, resp = post(
+            port, {"jsonrpc": "2.0", "method": "notifications/initialized"}
+        )
+        assert status == 202 and resp is None
+        status, resp = post(
+            port, {"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+        )
+        tools = {t["name"] for t in resp["result"]["tools"]}
+        assert "lint" in tools and "apply" not in tools  # read-only server
+        # lint through HTTP end-to-end
+        f = tmp_path / "p.yaml"
+        f.write_text(DIRTY.replace("- type: source", "- id: s\n        type: source"))
+        status, resp = post(
+            port,
+            {
+                "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                "params": {"name": "lint", "arguments": {"path": str(f)}},
+            },
+        )
+        assert resp["result"]["isError"] is False
+    finally:
+        srv.shutdown()
+
+    # transport off by default
+    srv = start_server(ControlPlane())
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/mcp",
+            data=b"{}",
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
