@@ -567,7 +567,9 @@ class ControlPlane:
             )
         return hits[0]
 
-    def inspect(self, node_id: str, kind: str, count: int = 10) -> dict:
+    def inspect(
+        self, node_id: str, kind: str, count: int = 10, direction: str = "out"
+    ) -> dict:
         """Attach (idempotently) an inspector to a connector/processor
         and return the records buffered so far — the HTTP analog of the
         reference's InspectConnector/InspectProcessor server streams
@@ -578,18 +580,26 @@ class ControlPlane:
 
         if count < 0:
             raise ValueError(f"count must be >= 0, got {count}")
+        if direction not in ("in", "out"):
+            raise ValueError(f"direction must be in/out, got {direction!r}")
+        if direction == "in" and kind != "processor":
+            raise ValueError("direction=in applies to processors only")
         pid, nid = self._resolve_node(node_id, kind)
+        # the runtime taps "<id>#in" before a processor runs and the
+        # bare id after it (InspectProcessorIn/Out, api.proto:1011-1024)
+        tap_key = f"{nid}#in" if direction == "in" else nid
         with self._lock:
-            insp = self._inspectors.get((pid, nid))
+            insp = self._inspectors.get((pid, tap_key))
             attached = insp is None
             if insp is None:
                 insp = StreamInspector(sample_per_batch=max(count, 10))
-                self._inspectors[(pid, nid)] = insp
+                self._inspectors[(pid, tap_key)] = insp
         records = insp.records()[-count:] if count > 0 else []
         return {
             "pipeline": pid,
             "id": nid,
             "type": kind,
+            "direction": direction,
             "attached": attached,
             "records": [jsonable(r) for r in records],
         }
@@ -613,6 +623,8 @@ _ROUTES = [
     ("GET", re.compile(r"^/v1/processors$"), "list_processors"),
     ("POST", re.compile(r"^/v1/processors$"), "create_processor"),
     ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect$"), "inspect_processor"),
+    ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect-in$"), "inspect_processor_in"),
+    ("GET", re.compile(r"^/v1/processors/([^/]+)/inspect-out$"), "inspect_processor"),
     ("GET", re.compile(r"^/v1/processors/([^/]+)$"), "get_processor"),
     ("PUT", re.compile(r"^/v1/processors/([^/]+)$"), "update_processor"),
     ("DELETE", re.compile(r"^/v1/processors/([^/]+)$"), "delete_processor"),
@@ -821,10 +833,14 @@ class _Handler(BaseHTTPRequestHandler):
                     for k, v in sorted(CONNECTOR_PLUGINS.items())
                 ],
             )
-        elif op in ("inspect_connector", "inspect_processor"):
+        elif op in ("inspect_connector", "inspect_processor", "inspect_processor_in"):
             kind = "connector" if op == "inspect_connector" else "processor"
+            direction = "in" if op == "inspect_processor_in" else "out"
             count = int(self.query.get("count", "10"))
-            self._send(200, plane.inspect(groups[0], kind, count=count))
+            self._send(
+                200,
+                plane.inspect(groups[0], kind, count=count, direction=direction),
+            )
         elif op == "list":
             self._send(200, plane.list())
         elif op == "create":

@@ -107,6 +107,10 @@ class Pipeline:
 
     def _chain(self, df: DataFrame, procs: list[ProcessorConfig]) -> DataFrame:
         for p in procs:
+            # "<id>#in" taps the records ENTERING the processor,
+            # bare "<id>" the records leaving it — the two streams of
+            # InspectProcessorIn/Out (api.proto:1011-1024)
+            self._tap(f"{p.id}#in", df)
             transform = build_processor(
                 p.plugin, p.settings, p.condition, transports=self.transports
             )

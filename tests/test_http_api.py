@@ -319,6 +319,7 @@ def test_inspect_routes_attach_and_buffer(plane_and_port):
         "pipeline": "demo",
         "id": "src",
         "type": "connector",
+        "direction": "out",
         "attached": True,
         "records": [],
     }
@@ -764,3 +765,85 @@ def test_connector_processor_write_crud(plane_and_port):
     status, doc = _req(port, "GET", "/v1/pipelines/demo")
     assert "extra" not in [c["id"] for c in doc["connectors"]]
     assert "mask" not in [p["id"] for p in doc["processors"]]
+
+
+def test_inspect_in_out_directions(spark, tmp_path):
+    """inspect-in samples records ENTERING a processor, inspect-out the
+    records leaving it — a filter shows the difference (the two
+    streams of InspectProcessorIn/Out)."""
+    doc = {
+        "id": "io",
+        "status": "running",
+        "connectors": [
+            {
+                "id": "g",
+                "type": "source",
+                "plugin": "builtin:generator",
+                "settings": {
+                    "recordCount": 10,
+                    "format.options": {"id": "int"},
+                },
+            },
+            {
+                "id": "sink",
+                "type": "destination",
+                "plugin": "builtin:file",
+                "settings": {"path": str(tmp_path / "out"), "format": "json"},
+            },
+        ],
+        "processors": [
+            {
+                "id": "keep-small",
+                "plugin": "filter",
+                # filter DROPS matching records: keep id < 3
+                "condition": "{{ gt .Payload.After.id 2 }}",
+            }
+        ],
+    }
+    plane = ControlPlane()
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        assert _req(port, "POST", "/v1/pipelines", doc)[0] == 201
+        # attach both directions BEFORE the run
+        status, r_in = _req(
+            port, "GET", "/v1/processors/keep-small/inspect-in?count=20"
+        )
+        assert status == 200 and r_in["direction"] == "in"
+        status, r_out = _req(
+            port, "GET", "/v1/processors/keep-small/inspect-out?count=20"
+        )
+        assert status == 200 and r_out["direction"] == "out"
+        _req(port, "POST", "/v1/pipelines/io/start")
+        assert plane.wait("io", timeout=120) == "done"
+        _, r_in = _req(
+            port, "GET", "/v1/processors/keep-small/inspect-in?count=20"
+        )
+        _, r_out = _req(
+            port, "GET", "/v1/processors/keep-small/inspect-out?count=20"
+        )
+        assert len(r_in["records"]) == 10
+
+        def ids(resp):
+            return {
+                json.loads(r["payload_after_json"])["id"]
+                for r in resp["records"]
+            }
+
+        # the filter DROPS matching (id > 2): out == the in-records
+        # that did not match — value-exactly, whatever the generator drew
+        kept = {i for i in ids(r_in) if i <= 2}
+        assert ids(r_out) == kept and len(r_out["records"]) == len(kept)
+        assert len(r_out["records"]) < len(r_in["records"])
+        # plain /inspect is the out stream
+        _, r_plain = _req(
+            port, "GET", "/v1/processors/keep-small/inspect?count=20"
+        )
+        assert ids(r_plain) == kept
+        # direction=in is a processor concept
+        status, err = _req(
+            port, "GET", "/v1/connectors/g/inspect-in"
+        )
+        assert status == 404  # no such connector route
+    finally:
+        srv.shutdown()
