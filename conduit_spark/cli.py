@@ -676,15 +676,33 @@ def cmd_connectors(args: argparse.Namespace) -> int:
 
 
 def cmd_mcp(args: argparse.Namespace) -> int:
-    """Serve the MCP tool catalog on stdio (`conduit mcp` analog).
-    Write tools require the process-level ``--allow-mutations`` flag —
-    never a tool argument an agent could pass."""
+    """Serve the MCP tool catalog on stdio, or over HTTP with
+    ``--http`` (`conduit mcp` / `conduit mcp --http` analog — a daemon
+    has no attached stdin, so HTTP mode serves HTTP only). Write tools
+    require the process-level ``--allow-mutations`` flag — never a
+    tool argument an agent could pass."""
     from conduit_spark.mcp import MCPServer
 
-    MCPServer(
+    server = MCPServer(
         allow_mutations=args.allow_mutations,
         api_address=args.api_address,
-    ).serve_stdio()
+    )
+    if args.http:
+        from conduit_spark.http_api import ControlPlane, start_server
+
+        srv = start_server(
+            ControlPlane(), host=args.host, port=args.port, mcp=server
+        )
+        host, port = srv.server_address[:2]
+        print(f"MCP transport on http://{host}:{port}/mcp")
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
+    server.serve_stdio()
     return 0
 
 
@@ -1064,6 +1082,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "repair_apply); a process-level flag, never agent-settable",
     )
     p_mcp.add_argument("--api-address", default="http://127.0.0.1:8080")
+    p_mcp.add_argument(
+        "--http", action="store_true", help="serve over HTTP instead of stdio"
+    )
+    p_mcp.add_argument("--host", default="127.0.0.1")
+    p_mcp.add_argument("--port", type=int, default=8090)
     p_mcp.set_defaults(fn=cmd_mcp)
 
     p_cfg = sub.add_parser(
