@@ -122,6 +122,7 @@ _EXTENDED = (
     "q11_important_parts",  # round-4 addition
     "q21_waiting_suppliers",  # round-4 addition
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
+    "s_semantic_dedup",  # round-4 addition: SemDeDup within-cluster pairs
 )
 
 GATE_CAP = 50

@@ -369,24 +369,16 @@ def _assign_expr(cents: list[tuple[int, list[int]]]) -> str:
     return f"element_at(array({ids}), CAST(({enc}) % {n}L AS INT) + 1)"
 
 
-def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``KMEANS_ITERS`` Lloyd iterations of quantized k-means over the
-    embedding table: deterministic init (the first ``KMEANS_K``
-    vectors), integer micro-unit arithmetic throughout, truncating
-    integer mean. Returns the final centroids with member counts —
-    the trainer that ``ivf_cell`` would consume instead of its fixed
-    pseudo-random centroids.
-
-    Scale shape per iteration: assignment is a pure projection
-    (centroid literals, zero shuffle); the update is one
-    ``posexplode`` + keyed sum over ``(cluster, dim)`` — map-side
-    partials crush every partition to ≤ K·d rows before the shuffle —
-    and O(K·d) centroid state returns to the driver. Nothing else
-    leaves the executors; the final relation is computed
-    distributed, not driver-assembled.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.expr(_QUANT_EXPR).alias("q")).localCheckpoint()
+def _lloyd(emb: DataFrame):
+    """``KMEANS_ITERS`` Lloyd iterations (deterministic init: first K
+    vectors; integer micro-unit arithmetic; truncating integer mean).
+    Returns ``(vecs, cents_df)`` — the quantized checkpointed vector
+    relation and the final centroid relation — so the trainer query
+    and consumers (semantic dedup's assignment) share one loop and
+    cannot drift from the SQL oracle's unrolled iterations."""
+    vecs = emb.select(
+        "vec_id", F.expr(_QUANT_EXPR).alias("q")
+    ).localCheckpoint()
     cents = [
         (r["vec_id"], list(r["q"]))
         for r in vecs.filter(F.col("vec_id") < KMEANS_K)
@@ -425,6 +417,26 @@ def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (r["cl"], list(r["carr"]))
                 for r in cents_df.orderBy("cl").collect()
             ]
+    return vecs, cents_df
+
+
+def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``KMEANS_ITERS`` Lloyd iterations of quantized k-means over the
+    embedding table: deterministic init (the first ``KMEANS_K``
+    vectors), integer micro-unit arithmetic throughout, truncating
+    integer mean. Returns the final centroids with member counts —
+    the trainer that ``ivf_cell`` would consume instead of its fixed
+    pseudo-random centroids.
+
+    Scale shape per iteration: assignment is a pure projection
+    (centroid literals, zero shuffle); the update is one
+    ``posexplode`` + keyed sum over ``(cluster, dim)`` — map-side
+    partials crush every partition to ≤ K·d rows before the shuffle —
+    and O(K·d) centroid state returns to the driver. Nothing else
+    leaves the executors; the final relation is computed
+    distributed, not driver-assembled.
+    """
+    _, cents_df = _lloyd(load_table(spark, sf_dir, "embeddings"))
     return cents_df.select(
         F.col("cl").cast("bigint").alias("cluster_id"),
         F.col("n_members").cast("bigint").alias("n_members"),
@@ -434,8 +446,57 @@ def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+SEMDEDUP_MIN_COS = 0.2
+
+
+def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then look
+    for near-duplicate pairs ONLY within each cluster — the pair count
+    drops from O(n²) to Σ|cluster|², which is the whole reason the
+    method scales to 100M+ documents. The higher ``vec_id`` of each
+    pair is the prune candidate (keep one representative).
+
+    Plan shape: training is the shared :func:`_lloyd` loop (bounded
+    O(K·d) driver state); assignment is a pure projection over
+    centroid literals (zero shuffle); the within-cluster self-join
+    shuffles on cluster_id once. At 100 TB, K scales with n (the
+    paper uses ~11k clusters for 100M) to keep clusters bounded, and
+    an oversized cluster would be capped like a hot LSH bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs, cents_df = _lloyd(emb)
+    cents = [
+        (r["cl"], list(r["carr"])) for r in cents_df.orderBy("cl").collect()
+    ]
+    assigned = (
+        vecs.select("vec_id", F.expr(_assign_expr(cents)).alias("cluster_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("a.vec_id").alias("id_keep"),
+            F.col("b.vec_id").alias("id_prune"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 9
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_MIN_COS)
+        .orderBy("cluster_id", "id_keep", "id_prune")
+    )
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_semantic_dedup": s_semantic_dedup,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
@@ -543,6 +604,40 @@ ORACLES = {
                array_to_string(carr, ',') AS centroid
         FROM c{KMEANS_ITERS}
         ORDER BY cluster_id
+    """,
+    "s_semantic_dedup": f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
+                            AS BIGINT)) AS q
+            FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cl, q AS carr FROM v
+            WHERE vec_id < {KMEANS_K}),
+        {_sql_kmeans_iter(0)},
+        {_sql_kmeans_iter(1)},
+        af AS (
+            SELECT vec_id,
+                   CAST(min(list_sum(list_transform(
+                           generate_series(1, {DIM}),
+                           i -> (q[i] - carr[i]) * (q[i] - carr[i])
+                       )) * {KMEANS_K} + cl) % {KMEANS_K} AS BIGINT)
+                       AS cluster_id
+            FROM v, c{KMEANS_ITERS}
+            GROUP BY vec_id, q)
+        SELECT a.cluster_id,
+               a.vec_id AS id_keep,
+               b.vec_id AS id_prune,
+               round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
+                   AS cos_sim
+        FROM af a
+        JOIN af b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
+              >= {SEMDEDUP_MIN_COS}
+        ORDER BY a.cluster_id, id_keep, id_prune
     """,
     "s_ivf_topk": f"""
         WITH ce AS (
