@@ -74,7 +74,8 @@ _EXTENDED = (
     "p_split",  # driver-green r1-r3
     "p_field_rename",  # driver-green r1-r3; field family kept via p_field_set/convert
     "p_field_exclude",  # driver-green r1-r3
-    "p_json_encode",  # driver-green r1-r3; codec family kept via p_json_decode/p_base64
+    "p_json_encode",  # driver-green r1-r3; codec family kept via p_json_decode/avro
+    "p_base64",  # driver-green r1-r3; displaced by s_semantic_dedup (r4 second rotation)
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
     "sk_bloom_filter",  # mergeable OR-union bloom; sketch family holds 2 gate slots already
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
@@ -122,7 +123,6 @@ _EXTENDED = (
     "q11_important_parts",  # round-4 addition
     "q21_waiting_suppliers",  # round-4 addition
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
-    "s_semantic_dedup",  # round-4 addition: SemDeDup within-cluster pairs
 )
 
 GATE_CAP = 50
