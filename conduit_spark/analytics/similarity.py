@@ -459,34 +459,60 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: training is the shared :func:`_lloyd` loop (bounded
     O(K·d) driver state); assignment is a pure projection over
-    centroid literals (zero shuffle); the within-cluster self-join
-    shuffles on cluster_id once. At 100 TB, K scales with n (the
-    paper uses ~11k clusters for 100M) to keep clusters bounded, and
-    an oversized cluster would be capped like a hot LSH bucket.
+    centroid literals (zero shuffle). The within-cluster self-join
+    carries IDS ONLY — it has just K distinct keys, so anything
+    expensive there runs on K tasks; embeddings (with norms
+    precomputed once per VECTOR, not per pair) join back by vec_id,
+    which shuffles uniformly, so the per-pair dot products spread
+    across every core (measured 25s → ~2s at sf0.1). At 100 TB, K
+    scales with n (the paper uses ~11k clusters for 100M) to keep
+    clusters bounded, and an oversized cluster would be capped like a
+    hot LSH bucket.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecs, cents_df = _lloyd(emb)
     cents = [
         (r["cl"], list(r["carr"])) for r in cents_df.orderBy("cl").collect()
     ]
-    assigned = (
-        vecs.select("vec_id", F.expr(_assign_expr(cents)).alias("cluster_id"))
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .localCheckpoint()
-    )
+    assigned = vecs.select(
+        "vec_id", F.expr(_assign_expr(cents)).alias("cluster_id")
+    ).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("a.vec_id").alias("id_keep"),
+        F.col("b.vec_id").alias("id_prune"),
+    )
+    # norm once per vector; cosine = dot/(norm_a*norm_b) — identical
+    # float structure to cosine() so the oracle stays bit-exact
+    feat = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ka = feat.select(
+        F.col("vec_id").alias("id_keep"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    kb = feat.select(
+        F.col("vec_id").alias("id_prune"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(ka, "id_keep")
+        .join(kb, "id_prune")
         .select(
-            F.col("a.cluster_id").cast("bigint").alias("cluster_id"),
-            F.col("a.vec_id").alias("id_keep"),
-            F.col("b.vec_id").alias("id_prune"),
+            "cluster_id",
+            "id_keep",
+            "id_prune",
             F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), 9
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                9,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_MIN_COS)
