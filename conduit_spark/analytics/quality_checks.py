@@ -165,3 +165,124 @@ ORACLES = {
         ORDER BY check_name
     """,
 }
+
+
+# -- corpus profiles + drift detection --------------------------------
+#
+# The Deequ companion to point-in-time checks: profile a corpus ONCE
+# (single aggregate pass), persist the profile JSON next to the
+# training manifest, and DIFF the next ingest's profile against it —
+# catching silent upstream changes (a crawler that started emitting
+# truncated pages, a language mix shift, a dedup regression) before
+# they reach a 100 TB training run.
+
+
+def profile_documents(df: DataFrame) -> dict:
+    """Corpus profile in ONE aggregate pass over ``documents``-shaped
+    relations (doc_id, text, lang, source): volume, text-length
+    moments + quantiles, duplicate-text fraction (hashed keyed agg),
+    and the lang/source categorical distributions. Everything is a
+    plain JSON-able dict so profiles persist and diff anywhere."""
+    toks = F.split(F.col("text"), " ")
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length("text")).alias("mean_len"),
+        F.expr("percentile_approx(length(text), array(0.5, 0.95), 10000)").alias("len_q"),
+        F.avg(F.size(toks)).alias("mean_tokens"),
+        F.sum(F.size(toks).cast("bigint")).alias("total_tokens"),
+    ).collect()[0]
+    dup = (
+        df.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (
+                F.sum(F.col("n") - 1).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("dup_frac")
+        )
+        .collect()[0]["dup_frac"]
+    )
+
+    def dist(col: str) -> dict:
+        rows = df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+        total = sum(r["n"] for r in rows) or 1
+        return {str(r[col]): r["n"] / total for r in rows}
+
+    return {
+        "n_docs": base["n_docs"],
+        "mean_len": float(base["mean_len"] or 0.0),
+        "p50_len": float(base["len_q"][0]) if base["len_q"] else 0.0,
+        "p95_len": float(base["len_q"][1]) if base["len_q"] else 0.0,
+        "mean_tokens": float(base["mean_tokens"] or 0.0),
+        "total_tokens": int(base["total_tokens"] or 0),
+        "dup_frac": float(dup or 0.0),
+        "lang_dist": dist("lang"),
+        "source_dist": dist("source"),
+    }
+
+
+#: relative-change tolerance per scalar metric, and total-variation
+#: tolerance per categorical distribution
+DRIFT_DEFAULTS = {
+    "n_docs": 0.5,        # volume may legitimately grow
+    "mean_len": 0.2,
+    "p50_len": 0.2,
+    "p95_len": 0.3,
+    "mean_tokens": 0.2,
+    "dup_frac": 0.05,     # ABSOLUTE, not relative: 0 baseline is common
+    "lang_dist": 0.1,     # total variation distance
+    "source_dist": 0.1,
+}
+
+
+def drift_report(
+    baseline: dict, current: dict, tolerances: dict | None = None
+) -> list[dict]:
+    """Findings for every profiled metric: scalars compare by relative
+    change (absolute for ``dup_frac``, whose baseline is often 0);
+    categorical distributions by total variation distance
+    ``0.5 * Σ|p - q|``. Each finding carries (metric, baseline,
+    current, change, tolerance, drifted)."""
+    tol = dict(DRIFT_DEFAULTS, **(tolerances or {}))
+    findings = []
+    for metric in (
+        "n_docs", "mean_len", "p50_len", "p95_len", "mean_tokens",
+    ):
+        b, c = float(baseline[metric]), float(current[metric])
+        change = abs(c - b) / b if b else (0.0 if c == 0 else float("inf"))
+        findings.append(
+            {
+                "metric": metric,
+                "baseline": b,
+                "current": c,
+                "change": round(change, 6),
+                "tolerance": tol[metric],
+                "drifted": change > tol[metric],
+            }
+        )
+    b, c = float(baseline["dup_frac"]), float(current["dup_frac"])
+    findings.append(
+        {
+            "metric": "dup_frac",
+            "baseline": b,
+            "current": c,
+            "change": round(abs(c - b), 6),
+            "tolerance": tol["dup_frac"],
+            "drifted": abs(c - b) > tol["dup_frac"],
+        }
+    )
+    for metric in ("lang_dist", "source_dist"):
+        bd, cd = baseline[metric], current[metric]
+        keys = set(bd) | set(cd)
+        tv = 0.5 * sum(abs(bd.get(k, 0.0) - cd.get(k, 0.0)) for k in keys)
+        findings.append(
+            {
+                "metric": metric,
+                "baseline": None,
+                "current": None,
+                "change": round(tv, 6),
+                "tolerance": tol[metric],
+                "drifted": tv > tol[metric],
+            }
+        )
+    return findings

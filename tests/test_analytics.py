@@ -489,3 +489,48 @@ def test_bloom_filter_estimate_and_mergeability(spark, sf_dir):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) | v
     assert merged == full
+
+
+def test_profile_and_drift_detection(spark, sf_dir):
+    """Corpus profile round-trips through JSON and the drift report
+    fires exactly on the injected shifts: a truncation regression
+    (length drop), a language-mix shift (TV distance), a duplication
+    regression — and stays quiet on the identity diff."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics.quality_checks import (
+        drift_report,
+        profile_documents,
+    )
+    from conduit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _json.loads(_json.dumps(profile_documents(docs)))  # persistable
+    assert base["n_docs"] > 0 and 0 <= base["dup_frac"] < 1
+    assert abs(sum(base["lang_dist"].values()) - 1.0) < 1e-9
+
+    # identity: nothing drifts
+    report = drift_report(base, base)
+    assert report and not any(f["drifted"] for f in report)
+
+    # regression corpus: truncated text, one language only, every doc
+    # duplicated once
+    broken = docs.select(
+        "doc_id",
+        F.substring("text", 1, 10).alias("text"),
+        F.lit("en").alias("lang"),
+        "source",
+    )
+    broken = broken.unionByName(
+        broken.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    cur = profile_documents(broken)
+    drifted = {f["metric"] for f in drift_report(base, cur) if f["drifted"]}
+    assert {"mean_len", "p50_len", "mean_tokens", "dup_frac", "lang_dist"} <= drifted
+    assert "source_dist" not in drifted  # mix unchanged
+
+    # tolerances are overridable
+    loose = drift_report(base, cur, {"lang_dist": 1.0})
+    assert not next(f for f in loose if f["metric"] == "lang_dist")["drifted"]
