@@ -463,6 +463,42 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Profile a documents-shaped parquet corpus (one aggregate pass)
+    and optionally diff it against a stored baseline profile: exit 3
+    when any metric drifts beyond tolerance — the pre-training ingest
+    gate."""
+    import json
+
+    from conduit_spark import get_spark
+    from conduit_spark.analytics.quality_checks import (
+        drift_report,
+        profile_documents,
+    )
+
+    spark = get_spark("conduit-spark-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.data)
+    prof = profile_documents(df)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(prof, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out}")
+    if not args.baseline:
+        if not args.out:
+            print(json.dumps(prof, indent=1, sort_keys=True))
+        return 0
+    with open(args.baseline, encoding="utf-8") as f:
+        baseline = json.load(f)
+    report = drift_report(baseline, prof)
+    print(json.dumps(report, indent=1))
+    drifted = [f["metric"] for f in report if f["drifted"]]
+    if drifted:
+        print(f"DRIFT: {', '.join(drifted)}", file=sys.stderr)
+        return 3
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Print the effective engine configuration (the `conduit config`
     analog): env knobs, the Spark confs the session factory pins, and
@@ -1093,6 +1129,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "config", help="print the effective engine configuration"
     )
     p_cfg.set_defaults(fn=cmd_config)
+
+    p_prof = sub.add_parser(
+        "profile", help="profile a corpus; --baseline diffs for drift (exit 3)"
+    )
+    p_prof.add_argument("data", help="documents-shaped parquet path")
+    p_prof.add_argument("--out", help="write the profile JSON here")
+    p_prof.add_argument("--baseline", help="profile JSON to diff against")
+    p_prof.set_defaults(fn=cmd_profile)
 
     p_docsv = sub.add_parser(
         "docs", help="generate llms.txt from the live registries"

@@ -525,3 +525,42 @@ def test_cli_config(capsys):
     assert out["session_defaults"] == dict(_DEFAULTS)
     assert out["runtime_required"] == dict(_RUNTIME_REQUIRED)
     assert "SPARK_GRAFT_CPUS" in out["env"]
+
+
+def test_cli_profile_and_drift(spark, tmp_path, capsys):
+    """profile writes a baseline; the same corpus diffs clean (exit 0)
+    and a broken ingest exits 3 naming the drifted metrics."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from conduit_spark import cli
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    baseline = tmp_path / "baseline.json"
+    assert (
+        cli.main(
+            ["profile", "/root/testdata/sf0.001/documents.parquet",
+             "--out", str(baseline)]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert _json.loads(baseline.read_text())["n_docs"] == docs.count()
+    # identity diff: clean
+    assert (
+        cli.main(
+            ["profile", "/root/testdata/sf0.001/documents.parquet",
+             "--baseline", str(baseline)]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    # broken ingest: truncated text
+    broken_path = str(tmp_path / "broken")
+    docs.select(
+        "doc_id", F.substring("text", 1, 5).alias("text"), "lang", "source"
+    ).write.parquet(broken_path)
+    assert cli.main(["profile", broken_path, "--baseline", str(baseline)]) == 3
+    out = capsys.readouterr()
+    assert "DRIFT:" in out.err and "mean_len" in out.err
