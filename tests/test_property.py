@@ -186,3 +186,50 @@ def test_random_field_op_chains_match_dict_model(spark):
         # dropFields removes; JSON omits nulls)
         if "score" not in m:
             assert g.get("score") is None
+
+
+def test_random_changelogs_materialize_to_dict_replay(spark):
+    """Property: for ANY interleaving of create/update/delete/snapshot
+    ops over any key set, cdc_apply's keyed max_by materialization
+    equals a sequential dict replay — the invariant every CDC sink
+    (jdbc_cdc_sink, snapshot handoff, debezium round trip) rests on."""
+    import json
+
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings, strategies as st
+
+    from conduit_spark.operators.cdc import cdc_apply
+
+    op_s = st.sampled_from(["create", "update", "delete", "snapshot"])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 6), op_s, st.integers(-100, 100)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(changes):
+        # replay oracle: ops applied in sequence order
+        state: dict[int, int] = {}
+        for key, op, val in changes:
+            if op == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = val
+        rows = [
+            (i, key, op, json.dumps({"k": key, "v": val}))
+            for i, (key, op, val) in enumerate(changes)
+        ]
+        df = spark.createDataFrame(
+            rows, "seq long, k long, operation string, payload string"
+        )
+        final = cdc_apply(df, F.col("k"), F.col("seq")).collect()
+        got = {
+            r["k"]: json.loads(r["payload"])["v"]
+            for r in final
+        }
+        assert got == state
+
+    check()
