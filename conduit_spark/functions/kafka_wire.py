@@ -112,15 +112,29 @@ def _encode_record(
     return _write_varint(len(body)) + bytes(body)
 
 
+_COMPRESSION_CODES = {None: 0, "gzip": 1}
+_CODE_NAMES = {1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
 def encode_record_batch(
     records: list[dict],
     *,
     base_offset: int = 0,
     base_timestamp: int = 0,
+    compression: str | None = None,
 ) -> bytes:
     """Records (``{key: bytes|None, value: bytes|None, headers:
     dict[str, bytes], timestamp: int}``) → one RecordBatch v2
-    (uncompressed, non-transactional)."""
+    (non-transactional). ``compression="gzip"`` gzips the records
+    section and sets attribute bits 0-2 to 1, exactly as a gzip
+    producer does (the batch HEADER stays uncompressed per spec);
+    snappy/lz4/zstd need native codecs and are refused by name."""
+    if compression not in _COMPRESSION_CODES:
+        raise ValueError(
+            f"unsupported compression {compression!r}; this codec does "
+            f"{sorted(k for k in _COMPRESSION_CODES if k)} (snappy/lz4/zstd "
+            "need native libraries)"
+        )
     if not records:
         raise ValueError("a record batch holds at least one record")
     timestamps = [int(r.get("timestamp", base_timestamp)) for r in records]
@@ -136,9 +150,13 @@ def encode_record_batch(
         )
         for i, r in enumerate(records)
     )
+    if compression == "gzip":
+        import gzip as _gzip
+
+        payload = _gzip.compress(payload, mtime=0)  # deterministic frame
     # everything after the crc field, in order
     after_crc = (
-        struct.pack(">h", 0)  # attributes: no compression, create-time
+        struct.pack(">h", _COMPRESSION_CODES[compression])  # attributes
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -176,11 +194,21 @@ def decode_record_batches(data: bytes, *, verify_crc: bool = True) -> list[dict]
         # above the last surviving record's delta, and integrity is
         # already covered by the CRC over the batch body.
         (attributes,) = struct.unpack_from(">h", after_crc, 0)
-        if attributes & 0x07:
-            raise ValueError("compressed batches not supported by this decoder")
+        codec = attributes & 0x07
+        if codec not in (0, 1):
+            raise ValueError(
+                f"{_CODE_NAMES.get(codec, codec)}-compressed batches need "
+                "a native codec; this decoder does none/gzip"
+            )
         base_ts, _max_ts = struct.unpack_from(">qq", after_crc, 6)
         (record_count,) = struct.unpack_from(">i", after_crc, 36)
         at = 40
+        if codec == 1:
+            import gzip as _gzip
+
+            # CRC covers the COMPRESSED bytes (verified above); the
+            # records section alone is gzipped, the header is not
+            after_crc = after_crc[:40] + _gzip.decompress(after_crc[40:])
         for _ in range(record_count):
             rec_len, at = _read_varint(after_crc, at)
             end = at + rec_len

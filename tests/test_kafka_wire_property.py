@@ -61,3 +61,72 @@ def test_single_bitflip_detected_or_harmless(records, data):
     wire[idx] ^= 1 << bit
     with pytest.raises(ValueError):
         decode_record_batches(bytes(wire))
+
+
+def test_gzip_batches_round_trip_property():
+    """Property: gzip-compressed batches round-trip for arbitrary
+    key/value/header content; the CRC covers the compressed bytes
+    (flipping one compressed byte fails integrity, not gunzip); and
+    unsupported codecs are refused by name."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from conduit_spark.functions.kafka_wire import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    blob = st.binary(min_size=0, max_size=60)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.one_of(st.none(), blob), st.one_of(st.none(), blob)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(kvs):
+        records = [
+            {"key": k, "value": v, "headers": {"n": b"1"}, "timestamp": i}
+            for i, (k, v) in enumerate(kvs)
+        ]
+        raw = encode_record_batch(records, compression="gzip")
+        out = decode_record_batches(raw)
+        assert [(r["key"], r["value"]) for r in out] == kvs
+
+    check()
+
+    records = [{"key": b"k", "value": b"v" * 100, "headers": {}, "timestamp": 0}]
+    raw = bytearray(encode_record_batch(records, compression="gzip"))
+    raw[-1] ^= 0xFF  # corrupt one compressed byte
+    try:
+        decode_record_batches(bytes(raw))
+        raise AssertionError("expected CRC failure")
+    except ValueError as e:
+        assert "CRC32C" in str(e)
+
+    # a zstd-flagged batch is refused by name, not with a gunzip error
+    good = encode_record_batch(records)
+    body_at = 12
+    attrs_at = body_at + 9  # past partitionLeaderEpoch+magic+crc
+    patched = bytearray(good)
+    struct.pack_into(">h", patched, attrs_at, 4)  # zstd
+    # recompute crc over the patched after_crc
+    from conduit_spark.functions.kafka_wire import crc32c
+
+    after = bytes(patched[attrs_at:])
+    struct.pack_into(">I", patched, body_at + 5, crc32c(after))
+    try:
+        decode_record_batches(bytes(patched))
+        raise AssertionError("expected codec refusal")
+    except ValueError as e:
+        assert "zstd" in str(e)
+
+    try:
+        encode_record_batch(records, compression="lz4")
+        raise AssertionError("expected encode refusal")
+    except ValueError as e:
+        assert "lz4" in str(e) or "unsupported compression" in str(e)
+
