@@ -10,7 +10,9 @@ typical CDC payloads use:
 
   null, boolean, int, long (zigzag varint), float, double (IEEE LE),
   bytes, string (varint length + data), record, array, map (blocked),
-  unions, and the timestamp-micros logical type.
+  unions, enum (symbol index), fixed (raw bytes), and the
+  timestamp-micros/millis and decimal (two's-complement big-endian
+  unscaled, bytes or fixed carrier) logical types.
 
 Runs inside mapInPandas/Arrow batches — per-record Python, but only on
 the explicitly-requested avro codec path (the same boundary the
@@ -110,6 +112,45 @@ def encode_value(buf: io.BytesIO, schema, v) -> None:
             n = _ts_micros(v)
             write_long(buf, n if logical == "timestamp-micros" else n // 1000)
             return
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            # two's-complement big-endian unscaled value (Avro spec)
+            import decimal as _decimal
+
+            scale = int(schema.get("scale", 0))
+            unscaled = int(
+                (_decimal.Decimal(str(v)) * (10**scale)).to_integral_value(
+                    rounding=_decimal.ROUND_HALF_UP
+                )
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            if t == "fixed":
+                size = int(schema["size"])
+                pad = b"\xff" if unscaled < 0 else b"\x00"
+                raw = pad * (size - len(raw)) + raw
+                buf.write(raw)
+            else:
+                write_long(buf, len(raw))
+                buf.write(raw)
+            return
+        if t == "enum":
+            symbols = schema["symbols"]
+            try:
+                write_long(buf, symbols.index(v))
+            except ValueError:
+                raise AvroTypeError(
+                    f"{v!r} not in enum {schema.get('name')} {symbols}"
+                ) from None
+            return
+        if t == "fixed":
+            raw = bytes(v)
+            if len(raw) != int(schema["size"]):
+                raise AvroTypeError(
+                    f"fixed {schema.get('name')} needs {schema['size']} "
+                    f"bytes, got {len(raw)}"
+                )
+            buf.write(raw)
+            return
         if t == "record":
             for f in schema["fields"]:
                 encode_value(buf, f["type"], None if v is None else v.get(f["name"]))
@@ -178,6 +219,10 @@ def _matches(branch, v) -> bool:
     if t == "string":
         return isinstance(v, str)
     if t == "bytes":
+        if isinstance(branch, dict) and branch.get("logicalType") == "decimal":
+            import decimal as _decimal
+
+            return isinstance(v, (int, float, _decimal.Decimal))
         return isinstance(v, (bytes, bytearray))
     if t == "record":
         return isinstance(v, dict)
@@ -185,6 +230,17 @@ def _matches(branch, v) -> bool:
         return isinstance(v, (list, tuple))
     if t == "map":
         return isinstance(v, dict)
+    if t == "enum":
+        return isinstance(v, str) and v in branch.get("symbols", ())
+    if t == "fixed":
+        if isinstance(branch, dict) and branch.get("logicalType") == "decimal":
+            import decimal as _decimal
+
+            return isinstance(v, (int, float, _decimal.Decimal))
+        return (
+            isinstance(v, (bytes, bytearray))
+            and len(v) == int(branch.get("size", -1))
+        )
     return False
 
 
@@ -199,6 +255,20 @@ def decode_value(buf: io.BytesIO, schema):
             n = read_long(buf)
             us = n if logical == "timestamp-micros" else n * 1000
             return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            import decimal as _decimal
+
+            size = (
+                int(schema["size"]) if t == "fixed" else read_long(buf)
+            )
+            unscaled = int.from_bytes(buf.read(size), "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(
+                -int(schema.get("scale", 0))
+            )
+        if t == "enum":
+            return schema["symbols"][read_long(buf)]
+        if t == "fixed":
+            return buf.read(int(schema["size"]))
         if t == "record":
             return {
                 f["name"]: decode_value(buf, f["type"]) for f in schema["fields"]
