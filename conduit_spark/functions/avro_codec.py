@@ -376,6 +376,12 @@ def jsonify(v):
         return v.isoformat(sep="T")
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode()
+    import decimal as _decimal
+
+    if isinstance(v, _decimal.Decimal):
+        # plain string keeps exactness; Spark's from_json casts it
+        # back into the DecimalType the schema declares
+        return str(v)
     return v
 
 

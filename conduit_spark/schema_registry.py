@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -72,6 +73,13 @@ def struct_to_avro_schema(st: StructType, name: str = "record") -> str:
             return "bytes"
         if isinstance(dt, TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         if isinstance(dt, ArrayType):
             return {"type": "array", "items": conv(dt.elementType, field_name)}
         if isinstance(dt, MapType):
@@ -119,6 +127,10 @@ def avro_schema_to_struct(schema_json: str | dict) -> StructType:
             t = s["type"]
             if s.get("logicalType") in ("timestamp-micros", "timestamp-millis"):
                 return TimestampType()
+            if s.get("logicalType") == "decimal":
+                return DecimalType(
+                    int(s.get("precision", 38)), int(s.get("scale", 0))
+                )
             if t == "record":
                 return StructType(
                     [StructField(f["name"], conv(f["type"]), True) for f in s["fields"]]

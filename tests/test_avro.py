@@ -225,3 +225,39 @@ if _HAS_HYPOTHESIS:
 
         buf = _io.BytesIO(ac.varint_bytes(n))
         assert ac.read_long(buf) == n
+
+
+def test_decimal_column_round_trips_through_registry(spark):
+    """A Spark DecimalType column infers a decimal-logical Avro schema
+    and survives encode->decode bit-exactly through the registry path
+    (money columns are the canonical CDC payload)."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark import envelope as env
+    from conduit_spark.operators import codec_ops as ops
+    from conduit_spark.schema_registry import SchemaRegistry
+
+    df = spark.createDataFrame(
+        [(1, "9999999.99"), (2, "-0.01"), (3, "123.45")], "id long, amt string"
+    ).select("id", F.col("amt").cast("decimal(9,2)").alias("amt"))
+    e = env.from_table(df, key_cols=["id"], source_id="t", typed=True)
+    reg = SchemaRegistry()
+    enc = ops.avro_encode(e, registry=reg, subject="money")
+    schema = __import__("json").loads(reg.latest("money").schema_json)
+    amt_branch = next(
+        f for f in schema["fields"] if f["name"] == "amt"
+    )["type"]
+    dec_branch = next(
+        b for b in amt_branch if isinstance(b, dict)
+    )
+    assert dec_branch["logicalType"] == "decimal"
+    assert (dec_branch["precision"], dec_branch["scale"]) == (9, 2)
+    out = ops.avro_decode(enc, registry=reg)
+    got = {
+        r["id"]: str(r["amt"])
+        for r in out.select(
+            F.col("payload_after.id").alias("id"),
+            F.col("payload_after.amt").alias("amt"),
+        ).collect()
+    }
+    assert got == {1: "9999999.99", 2: "-0.01", 3: "123.45"}
