@@ -268,7 +268,10 @@ def cmd_inspect(args: argparse.Namespace) -> int:
     spark = get_spark("conduit-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     insp = StreamInspector(sample_per_batch=args.count)
-    p = Pipeline(spark, cfg, inspectors={args.node: insp})
+    # "--direction in" taps records ENTERING a processor (runtime key
+    # "<id>#in"); default taps records leaving the node
+    tap_key = f"{args.node}#in" if args.direction == "in" else args.node
+    p = Pipeline(spark, cfg, inspectors={tap_key: insp})
     try:
         p.run_batch()
     except PipelineFailure as e:
@@ -1051,6 +1054,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p_insp.add_argument("--id", required=True, help="pipeline id")
     p_insp.add_argument("--node", required=True, help="connector or processor id")
     p_insp.add_argument("--count", type=int, default=10)
+    p_insp.add_argument(
+        "--direction", choices=("in", "out"), default="out",
+        help="for processors: records entering vs leaving the node",
+    )
     p_insp.set_defaults(fn=cmd_inspect)
 
     p_plugins = sub.add_parser(

@@ -29,6 +29,7 @@ class PipelineMetrics:
     delivered: dict[str, int] = field(default_factory=dict)  # per destination
     nacked: int = 0
     dlq_routed: int = 0
+    dlq_bytes: int = 0  # payload bytes written to the DLQ (conduit_dlq_bytes analog)
     last_batch_duration_ms: float = 0.0
     total_duration_ms: float = 0.0
     # streaming-side (StreamingQueryListener progress)
@@ -44,6 +45,7 @@ class PipelineMetrics:
             "delivered": dict(self.delivered),
             "nacked": self.nacked,
             "dlq_routed": self.dlq_routed,
+            "dlq_bytes": self.dlq_bytes,
             "last_batch_duration_ms": round(self.last_batch_duration_ms, 3),
             "total_duration_ms": round(self.total_duration_ms, 3),
             "stream_batches": self.stream_batches,
@@ -71,6 +73,7 @@ class MetricsRegistry:
         delivered: dict[str, int] | None = None,
         nacked: int = 0,
         dlq_routed: int = 0,
+        dlq_bytes: int = 0,
         duration_ms: float = 0.0,
         failed: bool = False,
     ) -> None:
@@ -83,6 +86,7 @@ class MetricsRegistry:
                 m.delivered[dest] = m.delivered.get(dest, 0) + n
             m.nacked += nacked
             m.dlq_routed += dlq_routed
+            m.dlq_bytes += dlq_bytes
             m.last_batch_duration_ms = duration_ms
             m.total_duration_ms += duration_ms
 
@@ -122,6 +126,7 @@ _PROM_SPECS = [
     ("pipeline_failures_total", "counter", "Failed batches per pipeline", "failures"),
     ("pipeline_nacked_total", "counter", "Records nacked per pipeline", "nacked"),
     ("pipeline_dlq_total", "counter", "Records routed to the DLQ", "dlq_routed"),
+    ("pipeline_dlq_bytes_total", "counter", "Payload bytes written to the DLQ", "dlq_bytes"),
     (
         "pipeline_duration_ms_total",
         "counter",

@@ -61,6 +61,7 @@ class BatchResult:
     delivered: dict[str, int] = field(default_factory=dict)
     nacked: int = 0
     dlq_routed: int = 0
+    dlq_bytes: int = 0
     status: str = STATUS_RUNNING
 
 
@@ -195,12 +196,28 @@ class Pipeline:
                 processor failures to the DLQ regardless of whether the
                 chain is pipeline- or destination-scoped,
                 funnel/dlq.go:76-87) and enforce the window threshold."""
-                n = errored.count()
+                # one pass: count + payload bytes (conduit_dlq_bytes
+                # measures what the DLQ write carries)
+                stats = errored.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(
+                            F.coalesce(
+                                F.length(F.col("payload_after_json")),
+                                F.length(F.col("payload_after_raw")),
+                                F.lit(0),
+                            ).cast("bigint")
+                        ),
+                        F.lit(0),
+                    ).alias("b"),
+                ).collect()[0]
+                n, n_bytes = stats["n"], int(stats["b"])
                 if n == 0:
                     return 0
                 res.nacked += n
                 if dlq is not None:
                     res.dlq_routed += n
+                    res.dlq_bytes += n_bytes
                     dlq_df = errored.withColumn(
                         "metadata",
                         F.map_concat(
@@ -268,6 +285,7 @@ class Pipeline:
                 delivered=res.delivered,
                 nacked=res.nacked,
                 dlq_routed=res.dlq_routed,
+                dlq_bytes=res.dlq_bytes,
                 duration_ms=(time.monotonic() - t0) * 1000,
                 failed=not completed,
             )

@@ -261,3 +261,49 @@ pipelines:
         'conduit_connector_records_total{pipeline_id="cli-prom",destination="d"} 4'
         in text
     )
+
+
+def test_dlq_bytes_counter(spark, tmp_path):
+    """conduit_dlq_bytes analog: the registry accumulates the payload
+    bytes the DLQ write carried, and the Prometheus text exposes it."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.metrics import MetricsRegistry, prometheus_text
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    cfg = parse_yaml(
+        f"""
+version: "2.2"
+pipelines:
+  - id: dlqb
+    connectors:
+      - id: g
+        type: source
+        plugin: builtin:generator
+        settings: {{recordCount: 8, format.options: {{id: int}}}}
+      - id: out
+        type: destination
+        plugin: builtin:file
+        settings: {{path: "{tmp_path / 'out'}", format: json}}
+    processors:
+      - id: explode
+        plugin: error
+        condition: '{{{{ gt .Payload.After.id 0 }}}}'
+        settings: {{message: "boom"}}
+    dead-letter-queue:
+      plugin: builtin:file
+      settings: {{path: "{tmp_path / 'dlq'}", format: json}}
+      window-size: 100
+      window-nack-threshold: 99
+"""
+    )[0]
+    reg = MetricsRegistry()
+    Pipeline(spark, cfg, metrics=reg).run_batch()
+    m = reg.snapshot("dlqb")
+    assert m["dlq_routed"] > 0
+    assert m["dlq_bytes"] > 0
+    # bytes are payload-sized, not trivially the record count
+    assert m["dlq_bytes"] >= m["dlq_routed"] * 5
+    text = prometheus_text(reg.snapshot())
+    assert "pipeline_dlq_bytes_total" in text
