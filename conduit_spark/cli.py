@@ -466,6 +466,39 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_lifecycle(args: argparse.Namespace) -> int:
+    """start/stop/restart a pipeline BY ID against a running server
+    (`conduit pipelines start|stop` — CLI wiring over the existing
+    lifecycle RPCs, never touching config files). Graceful drain is
+    enforced server-side; exit codes mirror the HTTP statuses (409 on
+    already-running/not-running transitions → exit 2)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def post(path: str) -> tuple[int, dict]:
+        req = urllib.request.Request(
+            args.server.rstrip("/") + path, data=b"{}", method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    verbs = (
+        ["stop", "start"] if args.verb == "restart" else [args.verb]
+    )
+    for verb in verbs:
+        status, doc = post(f"/v1/pipelines/{args.id}/{verb}")
+        if status != 200:
+            print(f"{args.id}: {verb} failed: {doc.get('error')}", file=sys.stderr)
+            return 2
+        print(f"{args.id}: {doc.get('status')}")
+    return 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """Profile a documents-shaped parquet corpus (one aggregate pass)
     and optionally diff it against a stored baseline profile: exit 3
@@ -1136,6 +1169,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "config", help="print the effective engine configuration"
     )
     p_cfg.set_defaults(fn=cmd_config)
+
+    for verb in ("start", "stop", "restart"):
+        p_lc = sub.add_parser(
+            verb, help=f"{verb} a pipeline by id on a running server"
+        )
+        p_lc.add_argument("id")
+        p_lc.add_argument("--server", default="http://127.0.0.1:8080")
+        p_lc.set_defaults(fn=cmd_lifecycle, verb=verb)
 
     p_prof = sub.add_parser(
         "profile", help="profile a corpus; --baseline diffs for drift (exit 3)"

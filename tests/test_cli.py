@@ -564,3 +564,36 @@ def test_cli_profile_and_drift(spark, tmp_path, capsys):
     assert cli.main(["profile", broken_path, "--baseline", str(baseline)]) == 3
     out = capsys.readouterr()
     assert "DRIFT:" in out.err and "mean_len" in out.err
+
+
+def test_cli_lifecycle_verbs(capsys):
+    """start/stop/restart by id against a running server; transition
+    guards surface as exit 2 with the server's error."""
+    import threading
+
+    from conduit_spark import cli
+    from conduit_spark.http_api import ControlPlane, start_server
+    from conduit_spark.pipeline.config import parse_yaml
+
+    def runner(cfg, stop):
+        stop.wait(timeout=10)
+        return "stopped"
+
+    plane = ControlPlane(parse_yaml(PIPELINE_YAML), runner=runner)
+    srv = start_server(plane)
+    server = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert cli.main(["start", "demo", "--server", server]) == 0
+        assert "demo: running" in capsys.readouterr().out
+        # double start → transition guard
+        assert cli.main(["start", "demo", "--server", server]) == 2
+        assert "already running" in capsys.readouterr().err
+        assert cli.main(["restart", "demo", "--server", server]) == 0
+        out = capsys.readouterr().out
+        assert "demo: stopped" in out and "demo: running" in out
+        assert plane.status("demo") == "running"
+        assert cli.main(["stop", "demo", "--server", server]) == 0
+        capsys.readouterr()
+        assert cli.main(["start", "ghost", "--server", server]) == 2
+    finally:
+        srv.shutdown()
