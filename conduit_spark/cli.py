@@ -491,7 +491,12 @@ def cmd_lifecycle(args: argparse.Namespace) -> int:
         ["stop", "start"] if args.verb == "restart" else [args.verb]
     )
     for verb in verbs:
-        status, doc = post(f"/v1/pipelines/{args.id}/{verb}")
+        suffix = (
+            "?force=true"
+            if verb == "stop" and getattr(args, "force", False)
+            else ""
+        )
+        status, doc = post(f"/v1/pipelines/{args.id}/{verb}{suffix}")
         if status != 200:
             print(f"{args.id}: {verb} failed: {doc.get('error')}", file=sys.stderr)
             return 2
@@ -1176,6 +1181,12 @@ def _build_parser() -> argparse.ArgumentParser:
         )
         p_lc.add_argument("id")
         p_lc.add_argument("--server", default="http://127.0.0.1:8080")
+        if verb == "stop":
+            p_lc.add_argument(
+                "--force",
+                action="store_true",
+                help="skip the graceful drain (may lose in-flight records)",
+            )
         p_lc.set_defaults(fn=cmd_lifecycle, verb=verb)
 
     p_prof = sub.add_parser(

@@ -196,7 +196,12 @@ class ControlPlane:
             t.start()
             return "running"
 
-    def stop(self, pid: str) -> str:
+    def stop(self, pid: str, *, force: bool = False) -> str:
+        """Graceful stop waits for the runner to drain (join); ``force``
+        (StopPipelineRequest.force) marks the pipeline stopped
+        immediately — the daemon runner thread is abandoned, exactly
+        the in-flight-loss tradeoff the reference's stopForceful
+        makes."""
         with self._lock:
             if pid not in self._configs:
                 raise LookupError(pid)
@@ -204,6 +209,9 @@ class ControlPlane:
             if ev is not None:
                 ev.set()
             running = self._status[pid] == "running"
+            if force and running:
+                self._status[pid] = "stopped"
+                return "stopped"
         if running:
             t = self._threads.get(pid)
             if t is not None:
@@ -865,7 +873,13 @@ class _Handler(BaseHTTPRequestHandler):
         elif op == "start":
             self._send(200, {"id": groups[0], "status": plane.start(groups[0])})
         elif op == "stop":
-            self._send(200, {"id": groups[0], "status": plane.stop(groups[0])})
+            force = self.query.get("force", "").lower() in ("1", "true")
+            body = self._body() if self.headers.get("Content-Length") else {}
+            force = force or bool(body.get("force"))
+            self._send(
+                200,
+                {"id": groups[0], "status": plane.stop(groups[0], force=force)},
+            )
 
     def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
         self._dispatch("GET")

@@ -847,3 +847,35 @@ def test_inspect_in_out_directions(spark, tmp_path):
         assert status == 404  # no such connector route
     finally:
         srv.shutdown()
+
+
+def test_force_stop_skips_drain():
+    """stop?force=true marks the pipeline stopped immediately instead
+    of joining the runner's drain; the abandoned runner's eventual
+    return cannot overwrite the status."""
+    import threading
+    import time
+
+    drain_started = threading.Event()
+    release = threading.Event()
+
+    def slow_runner(cfg, stop):
+        drain_started.set()
+        release.wait(timeout=30)  # simulates a long drain
+        return "stopped"
+
+    plane = ControlPlane(_configs(), runner=slow_runner)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        assert drain_started.wait(timeout=10)
+        t0 = time.monotonic()
+        status, doc = _req(port, "POST", "/v1/pipelines/demo/stop?force=true")
+        assert status == 200 and doc["status"] == "stopped"
+        assert time.monotonic() - t0 < 5  # did not wait for the drain
+        release.set()
+        time.sleep(0.2)  # runner returns; status must stay stopped
+        assert plane.status("demo") == "stopped"
+    finally:
+        srv.shutdown()
