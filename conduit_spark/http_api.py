@@ -85,6 +85,9 @@ class ControlPlane:
         self._status: dict[str, str] = {}
         self._threads: dict[str, threading.Thread] = {}
         self._stop_events: dict[str, threading.Event] = {}
+        # why a pipeline left 'running': 'user' (stop RPC) vs 'system'
+        # (runner failure) — the reference's stopped_reason (P3/#2629)
+        self._stopped_reason: dict[str, str] = {}
         # (pipeline id, node id) -> StreamInspector; attached lazily on
         # the first /inspect call and sampled by every later run
         self._inspectors: dict[tuple[str, str], object] = {}
@@ -97,17 +100,23 @@ class ControlPlane:
 
     def list(self) -> list[dict]:
         with self._lock:
-            return [
-                pipeline_summary(c, self._status[c.id])
-                for c in self._configs.values()
-            ]
+            out = []
+            for c in self._configs.values():
+                row = pipeline_summary(c, self._status[c.id])
+                if c.id in self._stopped_reason:
+                    row["stopped_reason"] = self._stopped_reason[c.id]
+                out.append(row)
+            return out
 
     def get(self, pid: str) -> dict | None:
         with self._lock:
             c = self._configs.get(pid)
             if c is None:
                 return None
-            return pipeline_detail(c, self._status[pid])
+            doc = pipeline_detail(c, self._status[pid])
+            if pid in self._stopped_reason:
+                doc["stopped_reason"] = self._stopped_reason[pid]
+            return doc
 
     def status(self, pid: str) -> str | None:
         with self._lock:
@@ -168,6 +177,7 @@ class ControlPlane:
             stop = threading.Event()
             self._stop_events[pid] = stop
             self._status[pid] = "running"
+            self._stopped_reason.pop(pid, None)
             taps = {
                 nid: insp
                 for (p, nid), insp in self._inspectors.items()
@@ -190,6 +200,8 @@ class ControlPlane:
                 with self._lock:
                     if self._status.get(pid) == "running":
                         self._status[pid] = final
+                        if final == "failed":
+                            self._stopped_reason[pid] = "system"
 
             t = threading.Thread(target=work, daemon=True, name=f"pipeline-{pid}")
             self._threads[pid] = t
@@ -209,6 +221,8 @@ class ControlPlane:
             if ev is not None:
                 ev.set()
             running = self._status[pid] == "running"
+            if running:
+                self._stopped_reason[pid] = "user"
             if force and running:
                 self._status[pid] = "stopped"
                 return "stopped"

@@ -879,3 +879,44 @@ def test_force_stop_skips_drain():
         assert plane.status("demo") == "stopped"
     finally:
         srv.shutdown()
+
+
+def test_stopped_reason_user_vs_system():
+    """stopped_reason distinguishes a user stop from a runner failure
+    (the reference's USER/SYSTEM stop attribution) and clears on
+    restart."""
+    import threading
+
+    behaviors = {"mode": "block"}
+
+    def runner(cfg, stop):
+        if behaviors["mode"] == "crash":
+            raise RuntimeError("boom")
+        stop.wait(timeout=30)
+        return "stopped"
+
+    plane = ControlPlane(_configs(), runner=runner)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        _req(port, "POST", "/v1/pipelines/demo/stop")
+        _, doc = _req(port, "GET", "/v1/pipelines/demo")
+        assert doc["stopped_reason"] == "user"
+        _, rows = _req(port, "GET", "/v1/pipelines")
+        assert rows[0]["stopped_reason"] == "user"
+
+        behaviors["mode"] = "crash"
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        assert plane.wait("demo", timeout=30) == "failed"
+        _, doc = _req(port, "GET", "/v1/pipelines/demo")
+        assert doc["stopped_reason"] == "system"
+
+        # restart clears the attribution while running
+        behaviors["mode"] = "block"
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        _, doc = _req(port, "GET", "/v1/pipelines/demo")
+        assert "stopped_reason" not in doc
+        _req(port, "POST", "/v1/pipelines/demo/stop")
+    finally:
+        srv.shutdown()
