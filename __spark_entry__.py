@@ -123,6 +123,7 @@ _EXTENDED = (
     "q11_important_parts",  # round-4 addition
     "q21_waiting_suppliers",  # round-4 addition
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
+    "q_trending_hourly",  # round-4 addition: per-window top-K
 )
 
 GATE_CAP = 50

@@ -188,9 +188,38 @@ def q_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_K = 3
+
+
+def q_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending top-K: for every tumbling hour, the K event
+    types with the most events (ties to the smaller name) — the batch
+    form of the classic streaming dashboard query, and the scale-safe
+    top-K shape: ONE keyed agg on (hour, type), then a window
+    PARTITIONED by hour over the agg relation (24×|types| rows/day —
+    never a window over raw events), rank filter, done. At 100 TB the
+    window input is ~types-per-hour rows, not events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TRENDING_K)
+        .orderBy("hour", "rank")
+    )
+
+
 QUERIES = {
     "q_asof_attribution": q_asof_attribution,
     "q_range_value_bands": q_range_value_bands,
+    "q_trending_hourly": q_trending_hourly,
 }
 
 _BANDS_VALUES = ", ".join(
@@ -198,6 +227,21 @@ _BANDS_VALUES = ", ".join(
 )
 
 ORACLES = {
+    "q_trending_hourly": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT hour, event_type, n_events, rank FROM (
+            SELECT hour, event_type, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY hour
+                       ORDER BY n_events DESC, event_type ASC) AS BIGINT)
+                       AS rank
+            FROM hourly)
+        WHERE rank <= {TRENDING_K}
+        ORDER BY hour, rank
+    """,
     # DuckDB has native ASOF JOIN (l.ts >= r.ts picks the greatest
     # right ts per left row) — an independent implementation of the
     # same semantics, which is exactly what an oracle should be.
