@@ -1,0 +1,601 @@
+"""In-process Kafka broker + client over real TCP — public wire
+protocol, pure stdlib.
+
+Closes the "options-level only" gap on ``builtin:kafka``: with no
+broker or spark-sql-kafka jar in the sandbox, the connector's protocol
+path was previously verified only down to the RecordBatch v2 byte
+layout (``functions/kafka_wire.py``). This module adds the layer the
+reference exercises against a dockerized broker
+(conduit-connector-kafka via franz-go, reference
+`.github/workflows/test.yml:31`): request/response framing, API
+request headers, and the Produce / Fetch / Metadata / ListOffsets /
+ApiVersions exchanges, all over a real socket.
+
+Implemented API versions are deliberately the *non-flexible* (pre
+tagged-field) revisions of each API — the oldest versions every real
+client still speaks — so the framing stays byte-exact to the public
+protocol guide without KIP-482 compact encodings:
+
+  ApiVersions v0, Metadata v1, Produce v3, Fetch v4, ListOffsets v1
+
+Record payloads are RecordBatch v2 via ``kafka_wire`` (CRC32C
+verified both directions). The broker restamps ``baseOffset`` on
+append exactly like a real log (the CRC does not cover the base
+offset, so restamping is valid without re-checksumming). Key →
+partition routing uses Kafka's default partitioner hash (murmur2,
+positive-masked, mod partition count).
+
+Scale note: this broker exists for protocol verification and capture
+replay in tests and dev; on a real cluster the hot path is the JVM
+``spark-sql-kafka`` source/sink. The *client* here is also the worker
+half of the engine's jar-free wire transport (``sinks.kafka_wire_sink``
+/ ``registry`` wire source): one socket per Spark task, batched
+produces — the same per-partition connection shape a real producer
+fleet has.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from .kafka_wire import decode_record_batches, encode_record_batch
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+API_VERSIONS = 18
+
+ERR_NONE = 0
+ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+
+EARLIEST = -2
+LATEST = -1
+
+
+# ---------------------------------------------------------------------------
+# primitive wire types (non-flexible encodings)
+# ---------------------------------------------------------------------------
+
+
+def _w_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def _w_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.at = 0
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">b", self.buf, self.at)
+        self.at += 1
+        return v
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.at)
+        self.at += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.at)
+        self.at += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.at)
+        self.at += 8
+        return v
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        s = self.buf[self.at : self.at + n].decode("utf-8")
+        self.at += n
+        return s
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        b = self.buf[self.at : self.at + n]
+        self.at += n
+        return b
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (seed 0x9747b28c) — the default partitioner
+    hash, from the public Kafka client sources."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    mask = 0xFFFFFFFF
+    h = (seed ^ length) & mask
+    i = 0
+    while length - i >= 4:
+        (k,) = struct.unpack_from("<i", data, i)
+        k = (k * m) & mask
+        k ^= (k % 0x100000000) >> 24
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem == 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes | None, value: bytes | None, n_partitions: int) -> int:
+    """Default-partitioner routing: murmur2(key) positive-masked mod N.
+    Kafka's sticky partitioner picks a random partition for null keys;
+    for deterministic replay this engine hashes the value instead
+    (documented deviation — reruns land records identically)."""
+    data = key if key is not None else (value or b"")
+    return (murmur2(data) & 0x7FFFFFFF) % n_partitions
+
+
+# ---------------------------------------------------------------------------
+# broker
+# ---------------------------------------------------------------------------
+
+
+class _PartitionLog:
+    """One topic-partition: list of restamped RecordBatch frames plus
+    the record count of each, so offsets assign without re-decoding."""
+
+    def __init__(self):
+        self.batches: list[bytes] = []  # restamped frames
+        self.first_offsets: list[int] = []
+        self.next_offset = 0
+
+    def append(self, record_set: bytes) -> int:
+        """Append every batch in ``record_set``; returns the base
+        offset assigned to the first one."""
+        base = self.next_offset
+        pos = 0
+        n = len(record_set)
+        while pos + 12 <= n:
+            (_, batch_len) = struct.unpack_from(">qi", record_set, pos)
+            frame = record_set[pos : pos + 12 + batch_len]
+            pos += 12 + batch_len
+            # record count lives at a fixed header offset:
+            # 8 baseOffset + 4 length + 4 leaderEpoch + 1 magic + 4 crc
+            # + 2 attrs + 4 lastOffsetDelta + 8 firstTs + 8 maxTs
+            # + 8 producerId + 2 epoch + 4 baseSeq = 57
+            (count,) = struct.unpack_from(">i", frame, 57)
+            restamped = struct.pack(">q", self.next_offset) + frame[8:]
+            self.batches.append(restamped)
+            self.first_offsets.append(self.next_offset)
+            self.next_offset += count
+        return base
+
+    def read_from(self, offset: int, max_bytes: int) -> bytes:
+        out = bytearray()
+        for first, frame in zip(self.first_offsets, self.batches):
+            (count,) = struct.unpack_from(">i", frame, 57)
+            if first + count <= offset:
+                continue
+            if out and len(out) + len(frame) > max_bytes:
+                break
+            out += frame  # always return at least one whole batch
+        return bytes(out)
+
+
+class MiniKafkaBroker:
+    """Single-node in-memory broker. ``with MiniKafkaBroker() as b:``
+    serves on an ephemeral port; ``b.bootstrap`` is host:port. Topics
+    auto-create on first produce (``auto.create.topics.enable`` broker
+    default) with ``default_partitions`` partitions."""
+
+    node_id = 0
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, *, default_partitions: int = 2):
+        self.host = host
+        self.default_partitions = default_partitions
+        self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        self._topics: dict[str, int] = {}  # topic -> n_partitions
+        self._lock = threading.RLock()  # produce auto-creates topics under the lock
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                sock = self.request
+                while True:
+                    hdr = _recv_exact(sock, 4)
+                    if hdr is None:
+                        return
+                    (size,) = struct.unpack(">i", hdr)
+                    body = _recv_exact(sock, size)
+                    if body is None:
+                        return
+                    resp = broker._dispatch(body)
+                    sock.sendall(struct.pack(">i", len(resp)) + resp)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def start(self) -> "MiniKafkaBroker":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "MiniKafkaBroker":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def create_topic(self, topic: str, partitions: int | None = None) -> None:
+        with self._lock:
+            n = partitions or self.default_partitions
+            self._topics.setdefault(topic, n)
+            for p in range(self._topics[topic]):
+                self._logs.setdefault((topic, p), _PartitionLog())
+
+    # -- request dispatch ---------------------------------------------------
+
+    def _dispatch(self, req: bytes) -> bytes:
+        r = _Reader(req)
+        api_key = r.i16()
+        api_version = r.i16()
+        correlation_id = r.i32()
+        r.string()  # client_id
+        handlers = {
+            API_VERSIONS: (0, self._api_versions),
+            API_METADATA: (1, self._metadata),
+            API_PRODUCE: (3, self._produce),
+            API_FETCH: (4, self._fetch),
+            API_LIST_OFFSETS: (1, self._list_offsets),
+        }
+        if api_key not in handlers or api_version != handlers[api_key][0]:
+            raise ValueError(
+                f"unsupported api_key={api_key} version={api_version}; "
+                "this broker speaks ApiVersions v0, Metadata v1, "
+                "Produce v3, Fetch v4, ListOffsets v1"
+            )
+        return struct.pack(">i", correlation_id) + handlers[api_key][1](r)
+
+    def _api_versions(self, r: _Reader) -> bytes:
+        rows = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
+                (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
+        out = struct.pack(">h", ERR_NONE) + struct.pack(">i", len(rows))
+        for k, lo, hi in rows:
+            out += struct.pack(">hhh", k, lo, hi)
+        return out
+
+    def _metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        wanted = None if n < 0 else [r.string() for _ in range(n)]
+        with self._lock:
+            topics = dict(self._topics) if wanted is None else {
+                t: self._topics.get(t, 0) for t in wanted
+            }
+        out = struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", self.node_id) + _w_str(self.host)
+        out += struct.pack(">i", self.port) + _w_str(None)  # rack
+        out += struct.pack(">i", self.node_id)  # controller_id
+        out += struct.pack(">i", len(topics))
+        for t, n_parts in topics.items():
+            err = ERR_NONE if n_parts else ERR_UNKNOWN_TOPIC_OR_PARTITION
+            out += struct.pack(">h", err) + _w_str(t) + struct.pack(">?", False)
+            out += struct.pack(">i", n_parts)
+            for p in range(n_parts):
+                out += struct.pack(">hii", ERR_NONE, p, self.node_id)
+                out += struct.pack(">ii", 1, self.node_id)  # replicas
+                out += struct.pack(">ii", 1, self.node_id)  # isr
+        return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        r.string()  # transactional_id
+        r.i16()  # acks
+        r.i32()  # timeout_ms
+        n_topics = r.i32()
+        out_topics = b""
+        for _ in range(n_topics):
+            topic = r.string()
+            n_parts = r.i32()
+            part_out = b""
+            for _ in range(n_parts):
+                partition = r.i32()
+                record_set = r.bytes_() or b""
+                with self._lock:
+                    if topic not in self._topics:
+                        self.create_topic(topic)
+                    log = self._logs.get((topic, partition))
+                    if log is None:
+                        part_out += struct.pack(
+                            ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
+                        )
+                        continue
+                    base = log.append(record_set)
+                part_out += struct.pack(">ihqq", partition, ERR_NONE, base, -1)
+            out_topics += _w_str(topic) + struct.pack(">i", n_parts) + part_out
+        # Produce is the one API with throttle_time_ms LAST (v1-v8)
+        return struct.pack(">i", n_topics) + out_topics + struct.pack(">i", 0)
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait_ms
+        r.i32()  # min_bytes
+        r.i32()  # max_bytes (response-level; per-partition cap honored below)
+        r.i8()  # isolation_level
+        n_topics = r.i32()
+        out = struct.pack(">i", 0)  # throttle_time_ms (first for Fetch)
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string()
+            n_parts = r.i32()
+            out += _w_str(topic) + struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                partition = r.i32()
+                fetch_offset = r.i64()
+                part_max = r.i32()
+                with self._lock:
+                    log = self._logs.get((topic, partition))
+                    if log is None:
+                        out += struct.pack(
+                            ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
+                        ) + struct.pack(">i", 0) + _w_bytes(None)
+                        continue
+                    hwm = log.next_offset
+                    if fetch_offset > hwm:
+                        out += struct.pack(
+                            ">ihqq", partition, ERR_OFFSET_OUT_OF_RANGE, hwm, hwm
+                        ) + struct.pack(">i", 0) + _w_bytes(None)
+                        continue
+                    data = log.read_from(fetch_offset, part_max)
+                out += struct.pack(">ihqq", partition, ERR_NONE, hwm, hwm)
+                out += struct.pack(">i", 0)  # aborted_transactions: empty
+                out += _w_bytes(data)
+        return out
+
+    def _list_offsets(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        n_topics = r.i32()
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = r.string()
+            n_parts = r.i32()
+            out += _w_str(topic) + struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                partition = r.i32()
+                ts = r.i64()
+                with self._lock:
+                    log = self._logs.get((topic, partition))
+                    if log is None:
+                        out += struct.pack(
+                            ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
+                        )
+                        continue
+                    offset = 0 if ts == EARLIEST else log.next_offset
+                out += struct.pack(">ihqq", partition, ERR_NONE, -1, offset)
+        return out
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        try:
+            chunk = sock.recv(n - len(buf))
+        except (ConnectionResetError, OSError):
+            return None
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class MiniKafkaClient:
+    """Minimal producer/consumer speaking the same five APIs. One
+    connection, sequential correlation ids — the shape of one Spark
+    task's transport in the wire sink/source."""
+
+    def __init__(self, bootstrap: str, client_id: str = "conduit-spark"):
+        host, port = bootstrap.rsplit(":", 1)
+        self._sock = socket.create_connection((host, int(port)))
+        self._client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self) -> "MiniKafkaClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _call(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        self._corr += 1
+        req = (
+            struct.pack(">hhi", api_key, api_version, self._corr)
+            + _w_str(self._client_id)
+            + body
+        )
+        self._sock.sendall(struct.pack(">i", len(req)) + req)
+        hdr = _recv_exact(self._sock, 4)
+        if hdr is None:
+            raise ConnectionError("broker closed the connection")
+        (size,) = struct.unpack(">i", hdr)
+        resp = _recv_exact(self._sock, size)
+        if resp is None:
+            raise ConnectionError("truncated response")
+        r = _Reader(resp)
+        corr = r.i32()
+        if corr != self._corr:
+            raise ValueError(f"correlation id mismatch: sent {self._corr}, got {corr}")
+        return r
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._call(API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"ApiVersions error {err}")
+        out: dict[int, tuple[int, int]] = {}
+        for _ in range(r.i32()):
+            key = r.i16()
+            out[key] = (r.i16(), r.i16())
+        return out
+
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        body = struct.pack(">i", -1) if topics is None else (
+            struct.pack(">i", len(topics)) + b"".join(_w_str(t) for t in topics)
+        )
+        r = self._call(API_METADATA, 1, body)
+        brokers = []
+        for _ in range(r.i32()):
+            node = r.i32()
+            host = r.string()
+            port = r.i32()
+            rack = r.string()
+            brokers.append({"node_id": node, "host": host, "port": port, "rack": rack})
+        controller = r.i32()
+        topics_out = {}
+        for _ in range(r.i32()):
+            err = r.i16()
+            name = r.string()
+            r.i8()  # is_internal bool
+            parts = []
+            for _ in range(r.i32()):
+                p_err = r.i16()
+                idx = r.i32()
+                leader = r.i32()
+                replicas = [r.i32() for _ in range(r.i32())]
+                isr = [r.i32() for _ in range(r.i32())]
+                parts.append({"error": p_err, "partition": idx, "leader": leader,
+                              "replicas": replicas, "isr": isr})
+            topics_out[name] = {"error": err, "partitions": parts}
+        return {"brokers": brokers, "controller": controller, "topics": topics_out}
+
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        records: list[dict],
+        *,
+        compression: str | None = None,
+        acks: int = -1,
+        timeout_ms: int = 30000,
+    ) -> int:
+        record_set = encode_record_batch(records, compression=compression)
+        body = (
+            _w_str(None)  # transactional_id
+            + struct.pack(">hi", acks, timeout_ms)
+            + struct.pack(">i", 1) + _w_str(topic)
+            + struct.pack(">i", 1) + struct.pack(">i", partition)
+            + _w_bytes(record_set)
+        )
+        r = self._call(API_PRODUCE, 3, body)
+        base_offset = None
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                base = r.i64()
+                r.i64()  # log_append_time
+                if err:
+                    raise RuntimeError(f"produce error {err} on {topic}/{partition}")
+                base_offset = base
+        r.i32()  # throttle_time_ms (trailing for Produce)
+        return base_offset
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        *,
+        max_bytes: int = 16 * 1024 * 1024,
+    ) -> tuple[list[dict], int]:
+        """Returns (records, high_watermark); each record carries its
+        absolute ``offset`` plus key/value/headers/timestamp."""
+        body = (
+            struct.pack(">iiii", -1, 0, 1, max_bytes)
+            + struct.pack(">b", 0)  # isolation: read_uncommitted
+            + struct.pack(">i", 1) + _w_str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, max_bytes)
+        )
+        r = self._call(API_FETCH, 4, body)
+        r.i32()  # throttle
+        records: list[dict] = []
+        hwm = -1
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                hwm = r.i64()
+                r.i64()  # last_stable_offset
+                for _ in range(r.i32()):  # aborted_transactions
+                    r.i64(); r.i64()
+                data = r.bytes_()
+                if err == ERR_OFFSET_OUT_OF_RANGE:
+                    continue
+                if err:
+                    raise RuntimeError(f"fetch error {err} on {topic}/{partition}")
+                if data:
+                    for rec in decode_record_batches(data):
+                        if rec["offset"] >= offset:
+                            records.append(rec)
+        return records, hwm
+
+    def list_offsets(self, topic: str, partition: int, timestamp: int = LATEST) -> int:
+        body = (
+            struct.pack(">i", -1)
+            + struct.pack(">i", 1) + _w_str(topic)
+            + struct.pack(">i", 1) + struct.pack(">iq", partition, timestamp)
+        )
+        r = self._call(API_LIST_OFFSETS, 1, body)
+        offset = -1
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                r.i64()  # timestamp
+                offset = r.i64()
+                if err:
+                    raise RuntimeError(f"list_offsets error {err}")
+        return offset

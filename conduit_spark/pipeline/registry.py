@@ -566,10 +566,92 @@ def build_source(
             source_id=source_id,
         )
     if plugin == "builtin:kafka":
+        if str(settings.get("transport", "jvm")) == "wire":
+            if streaming:
+                raise ValueError(
+                    "builtin:kafka transport=wire is a batch/snapshot "
+                    "reader; continuous streams need the JVM "
+                    "spark-sql-kafka path (transport: jvm)"
+                )
+            df = kafka_wire_source_df(
+                spark, str(settings["servers"]), str(settings["topic"])
+            )
+            return envelope_from_kafka(df, source_id)
         reader = spark.readStream if streaming else spark.read
         df = reader.format("kafka").options(**kafka_reader_options(settings)).load()
         return envelope_from_kafka(df, source_id)
     raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def kafka_wire_source_df(spark, servers: str, topic: str):
+    """Jar-free ``builtin:kafka`` snapshot reader over the engine's
+    wire client: the driver resolves (partition, earliest, latest)
+    offset ranges with Metadata + ListOffsets — O(partitions) control
+    traffic only — then one Spark task per partition Fetches its range
+    over its own connection via ``mapInPandas``. That is exactly the
+    task shape of the JVM kafka source (KafkaSourceRDD: one task per
+    topic-partition fetching a bounded offset range), so the plan
+    scales with partition count; record bytes never touch the driver.
+    Output columns match the spark-sql-kafka schema subset that
+    ``envelope_from_kafka`` projects."""
+    from conduit_spark.functions.minikafka import EARLIEST, LATEST, MiniKafkaClient
+
+    server = str(servers).split(",")[0].strip()
+    schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp long"
+    )
+    with MiniKafkaClient(server) as c:
+        md = c.metadata([topic])
+        parts = [
+            p["partition"]
+            for p in md["topics"].get(topic, {"partitions": []})["partitions"]
+        ]
+        ranges = []
+        for p in parts:
+            lo = c.list_offsets(topic, p, EARLIEST)
+            hi = c.list_offsets(topic, p, LATEST)
+            if hi > lo:
+                ranges.append((p, lo, hi))
+    if not ranges:
+        return spark.createDataFrame([], schema)
+
+    range_df = spark.createDataFrame(
+        ranges, "partition int, start long, end long"
+    ).repartition(len(ranges), "partition")
+
+    def _fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples():
+                keys, vals, offs, tss = [], [], [], []
+                with MiniKafkaClient(server) as client:
+                    off = int(row.start)
+                    while off < row.end:
+                        recs, _hwm = client.fetch(topic, int(row.partition), off)
+                        if not recs:
+                            break
+                        for r in recs:
+                            if r["offset"] >= row.end:
+                                break
+                            keys.append(r["key"])
+                            vals.append(r["value"])
+                            offs.append(r["offset"])
+                            tss.append(r["timestamp"])
+                        off = recs[-1]["offset"] + 1
+                yield pd.DataFrame(
+                    {
+                        "key": keys,
+                        "value": vals,
+                        "topic": topic,
+                        "partition": int(row.partition),
+                        "offset": offs,
+                        "timestamp": tss,
+                    }
+                )
+
+    return range_df.mapInPandas(_fetch, schema)
 
 
 def kafka_reader_options(settings: dict[str, Any]) -> dict[str, str]:
@@ -688,6 +770,14 @@ def write_destination(
         )
         return
     if plugin == "builtin:kafka":
+        if str(settings.get("transport", "jvm")) == "wire":
+            sinks.kafka_wire_sink(
+                df,
+                settings["servers"],
+                settings["topic"],
+                compression=settings.get("compression"),
+            )
+            return
         sinks.kafka_sink(
             df,
             settings["servers"],

@@ -236,6 +236,63 @@ def kafka_sink(
     )
 
 
+def kafka_wire_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    batch_size: int = 500,
+    compression: str | None = None,
+) -> None:
+    """Jar-free ``builtin:kafka`` destination over the engine's own
+    wire client (``functions/minikafka.py``): envelope → key/value →
+    ``foreachPartition`` producer. Each Spark task opens ONE broker
+    connection and sends RecordBatch v2 produces of ≤``batch_size``
+    records per partition — the same per-task connection/batching
+    shape a real producer fleet has, so the plan scales with executor
+    count. Partition routing is Kafka's default-partitioner murmur2
+    on the record key (value-hash for null keys, documented in
+    ``partition_for_key``). The JVM ``format("kafka")`` path in
+    :func:`kafka_sink` remains the hot path where the spark-sql-kafka
+    jar is present; select this one with ``transport: wire``."""
+    import time
+
+    server = str(bootstrap_servers).split(",")[0].strip()
+    records = kafka_records(df)
+
+    def _send(rows) -> None:
+        from conduit_spark.functions.minikafka import (
+            MiniKafkaClient,
+            partition_for_key,
+        )
+
+        client = None
+        try:
+            buf: dict[int, list[dict]] = {}
+            n_parts = None
+            for row in rows:
+                if client is None:
+                    client = MiniKafkaClient(server)
+                    md = client.metadata([topic])
+                    parts = md["topics"].get(topic, {}).get("partitions", [])
+                    n_parts = max(1, len(parts))
+                k = bytes(row.key) if row.key is not None else None
+                v = bytes(row.value) if row.value is not None else None
+                p = partition_for_key(k, v, n_parts)
+                buf.setdefault(p, []).append(
+                    {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
+                )
+                if len(buf[p]) >= batch_size:
+                    client.produce(topic, p, buf.pop(p), compression=compression)
+            for p, recs in buf.items():
+                client.produce(topic, p, recs, compression=compression)
+        finally:
+            if client is not None:
+                client.close()
+
+    records.foreachPartition(_send)
+
+
 def training_shard_sink(
     df: DataFrame,
     path: str,

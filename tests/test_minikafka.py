@@ -1,0 +1,187 @@
+"""Protocol-level builtin:kafka verification: the in-process broker
+(`functions/minikafka.py`) speaks the public Kafka wire protocol over
+real TCP, and the engine's wire transport (sink `foreachPartition`
+producer, source `mapInPandas` per-partition fetcher) round-trips
+envelopes through it. This upgrades kafka parity from options+codec
+level to request/response level — the sandbox analog of the
+reference's dockerized broker integration tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conduit_spark.functions.minikafka import (
+    EARLIEST,
+    LATEST,
+    MiniKafkaBroker,
+    MiniKafkaClient,
+    murmur2,
+    partition_for_key,
+)
+
+
+@pytest.fixture()
+def broker():
+    with MiniKafkaBroker(default_partitions=3) as b:
+        yield b
+
+
+def test_api_versions_and_metadata(broker):
+    with MiniKafkaClient(broker.bootstrap) as c:
+        versions = c.api_versions()
+        assert versions == {0: (3, 3), 1: (4, 4), 2: (1, 1), 3: (1, 1), 18: (0, 0)}
+        broker.create_topic("t1", partitions=4)
+        md = c.metadata(["t1"])
+        assert md["controller"] == 0
+        assert md["brokers"][0]["port"] == broker.port
+        t = md["topics"]["t1"]
+        assert t["error"] == 0
+        assert [p["partition"] for p in t["partitions"]] == [0, 1, 2, 3]
+        # unknown topic reports error code 3 with no partitions
+        md2 = c.metadata(["nope"])
+        assert md2["topics"]["nope"]["error"] == 3
+        assert md2["topics"]["nope"]["partitions"] == []
+
+
+def test_produce_fetch_roundtrip_with_offset_assignment(broker):
+    with MiniKafkaClient(broker.bootstrap) as c:
+        base = c.produce(
+            "orders",
+            1,
+            [
+                {"key": b"k1", "value": b"v1", "headers": {"h": b"x"}, "timestamp": 100},
+                {"key": None, "value": b"v2", "timestamp": 101},
+            ],
+        )
+        assert base == 0
+        # second produce restamps its batch at the log end; gzip path too
+        base2 = c.produce(
+            "orders", 1, [{"key": b"k3", "value": b"v3", "timestamp": 102}],
+            compression="gzip",
+        )
+        assert base2 == 2
+        recs, hwm = c.fetch("orders", 1, 0)
+        assert hwm == 3
+        assert [(r["offset"], r["key"], r["value"]) for r in recs] == [
+            (0, b"k1", b"v1"),
+            (1, None, b"v2"),
+            (2, b"k3", b"v3"),
+        ]
+        assert recs[0]["headers"] == {"h": b"x"}
+        assert [r["timestamp"] for r in recs] == [100, 101, 102]
+        # fetch from a mid-log offset skips earlier records
+        recs2, _ = c.fetch("orders", 1, 2)
+        assert [(r["offset"], r["value"]) for r in recs2] == [(2, b"v3")]
+        assert c.list_offsets("orders", 1, EARLIEST) == 0
+        assert c.list_offsets("orders", 1, LATEST) == 3
+        # untouched sibling partition is empty, not an error
+        assert c.fetch("orders", 0, 0) == ([], 0)
+
+
+def test_fetch_beyond_hwm_is_offset_out_of_range(broker):
+    with MiniKafkaClient(broker.bootstrap) as c:
+        c.produce("t", 0, [{"key": b"a", "value": b"b"}])
+        recs, hwm = c.fetch("t", 0, 99)
+        assert recs == [] and hwm == 1
+
+
+def test_murmur2_matches_kafka_partitioner_properties():
+    # deterministic, 32-bit, and spread across partitions
+    assert murmur2(b"") == murmur2(b"")
+    vals = {murmur2(str(i).encode()) for i in range(200)}
+    assert len(vals) == 200
+    assert all(0 <= v <= 0xFFFFFFFF for v in vals)
+    parts = {partition_for_key(str(i).encode(), None, 3) for i in range(50)}
+    assert parts == {0, 1, 2}
+    # null key routes by value hash (deterministic replay, documented)
+    assert partition_for_key(None, b"v", 5) == partition_for_key(None, b"v", 5)
+
+
+def test_wire_sink_then_wire_source_roundtrip(spark, tmp_path, broker):
+    """e2e over TCP: envelopes → kafka_wire_sink (foreachPartition
+    producer) → broker log → kafka_wire_source_df (mapInPandas
+    fetcher) → envelopes. Payloads and key routing survive."""
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+    from conduit_spark.sinks import kafka_wire_sink
+
+    broker.create_topic("events", partitions=3)
+    rows = [(f"key-{i}", json.dumps({"i": i, "v": i * i})) for i in range(100)]
+    df = spark.createDataFrame(rows, "key_json string, payload_after_json string")
+    env = df.selectExpr(
+        "key_json",
+        "cast(null as binary) as key_raw",
+        "payload_after_json",
+        "cast(null as binary) as payload_after_raw",
+    )
+    kafka_wire_sink(env, broker.bootstrap, "events", batch_size=16)
+
+    out = kafka_wire_source_df(spark, broker.bootstrap, "events")
+    got = out.collect()
+    assert len(got) == 100
+    payloads = sorted(json.loads(bytes(r.value).decode())["i"] for r in got)
+    assert payloads == list(range(100))
+    # every record landed on the partition murmur2 assigns its key
+    for r in got:
+        assert r.partition == partition_for_key(bytes(r.key), None, 3)
+        assert r.topic == "events"
+    # offsets are dense per partition starting at zero
+    by_part: dict[int, list[int]] = {}
+    for r in got:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_pipeline_destination_and_source_wire_transport(spark, broker):
+    """The registry dispatch: builtin:kafka with transport=wire on
+    both sides, driven through build_source / run_destination paths."""
+    from conduit_spark.pipeline import registry
+
+    broker.create_topic("pipe", partitions=2)
+    src = spark.createDataFrame(
+        [(f"u{i}", json.dumps({"n": i})) for i in range(20)],
+        "key_json string, payload_after_json string",
+    ).selectExpr(
+        "key_json",
+        "cast(null as binary) as key_raw",
+        "payload_after_json",
+        "cast(null as binary) as payload_after_raw",
+    )
+    registry.write_destination(
+        src,
+        "builtin:kafka",
+        {"servers": broker.bootstrap, "topic": "pipe", "transport": "wire"},
+    )
+    env = registry.build_source(
+        spark,
+        "builtin:kafka",
+        {"servers": broker.bootstrap, "topic": "pipe", "transport": "wire"},
+        "ksrc",
+        streaming=False,
+    )
+    got = env.collect()
+    assert len(got) == 20
+    assert {r.operation for r in got} == {"create"}
+    ns = sorted(json.loads(bytes(r.payload_after_raw).decode())["n"] for r in got)
+    assert ns == list(range(20))
+    meta = dict(got[0].metadata)
+    assert meta["conduit.source.connector.id"] == "ksrc"
+    assert meta["kafka.topic"] == "pipe"
+    # position is topic:partition:offset — the reference's encoding
+    pos = bytes(got[0].position).decode()
+    assert pos.startswith("pipe:") and pos.count(":") == 2
+
+
+def test_wire_source_streaming_is_refused(spark, broker):
+    from conduit_spark.pipeline import registry
+
+    with pytest.raises(ValueError, match="transport=wire"):
+        registry.build_source(
+            spark,
+            "builtin:kafka",
+            {"servers": broker.bootstrap, "topic": "x", "transport": "wire"},
+            "s",
+            streaming=True,
+        )
