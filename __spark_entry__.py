@@ -76,6 +76,8 @@ _EXTENDED = (
     "p_field_exclude",  # driver-green r1-r3
     "p_json_encode",  # driver-green r1-r3; codec family kept via p_json_decode/avro
     "p_base64",  # driver-green r1-r3; displaced by s_semantic_dedup (r4 second rotation)
+    "p_unwrap_opencdc",  # driver-green r1-r3; displaced by sk_cms_topk (unwrap family kept via debezium/kafkaconnect)
+    "p_field_convert",  # driver-green r1-r3; displaced by q_funnel_conversion (field family kept via p_field_set)
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
     "sk_bloom_filter",  # mergeable OR-union bloom; sketch family holds 2 gate slots already
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct

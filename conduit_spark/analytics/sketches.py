@@ -327,9 +327,75 @@ _REL_SQL = f"""
         WHERE len(string_split(text,' ')) >= {SHINGLE_W})
 """
 
+# --- CountMin sketch + heavy hitters (Cormode & Muthukrishnan 2005) --
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # columns per row
+CMS_TOPK = 20
+
+
+def sk_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters via a CountMin sketch: a ``CMS_D × CMS_W``
+    counter table where cell ``(r, c)`` sums the counts of every token
+    with ``h_r(token) = c``; a token's estimate is the **min** across
+    its ``CMS_D`` cells, which can only over-count (collisions add,
+    never subtract). Returns the top-``CMS_TOPK`` tokens by estimate
+    with the exact count alongside, so every row self-certifies the
+    CMS guarantee ``overcount >= 0``.
+
+    Plan shape: one keyed token count (map-side partials), then the
+    sketch is built FROM that counts relation — cell(r,c) =
+    Σ n_exact over colliding tokens is identical to counting raw
+    occurrences but exchanges ≤ distinct-tokens × D rows instead of
+    corpus-tokens × D. The sketch itself is ≤ D·W = 2048 cells —
+    broadcast back to the candidate relation for the min, so the only
+    real shuffle is the token count. At 100 TB the sketch merges by
+    cell-wise sum (one O(D·W) state per partition) and the candidate
+    set comes from per-partition Misra-Gries top-k instead of the full
+    distinct relation; the md5 row hashes keep the estimate
+    bit-identical to the SQL oracle here.
+    """
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint()  # feeds both the sketch build and the probe
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+    keyed = counts.select(
+        "token",
+        "n_exact",
+        rows,
+    ).select(
+        "token",
+        "n_exact",
+        "r",
+        (
+            md5_int32(F.concat_ws("|", F.col("r"), F.col("token"))) % CMS_W
+        ).alias("c"),
+    )
+    cells = keyed.groupBy("r", "c").agg(F.sum("n_exact").alias("cell"))
+    return (
+        keyed.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            "token",
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("est") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+        .limit(CMS_TOPK)
+    )
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_bloom_filter": sk_bloom_filter,
+    "sk_cms_topk": sk_cms_topk,
     "sk_hll_distinct": sk_hll_distinct,
     "sk_hist_quantiles": sk_hist_quantiles,
 }
@@ -343,6 +409,30 @@ _HIST_EST_SQL = ",\n               ".join(
 )
 
 ORACLES = {
+    "sk_cms_topk": f"""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n_exact
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token),
+        keyed AS (
+            SELECT token, n_exact, r,
+                   ({sql_md5_int32("CAST(r AS VARCHAR) || '|' || token")}) % {CMS_W} AS c
+            FROM counts, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r)),
+        cells AS (
+            SELECT r, c, SUM(n_exact) AS cell FROM keyed GROUP BY r, c),
+        est AS (
+            SELECT keyed.token, keyed.n_exact, MIN(cells.cell) AS est
+            FROM keyed JOIN cells USING (r, c)
+            GROUP BY keyed.token, keyed.n_exact)
+        SELECT token,
+               CAST(est AS BIGINT) AS est_count,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(est - n_exact AS BIGINT) AS overcount
+        FROM est
+        ORDER BY est_count DESC, token
+        LIMIT {CMS_TOPK}
+    """,
     "sk_bloom_filter": f"""
         WITH relg AS (
             SELECT DISTINCT source, g

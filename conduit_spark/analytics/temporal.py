@@ -216,8 +216,92 @@ def q_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = [(1, "view"), (2, "click"), (3, "purchase")]
+FUNNEL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel analysis (the ClickHouse ``windowFunnel`` /
+    Amplitude conversion-funnel shape): for each user, the deepest
+    prefix of view → click → purchase completed with strictly
+    increasing timestamps inside ``FUNNEL_WINDOW_US`` of the FIRST
+    step; then the per-step user counts and conversion from step 1.
+
+    Semantics pinned exactly: step 1 anchors at the user's earliest
+    ``view``; step k+1 is the earliest qualifying event strictly after
+    step k and no later than ``t1 + window``; equal-timestamp events
+    do not advance the funnel.
+
+    Plan shape: ONE shuffle total — filter to the step types, keyed
+    ``collect_list`` per user, ``array_sort``, and the funnel state
+    machine runs as an ``aggregate`` fold inside whole-stage codegen
+    (per-user state is 3 timestamps; per-user event lists are bounded
+    by user activity, the same envelope ``q_user_sessions`` already
+    carries). The final 3-row funnel is a scalar agg over |users|
+    rows. No self-joins, no window over raw events — at 100 TB this
+    is a single keyed exchange. The oracle reaches the same numbers
+    by the independent join-chain construction (min-over-joins),
+    which is provably the same earliest-qualifying-event recurrence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    step_names = [name for _, name in FUNNEL_STEPS]
+    s_expr = F.when(F.col("event_type") == step_names[0], 1)
+    for idx, name in FUNNEL_STEPS[1:]:
+        s_expr = s_expr.when(F.col("event_type") == name, idx)
+    per_user = (
+        ev.filter(F.col("event_type").isin(step_names))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t"),
+            s_expr.alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "s"))).alias("evs"))
+    )
+    depth = F.expr(
+        f"""
+        aggregate(evs,
+          named_struct('t1', CAST(NULL AS BIGINT),
+                       't2', CAST(NULL AS BIGINT),
+                       't3', CAST(NULL AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN e.s = 1 AND acc.t1 IS NULL
+              THEN named_struct('t1', e.t, 't2', acc.t2, 't3', acc.t3)
+            WHEN e.s = 2 AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
+                 AND e.t > acc.t1 AND e.t <= acc.t1 + {FUNNEL_WINDOW_US}
+              THEN named_struct('t1', acc.t1, 't2', e.t, 't3', acc.t3)
+            WHEN e.s = 3 AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
+                 AND e.t > acc.t2 AND e.t <= acc.t1 + {FUNNEL_WINDOW_US}
+              THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', e.t)
+            ELSE acc END,
+          acc -> CASE WHEN acc.t3 IS NOT NULL THEN 3
+                      WHEN acc.t2 IS NOT NULL THEN 2
+                      WHEN acc.t1 IS NOT NULL THEN 1
+                      ELSE 0 END)
+        """
+    ).alias("depth")
+    totals = per_user.select(depth).agg(
+        *[
+            F.sum((F.col("depth") >= idx).cast("bigint")).alias(f"n{idx}")
+            for idx, _ in FUNNEL_STEPS
+        ]
+    )
+    # `totals` is a single row, so conversion rates are plain column
+    # arithmetic before the 3-row stack — no window needed anywhere.
+    stack_args = ", ".join(
+        f"CAST({idx} AS BIGINT), '{name}', CAST(n{idx} AS BIGINT), "
+        f"round(CAST(n{idx} AS DOUBLE) / CAST(n1 AS DOUBLE), 6)"
+        for idx, name in FUNNEL_STEPS
+    )
+    return totals.selectExpr(
+        f"stack({len(FUNNEL_STEPS)}, {stack_args}) "
+        "AS (step, step_name, n_users, pct_of_entry)"
+    ).orderBy("step")
+
+
 QUERIES = {
     "q_asof_attribution": q_asof_attribution,
+    "q_funnel_conversion": q_funnel_conversion,
     "q_range_value_bands": q_range_value_bands,
     "q_trending_hourly": q_trending_hourly,
 }
@@ -227,6 +311,47 @@ _BANDS_VALUES = ", ".join(
 )
 
 ORACLES = {
+    # Independent construction of the funnel recurrence: step k+1 is
+    # min(ts) over a join against step k — provably the same
+    # earliest-qualifying-event the Spark fold picks in time order.
+    "q_funnel_conversion": f"""
+        WITH t1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > t1.t1
+              AND epoch_us(e.ts) <= t1.t1 + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id),
+        t3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e
+            JOIN t2 ON e.user_id = t2.user_id
+            JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > t2.t2
+              AND epoch_us(e.ts) <= t1.t1 + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id),
+        d AS (
+            SELECT t1.user_id,
+                   CASE WHEN t3.user_id IS NOT NULL THEN 3
+                        WHEN t2.user_id IS NOT NULL THEN 2
+                        ELSE 1 END AS depth
+            FROM t1
+            LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id),
+        steps(step, step_name) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        SELECT CAST(s.step AS BIGINT) AS step,
+               s.step_name,
+               CAST((SELECT count(*) FROM d WHERE d.depth >= s.step) AS BIGINT)
+                   AS n_users,
+               round(CAST((SELECT count(*) FROM d WHERE d.depth >= s.step) AS DOUBLE)
+                     / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) AS pct_of_entry
+        FROM steps s
+        ORDER BY step
+    """,
     "q_trending_hourly": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS hour, event_type,
