@@ -65,6 +65,7 @@ def custom_subprocess(
     command: list[str],
     *,
     extra_env: dict[str, str] | None = None,
+    sandbox: dict | None = None,
 ) -> DataFrame:
     """Run records through a standalone executable (one per partition)
     speaking JSON-lines: line i of stdout answers record i of stdin
@@ -74,8 +75,14 @@ def custom_subprocess(
     the child can be any language/venv/runtime; its process boundary
     isolates user code from the executor Python. Binary envelope
     fields travel base64-encoded under the same field name; position
-    stays immutable.
+    stays immutable. ``sandbox`` applies hard rlimit caps to every
+    per-partition child (memory/CPU/output/fds/processes — the
+    resource half of the reference's wazero sandbox; see
+    ``sources.standalone.sandbox_preexec``).
     """
+    from conduit_spark.sources.standalone import sandbox_preexec
+
+    sandbox_preexec(sandbox)  # validate keys on the driver, fail fast
     import base64
 
     from pyspark.sql.types import BinaryType
@@ -120,6 +127,11 @@ def custom_subprocess(
         import subprocess
         import threading
 
+        from conduit_spark.sources.standalone import (
+            sandbox_preexec as _pe,
+            wall_killer as _wk,
+        )
+
         child_env = dict(os.environ, **(extra_env or {}))
         proc = subprocess.Popen(  # noqa: S603 — the command IS the plugin
             command,
@@ -127,7 +139,9 @@ def custom_subprocess(
             stdout=subprocess.PIPE,
             text=True,
             env=child_env,
+            preexec_fn=_pe(sandbox),
         )
+        killer = _wk(proc, sandbox)
         try:
             for pdf in batches:
                 recs = pdf.to_dict("records")
@@ -168,5 +182,7 @@ def custom_subprocess(
                 pass
             proc.terminate()
             proc.wait(timeout=10)
+            if killer is not None:
+                killer.cancel()
 
     return df.mapInPandas(run, schema)

@@ -320,8 +320,9 @@ def build_processor(
         cmd = settings["command"]
         if isinstance(cmd, str):
             cmd = cmd.split()
+        sandbox = settings.get("sandbox")
         return lambda df: _with_condition_passthrough(
-            df, c, lambda d: ops.custom_subprocess(d, list(cmd))
+            df, c, lambda d: ops.custom_subprocess(d, list(cmd), sandbox=sandbox)
         )
     if plugin == "unwrap.debezium":
         return lambda df: ops.unwrap_debezium(df, condition=c)

@@ -48,6 +48,68 @@ def _parse_command(command: Any) -> list[str]:
     return list(command)
 
 
+# --- resource sandbox (the WASM/WASI capability-cap analog) -----------
+
+# The reference runs standalone processors under wazero with hard
+# memory/fuel caps (pkg/plugin/processor/standalone); a subprocess
+# can't be capability-sandboxed the same way, but POSIX rlimits give
+# the same *resource* guarantees: a plugin cannot OOM the executor,
+# spin a CPU forever, fill the disk, or fork-bomb the node. Declared
+# per connector/processor as a ``sandbox:`` settings block.
+_RLIMIT_KEYS = {
+    "max_memory_bytes": "RLIMIT_AS",
+    "max_cpu_seconds": "RLIMIT_CPU",
+    "max_output_bytes": "RLIMIT_FSIZE",
+    "max_open_files": "RLIMIT_NOFILE",
+    "max_processes": "RLIMIT_NPROC",
+}
+_SANDBOX_KEYS = set(_RLIMIT_KEYS) | {"wall_timeout_seconds"}
+
+
+def sandbox_preexec(sandbox: dict | None):
+    """``sandbox`` settings → a ``preexec_fn`` that applies hard POSIX
+    rlimits in the child between fork and exec (both soft and hard set,
+    so the plugin cannot raise them back). Returns None when no caps
+    are declared. Unknown keys are config errors, not silent no-ops."""
+    if not sandbox:
+        return None
+    unknown = set(sandbox) - _SANDBOX_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown sandbox keys {sorted(unknown)}; "
+            f"supported: {sorted(_SANDBOX_KEYS)}"
+        )
+    caps = {
+        _RLIMIT_KEYS[k]: int(v) for k, v in sandbox.items() if k in _RLIMIT_KEYS
+    }
+    if not caps:
+        return None
+
+    def _apply() -> None:
+        import resource
+
+        for rname, lim in caps.items():
+            resource.setrlimit(getattr(resource, rname), (lim, lim))
+
+    return _apply
+
+
+def wall_killer(proc, sandbox: dict | None):
+    """Arm a wall-clock kill timer (``wall_timeout_seconds``) for a
+    plugin child; returns the timer (or None) — cancel on clean exit.
+    rlimit CPU time doesn't cover a plugin that simply *hangs*; this
+    does."""
+    import threading
+
+    seconds = (sandbox or {}).get("wall_timeout_seconds")
+    if not seconds:
+        return None
+    t = threading.Timer(float(seconds), proc.kill)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _decode_envelope(obj: dict) -> tuple:
     """JSON envelope object → a row tuple in ENVELOPE_SCHEMA order."""
     vals = []
@@ -90,6 +152,7 @@ def standalone_source(
     settings: dict | None = None,
     source_id: str = "standalone",
     num_partitions: int | None = None,
+    sandbox: dict | None = None,
 ) -> DataFrame:
     """Run a standalone source plugin to completion and return its
     records as an envelope DataFrame.
@@ -97,14 +160,19 @@ def standalone_source(
     The child is spawned on the driver (one process per connector —
     dispenser.go's model), configured with one JSON line, and its
     stdout is drained until EOF. A non-zero exit fails the source.
+    ``sandbox`` caps the child's resources (see :func:`sandbox_preexec`).
     """
     cmd = _parse_command(command)
+    settings = dict(settings or {})
+    sandbox = sandbox or settings.pop("sandbox", None)
     proc = subprocess.Popen(  # noqa: S603 — the command IS the plugin
         cmd,
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
         text=True,
+        preexec_fn=sandbox_preexec(sandbox),
     )
+    killer = wall_killer(proc, sandbox)
     rows = []
     try:
         proc.stdin.write(
@@ -127,6 +195,8 @@ def standalone_source(
     finally:
         proc.stdout.close()
         rc = proc.wait(timeout=30)
+        if killer is not None:
+            killer.cancel()
     if rc != 0:
         raise RuntimeError(
             f"standalone source {cmd[0]} exited {rc} after {len(rows)} records"
@@ -143,6 +213,7 @@ def standalone_sink(
     *,
     settings: dict | None = None,
     connector_id: str = "standalone",
+    sandbox: dict | None = None,
 ) -> None:
     """Deliver an envelope DataFrame to a standalone destination
     plugin: one child process per PARTITION (executor-side — write
@@ -152,20 +223,32 @@ def standalone_sink(
     A nack or a child death raises, failing the batch — the runtime's
     recovery path (rerun / restart_with_backoff) then redelivers, so
     plugins should make writes idempotent per batch like the built-in
-    file sink's ``batch_id=N`` convention.
+    file sink's ``batch_id=N`` convention. ``sandbox`` rlimit caps
+    apply to EVERY per-partition child (see :func:`sandbox_preexec`);
+    the dict ships to executors inside the closure and the preexec is
+    rebuilt there, so caps hold on every node.
     """
     cmd = _parse_command(command)
+    settings = dict(settings or {})
+    sandbox = sandbox or settings.pop("sandbox", None)
+    sandbox_preexec(sandbox)  # validate keys on the driver, fail fast
     conf_line = json.dumps(
-        {"cmd": "configure", "settings": settings or {}, "connector_id": connector_id}
+        {"cmd": "configure", "settings": settings, "connector_id": connector_id}
     )
 
     def feed_partition(rows) -> None:
         import subprocess as sp
         import threading
 
-        proc = sp.Popen(  # noqa: S603
-            cmd, stdin=sp.PIPE, stdout=sp.PIPE, text=True
+        from conduit_spark.sources.standalone import (
+            sandbox_preexec as _pe,
+            wall_killer as _wk,
         )
+
+        proc = sp.Popen(  # noqa: S603
+            cmd, stdin=sp.PIPE, stdout=sp.PIPE, text=True, preexec_fn=_pe(sandbox)
+        )
+        killer = _wk(proc, sandbox)
         sent = 0
         acked = 0
         err: list[str] = []
@@ -193,6 +276,8 @@ def standalone_sink(
             acked += 1
         t.join()
         rc = proc.wait(timeout=30)
+        if killer is not None:
+            killer.cancel()
         if err:
             raise RuntimeError(
                 f"standalone destination {cmd[0]}: {len(err)} nacks "

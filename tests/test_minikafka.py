@@ -185,3 +185,45 @@ def test_wire_source_streaming_is_refused(spark, broker):
             "s",
             streaming=True,
         )
+
+
+# --- property: arbitrary record streams survive the full TCP path ----
+
+from hypothesis import given, settings as hsettings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_blob = st.one_of(st.none(), st.binary(max_size=48))
+_record = st.fixed_dictionaries(
+    {
+        "key": _blob,
+        "value": _blob,
+        "headers": st.dictionaries(st.text(max_size=8), _blob, max_size=3),
+        "timestamp": st.integers(min_value=0, max_value=2**40),
+    }
+)
+
+
+@hsettings(max_examples=25, deadline=None)
+@given(batches=st.lists(st.lists(_record, min_size=1, max_size=8), min_size=1, max_size=5))
+def test_property_any_records_roundtrip_broker(batches):
+    """Every produce/fetch round-trip through the socket preserves
+    records exactly and assigns dense offsets across batches."""
+    with MiniKafkaBroker(default_partitions=1) as b, MiniKafkaClient(b.bootstrap) as c:
+        expected = []
+        for batch in batches:
+            base = c.produce("t", 0, batch)
+            assert base == len(expected)
+            expected.extend(batch)
+        got, hwm = c.fetch("t", 0, 0)
+        assert hwm == len(expected)
+        assert len(got) == len(expected)
+        for orig, dec in zip(expected, got):
+            assert dec["key"] == (bytes(orig["key"]) if orig["key"] is not None else None)
+            assert dec["value"] == (
+                bytes(orig["value"]) if orig["value"] is not None else None
+            )
+            assert dec["timestamp"] == orig["timestamp"]
+            assert dec["headers"] == {
+                k: (bytes(v) if v is not None else None)
+                for k, v in orig["headers"].items()
+            }

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import pytest
 
@@ -197,3 +198,99 @@ def test_destination_nack_raises(spark, plugins, tmp_path):
     ).coalesce(1)
     with pytest.raises(Exception, match="nack"):
         standalone_sink(env_df, [sys.executable, "-u", str(nacker)])
+
+
+# --- resource sandbox (rlimit caps — the WASM capability-cap analog) --
+
+
+def test_sandbox_memory_cap_kills_hungry_source(spark, tmp_path):
+    """A plugin that tries to allocate past max_memory_bytes dies
+    (MemoryError or startup failure under the cap) and the source
+    surfaces it as a failed read, not silence."""
+    hog = tmp_path / "hog.py"
+    hog.write_text(
+        "import sys\n"
+        "sys.stdin.readline()\n"
+        "b = bytearray(1024 * 1024 * 1024)\n"  # 1 GiB vs 512 MiB cap
+        "print('{}')\n"
+    )
+    with pytest.raises(RuntimeError, match="exited"):
+        standalone_source(
+            spark,
+            [sys.executable, "-u", str(hog)],
+            sandbox={"max_memory_bytes": 512 * 1024 * 1024},
+        )
+
+
+def test_sandbox_cpu_cap_kills_spinner(spark, tmp_path):
+    spinner = tmp_path / "spin.py"
+    spinner.write_text(
+        "import sys\nsys.stdin.readline()\nwhile True: pass\n"
+    )
+    with pytest.raises(RuntimeError, match="exited"):
+        standalone_source(
+            spark,
+            [sys.executable, "-u", str(spinner)],
+            sandbox={"max_cpu_seconds": 1},
+        )
+
+
+def test_sandbox_wall_timeout_kills_hung_source(spark, tmp_path):
+    """rlimits don't catch a plugin that blocks forever without
+    burning CPU; wall_timeout_seconds does."""
+    sleeper = tmp_path / "sleep.py"
+    sleeper.write_text(
+        "import sys, time\nsys.stdin.readline()\ntime.sleep(600)\n"
+    )
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="exited"):
+        standalone_source(
+            spark,
+            [sys.executable, "-u", str(sleeper)],
+            sandbox={"wall_timeout_seconds": 2},
+        )
+    assert time.monotonic() - t0 < 60
+
+
+def test_sandbox_unknown_key_is_config_error(spark, plugins):
+    src, _ = plugins
+    with pytest.raises(ValueError, match="unknown sandbox keys"):
+        standalone_source(
+            spark,
+            [sys.executable, "-u", src],
+            sandbox={"max_memory": 1},  # typo'd key must not no-op
+        )
+
+
+def test_sandbox_passes_through_settings_block(spark, plugins):
+    """sandbox declared inside settings: (the YAML route) is consumed
+    by the engine, NOT forwarded to the child, and a well-behaved
+    plugin runs to completion under generous caps."""
+    src, _ = plugins
+    df = standalone_source(
+        spark,
+        [sys.executable, "-u", src],
+        settings={
+            "recordCount": 3,
+            "sandbox": {"max_cpu_seconds": 60, "wall_timeout_seconds": 120},
+        },
+    )
+    assert len(df.collect()) == 3
+
+
+def test_sandbox_applies_to_custom_subprocess_processor(spark, tmp_path):
+    """The processor route (custom.standalone → custom_subprocess)
+    enforces the same caps: a spinning child dies under the CPU cap
+    and the task fails instead of hanging the executor."""
+    from conduit_spark.operators import custom_subprocess
+
+    spinner = tmp_path / "spin_proc.py"
+    spinner.write_text("while True: pass\n")
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS payload_after_json")
+    out = custom_subprocess(
+        df,
+        [sys.executable, "-u", str(spinner)],
+        sandbox={"max_cpu_seconds": 1},
+    )
+    with pytest.raises(Exception, match="closed stdout|SparkException|Py4J"):
+        out.collect()
