@@ -126,6 +126,7 @@ _EXTENDED = (
     "q21_waiting_suppliers",  # round-4 addition
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
     "q_trending_hourly",  # round-4 addition: per-window top-K
+    "q_value_outliers",  # round-4 addition: z-score anomaly scan (broadcast moments)
 )
 
 GATE_CAP = 50

@@ -498,6 +498,59 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Z = 3.0
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: events whose value sits
+    more than ``OUTLIER_Z`` sample standard deviations from their
+    type's mean — the classic monitoring/data-cleaning scan.
+
+    Exactness across engines: the moments are EXACT DECIMAL sums
+    (sum and sum-of-squares of DECIMAL(18,2) values), cast to double
+    only once, and the mean/variance/z formulas are textually
+    identical in Spark and the oracle — so every double on both sides
+    goes through the same IEEE-754 operation sequence and the rounded
+    z-scores agree bit-for-bit.
+
+    Plan shape: one keyed agg (|event_type| rows of O(1) moment
+    state — mergeable partials, the Welford-free two-moment form),
+    broadcast back to the fact scan for the z filter. At 100 TB this
+    is one scan + one broadcast; nothing shuffles the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).cast("double").alias("sv"),
+            F.sum(d * d).cast("double").alias("sq"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sv") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("sq") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+    )
+    z = (F.col("value").cast("double") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > OUTLIER_Z)
+        .orderBy("event_id")
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (binning is pure integer
     arithmetic — one scan, one tiny shuffle)."""
@@ -921,6 +974,7 @@ QUERIES = {
     "q22_idle_customers": q22_idle_customers,
     "q_value_percentiles": q_value_percentiles,
     "q_value_histogram": q_value_histogram,
+    "q_value_outliers": q_value_outliers,
     "q14_promo_revenue": q14_promo_revenue,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q8_market_share": q8_market_share,
@@ -1087,6 +1141,29 @@ ORACLES = {
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.75) AS p75
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q_value_outliers": f"""
+        WITH s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+            FROM events GROUP BY event_type),
+        st AS (
+            SELECT event_type, n, sv / n AS mean,
+                   sqrt((sq - sv * sv / n) / (n - 1)) AS sd
+            FROM s),
+        z AS (
+            SELECT e.event_id, e.event_type,
+                   CAST(e.value AS DOUBLE) AS value,
+                   round((CAST(e.value AS DOUBLE) - st.mean) / st.sd, 6)
+                       AS z_score
+            FROM events e JOIN st USING (event_type))
+        SELECT event_id, event_type, value, z_score
+        FROM z
+        WHERE abs(z_score) > {OUTLIER_Z}
+        ORDER BY event_id
     """,
     "q_value_histogram": """
         SELECT least(greatest(CAST(floor(value / 20.0) AS INT) + 1, 0), 11) AS bucket,

@@ -111,3 +111,36 @@ def session_aggregate(
         F.col(k) for k in (keys or [])
     ]
     return df.groupBy(*group).agg(*aggs)
+
+
+def watermark_dedup(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once dedup on the JVM state store:
+    drop records whose ``keys`` already arrived within the watermark
+    horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the built-in fast path for delivery dedup — redeliveries
+    after a retry/restart land within seconds of the original, so a
+    modest watermark suppresses them while state stays bounded by the
+    horizon (unlike plain streaming ``dropDuplicates``, whose state
+    grows forever). For dedup that must span arbitrary time (or needs
+    a custom TTL/audit trail), use ``stateful.running_dedup_state`` —
+    that one keeps explicit per-key state in Python. On a batch
+    DataFrame this degrades to plain ``dropDuplicates(keys)`` over the
+    whole input, which is the batch-equality oracle for the streaming
+    semantics.
+
+    Reference context: conduit guarantees at-least-once delivery and
+    leaves exact-once to idempotent destinations; this operator is the
+    engine-side suppression half of that contract.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)

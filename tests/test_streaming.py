@@ -482,3 +482,45 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     )
     assert len(collected) > 0
     assert sorted(map(tuple, collected)) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_dedup_suppresses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark route: duplicates of (k) inside
+    the watermark horizon are suppressed; the batch form of the same
+    call equals plain dropDuplicates (the semantics oracle)."""
+    from conduit_spark.streaming.windows import watermark_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01 10:00:00", "p": "v1"},
+        {"k": "a", "ts": "2024-01-01 10:00:05", "p": "v1-redelivered"},
+        {"k": "b", "ts": "2024-01-01 10:00:10", "p": "v2"},
+        {"k": "b", "ts": "2024-01-01 10:00:11", "p": "v2-redelivered"},
+        {"k": "c", "ts": "2024-01-01 10:09:00", "p": "v3"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "k string, ts timestamp, p string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = watermark_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    results = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _id: results.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.k for r in results) == ["a", "b", "c"]
+    # first arrival wins; the redelivered payloads never surface
+    assert {r.k: r.p for r in results} == {"a": "v1", "b": "v2", "c": "v3"}
+
+    # batch degradation = plain dropDuplicates over the whole input
+    batch = spark.createDataFrame(
+        [(r["k"], r["p"]) for r in rows], "k string, p string"
+    )
+    got = watermark_dedup(batch, ["k"]).select("k").distinct().count()
+    assert got == 3
