@@ -319,7 +319,9 @@ def build_processor(
         _require(settings, "command")
         cmd = settings["command"]
         if isinstance(cmd, str):
-            cmd = cmd.split()
+            import shlex
+
+            cmd = shlex.split(cmd)  # quoted args (e.g. -c "…") stay whole
         sandbox = settings.get("sandbox")
         return lambda df: _with_condition_passthrough(
             df, c, lambda d: ops.custom_subprocess(d, list(cmd), sandbox=sandbox)

@@ -259,7 +259,10 @@ class Pipeline:
                     settings["mode"] = "overwrite"  # replays overwrite, not dup
                 final = routed_ok.drop(ERROR_COL)
                 self._tap(dest.id, final)
-                if dest.plugin in ("builtin:log", "custom.standalone"):
+                if dest.plugin in (
+                    "builtin:log",
+                    "custom.standalone",
+                ) or dest.plugin.startswith("standalone:"):
                     # show(n) short-circuits the scan, and the
                     # standalone sink delivers via foreachPartition (an
                     # RDD action that never fires the Dataset

@@ -254,43 +254,60 @@ def kafka_wire_sink(
     on the record key (value-hash for null keys, documented in
     ``partition_for_key``). The JVM ``format("kafka")`` path in
     :func:`kafka_sink` remains the hot path where the spark-sql-kafka
-    jar is present; select this one with ``transport: wire``."""
-    import time
+    jar is present; select this one with ``transport: wire``.
 
-    server = str(bootstrap_servers).split(",")[0].strip()
+    Implementation note: the per-partition producer runs as
+    ``mapInPandas`` + a noop Dataset write rather than
+    ``foreachPartition`` — an RDD action would never fire the
+    runtime's delivery ``Observation`` (CollectMetrics only flows
+    through Dataset actions), deadlocking ``Pipeline._deliver``."""
     records = kafka_records(df)
 
-    def _send(rows) -> None:
+    def _send(batches):
+        import time
+
+        import pandas as pd
+
         from conduit_spark.functions.minikafka import (
             MiniKafkaClient,
             partition_for_key,
         )
 
         client = None
+        n_sent = 0
         try:
             buf: dict[int, list[dict]] = {}
-            n_parts = None
-            for row in rows:
-                if client is None:
-                    client = MiniKafkaClient(server)
-                    md = client.metadata([topic])
-                    parts = md["topics"].get(topic, {}).get("partitions", [])
-                    n_parts = max(1, len(parts))
-                k = bytes(row.key) if row.key is not None else None
-                v = bytes(row.value) if row.value is not None else None
-                p = partition_for_key(k, v, n_parts)
-                buf.setdefault(p, []).append(
-                    {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
-                )
-                if len(buf[p]) >= batch_size:
-                    client.produce(topic, p, buf.pop(p), compression=compression)
+            n_parts = 1
+            for pdf in batches:
+                for row in pdf.itertuples():
+                    if client is None:
+                        client = MiniKafkaClient(server)
+                        md = client.metadata([topic])
+                        parts = md["topics"].get(topic, {}).get("partitions", [])
+                        n_parts = max(1, len(parts))
+                    k = bytes(row.key) if row.key is not None else None
+                    v = bytes(row.value) if row.value is not None else None
+                    p = partition_for_key(k, v, n_parts)
+                    buf.setdefault(p, []).append(
+                        {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
+                    )
+                    n_sent += 1
+                    if len(buf[p]) >= batch_size:
+                        client.produce(topic, p, buf.pop(p), compression=compression)
             for p, recs in buf.items():
                 client.produce(topic, p, recs, compression=compression)
         finally:
             if client is not None:
                 client.close()
+        yield pd.DataFrame({"n_sent": [n_sent]})
 
-    records.foreachPartition(_send)
+    server = str(bootstrap_servers).split(",")[0].strip()
+    (
+        records.mapInPandas(_send, "n_sent long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def training_shard_sink(

@@ -227,3 +227,41 @@ def test_property_any_records_roundtrip_broker(batches):
                 k: (bytes(v) if v is not None else None)
                 for k, v in orig["headers"].items()
             }
+
+
+def test_pipeline_runtime_delivery_counts_wire_destination(spark, broker):
+    """Regression: the runtime's delivery Observation only fires on
+    Dataset actions, so a foreachPartition-based sink deadlocks
+    Pipeline._deliver. The wire sink must deliver via mapInPandas +
+    Dataset write and report an accurate count through run_batch."""
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    broker.create_topic("rt", partitions=2)
+    cfg = parse_yaml(
+        f"""
+version: "2.2"
+pipelines:
+  - id: wire-rt
+    connectors:
+      - id: gen
+        type: source
+        plugin: builtin:generator
+        settings:
+          recordCount: 40
+          format.options: {{id: int, name: string}}
+      - id: out
+        type: destination
+        plugin: builtin:kafka
+        settings:
+          servers: {broker.bootstrap}
+          topic: rt
+          transport: wire
+"""
+    )[0]
+    res = Pipeline(spark, cfg).run_batch()
+    assert res.delivered == {"out": 40}
+    assert res.nacked == 0
+    with MiniKafkaClient(broker.bootstrap) as c:
+        total = sum(c.list_offsets("rt", p, LATEST) for p in (0, 1))
+    assert total == 40
