@@ -220,6 +220,36 @@ FUNNEL_STEPS = [(1, "view"), (2, "click"), (3, "purchase")]
 FUNNEL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
 
 
+def funnel_depth_expr(window_us: int | None = None) -> str:
+    """The funnel state machine as one ``aggregate()`` fold over a
+    sorted ``evs: array<struct<t bigint, s int>>`` column — shared by
+    :func:`q_funnel_conversion` and the semantics property test so the
+    two cannot drift. Step 1 anchors at the earliest step-1 event;
+    step k+1 is the earliest qualifying event strictly after step k
+    within ``window_us`` of the anchor."""
+    w = FUNNEL_WINDOW_US if window_us is None else int(window_us)
+    return f"""
+        aggregate(evs,
+          named_struct('t1', CAST(NULL AS BIGINT),
+                       't2', CAST(NULL AS BIGINT),
+                       't3', CAST(NULL AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN e.s = 1 AND acc.t1 IS NULL
+              THEN named_struct('t1', e.t, 't2', acc.t2, 't3', acc.t3)
+            WHEN e.s = 2 AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
+                 AND e.t > acc.t1 AND e.t <= acc.t1 + {w}
+              THEN named_struct('t1', acc.t1, 't2', e.t, 't3', acc.t3)
+            WHEN e.s = 3 AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
+                 AND e.t > acc.t2 AND e.t <= acc.t1 + {w}
+              THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', e.t)
+            ELSE acc END,
+          acc -> CASE WHEN acc.t3 IS NOT NULL THEN 3
+                      WHEN acc.t2 IS NOT NULL THEN 2
+                      WHEN acc.t1 IS NOT NULL THEN 1
+                      ELSE 0 END)
+    """
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel analysis (the ClickHouse ``windowFunnel`` /
     Amplitude conversion-funnel shape): for each user, the deepest
@@ -258,28 +288,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.array_sort(F.collect_list(F.struct("t", "s"))).alias("evs"))
     )
-    depth = F.expr(
-        f"""
-        aggregate(evs,
-          named_struct('t1', CAST(NULL AS BIGINT),
-                       't2', CAST(NULL AS BIGINT),
-                       't3', CAST(NULL AS BIGINT)),
-          (acc, e) -> CASE
-            WHEN e.s = 1 AND acc.t1 IS NULL
-              THEN named_struct('t1', e.t, 't2', acc.t2, 't3', acc.t3)
-            WHEN e.s = 2 AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
-                 AND e.t > acc.t1 AND e.t <= acc.t1 + {FUNNEL_WINDOW_US}
-              THEN named_struct('t1', acc.t1, 't2', e.t, 't3', acc.t3)
-            WHEN e.s = 3 AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
-                 AND e.t > acc.t2 AND e.t <= acc.t1 + {FUNNEL_WINDOW_US}
-              THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', e.t)
-            ELSE acc END,
-          acc -> CASE WHEN acc.t3 IS NOT NULL THEN 3
-                      WHEN acc.t2 IS NOT NULL THEN 2
-                      WHEN acc.t1 IS NOT NULL THEN 1
-                      ELSE 0 END)
-        """
-    ).alias("depth")
+    depth = F.expr(funnel_depth_expr()).alias("depth")
     totals = per_user.select(depth).agg(
         *[
             F.sum((F.col("depth") >= idx).cast("bigint")).alias(f"n{idx}")

@@ -104,3 +104,59 @@ def test_asof_ties_pick_max_struct(spark):
         left, right, on=["k"], left_ts="ts", right_ts="ts"
     ).collect()
     assert row["r_val"] == 9
+
+
+# --- funnel semantics property ---------------------------------------
+
+
+def _funnel_reference(events, window_us):
+    """Independent per-user reference: scan (t, s) in sorted order with
+    the pinned recurrence (strictly-increasing, first-step-anchored
+    window) — the third implementation the Spark fold and the SQL
+    join-chain oracle must both agree with."""
+    t1 = t2 = t3 = None
+    for t, s in sorted(events):
+        if s == 1 and t1 is None:
+            t1 = t
+        elif s == 2 and t1 is not None and t2 is None and t1 < t <= t1 + window_us:
+            t2 = t
+        elif s == 3 and t2 is not None and t3 is None and t2 < t <= t1 + window_us:
+            t3 = t
+    return 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+
+
+def test_funnel_fold_matches_reference_on_adversarial_streams(spark):
+    """Randomized (seeded) event streams with heavy ties and
+    out-of-window gaps: the Spark aggregate() fold must equal the
+    plain-Python reference for every user."""
+    import random
+
+    rng = random.Random(20260814)
+    win = temporal.FUNNEL_WINDOW_US
+    rows = []
+    expected = {}
+    for uid in range(60):
+        n = rng.randint(0, 12)
+        evs = []
+        for _ in range(n):
+            # timestamps cluster tightly (ties!) or jump past the window
+            t = rng.choice(
+                [rng.randint(0, 5), rng.randint(0, 3) * win, win + rng.randint(-2, 2)]
+            )
+            s = rng.randint(1, 3)
+            evs.append((t, s))
+        expected[uid] = _funnel_reference(evs, win)
+        rows += [(uid, t, s) for t, s in evs]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, t long, s int")
+    per_user = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "s"))).alias("evs")
+    )
+    depth_expr = temporal.funnel_depth_expr(win)
+    got = {
+        r.user_id: r.depth
+        for r in per_user.select("user_id", F.expr(depth_expr).alias("depth")).collect()
+    }
+    active = {u: d for u, d in expected.items() if u in got}
+    assert got == active
