@@ -80,6 +80,10 @@ class ControlPlane:
         live_restart_apply: bool = False,
     ) -> None:
         self.live_restart_apply = live_restart_apply
+        # readiness flag for /readyz: constructed planes are ready (the
+        # in-memory store provisions inside __init__); embedders that
+        # provision asynchronously set it False until done
+        self.ready = True
         self._lock = threading.Lock()
         self._configs: dict[str, PipelineConfig] = {}
         self._status: dict[str, str] = {}
@@ -629,6 +633,8 @@ class ControlPlane:
 
 _ROUTES = [
     ("POST", re.compile(r"^/mcp$"), "mcp"),
+    ("GET", re.compile(r"^/healthz$"), "healthz"),
+    ("GET", re.compile(r"^/readyz$"), "readyz"),
     ("GET", re.compile(r"^/info$"), "info"),
     ("GET", re.compile(r"^/v1/metrics$"), "metrics"),
     ("GET", re.compile(r"^/metrics$"), "prometheus"),
@@ -729,6 +735,56 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
             else:
                 self._send(200, resp)
+        elif op == "healthz":
+            # liveness (docs/health_check.md): process alive + state
+            # store reachable. The in-memory store's liveness analog is
+            # taking the registry lock; ?service= checks one service by
+            # name exactly like the reference's per-service probe.
+            svc = self.query.get("service")
+            known = {
+                "PipelineService",
+                "ConnectorService",
+                "ProcessorService",
+                "PluginService",
+            }
+            if svc is not None and svc not in known:
+                self._send(
+                    404, {"status": "NOT_FOUND", "error": f"unknown service {svc}"}
+                )
+            else:
+                with plane._lock:  # state-store round-trip
+                    pass
+                self._send(200, {"status": "SERVING"})
+        elif op == "readyz":
+            # readiness: degraded pipelines are reported, NOT a 503 —
+            # the engine can still serve (docs/health_check.md)
+            if not getattr(plane, "ready", True):
+                self._send(503, {"status": "starting"})
+            else:
+                rows = plane.list()
+                degraded = [
+                    {
+                        "id": r["id"],
+                        "status": r["status"],
+                        "error": r.get("error") or r.get("stopped_reason"),
+                    }
+                    for r in rows
+                    if r["status"] == "degraded"
+                ]
+                self._send(
+                    200,
+                    {
+                        "status": "ready",
+                        "pipelines": {
+                            "total": len(rows),
+                            "running": sum(
+                                1 for r in rows if r["status"] == "running"
+                            ),
+                            "degraded": len(degraded),
+                            "degradedPipelines": degraded,
+                        },
+                    },
+                )
         elif op == "info":
             import platform
 

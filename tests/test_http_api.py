@@ -920,3 +920,44 @@ def test_stopped_reason_user_vs_system():
         _req(port, "POST", "/v1/pipelines/demo/stop")
     finally:
         srv.shutdown()
+
+
+# --- health/readiness probes (docs/health_check.md) -------------------
+
+
+def test_healthz_liveness_and_service_probe(plane_and_port):
+    _, port, _ = plane_and_port
+    status, body = _req(port, "GET", "/healthz")
+    assert (status, body) == (200, {"status": "SERVING"})
+    status, body = _req(port, "GET", "/healthz?service=PipelineService")
+    assert (status, body) == (200, {"status": "SERVING"})
+    status, body = _req(port, "GET", "/healthz?service=NopeService")
+    assert status == 404
+    assert body["status"] == "NOT_FOUND"
+
+
+def test_readyz_reports_degraded_without_503(plane_and_port):
+    plane, port, _ = plane_and_port
+    status, body = _req(port, "GET", "/readyz")
+    assert status == 200
+    assert body["status"] == "ready"
+    assert body["pipelines"]["total"] >= 1
+    assert body["pipelines"]["degraded"] == 0
+    # a degraded pipeline is REPORTED but the engine stays ready
+    pid = plane.list()[0]["id"]
+    with plane._lock:
+        plane._status[pid] = "degraded"
+    status, body = _req(port, "GET", "/readyz")
+    assert status == 200
+    assert body["pipelines"]["degraded"] == 1
+    assert body["pipelines"]["degradedPipelines"][0]["id"] == pid
+
+
+def test_readyz_starting_is_503(plane_and_port):
+    plane, port, _ = plane_and_port
+    plane.ready = False
+    try:
+        status, body = _req(port, "GET", "/readyz")
+        assert (status, body) == (503, {"status": "starting"})
+    finally:
+        plane.ready = True
