@@ -42,6 +42,7 @@ import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from conduit_spark.errors import ConduitError
 from conduit_spark.pipeline.config import PipelineConfig, parse_pipeline_dict
 from conduit_spark.pipeline.views import pipeline_detail, pipeline_summary
 
@@ -62,10 +63,12 @@ def default_batch_runner(
     from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
 
     spark = get_spark("conduit-spark-api")
-    try:
-        Pipeline(spark, cfg, inspectors=inspectors).run_batch()
-    except PipelineFailure:
-        return "failed"
+    # PipelineFailure propagates: the plane records its message as the
+    # pipeline's authoritative error cause (reference
+    # 20260706-degraded-pipeline-error-cause.md — the data-path error
+    # the user sees must be the node's REAL error; with one driver
+    # thread there is no tomb race to lose it to)
+    Pipeline(spark, cfg, inspectors=inspectors).run_batch()
     return "stopped" if stop.is_set() else "done"
 
 
@@ -92,6 +95,9 @@ class ControlPlane:
         # why a pipeline left 'running': 'user' (stop RPC) vs 'system'
         # (runner failure) — the reference's stopped_reason (P3/#2629)
         self._stopped_reason: dict[str, str] = {}
+        # the authoritative failure cause (the node's real error, not a
+        # secondary artifact — 20260706-degraded-pipeline-error-cause.md)
+        self._error: dict[str, str] = {}
         # (pipeline id, node id) -> StreamInspector; attached lazily on
         # the first /inspect call and sampled by every later run
         self._inspectors: dict[tuple[str, str], object] = {}
@@ -109,6 +115,8 @@ class ControlPlane:
                 row = pipeline_summary(c, self._status[c.id])
                 if c.id in self._stopped_reason:
                     row["stopped_reason"] = self._stopped_reason[c.id]
+                if c.id in self._error:
+                    row["error"] = self._error[c.id]
                 out.append(row)
             return out
 
@@ -120,6 +128,8 @@ class ControlPlane:
             doc = pipeline_detail(c, self._status[pid])
             if pid in self._stopped_reason:
                 doc["stopped_reason"] = self._stopped_reason[pid]
+            if pid in self._error:
+                doc["error"] = self._error[pid]
             return doc
 
     def status(self, pid: str) -> str | None:
@@ -182,6 +192,7 @@ class ControlPlane:
             self._stop_events[pid] = stop
             self._status[pid] = "running"
             self._stopped_reason.pop(pid, None)
+            self._error.pop(pid, None)  # restart clears the old cause
             taps = {
                 nid: insp
                 for (p, nid), insp in self._inspectors.items()
@@ -191,6 +202,7 @@ class ControlPlane:
             def work() -> None:
                 import inspect as _inspect
 
+                cause = None
                 try:
                     takes_inspectors = (
                         "inspectors" in _inspect.signature(self._runner).parameters
@@ -199,13 +211,17 @@ class ControlPlane:
                         final = self._runner(cfg, stop, inspectors=taps)
                     else:  # 2-arg custom runner (tests, embedders)
                         final = self._runner(cfg, stop)
-                except Exception:  # noqa: BLE001 — runner crash = failed
+                except Exception as exc:  # noqa: BLE001 — runner crash = failed
                     final = "failed"
+                    # the raising node's error IS the reported cause
+                    cause = f"{type(exc).__name__}: {exc}"
                 with self._lock:
                     if self._status.get(pid) == "running":
                         self._status[pid] = final
                         if final == "failed":
                             self._stopped_reason[pid] = "system"
+                            if cause is not None:
+                                self._error[pid] = cause
 
             t = threading.Thread(target=work, daemon=True, name=f"pipeline-{pid}")
             self._threads[pid] = t
@@ -274,9 +290,13 @@ class ControlPlane:
             ),
         )
         if dlq.window_nack_threshold >= dlq.window_size > 0:
-            raise ValueError(
+            raise ConduitError(
+                "pipeline.dlq_window",
                 "window_nack_threshold must be < window_size (the reference "
-                "rejects a window that can never ack)"
+                "rejects a window that can never ack)",
+                config_path="dead-letter-queue.window-nack-threshold",
+                suggestion="set window-nack-threshold below window-size, "
+                "or window-size to 0 to disable the window",
             )
         with self._lock:
             if pid not in self._configs:
@@ -323,19 +343,26 @@ class ControlPlane:
             current = self._configs.get(desired.id)
         diff = plan_diff(current, desired)
         if plan_hash != diff["hash"]:
-            raise Conflict(
+            raise ConduitError(
+                "provisioning.plan_stale",
                 "provisioning.plan_stale: config or server state changed "
-                "since the plan was computed; re-plan and review"
+                "since the plan was computed; re-plan and review",
+                status=409,
+                suggestion="POST /v1/pipelines/plan again and re-review the diff",
             )
         if not diff["changes"]:
             return diff
         needs_restart = any(c["effect"] == "restart" for c in diff["changes"])
         running = self.status(desired.id) == "running"
         if running and needs_restart and not self.live_restart_apply:
-            raise Conflict(
+            raise ConduitError(
+                "provisioning.restart_required",
                 "plan includes restart-class changes and the pipeline is "
                 "running; stop it first or start the server with "
-                "live_restart_apply"
+                "live_restart_apply",
+                status=409,
+                suggestion="POST /v1/pipelines/{id}/stop, apply, then start — "
+                "or run the server with live_restart_apply",
             )
         if running and needs_restart:
             self.stop(desired.id)
@@ -707,14 +734,34 @@ class _Handler(BaseHTTPRequestHandler):
                 continue
             try:
                 self._handle(op, *match.groups())
+            except ConduitError as e:
+                # structured identity (errors.ConduitError): stable
+                # code + optional config_path/suggestion, additive to
+                # the prose `error` field
+                self._send(e.status, e.to_dict())
             except Conflict as e:
-                self._send(409, {"error": str(e)})
+                self._send(409, {"error": str(e), "code": "common.conflict"})
             except LookupError as e:
-                self._send(404, {"error": f"{e.args[0]!r} not found"})
+                self._send(
+                    404,
+                    {
+                        "error": f"{e.args[0]!r} not found",
+                        "code": "common.not_found",
+                    },
+                )
             except Exception as e:  # noqa: BLE001 — config parse errors etc.
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                self._send(
+                    400,
+                    {
+                        "error": f"{type(e).__name__}: {e}",
+                        "code": "common.invalid_argument",
+                    },
+                )
             return
-        self._send(404, {"error": f"no route {method} {self.path}"})
+        self._send(
+            404,
+            {"error": f"no route {method} {self.path}", "code": "common.not_found"},
+        )
 
     def _handle(self, op: str, *groups: str) -> None:
         plane = self.plane
@@ -926,20 +973,20 @@ class _Handler(BaseHTTPRequestHandler):
         elif op == "get":
             doc = plane.get(groups[0])
             if doc is None:
-                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found", "code": "common.not_found"})
             else:
                 self._send(200, doc)
         elif op == "update":
             doc = plane.update(groups[0], self._body())
             if doc is None:
-                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found", "code": "common.not_found"})
             else:
                 self._send(200, doc)
         elif op == "delete":
             if plane.delete(groups[0]):
                 self._send(200, {"deleted": groups[0]})
             else:
-                self._send(404, {"error": f"pipeline {groups[0]!r} not found"})
+                self._send(404, {"error": f"pipeline {groups[0]!r} not found", "code": "common.not_found"})
         elif op == "start":
             self._send(200, {"id": groups[0], "status": plane.start(groups[0])})
         elif op == "stop":

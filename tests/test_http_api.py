@@ -961,3 +961,70 @@ def test_readyz_starting_is_503(plane_and_port):
         assert (status, body) == (503, {"status": "starting"})
     finally:
         plane.ready = True
+
+
+def test_degraded_error_cause_is_the_nodes_real_error():
+    """20260706-degraded-pipeline-error-cause.md: the pipeline's
+    reported error is the raising node's actual message, it survives
+    to /v1/pipelines[{id}], and a restart clears it."""
+    def runner(cfg, stop):
+        raise RuntimeError("source connector pg: connection refused")
+
+    plane = ControlPlane(_configs(), runner=runner)
+    srv = start_server(plane)
+    port = srv.server_address[1]
+    try:
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        assert plane.wait("demo", timeout=30) == "failed"
+        _, doc = _req(port, "GET", "/v1/pipelines/demo")
+        assert doc["stopped_reason"] == "system"
+        assert "connection refused" in doc["error"]
+        _, rows = _req(port, "GET", "/v1/pipelines")
+        assert "connection refused" in rows[0]["error"]
+
+        # restart clears the stale cause while running
+        blocker = threading.Event()
+        plane._runner = lambda cfg, stop: (stop.wait(5), "stopped")[1]
+        _req(port, "POST", "/v1/pipelines/demo/start")
+        _, doc = _req(port, "GET", "/v1/pipelines/demo")
+        assert "error" not in doc
+        _req(port, "POST", "/v1/pipelines/demo/stop")
+    finally:
+        srv.shutdown()
+
+
+def test_errors_carry_stable_codes(plane_and_port):
+    """20260705-conduit-error-and-structured-output.md (additive):
+    every gateway error carries a stable `code`; typed sites add
+    config_path/suggestion. Prose `error` stays for old clients."""
+    _, port, _ = plane_and_port
+    status, body = _req(port, "GET", "/v1/pipelines/nope")
+    assert (status, body.get("code")) == (404, "common.not_found")
+    status, body = _req(port, "GET", "/no/such/route")
+    assert (status, body.get("code")) == (404, "common.not_found")
+    status, body = _req(
+        port, "POST", "/v1/pipelines", {"id": "x", "connectors": "nope"}
+    )
+    assert status == 400 and body["code"] == "common.invalid_argument"
+    # typed: DLQ window invariant carries path + suggestion
+    pid = "demo"
+    status, body = _req(
+        port,
+        "PUT",
+        f"/v1/pipelines/{pid}/dead-letter-queue",
+        {"window_size": 2, "window_nack_threshold": 5},
+    )
+    assert status == 400
+    assert body["code"] == "pipeline.dlq_window"
+    assert body["config_path"] == "dead-letter-queue.window-nack-threshold"
+    assert "window-nack-threshold" in body["suggestion"]
+    # typed: stale plan apply is a 409 with provisioning.plan_stale
+    status, body = _req(
+        port,
+        "POST",
+        "/v1/pipelines/apply",
+        {"config": {"id": pid, "connectors": []}, "hash": "bogus"},
+    )
+    assert status in (400, 409)
+    if status == 409:
+        assert body["code"] == "provisioning.plan_stale"
