@@ -66,6 +66,7 @@ def custom_subprocess(
     *,
     extra_env: dict[str, str] | None = None,
     sandbox: dict | None = None,
+    egress: dict | None = None,
 ) -> DataFrame:
     """Run records through a standalone executable (one per partition)
     speaking JSON-lines: line i of stdout answers record i of stdin
@@ -79,10 +80,30 @@ def custom_subprocess(
     per-partition child (memory/CPU/output/fds/processes — the
     resource half of the reference's wazero sandbox; see
     ``sources.standalone.sandbox_preexec``).
+
+    ``egress`` enables HOST-MEDIATED HTTP for the child (the analog of
+    the reference's WASM egress capability,
+    20260726-wasm-host-egress-capability.md): instead of answering a
+    record, the child may first emit
+    ``{"cmd": "http_request", "id": …, "method": …, "url": …,
+    "headers": …, "body": …}`` lines; the ENGINE performs the call
+    through the two-stage allowlist (``functions/egress.py`` —
+    hostname pre-filter + resolved-IP dial check) and writes
+    ``{"cmd": "http_response", "id": …, status/headers/body | error,
+    denied}`` back on the child's stdin, then keeps waiting for the
+    record's real answer. Because the engine PIPELINES records, lines
+    arriving on the child's stdin while an http_response is pending
+    may be further records — children must match on ``cmd ==
+    "http_response"`` and queue the rest (see the reference child in
+    ``tests/test_egress.py``). With no ``egress`` block every request
+    is denied — the child never gets a socket either way (combine with
+    ``sandbox`` for resource caps).
     """
+    from conduit_spark.functions.egress import policy_from_settings
     from conduit_spark.sources.standalone import sandbox_preexec
 
     sandbox_preexec(sandbox)  # validate keys on the driver, fail fast
+    policy_from_settings(egress)  # driver-side validation, fail fast
     import base64
 
     from pyspark.sql.types import BinaryType
@@ -127,11 +148,16 @@ def custom_subprocess(
         import subprocess
         import threading
 
+        from conduit_spark.functions.egress import (
+            EgressDenied,
+            policy_from_settings as _pfs,
+        )
         from conduit_spark.sources.standalone import (
             sandbox_preexec as _pe,
             wall_killer as _wk,
         )
 
+        policy = _pfs(egress)
         child_env = dict(os.environ, **(extra_env or {}))
         proc = subprocess.Popen(  # noqa: S603 — the command IS the plugin
             command,
@@ -142,30 +168,77 @@ def custom_subprocess(
             preexec_fn=_pe(sandbox),
         )
         killer = _wk(proc, sandbox)
+        stdin_lock = threading.Lock()  # feeder + egress replies share stdin
+
+        def _egress_reply(req: dict) -> dict:
+            rid = req.get("id")
+            if policy is None:
+                return {
+                    "cmd": "http_response",
+                    "id": rid,
+                    "error": "egress denied: no egress policy configured",
+                    "denied": True,
+                }
+            try:
+                out = policy.request(
+                    req.get("method", "GET"),
+                    req["url"],
+                    headers=req.get("headers"),
+                    body=req.get("body"),
+                )
+                return {"cmd": "http_response", "id": rid, **out}
+            except EgressDenied as e:
+                return {
+                    "cmd": "http_response",
+                    "id": rid,
+                    "error": str(e),
+                    "denied": True,
+                }
+            except Exception as e:  # noqa: BLE001 — network errors → child
+                return {
+                    "cmd": "http_response",
+                    "id": rid,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+
         try:
             for pdf in batches:
                 recs = pdf.to_dict("records")
                 if not recs:
                     continue
-                payload = "\n".join(_ser(r) for r in recs) + "\n"
+                lines = [_ser(r) for r in recs]
 
                 # writer thread: a child that answers before reading
-                # everything would otherwise deadlock both pipes
-                def feed(data: str = payload) -> None:
-                    proc.stdin.write(data)
-                    proc.stdin.flush()
+                # everything would otherwise deadlock both pipes.
+                # Per-line writes under the lock so egress responses
+                # can interleave without tearing.
+                def feed(data: list[str] = lines) -> None:
+                    for ln in data:
+                        with stdin_lock:
+                            proc.stdin.write(ln + "\n")
+                            proc.stdin.flush()
 
                 t = threading.Thread(target=feed)
                 t.start()
                 out_rows = []
                 for rec in recs:
-                    line = proc.stdout.readline()
-                    if not line:
-                        raise RuntimeError(
-                            f"custom_subprocess: {command[0]} closed stdout "
-                            f"mid-batch (exit={proc.poll()})"
-                        )
-                    obj = json.loads(line)
+                    while True:
+                        line = proc.stdout.readline()
+                        if not line:
+                            raise RuntimeError(
+                                f"custom_subprocess: {command[0]} closed stdout "
+                                f"mid-batch (exit={proc.poll()})"
+                            )
+                        obj = json.loads(line)
+                        if isinstance(obj, dict) and obj.get("cmd") == "http_request":
+                            reply = _egress_reply(obj)
+                            with stdin_lock:
+                                proc.stdin.write(
+                                    json.dumps(reply, allow_nan=False) + "\n"
+                                )
+                                proc.stdin.flush()
+                            continue  # still waiting for the record answer
+                        break
                     if obj is None:
                         continue
                     row = _de(obj)

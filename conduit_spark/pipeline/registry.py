@@ -323,8 +323,13 @@ def build_processor(
 
             cmd = shlex.split(cmd)  # quoted args (e.g. -c "…") stay whole
         sandbox = settings.get("sandbox")
+        egress = settings.get("egress")
         return lambda df: _with_condition_passthrough(
-            df, c, lambda d: ops.custom_subprocess(d, list(cmd), sandbox=sandbox)
+            df,
+            c,
+            lambda d: ops.custom_subprocess(
+                d, list(cmd), sandbox=sandbox, egress=egress
+            ),
         )
     if plugin == "unwrap.debezium":
         return lambda df: ops.unwrap_debezium(df, condition=c)
