@@ -115,23 +115,32 @@ def cmd_describe(args: argparse.Namespace) -> int:
 
 def cmd_validate(args: argparse.Namespace) -> int:
     """Parse-only check of pipeline configs (``conduit pipelines
-    validate`` analog): exit 0 iff every file provisions cleanly."""
+    validate`` analog): exit 0 iff every file provisions cleanly.
+    ``--json`` prints one machine-readable object (structured-output
+    convention: same result, two renderings)."""
+    import json as _json
+
+    ok_ids: list[str] = []
+    errors: dict[str, str] = {}
     if os.path.isdir(args.pipelines):
         from conduit_spark.pipeline.config import load_pipeline_dir
 
         res = load_pipeline_dir(args.pipelines)
-        for f, err in res.errors.items():
+        errors = {f: str(err) for f, err in res.errors.items()}
+        ok_ids = [cfg.id for cfg in res.pipelines]
+    else:
+        try:
+            ok_ids = [cfg.id for cfg in load_pipelines(args.pipelines)]
+        except Exception as e:  # noqa: BLE001 — any parse error is the answer
+            errors = {args.pipelines: str(e)}
+    if getattr(args, "json", False):
+        print(_json.dumps({"ok": ok_ids, "errors": errors}, sort_keys=True))
+    else:
+        for f, err in errors.items():
             print(f"INVALID {f}: {err}", file=sys.stderr)
-        for cfg in res.pipelines:
-            print(f"ok {cfg.id}")
-        return 1 if res.errors else 0
-    try:
-        for cfg in load_pipelines(args.pipelines):
-            print(f"ok {cfg.id}")
-    except Exception as e:  # noqa: BLE001 — any parse error is the answer
-        print(f"INVALID {args.pipelines}: {e}", file=sys.stderr)
-        return 1
-    return 0
+        for pid in ok_ids:
+            print(f"ok {pid}")
+    return 1 if errors else 0
 
 
 def cmd_init(args: argparse.Namespace) -> int:
@@ -362,13 +371,18 @@ def cmd_lint(args: argparse.Namespace) -> int:
 
     from conduit_spark.pipeline.config import lint_pipeline_dict, parse_yaml
 
+    import json as _json
+
+    as_json = getattr(args, "json", False)
+    rows: list[dict] = []
     n_fail = n_warn = 0
     for f in _config_files(args.path):
         try:
             text = open(f, encoding="utf-8").read()
             doc = yaml.safe_load(text)
         except Exception as e:  # noqa: BLE001 — any unreadable file is a finding
-            print(f"{f}: FAIL {type(e).__name__}: {e}")
+            rows.append({"file": f, "status": "fail",
+                         "error": f"{type(e).__name__}: {e}"})
             n_fail += 1
             continue
         findings: list[str] = []
@@ -377,7 +391,7 @@ def cmd_lint(args: argparse.Namespace) -> int:
             try:
                 parse_yaml(text)
             except Exception as e:  # noqa: BLE001
-                print(f"{f}: FAIL {e}")
+                rows.append({"file": f, "status": "fail", "error": str(e)})
                 n_fail += 1
                 continue
         findings.extend(str(w.message) for w in caught)
@@ -385,12 +399,21 @@ def cmd_lint(args: argparse.Namespace) -> int:
             for p in doc.get("pipelines") or []:
                 if isinstance(p, dict):
                     findings.extend(lint_pipeline_dict(p))
-        for w in findings:
-            print(f"{f}: warning: {w}")
+        rows.append({"file": f, "status": "ok", "warnings": findings})
         n_warn += len(findings)
-        if not findings and not args.quiet:
-            print(f"{f}: ok")
-    print(f"lint: {n_fail} failure(s), {n_warn} warning(s)")
+    if as_json:
+        print(_json.dumps({"files": rows, "failures": n_fail,
+                           "warnings": n_warn}, sort_keys=True))
+    else:
+        for row in rows:
+            if row["status"] == "fail":
+                print(f"{row['file']}: FAIL {row['error']}")
+                continue
+            for w in row["warnings"]:
+                print(f"{row['file']}: warning: {w}")
+            if not row["warnings"] and not args.quiet:
+                print(f"{row['file']}: ok")
+        print(f"lint: {n_fail} failure(s), {n_warn} warning(s)")
     if n_fail:
         return 1
     return 2 if (args.strict and n_warn) else 0
@@ -1027,6 +1050,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_val = sub.add_parser("validate", help="parse-check configs; nonzero on errors")
     p_val.add_argument("--pipelines", required=True)
+    p_val.add_argument("--json", action="store_true", help="machine-readable output")
     p_val.set_defaults(fn=cmd_validate)
 
     p_init = sub.add_parser("init", help="scaffold a runnable pipeline YAML")
@@ -1127,6 +1151,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p_lint.add_argument("path")
     p_lint.add_argument("--strict", action="store_true")
     p_lint.add_argument("-q", "--quiet", action="store_true")
+    p_lint.add_argument("--json", action="store_true", help="machine-readable output")
     p_lint.set_defaults(fn=cmd_lint)
 
     p_dry = sub.add_parser(

@@ -816,7 +816,10 @@ class _Handler(BaseHTTPRequestHandler):
                         "error": r.get("error") or r.get("stopped_reason"),
                     }
                     for r in rows
-                    if r["status"] == "degraded"
+                    # this plane's crash vocabulary is "failed"
+                    # (lifecycle names); both map to the reference's
+                    # degraded-but-still-serving bucket
+                    if r["status"] in ("degraded", "failed")
                 ]
                 self._send(
                     200,

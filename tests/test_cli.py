@@ -597,3 +597,32 @@ def test_cli_lifecycle_verbs(capsys):
         assert cli.main(["start", "ghost", "--server", server]) == 2
     finally:
         srv.shutdown()
+
+
+def test_validate_and_lint_json_output(tmp_path, capsys):
+    """--json on validate/lint (structured-output convention): one
+    machine-readable object, same exit codes as the prose rendering."""
+    import json
+
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        "version: '2.2'\npipelines:\n  - id: ok1\n    connectors:\n"
+        "      - {id: g, type: source, plugin: 'builtin:generator',\n"
+        "         settings: {recordCount: 1, 'format.options': {id: int}}}\n"
+        "      - {id: o, type: destination, plugin: 'builtin:log', settings: {}}\n"
+    )
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("pipelines: 'not a list'")
+
+    assert cli.main(["validate", "--pipelines", str(tmp_path), "--json"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] == ["ok1"]
+    assert list(out["errors"]) == [str(bad)]
+
+    rc = cli.main(["lint", str(tmp_path), "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1  # the bad file is a failure
+    assert out["failures"] == 1
+    by_file = {r["file"]: r for r in out["files"]}
+    assert by_file[str(good)]["status"] == "ok"
+    assert by_file[str(bad)]["status"] == "fail"
