@@ -743,22 +743,24 @@ def cmd_connectors(args: argparse.Namespace) -> int:
     from conduit_spark import plugin_registry as reg
 
     try:
+        kind = getattr(args, "kind", "connector")
         if args.verb == "install":
             entry = reg.install(
                 args.ref,
                 index_path=args.index,
                 root=args.root,
                 allow_unsigned=args.allow_unsigned,
+                kind=kind,
             )
             print(json.dumps(entry, indent=1))
         elif args.verb == "uninstall":
-            for key in reg.uninstall(args.ref, root=args.root):
+            for key in reg.uninstall(args.ref, root=args.root, kind=kind):
                 print(f"uninstalled {key}")
         elif args.verb == "installed":
             print(json.dumps(reg.list_installed(args.root), indent=1))
         elif args.verb == "list":
             index = reg.load_index(args.index)
-            for name, versions in sorted(index["connectors"].items()):
+            for name, versions in sorted((index.get(kind + "s") or {}).items()):
                 for v, e in sorted(versions.items()):
                     signed = "signed" if e.get("sha256") else "UNSIGNED"
                     print(f"{name}@{reg.normalize_version(v)} [{signed}] "
@@ -1252,6 +1254,13 @@ def _build_parser() -> argparse.ArgumentParser:
             pv.add_argument("--index", default=None, help="index JSON path")
         if verb == "install":
             pv.add_argument("--allow-unsigned", action="store_true")
+        if verb in ("install", "uninstall", "list"):
+            # processor artifacts ride the same registry/trust core
+            # (reference `processor-plugins install`)
+            pv.add_argument(
+                "--kind", choices=("connector", "processor"),
+                default="connector",
+            )
         if verb == "new":
             pv.add_argument("name")
             pv.add_argument("path")

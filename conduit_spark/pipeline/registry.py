@@ -396,6 +396,30 @@ def build_processor(
             condition=c,
             params=_gen_params(settings, ()),
         )
+    if plugin.startswith("standalone:"):
+        # registry-installed processor artifact (reference
+        # 20260727-registry-processor-artifacts.md: processors ride the
+        # connector registry's trust core; `processor-plugins install`
+        # analog is `connectors install --kind processor`). The
+        # installed executable speaks the custom.standalone JSON-lines
+        # protocol; sandbox/egress blocks apply as usual.
+        from conduit_spark import plugin_registry
+
+        root = settings.get("pluginRoot", plugin_registry.DEFAULT_ROOT)
+        cmd = [
+            plugin_registry.resolve_installed(
+                plugin.split(":", 1)[1], root=root, kind="processor"
+            )
+        ]
+        sandbox = settings.get("sandbox")
+        egress = settings.get("egress")
+        return lambda df: _with_condition_passthrough(
+            df,
+            c,
+            lambda d: ops.custom_subprocess(
+                d, cmd, sandbox=sandbox, egress=egress
+            ),
+        )
     raise ValueError(f"unknown processor plugin {plugin!r}")
 
 

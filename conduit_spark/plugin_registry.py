@@ -72,22 +72,34 @@ def parse_ref(ref: str) -> tuple[str, str | None]:
 
 
 def load_index(path: str) -> dict:
+    """Index may carry ``connectors`` and/or ``processors`` — the
+    processor collection is ADDITIVE to the frozen connector schema
+    (reference 20260727-registry-processor-artifacts.md: same trust
+    core, same Publisher/Revocation shapes; older clients that only
+    know connectors simply ignore it)."""
     with open(path, encoding="utf-8") as f:
         doc = json.load(f)
-    if not isinstance(doc, dict) or "connectors" not in doc:
+    if not isinstance(doc, dict) or (
+        "connectors" not in doc and "processors" not in doc
+    ):
         raise RegistryError(
-            f"registry.bad_index: {path} has no 'connectors' key"
+            f"registry.bad_index: {path} has neither a 'connectors' "
+            "nor a 'processors' key"
         )
     return doc
 
 
-def resolve_index(index: dict, name: str, version: str | None) -> tuple[str, dict]:
-    """Pick the entry for name@version (latest by semver if None)."""
-    versions = index["connectors"].get(name)
+def resolve_index(
+    index: dict, name: str, version: str | None, *, kind: str = "connector"
+) -> tuple[str, dict]:
+    """Pick the entry for name@version (latest by semver if None) from
+    the ``kind`` collection ('connector' | 'processor')."""
+    coll = index.get(kind + "s") or {}
+    versions = coll.get(name)
     if not versions:
         raise RegistryError(
-            f"registry.unknown_connector: {name!r} not in index "
-            f"(known: {sorted(index['connectors'])})"
+            f"registry.unknown_{kind}: {name!r} not in index "
+            f"(known: {sorted(coll)})"
         )
     norm = {normalize_version(v): e for v, e in versions.items()}
     if version is None:
@@ -129,17 +141,32 @@ def _fetch(artifact: str, dest: str) -> None:
         shutil.copyfile(artifact, dest)
 
 
+def _manifest_key(kind: str, name: str, version: str) -> str:
+    """Connector keys stay bare ``name@version`` (manifest
+    back-compat); processors namespace as ``processor:name@version``."""
+    base = f"{name}@{version}"
+    return base if kind == "connector" else f"{kind}:{base}"
+
+
 def install(
     ref: str,
     *,
     index_path: str,
     root: str = DEFAULT_ROOT,
     allow_unsigned: bool = False,
+    kind: str = "connector",
 ) -> dict:
     """Resolve → stage → verify → place → pin. Fail-closed at every
-    step: nothing is resolvable until the digest matched."""
+    step: nothing is resolvable until the digest matched. ``kind``
+    selects the index collection; processor artifacts ride the SAME
+    verification path (the reference's one-trust-core decision,
+    ADR 20260727-processors-ride-connector-registry)."""
+    if kind not in ("connector", "processor"):
+        raise RegistryError(f"registry.bad_kind: {kind!r}")
     name, version = parse_ref(ref)
-    version, entry = resolve_index(load_index(index_path), name, version)
+    version, entry = resolve_index(
+        load_index(index_path), name, version, kind=kind
+    )
     want = entry.get("sha256")
     if want is None and not allow_unsigned:
         raise RegistryError(
@@ -157,7 +184,11 @@ def install(
                 f"registry.artifact_verification_failed: {name}@{version} "
                 f"digest {got[:12]}… != index {want[:12]}…; refusing"
             )
-        dest_dir = os.path.join(root, name, version)
+        dest_dir = os.path.join(
+            root if kind == "connector" else os.path.join(root, "processors"),
+            name,
+            version,
+        )
         os.makedirs(dest_dir, exist_ok=True)
         dest = os.path.join(
             dest_dir, os.path.basename(entry["artifact"].rstrip("/"))
@@ -169,42 +200,55 @@ def install(
             os.unlink(staged)
         raise
     manifest = _load_manifest(root)
-    manifest[f"{name}@{version}"] = {
+    key = _manifest_key(kind, name, version)
+    manifest[key] = {
         "name": name,
         "version": version,
+        "kind": kind,
         "path": dest,
         "sha256": got,
         "verified": want is not None,
     }
     _write_manifest(root, manifest)
-    return manifest[f"{name}@{version}"]
+    return manifest[key]
 
 
-def uninstall(ref: str, *, root: str = DEFAULT_ROOT) -> list[str]:
+def uninstall(
+    ref: str, *, root: str = DEFAULT_ROOT, kind: str = "connector"
+) -> list[str]:
     """Remove name@version (or every version when unpinned)."""
     name, version = parse_ref(ref)
     manifest = _load_manifest(root)
     keys = [
         k
         for k, e in manifest.items()
-        if e["name"] == name and (version is None or e["version"] == version)
+        if e["name"] == name
+        and e.get("kind", "connector") == kind
+        and (version is None or e["version"] == version)
     ]
     if not keys:
         raise RegistryError(f"registry.not_installed: {ref}")
     for k in keys:
         entry = manifest.pop(k)
         shutil.rmtree(os.path.dirname(entry["path"]), ignore_errors=True)
-    with_name = os.path.join(root, name)
+    base = root if kind == "connector" else os.path.join(root, "processors")
+    with_name = os.path.join(base, name)
     if os.path.isdir(with_name) and not os.listdir(with_name):
         os.rmdir(with_name)
     _write_manifest(root, manifest)
     return keys
 
 
-def list_installed(root: str = DEFAULT_ROOT) -> list[dict]:
+def list_installed(
+    root: str = DEFAULT_ROOT, *, kind: str | None = None
+) -> list[dict]:
+    entries = [
+        e
+        for e in _load_manifest(root).values()
+        if kind is None or e.get("kind", "connector") == kind
+    ]
     return sorted(
-        _load_manifest(root).values(),
-        key=lambda e: (e["name"], _version_key(e["version"])),
+        entries, key=lambda e: (e["name"], _version_key(e["version"]))
     )
 
 
@@ -234,7 +278,12 @@ def audit(root: str = DEFAULT_ROOT, *, index_path: str | None = None) -> list[di
             )
         if index is not None:
             try:
-                _, entry = resolve_index(index, e["name"], e["version"])
+                _, entry = resolve_index(
+                    index,
+                    e["name"],
+                    e["version"],
+                    kind=e.get("kind", "connector"),
+                )
                 if entry.get("sha256") not in (None, e["sha256"]):
                     f["problems"].append(
                         "registry.index_drift: index now publishes a "
@@ -286,21 +335,24 @@ def scaffold(name: str, path: str) -> str:
 
 
 def resolve_installed(
-    ref: str, *, root: str = DEFAULT_ROOT
+    ref: str, *, root: str = DEFAULT_ROOT, kind: str = "connector"
 ) -> str:
     """``name[@version]`` → executable path (latest installed when
     unpinned). The resolution every ``standalone:`` pipeline plugin
-    goes through."""
+    goes through — connectors and processors alike (one trust core)."""
     name, version = parse_ref(ref)
     candidates = [
         e
         for e in _load_manifest(root).values()
-        if e["name"] == name and (version is None or e["version"] == version)
+        if e["name"] == name
+        and e.get("kind", "connector") == kind
+        and (version is None or e["version"] == version)
     ]
     if not candidates:
+        verb = "install" if kind == "connector" else "install --kind processor"
         raise RegistryError(
             f"registry.not_installed: {ref}; run "
-            f"`conduit_spark connectors install {ref}` first"
+            f"`conduit_spark connectors {verb} {ref}` first"
         )
     best = max(candidates, key=lambda e: _version_key(e["version"]))
     if not os.path.exists(best["path"]):

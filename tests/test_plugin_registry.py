@@ -247,3 +247,91 @@ def test_scaffold_new_connector_runs(registry, tmp_path, capsys):
     assert len(recs) == 2
     assert json.loads(recs[1]["payload_after_json"]) == {"id": 1}
     assert recs[0]["metadata"]["plugin"] == "my-src"
+
+
+# --- processor artifacts ride the same trust core ---------------------
+
+UPPER_PROC = """#!/usr/bin/env python3
+import sys, json
+readline = sys.stdin.readline
+while True:
+    line = readline()
+    if not line:
+        break
+    rec = json.loads(line)
+    p = json.loads(rec.get("payload_after_json") or "{}")
+    p["shout"] = str(p.get("v", "")).upper()
+    rec["payload_after_json"] = json.dumps(p)
+    print(json.dumps(rec), flush=True)
+"""
+
+
+@pytest.fixture()
+def proc_registry(tmp_path):
+    """An index carrying BOTH collections — the additive processors
+    extension (20260727-registry-processor-artifacts.md)."""
+    arts = tmp_path / "arts"
+    arts.mkdir()
+    (arts / "upper-1.0.0.py").write_text(UPPER_PROC)
+    sha = hashlib.sha256((arts / "upper-1.0.0.py").read_bytes()).hexdigest()
+    index = {
+        "connectors": {},
+        "processors": {
+            "upper": {
+                "1.0.0": {"artifact": str(arts / "upper-1.0.0.py"), "sha256": sha}
+            }
+        },
+    }
+    ipath = tmp_path / "index.json"
+    ipath.write_text(json.dumps(index))
+    return str(ipath), str(tmp_path / "plugins")
+
+
+def test_processor_artifact_install_and_kinds(proc_registry):
+    ipath, root = proc_registry
+    entry = reg.install("upper", index_path=ipath, root=root, kind="processor")
+    assert entry["kind"] == "processor"
+    assert entry["verified"] is True
+    assert "processors" in entry["path"]
+    # kind-scoped resolution: the name is NOT resolvable as a connector
+    with pytest.raises(reg.RegistryError, match="not_installed"):
+        reg.resolve_installed("upper", root=root, kind="connector")
+    assert os.path.exists(reg.resolve_installed("upper", root=root, kind="processor"))
+    assert [e["name"] for e in reg.list_installed(root, kind="processor")] == ["upper"]
+    # audit covers both kinds through the same trust core
+    findings = reg.audit(root, index_path=ipath)
+    assert findings and all(f["ok"] for f in findings)
+    assert reg.uninstall("upper", root=root, kind="processor") == [
+        "processor:upper@1.0.0"
+    ]
+
+
+def test_installed_processor_runs_in_pipeline_chain(proc_registry, spark):
+    """YAML plugin `standalone:upper` in a processor chain resolves to
+    the installed artifact and transforms records end-to-end."""
+    from conduit_spark.pipeline import registry as preg
+
+    ipath, root = proc_registry
+    reg.install("upper", index_path=ipath, root=root, kind="processor")
+    fn = preg.build_processor(
+        "standalone:upper", {"pluginRoot": root}, condition=None
+    )
+    df = spark.createDataFrame(
+        [("p0", json.dumps({"v": "hi"}))],
+        "position string, payload_after_json string",
+    )
+    out = fn(df).collect()
+    assert json.loads(out[0].payload_after_json)["shout"] == "HI"
+
+
+def test_index_with_only_processors_is_valid(proc_registry, tmp_path):
+    ipath, _ = proc_registry
+    doc = json.loads(open(ipath).read())
+    del doc["connectors"]
+    p2 = tmp_path / "only-procs.json"
+    p2.write_text(json.dumps(doc))
+    assert "processors" in reg.load_index(str(p2))
+    with pytest.raises(reg.RegistryError, match="bad_index"):
+        empty = tmp_path / "empty.json"
+        empty.write_text("{}")
+        reg.load_index(str(empty))
