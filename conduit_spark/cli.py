@@ -474,6 +474,7 @@ def cmd_dry_run(args: argparse.Namespace) -> int:
                     if (
                         p.plugin not in PROCESSOR_PLUGINS
                         and p.plugin != "custom.standalone"
+                        and not p.plugin.startswith("standalone:")
                     ):
                         problems.append(
                             f"processor {p.id}: unknown plugin {p.plugin!r}"

@@ -44,19 +44,17 @@ class EgressDenied(PermissionError):
 
 
 def _ip_is_forbidden(ip: ipaddress.IPv4Address | ipaddress.IPv6Address) -> bool:
+    """Anything not globally routable is refused — ``is_global`` covers
+    private/loopback/link-local/reserved AND the shared CGNAT space
+    100.64.0.0/10 (``is_private`` misses it, and cloud-internal LBs /
+    VPC services commonly live there); v4-mapped and NAT64 embeddings
+    are unwrapped/refused so a v6 answer cannot smuggle a v4 target."""
     if isinstance(ip, ipaddress.IPv6Address):
         if ip.ipv4_mapped is not None:
             return _ip_is_forbidden(ip.ipv4_mapped)
         if ip in _NAT64:
             return True
-    return (
-        ip.is_private
-        or ip.is_loopback
-        or ip.is_link_local
-        or ip.is_reserved
-        or ip.is_multicast
-        or ip.is_unspecified
-    )
+    return not ip.is_global or ip.is_multicast
 
 
 class EgressPolicy:
@@ -165,10 +163,38 @@ class EgressPolicy:
         clean_headers["Host"] = host if port == default_port else f"{host}:{port}"
         if isinstance(body, str):
             body = body.encode("utf-8")
+        # timeout_s bounds the WHOLE call, not each socket op — a
+        # trickling server (1 byte per timeout window) must not hold
+        # the task open; the remaining budget shrinks across reads.
+        import time as _time
+
+        deadline = _time.monotonic() + self.timeout_s
+
+        def _budget() -> float:
+            left = deadline - _time.monotonic()
+            if left <= 0:
+                raise EgressDenied(
+                    f"egress denied (deadline): call exceeded "
+                    f"{self.timeout_s}s total"
+                )
+            return left
+
         try:
             conn.request(method.upper(), path, body=body, headers=clean_headers)
+            raw.settimeout(min(self.timeout_s, _budget()))
             resp = conn.getresponse()
-            payload = resp.read(self.max_response_bytes + 1)
+            chunks: list[bytes] = []
+            got_n = 0
+            while got_n <= self.max_response_bytes:
+                if resp.isclosed():  # EOF consumed; socket already gone
+                    break
+                raw.settimeout(min(self.timeout_s, _budget()))
+                chunk = resp.read(65536)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                got_n += len(chunk)
+            payload = b"".join(chunks)
             if len(payload) > self.max_response_bytes:
                 raise EgressDenied(
                     f"egress denied (size): response exceeds "

@@ -60,7 +60,7 @@ def default_batch_runner(
 ) -> str:
     """Run the pipeline once in batch mode on the engine session."""
     from conduit_spark import get_spark
-    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+    from conduit_spark.pipeline.runtime import Pipeline
 
     spark = get_spark("conduit-spark-api")
     # PipelineFailure propagates: the plane records its message as the
@@ -526,7 +526,11 @@ class ControlPlane:
         if not parent_id:
             raise ValueError("parent.id is required")
         plugin = doc.get("plugin") or doc.get("type", "")
-        if plugin not in PROCESSOR_PLUGINS and plugin != "custom.standalone":
+        if (
+            plugin not in PROCESSOR_PLUGINS
+            and plugin != "custom.standalone"
+            and not plugin.startswith("standalone:")  # registry-installed
+        ):
             raise ValueError(
                 f"unknown processor plugin {plugin!r}; "
                 f"known: {sorted(PROCESSOR_PLUGINS)}"

@@ -168,7 +168,42 @@ def custom_subprocess(
             preexec_fn=_pe(sandbox),
         )
         killer = _wk(proc, sandbox)
+        use_rpc = policy is not None
         stdin_lock = threading.Lock()  # feeder + egress replies share stdin
+        STALL_S = 60.0
+        if use_rpc:
+            # rpc mode interleaves two writers on stdin; a NON-BLOCKING
+            # fd + stall deadline keeps a protocol-violating child (one
+            # that stops draining stdin while waiting for its
+            # http_response) a diagnosable failure, never a deadlock
+            os.set_blocking(proc.stdin.fileno(), False)
+
+        def _locked_write(text: str) -> None:
+            import select as _select
+            import time as _time
+
+            data = text.encode("utf-8")
+            fd = proc.stdin.fileno()
+            end = _time.monotonic() + STALL_S
+            with stdin_lock:
+                while data:
+                    _r, w, _x = _select.select([], [fd], [], 1.0)
+                    if w:
+                        try:
+                            n = os.write(fd, data)
+                        except BlockingIOError:
+                            n = 0
+                        if n:
+                            data = data[n:]
+                            end = _time.monotonic() + STALL_S
+                            continue
+                    if _time.monotonic() > end:
+                        raise RuntimeError(
+                            f"custom_subprocess: {command[0]} stopped "
+                            f"draining stdin for {STALL_S:.0f}s (is the "
+                            "plugin waiting for an http_response without "
+                            "reading queued records?)"
+                        )
 
         def _egress_reply(req: dict) -> dict:
             rid = req.get("id")
@@ -209,14 +244,21 @@ def custom_subprocess(
                 lines = [_ser(r) for r in recs]
 
                 # writer thread: a child that answers before reading
-                # everything would otherwise deadlock both pipes.
-                # Per-line writes under the lock so egress responses
-                # can interleave without tearing.
-                def feed(data: list[str] = lines) -> None:
-                    for ln in data:
-                        with stdin_lock:
-                            proc.stdin.write(ln + "\n")
-                            proc.stdin.flush()
+                # everything would otherwise deadlock both pipes. The
+                # non-rpc fast path keeps the original single bulk
+                # write (one syscall per batch); rpc mode goes through
+                # the stall-bounded locked writer so egress responses
+                # can interleave without tearing or deadlocking.
+                if use_rpc:
+                    def feed(data: list[str] = lines) -> None:
+                        for ln in data:
+                            _locked_write(ln + "\n")
+                else:
+                    payload = "\n".join(lines) + "\n"
+
+                    def feed(data: str = payload) -> None:
+                        proc.stdin.write(data)
+                        proc.stdin.flush()
 
                 t = threading.Thread(target=feed)
                 t.start()
@@ -231,12 +273,10 @@ def custom_subprocess(
                             )
                         obj = json.loads(line)
                         if isinstance(obj, dict) and obj.get("cmd") == "http_request":
-                            reply = _egress_reply(obj)
-                            with stdin_lock:
-                                proc.stdin.write(
-                                    json.dumps(reply, allow_nan=False) + "\n"
-                                )
-                                proc.stdin.flush()
+                            _locked_write(
+                                json.dumps(_egress_reply(obj), allow_nan=False)
+                                + "\n"
+                            )
                             continue  # still waiting for the record answer
                         break
                     if obj is None:

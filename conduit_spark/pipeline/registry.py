@@ -403,14 +403,7 @@ def build_processor(
         # analog is `connectors install --kind processor`). The
         # installed executable speaks the custom.standalone JSON-lines
         # protocol; sandbox/egress blocks apply as usual.
-        from conduit_spark import plugin_registry
-
-        root = settings.get("pluginRoot", plugin_registry.DEFAULT_ROOT)
-        cmd = [
-            plugin_registry.resolve_installed(
-                plugin.split(":", 1)[1], root=root, kind="processor"
-            )
-        ]
+        cmd = _standalone_command(plugin, settings, kind="processor")
         sandbox = settings.get("sandbox")
         egress = settings.get("egress")
         return lambda df: _with_condition_passthrough(
@@ -832,13 +825,20 @@ def write_destination(
     raise ValueError(f"unknown destination plugin {plugin!r}")
 
 
-def _standalone_command(plugin: str, settings: dict[str, Any]):
-    """The subprocess command for a standalone connector: explicit
+def _standalone_command(
+    plugin: str, settings: dict[str, Any], *, kind: str = "connector"
+):
+    """The subprocess command for a standalone plugin: explicit
     ``command`` for ``custom.standalone``; manifest resolution for the
-    installed form ``standalone:<name>[@version]``."""
+    installed form ``standalone:<name>[@version]`` — the ONE
+    resolution path for connector and processor artifacts alike."""
     if plugin == "custom.standalone":
         return settings["command"]
     from conduit_spark import plugin_registry
 
     root = settings.get("pluginRoot", plugin_registry.DEFAULT_ROOT)
-    return [plugin_registry.resolve_installed(plugin.split(":", 1)[1], root=root)]
+    return [
+        plugin_registry.resolve_installed(
+            plugin.split(":", 1)[1], root=root, kind=kind
+        )
+    ]

@@ -98,7 +98,13 @@ def wall_killer(proc, sandbox: dict | None):
     """Arm a wall-clock kill timer (``wall_timeout_seconds``) for a
     plugin child; returns the timer (or None) — cancel on clean exit.
     rlimit CPU time doesn't cover a plugin that simply *hangs*; this
-    does."""
+    does.
+
+    Semantics: a HARD cap on the child's total lifetime, armed once at
+    spawn — NOT an idle/inactivity timeout. For processor children
+    (one per partition, alive for every batch of the task) set it
+    above the worst-case partition wall time, or omit it and rely on
+    ``max_cpu_seconds`` for runaway protection."""
     import threading
 
     seconds = (sandbox or {}).get("wall_timeout_seconds")

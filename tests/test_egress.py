@@ -219,3 +219,17 @@ def test_policy_from_settings_validates():
     assert p.timeout_s == 3.0
     with pytest.raises(ValueError):
         policy_from_settings({"allow": ["not a url"]})
+
+
+def test_stage2_refuses_cgnat_shared_space():
+    """100.64.0.0/10 (CGNAT shared address space) is not private by
+    ipaddress's classification but is NOT globally routable — cloud
+    VPC services live there; the resolved-IP check must refuse it."""
+    from conduit_spark.functions.egress import _ip_is_forbidden
+    import ipaddress
+
+    assert _ip_is_forbidden(ipaddress.ip_address("100.64.12.5"))
+    assert _ip_is_forbidden(ipaddress.ip_address("::ffff:100.64.12.5"))
+    assert _ip_is_forbidden(ipaddress.ip_address("64:ff9b::6440:c05"))
+    assert not _ip_is_forbidden(ipaddress.ip_address("93.184.216.34"))
+    assert not _ip_is_forbidden(ipaddress.ip_address("2606:2800:220:1::1"))
