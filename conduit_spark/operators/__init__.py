@@ -58,6 +58,7 @@ from conduit_spark.operators.enrich import (  # noqa: F401
     llm_embed,
     llm_rerank,
     llm_transform,
+    policy_transport,
     webhook_http,
 )
 from conduit_spark.operators.field_ops import (  # noqa: F401

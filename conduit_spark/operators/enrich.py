@@ -97,7 +97,9 @@ def http_transport(request: dict) -> dict:
     """Default webhook transport over urllib (stdlib; no extra deps).
 
     Used on clusters with egress; this container has no network, so
-    tests inject ``fake_transport`` instead."""
+    tests inject ``fake_transport`` instead. For an SSRF-guarded
+    variant use :func:`policy_transport` — same allowlist engine the
+    standalone-processor egress capability enforces."""
     import urllib.request
 
     req = urllib.request.Request(
@@ -108,6 +110,32 @@ def http_transport(request: dict) -> dict:
     )
     with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
         return {"status": resp.status, "body": resp.read().decode()}
+
+
+def policy_transport(egress: dict) -> Transport:
+    """A webhook/LLM transport that routes every call through the
+    ONE egress boundary (``functions/egress.py``): hostname allowlist
+    pre-filter, resolved-IP dial check, pinned Host/SNI, no redirects,
+    total-call deadline and response-size cap. Declare it on the
+    processor as ``egress: {allow: [...], ...}`` so webhook.http and
+    the LLM processors share the standalone-plugin SSRF defense
+    instead of each growing their own."""
+    from conduit_spark.functions.egress import policy_from_settings
+
+    policy = policy_from_settings(egress)
+    if policy is None:
+        raise ValueError("policy_transport needs a non-empty egress block")
+
+    def transport(request: dict) -> dict:
+        out = policy.request(
+            request.get("method", "GET"),
+            request["url"],
+            headers=request.get("headers") or {},
+            body=request.get("body"),
+        )
+        return {"status": out["status"], "body": out["body"]}
+
+    return transport
 
 
 def _with_retries(

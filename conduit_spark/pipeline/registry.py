@@ -342,6 +342,12 @@ def build_processor(
         url = settings.get("request.url") or settings.get("url")
         if not url:
             raise ValueError("webhook.http needs 'request.url' (or 'url')")
+        # an `egress:` block routes the calls through the same
+        # two-stage SSRF boundary standalone plugins get (an injected
+        # test transport still wins)
+        transport = t.get("http")
+        if transport is None and settings.get("egress"):
+            transport = ops.policy_transport(settings["egress"])
         return lambda df: ops.webhook_http(
             df,
             url,
@@ -351,7 +357,7 @@ def build_processor(
             content_type=settings.get("request.contentType"),
             response_field=settings.get("response.body", ".Payload.After"),
             response_status_field=settings.get("response.status"),
-            transport=t.get("http"),
+            transport=transport,
             retries=int(settings.get("backoffRetry.count", 3)),
             backoff_s=float(settings.get("backoffRetry.min", 0.1)),
             concurrency=int(settings.get("concurrency", 16)),

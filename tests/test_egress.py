@@ -233,3 +233,56 @@ def test_stage2_refuses_cgnat_shared_space():
     assert _ip_is_forbidden(ipaddress.ip_address("64:ff9b::6440:c05"))
     assert not _ip_is_forbidden(ipaddress.ip_address("93.184.216.34"))
     assert not _ip_is_forbidden(ipaddress.ip_address("2606:2800:220:1::1"))
+
+
+def test_webhook_policy_transport_e2e(spark, http_server):
+    """webhook.http with an `egress:` settings block routes through the
+    same two-stage boundary: allowlisted endpoint enriched, unlisted
+    origin denied (DLQ-routed as an errored record)."""
+    from conduit_spark.pipeline.registry import build_processor
+
+    host, port = http_server
+    fn = build_processor(
+        "webhook.http",
+        {
+            "url": f"http://{host}:{port}/hook",
+            "method": "GET",
+            "response.body": ".Payload.After.hook",
+            "egress": {
+                "allow": [f"http://{host}:{port}"],
+                "allowIpPorts": [f"{host}:{port}"],
+            },
+        },
+        condition=None,
+    )
+    df = spark.createDataFrame(
+        [("p0", json.dumps({"id": 1}))],
+        "position string, payload_after_json string",
+    )
+    out = fn(df).collect()
+    assert len(out) == 1
+    body = json.loads(out[0].payload_after_json)
+    assert json.loads(body["hook"])["path"] == "/hook"
+
+
+def test_webhook_policy_transport_denies_unlisted(spark, http_server):
+    from conduit_spark.operators.base import ERROR_COL
+    from conduit_spark.pipeline.registry import build_processor
+
+    host, port = http_server
+    fn = build_processor(
+        "webhook.http",
+        {
+            "url": "http://unlisted.example/x",
+            "egress": {"allow": [f"http://{host}:{port}"]},
+        },
+        condition=None,
+    )
+    df = spark.createDataFrame(
+        [("p0", json.dumps({"id": 1}))],
+        "position string, payload_after_json string",
+    )
+    rows = fn(df).collect()
+    errs = [r for r in rows if getattr(r, ERROR_COL, None)]
+    assert errs, "denied egress must surface as an errored record"
+    assert "allowlist" in getattr(errs[0], ERROR_COL)
