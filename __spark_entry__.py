@@ -127,6 +127,7 @@ _EXTENDED = (
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
     "q_trending_hourly",  # round-4 addition: per-window top-K
     "q_value_outliers",  # round-4 addition: z-score anomaly scan (broadcast moments)
+    "smp_importance",  # round-4 addition: HT-weighted importance sampling (sampling family gate slot held by smp_stratified)
 )
 
 GATE_CAP = 50

@@ -76,8 +76,49 @@ def smp_stratified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMPORTANCE_FULL_AT = 512  # docs with >= this many tokens always kept
+
+
+def smp_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling with Horvitz-Thompson weights:
+    keep each document with probability proportional to its length
+    (``rate = min(1, n_tokens/512)``) via the same md5 hash-gate, and
+    attach ``weight = 1/rate`` so any downstream statistic over the
+    sample re-weights to an unbiased full-corpus estimate — the
+    standard curation move when short/low-signal docs dominate a crawl
+    but must not dominate training.
+
+    Exactness: the rate is an integer token count divided by one
+    double literal — bit-identical in both engines — and the gate is
+    the shared md5 hash, so the kept SET and the weights are
+    oracle-exact. Plan: one narrow scan, zero shuffles before the
+    final order; SF-invariant at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    rate = F.least(
+        F.lit(1.0),
+        F.greatest(n_tok, F.lit(1)).cast("double")
+        / F.lit(float(IMPORTANCE_FULL_AT)),
+    )
+    gate = md5_int32(F.col("doc_id")).cast("double") / F.lit(float(_SCALE))
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.round(rate, 9).alias("keep_rate"),
+            F.round(F.lit(1.0) / rate, 9).alias("ht_weight"),
+            gate.alias("g"),
+        )
+        .filter(F.col("g") < F.col("keep_rate"))
+        .drop("g")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "smp_stratified": smp_stratified,
+    "smp_importance": smp_importance,
     "smp_stratified_ids": smp_stratified_ids,
 }
 
@@ -89,6 +130,27 @@ _RATE = (
 )
 
 ORACLES = {
+    # rate = n/512 terminates within 9 decimals (2^-9), so round(.,9)
+    # is exact and the kept SET matches bit-for-bit; 1/rate rounds the
+    # same double in both engines
+    "smp_importance": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+        r AS (
+            SELECT doc_id, n_tokens,
+                   least(CAST(1 AS DOUBLE),
+                         CAST(greatest(n_tokens, 1) AS DOUBLE)
+                         / {float(IMPORTANCE_FULL_AT)}) AS rate
+            FROM t)
+        SELECT doc_id, n_tokens,
+               round(rate, 9) AS keep_rate,
+               round(CAST(1 AS DOUBLE) / rate, 9) AS ht_weight
+        FROM r
+        WHERE {_GATE} < round(rate, 9)
+        ORDER BY doc_id
+    """,
     "smp_stratified": f"""
         WITH kept AS (
             SELECT lang FROM documents WHERE {_GATE} < {_RATE})
