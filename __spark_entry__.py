@@ -128,6 +128,7 @@ _EXTENDED = (
     "q_trending_hourly",  # round-4 addition: per-window top-K
     "q_value_outliers",  # round-4 addition: z-score anomaly scan (broadcast moments)
     "smp_importance",  # round-4 addition: HT-weighted importance sampling (sampling family gate slot held by smp_stratified)
+    "d_cluster_prune",  # round-4 addition: apply-the-dedup attrition (cluster family gate slot held by d_dedup_clusters)
 )
 
 GATE_CAP = 50

@@ -299,6 +299,40 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: apply the near-dup clusters — every
+    non-canonical cluster member is pruned, the kept corpus is the
+    canonical representatives plus all unclustered docs — and report
+    the per-source attrition (the number a curation run logs before
+    writing shards).
+
+    Plan shape: the pruned relation is ONLY the clustered non-minimum
+    docs (tiny relative to the corpus — near-dup rate, not corpus
+    size), so the apply step is a left join of the corpus against a
+    broadcastable id list followed by one keyed count; nothing
+    shuffles the corpus beyond the final per-source agg. At 100 TB
+    the same plan holds with a hashed left-semi/anti join when the
+    pruned list outgrows broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    pruned = (
+        labels.filter(F.col("node") != F.col("lbl"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("is_pruned"))
+    )
+    return (
+        docs.join(F.broadcast(pruned), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle (the standalone verify stage).
@@ -568,6 +602,7 @@ QUERIES = {
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
+    "d_cluster_prune": d_cluster_prune,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
     "d_simhash_pairs": d_simhash_pairs,
@@ -751,6 +786,26 @@ ORACLES = {
     """,
     # min-reachable-id per node == min doc_id of the connected
     # component (edges made symmetric; UNION dedupes → terminates)
+    "d_cluster_prune": f"""
+        WITH RECURSIVE {_LSH_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        pruned AS (SELECT node AS doc_id FROM cc WHERE node <> cluster_id)
+        SELECT d.source,
+               count(*) AS n_docs,
+               count(p.doc_id) AS n_pruned,
+               count(*) - count(p.doc_id) AS n_kept
+        FROM documents d LEFT JOIN pruned p ON d.doc_id = p.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
     "d_dedup_clusters": f"""
         WITH RECURSIVE {_LSH_CTES},
         edges AS (
