@@ -265,3 +265,36 @@ pipelines:
     with MiniKafkaClient(broker.bootstrap) as c:
         total = sum(c.list_offsets("rt", p, LATEST) for p in (0, 1))
     assert total == 40
+
+
+def test_produce_with_multiple_batches_in_one_record_set(broker):
+    """A produce request whose record_set holds SEVERAL RecordBatch
+    frames (real producers batch this way under load): the broker must
+    restamp each batch at its own log position."""
+    from conduit_spark.functions.kafka_wire import encode_record_batch
+
+    import struct
+
+    b1 = encode_record_batch([{"key": b"a", "value": b"1"}, {"key": b"b", "value": b"2"}])
+    b2 = encode_record_batch([{"key": b"c", "value": b"3"}], compression="gzip")
+    record_set = b1 + b2
+    with MiniKafkaClient(broker.bootstrap) as c:
+        # drive the raw Produce body so both frames ride one request
+        from conduit_spark.functions.minikafka import API_PRODUCE, _w_bytes, _w_str
+
+        body = (
+            _w_str(None)
+            + struct.pack(">hi", -1, 30000)
+            + struct.pack(">i", 1) + _w_str("multi")
+            + struct.pack(">i", 1) + struct.pack(">i", 0)
+            + _w_bytes(record_set)
+        )
+        r = c._call(API_PRODUCE, 3, body)
+        r.i32(); r.string(); r.i32(); r.i32()
+        assert r.i16() == 0  # error_code
+        assert r.i64() == 0  # base offset of the FIRST batch
+        recs, hwm = c.fetch("multi", 0, 0)
+        assert hwm == 3
+        assert [(x["offset"], x["value"]) for x in recs] == [
+            (0, b"1"), (1, b"2"), (2, b"3"),
+        ]
