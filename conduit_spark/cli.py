@@ -325,16 +325,29 @@ def cmd_metrics(args: argparse.Namespace) -> int:
 
 def cmd_api(args: argparse.Namespace) -> int:
     """Serve the HTTP control plane (PipelineService REST analog,
-    proto/api/v1/api.proto:318-569) over the provisioned pipelines."""
+    proto/api/v1/api.proto:318-569) over the provisioned pipelines.
+    Address and pipelines dir follow the engine-config precedence:
+    flag > CONDUIT_* env > --config file > default (zero-config runs
+    with the defaults)."""
     from conduit_spark.http_api import ControlPlane, start_server
+    from conduit_spark.pipeline.engine_config import (
+        resolve_engine_config,
+        split_address,
+    )
+
+    eng = resolve_engine_config(config_path=args.config)
+    cfg_host, cfg_port = split_address(eng["api.http.address"])
+    host = args.host if args.host is not None else cfg_host
+    port = args.port if args.port is not None else cfg_port
+    pipelines = args.pipelines or eng["pipelines.path"]
 
     mcp = None
     if args.mcp or args.mcp_allow_mutations:
         from conduit_spark.mcp import MCPServer
 
         mcp = MCPServer(allow_mutations=args.mcp_allow_mutations)
-    plane = ControlPlane(_gather(args.pipelines))
-    srv = start_server(plane, host=args.host, port=args.port, mcp=mcp)
+    plane = ControlPlane(_gather(pipelines) if os.path.exists(pipelines) else [])
+    srv = start_server(plane, host=host, port=port, mcp=mcp)
     host, port = srv.server_address[:2]
     print(f"serving control plane on http://{host}:{port}/v1/pipelines")
     if mcp is not None:
@@ -572,11 +585,15 @@ def cmd_config(args: argparse.Namespace) -> int:
     import json
 
     from conduit_spark import session as sess
+    from conduit_spark.pipeline.engine_config import resolve_engine_config
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     print(
         json.dumps(
             {
+                "engine": resolve_engine_config(
+                    config_path=getattr(args, "config", None)
+                ),
                 "env": {
                     "SPARK_GRAFT_CPUS": cpus,
                     "SPARK_MASTER": os.environ.get(
@@ -1078,9 +1095,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p_api = sub.add_parser(
         "api", help="serve the HTTP control plane (REST, JSON)"
     )
-    p_api.add_argument("--pipelines", required=True)
-    p_api.add_argument("--host", default="127.0.0.1")
-    p_api.add_argument("--port", type=int, default=8080)
+    p_api.add_argument("--pipelines", default=None)
+    p_api.add_argument("--host", default=None)
+    p_api.add_argument("--port", type=int, default=None)
+    p_api.add_argument(
+        "--config", default=None,
+        help="conduit.yaml engine config (flag > CONDUIT_* env > file)",
+    )
     p_api.add_argument(
         "--mcp", action="store_true", help="serve read-only MCP tools at /mcp"
     )
@@ -1201,6 +1222,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p_cfg = sub.add_parser(
         "config", help="print the effective engine configuration"
     )
+    p_cfg.add_argument("--config", default=None, help="conduit.yaml engine config")
     p_cfg.set_defaults(fn=cmd_config)
 
     for verb in ("start", "stop", "restart"):
