@@ -302,6 +302,17 @@ class MiniKafkaBroker:
         n = r.i32()
         wanted = None if n < 0 else [r.string() for _ in range(n)]
         with self._lock:
+            if wanted is not None:
+                # Kafka with auto.create.topics.enable=true creates a
+                # topic on an explicitly-named metadata request (the
+                # all-topics listing never creates). Without this, a
+                # producer that sizes its partitioner from pre-produce
+                # metadata would see 0 partitions, route everything to
+                # partition 0, then diverge from every later run once
+                # the first produce auto-creates default_partitions.
+                for t in wanted:
+                    if t not in self._topics:
+                        self.create_topic(t)
             topics = dict(self._topics) if wanted is None else {
                 t: self._topics.get(t, 0) for t in wanted
             }

@@ -171,12 +171,15 @@ def custom_subprocess(
         use_rpc = policy is not None
         stdin_lock = threading.Lock()  # feeder + egress replies share stdin
         STALL_S = 60.0
-        if use_rpc:
-            # rpc mode interleaves two writers on stdin; a NON-BLOCKING
-            # fd + stall deadline keeps a protocol-violating child (one
-            # that stops draining stdin while waiting for its
-            # http_response) a diagnosable failure, never a deadlock
-            os.set_blocking(proc.stdin.fileno(), False)
+        # Two writers (feeder thread + egress replies from the reader
+        # loop) share the child's stdin in EVERY mode — a child may
+        # emit http_request even without an egress block (it gets a
+        # denial), so the denial write and the record feed must never
+        # interleave mid-line. A NON-BLOCKING fd + stall deadline
+        # additionally keeps a protocol-violating child (one that
+        # stops draining stdin while waiting for its http_response) a
+        # diagnosable failure, never a deadlock.
+        os.set_blocking(proc.stdin.fileno(), False)
 
         def _locked_write(text: str) -> None:
             import select as _select
@@ -236,6 +239,67 @@ def custom_subprocess(
                     "error": f"{type(e).__name__}: {e}",
                 }
 
+        import select as _select
+
+        out_fd = proc.stdout.fileno()
+        rbuf = bytearray()
+        feed_err: list[BaseException] = []
+
+        def _readline_checked() -> str:
+            # Unbuffered select-based line reader over stdout's raw fd
+            # (proc.stdout's TextIOWrapper is bypassed everywhere, so
+            # no bytes ever hide in its buffer). On each 1s poll tick
+            # a failed feeder is re-raised here instead of blocking
+            # forever on answers to records that were never sent.
+            nonlocal rbuf
+            while True:
+                i = rbuf.find(b"\n")
+                if i >= 0:
+                    line = bytes(rbuf[: i + 1])
+                    del rbuf[: i + 1]
+                    return line.decode("utf-8")
+                r, _w, _x = _select.select([out_fd], [], [], 1.0)
+                if r:
+                    chunk = os.read(out_fd, 1 << 16)
+                    if not chunk:
+                        if rbuf:
+                            line = bytes(rbuf)
+                            rbuf.clear()
+                            return line.decode("utf-8")
+                        return ""  # EOF
+                    rbuf += chunk
+                elif feed_err:
+                    raise RuntimeError(
+                        f"custom_subprocess: feeding {command[0]} failed"
+                    ) from feed_err[0]
+
+        # Feeder runs in a thread: a child that answers before reading
+        # everything would otherwise deadlock both pipes. Both modes
+        # route through the stall-bounded locked writer (egress
+        # replies share the fd); non-rpc amortizes syscalls by writing
+        # line-aligned ~256 KiB chunks, so a denial can only ever land
+        # BETWEEN complete record lines, never inside one.
+        CHUNK = 1 << 18
+
+        def feed(data: list[str]) -> None:
+            try:
+                if use_rpc:
+                    for ln in data:
+                        _locked_write(ln + "\n")
+                else:
+                    buf: list[str] = []
+                    size = 0
+                    for ln in data:
+                        buf.append(ln)
+                        size += len(ln) + 1
+                        if size >= CHUNK:
+                            _locked_write("\n".join(buf) + "\n")
+                            buf, size = [], 0
+                    if buf:
+                        _locked_write("\n".join(buf) + "\n")
+            except BaseException as e:  # noqa: BLE001 — surfaced by reader
+                feed_err.append(e)
+
         try:
             for pdf in batches:
                 recs = pdf.to_dict("records")
@@ -243,29 +307,12 @@ def custom_subprocess(
                     continue
                 lines = [_ser(r) for r in recs]
 
-                # writer thread: a child that answers before reading
-                # everything would otherwise deadlock both pipes. The
-                # non-rpc fast path keeps the original single bulk
-                # write (one syscall per batch); rpc mode goes through
-                # the stall-bounded locked writer so egress responses
-                # can interleave without tearing or deadlocking.
-                if use_rpc:
-                    def feed(data: list[str] = lines) -> None:
-                        for ln in data:
-                            _locked_write(ln + "\n")
-                else:
-                    payload = "\n".join(lines) + "\n"
-
-                    def feed(data: str = payload) -> None:
-                        proc.stdin.write(data)
-                        proc.stdin.flush()
-
-                t = threading.Thread(target=feed)
+                t = threading.Thread(target=feed, args=(lines,))
                 t.start()
                 out_rows = []
                 for rec in recs:
                     while True:
-                        line = proc.stdout.readline()
+                        line = _readline_checked()
                         if not line:
                             raise RuntimeError(
                                 f"custom_subprocess: {command[0]} closed stdout "
@@ -285,6 +332,10 @@ def custom_subprocess(
                     row["position"] = rec.get("position")  # immutable
                     out_rows.append(row)
                 t.join()
+                if feed_err:
+                    raise RuntimeError(
+                        f"custom_subprocess: feeding {command[0]} failed"
+                    ) from feed_err[0]
                 yield pd.DataFrame(out_rows, columns=cols) if out_rows else (
                     pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
                 )

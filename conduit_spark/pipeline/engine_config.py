@@ -28,6 +28,51 @@ DEFAULTS: dict[str, str] = {
     "plugins.path": os.path.expanduser("~/.conduit-spark/plugins"),
 }
 
+# The reference's full `conduit run` flag surface
+# (cmd/conduit/root/run/run.go) — declared here so a CONDUIT_* env var
+# for any of these keys is honored even when the key appears in
+# neither DEFAULTS nor the config file. Env vars can only address
+# DECLARED keys: the env-name → dotted-key reverse mapping is
+# ambiguous (underscores stand for both dots and dashes), so novel
+# keys must arrive via the config file or a flag, whose spelling is
+# exact.
+KNOWN_KEYS: frozenset[str] = frozenset(
+    {
+        "api.allow-live-restart-apply",
+        "api.enabled",
+        "api.grpc.address",
+        "api.http.address",
+        "api.http.cors.allowed-origins",
+        "api.http.ui.enabled",
+        "config.path",
+        "connectors.max-receive-record-size",
+        "connectors.path",
+        "db.badger.path",
+        "db.postgres.connection-string",
+        "db.postgres.table",
+        "db.sqlite.path",
+        "db.sqlite.table",
+        "db.type",
+        "dev.enabled",
+        "log.format",
+        "log.level",
+        "pipelines.checkpoint-dir",
+        "pipelines.error-recovery.backoff-factor",
+        "pipelines.error-recovery.max-delay",
+        "pipelines.error-recovery.max-retries",
+        "pipelines.error-recovery.max-retries-window",
+        "pipelines.error-recovery.min-delay",
+        "pipelines.exit-on-degraded",
+        "pipelines.path",
+        "plugins.path",
+        "preview.pipeline-arch-v2",
+        "preview.pipeline-arch-v2-disable-metrics",
+        "processors.path",
+        "schema-registry.confluent.connection-string",
+        "schema-registry.type",
+    }
+)
+
 
 def env_name(key: str) -> str:
     """Flag path → env var: ``api.http.address`` →
@@ -68,7 +113,11 @@ def resolve_engine_config(
         if not isinstance(doc, dict):
             raise ValueError(f"{config_path}: engine config must be a mapping")
         out.update(_flatten(doc))
-    for key in list(out):
+    # Env overlays every DECLARED key: defaults, the reference flag
+    # surface (KNOWN_KEYS), file keys, and flag keys — not just keys
+    # already present — so CONDUIT_LOG_LEVEL works with no config
+    # file. Flags still win: they're applied after.
+    for key in set(out) | KNOWN_KEYS | set(flags or {}):
         if (val := env.get(env_name(key))) is not None:
             out[key] = val
     for k, v in (flags or {}).items():

@@ -284,7 +284,27 @@ def kafka_wire_sink(
                         client = MiniKafkaClient(server)
                         md = client.metadata([topic])
                         parts = md["topics"].get(topic, {}).get("partitions", [])
-                        n_parts = max(1, len(parts))
+                        # A v1 metadata request for a named topic
+                        # auto-creates it (auto.create.topics.enable);
+                        # real Kafka creates asynchronously and may
+                        # report 0 partitions on the first response, so
+                        # poll briefly. Never fall back to n_parts=1:
+                        # routing everything to partition 0 on the
+                        # first run would diverge from every rerun once
+                        # the topic exists with default_partitions.
+                        for _ in range(20):
+                            if parts:
+                                break
+                            time.sleep(0.25)
+                            md = client.metadata([topic])
+                            parts = md["topics"].get(topic, {}).get("partitions", [])
+                        if not parts:
+                            raise RuntimeError(
+                                f"kafka_wire_sink: topic {topic!r} has no "
+                                "partitions and the broker did not "
+                                "auto-create it; create the topic first"
+                            )
+                        n_parts = len(parts)
                     k = bytes(row.key) if row.key is not None else None
                     v = bytes(row.value) if row.value is not None else None
                     p = partition_for_key(k, v, n_parts)

@@ -79,3 +79,34 @@ def test_env_address_resolves_and_binds(monkeypatch):
             assert json.loads(r.read())["status"] == "SERVING"
     finally:
         srv.shutdown()
+
+
+def test_env_overrides_declared_key_absent_from_defaults_and_file():
+    """A CONDUIT_* env var for a DECLARED key (reference run.go flag
+    surface) is honored even when the key appears in neither DEFAULTS
+    nor the config file — previously only already-present keys were
+    scanned, making the flag > env > file chain inconsistent for keys
+    like log.level."""
+    from conduit_spark.pipeline.engine_config import resolve_engine_config
+
+    cfg = resolve_engine_config(env={"CONDUIT_LOG_LEVEL": "debug"})
+    assert cfg["log.level"] == "debug"
+    # flag still beats env for the same key
+    cfg = resolve_engine_config(
+        {"log.level": "warn"}, env={"CONDUIT_LOG_LEVEL": "debug"}
+    )
+    assert cfg["log.level"] == "warn"
+    # env can also address a key introduced only by a flag dict entry
+    cfg = resolve_engine_config(
+        {"x.custom-key": None}, env={"CONDUIT_X_CUSTOM_KEY": "v"}
+    )
+    assert cfg["x.custom-key"] == "v"
+
+
+def test_env_undeclared_key_is_ignored_documented():
+    """Undeclared env keys stay ignored: the reverse mapping from env
+    name to dotted key is ambiguous (underscore = dot or dash)."""
+    from conduit_spark.pipeline.engine_config import resolve_engine_config
+
+    cfg = resolve_engine_config(env={"CONDUIT_TOTALLY_NOVEL_THING": "v"})
+    assert not any("novel" in k for k in cfg)

@@ -39,10 +39,11 @@ def test_api_versions_and_metadata(broker):
         t = md["topics"]["t1"]
         assert t["error"] == 0
         assert [p["partition"] for p in t["partitions"]] == [0, 1, 2, 3]
-        # unknown topic reports error code 3 with no partitions
+        # a named metadata request auto-creates the topic with
+        # default_partitions (auto.create.topics.enable semantics)
         md2 = c.metadata(["nope"])
-        assert md2["topics"]["nope"]["error"] == 3
-        assert md2["topics"]["nope"]["partitions"] == []
+        assert md2["topics"]["nope"]["error"] == 0
+        assert len(md2["topics"]["nope"]["partitions"]) == broker.default_partitions
 
 
 def test_produce_fetch_roundtrip_with_offset_assignment(broker):
@@ -298,3 +299,20 @@ def test_produce_with_multiple_batches_in_one_record_set(broker):
         assert [(x["offset"], x["value"]) for x in recs] == [
             (0, b"1"), (1, b"2"), (2, b"3"),
         ]
+
+
+def test_metadata_request_autocreates_named_topic(broker):
+    """An explicitly-named metadata request auto-creates the topic with
+    default_partitions (Kafka auto.create.topics.enable semantics), so
+    a producer sizing its partitioner BEFORE the first produce sees the
+    real partition count — not 0 → fallback 1 → everything on
+    partition 0 diverging from every later run."""
+    from conduit_spark.functions.minikafka import MiniKafkaClient
+
+    with MiniKafkaClient(broker.bootstrap) as c:
+        md = c.metadata(["fresh-topic"])
+        parts = md["topics"]["fresh-topic"]["partitions"]
+        assert len(parts) == broker.default_partitions
+        # the all-topics listing never creates
+        md2 = c.metadata(None)
+        assert "other-unknown" not in md2["topics"]

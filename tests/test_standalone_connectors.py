@@ -294,3 +294,29 @@ def test_sandbox_applies_to_custom_subprocess_processor(spark, tmp_path):
     )
     with pytest.raises(Exception, match="closed stdout|SparkException|Py4J"):
         out.collect()
+
+
+def test_feeder_failure_surfaces_instead_of_hanging(spark, tmp_path):
+    """A child that stops reading stdin without exiting or answering
+    (closes fd 0, then sleeps) breaks the feeder thread with EPIPE; the
+    reader loop must surface that error within its poll tick rather
+    than block forever on stdout answers that can never come."""
+    import time
+
+    from conduit_spark.operators import custom_subprocess
+
+    deaf = tmp_path / "deaf_proc.py"
+    deaf.write_text("import os, time\nos.close(0)\ntime.sleep(120)\n")
+    # payload must overflow the 64 KiB pipe buffer so the feeder is
+    # still writing when the child's stdin closes → EPIPE in the
+    # feeder thread, surfaced by the reader's poll tick
+    df = (
+        spark.range(2000)
+        .selectExpr("repeat('x', 1024) AS payload_after_json")
+        .coalesce(1)
+    )
+    out = custom_subprocess(df, [sys.executable, "-u", str(deaf)])
+    t0 = time.monotonic()
+    with pytest.raises(Exception, match="feeding|closed stdout|SparkException|Py4J"):
+        out.collect()
+    assert time.monotonic() - t0 < 60, "reader blocked instead of surfacing feeder error"
