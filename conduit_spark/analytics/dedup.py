@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from conduit_spark.analytics import ordered_result
 from conduit_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_int32,
@@ -109,7 +110,7 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
         for j, (a, b) in enumerate(_PARAMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return ordered_result(sh.groupBy("doc_id").agg(*aggs), "doc_id")
 
 
 def _band_buckets(sigs: DataFrame) -> DataFrame:
@@ -204,7 +205,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs from LSH banding + exact-Jaccard verify."""
-    return _lsh_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    return ordered_result(_lsh_pairs(spark, sf_dir), "id_a", "id_b")
 
 
 MAX_CC_ITERS = 25  # min-label propagation rounds (≥ any near-dup cluster diameter)
@@ -295,7 +296,7 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 
@@ -380,7 +381,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc, 9).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.05)
-        .orderBy("id_a", "id_b")
+        .transform(ordered_result, "id_a", "id_b")
     )
 
 
@@ -405,7 +406,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(32):
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         fp = bit if fp is None else fp + bit
-    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+    return ordered_result(agg.select("doc_id", fp.alias("simhash")), "doc_id")
 
 
 SIMHASH_BANDS = 4  # 8 bits per band; near-dups must share ≥1 full band
@@ -473,7 +474,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("id_a", "id_b")
+        .transform(ordered_result, "id_a", "id_b")
     )
 
 
@@ -498,7 +499,7 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts it. Only contaminated docs are emitted.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return contamination_scores(docs).orderBy("doc_id")
+    return ordered_result(contamination_scores(docs), "doc_id")
 
 
 def contamination_scores(docs: DataFrame) -> DataFrame:
@@ -591,7 +592,7 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_kept_spans"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 

@@ -20,9 +20,11 @@ bit-identical vs the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from conduit_spark.analytics import ordered_result
 from conduit_spark.functions.hashing import hyperplanes
 from conduit_spark.sources.tables import load_table
 
@@ -205,7 +207,7 @@ def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos_sim"),
         )
     )
-    return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
+    return ordered_result(pairs.filter(F.col("cos_sim") >= 0.3), "id_a", "id_b")
 
 
 KNN_K = 3
@@ -369,6 +371,44 @@ def _assign_expr(cents: list[tuple[int, list[int]]]) -> str:
     return f"element_at(array({ids}), CAST(({enc}) % {n}L AS INT) + 1)"
 
 
+def _assign_udf(cents: list[tuple[int, list[int]]]):
+    """Cluster assignment as a vectorized Arrow-batched pandas UDF over
+    the (implicitly broadcast) centroid matrix — bit-identical to
+    :func:`_assign_expr`'s ``min(dist·n + position)`` encoding, all
+    int64, so the SQL oracle stays exact.
+
+    This is the SCALE path, not just the fast one: SemDeDup at corpus
+    scale uses K ≈ 11k clusters × d = 768 dims (Abbas et al. 2023) —
+    8.4M literals would blow up Catalyst analysis, while a broadcast
+    K×d int64 matrix is ~70 MB of executor state and the per-batch
+    argmin is one numpy broadcast. Still zero-shuffle: assignment
+    remains a projection. For K·d too big for the B×K×d diff tensor,
+    decompose d² = |q|² + |c|² − 2q·c (int64-exact here: |value| ≤ 1e6
+    micro-units, d ≤ 768 ⇒ every term < 2^63).
+    """
+    import numpy as np
+
+    ids = np.asarray([cl for cl, _ in cents], dtype=np.int64)
+    cmat = np.asarray([c for _, c in cents], dtype=np.int64)  # K×d
+    n = len(cents)
+    offs = np.arange(n, dtype=np.int64)[None, :]
+
+    @F.pandas_udf("bigint")
+    def assign(qs: pd.Series) -> pd.Series:
+        out = np.full(len(qs), -1, dtype=np.int64)
+        mask = qs.notna().to_numpy()
+        if mask.any():
+            q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in qs[mask]]
+            )  # B×d
+            d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[mask] = ids[np.argmin(d2 * n + offs, axis=1)]
+        res = pd.Series(out)
+        return res.where(pd.Series(mask), None)
+
+    return assign
+
+
 def _lloyd(emb: DataFrame):
     """``KMEANS_ITERS`` Lloyd iterations (deterministic init: first K
     vectors; integer micro-unit arithmetic; truncating integer mean).
@@ -390,9 +430,7 @@ def _lloyd(emb: DataFrame):
     comp = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr("abs(s) div n")
     cents_df = None
     for it in range(KMEANS_ITERS):
-        assigned = vecs.select(
-            "q", F.expr(_assign_expr(cents)).alias("cl")
-        )
+        assigned = vecs.select("q", _assign_udf(cents)(F.col("q")).alias("cl"))
         upd = (
             assigned.select("cl", F.posexplode("q").alias("pos", "v"))
             .groupBy("cl", "pos")
@@ -475,7 +513,7 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["cl"], list(r["carr"])) for r in cents_df.orderBy("cl").collect()
     ]
     assigned = vecs.select(
-        "vec_id", F.expr(_assign_expr(cents)).alias("cluster_id")
+        "vec_id", _assign_udf(cents)(F.col("q")).alias("cluster_id")
     ).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = a.join(
@@ -516,7 +554,7 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_MIN_COS)
-        .orderBy("cluster_id", "id_keep", "id_prune")
+        .transform(ordered_result, "cluster_id", "id_keep", "id_prune")
     )
 
 
