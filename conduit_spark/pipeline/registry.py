@@ -124,7 +124,10 @@ CONNECTOR_PLUGINS: dict[str, dict[str, Any]] = {
     "builtin:s3": {
         "source": True,
         "destination": True,
-        "description": "s3a:// paths with credential/endpoint settings",
+        "description": (
+            "s3a:// paths with credential/endpoint settings; "
+            "transport=wire for the jar-free S3 REST object path"
+        ),
     },
     "custom.standalone": {
         "source": True,
@@ -182,7 +185,12 @@ def validate_connector(
         return errors
     if not info.get(ctype, False):
         errors.append(f"plugin {plugin!r} cannot act as a {ctype}")
-    for key in _CONNECTOR_REQUIRED.get((plugin, ctype), ()):
+    required = _CONNECTOR_REQUIRED.get((plugin, ctype), ())
+    if plugin == "builtin:s3" and str(settings.get("transport", "jvm")) == "wire":
+        # wire transport addresses objects by endpoint+bucket, not an
+        # s3a:// path
+        required = ("aws.url", "aws.bucket")
+    for key in required:
         if key not in settings:
             errors.append(f"missing required setting {key!r}")
     if plugin == "builtin:postgres" and settings.get("writeMode") == "upsert":
@@ -463,6 +471,29 @@ def build_source(
         )
     if plugin in ("builtin:file", "builtin:s3"):
         if plugin == "builtin:s3":
+            if str(settings.get("transport", "jvm")) == "wire":
+                # jar-free S3 REST path (no hadoop-aws needed): list +
+                # parallel GET through the engine's own protocol client
+                if streaming:
+                    raise ValueError(
+                        "builtin:s3 transport=wire is a snapshot reader; "
+                        "continuous tailing needs the s3a path or a "
+                        "polling re-run"
+                    )
+                from conduit_spark.sources.s3_wire import (
+                    envelope_from_s3,
+                    s3_wire_source_df,
+                )
+
+                objs = s3_wire_source_df(
+                    spark,
+                    str(settings["aws.url"]),
+                    str(settings["aws.bucket"]),
+                    str(settings.get("prefix", "")),
+                )
+                return envelope_from_s3(
+                    objs, source_id, str(settings["aws.bucket"])
+                )
             apply_s3_conf(spark, settings)
         return file_source(
             spark,
@@ -767,6 +798,18 @@ def write_destination(
 
     if plugin in ("builtin:file", "builtin:s3"):
         if plugin == "builtin:s3":
+            if str(settings.get("transport", "jvm")) == "wire":
+                from conduit_spark.sources.s3_wire import s3_wire_sink
+
+                s3_wire_sink(
+                    df,
+                    str(settings["aws.url"]),
+                    str(settings["aws.bucket"]),
+                    str(settings.get("prefix", "")),
+                    fmt=str(settings.get("format", "json")),
+                    buffer_size=int(settings.get("bufferSize", 1000)),
+                )
+                return
             apply_s3_conf(df.sparkSession, settings)
         sinks.file_sink(
             df,

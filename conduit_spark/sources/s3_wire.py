@@ -1,0 +1,251 @@
+"""Jar-free ``builtin:s3`` source/destination over the S3 REST wire.
+
+The JVM hot path for ``builtin:s3`` is Hadoop s3a (``apply_s3_conf``
+maps conduit-connector-s3 setting names onto ``fs.s3a.*``); this
+module is the ``transport: wire`` analog of ``kafka_wire_source_df``
+— a pure-Python S3 protocol client (``functions.minis3.MiniS3Client``)
+driving the exact object semantics of the reference's S3 connector
+(conduit-connector-s3):
+
+- **source**: paginated ListObjectsV2 snapshot of ``prefix`` in
+  lexicographic key order, one record per object: key = object key,
+  payload = raw object bytes, position = ``bucket/key`` — the
+  reference source's snapshot iterator contract.
+- **destination**: records buffered per partition and written as
+  JSON-lines (``format: json``) or parquet (``format: parquet``)
+  objects under ``prefix`` — the reference destination's
+  buffer-then-PutObject contract, with multipart upload above the
+  single-PUT threshold.
+
+Scale shape: listing is driver-side but METADATA ONLY (key/size/etag
+— ~100 bytes per object, paginated; 10M objects ≈ 1 GB of driver
+heap would be the limit, far past the connector's intended use and
+fixable by feeding ranges like the kafka reader). Object BYTES move
+executor-side: the key list is size-balanced across tasks with a
+greedy first-fit pack, every task GETs its own objects over its own
+connection, and objects larger than ``chunk_bytes`` stream down in
+Range slices so a task never holds more than one slice over the
+buffer it is assembling.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+OBJ_SCHEMA = (
+    "key string, value binary, size long, etag string, last_modified string"
+)
+
+
+def s3_wire_source_df(
+    spark: SparkSession,
+    endpoint: str,
+    bucket: str,
+    prefix: str = "",
+    *,
+    page_size: int = 1000,
+    chunk_bytes: int = 8 * 1024 * 1024,
+    tasks: int | None = None,
+) -> DataFrame:
+    """Snapshot-read every object under ``prefix`` → one row per
+    object (key, value=bytes, size, etag, last_modified)."""
+    from conduit_spark.functions.minis3 import MiniS3Client
+
+    client = MiniS3Client(endpoint)
+    objs = client.list_objects(bucket, prefix, page_size=page_size)
+    if not objs:
+        return spark.createDataFrame([], OBJ_SCHEMA)
+
+    # greedy size-balanced assignment: big objects spread first so no
+    # task drags the stage (the s3a reader gets this from file splits;
+    # here objects are the indivisible unit)
+    n_tasks = tasks or min(len(objs), spark.sparkContext.defaultParallelism)
+    buckets: list[int] = [0] * n_tasks
+    assign = []
+    for o in sorted(objs, key=lambda o: -o["size"]):
+        t = min(range(n_tasks), key=buckets.__getitem__)
+        buckets[t] += o["size"]
+        assign.append((t, o["key"], o["size"], o["etag"], o["last_modified"]))
+
+    plan_df = spark.createDataFrame(
+        assign, "task int, key string, size long, etag string, last_modified string"
+    ).repartition(n_tasks, "task")
+
+    def _fetch(batches):
+        import pandas as pd
+
+        from conduit_spark.functions.minis3 import MiniS3Client as _C
+
+        c = _C(endpoint)
+        for pdf in batches:
+            keys, vals, sizes, etags, lms = [], [], [], [], []
+            for row in pdf.itertuples():
+                if row.size > chunk_bytes:
+                    parts = []
+                    off = 0
+                    while off < row.size:
+                        end = min(off + chunk_bytes, row.size) - 1
+                        parts.append(
+                            c.get_object(bucket, row.key, (off, end))
+                        )
+                        off = end + 1
+                    data = b"".join(parts)
+                else:
+                    data = c.get_object(bucket, row.key)
+                keys.append(row.key)
+                vals.append(data)
+                sizes.append(len(data))
+                etags.append(row.etag)
+                lms.append(row.last_modified)
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "value": vals,
+                    "size": sizes,
+                    "etag": etags,
+                    "last_modified": lms,
+                }
+            )
+
+    return plan_df.mapInPandas(_fetch, OBJ_SCHEMA)
+
+
+def envelope_from_s3(df: DataFrame, source_id: str, bucket: str) -> DataFrame:
+    """Object rows → OpenCDC envelopes: position = ``bucket/key`` (the
+    reference S3 source's position), raw payload, key = object key."""
+    return df.select(
+        F.concat(F.lit(bucket), F.lit("/"), F.col("key"))
+        .cast("binary")
+        .alias("position"),
+        F.lit("snapshot").alias("operation"),
+        F.create_map(
+            F.lit("conduit.source.connector.id"), F.lit(source_id),
+            F.lit("s3.bucket"), F.lit(bucket),
+            F.lit("s3.key"), F.col("key"),
+            F.lit("s3.etag"), F.col("etag"),
+            F.lit("s3.lastModified"), F.col("last_modified"),
+        ).alias("metadata"),
+        F.col("key").cast("binary").alias("key_raw"),
+        F.lit(None).cast("string").alias("key_json"),
+        F.lit(None).cast("string").alias("payload_before_json"),
+        F.lit(None).cast("string").alias("payload_after_json"),
+        F.col("value").alias("payload_after_raw"),
+        F.lit(False).alias("is_structured"),
+    )
+
+
+def s3_wire_sink(
+    df: DataFrame,
+    endpoint: str,
+    bucket: str,
+    prefix: str = "",
+    *,
+    fmt: str = "json",
+    buffer_size: int = 1000,
+    multipart_threshold: int = 16 * 1024 * 1024,
+    settings: dict[str, Any] | None = None,
+) -> None:
+    """Write envelope records as objects: per partition, records chunk
+    into ``buffer_size`` batches; each batch becomes ONE object
+    ``{prefix}part-{partition:05d}-{chunk:05d}.{fmt}`` (JSON-lines or
+    parquet bytes via pyarrow). Deterministic keys → reruns overwrite
+    instead of duplicating (PutObject is idempotent), the engine's
+    at-least-once → effectively-once trick for object stores.
+
+    Runs as ``mapInPandas`` + a noop Dataset write, NOT
+    ``foreachPartition`` — the runtime's delivery Observation only
+    fires on Dataset actions (see ``kafka_wire_sink``).
+    """
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"s3 wire format must be json|parquet, got {fmt!r}")
+
+    cols = df.columns
+
+    def _send(pdf_iter):
+        import io
+        import json as _json
+
+        import pandas as pd
+
+        from conduit_spark.functions.minis3 import MiniS3Client as _C
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        c = _C(endpoint)
+        n_sent = 0
+        chunk_no = 0
+        buf: list[dict] = []
+
+        def _flush():
+            nonlocal chunk_no
+            if not buf:
+                return
+            key = f"{prefix}part-{part:05d}-{chunk_no:05d}.{fmt}"
+            if fmt == "json":
+                body = ("\n".join(
+                    _json.dumps(r, default=_jsonable) for r in buf
+                ) + "\n").encode()
+            else:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                sink = io.BytesIO()
+                pq.write_table(
+                    pa.Table.from_pylist(
+                        [{k: _arrowable(v) for k, v in r.items()} for r in buf]
+                    ),
+                    sink,
+                )
+                body = sink.getvalue()
+            if len(body) > multipart_threshold:
+                chunks = [
+                    body[i : i + multipart_threshold]
+                    for i in range(0, len(body), multipart_threshold)
+                ]
+                c.multipart_upload(bucket, key, chunks)
+            else:
+                c.put_object(
+                    bucket, key, body,
+                    content_type=(
+                        "application/json" if fmt == "json"
+                        else "binary/octet-stream"
+                    ),
+                )
+            chunk_no += 1
+            buf.clear()
+
+        for pdf in pdf_iter:
+            for rec in pdf.to_dict("records"):
+                buf.append(rec)
+                n_sent += 1
+                if len(buf) >= buffer_size:
+                    _flush()
+        _flush()
+        yield pd.DataFrame({"n_sent": [n_sent]})
+
+    def _jsonable(v):
+        if isinstance(v, (bytes, bytearray)):
+            import base64
+
+            return base64.b64encode(bytes(v)).decode()
+        if hasattr(v, "item"):
+            return v.item()
+        return str(v)
+
+    def _arrowable(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+
+    (
+        df.select(*cols)
+        .mapInPandas(_send, "n_sent long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )

@@ -1,0 +1,256 @@
+"""Protocol-level verification of ``builtin:s3`` transport=wire.
+
+The sandbox has no S3 endpoint; ``functions.minis3.MiniS3Server``
+stands in at the REST-API level (ListObjectsV2 pagination, Range GET,
+PutObject ETag, multipart), upgrading the s3 connector from
+configuration-level (``apply_s3_conf``) to wire-protocol-level
+coverage — the same strategy as ``test_minikafka``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from conduit_spark.functions.minis3 import MiniS3Client, MiniS3Server
+
+
+@pytest.fixture()
+def s3():
+    with MiniS3Server() as srv:
+        client = MiniS3Client(srv.endpoint)
+        client.create_bucket("bkt")
+        yield srv, client
+
+
+# -- raw protocol ----------------------------------------------------------
+
+
+def test_put_get_etag_and_head(s3):
+    _, c = s3
+    data = b"hello s3"
+    etag = c.put_object("bkt", "a/b.txt", data, content_type="text/plain")
+    assert etag == hashlib.md5(data).hexdigest()
+    assert c.get_object("bkt", "a/b.txt") == data
+    h = c.head_object("bkt", "a/b.txt")
+    assert h["size"] == len(data)
+    assert h["etag"] == etag
+    assert h["content_type"] == "text/plain"
+
+
+def test_range_get_variants(s3):
+    _, c = s3
+    c.put_object("bkt", "r", b"0123456789")
+    assert c.get_object("bkt", "r", (2, 5)) == b"2345"
+    assert c.get_object("bkt", "r", (8, 99)) == b"89"  # clamped end
+
+
+def test_list_objects_v2_pagination_and_order(s3):
+    _, c = s3
+    for i in range(23):
+        c.put_object("bkt", f"p/k{i:03d}", b"x" * i)
+    c.put_object("bkt", "other/zzz", b"y")
+    objs = c.list_objects("bkt", "p/", page_size=5)  # 5 pages
+    assert [o["key"] for o in objs] == [f"p/k{i:03d}" for i in range(23)]
+    assert [o["size"] for o in objs] == list(range(23))
+    # prefix isolation
+    assert all(o["key"].startswith("p/") for o in objs)
+
+
+def test_delete_then_404(s3):
+    _, c = s3
+    c.put_object("bkt", "gone", b"x")
+    c.delete_object("bkt", "gone")
+    with pytest.raises(Exception, match="404"):
+        c.get_object("bkt", "gone")
+
+
+def test_multipart_upload_concats_and_etags(s3):
+    _, c = s3
+    chunks = [b"a" * 100, b"b" * 100, b"c" * 7]
+    etag = c.multipart_upload("bkt", "mp", chunks)
+    assert etag.endswith("-3")  # AWS multipart ETag scheme
+    digests = b"".join(hashlib.md5(p).digest() for p in chunks)
+    assert etag == f"{hashlib.md5(digests).hexdigest()}-3"
+    assert c.get_object("bkt", "mp") == b"".join(chunks)
+
+
+# -- Spark wire source/sink ------------------------------------------------
+
+
+def test_wire_source_reads_objects_parallel(spark, s3):
+    srv, c = s3
+    payloads = {f"in/doc{i:02d}.bin": bytes([i]) * (i + 1) for i in range(12)}
+    for k, v in payloads.items():
+        c.put_object("bkt", k, v)
+    from conduit_spark.sources.s3_wire import s3_wire_source_df
+
+    df = s3_wire_source_df(spark, srv.endpoint, "bkt", "in/")
+    rows = {r.key: bytes(r.value) for r in df.collect()}
+    assert rows == payloads
+    sizes = {r.key: r.size for r in df.collect()}
+    assert sizes == {k: len(v) for k, v in payloads.items()}
+
+
+def test_wire_source_chunked_range_fetch(spark, s3):
+    """An object above chunk_bytes is assembled from Range slices —
+    byte-identical to the original."""
+    srv, c = s3
+    big = bytes(range(256)) * 1024  # 256 KiB
+    c.put_object("bkt", "big/one", big)
+    from conduit_spark.sources.s3_wire import s3_wire_source_df
+
+    df = s3_wire_source_df(
+        spark, srv.endpoint, "bkt", "big/", chunk_bytes=60_000
+    )
+    [row] = df.collect()
+    assert bytes(row.value) == big
+
+
+def test_wire_sink_writes_json_lines_objects(spark, s3):
+    srv, c = s3
+    from conduit_spark.sources.s3_wire import s3_wire_sink
+
+    df = spark.createDataFrame(
+        [(f"k{i}", json.dumps({"n": i})) for i in range(25)],
+        "key_json string, payload_after_json string",
+    ).repartition(2)
+    s3_wire_sink(df, srv.endpoint, "bkt", "out/", fmt="json", buffer_size=10)
+    objs = c.list_objects("bkt", "out/")
+    assert objs, "sink wrote no objects"
+    recs = []
+    for o in objs:
+        body = c.get_object("bkt", o["key"]).decode()
+        recs += [json.loads(ln) for ln in body.splitlines()]
+    assert sorted(json.loads(r["payload_after_json"])["n"] for r in recs) == list(
+        range(25)
+    )
+    # buffer_size=10 per partition → no object holds more than 10 records
+    for o in objs:
+        body = c.get_object("bkt", o["key"]).decode()
+        assert len(body.splitlines()) <= 10
+
+
+def test_wire_sink_parquet_roundtrip(spark, s3):
+    srv, c = s3
+    import io
+
+    import pyarrow.parquet as pq
+
+    from conduit_spark.sources.s3_wire import s3_wire_sink
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(7)],
+        "key_json string, payload_after_json string",
+    ).coalesce(1)
+    s3_wire_sink(df, srv.endpoint, "bkt", "pq/", fmt="parquet")
+    [obj] = c.list_objects("bkt", "pq/")
+    table = pq.read_table(io.BytesIO(c.get_object("bkt", obj["key"])))
+    assert sorted(table.column("key_json").to_pylist()) == [
+        f"k{i}" for i in range(7)
+    ]
+
+
+# -- registry dispatch (the builtin:s3 plugin surface) ---------------------
+
+
+def test_pipeline_destination_and_source_wire_transport(spark, s3):
+    srv, c = s3
+    from conduit_spark.pipeline import registry
+
+    src = spark.createDataFrame(
+        [(f"u{i}", json.dumps({"n": i})) for i in range(20)],
+        "key_json string, payload_after_json string",
+    ).selectExpr(
+        "key_json",
+        "cast(null as binary) as key_raw",
+        "payload_after_json",
+        "cast(null as binary) as payload_after_raw",
+    )
+    settings = {
+        "transport": "wire",
+        "aws.url": srv.endpoint,
+        "aws.bucket": "bkt",
+        "prefix": "pipe/",
+        "format": "json",
+    }
+    registry.write_destination(src, "builtin:s3", settings)
+    env = registry.build_source(
+        spark, "builtin:s3", settings, "s3src", streaming=False
+    )
+    got = env.collect()
+    assert len(got) >= 1  # one object per partition-chunk
+    assert {r.operation for r in got} == {"snapshot"}
+    recs = []
+    for r in got:
+        meta = dict(r.metadata)
+        assert meta["conduit.source.connector.id"] == "s3src"
+        assert meta["s3.bucket"] == "bkt"
+        assert bytes(r.position).decode().startswith("bkt/pipe/")
+        recs += [
+            json.loads(ln)
+            for ln in bytes(r.payload_after_raw).decode().splitlines()
+        ]
+    assert sorted(json.loads(r["payload_after_json"])["n"] for r in recs) == list(
+        range(20)
+    )
+
+
+def test_validate_connector_wire_requirements():
+    from conduit_spark.pipeline.registry import validate_connector
+
+    errs = validate_connector("source", "builtin:s3", {"transport": "wire"})
+    assert any("aws.url" in e for e in errs)
+    assert any("aws.bucket" in e for e in errs)
+    ok = validate_connector(
+        "source",
+        "builtin:s3",
+        {"transport": "wire", "aws.url": "http://x", "aws.bucket": "b"},
+    )
+    assert ok == []
+    # jvm path still wants `path`
+    errs = validate_connector("source", "builtin:s3", {})
+    assert any("path" in e for e in errs)
+
+
+def test_pipeline_runtime_delivery_counts_wire_s3_destination(spark, s3):
+    """The s3 wire sink delivers via mapInPandas + a noop Dataset
+    write, so the runtime's delivery Observation fires and run_batch
+    reports an accurate count (the foreachPartition deadlock class)."""
+    srv, c = s3
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    cfg = parse_yaml(
+        f"""
+version: "2.2"
+pipelines:
+  - id: s3-rt
+    connectors:
+      - id: gen
+        type: source
+        plugin: builtin:generator
+        settings:
+          recordCount: 40
+          format.options: {{id: int, name: string}}
+      - id: out
+        type: destination
+        plugin: builtin:s3
+        settings:
+          transport: wire
+          aws.url: {srv.endpoint}
+          aws.bucket: bkt
+          prefix: rt/
+"""
+    )[0]
+    res = Pipeline(spark, cfg).run_batch()
+    assert res.delivered == {"out": 40}
+    assert res.nacked == 0
+    import json as _json
+
+    total = 0
+    for o in c.list_objects("bkt", "rt/"):
+        total += len(c.get_object("bkt", o["key"]).decode().splitlines())
+    assert total == 40
