@@ -1,0 +1,298 @@
+"""gRPC-Web transcoding for the reference's ``api.v1.PipelineService``.
+
+The reference serves ``PipelineService`` over native gRPC + the
+grpc-gateway HTTP mapping (``proto/api/v1/api.proto:318-601``). This
+engine's ADR (20260813-http-gateway-not-raw-grpc.md) keeps the JSON
+gateway as the primary surface — native gRPC needs HTTP/2 framing the
+stdlib can't serve — but the public **gRPC-Web** protocol
+(github.com/grpc/grpc-web PROTOCOL-WEB.md) is plain HTTP/1.1:
+
+    POST /api.v1.PipelineService/{Method}
+    Content-Type: application/grpc-web+proto   (or grpc-web-text)
+    body = DATA frame(s): 1-byte flags (0x00) + 4-byte BE length + msg
+    response = DATA frame + trailers frame (flags 0x80) carrying
+               ``grpc-status: N\r\ngrpc-message: ...``
+
+so a client generated from the reference's own ``api.proto`` with
+``protoc-gen-grpc-web`` (or grpc-web-text from a browser) can call
+this gateway unmodified. Messages are encoded with the
+descriptor-driven codec in ``functions.protowire`` — field numbers
+below are copied VERBATIM from ``api.proto`` and commented with their
+source lines so parity is auditable.
+
+Scope: all eight unary PipelineService RPCs. Server-streaming RPCs
+(``InspectConnector``/``InspectProcessor``) stay on the JSON gateway's
+chunked ``/inspect`` routes; ConnectorService/ProcessorService remain
+JSON-first (additive work, same machinery).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import struct
+
+from conduit_spark.functions import protowire as pw
+
+# -- descriptors (field numbers verbatim from proto/api/v1/api.proto) ------
+
+# google.protobuf.Timestamp (well-known type)
+TIMESTAMP = {1: ("seconds", "int64"), 2: ("nanos", "int64")}
+
+# api.proto:58-78 Pipeline.State
+PIPELINE_STATE = {
+    1: ("status", "enum"),
+    2: ("error", "string"),
+    3: ("stopped_reason", "enum"),
+}
+# api.proto:79-82 Pipeline.Config
+PIPELINE_CONFIG = {1: ("name", "string"), 2: ("description", "string")}
+# api.proto:41-111 Pipeline (fields 1,2,3,5,6,7,8 — 4 is reserved-gap)
+PIPELINE = {
+    1: ("id", "string"),
+    2: ("state", "message", PIPELINE_STATE),
+    3: ("config", "message", PIPELINE_CONFIG),
+    5: ("connector_ids", "string*"),
+    6: ("processor_ids", "string*"),
+    7: ("created_at", "message", TIMESTAMP),
+    8: ("updated_at", "message", TIMESTAMP),
+}
+
+# api.proto:604-648
+LIST_PIPELINES_REQ = {1: ("name", "string")}
+LIST_PIPELINES_RES = {1: ("pipelines", "message*", PIPELINE)}
+CREATE_PIPELINE_REQ = {1: ("config", "message", PIPELINE_CONFIG)}
+CREATE_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
+GET_PIPELINE_REQ = {1: ("id", "string")}
+GET_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
+UPDATE_PIPELINE_REQ = {
+    1: ("id", "string"),
+    2: ("config", "message", PIPELINE_CONFIG),
+}
+UPDATE_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
+DELETE_PIPELINE_REQ = {1: ("id", "string")}
+DELETE_PIPELINE_RES: dict = {}
+START_PIPELINE_REQ = {1: ("id", "string")}
+START_PIPELINE_RES: dict = {}
+STOP_PIPELINE_REQ = {1: ("id", "string"), 2: ("force", "bool")}
+STOP_PIPELINE_RES: dict = {}
+
+# Pipeline.Status (api.proto:43-56) / State.StoppedReason (api.proto:65-77)
+_STATUS_ENUM = {
+    "running": 1,
+    "stopped": 2,
+    "provisioned": 2,  # created-but-never-started presents as STOPPED
+    "degraded": 3,
+    "failed": 3,
+    "recovering": 4,
+}
+_STOPPED_REASON_ENUM = {"user": 1, "system": 2}
+
+# gRPC status codes (google.golang.org/grpc/codes — public constants)
+OK, INVALID_ARGUMENT, NOT_FOUND, ALREADY_EXISTS, INTERNAL = 0, 3, 5, 6, 13
+
+
+class GrpcError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+# -- model mapping ---------------------------------------------------------
+
+
+def _pb_pipeline(doc: dict) -> dict:
+    """ControlPlane detail/summary dict → api.v1.Pipeline field dict."""
+    status = doc.get("status") or ""
+    state = {
+        "status": _STATUS_ENUM.get(status, 0),
+        "error": doc.get("error") or "",
+        "stopped_reason": _STOPPED_REASON_ENUM.get(
+            doc.get("stopped_reason") or "", 0
+        ),
+    }
+    connectors = doc.get("connectors")
+    if connectors is None:  # summary row: sources + destinations
+        connector_ids = [
+            c["id"]
+            for c in (doc.get("sources") or []) + (doc.get("destinations") or [])
+        ]
+    else:
+        connector_ids = [c["id"] for c in connectors]
+    processors = doc.get("processors") or []
+    processor_ids = [
+        p["id"] if isinstance(p, dict) else str(p) for p in processors
+    ]
+    return {
+        "id": doc["id"],
+        "state": state,
+        "config": {
+            "name": doc.get("name") or "",
+            "description": doc.get("description") or "",
+        },
+        "connector_ids": connector_ids,
+        "processor_ids": processor_ids,
+    }
+
+
+# -- handlers --------------------------------------------------------------
+
+
+def _h_list(plane, req: dict) -> dict:
+    rx = re.compile(req["name"]) if req.get("name") else None
+    out = []
+    for row in plane.list():
+        # the list row lacks config name/description — hydrate
+        doc = plane.get(row["id"]) or row
+        if rx and not rx.search(doc.get("name") or ""):
+            continue
+        out.append(_pb_pipeline(doc))
+    return {"pipelines": out}
+
+
+def _h_get(plane, req: dict) -> dict:
+    doc = plane.get(req["id"])
+    if doc is None:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found")
+    return {"pipeline": _pb_pipeline(doc)}
+
+
+def _h_create(plane, req: dict) -> dict:
+    cfg = req.get("config") or {}
+    name = cfg.get("name") or ""
+    if not name:
+        raise GrpcError(INVALID_ARGUMENT, "config.name is required")
+    doc = plane.create(
+        {
+            "id": name,  # reference derives the id; name doubles as id here
+            "name": name,
+            "description": cfg.get("description") or "",
+            "status": "stopped",
+            "connectors": [],
+        }
+    )
+    return {"pipeline": _pb_pipeline(doc)}
+
+
+def _h_update(plane, req: dict) -> dict:
+    pid = req["id"]
+    try:
+        existing = dict(plane.export_pipeline(pid))
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"pipeline {pid!r} not found") from None
+    cfg = req.get("config") or {}
+    existing["name"] = cfg.get("name") or ""
+    existing["description"] = cfg.get("description") or ""
+    doc = plane.update(pid, existing)
+    if doc is None:
+        raise GrpcError(NOT_FOUND, f"pipeline {pid!r} not found")
+    return {"pipeline": _pb_pipeline(doc)}
+
+
+def _h_delete(plane, req: dict) -> dict:
+    if not plane.delete(req["id"]):
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found")
+    return {}
+
+
+def _h_start(plane, req: dict) -> dict:
+    if plane.get(req["id"]) is None:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found")
+    plane.start(req["id"])
+    return {}
+
+
+def _h_stop(plane, req: dict) -> dict:
+    if plane.get(req["id"]) is None:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found")
+    plane.stop(req["id"], force=bool(req.get("force")))
+    return {}
+
+
+# method → (request descriptor, response descriptor, handler)
+SERVICES = {
+    "api.v1.PipelineService": {
+        "ListPipelines": (LIST_PIPELINES_REQ, LIST_PIPELINES_RES, _h_list),
+        "CreatePipeline": (CREATE_PIPELINE_REQ, CREATE_PIPELINE_RES, _h_create),
+        "GetPipeline": (GET_PIPELINE_REQ, GET_PIPELINE_RES, _h_get),
+        "UpdatePipeline": (UPDATE_PIPELINE_REQ, UPDATE_PIPELINE_RES, _h_update),
+        "DeletePipeline": (DELETE_PIPELINE_REQ, DELETE_PIPELINE_RES, _h_delete),
+        "StartPipeline": (START_PIPELINE_REQ, START_PIPELINE_RES, _h_start),
+        "StopPipeline": (STOP_PIPELINE_REQ, STOP_PIPELINE_RES, _h_stop),
+    }
+}
+
+
+# -- grpc-web framing ------------------------------------------------------
+
+
+def frame(flags: int, payload: bytes) -> bytes:
+    return struct.pack(">BI", flags, len(payload)) + payload
+
+
+def unframe(body: bytes) -> list[tuple[int, bytes]]:
+    out = []
+    pos = 0
+    while pos + 5 <= len(body):
+        flags, ln = struct.unpack_from(">BI", body, pos)
+        pos += 5
+        out.append((flags, body[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def _trailers(code: int, message: str = "") -> bytes:
+    text = f"grpc-status: {code}\r\n"
+    if message:
+        text += f"grpc-message: {message}\r\n"
+    return frame(0x80, text.encode("utf-8"))
+
+
+def handle_grpc_web(
+    plane, path: str, body: bytes, content_type: str
+) -> tuple[int, bytes, str] | None:
+    """Dispatch one gRPC-Web call. Returns ``(http_status, body,
+    content_type)`` or ``None`` when ``path`` names no known service
+    (caller falls through to the JSON routes). Errors are expressed
+    the gRPC way: HTTP 200 with a non-zero ``grpc-status`` trailer."""
+    parts = path.lstrip("/").split("/")
+    if len(parts) != 2 or parts[0] not in SERVICES:
+        return None
+    service, method = parts
+    is_text = "grpc-web-text" in content_type
+    resp_ct = (
+        "application/grpc-web-text+proto" if is_text
+        else "application/grpc-web+proto"
+    )
+    spec = SERVICES[service].get(method)
+    if spec is None:
+        return 200, _unimplemented(method, is_text), resp_ct
+    req_desc, res_desc, handler = spec
+    try:
+        raw = base64.b64decode(body) if is_text else body
+        frames = unframe(raw)
+        msg = next((p for f, p in frames if not f & 0x80), b"")
+        req = pw.decode(req_desc, msg)
+        res = handler(plane, req)
+        out = frame(0x00, pw.encode(res_desc, res)) + _trailers(OK)
+    except GrpcError as e:
+        out = _trailers(e.code, str(e))
+    except Exception as e:  # noqa: BLE001 — every failure maps to a gRPC code
+        from conduit_spark.http_api import Conflict  # deferred: no cycle
+
+        if isinstance(e, Conflict):
+            out = _trailers(ALREADY_EXISTS, str(e))
+        elif isinstance(e, (ValueError, KeyError)):
+            out = _trailers(INVALID_ARGUMENT, f"{type(e).__name__}: {e}")
+        elif isinstance(e, LookupError):
+            out = _trailers(NOT_FOUND, str(e))
+        else:
+            out = _trailers(INTERNAL, f"{type(e).__name__}: {e}")
+    if is_text:
+        out = base64.b64encode(out)
+    return 200, out, resp_ct
+
+
+def _unimplemented(method: str, is_text: bool) -> bytes:
+    out = _trailers(12, f"method {method!r} not implemented")  # UNIMPLEMENTED
+    return base64.b64encode(out) if is_text else out

@@ -730,6 +730,23 @@ class _Handler(BaseHTTPRequestHandler):
 
         split = urlsplit(self.path)
         self.query = {k: v[-1] for k, v in parse_qs(split.query).items()}
+        if method == "POST" and split.path.startswith("/api.v1."):
+            # gRPC-Web transcoding (grpc_web.py): POST /{svc}/{Method}
+            # with grpc-web framing — lets clients generated from the
+            # reference's api.proto call this gateway unmodified
+            from conduit_spark import grpc_web
+
+            ctype = self.headers.get("Content-Type", "")
+            body = self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            res = grpc_web.handle_grpc_web(self.plane, split.path, body, ctype)
+            if res is not None:
+                status, payload, out_ct = res
+                self.send_response(status)
+                self.send_header("Content-Type", out_ct)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
         for m, rx, op in _ROUTES:
             if m != method:
                 continue

@@ -1,0 +1,231 @@
+"""gRPC-Web surface tests: wire framing + protobuf bytes over HTTP.
+
+Requests are built with the engine's own protowire codec AND pinned
+against hand-computed golden protobuf bytes, so a mismatch between our
+codec and the public encoding can't self-cancel. Field numbers mirror
+reference ``proto/api/v1/api.proto`` (Pipeline:41, requests:604-648).
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import threading
+import urllib.request
+
+import pytest
+
+from conduit_spark import grpc_web as gw
+from conduit_spark.functions import protowire as pw
+from conduit_spark.http_api import ControlPlane, start_server
+from conduit_spark.pipeline.config import parse_yaml
+
+YAML = """
+version: "2.2"
+pipelines:
+  - id: demo
+    status: running
+    name: demo
+    description: demo pipeline
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:generator
+        settings: {recordCount: 5, format.options: {id: int}}
+      - id: dst
+        type: destination
+        plugin: builtin:log
+        settings: {}
+"""
+
+
+@pytest.fixture()
+def server():
+    started = threading.Event()
+
+    def runner(cfg, stop):
+        started.set()
+        stop.wait(timeout=30)
+        return "stopped"
+
+    plane = ControlPlane(parse_yaml(YAML), runner=runner)
+    srv = start_server(plane)
+    yield plane, srv.server_address[1], started
+    srv.shutdown()
+
+
+def _call(port, method, msg_bytes, ctype="application/grpc-web+proto"):
+    body = gw.frame(0x00, msg_bytes)
+    if "text" in ctype:
+        body = base64.b64encode(body)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api.v1.PipelineService/{method}",
+        data=body,
+        method="POST",
+        headers={"Content-Type": ctype},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        raw = resp.read()
+        if "text" in ctype:
+            raw = base64.b64decode(raw)
+        return resp.status, resp.headers.get("Content-Type"), gw.unframe(raw)
+
+
+def _status_of(frames):
+    trailer = next(p for f, p in frames if f & 0x80).decode()
+    for line in trailer.splitlines():
+        if line.startswith("grpc-status:"):
+            return int(line.split(":")[1].strip())
+    raise AssertionError(f"no grpc-status in {trailer!r}")
+
+
+def _msg_of(frames, desc):
+    data = next((p for f, p in frames if not f & 0x80), None)
+    assert data is not None, "no DATA frame"
+    return pw.decode(desc, data)
+
+
+# -- framing golden bytes --------------------------------------------------
+
+
+def test_frame_layout_is_grpc_web_spec():
+    f = gw.frame(0x00, b"abc")
+    assert f == b"\x00" + struct.pack(">I", 3) + b"abc"
+    t = gw.frame(0x80, b"grpc-status: 0\r\n")
+    assert t[0] == 0x80
+    assert gw.unframe(f + t) == [(0, b"abc"), (0x80, b"grpc-status: 0\r\n")]
+
+
+def test_golden_get_request_bytes():
+    """GetPipelineRequest{id:"demo"} per the protobuf spec is exactly
+    tag 0x0A (field 1, LEN) + len 4 + "demo"."""
+    assert pw.encode(gw.GET_PIPELINE_REQ, {"id": "demo"}) == b"\x0a\x04demo"
+
+
+# -- RPCs ------------------------------------------------------------------
+
+
+def test_get_pipeline_roundtrip(server):
+    _, port, _ = server
+    status, ctype, frames = _call(
+        port, "GetPipeline", b"\x0a\x04demo"  # golden bytes, not our codec
+    )
+    assert status == 200 and ctype == "application/grpc-web+proto"
+    assert _status_of(frames) == gw.OK
+    res = _msg_of(frames, gw.GET_PIPELINE_RES)
+    p = res["pipeline"]
+    assert p["id"] == "demo"
+    assert p["config"]["name"] == "demo"
+    assert p["config"]["description"] == "demo pipeline"
+    assert p["connector_ids"] == ["src", "dst"]
+    # created-not-started presents as STATUS_STOPPED (=2)
+    assert p["state"]["status"] == 2
+
+
+def test_get_pipeline_not_found_is_grpc_status_5(server):
+    _, port, _ = server
+    msg = pw.encode(gw.GET_PIPELINE_REQ, {"id": "nope"})
+    status, _, frames = _call(port, "GetPipeline", msg)
+    assert status == 200  # gRPC errors ride trailers, not HTTP status
+    assert _status_of(frames) == gw.NOT_FOUND
+    assert all(f & 0x80 for f, _ in frames)  # trailers-only
+
+
+def test_list_pipelines_with_name_regex(server):
+    _, port, _ = server
+    _, _, frames = _call(
+        port, "ListPipelines", pw.encode(gw.LIST_PIPELINES_REQ, {})
+    )
+    res = _msg_of(frames, gw.LIST_PIPELINES_RES)
+    assert [p["id"] for p in res["pipelines"]] == ["demo"]
+    _, _, frames = _call(
+        port,
+        "ListPipelines",
+        pw.encode(gw.LIST_PIPELINES_REQ, {"name": "^nomatch$"}),
+    )
+    res = _msg_of(frames, gw.LIST_PIPELINES_RES)
+    assert res["pipelines"] == []
+
+
+def test_create_update_delete_lifecycle(server):
+    plane, port, _ = server
+    msg = pw.encode(
+        gw.CREATE_PIPELINE_REQ,
+        {"config": {"name": "fresh", "description": "made via grpc-web"}},
+    )
+    _, _, frames = _call(port, "CreatePipeline", msg)
+    assert _status_of(frames) == gw.OK
+    p = _msg_of(frames, gw.CREATE_PIPELINE_RES)["pipeline"]
+    assert p["id"] == "fresh"
+    assert p["config"]["description"] == "made via grpc-web"
+    # duplicate create → ALREADY_EXISTS (6)
+    _, _, frames = _call(port, "CreatePipeline", msg)
+    assert _status_of(frames) == gw.ALREADY_EXISTS
+    # update description
+    upd = pw.encode(
+        gw.UPDATE_PIPELINE_REQ,
+        {"id": "fresh", "config": {"name": "fresh", "description": "v2"}},
+    )
+    _, _, frames = _call(port, "UpdatePipeline", upd)
+    assert _status_of(frames) == gw.OK
+    assert (
+        _msg_of(frames, gw.UPDATE_PIPELINE_RES)["pipeline"]["config"][
+            "description"
+        ]
+        == "v2"
+    )
+    assert plane.get("fresh")["description"] == "v2"
+    # delete, then delete again → NOT_FOUND
+    dele = pw.encode(gw.DELETE_PIPELINE_REQ, {"id": "fresh"})
+    _, _, frames = _call(port, "DeletePipeline", dele)
+    assert _status_of(frames) == gw.OK
+    _, _, frames = _call(port, "DeletePipeline", dele)
+    assert _status_of(frames) == gw.NOT_FOUND
+
+
+def test_start_stop_drive_the_runner(server):
+    plane, port, started = server
+    _, _, frames = _call(
+        port, "StartPipeline", pw.encode(gw.START_PIPELINE_REQ, {"id": "demo"})
+    )
+    assert _status_of(frames) == gw.OK
+    assert started.wait(timeout=10)
+    assert plane.status("demo") == "running"
+    _, _, frames = _call(
+        port,
+        "StopPipeline",
+        pw.encode(gw.STOP_PIPELINE_REQ, {"id": "demo", "force": False}),
+    )
+    assert _status_of(frames) == gw.OK
+    assert plane.wait("demo", timeout=10) in ("stopped", "provisioned")
+
+
+def test_grpc_web_text_base64_mode(server):
+    _, port, _ = server
+    status, ctype, frames = _call(
+        port,
+        "GetPipeline",
+        pw.encode(gw.GET_PIPELINE_REQ, {"id": "demo"}),
+        ctype="application/grpc-web-text+proto",
+    )
+    assert status == 200
+    assert ctype == "application/grpc-web-text+proto"
+    assert _status_of(frames) == gw.OK
+    assert _msg_of(frames, gw.GET_PIPELINE_RES)["pipeline"]["id"] == "demo"
+
+
+def test_unknown_method_is_unimplemented(server):
+    _, port, _ = server
+    _, _, frames = _call(port, "FlyPipeline", b"")
+    assert _status_of(frames) == 12  # UNIMPLEMENTED
+
+
+def test_json_routes_unaffected(server):
+    _, port, _ = server
+    import json
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/v1/pipelines", timeout=10
+    ) as resp:
+        rows = json.loads(resp.read())
+    assert [r["id"] for r in rows] == ["demo"]
