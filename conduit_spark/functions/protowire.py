@@ -34,6 +34,7 @@ _SCALAR_WT = {
     "map": _WT_LEN,
     "uint64": _WT_VARINT,
     "int64": _WT_VARINT,
+    "int32": _WT_VARINT,  # same varint encoding (negatives sign-extend)
     "bool": _WT_VARINT,
     "enum": _WT_VARINT,
 }
@@ -85,7 +86,7 @@ def _enc_one(kind: str, sub, v) -> bytes:
     if kind == "message":
         b = encode(sub, v)
         return encode_varint(len(b)) + b
-    if kind in ("uint64", "int64", "enum"):
+    if kind in ("uint64", "int64", "int32", "enum"):
         return encode_varint(int(v))
     if kind == "bool":
         return encode_varint(1 if v else 0)
@@ -116,7 +117,7 @@ def encode(desc: dict, obj: dict | None) -> bytes:
         vals = v if repeated else [v]
         for item in vals:
             if not repeated:  # proto3: scalar zero values not serialized
-                if kind in ("uint64", "int64", "enum") and int(item) == 0:
+                if kind in ("uint64", "int64", "int32", "enum") and int(item) == 0:
                     continue
                 if kind == "bool" and not item:
                     continue
@@ -155,7 +156,7 @@ def decode(desc: dict, buf: bytes) -> dict:
             out[name] = {}
         elif kind == "message":
             out[name] = None
-        elif kind in ("uint64", "int64", "enum"):
+        elif kind in ("uint64", "int64", "int32", "enum"):
             out[name] = 0
         elif kind == "bool":
             out[name] = False
@@ -176,11 +177,11 @@ def decode(desc: dict, buf: bytes) -> dict:
         sub = spec[2] if len(spec) > 2 else None
         repeated = kind.endswith("*")
         kind = kind.rstrip("*")
-        if kind in ("uint64", "int64", "enum", "bool"):
+        if kind in ("uint64", "int64", "int32", "enum", "bool"):
             raw, pos = decode_varint(buf, pos)
             val = (
                 bool(raw) if kind == "bool"
-                else _signed64(raw) if kind == "int64"
+                else _signed64(raw) if kind in ("int64", "int32")
                 else raw
             )
         elif kind in ("string", "bytes", "message", "map"):

@@ -77,6 +77,84 @@ START_PIPELINE_RES: dict = {}
 STOP_PIPELINE_REQ = {1: ("id", "string"), 2: ("force", "bool")}
 STOP_PIPELINE_RES: dict = {}
 
+# api.proto:131-134 Connector.Config
+CONNECTOR_CONFIG = {
+    1: ("name", "string"),
+    2: ("settings", "map", ("string", "string")),
+}
+# api.proto:113-155 Connector (state oneof 2/3 not emitted: batch engine
+# exposes positions through checkpoints, not the control plane)
+CONNECTOR = {
+    1: ("id", "string"),
+    4: ("config", "message", CONNECTOR_CONFIG),
+    5: ("type", "enum"),
+    6: ("plugin", "string"),
+    7: ("pipeline_id", "string"),
+    8: ("processor_ids", "string*"),
+}
+# api.proto:157-195 Processor (+ Parent/Config)
+PROCESSOR_PARENT = {1: ("type", "enum"), 2: ("id", "string")}
+PROCESSOR_CONFIG = {
+    1: ("settings", "map", ("string", "string")),
+    2: ("workers", "int32"),
+}
+PROCESSOR = {
+    1: ("id", "string"),
+    3: ("config", "message", PROCESSOR_CONFIG),
+    5: ("plugin", "string"),
+    6: ("parent", "message", PROCESSOR_PARENT),
+    9: ("condition", "string"),
+}
+
+# api.proto:929-991
+CREATE_CONNECTOR_REQ = {
+    1: ("type", "enum"),
+    2: ("plugin", "string"),
+    3: ("pipeline_id", "string"),
+    4: ("config", "message", CONNECTOR_CONFIG),
+}
+CREATE_CONNECTOR_RES = {1: ("connector", "message", CONNECTOR)}
+VALIDATE_CONNECTOR_REQ = {
+    1: ("type", "enum"),
+    2: ("plugin", "string"),
+    4: ("config", "message", CONNECTOR_CONFIG),
+}
+VALIDATE_CONNECTOR_RES: dict = {}
+LIST_CONNECTORS_REQ = {1: ("pipeline_id", "string")}
+LIST_CONNECTORS_RES = {1: ("connectors", "message*", CONNECTOR)}
+GET_CONNECTOR_REQ = {1: ("id", "string")}
+GET_CONNECTOR_RES = {1: ("connector", "message", CONNECTOR)}
+UPDATE_CONNECTOR_REQ = {
+    1: ("id", "string"),
+    2: ("config", "message", CONNECTOR_CONFIG),
+    3: ("plugin", "string"),
+}
+UPDATE_CONNECTOR_RES = {1: ("connector", "message", CONNECTOR)}
+DELETE_CONNECTOR_REQ = {1: ("id", "string")}
+DELETE_CONNECTOR_RES: dict = {}
+
+# api.proto:1140-1191
+LIST_PROCESSORS_REQ = {1: ("parent_ids", "string*")}
+LIST_PROCESSORS_RES = {1: ("processors", "message*", PROCESSOR)}
+CREATE_PROCESSOR_REQ = {
+    1: ("type", "string"),  # deprecated alias of plugin
+    3: ("parent", "message", PROCESSOR_PARENT),
+    4: ("config", "message", PROCESSOR_CONFIG),
+    5: ("condition", "string"),
+    6: ("plugin", "string"),
+}
+CREATE_PROCESSOR_RES = {1: ("processor", "message", PROCESSOR)}
+GET_PROCESSOR_REQ = {1: ("id", "string")}
+GET_PROCESSOR_RES = {1: ("processor", "message", PROCESSOR)}
+UPDATE_PROCESSOR_REQ = {
+    1: ("id", "string"),
+    2: ("config", "message", PROCESSOR_CONFIG),
+    3: ("plugin", "string"),
+}
+UPDATE_PROCESSOR_RES = {1: ("processor", "message", PROCESSOR)}
+DELETE_PROCESSOR_REQ = {1: ("id", "string")}
+DELETE_PROCESSOR_RES: dict = {}
+
 # Pipeline.Status (api.proto:43-56) / State.StoppedReason (api.proto:65-77)
 _STATUS_ENUM = {
     "running": 1,
@@ -209,6 +287,161 @@ def _h_stop(plane, req: dict) -> dict:
     return {}
 
 
+# Connector.Type (api.proto:115-121) / Processor.Parent.Type (:160-168)
+_CONNECTOR_TYPE = {"source": 1, "destination": 2}
+_CONNECTOR_TYPE_REV = {1: "source", 2: "destination"}
+_PARENT_TYPE = {"connector": 1, "pipeline": 2}
+_PARENT_TYPE_REV = {1: "connector", 2: "pipeline"}
+
+
+def _pb_connector(doc: dict) -> dict:
+    return {
+        "id": doc["id"],
+        "config": {
+            "name": doc["id"].split(":", 1)[-1],
+            "settings": {k: str(v) for k, v in (doc.get("settings") or {}).items()},
+        },
+        "type": _CONNECTOR_TYPE.get(doc.get("type") or "", 0),
+        "plugin": doc.get("plugin") or "",
+        "pipeline_id": doc.get("pipeline_id") or "",
+        "processor_ids": [p["id"] for p in doc.get("processors") or []],
+    }
+
+
+def _pb_processor(doc: dict) -> dict:
+    parent = doc.get("parent") or {}
+    return {
+        "id": doc["id"],
+        "config": {
+            "settings": {k: str(v) for k, v in (doc.get("settings") or {}).items()},
+            "workers": int(doc.get("workers") or 0),
+        },
+        "plugin": doc.get("plugin") or "",
+        "parent": {
+            "type": _PARENT_TYPE.get(parent.get("type") or "", 0),
+            "id": parent.get("id") or "",
+        },
+        "condition": doc.get("condition") or "",
+    }
+
+
+def _h_list_connectors(plane, req: dict) -> dict:
+    rows = plane.list_connectors(req.get("pipeline_id") or None)
+    return {"connectors": [_pb_connector(r) for r in rows]}
+
+
+def _h_get_connector(plane, req: dict) -> dict:
+    try:
+        return {"connector": _pb_connector(plane.get_connector(req["id"]))}
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"connector {req['id']!r} not found") from None
+
+
+def _h_create_connector(plane, req: dict) -> dict:
+    cfg = req.get("config") or {}
+    doc = plane.create_connector(
+        {
+            "pipeline_id": req.get("pipeline_id"),
+            "type": _CONNECTOR_TYPE_REV.get(req.get("type") or 0, ""),
+            "plugin": req.get("plugin") or "",
+            "id": cfg.get("name") or "",
+            "settings": cfg.get("settings") or {},
+        }
+    )
+    return {"connector": _pb_connector(doc)}
+
+
+def _h_validate_connector(plane, req: dict) -> dict:
+    from conduit_spark.pipeline.registry import validate_connector
+
+    cfg = req.get("config") or {}
+    errors = validate_connector(
+        _CONNECTOR_TYPE_REV.get(req.get("type") or 0, ""),
+        req.get("plugin") or "",
+        cfg.get("settings") or {},
+    )
+    if errors:
+        raise GrpcError(INVALID_ARGUMENT, "; ".join(errors))
+    return {}
+
+
+def _h_update_connector(plane, req: dict) -> dict:
+    cfg = req.get("config") or {}
+    doc: dict = {}
+    if req.get("plugin"):
+        doc["plugin"] = req["plugin"]
+    if cfg.get("settings"):
+        doc["settings"] = cfg["settings"]
+    try:
+        out = plane.update_connector(req["id"], doc)
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"connector {req['id']!r} not found") from None
+    return {"connector": _pb_connector(out)}
+
+
+def _h_delete_connector(plane, req: dict) -> dict:
+    try:
+        plane.delete_connector(req["id"])
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"connector {req['id']!r} not found") from None
+    return {}
+
+
+def _h_list_processors(plane, req: dict) -> dict:
+    rows = plane.list_processors()
+    wanted = set(req.get("parent_ids") or [])
+    if wanted:
+        rows = [r for r in rows if (r.get("parent") or {}).get("id") in wanted]
+    return {"processors": [_pb_processor(r) for r in rows]}
+
+
+def _h_get_processor(plane, req: dict) -> dict:
+    try:
+        return {"processor": _pb_processor(plane.get_processor(req["id"]))}
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"processor {req['id']!r} not found") from None
+
+
+def _h_create_processor(plane, req: dict) -> dict:
+    parent = req.get("parent") or {}
+    cfg = req.get("config") or {}
+    doc = plane.create_processor(
+        {
+            "plugin": req.get("plugin") or req.get("type") or "",
+            "parent": {
+                "type": _PARENT_TYPE_REV.get(parent.get("type") or 0, "pipeline"),
+                "id": parent.get("id") or "",
+            },
+            "settings": cfg.get("settings") or {},
+            "workers": int(cfg.get("workers") or 1),
+            "condition": req.get("condition") or None,
+        }
+    )
+    return {"processor": _pb_processor(doc)}
+
+
+def _h_update_processor(plane, req: dict) -> dict:
+    cfg = req.get("config") or {}
+    doc: dict = {}
+    if cfg.get("settings"):
+        doc["settings"] = cfg["settings"]
+    if cfg.get("workers"):
+        doc["workers"] = cfg["workers"]
+    try:
+        out = plane.update_processor(req["id"], doc)
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"processor {req['id']!r} not found") from None
+    return {"processor": _pb_processor(out)}
+
+
+def _h_delete_processor(plane, req: dict) -> dict:
+    try:
+        plane.delete_processor(req["id"])
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"processor {req['id']!r} not found") from None
+    return {}
+
+
 # method → (request descriptor, response descriptor, handler)
 SERVICES = {
     "api.v1.PipelineService": {
@@ -219,7 +452,40 @@ SERVICES = {
         "DeletePipeline": (DELETE_PIPELINE_REQ, DELETE_PIPELINE_RES, _h_delete),
         "StartPipeline": (START_PIPELINE_REQ, START_PIPELINE_RES, _h_start),
         "StopPipeline": (STOP_PIPELINE_REQ, STOP_PIPELINE_RES, _h_stop),
-    }
+    },
+    "api.v1.ConnectorService": {
+        "ListConnectors": (
+            LIST_CONNECTORS_REQ, LIST_CONNECTORS_RES, _h_list_connectors,
+        ),
+        "GetConnector": (GET_CONNECTOR_REQ, GET_CONNECTOR_RES, _h_get_connector),
+        "CreateConnector": (
+            CREATE_CONNECTOR_REQ, CREATE_CONNECTOR_RES, _h_create_connector,
+        ),
+        "ValidateConnector": (
+            VALIDATE_CONNECTOR_REQ, VALIDATE_CONNECTOR_RES, _h_validate_connector,
+        ),
+        "UpdateConnector": (
+            UPDATE_CONNECTOR_REQ, UPDATE_CONNECTOR_RES, _h_update_connector,
+        ),
+        "DeleteConnector": (
+            DELETE_CONNECTOR_REQ, DELETE_CONNECTOR_RES, _h_delete_connector,
+        ),
+    },
+    "api.v1.ProcessorService": {
+        "ListProcessors": (
+            LIST_PROCESSORS_REQ, LIST_PROCESSORS_RES, _h_list_processors,
+        ),
+        "GetProcessor": (GET_PROCESSOR_REQ, GET_PROCESSOR_RES, _h_get_processor),
+        "CreateProcessor": (
+            CREATE_PROCESSOR_REQ, CREATE_PROCESSOR_RES, _h_create_processor,
+        ),
+        "UpdateProcessor": (
+            UPDATE_PROCESSOR_REQ, UPDATE_PROCESSOR_RES, _h_update_processor,
+        ),
+        "DeleteProcessor": (
+            DELETE_PROCESSOR_REQ, DELETE_PROCESSOR_RES, _h_delete_processor,
+        ),
+    },
 }
 
 

@@ -229,3 +229,129 @@ def test_json_routes_unaffected(server):
     ) as resp:
         rows = json.loads(resp.read())
     assert [r["id"] for r in rows] == ["demo"]
+
+
+# -- ConnectorService / ProcessorService -----------------------------------
+
+
+def test_connector_service_crud(server):
+    plane, port, _ = server
+
+    def call(method, desc, obj):
+        body = gw.frame(0x00, pw.encode(desc, obj))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api.v1.ConnectorService/{method}",
+            data=body,
+            method="POST",
+            headers={"Content-Type": "application/grpc-web+proto"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return gw.unframe(resp.read())
+
+    frames = call("ListConnectors", gw.LIST_CONNECTORS_REQ, {})
+    res = _msg_of(frames, gw.LIST_CONNECTORS_RES)
+    assert [c["id"] for c in res["connectors"]] == ["demo:src", "demo:dst"]
+    assert res["connectors"][0]["type"] == 1  # TYPE_SOURCE
+    assert res["connectors"][1]["type"] == 2  # TYPE_DESTINATION
+    assert res["connectors"][0]["pipeline_id"] == "demo"
+
+    frames = call("GetConnector", gw.GET_CONNECTOR_REQ, {"id": "demo:src"})
+    c = _msg_of(frames, gw.GET_CONNECTOR_RES)["connector"]
+    assert c["plugin"] == "builtin:generator"
+    assert c["config"]["settings"]["recordCount"] == "5"
+
+    # create on the stopped pipeline
+    frames = call(
+        "CreateConnector",
+        gw.CREATE_CONNECTOR_REQ,
+        {
+            "type": 2,
+            "plugin": "builtin:log",
+            "pipeline_id": "demo",
+            "config": {"name": "extra", "settings": {}},
+        },
+    )
+    assert _status_of(frames) == gw.OK
+    assert _msg_of(frames, gw.CREATE_CONNECTOR_RES)["connector"]["id"] == (
+        "demo:extra"
+    )
+
+    # validate: bad config → INVALID_ARGUMENT with message
+    frames = call(
+        "ValidateConnector",
+        gw.VALIDATE_CONNECTOR_REQ,
+        {"type": 1, "plugin": "builtin:file", "config": {"settings": {}}},
+    )
+    assert _status_of(frames) == gw.INVALID_ARGUMENT
+    frames = call(
+        "ValidateConnector",
+        gw.VALIDATE_CONNECTOR_REQ,
+        {
+            "type": 1,
+            "plugin": "builtin:file",
+            "config": {"settings": {"path": "/tmp/x"}},
+        },
+    )
+    assert _status_of(frames) == gw.OK
+
+    # update settings, delete, then 404
+    frames = call(
+        "UpdateConnector",
+        gw.UPDATE_CONNECTOR_REQ,
+        {"id": "demo:extra", "config": {"settings": {"n": "5"}}},
+    )
+    assert _msg_of(frames, gw.UPDATE_CONNECTOR_RES)["connector"]["config"][
+        "settings"
+    ]["n"] == "5"
+    frames = call("DeleteConnector", gw.DELETE_CONNECTOR_REQ, {"id": "demo:extra"})
+    assert _status_of(frames) == gw.OK
+    frames = call("GetConnector", gw.GET_CONNECTOR_REQ, {"id": "demo:extra"})
+    assert _status_of(frames) == gw.NOT_FOUND
+
+
+def test_processor_service_crud(server):
+    plane, port, _ = server
+
+    def call(method, desc, obj):
+        body = gw.frame(0x00, pw.encode(desc, obj))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api.v1.ProcessorService/{method}",
+            data=body,
+            method="POST",
+            headers={"Content-Type": "application/grpc-web+proto"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return gw.unframe(resp.read())
+
+    frames = call(
+        "CreateProcessor",
+        gw.CREATE_PROCESSOR_REQ,
+        {
+            "plugin": "field.set",
+            "parent": {"type": 2, "id": "demo"},  # TYPE_PIPELINE
+            "config": {"settings": {"field": ".Payload.After.x", "value": "1"}},
+        },
+    )
+    assert _status_of(frames) == gw.OK
+    p = _msg_of(frames, gw.CREATE_PROCESSOR_RES)["processor"]
+    assert p["plugin"] == "field.set"
+    assert p["parent"] == {"type": 2, "id": "demo"}
+
+    frames = call("ListProcessors", gw.LIST_PROCESSORS_REQ, {"parent_ids": ["demo"]})
+    res = _msg_of(frames, gw.LIST_PROCESSORS_RES)
+    assert any(x["plugin"] == "field.set" for x in res["processors"])
+
+    pid = p["id"]
+    frames = call(
+        "UpdateProcessor",
+        gw.UPDATE_PROCESSOR_REQ,
+        {"id": pid, "config": {"settings": {"field": ".f", "value": "2"}, "workers": 3}},
+    )
+    out = _msg_of(frames, gw.UPDATE_PROCESSOR_RES)["processor"]
+    assert out["config"]["workers"] == 3
+    assert out["config"]["settings"]["value"] == "2"
+
+    frames = call("DeleteProcessor", gw.DELETE_PROCESSOR_REQ, {"id": pid})
+    assert _status_of(frames) == gw.OK
+    frames = call("GetProcessor", gw.GET_PROCESSOR_REQ, {"id": pid})
+    assert _status_of(frames) == gw.NOT_FOUND
