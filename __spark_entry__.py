@@ -67,6 +67,20 @@ _REGISTRIES = [
 # 50 slots. All remain pytest/gate_check-verified against the same
 # DuckDB oracles every round, and bench.py times them.
 _EXTENDED = (
+    # Round-5 rotation: nine 3-4x-driver-verified rows move here so
+    # t_bigram_lm / sk_bloom_filter / t_bpe_tokens / cur_funnel /
+    # dq_documents / q_trending_hourly / q_value_outliers /
+    # smp_importance / d_cluster_prune each get a CORRECTNESS row
+    # (curation + quality-check families gain their first slots).
+    "p_avro_encode",  # driver-green r1-r4; avro kept via p_avro_decode
+    "p_unwrap_kafka_connect",  # driver-green r1-r4; unwrap kept via debezium
+    "p_json_decode",  # driver-green r1-r4
+    "s_cosine_topk",  # driver-green r1-r4; similarity keeps 5 slots
+    "t_langid",  # driver-green r1-r4; text keeps token_count/entropy/bigram_lm
+    "t_fingerprint",  # driver-green r1-r4
+    "t_quality",  # driver-green r1-r4
+    "d_exact",  # driver-green r1-r4; dedup keeps 7 slots
+    "g_generator",  # driver-green r1-r4; generator kept via chain/throughput
     # Round-4 rotation: five thrice-driver-verified processor rows move
     # here so c_pack_blocks / sk_hist_quantiles / t_entropy /
     # d_span_dedup / q_user_sessions each get a CORRECTNESS row.
@@ -79,7 +93,6 @@ _EXTENDED = (
     "p_unwrap_opencdc",  # driver-green r1-r3; displaced by sk_cms_topk (unwrap family kept via debezium/kafkaconnect)
     "p_field_convert",  # driver-green r1-r3; displaced by q_funnel_conversion (field family kept via p_field_set)
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
-    "sk_bloom_filter",  # mergeable OR-union bloom; sketch family holds 2 gate slots already
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
@@ -94,12 +107,9 @@ _EXTENDED = (
     "m_frame_sample",
     "m_features",
     "m_resize",
-    "t_bpe_tokens",
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
-    "cur_funnel",  # composes gate-verified stages; strict-mirror verified
     "cur_shards",  # shard-balance audit for the training_shard_sink writer
-    "dq_documents",  # Deequ-style corpus QA; single-pass agg family gate-verified via cur_mix
     "cur_mix",  # source-mixing weights; same agg family as cur_funnel
     "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
     "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)
@@ -125,10 +135,6 @@ _EXTENDED = (
     "q11_important_parts",  # round-4 addition
     "q21_waiting_suppliers",  # round-4 addition
     "cur_shuffle",  # round-4 addition: deterministic training shuffle
-    "q_trending_hourly",  # round-4 addition: per-window top-K
-    "q_value_outliers",  # round-4 addition: z-score anomaly scan (broadcast moments)
-    "smp_importance",  # round-4 addition: HT-weighted importance sampling (sampling family gate slot held by smp_stratified)
-    "d_cluster_prune",  # round-4 addition: apply-the-dedup attrition (cluster family gate slot held by d_dedup_clusters)
 )
 
 GATE_CAP = 50

@@ -35,6 +35,8 @@ sys.path.insert(0, REPO)
 
 
 def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    import gc
+
     best = None
     for _ in range(runs):
         t0 = time.monotonic()
@@ -42,6 +44,12 @@ def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
         df.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
+        # Drop the DataFrame and collect driver-side refs NOW so the
+        # ContextCleaner frees this query's localCheckpoint/cache
+        # blocks before the next query runs — otherwise 50 queries'
+        # result blocks accumulate and evict each other's working set.
+        del df
+        gc.collect()
     return best
 
 

@@ -152,7 +152,8 @@ ORACLES = {
         utx AS (
             SELECT CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) AS surplus
             FROM documents)
-        SELECT check_name, round(bad / n, 9) AS metric, threshold,
+        SELECT check_name, round(bad / n, 9) AS metric,
+               CAST(threshold AS DOUBLE) AS threshold,
                round(bad / n, 9) <= threshold AS passed
         FROM (
             SELECT 'doc_id_not_null' AS check_name, bad_null AS bad, n, 0.0 AS threshold FROM m

@@ -342,6 +342,78 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    n-gram-LM fluency score (KenLM-style corpus filtering, Laplace
+    add-one smoothing): ``p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)``. Unlike
+    the unigram scorer this rates TRANSITIONS, so shuffled-word salad
+    scores low even when every individual token is common.
+
+    Plan shape, all SF-linear keyed shuffles: bigrams come from a
+    zero-shuffle ``zip_with`` over each doc's token array; corpus
+    bigram counts, context counts (bigrams starting with w1), and the
+    unigram vocabulary size V are three aggs over that one exploded
+    relation; scoring joins per-doc bigram counts back on (w1,w2) and
+    w1 (AQE broadcasts when the model fits — at 100 TB both model
+    relations shard by key instead). The per-doc float fold runs over
+    the bigram-sorted list so both engines sum identical doubles in
+    identical order (the ``t_unigram_logprob`` exactness trick).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = (
+        per_doc.join(c12, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                (F.col("c12").cast("double") + 1.0)
+                / (F.col("c1").cast("double") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    per = j.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("w1", "w2", "n", "logp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["n"].cast("double") * s["logp"],
+        ).alias("sum_logp"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("sum_logp") / F.col("n_bigrams").cast("double"), 6).alias(
+            "avg_bigram_logprob"
+        ),
+    ).orderBy("doc_id")
+
+
 def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability — the perplexity-proxy
     quality signal (low mean logprob = rare-token soup / OCR noise;
@@ -391,6 +463,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "t_token_count": t_token_count,
     "t_unigram_logprob": t_unigram_logprob,
+    "t_bigram_lm": t_bigram_lm,
     "t_entropy": t_entropy,
     "t_repetition": t_repetition,
     "t_redact_pii": t_redact_pii,
@@ -448,6 +521,41 @@ ORACLES = {
             FROM j GROUP BY doc_id)
         SELECT doc_id, n_tokens,
                round(sum_logp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+        FROM per ORDER BY doc_id
+    """,
+    "t_bigram_lm": """
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 2),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+            FROM base),
+        pairs AS (
+            SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        per_doc AS (
+            SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+        j AS (
+            SELECT doc_id, w1, w2, n,
+                   ln((CAST(c12 AS DOUBLE) + 1.0)
+                      / (CAST(c1 AS DOUBLE) + (SELECT v FROM vocab))) AS logp
+            FROM per_doc JOIN c12 USING (w1, w2) JOIN ctx USING (w1)),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   list_sum(list_transform(
+                       list_sort(list(struct_pack(
+                           w1 := w1, w2 := w2, n := n, logp := logp))),
+                       s -> CAST(s.n AS DOUBLE) * s.logp)) AS sum_logp
+            FROM j GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               round(sum_logp / CAST(n_bigrams AS DOUBLE), 6)
+                   AS avg_bigram_logprob
         FROM per ORDER BY doc_id
     """,
     "t_entropy": """

@@ -127,6 +127,18 @@ def get_spark(
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or int(cpus))
+    # Local mode runs driver AND all executor threads in one JVM whose
+    # default heap is 1 GiB — far too small for 32 cores' shuffle +
+    # localCheckpoint blocks (measured: accumulated checkpoint blocks
+    # from a 50-query batch thrash a 1 GiB heap into 5× slowdowns).
+    # Only effective at JVM launch; ignored when attaching to an
+    # existing session or a real cluster (where executors size it).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
+    # Nudge the ContextCleaner so dropped DataFrames' checkpoint/cache
+    # blocks are actually freed between queries in long sessions.
+    conf.setdefault("spark.cleaner.periodicGC.interval", "1min")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

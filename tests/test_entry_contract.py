@@ -38,15 +38,30 @@ def test_no_orphan_oracles():
 
 
 def test_priority_families_inside_gate():
-    """The whole similarity/multimodal/pipeline/chunking/dedup/text
-    core must hold driver CORRECTNESS rows (round-1 regression: they
-    fell past the cap)."""
+    """Every operator family must hold at least one driver CORRECTNESS
+    row (round-1 regression: whole families fell past the cap). Names
+    rotate between rounds so not-yet-verified entries earn rows; the
+    invariant is per-FAMILY representation, pinned by prefix."""
     gate = set(entry_mod.queries())
-    for name in (
-        "s_cosine_topk", "s_lsh_buckets", "s_ann_lsh_topk", "s_ivf_topk",
-        "s_neardup_pairs", "m_decode_stub", "g_generator", "g_pipeline_chain",
-        "g_throughput_1m", "c_chunk_documents", "rag_ingest_retrieve",
-        "d_exact", "d_minhash_lsh_pairs", "t_fingerprint",
-        "p_avro_encode", "p_avro_decode", "p_cdc_upsert",
-    ):
+    families = {
+        "similarity": "s_",
+        "multimodal": "m_",
+        "generator/pipeline": "g_",
+        "chunking": "c_",
+        "sampling": "smp_",
+        "dedup": "d_",
+        "sketches": "sk_",
+        "curation": "cur_",
+        "quality-checks": "dq_",
+        "text": "t_",
+        "processors": "p_",
+        "relational/temporal": "q",
+        "rag": "rag_",
+    }
+    for fam, prefix in families.items():
+        assert any(n.startswith(prefix) for n in gate), (
+            f"family {fam!r} (prefix {prefix!r}) has no driver gate row"
+        )
+    # anchors that must never rotate out: the e2e flagship paths
+    for name in ("p_cdc_upsert", "g_throughput_1m", "rag_ingest_retrieve"):
         assert name in gate, f"{name} fell out of the driver gate"
