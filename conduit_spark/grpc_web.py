@@ -20,10 +20,12 @@ descriptor-driven codec in ``functions.protowire`` — field numbers
 below are copied VERBATIM from ``api.proto`` and commented with their
 source lines so parity is auditable.
 
-Scope: all eight unary PipelineService RPCs. Server-streaming RPCs
-(``InspectConnector``/``InspectProcessor``) stay on the JSON gateway's
-chunked ``/inspect`` routes; ConnectorService/ProcessorService remain
-JSON-first (additive work, same machinery).
+Scope: all unary RPCs of PipelineService (8), ConnectorService (6) and
+ProcessorService (5), plus the three server-streaming inspect RPCs
+(``InspectConnector``, ``InspectProcessorIn``, ``InspectProcessorOut``
+— one DATA frame per buffered ``opencdc.v1.Record`` sample, then OK
+trailers; the bounded analog of the reference's live streams, same
+drop-oldest buffer as the JSON ``/inspect`` routes).
 """
 
 from __future__ import annotations
@@ -154,6 +156,35 @@ UPDATE_PROCESSOR_REQ = {
 UPDATE_PROCESSOR_RES = {1: ("processor", "message", PROCESSOR)}
 DELETE_PROCESSOR_REQ = {1: ("id", "string")}
 DELETE_PROCESSOR_RES: dict = {}
+
+# opencdc.v1 (conduit-commons opencdc/v1/opencdc.proto — the PUBLIC
+# record schema every Conduit plugin speaks). Data's oneof arm 2
+# (google.protobuf.Struct structured_data) is not emitted: inspection
+# renders structured payloads as their canonical JSON bytes in
+# raw_data, which the oneof permits and every consumer can parse.
+OPENCDC_DATA = {1: ("raw_data", "bytes")}
+OPENCDC_CHANGE = {
+    1: ("before", "message", OPENCDC_DATA),
+    2: ("after", "message", OPENCDC_DATA),
+}
+OPENCDC_RECORD = {
+    1: ("position", "bytes"),
+    2: ("operation", "enum"),
+    3: ("metadata", "map", ("string", "string")),
+    4: ("key", "message", OPENCDC_DATA),
+    5: ("payload", "message", OPENCDC_CHANGE),
+}
+# opencdc.v1.Operation
+_OPERATION_ENUM = {"create": 1, "update": 2, "delete": 3, "snapshot": 4}
+
+# api.proto:965-970, 1147-1159 (server-streaming inspect)
+INSPECT_CONNECTOR_REQ = {1: ("id", "string")}
+INSPECT_CONNECTOR_RES = {1: ("record", "message", OPENCDC_RECORD)}
+INSPECT_PROCESSOR_IN_REQ = {1: ("id", "string")}
+INSPECT_PROCESSOR_IN_RES = {1: ("record", "message", OPENCDC_RECORD)}
+INSPECT_PROCESSOR_OUT_REQ = {1: ("id", "string")}
+INSPECT_PROCESSOR_OUT_RES = {1: ("record", "message", OPENCDC_RECORD)}
+
 
 # Pipeline.Status (api.proto:43-56) / State.StoppedReason (api.proto:65-77)
 _STATUS_ENUM = {
@@ -325,6 +356,56 @@ def _pb_processor(doc: dict) -> dict:
     }
 
 
+def _pb_opencdc(rec: dict) -> dict:
+    """RAW inspector record (envelope dict with real bytes) →
+    ``opencdc.v1.Record`` field dict."""
+
+    def b(v) -> bytes:
+        if v is None:
+            return b""
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return str(v).encode("utf-8")
+
+    def data(raw, json_s):
+        if raw is not None:
+            return {"raw_data": b(raw)}
+        if json_s is not None:
+            return {"raw_data": str(json_s).encode("utf-8")}
+        return None
+
+    payload = {
+        "before": data(None, rec.get("payload_before_json")),
+        "after": data(
+            rec.get("payload_after_raw"), rec.get("payload_after_json")
+        ),
+    }
+    return {
+        "position": b(rec.get("position")),
+        "operation": _OPERATION_ENUM.get(rec.get("operation") or "", 0),
+        "metadata": {
+            str(k): str(v) for k, v in (rec.get("metadata") or {}).items()
+        },
+        "key": data(rec.get("key_raw"), rec.get("key_json")),
+        "payload": payload,
+    }
+
+
+def _inspect_handler(kind: str, direction: str):
+    def h(plane, req: dict) -> list[dict]:
+        try:
+            doc = plane.inspect(
+                req["id"], kind, count=64, direction=direction, raw=True
+            )
+        except LookupError:
+            raise GrpcError(
+                NOT_FOUND, f"{kind} {req['id']!r} not found"
+            ) from None
+        return [{"record": _pb_opencdc(r)} for r in doc["records"]]
+
+    return h
+
+
 def _h_list_connectors(plane, req: dict) -> dict:
     rows = plane.list_connectors(req.get("pipeline_id") or None)
     return {"connectors": [_pb_connector(r) for r in rows]}
@@ -470,6 +551,10 @@ SERVICES = {
         "DeleteConnector": (
             DELETE_CONNECTOR_REQ, DELETE_CONNECTOR_RES, _h_delete_connector,
         ),
+        "InspectConnector": (
+            INSPECT_CONNECTOR_REQ, INSPECT_CONNECTOR_RES,
+            _inspect_handler("connector", "out"), "stream",
+        ),
     },
     "api.v1.ProcessorService": {
         "ListProcessors": (
@@ -484,6 +569,14 @@ SERVICES = {
         ),
         "DeleteProcessor": (
             DELETE_PROCESSOR_REQ, DELETE_PROCESSOR_RES, _h_delete_processor,
+        ),
+        "InspectProcessorIn": (
+            INSPECT_PROCESSOR_IN_REQ, INSPECT_PROCESSOR_IN_RES,
+            _inspect_handler("processor", "in"), "stream",
+        ),
+        "InspectProcessorOut": (
+            INSPECT_PROCESSOR_OUT_REQ, INSPECT_PROCESSOR_OUT_RES,
+            _inspect_handler("processor", "out"), "stream",
         ),
     },
 }
@@ -533,14 +626,25 @@ def handle_grpc_web(
     spec = SERVICES[service].get(method)
     if spec is None:
         return 200, _unimplemented(method, is_text), resp_ct
-    req_desc, res_desc, handler = spec
+    req_desc, res_desc, handler = spec[:3]
+    streaming = len(spec) > 3 and spec[3] == "stream"
     try:
         raw = base64.b64decode(body) if is_text else body
         frames = unframe(raw)
         msg = next((p for f, p in frames if not f & 0x80), b"")
         req = pw.decode(req_desc, msg)
         res = handler(plane, req)
-        out = frame(0x00, pw.encode(res_desc, res)) + _trailers(OK)
+        if streaming:
+            # server stream: one DATA frame per message, then trailers.
+            # Our inspector is buffered-sample (drop-oldest), so the
+            # stream is the current sample then a clean end — the
+            # bounded analog of the reference's live stream.
+            out = (
+                b"".join(frame(0x00, pw.encode(res_desc, m)) for m in res)
+                + _trailers(OK)
+            )
+        else:
+            out = frame(0x00, pw.encode(res_desc, res)) + _trailers(OK)
     except GrpcError as e:
         out = _trailers(e.code, str(e))
     except Exception as e:  # noqa: BLE001 — every failure maps to a gRPC code

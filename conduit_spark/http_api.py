@@ -625,7 +625,13 @@ class ControlPlane:
         return hits[0]
 
     def inspect(
-        self, node_id: str, kind: str, count: int = 10, direction: str = "out"
+        self,
+        node_id: str,
+        kind: str,
+        count: int = 10,
+        direction: str = "out",
+        *,
+        raw: bool = False,
     ) -> dict:
         """Attach (idempotently) an inspector to a connector/processor
         and return the records buffered so far — the HTTP analog of the
@@ -658,7 +664,9 @@ class ControlPlane:
             "type": kind,
             "direction": direction,
             "attached": attached,
-            "records": [jsonable(r) for r in records],
+            # raw=True: real bytes/values for binary protocols
+            # (grpc_web renders opencdc protobuf); default JSON-clean
+            "records": records if raw else [jsonable(r) for r in records],
         }
 
 

@@ -36,6 +36,10 @@ pipelines:
         type: destination
         plugin: builtin:log
         settings: {}
+    processors:
+      - id: keep
+        plugin: filter
+        condition: '{{ true }}'
 """
 
 
@@ -355,3 +359,134 @@ def test_processor_service_crud(server):
     assert _status_of(frames) == gw.OK
     frames = call("GetProcessor", gw.GET_PROCESSOR_REQ, {"id": pid})
     assert _status_of(frames) == gw.NOT_FOUND
+
+
+# -- server-streaming inspect ----------------------------------------------
+
+
+def _stream_call(port, service, method, desc, obj):
+    body = gw.frame(0x00, pw.encode(desc, obj))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api.v1.{service}/{method}",
+        data=body,
+        method="POST",
+        headers={"Content-Type": "application/grpc-web+proto"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return gw.unframe(resp.read())
+
+
+def test_inspect_connector_streams_opencdc_records(server):
+    plane, port, _ = server
+    # first call attaches; empty stream, OK trailers
+    frames = _stream_call(
+        port, "ConnectorService", "InspectConnector",
+        gw.INSPECT_CONNECTOR_REQ, {"id": "demo:src"},
+    )
+    assert _status_of(frames) == gw.OK
+    assert [f for f, _ in frames if not f & 0x80] == []
+
+    # a runner fills the tapped buffers with envelope dicts (what the
+    # real Pipeline runtime taps; raw bytes, not jsonable)
+    def runner(cfg, stop, inspectors=None):
+        for key, insp in (inspectors or {}).items():
+            for i in range(5):
+                insp.buffer.append(
+                    {
+                        "position": f"pos-{key}-{i}".encode(),
+                        "operation": "create",
+                        "metadata": {"conduit.source.connector.id": "src"},
+                        "key_raw": f"k{i}".encode(),
+                        "key_json": None,
+                        "payload_before_json": None,
+                        "payload_after_json": f'{{"n": {i}}}',
+                        "payload_after_raw": None,
+                        "is_structured": True,
+                    }
+                )
+        return "done"
+
+    plane._runner = runner
+    plane.start("demo")
+    assert plane.wait("demo", timeout=10)
+
+    frames = _stream_call(
+        port, "ConnectorService", "InspectConnector",
+        gw.INSPECT_CONNECTOR_REQ, {"id": "demo:src"},
+    )
+    assert _status_of(frames) == gw.OK
+    msgs = [
+        pw.decode(gw.INSPECT_CONNECTOR_RES, p)
+        for f, p in frames
+        if not f & 0x80
+    ]
+    assert len(msgs) == 5
+    rec = msgs[0]["record"]
+    assert rec["position"] == b"pos-src-0"
+    assert rec["operation"] == 1  # OPERATION_CREATE
+    assert rec["metadata"]["conduit.source.connector.id"] == "src"
+    assert rec["key"]["raw_data"] == b"k0"
+    assert rec["payload"]["after"]["raw_data"] == b'{"n": 0}'
+
+    # unknown connector → NOT_FOUND trailers-only
+    frames = _stream_call(
+        port, "ConnectorService", "InspectConnector",
+        gw.INSPECT_CONNECTOR_REQ, {"id": "ghost"},
+    )
+    assert _status_of(frames) == gw.NOT_FOUND
+
+
+def test_inspect_processor_in_and_out_streams(server):
+    plane, port, _ = server
+    for method in ("InspectProcessorIn", "InspectProcessorOut"):
+        frames = _stream_call(
+            port, "ProcessorService", method,
+            gw.INSPECT_PROCESSOR_IN_REQ, {"id": "keep"},
+        )
+        assert _status_of(frames) == gw.OK
+
+    def runner(cfg, stop, inspectors=None):
+        for key, insp in (inspectors or {}).items():
+            insp.buffer.append(
+                {
+                    "position": f"p-{key}".encode(),
+                    "operation": "snapshot",
+                    "metadata": {},
+                    "key_raw": None,
+                    "key_json": None,
+                    "payload_before_json": None,
+                    "payload_after_json": None,
+                    "payload_after_raw": key.encode(),
+                    "is_structured": False,
+                }
+            )
+        return "done"
+
+    plane._runner = runner
+    plane.start("demo")
+    assert plane.wait("demo", timeout=10)
+
+    frames = _stream_call(
+        port, "ProcessorService", "InspectProcessorIn",
+        gw.INSPECT_PROCESSOR_IN_REQ, {"id": "keep"},
+    )
+    msgs = [
+        pw.decode(gw.INSPECT_PROCESSOR_IN_RES, p)
+        for f, p in frames
+        if not f & 0x80
+    ]
+    assert len(msgs) == 1
+    # the runtime taps "<id>#in" BEFORE the processor runs
+    assert msgs[0]["record"]["position"] == b"p-keep#in"
+    assert msgs[0]["record"]["operation"] == 4  # OPERATION_SNAPSHOT
+
+    frames = _stream_call(
+        port, "ProcessorService", "InspectProcessorOut",
+        gw.INSPECT_PROCESSOR_OUT_REQ, {"id": "keep"},
+    )
+    msgs = [
+        pw.decode(gw.INSPECT_PROCESSOR_OUT_RES, p)
+        for f, p in frames
+        if not f & 0x80
+    ]
+    assert msgs[0]["record"]["position"] == b"p-keep"
