@@ -101,6 +101,7 @@ _EXTENDED = (
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_knn_join",  # kNN-graph builder; bucketed-ANN family already gate-verified via s_ann_lsh_topk
     "s_quantized_topk",  # int8 scalar-quantized search variant
+    "s_pq_topk",  # round-5: product-quantization ADC + exact re-rank (IVF-PQ compression half)
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "t_unigram_logprob",  # perplexity-proxy scorer; text family holds 5 gate slots
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
@@ -110,6 +111,7 @@ _EXTENDED = (
     "t_repetition",  # text family already gate-verified 5×
     "t_redact_pii",
     "cur_shards",  # shard-balance audit for the training_shard_sink writer
+    "cur_split_leakage",  # round-5: cross-split near-dup eval-contamination audit
     "cur_mix",  # source-mixing weights; same agg family as cur_funnel
     "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
     "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)

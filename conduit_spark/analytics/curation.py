@@ -18,7 +18,7 @@ no driver-side loops, no cross products, SF-linear end to end.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from conduit_spark.analytics.dedup import (
     CONTAM_MOD,
@@ -124,6 +124,68 @@ def cur_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 90  # deterministic hash-mod split: 90/5/5
+SPLIT_VAL_PCT = 95
+
+
+def split_of(key) -> Column:
+    """Deterministic train/val/test assignment by md5-hash-mod —
+    stable across reruns and cluster layouts, like :func:`shard_of`."""
+    b = md5_int32(key) % F.lit(100)
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def cur_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: near-duplicate pairs that CROSS the
+    train/val/test boundary. Splitting by document hash is necessary
+    but not sufficient — a near-dup of a training doc landing in test
+    inflates eval (the Lee et al. 2022 deduplication finding), so the
+    release gate counts cross-split near-dup pairs per split pair;
+    same-split pairs are reported too (they're the dedup backlog, not
+    leakage). Composes the banded-LSH pair relation with a broadcast
+    split assignment — one keyed agg on top, SF-linear.
+    """
+    from conduit_spark.analytics.dedup import _lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split_of(F.col("doc_id")).alias("split")
+    )
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return (
+        j.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def cur_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global pseudorandom shuffle — the step every
     training-data writer runs between curation and sharding (a model
@@ -200,6 +262,7 @@ def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cur_funnel": cur_funnel,
+    "cur_split_leakage": cur_split_leakage,
     "cur_shards": cur_shards,
     "cur_mix": cur_mix,
     "cur_shuffle": cur_shuffle,
@@ -328,3 +391,33 @@ ORACLES = {
         ORDER BY shard_id, pos_in_shard
     """,
 }
+
+
+def _split_leakage_oracle() -> str:
+    from conduit_spark.analytics.dedup import _LSH_CTES
+
+    hb = sql_md5_int32("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH {_LSH_CTES},
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {hb} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {hb} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+        j AS (
+            SELECT least(a.split, b.split) AS split_a,
+                   greatest(a.split, b.split) AS split_b
+            FROM lsh_pairs p
+            JOIN splits a ON p.id_a = a.doc_id
+            JOIN splits b ON p.id_b = b.doc_id)
+        SELECT split_a, split_b,
+               count(*) AS n_pairs,
+               split_a <> split_b AS is_leakage
+        FROM j
+        GROUP BY split_a, split_b
+        ORDER BY split_a, split_b
+    """
+
+
+ORACLES["cur_split_leakage"] = _split_leakage_oracle()

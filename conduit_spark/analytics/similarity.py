@@ -335,6 +335,107 @@ def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (IVF-PQ's compression half) ----------------
+
+PQ_M = 4  # subspaces
+PQ_DSUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace → 4 bits/subspace, 16 bits/vector
+_PQ_CODEBOOKS = [
+    hyperplanes(PQ_K, PQ_DSUB, seed=101 + m) for m in range(PQ_M)
+]  # fixed deterministic codebooks (same rationale as _CENTROIDS)
+PQ_CANDIDATES = 50
+
+
+def _pq_sub(vec: Column, m: int) -> Column:
+    return F.slice(vec, m * PQ_DSUB + 1, PQ_DSUB)
+
+
+def pq_code(vec: Column, m: int) -> Column:
+    """Sub-vector m's PQ code: argmin L2² against the subspace
+    codebook (first-min wins) — a narrow per-row projection, exactly
+    like ``ivf_cell``'s argmax."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    _pq_sub(vec, m),
+                    F.array(*[F.lit(v) for v in cw]),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cw in _PQ_CODEBOOKS[m]
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011 — the IVF-PQ
+    standard for billion-vector search) with asymmetric-distance
+    scoring and exact re-rank: every vector compresses to ``PQ_M``
+    4-bit codes (16 bits vs 2048 for the raw float64×64 vector, a
+    128× memory cut); the query scores a candidate as
+    ``Σ_m dot(query_sub_m, codeword[code_m])`` — the ADC lookup-table
+    trick, codebook dots instead of raw-vector dots — then the top
+    ``PQ_CANDIDATES`` by approximate score re-rank by exact cosine for
+    the final top-5.
+
+    Plan shape: encoding and ADC scoring are pure projections over
+    literal codebooks (zero shuffle; the query row broadcasts); the
+    only exchanges are the two top-k sort-limits (per-partition top-k
+    + tiny merge). At 100 TB the codes become a stored column written
+    at ingest; scoring scans 2 bytes/vector instead of 256 — the scan,
+    not the math, is what PQ buys at scale. Codebooks here are the
+    fixed deterministic ones (oracle-exact); production trains them
+    per-subspace with the ``_lloyd`` trainer, same plan either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = emb.select(
+        "vec_id",
+        "embedding",
+        *[pq_code(F.col("embedding"), m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+    q = _query_vec(emb)
+    # ADC: dot(q_sub_m, codebook_m[code_m]) — the codeword resolves by
+    # data-dependent index into the literal codebook array-of-arrays
+    approx = None
+    for m in range(PQ_M):
+        cb = F.array(
+            *[F.array(*[F.lit(v) for v in cw]) for cw in _PQ_CODEBOOKS[m]]
+        )
+        term = _dot(
+            _pq_sub(F.col("qvec"), m),
+            F.element_at(cb, F.col(f"c{m}") + 1),
+        )
+        approx = term if approx is None else approx + term
+    cand = (
+        enc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qvec",
+            approx.alias("approx_dot"),
+        )
+        .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
+        .limit(PQ_CANDIDATES)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(F.col("approx_dot"), 9).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 # --- k-means centroid training (IVF learns its cells from this) ------
 
 KMEANS_K = 8
@@ -564,6 +665,7 @@ QUERIES = {
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
+    "s_pq_topk": s_pq_topk,
     "s_neardup_pairs": s_neardup_pairs,
     "s_knn_join": s_knn_join,
     "s_quantized_topk": s_quantized_topk,
@@ -642,6 +744,35 @@ def _sql_band_bucket(vec: str, band: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def _sql_pq_code(vec: str, m: int) -> str:
+    """argmin-L2² PQ code for subspace m (first-min via list_position),
+    element order + fold order matching the Spark zip_with/aggregate."""
+    off = m * PQ_DSUB
+    dists = "[" + ", ".join(
+        f"list_sum(list_transform(generate_series(1, {PQ_DSUB}), i -> "
+        f"(CAST({vec}[{off} + i] AS DOUBLE) - ({_sql_plane_array(cw)})[i])"
+        f" * (CAST({vec}[{off} + i] AS DOUBLE) - ({_sql_plane_array(cw)})[i])))"
+        for cw in _PQ_CODEBOOKS[m]
+    ) + "]"
+    return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+
+def _sql_pq_adc(qvec: str) -> str:
+    """ADC score: Σ_m dot(query_sub_m, codebook_m[c_m]) with the
+    codeword picked by the data-dependent code column ``cm``."""
+    terms = []
+    for m in range(PQ_M):
+        off = m * PQ_DSUB
+        cb = "[" + ", ".join(
+            _sql_plane_array(cw) for cw in _PQ_CODEBOOKS[m]
+        ) + "]"
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {PQ_DSUB}), i -> "
+            f"CAST({qvec}[{off} + i] AS DOUBLE) * ({cb})[c{m} + 1][i]))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _sql_ivf_cell(vec: str) -> str:
     # argmax via list_position(first max wins), mirroring ivf_cell
     sims = "[" + ", ".join(
@@ -702,6 +833,27 @@ ORACLES = {
         WHERE round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
               >= {SEMDEDUP_MIN_COS}
         ORDER BY a.cluster_id, id_keep, id_prune
+    """,
+    "s_pq_topk": f"""
+        WITH codes AS (
+            SELECT vec_id, embedding,
+                   {", ".join(f'{_sql_pq_code("embedding", m)} AS c{m}' for m in range(PQ_M))}
+            FROM embeddings),
+        q AS (SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT vec_id, embedding, qv,
+                   {_sql_pq_adc("qv")} AS approx_dot
+            FROM codes, q
+            WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY approx_dot DESC, vec_id ASC
+            LIMIT {PQ_CANDIDATES})
+        SELECT vec_id,
+               round(approx_dot, 9) AS approx_dot,
+               round({_sql_cosine("embedding", "qv")}, 9) AS cos_sim
+        FROM cand
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 5
     """,
     "s_ivf_topk": f"""
         WITH ce AS (
