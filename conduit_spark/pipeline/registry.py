@@ -482,9 +482,27 @@ def build_source(
                     )
                 from conduit_spark.sources.s3_wire import (
                     envelope_from_s3,
+                    s3_wire_cdc_df,
                     s3_wire_source_df,
                 )
 
+                if "cdc.since" in settings:
+                    # one CDC polling cycle: objects modified strictly
+                    # after the marker; the caller advances the marker
+                    # to max(metadata['s3.lastModified']) of the batch
+                    objs, _pos = s3_wire_cdc_df(
+                        spark,
+                        str(settings["aws.url"]),
+                        str(settings["aws.bucket"]),
+                        str(settings.get("prefix", "")),
+                        since=str(settings["cdc.since"]),
+                    )
+                    return envelope_from_s3(
+                        objs,
+                        source_id,
+                        str(settings["aws.bucket"]),
+                        operation="create",
+                    )
                 objs = s3_wire_source_df(
                     spark,
                     str(settings["aws.url"]),

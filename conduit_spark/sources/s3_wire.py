@@ -56,6 +56,21 @@ def s3_wire_source_df(
 
     client = MiniS3Client(endpoint)
     objs = client.list_objects(bucket, prefix, page_size=page_size)
+    return _fetch_objects_df(
+        spark, endpoint, bucket, objs, chunk_bytes=chunk_bytes, tasks=tasks
+    )
+
+
+def _fetch_objects_df(
+    spark: SparkSession,
+    endpoint: str,
+    bucket: str,
+    objs: list[dict],
+    *,
+    chunk_bytes: int,
+    tasks: int | None = None,
+) -> DataFrame:
+    """Executor-parallel GET of a known object list → OBJ_SCHEMA rows."""
     if not objs:
         return spark.createDataFrame([], OBJ_SCHEMA)
 
@@ -113,14 +128,18 @@ def s3_wire_source_df(
     return plan_df.mapInPandas(_fetch, OBJ_SCHEMA)
 
 
-def envelope_from_s3(df: DataFrame, source_id: str, bucket: str) -> DataFrame:
+def envelope_from_s3(
+    df: DataFrame, source_id: str, bucket: str, *, operation: str = "snapshot"
+) -> DataFrame:
     """Object rows → OpenCDC envelopes: position = ``bucket/key`` (the
-    reference S3 source's position), raw payload, key = object key."""
+    reference S3 source's position), raw payload, key = object key.
+    CDC cycles pass ``operation="create"``; the next poll position is
+    ``max(metadata['s3.lastModified'])`` over the emitted records."""
     return df.select(
         F.concat(F.lit(bucket), F.lit("/"), F.col("key"))
         .cast("binary")
         .alias("position"),
-        F.lit("snapshot").alias("operation"),
+        F.lit(operation).alias("operation"),
         F.create_map(
             F.lit("conduit.source.connector.id"), F.lit(source_id),
             F.lit("s3.bucket"), F.lit(bucket),
@@ -249,3 +268,43 @@ def s3_wire_sink(
         .mode("overwrite")
         .save()
     )
+
+
+def s3_wire_cdc_df(
+    spark: SparkSession,
+    endpoint: str,
+    bucket: str,
+    prefix: str = "",
+    *,
+    since: str = "",
+    page_size: int = 1000,
+    chunk_bytes: int = 8 * 1024 * 1024,
+) -> tuple[DataFrame, str]:
+    """One CDC polling cycle, the reference S3 source's change-capture
+    half (conduit-connector-s3 source: after the snapshot it polls
+    ListObjects every ``pollingPeriod`` and emits objects whose
+    ``LastModified`` is strictly after the stored position). Returns
+    ``(changed_objects_df, new_position)`` where the position is the
+    max LastModified seen — feed it back as ``since`` on the next
+    cycle. Objects deleted between polls are NOT detected (same
+    limitation as the reference: ListObjects diffing only sees what
+    exists; it documents delete capture as out of scope).
+
+    The listing walk is the same metadata-only pagination as the
+    snapshot; only CHANGED objects' bytes move, executor-side.
+    """
+    from conduit_spark.functions.minis3 import MiniS3Client
+
+    client = MiniS3Client(endpoint)
+    changed = [
+        o
+        for o in client.list_objects(bucket, prefix, page_size=page_size)
+        if o["last_modified"] and (not since or o["last_modified"] > since)
+    ]
+    new_pos = max((o["last_modified"] for o in changed), default=since)
+    # only the CHANGED objects enter the fetch plan — bytes of
+    # unchanged objects never move
+    df = _fetch_objects_df(
+        spark, endpoint, bucket, changed, chunk_bytes=chunk_bytes
+    )
+    return df, new_pos
