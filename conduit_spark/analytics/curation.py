@@ -57,15 +57,22 @@ def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.md5(F.col("text")).alias("h"))
     ).localCheckpoint()
 
-    # stage 2: exact dedup among survivors — keeper = min doc_id per hash
+    # stage 2: exact dedup among survivors — keeper = min doc_id per
+    # hash. Lazily checkpointed: three later stage counts reuse it, and
+    # without the pin each would re-run the keyed agg + semi-join.
     keepers = q1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    s2 = q1.join(keepers, ["h", "doc_id"], "left_semi")
+    s2 = q1.join(keepers, ["h", "doc_id"], "left_semi").localCheckpoint(
+        eager=False
+    )
 
-    # stage 3: benchmark holdout + decontamination
+    # stage 3: benchmark holdout + decontamination. The contaminated-id
+    # relation is tiny (flagged doc ids) but its subtree is the whole
+    # n-gram pipeline — pin it so stage 4's count doesn't run it twice.
     contaminated = (
         contamination_scores(docs)
         .filter(F.col("contamination_frac") >= CONTAM_MAX)
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     s3 = s2.filter(F.col("doc_id") % CONTAM_MOD != 0).join(
         contaminated, "doc_id", "left_anti"
