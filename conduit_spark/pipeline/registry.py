@@ -475,10 +475,25 @@ def build_source(
                 # jar-free S3 REST path (no hadoop-aws needed): list +
                 # parallel GET through the engine's own protocol client
                 if streaming:
-                    raise ValueError(
-                        "builtin:s3 transport=wire is a snapshot reader; "
-                        "continuous tailing needs the s3a path or a "
-                        "polling re-run"
+                    # continuous tailing: Python DataSource stream —
+                    # LastModified watermark offsets in the checkpoint,
+                    # one CDC polling cycle per micro-batch
+                    from conduit_spark.sources import pyds
+                    from conduit_spark.sources.s3_wire import envelope_from_s3
+
+                    pyds.register(spark)
+                    df = (
+                        spark.readStream.format("conduit-s3-wire")
+                        .option("endpoint", str(settings["aws.url"]))
+                        .option("bucket", str(settings["aws.bucket"]))
+                        .option("prefix", str(settings.get("prefix", "")))
+                        .load()
+                    )
+                    return envelope_from_s3(
+                        df,
+                        source_id,
+                        str(settings["aws.bucket"]),
+                        operation="create",
                     )
                 from conduit_spark.sources.s3_wire import (
                     envelope_from_s3,
@@ -648,11 +663,19 @@ def build_source(
     if plugin == "builtin:kafka":
         if str(settings.get("transport", "jvm")) == "wire":
             if streaming:
-                raise ValueError(
-                    "builtin:kafka transport=wire is a batch/snapshot "
-                    "reader; continuous streams need the JVM "
-                    "spark-sql-kafka path (transport: jvm)"
+                # continuous tailing: Python DataSource stream with
+                # per-topic-partition offset ranges in the checkpoint
+                # (the JVM kafka source's offset model, jar-free)
+                from conduit_spark.sources import pyds
+
+                pyds.register(spark)
+                df = (
+                    spark.readStream.format("conduit-kafka-wire")
+                    .option("servers", str(settings["servers"]))
+                    .option("topic", str(settings["topic"]))
+                    .load()
                 )
+                return envelope_from_kafka(df, source_id)
             df = kafka_wire_source_df(
                 spark, str(settings["servers"]), str(settings["topic"])
             )

@@ -1,0 +1,241 @@
+"""Structured-Streaming sources for the wire transports (Python
+DataSource API, Spark 4).
+
+The jar-free ``transport: wire`` paths were batch/snapshot-only; these
+DataSource implementations make them REAL streaming sources — offsets
+tracked by the engine's checkpoint mechanism, micro-batches planned
+per partition, reads executed on executors:
+
+- ``conduit-kafka-wire`` — per-topic-partition offset ranges, exactly
+  the JVM kafka source's offset model (``{"0": nextOffset, ...}``):
+  ``latestOffset`` asks the broker's ListOffsets, ``partitions`` plans
+  one InputPartition per topic-partition with a bounded range,
+  ``read`` Fetches that range over the partition's own connection.
+- ``conduit-s3-wire`` — LastModified watermark offsets
+  (``{"since": ts}``): each micro-batch is one CDC polling cycle
+  (ListObjects diff), changed objects fan out size-balanced across
+  input partitions, bytes move executor-side with Range chunking.
+
+Both recover from a checkpoint by construction: offsets are plain
+JSON dicts the streaming engine persists/replays, and ``read`` is a
+pure function of the partition spec. Register once per session with
+:func:`register` (idempotent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp long"
+)
+S3_WIRE_SCHEMA = (
+    "key string, value binary, size long, etag string, last_modified string"
+)
+
+
+@dataclasses.dataclass
+class _KafkaRange(InputPartition):
+    partition: int
+    start: int
+    end: int
+
+
+class KafkaWireStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._servers = str(options.get("servers", ""))
+        self._topic = str(options.get("topic", ""))
+        if not self._servers or not self._topic:
+            raise ValueError("conduit-kafka-wire needs servers and topic")
+        self._server = self._servers.split(",")[0].strip()
+
+    def _client(self):
+        from conduit_spark.functions.minikafka import MiniKafkaClient
+
+        return MiniKafkaClient(self._server)
+
+    def _offsets(self, earliest: bool) -> dict:
+        from conduit_spark.functions.minikafka import EARLIEST, LATEST
+
+        with self._client() as c:
+            md = c.metadata([self._topic])
+            parts = [
+                p["partition"]
+                for p in md["topics"].get(self._topic, {"partitions": []})[
+                    "partitions"
+                ]
+            ]
+            return {
+                str(p): c.list_offsets(
+                    self._topic, p, EARLIEST if earliest else LATEST
+                )
+                for p in parts
+            }
+
+    def initialOffset(self) -> dict:  # noqa: N802 — DataSource API
+        return self._offsets(earliest=True)
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return self._offsets(earliest=False)
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        out = []
+        for p, hi in end.items():
+            lo = int(start.get(p, 0))
+            if int(hi) > lo:
+                out.append(_KafkaRange(int(p), lo, int(hi)))
+        # the engine requires ≥1 partition per batch; an empty batch
+        # plans one degenerate range that reads nothing
+        return out or [_KafkaRange(0, 0, 0)]
+
+    def read(self, part: _KafkaRange) -> Iterator[tuple]:
+        if part.end <= part.start:
+            return
+        with self._client() as c:
+            off = part.start
+            while off < part.end:
+                recs, _hwm = c.fetch(self._topic, part.partition, off)
+                if not recs:
+                    break
+                for r in recs:
+                    if r["offset"] >= part.end:
+                        return
+                    yield (
+                        r["key"],
+                        r["value"],
+                        self._topic,
+                        part.partition,
+                        r["offset"],
+                        r["timestamp"],
+                    )
+                off = recs[-1]["offset"] + 1
+
+    def commit(self, end: dict) -> None:
+        pass  # broker retains by log policy; checkpoint owns progress
+
+
+class KafkaWireDataSource(DataSource):
+    """``spark.readStream.format("conduit-kafka-wire")`` — see module
+    docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "conduit-kafka-wire"
+
+    def schema(self) -> str:
+        return KAFKA_WIRE_SCHEMA
+
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return KafkaWireStreamReader(self.options)
+
+
+@dataclasses.dataclass
+class _S3Slice(InputPartition):
+    objs: list  # [(key, size, etag, last_modified), ...]
+
+
+class S3WireStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._endpoint = str(options.get("endpoint", options.get("aws.url", "")))
+        self._bucket = str(options.get("bucket", options.get("aws.bucket", "")))
+        if not self._endpoint or not self._bucket:
+            raise ValueError("conduit-s3-wire needs endpoint and bucket")
+        self._prefix = str(options.get("prefix", ""))
+        self._chunk = int(options.get("chunk_bytes", 8 * 1024 * 1024))
+        self._n_parts = int(options.get("fetch_parallelism", 8))
+
+    def _list(self) -> list[dict]:
+        from conduit_spark.functions.minis3 import MiniS3Client
+
+        return MiniS3Client(self._endpoint).list_objects(
+            self._bucket, self._prefix
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"since": ""}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        lm = [o["last_modified"] for o in self._list() if o["last_modified"]]
+        return {"since": max(lm, default="")}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        since, until = start.get("since", ""), end.get("since", "")
+        changed = [
+            o
+            for o in self._list()
+            if o["last_modified"]
+            and (not since or o["last_modified"] > since)
+            and o["last_modified"] <= until
+        ]
+        if not changed:
+            return [_S3Slice([])]
+        # greedy size balance, like the batch reader
+        n = min(len(changed), self._n_parts)
+        buckets: list[list] = [[] for _ in range(n)]
+        sizes = [0] * n
+        for o in sorted(changed, key=lambda o: -o["size"]):
+            t = min(range(n), key=sizes.__getitem__)
+            sizes[t] += o["size"]
+            buckets[t].append(
+                (o["key"], o["size"], o["etag"], o["last_modified"])
+            )
+        return [_S3Slice(b) for b in buckets]
+
+    def read(self, part: _S3Slice) -> Iterator[tuple]:
+        if not part.objs:
+            return
+        from conduit_spark.functions.minis3 import MiniS3Client
+
+        c = MiniS3Client(self._endpoint)
+        for key, size, etag, lm in part.objs:
+            if size > self._chunk:
+                chunks = []
+                off = 0
+                while off < size:
+                    hi = min(off + self._chunk, size) - 1
+                    chunks.append(c.get_object(self._bucket, key, (off, hi)))
+                    off = hi + 1
+                data = b"".join(chunks)
+            else:
+                data = c.get_object(self._bucket, key)
+            yield (key, data, len(data), etag, lm)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class S3WireDataSource(DataSource):
+    """``spark.readStream.format("conduit-s3-wire")`` — see module
+    docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "conduit-s3-wire"
+
+    def schema(self) -> str:
+        return S3_WIRE_SCHEMA
+
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return S3WireStreamReader(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register both wire data sources on a session."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(KafkaWireDataSource)
+    spark.dataSource.register(S3WireDataSource)
+    _REGISTERED.add(key)

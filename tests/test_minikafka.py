@@ -175,17 +175,21 @@ def test_pipeline_destination_and_source_wire_transport(spark, broker):
     assert pos.startswith("pipe:") and pos.count(":") == 2
 
 
-def test_wire_source_streaming_is_refused(spark, broker):
+def test_wire_source_streaming_returns_streaming_envelopes(spark, broker):
+    """streaming=True on transport=wire builds a Python-DataSource
+    readStream (no longer refused; full e2e in test_pyds_streaming)."""
     from conduit_spark.pipeline import registry
 
-    with pytest.raises(ValueError, match="transport=wire"):
-        registry.build_source(
-            spark,
-            "builtin:kafka",
-            {"servers": broker.bootstrap, "topic": "x", "transport": "wire"},
-            "s",
-            streaming=True,
-        )
+    broker.create_topic("x", partitions=1)
+    env = registry.build_source(
+        spark,
+        "builtin:kafka",
+        {"servers": broker.bootstrap, "topic": "x", "transport": "wire"},
+        "s",
+        streaming=True,
+    )
+    assert env.isStreaming
+    assert "position" in env.columns and "payload_after_raw" in env.columns
 
 
 # --- property: arbitrary record streams survive the full TCP path ----

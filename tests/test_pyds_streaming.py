@@ -1,0 +1,139 @@
+"""Structured-Streaming wire sources (Python DataSource API).
+
+End-to-end: readStream from the in-process broker / object store with
+availableNow triggers, checkpoint-resume picking up exactly the new
+data, and the registry dispatch producing streaming envelopes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conduit_spark.functions.minikafka import (
+    MiniKafkaBroker,
+    MiniKafkaClient,
+    partition_for_key,
+)
+from conduit_spark.functions.minis3 import MiniS3Client, MiniS3Server
+from conduit_spark.sources import pyds
+
+
+@pytest.fixture()
+def broker():
+    with MiniKafkaBroker(default_partitions=2) as b:
+        yield b
+
+
+@pytest.fixture()
+def s3():
+    with MiniS3Server() as srv:
+        c = MiniS3Client(srv.endpoint)
+        c.create_bucket("bkt")
+        yield srv, c
+
+
+def _run_available_now(df, out: str, ck: str) -> None:
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def test_kafka_wire_stream_reads_and_resumes(spark, broker, tmp_path):
+    pyds.register(spark)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(20):
+            k = f"u{i}".encode()
+            c.produce(
+                "t",
+                partition_for_key(k, None, 2),
+                [{"key": k, "value": f"v{i}".encode(), "timestamp": 1}],
+            )
+    df = (
+        spark.readStream.format("conduit-kafka-wire")
+        .option("servers", broker.bootstrap)
+        .option("topic", "t")
+        .load()
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(df, out, ck)
+    got = spark.read.parquet(out)
+    assert sorted(bytes(r.value).decode() for r in got.collect()) == sorted(
+        f"v{i}" for i in range(20)
+    )
+    # offsets advance through the checkpoint: only the 5 new records
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(20, 25):
+            c.produce(
+                "t", 0, [{"key": None, "value": f"v{i}".encode(), "timestamp": 1}]
+            )
+    _run_available_now(
+        spark.readStream.format("conduit-kafka-wire")
+        .option("servers", broker.bootstrap)
+        .option("topic", "t")
+        .load(),
+        out,
+        ck,
+    )
+    assert spark.read.parquet(out).count() == 25
+
+
+def test_s3_wire_stream_cdc_cycles(spark, s3, tmp_path):
+    pyds.register(spark)
+    srv, c = s3
+    for i in range(7):
+        c.put_object("bkt", f"in/k{i}", f"data{i}".encode())
+
+    def stream():
+        return (
+            spark.readStream.format("conduit-s3-wire")
+            .option("endpoint", srv.endpoint)
+            .option("bucket", "bkt")
+            .option("prefix", "in/")
+            .load()
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(stream(), out, ck)
+    assert spark.read.parquet(out).count() == 7
+    # new object + overwrite → exactly two new rows on resume
+    c.put_object("bkt", "in/k7", b"data7")
+    c.put_object("bkt", "in/k2", b"data2-upd")
+    _run_available_now(stream(), out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 9
+    by_key: dict[str, list[str]] = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(bytes(r.value).decode())
+    assert sorted(by_key["in/k2"]) == ["data2", "data2-upd"]
+    assert by_key["in/k7"] == ["data7"]
+
+
+def test_registry_streaming_s3_wire_envelopes(spark, s3, tmp_path):
+    from conduit_spark.pipeline import registry
+
+    srv, c = s3
+    c.put_object("bkt", "rt/a", b"payload-a")
+    env = registry.build_source(
+        spark,
+        "builtin:s3",
+        {
+            "transport": "wire",
+            "aws.url": srv.endpoint,
+            "aws.bucket": "bkt",
+            "prefix": "rt/",
+        },
+        "s3s",
+        streaming=True,
+    )
+    assert env.isStreaming
+    out, ck = str(tmp_path / "eout"), str(tmp_path / "eck")
+    _run_available_now(env, out, ck)
+    [row] = spark.read.parquet(out).collect()
+    assert bytes(row.payload_after_raw) == b"payload-a"
+    assert row.operation == "create"
+    assert bytes(row.position).decode() == "bkt/rt/a"
