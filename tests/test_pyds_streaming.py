@@ -137,3 +137,83 @@ def test_registry_streaming_s3_wire_envelopes(spark, s3, tmp_path):
     assert bytes(row.payload_after_raw) == b"payload-a"
     assert row.operation == "create"
     assert bytes(row.position).decode() == "bkt/rt/a"
+
+
+def test_streaming_pipeline_kafka_wire_to_kafka_wire(spark, broker, tmp_path):
+    """Full streaming pipeline over the wire transport on BOTH ends:
+    readStream from topic-in (Python DataSource), json.decode + filter
+    (reference semantics: filter DROPS the record when its condition
+    holds — here every odd n),
+    foreachBatch delivery producing to topic-out — offsets in the
+    Structured Streaming checkpoint, resume picks up only new records."""
+    from conduit_spark.functions.minikafka import EARLIEST, LATEST
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    broker.create_topic("in", partitions=2)
+    broker.create_topic("out", partitions=2)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(30):
+            c.produce(
+                "in",
+                i % 2,
+                [{"key": None, "value": b'{"n": %d}' % i, "timestamp": 1}],
+            )
+    cfg = parse_yaml(
+        f"""
+version: "2.2"
+pipelines:
+  - id: wire-stream
+    connectors:
+      - id: src
+        type: source
+        plugin: builtin:kafka
+        settings:
+          servers: {broker.bootstrap}
+          topic: in
+          transport: wire
+      - id: dst
+        type: destination
+        plugin: builtin:kafka
+        settings:
+          servers: {broker.bootstrap}
+          topic: out
+          transport: wire
+    processors:
+      - id: decode
+        plugin: json.decode
+        settings: {{field: .Payload.After}}
+      - id: drop-odd
+        plugin: filter
+        condition: '{{{{ ne (mod .Payload.After.n 2) 0 }}}}'
+"""
+    )[0]
+    ck = str(tmp_path / "ck")
+    Pipeline(spark, cfg).run_streaming(ck, trigger_once=True)
+
+    def drain_out():
+        import json as _json
+
+        vals = []
+        with MiniKafkaClient(broker.bootstrap) as c:
+            for p in (0, 1):
+                off = c.list_offsets("out", p, EARLIEST)
+                hi = c.list_offsets("out", p, LATEST)
+                while off < hi:
+                    recs, _ = c.fetch("out", p, off)
+                    if not recs:
+                        break
+                    vals += [_json.loads(r["value"]) for r in recs]
+                    off = recs[-1]["offset"] + 1
+        return sorted(v["n"] for v in vals)
+
+    assert drain_out() == [i for i in range(30) if i % 2 == 0]
+
+    # resume: five more records, only the even new ones are appended
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(30, 35):
+            c.produce(
+                "in", 0, [{"key": None, "value": b'{"n": %d}' % i, "timestamp": 1}]
+            )
+    Pipeline(spark, cfg).run_streaming(ck, trigger_once=True)
+    assert drain_out() == [i for i in range(35) if i % 2 == 0]
