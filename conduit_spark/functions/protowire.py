@@ -107,10 +107,13 @@ def encode(desc: dict, obj: dict | None) -> bytes:
             continue
         if kind == "map":
             kk, vk = sub
+            # message-valued maps: vk is ("message", value_descriptor)
+            vkind, vsub = vk if isinstance(vk, tuple) else (vk, None)
             for mk in sorted(v):  # sorted → canonical bytes
                 entry = (
                     _tag(1, _SCALAR_WT[kk]) + _enc_one(kk, None, mk)
-                    + _tag(2, _SCALAR_WT[vk]) + _enc_one(vk, None, v[mk])
+                    + _tag(2, _SCALAR_WT[vkind])
+                    + _enc_one(vkind, vsub, v[mk])
                 )
                 out += _tag(num, _WT_LEN) + encode_varint(len(entry)) + entry
             continue
@@ -196,9 +199,10 @@ def decode(desc: dict, buf: bytes) -> dict:
                 val = decode(sub, chunk)
             else:  # map entry
                 kk, vk = sub
-                entry = decode(
-                    {1: ("key", kk), 2: ("value", vk)}, chunk
+                vspec = (
+                    ("value",) + vk if isinstance(vk, tuple) else ("value", vk)
                 )
+                entry = decode({1: ("key", kk), 2: vspec}, chunk)
                 out[name][entry["key"]] = entry["value"]
                 continue
         else:

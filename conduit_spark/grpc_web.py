@@ -186,6 +186,53 @@ INSPECT_PROCESSOR_OUT_REQ = {1: ("id", "string")}
 INSPECT_PROCESSOR_OUT_RES = {1: ("record", "message", OPENCDC_RECORD)}
 
 
+# config.v1.Parameter (conduit-commons) — field numbers identical to
+# the VENDORED deprecated PluginSpecifications.Parameter
+# (api.proto:246-291), which the commons type superseded 1:1.
+PARAM_VALIDATION = {1: ("type", "enum"), 2: ("value", "string")}
+PARAMETER = {
+    1: ("description", "string"),
+    2: ("default", "string"),
+    3: ("type", "enum"),
+    4: ("validations", "message*", PARAM_VALIDATION),
+}
+_PARAM_TYPE_STRING = 1  # Parameter.Type.TYPE_STRING
+_VALIDATION_REQUIRED = 1  # Validation.Type.TYPE_REQUIRED
+
+# api.proto:197-221 / 223-241
+CONNECTOR_PLUGIN_SPECS = {
+    1: ("name", "string"),
+    2: ("summary", "string"),
+    3: ("description", "string"),
+    4: ("version", "string"),
+    5: ("author", "string"),
+    6: ("destination_params", "map", ("string", ("message", PARAMETER))),
+    7: ("source_params", "map", ("string", ("message", PARAMETER))),
+}
+PROCESSOR_PLUGIN_SPECS = {
+    1: ("name", "string"),
+    2: ("summary", "string"),
+    3: ("description", "string"),
+    4: ("version", "string"),
+    5: ("author", "string"),
+    6: ("parameters", "map", ("string", ("message", PARAMETER))),
+}
+# api.proto:993-1000, 1193-1200
+LIST_CONNECTOR_PLUGINS_REQ = {1: ("name", "string")}
+LIST_CONNECTOR_PLUGINS_RES = {
+    1: ("plugins", "message*", CONNECTOR_PLUGIN_SPECS)
+}
+LIST_PROCESSOR_PLUGINS_REQ = {1: ("name", "string")}
+LIST_PROCESSOR_PLUGINS_RES = {
+    1: ("plugins", "message*", PROCESSOR_PLUGIN_SPECS)
+}
+
+# api.proto:1202-1220 InformationService
+INFO = {1: ("version", "string"), 2: ("os", "string"), 3: ("arch", "string")}
+GET_INFO_REQ: dict = {}
+GET_INFO_RES = {1: ("info", "message", INFO)}
+
+
 # Pipeline.Status (api.proto:43-56) / State.StoppedReason (api.proto:65-77)
 _STATUS_ENUM = {
     "running": 1,
@@ -523,6 +570,84 @@ def _h_delete_processor(plane, req: dict) -> dict:
     return {}
 
 
+def _required_param() -> dict:
+    return {
+        "description": "",
+        "default": "",
+        "type": _PARAM_TYPE_STRING,
+        "validations": [{"type": _VALIDATION_REQUIRED, "value": ""}],
+    }
+
+
+def _h_list_connector_plugins(plane, req: dict) -> dict:
+    from conduit_spark import __version__
+    from conduit_spark.pipeline.registry import (
+        _CONNECTOR_REQUIRED,
+        CONNECTOR_PLUGINS,
+    )
+
+    rx = re.compile(req["name"]) if req.get("name") else None
+    out = []
+    for name, info in sorted(CONNECTOR_PLUGINS.items()):
+        if rx and not rx.search(name):
+            continue
+        spec = {
+            "name": name,
+            "summary": info.get("description", ""),
+            "description": info.get("description", ""),
+            "version": f"v{__version__}",
+            "author": "conduit-spark",
+            "source_params": {},
+            "destination_params": {},
+        }
+        for d, field in (
+            ("source", "source_params"),
+            ("destination", "destination_params"),
+        ):
+            if info.get(d, False):
+                spec[field] = {
+                    k: _required_param()
+                    for k in _CONNECTOR_REQUIRED.get((name, d), ())
+                }
+        out.append(spec)
+    return {"plugins": out}
+
+
+def _h_list_processor_plugins(plane, req: dict) -> dict:
+    from conduit_spark import __version__
+    from conduit_spark.pipeline.registry import PROCESSOR_PLUGINS
+
+    rx = re.compile(req["name"]) if req.get("name") else None
+    return {
+        "plugins": [
+            {
+                "name": name,
+                "summary": summary,
+                "description": summary,
+                "version": f"v{__version__}",
+                "author": "conduit-spark",
+                "parameters": {},
+            }
+            for name, summary in sorted(PROCESSOR_PLUGINS.items())
+            if rx is None or rx.search(name)
+        ]
+    }
+
+
+def _h_get_info(plane, req: dict) -> dict:
+    import platform
+
+    from conduit_spark import __version__
+
+    return {
+        "info": {
+            "version": f"v{__version__}",
+            "os": platform.system().lower(),
+            "arch": platform.machine(),
+        }
+    }
+
+
 # method → (request descriptor, response descriptor, handler)
 SERVICES = {
     "api.v1.PipelineService": {
@@ -555,6 +680,10 @@ SERVICES = {
             INSPECT_CONNECTOR_REQ, INSPECT_CONNECTOR_RES,
             _inspect_handler("connector", "out"), "stream",
         ),
+        "ListConnectorPlugins": (
+            LIST_CONNECTOR_PLUGINS_REQ, LIST_CONNECTOR_PLUGINS_RES,
+            _h_list_connector_plugins,
+        ),
     },
     "api.v1.ProcessorService": {
         "ListProcessors": (
@@ -578,6 +707,13 @@ SERVICES = {
             INSPECT_PROCESSOR_OUT_REQ, INSPECT_PROCESSOR_OUT_RES,
             _inspect_handler("processor", "out"), "stream",
         ),
+        "ListProcessorPlugins": (
+            LIST_PROCESSOR_PLUGINS_REQ, LIST_PROCESSOR_PLUGINS_RES,
+            _h_list_processor_plugins,
+        ),
+    },
+    "api.v1.InformationService": {
+        "GetInfo": (GET_INFO_REQ, GET_INFO_RES, _h_get_info),
     },
 }
 

@@ -490,3 +490,48 @@ def test_inspect_processor_in_and_out_streams(server):
         if not f & 0x80
     ]
     assert msgs[0]["record"]["position"] == b"p-keep"
+
+
+# -- plugin specs + info ---------------------------------------------------
+
+
+def test_list_connector_plugins_specs(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "ConnectorService", "ListConnectorPlugins",
+        gw.LIST_CONNECTOR_PLUGINS_REQ, {"name": "s3"},
+    )
+    assert _status_of(frames) == gw.OK
+    res = _msg_of(frames, gw.LIST_CONNECTOR_PLUGINS_RES)
+    [p] = res["plugins"]
+    assert p["name"] == "builtin:s3"
+    assert p["version"].startswith("v")
+    # required settings surface as REQUIRED-validated string params
+    assert "path" in p["source_params"]
+    param = p["source_params"]["path"]
+    assert param["type"] == gw._PARAM_TYPE_STRING
+    assert param["validations"] == [
+        {"type": gw._VALIDATION_REQUIRED, "value": ""}
+    ]
+
+
+def test_list_processor_plugins_specs(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "ProcessorService", "ListProcessorPlugins",
+        gw.LIST_PROCESSOR_PLUGINS_REQ, {},
+    )
+    res = _msg_of(frames, gw.LIST_PROCESSOR_PLUGINS_RES)
+    names = [p["name"] for p in res["plugins"]]
+    assert "filter" in names and "field.set" in names
+    assert all(p["summary"] for p in res["plugins"])
+
+
+def test_information_service_get_info(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "InformationService", "GetInfo", gw.GET_INFO_REQ, {}
+    )
+    info = _msg_of(frames, gw.GET_INFO_RES)["info"]
+    assert info["version"].startswith("v")
+    assert info["os"] and info["arch"]
