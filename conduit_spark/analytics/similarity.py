@@ -372,6 +372,52 @@ def pq_code(vec: Column, m: int) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _pq_adc_udf(qvec: list[float]):
+    """PQ encode + ADC score in one Arrow-batched pandas UDF —
+    bit-identical to the :func:`pq_code` + literal-lookup expression
+    pipeline but without a K×d literal tree per subspace (Catalyst
+    analysis cost; infeasible at production K=256, where the codebooks
+    are broadcast state exactly like ``_assign_udf``'s centroids).
+
+    Exactness vs the SQL oracle: every accumulation is a dim-ordered
+    left fold of vectorized IEEE double adds — the same add sequence
+    per element as DuckDB's ``list_sum`` mirror — so distances, argmin
+    tie-breaks, and the 4-term ADC sum are value-identical.
+    """
+    import numpy as np
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in _PQ_CODEBOOKS]
+    qd = np.asarray(qvec, dtype=np.float64)
+    # the query-side lookup table: lut[m][k] = dot(q_sub_m, cb_m[k]),
+    # dim-ordered left fold (O(M·K·DSUB) driver work, once)
+    lut = np.zeros((PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        qs = qd[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        acc = np.zeros(PQ_K, dtype=np.float64)
+        for i in range(PQ_DSUB):
+            acc = acc + qs[i] * cbs[m][:, i]
+        lut[m] = acc
+
+    @F.pandas_udf("double")
+    def adc(vecs: pd.Series) -> pd.Series:
+        q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # B×DIM (float32 → exact double widening)
+        n = q.shape[0]
+        approx = np.zeros(n, dtype=np.float64)
+        for m in range(PQ_M):
+            sub = q[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]  # B×DSUB
+            d = np.zeros((n, PQ_K), dtype=np.float64)
+            for i in range(PQ_DSUB):  # dim-ordered left fold
+                diff = sub[:, i : i + 1] - cbs[m][None, :, i]
+                d = d + diff * diff
+            codes = np.argmin(d, axis=1)  # first-min wins
+            approx = approx + lut[m][codes]  # left-assoc 4-term sum
+        return pd.Series(approx)
+
+    return adc
+
+
 def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011 — the IVF-PQ
     standard for billion-vector search) with asymmetric-distance
@@ -393,38 +439,28 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace with the ``_lloyd`` trainer, same plan either way.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    enc = emb.select(
-        "vec_id",
-        "embedding",
-        *[pq_code(F.col("embedding"), m).alias(f"c{m}") for m in range(PQ_M)],
-    )
-    q = _query_vec(emb)
-    # ADC: dot(q_sub_m, codebook_m[code_m]) — the codeword resolves by
-    # data-dependent index into the literal codebook array-of-arrays
-    approx = None
-    for m in range(PQ_M):
-        cb = F.array(
-            *[F.array(*[F.lit(v) for v in cw]) for cw in _PQ_CODEBOOKS[m]]
-        )
-        term = _dot(
-            _pq_sub(F.col("qvec"), m),
-            F.element_at(cb, F.col(f"c{m}") + 1),
-        )
-        approx = term if approx is None else approx + term
+    # the query vector is O(d) driver state (like k-means centroids);
+    # the ADC lookup table built from it ships inside the UDF closure
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
     cand = (
-        enc.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select(
             "vec_id",
             "embedding",
-            "qvec",
-            approx.alias("approx_dot"),
+            _pq_adc_udf(qvec)(F.col("embedding")).alias("approx_dot"),
         )
         .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
         .limit(PQ_CANDIDATES)
     )
+    q = _query_vec(emb)
     return (
-        cand.select(
+        cand.crossJoin(F.broadcast(q))  # 50-row re-rank stage only
+        .select(
             "vec_id",
             F.round(F.col("approx_dot"), 9).alias("approx_dot"),
             F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias(
