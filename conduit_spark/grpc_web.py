@@ -20,12 +20,15 @@ descriptor-driven codec in ``functions.protowire`` — field numbers
 below are copied VERBATIM from ``api.proto`` and commented with their
 source lines so parity is auditable.
 
-Scope: all unary RPCs of PipelineService (8), ConnectorService (6) and
-ProcessorService (5), plus the three server-streaming inspect RPCs
-(``InspectConnector``, ``InspectProcessorIn``, ``InspectProcessorOut``
-— one DATA frame per buffered ``opencdc.v1.Record`` sample, then OK
-trailers; the bounded analog of the reference's live streams, same
-drop-oldest buffer as the JSON ``/inspect`` routes).
+Scope: EVERY RPC of every api.proto service — PipelineService (all 13
+unary: CRUD, start/stop, DLQ, export/import, plan/apply),
+ConnectorService (7 incl. plugin specs), ProcessorService (6 incl.
+plugin specs), InformationService, plus the three server-streaming
+inspect RPCs (one DATA frame per buffered ``opencdc.v1.Record``
+sample, then OK trailers; the bounded analog of the reference's live
+streams, same drop-oldest buffer as the JSON ``/inspect`` routes).
+Only the deprecated PluginService alias is omitted (its replacement
+listings are served).
 """
 
 from __future__ import annotations
@@ -60,6 +63,60 @@ PIPELINE = {
     8: ("updated_at", "message", TIMESTAMP),
 }
 
+# api.proto:84-99 Pipeline.DLQ
+PIPELINE_DLQ = {
+    1: ("plugin", "string"),
+    2: ("settings", "map", ("string", "string")),
+    3: ("window_size", "uint64"),
+    4: ("window_nack_threshold", "uint64"),
+}
+
+# api.proto:686-721 PipelineDocument (the whole-pipeline plan/apply unit)
+PDOC_PROCESSOR = {
+    1: ("id", "string"),
+    2: ("plugin", "string"),
+    3: ("settings", "map", ("string", "string")),
+    4: ("workers", "int32"),
+    5: ("condition", "string"),
+}
+PDOC_CONNECTOR = {
+    1: ("id", "string"),
+    2: ("type", "string"),
+    3: ("plugin", "string"),
+    4: ("name", "string"),
+    5: ("settings", "map", ("string", "string")),
+    6: ("processors", "message*", PDOC_PROCESSOR),
+}
+PDOC_DLQ = {
+    1: ("plugin", "string"),
+    2: ("settings", "map", ("string", "string")),
+    3: ("window_size", "uint64"),
+    4: ("window_nack_threshold", "uint64"),
+}
+PIPELINE_DOCUMENT = {
+    1: ("id", "string"),
+    2: ("status", "string"),
+    3: ("name", "string"),
+    4: ("description", "string"),
+    5: ("connectors", "message*", PDOC_CONNECTOR),
+    6: ("processors", "message*", PDOC_PROCESSOR),
+    7: ("dlq", "message", PDOC_DLQ),
+}
+# api.proto:728-750 Diff
+DIFF_CHANGE = {
+    1: ("resource", "string"),
+    2: ("id", "string"),
+    3: ("action", "string"),
+    4: ("effect", "string"),
+    5: ("config_paths", "string*"),
+    6: ("code", "string"),
+}
+DIFF = {
+    1: ("pipeline_id", "string"),
+    2: ("changes", "message*", DIFF_CHANGE),
+    3: ("hash", "string"),
+}
+
 # api.proto:604-648
 LIST_PIPELINES_REQ = {1: ("name", "string")}
 LIST_PIPELINES_RES = {1: ("pipelines", "message*", PIPELINE)}
@@ -78,6 +135,23 @@ START_PIPELINE_REQ = {1: ("id", "string")}
 START_PIPELINE_RES: dict = {}
 STOP_PIPELINE_REQ = {1: ("id", "string"), 2: ("force", "bool")}
 STOP_PIPELINE_RES: dict = {}
+# api.proto:650-675
+GET_DLQ_REQ = {1: ("id", "string")}
+GET_DLQ_RES = {1: ("dlq", "message", PIPELINE_DLQ)}
+UPDATE_DLQ_REQ = {1: ("id", "string"), 2: ("dlq", "message", PIPELINE_DLQ)}
+UPDATE_DLQ_RES = {1: ("dlq", "message", PIPELINE_DLQ)}
+EXPORT_PIPELINE_REQ = {1: ("id", "string")}
+EXPORT_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
+IMPORT_PIPELINE_REQ = {1: ("pipeline", "message", PIPELINE)}
+IMPORT_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
+# api.proto:752-765
+PLAN_PIPELINE_REQ = {1: ("config", "message", PIPELINE_DOCUMENT)}
+PLAN_PIPELINE_RES = {1: ("diff", "message", DIFF)}
+APPLY_PIPELINE_REQ = {
+    1: ("config", "message", PIPELINE_DOCUMENT),
+    2: ("hash", "string"),
+}
+APPLY_PIPELINE_RES = {1: ("diff", "message", DIFF)}
 
 # api.proto:131-134 Connector.Config
 CONNECTOR_CONFIG = {
@@ -570,6 +644,143 @@ def _h_delete_processor(plane, req: dict) -> dict:
     return {}
 
 
+def _pb_dlq(doc: dict) -> dict:
+    return {
+        "plugin": doc.get("plugin") or "",
+        "settings": {k: str(v) for k, v in (doc.get("settings") or {}).items()},
+        "window_size": int(doc.get("window_size") or 0),
+        "window_nack_threshold": int(doc.get("window_nack_threshold") or 0),
+    }
+
+
+def _h_get_dlq(plane, req: dict) -> dict:
+    try:
+        return {"dlq": _pb_dlq(plane.get_dlq(req["id"]))}
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found") from None
+
+
+def _h_update_dlq(plane, req: dict) -> dict:
+    try:
+        out = plane.update_dlq(req["id"], req.get("dlq") or {})
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found") from None
+    return {"dlq": _pb_dlq(out)}
+
+
+def _h_export(plane, req: dict) -> dict:
+    doc = plane.get(req["id"])
+    if doc is None:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found")
+    return {"pipeline": _pb_pipeline(doc)}
+
+
+def _h_import(plane, req: dict) -> dict:
+    p = req.get("pipeline") or {}
+    cfg = p.get("config") or {}
+    pid = p.get("id") or cfg.get("name") or ""
+    if not pid:
+        raise GrpcError(INVALID_ARGUMENT, "pipeline.id or config.name required")
+    doc = plane.create(
+        {
+            "id": pid,
+            "name": cfg.get("name") or pid,
+            "description": cfg.get("description") or "",
+            "status": "stopped",
+            "connectors": [],
+        }
+    )
+    return {"pipeline": _pb_pipeline(doc)}
+
+
+def _pdoc_to_dict(doc: dict) -> dict:
+    """PipelineDocument message → the v2 YAML dict plane.plan/apply
+    parse (dash-keyed DLQ, settings maps verbatim)."""
+
+    def proc(p: dict) -> dict:
+        out = {"id": p["id"], "plugin": p["plugin"]}
+        if p.get("settings"):
+            out["settings"] = dict(p["settings"])
+        if p.get("workers"):
+            out["workers"] = int(p["workers"])
+        if p.get("condition"):
+            out["condition"] = p["condition"]
+        return out
+
+    out: dict = {"id": doc.get("id") or ""}
+    if doc.get("status"):
+        out["status"] = doc["status"]
+    if doc.get("name"):
+        out["name"] = doc["name"]
+    if doc.get("description"):
+        out["description"] = doc["description"]
+    if doc.get("connectors"):
+        out["connectors"] = [
+            {
+                "id": c["id"],
+                "type": c.get("type") or "",
+                "plugin": c.get("plugin") or "",
+                **({"settings": dict(c["settings"])} if c.get("settings") else {}),
+                **(
+                    {"processors": [proc(p) for p in c["processors"]]}
+                    if c.get("processors")
+                    else {}
+                ),
+            }
+            for c in doc["connectors"]
+        ]
+    if doc.get("processors"):
+        out["processors"] = [proc(p) for p in doc["processors"]]
+    dlq = doc.get("dlq")
+    if dlq is not None:
+        out["dead-letter-queue"] = {
+            "plugin": dlq.get("plugin") or "builtin:log",
+            "settings": dict(dlq.get("settings") or {}),
+            "window-size": int(dlq.get("window_size") or 1),
+            "window-nack-threshold": int(dlq.get("window_nack_threshold") or 0),
+        }
+    return out
+
+
+def _pb_diff(diff: dict) -> dict:
+    return {
+        "pipeline_id": diff.get("pipeline_id") or "",
+        "changes": [
+            {
+                "resource": c.get("resource") or "",
+                "id": c.get("id") or "",
+                "action": c.get("action") or "",
+                "effect": c.get("effect") or "",
+                "config_paths": list(c.get("config_paths") or []),
+                "code": c.get("code") or "",
+            }
+            for c in diff.get("changes") or []
+        ],
+        "hash": diff.get("hash") or "",
+    }
+
+
+def _h_plan(plane, req: dict) -> dict:
+    cfg = req.get("config")
+    if not cfg or not cfg.get("id"):
+        raise GrpcError(INVALID_ARGUMENT, "config.id is required")
+    return {"diff": _pb_diff(plane.plan(_pdoc_to_dict(cfg)))}
+
+
+def _h_apply(plane, req: dict) -> dict:
+    from conduit_spark.errors import ConduitError
+
+    cfg = req.get("config")
+    if not cfg or not cfg.get("id"):
+        raise GrpcError(INVALID_ARGUMENT, "config.id is required")
+    try:
+        diff = plane.apply(_pdoc_to_dict(cfg), req.get("hash") or "")
+    except ConduitError as e:
+        # stale plan / restart-required refusals are preconditions
+        raise GrpcError(9, f"{e.code}: {e}") from None  # FAILED_PRECONDITION
+    return {"diff": _pb_diff(diff)}
+
+
 def _required_param() -> dict:
     return {
         "description": "",
@@ -658,6 +869,16 @@ SERVICES = {
         "DeletePipeline": (DELETE_PIPELINE_REQ, DELETE_PIPELINE_RES, _h_delete),
         "StartPipeline": (START_PIPELINE_REQ, START_PIPELINE_RES, _h_start),
         "StopPipeline": (STOP_PIPELINE_REQ, STOP_PIPELINE_RES, _h_stop),
+        "GetDLQ": (GET_DLQ_REQ, GET_DLQ_RES, _h_get_dlq),
+        "UpdateDLQ": (UPDATE_DLQ_REQ, UPDATE_DLQ_RES, _h_update_dlq),
+        "ExportPipeline": (
+            EXPORT_PIPELINE_REQ, EXPORT_PIPELINE_RES, _h_export,
+        ),
+        "ImportPipeline": (
+            IMPORT_PIPELINE_REQ, IMPORT_PIPELINE_RES, _h_import,
+        ),
+        "PlanPipeline": (PLAN_PIPELINE_REQ, PLAN_PIPELINE_RES, _h_plan),
+        "ApplyPipeline": (APPLY_PIPELINE_REQ, APPLY_PIPELINE_RES, _h_apply),
     },
     "api.v1.ConnectorService": {
         "ListConnectors": (

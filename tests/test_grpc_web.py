@@ -535,3 +535,107 @@ def test_information_service_get_info(server):
     info = _msg_of(frames, gw.GET_INFO_RES)["info"]
     assert info["version"].startswith("v")
     assert info["os"] and info["arch"]
+
+
+# -- DLQ / export / import / plan / apply ----------------------------------
+
+
+def test_dlq_get_and_update(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "PipelineService", "GetDLQ", gw.GET_DLQ_REQ, {"id": "demo"}
+    )
+    dlq = _msg_of(frames, gw.GET_DLQ_RES)["dlq"]
+    assert dlq["plugin"] == "builtin:log"  # default
+    upd = pw.encode(
+        gw.UPDATE_DLQ_REQ,
+        {
+            "id": "demo",
+            "dlq": {
+                "plugin": "builtin:file",
+                "settings": {"path": "/tmp/dlq", "format": "json"},
+                "window_size": 10,
+                "window_nack_threshold": 2,
+            },
+        },
+    )
+    _, _, frames = _call(port, "UpdateDLQ", upd)
+    out = _msg_of(frames, gw.UPDATE_DLQ_RES)["dlq"]
+    assert out["plugin"] == "builtin:file"
+    assert out["window_size"] == 10 and out["window_nack_threshold"] == 2
+    # invalid window (threshold >= size) → precondition-class error
+    bad = pw.encode(
+        gw.UPDATE_DLQ_REQ,
+        {"id": "demo", "dlq": {"plugin": "builtin:log", "window_size": 2,
+                               "window_nack_threshold": 5}},
+    )
+    _, _, frames = _call(port, "UpdateDLQ", bad)
+    assert _status_of(frames) != gw.OK
+
+
+def test_export_import_roundtrip(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "PipelineService", "ExportPipeline",
+        gw.EXPORT_PIPELINE_REQ, {"id": "demo"},
+    )
+    p = _msg_of(frames, gw.EXPORT_PIPELINE_RES)["pipeline"]
+    assert p["id"] == "demo" and p["connector_ids"] == ["src", "dst"]
+    imp = pw.encode(
+        gw.IMPORT_PIPELINE_REQ,
+        {"pipeline": {"id": "copied", "config": {"name": "copied",
+                                                 "description": "via import"}}},
+    )
+    _, _, frames = _call(port, "ImportPipeline", imp)
+    assert _status_of(frames) == gw.OK
+    out = _msg_of(frames, gw.IMPORT_PIPELINE_RES)["pipeline"]
+    assert out["id"] == "copied"
+    # re-import → ALREADY_EXISTS
+    _, _, frames = _call(port, "ImportPipeline", imp)
+    assert _status_of(frames) == gw.ALREADY_EXISTS
+
+
+def test_plan_apply_hash_gating(server):
+    plane, port, _ = server
+    doc = {
+        "id": "planned",
+        "status": "stopped",
+        "name": "planned",
+        "connectors": [
+            {
+                "id": "g",
+                "type": "source",
+                "plugin": "builtin:generator",
+                "settings": {"recordCount": "3", "format.options": "{id: int}"},
+            },
+            {"id": "out", "type": "destination", "plugin": "builtin:log"},
+        ],
+    }
+    _, _, frames = _call(
+        port, "PlanPipeline", pw.encode(gw.PLAN_PIPELINE_REQ, {"config": doc})
+    )
+    assert _status_of(frames) == gw.OK
+    diff = _msg_of(frames, gw.PLAN_PIPELINE_RES)["diff"]
+    assert diff["pipeline_id"] == "planned" and diff["hash"]
+    actions = {(c["resource"], c["action"]) for c in diff["changes"]}
+    assert ("pipeline", "create") in actions
+    assert ("connector", "create") in actions
+
+    # apply with a stale hash → FAILED_PRECONDITION (9)
+    _, _, frames = _call(
+        port,
+        "ApplyPipeline",
+        pw.encode(gw.APPLY_PIPELINE_REQ, {"config": doc, "hash": "deadbeef"}),
+    )
+    assert _status_of(frames) == 9
+
+    # apply with the real hash creates the pipeline
+    _, _, frames = _call(
+        port,
+        "ApplyPipeline",
+        pw.encode(
+            gw.APPLY_PIPELINE_REQ, {"config": doc, "hash": diff["hash"]}
+        ),
+    )
+    assert _status_of(frames) == gw.OK
+    assert plane.get("planned") is not None
