@@ -26,9 +26,8 @@ ConnectorService (7 incl. plugin specs), ProcessorService (6 incl.
 plugin specs), InformationService, plus the three server-streaming
 inspect RPCs (one DATA frame per buffered ``opencdc.v1.Record``
 sample, then OK trailers; the bounded analog of the reference's live
-streams, same drop-oldest buffer as the JSON ``/inspect`` routes).
-Only the deprecated PluginService alias is omitted (its replacement
-listings are served).
+streams, same drop-oldest buffer as the JSON ``/inspect`` routes) and
+the deprecated PluginService combined listing.
 """
 
 from __future__ import annotations
@@ -935,6 +934,24 @@ SERVICES = {
     },
     "api.v1.InformationService": {
         "GetInfo": (GET_INFO_REQ, GET_INFO_RES, _h_get_info),
+    },
+    # Deprecated combined listing (api.proto:1224-1243); the
+    # PluginSpecifications message shares ConnectorPluginSpecifications'
+    # field numbers, so the descriptor is reused.
+    "api.v1.PluginService": {
+        "ListPlugins": (
+            LIST_CONNECTOR_PLUGINS_REQ,
+            LIST_CONNECTOR_PLUGINS_RES,
+            lambda plane, req: {
+                "plugins": (
+                    _h_list_connector_plugins(plane, req)["plugins"]
+                    + [
+                        {**p, "source_params": {}, "destination_params": {}}
+                        for p in _h_list_processor_plugins(plane, req)["plugins"]
+                    ]
+                )
+            },
+        ),
     },
 }
 

@@ -639,3 +639,14 @@ def test_plan_apply_hash_gating(server):
     )
     assert _status_of(frames) == gw.OK
     assert plane.get("planned") is not None
+
+
+def test_deprecated_plugin_service_combined_listing(server):
+    _, port, _ = server
+    frames = _stream_call(
+        port, "PluginService", "ListPlugins",
+        gw.LIST_CONNECTOR_PLUGINS_REQ, {},
+    )
+    res = _msg_of(frames, gw.LIST_CONNECTOR_PLUGINS_RES)
+    names = [p["name"] for p in res["plugins"]]
+    assert "builtin:s3" in names and "filter" in names  # both kinds
