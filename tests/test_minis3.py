@@ -310,3 +310,34 @@ def test_registry_cdc_since_setting(spark, s3):
     assert {r.operation for r in got} == {"create"}
     # the next marker is derivable from the batch itself
     assert max(dict(r.metadata)["s3.lastModified"] for r in got) > pos
+
+
+# -- property: pagination walk is lossless for arbitrary key sets ----------
+
+from hypothesis import given, settings as hsettings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_keychars = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-", min_size=1, max_size=24
+)
+
+
+@hsettings(max_examples=20, deadline=None)
+@given(
+    keys=st.sets(_keychars, min_size=1, max_size=40),
+    page=st.integers(min_value=1, max_value=7),
+)
+def test_list_pagination_walk_is_lossless(keys, page):
+    """Any key set, any page size: the continuation-token walk returns
+    every key exactly once, in lexicographic order."""
+    keys = {k.strip("/") for k in keys if k.strip("/")}
+    if not keys:
+        return
+    with MiniS3Server() as srv:
+        c = MiniS3Client(srv.endpoint)
+        c.create_bucket("p")
+        for k in keys:
+            c.put_object("p", k, k.encode())
+        out = c.list_objects("p", page_size=page)
+        assert [o["key"] for o in out] == sorted(keys)
+        assert all(o["size"] == len(o["key"].encode()) for o in out)
