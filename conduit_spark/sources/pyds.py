@@ -15,6 +15,13 @@ per partition, reads executed on executors:
   (``{"since": ts}``): each micro-batch is one CDC polling cycle
   (ListObjects diff), changed objects fan out size-balanced across
   input partitions, bytes move executor-side with Range chunking.
+  Boundary semantics: a batch covers ``since < LastModified <= until``.
+  Against real S3 (1-second LastModified granularity) an object
+  written in the same second as ``until`` but after the listing can be
+  skipped permanently — the reference's polling source shares this
+  window; run with a prefix layout that appends, or accept
+  second-granularity lag (MiniS3's monotonic mtimes make the tests
+  exact).
 
 Both recover from a checkpoint by construction: offsets are plain
 JSON dicts the streaming engine persists/replays, and ``read`` is a
