@@ -102,7 +102,11 @@ def main() -> None:
         "extended_runs": ext_runs,
         "sf": sf_val,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+    # BENCH_QUERIES subset runs write a scratch file: the committed
+    # BENCH_DETAIL.json must always be a FULL-suite record (a subset
+    # run once silently clobbered it between full runs)
+    detail_name = "BENCH_DETAIL.json" if not subset else "BENCH_DETAIL_SUBSET.json"
+    with open(os.path.join(REPO, detail_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # Final stdout line: gate-only, compact, 2-decimal — must fit the
@@ -114,7 +118,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(t, 2) for n, t in sorted(gate_timings.items())},
             "sf": sf_val,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         },
         separators=(",", ":"),
     )
@@ -126,7 +130,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {},
                 "sf": sf_val,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             },
             separators=(",", ":"),
         )
