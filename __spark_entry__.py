@@ -106,6 +106,7 @@ _EXTENDED = (
     "t_unigram_logprob",  # perplexity-proxy scorer; text family holds 5 gate slots
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_frame_sample",
+    "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)
     "m_features",
     "m_resize",
     "t_repetition",  # text family already gate-verified 5×

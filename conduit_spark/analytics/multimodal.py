@@ -350,14 +350,122 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media).orderBy("media_id")
 
 
+PNG_W_BASE, PNG_W_MOD = 16, 17  # width  = 16 + doc_id % 17  (16..32)
+PNG_H_BASE, PNG_H_MOD = 8, 13  # height =  8 + doc_id % 13  ( 8..20)
+
+
+def m_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode, driver-verifiable: each doc synthesizes a
+    deterministic greyscale PNG (dimensions and every pixel are pure
+    functions of ``doc_id``), the pure-Python codec inflates and
+    unfilters the actual IDAT stream, and the emitted pixel statistics
+    are checked against the generation formula computed ANALYTICALLY
+    by the SQL oracle — if the zlib inflate or scanline unfilter were
+    wrong, the stats could not match. In production the bytes come
+    from storage instead of the generator; the decode path is
+    identical (``media_codecs.decode_png``, also reachable via
+    ``decode_media(real_codecs=True)``).
+
+    Scale shape: one ``mapInPandas`` pass, zero shuffles beyond the
+    presentation sort; per-row work is bounded by the (w·h ≤ 32×20)
+    synthetic geometry here and by decoded image size in production.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import struct
+        import zlib
+
+        from conduit_spark.analytics.media_codecs import decode_png
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "n_pixels": [], "pixel_mean": [], "pixel_min": [],
+                "pixel_max": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = PNG_W_BASE + did % PNG_W_MOD
+                h = PNG_H_BASE + did % PNG_H_MOD
+                raw = bytearray()
+                for r in range(h):
+                    raw.append(0)  # filter type None
+                    raw.extend(
+                        (did + r * 31 + c * 7) % 256 for c in range(w)
+                    )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                meta = decode_png(png)  # the REAL inflate+unfilter path
+                rows["media_id"].append(did)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["channels"].append(meta["channels"])
+                rows["n_pixels"].append(meta["width"] * meta["height"])
+                rows["pixel_mean"].append(round(meta["pixel_mean"], 9))
+                rows["pixel_min"].append(meta["pixel_min"])
+                rows["pixel_max"].append(meta["pixel_max"])
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        run,
+        "media_id long, width int, height int, channels int, "
+        "n_pixels long, pixel_mean double, pixel_min int, pixel_max int",
+    )
+    return out.orderBy("media_id")
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
+    "m_decode_png_real": m_decode_png_real,
     "m_frame_sample": m_frame_sample,
     "m_features": m_features,
     "m_resize": m_resize,
 }
 
 ORACLES = {
+    "m_decode_png_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+                   {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+            FROM documents),
+        px AS (
+            -- lateral bounds unsupported in generate_series: cross the
+            -- max grid and filter to each image's true extent
+            SELECT doc_id, w, h,
+                   (doc_id + r.r * 31 + c.c * 7) % 256 AS v
+            FROM dims,
+                 generate_series(0, {PNG_H_BASE + PNG_H_MOD - 2}) AS r(r),
+                 generate_series(0, {PNG_W_BASE + PNG_W_MOD - 2}) AS c(c)
+            WHERE r.r < h AND c.c < w)
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               1 AS channels,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(CAST(sum(v) AS DOUBLE) / (w * h), 9) AS pixel_mean,
+               CAST(min(v) AS INT) AS pixel_min,
+               CAST(max(v) AS INT) AS pixel_max
+        FROM px
+        GROUP BY doc_id, w, h
+        ORDER BY media_id
+    """,
     "m_decode_stub": """
         SELECT doc_id AS media_id,
                'image' AS modality,
