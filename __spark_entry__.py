@@ -106,6 +106,7 @@ _EXTENDED = (
     "t_unigram_logprob",  # perplexity-proxy scorer; text family holds 5 gate slots
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_frame_sample",
+    "m_decode_wav_real",  # round-5: real RIFF/PCM decode, analytic oracle (extended; PNG holds the gate slot)
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)
     "m_features",
     "m_resize",

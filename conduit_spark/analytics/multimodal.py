@@ -430,9 +430,64 @@ def m_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("media_id")
 
 
+WAV_FRAMES_BASE, WAV_FRAMES_MOD = 100, 97  # n_frames = 100 + doc_id % 97
+WAV_RATE = 16000
+
+
+def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode, same construction as :func:`m_decode_png_real`:
+    deterministic 16-bit mono PCM per doc, the RIFF chunk walk + PCM
+    sample scan runs for real, and the decoded sample statistics check
+    against the generation formula in the SQL oracle. Sample ``i`` is
+    ``((doc_id * 31 + i * 17) % 65536) - 32768``."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import struct
+
+        from conduit_spark.analytics.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "n_channels": [], "framerate": [],
+                "n_frames": [], "sample_mean": [], "sample_peak": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = WAV_FRAMES_BASE + did % WAV_FRAMES_MOD
+                samples = [
+                    ((did * 31 + i * 17) % 65536) - 32768 for i in range(n)
+                ]
+                data = struct.pack(f"<{n}h", *samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                meta = decode_wav(wav)  # the REAL RIFF walk + PCM scan
+                rows["media_id"].append(did)
+                rows["n_channels"].append(meta["n_channels"])
+                rows["framerate"].append(meta["framerate"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["sample_mean"].append(round(meta["sample_mean"], 9))
+                rows["sample_peak"].append(meta["sample_peak"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_channels int, framerate int, n_frames long, "
+        "sample_mean double, sample_peak int",
+    ).orderBy("media_id")
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_png_real": m_decode_png_real,
+    "m_decode_wav_real": m_decode_wav_real,
     "m_frame_sample": m_frame_sample,
     "m_features": m_features,
     "m_resize": m_resize,
@@ -464,6 +519,27 @@ ORACLES = {
                CAST(max(v) AS INT) AS pixel_max
         FROM px
         GROUP BY doc_id, w, h
+        ORDER BY media_id
+    """,
+    "m_decode_wav_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {WAV_FRAMES_BASE} + doc_id % {WAV_FRAMES_MOD} AS n
+            FROM documents),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+            FROM dims,
+                 generate_series(0, {WAV_FRAMES_BASE + WAV_FRAMES_MOD - 2}) AS i(i)
+            WHERE i.i < n)
+        SELECT doc_id AS media_id,
+               1 AS n_channels,
+               {WAV_RATE} AS framerate,
+               CAST(n AS BIGINT) AS n_frames,
+               round(CAST(sum(v) AS DOUBLE) / n, 9) AS sample_mean,
+               CAST(max(abs(v)) AS INT) AS sample_peak
+        FROM s
+        GROUP BY doc_id, n
         ORDER BY media_id
     """,
     "m_decode_stub": """
