@@ -1,0 +1,394 @@
+"""In-process PostgreSQL logical-replication endpoint (wire protocol).
+
+The sandbox has no postgres, so the ``builtin:postgres`` source's
+replication-slot tailing was verifiable only through the
+pg_recvlogical subprocess seam (``postgres_wal.LiveWalTail``). This is
+the postgres analog of ``minikafka``/``minis3``: a threaded stdlib
+server speaking the documented frontend/backend protocol v3 subset
+that a logical-replication client exercises
+(postgresql.org/docs/current/protocol-replication.html), plus a
+pure-Python client. Protocol notes:
+
+- **Startup**: length-prefixed packet, protocol 196608 (3.0), with the
+  ``replication=database`` parameter that switches the backend into
+  walsender mode. Server answers AuthenticationOk (``R``/0),
+  ParameterStatus, BackendKeyData, ReadyForQuery (``Z``/``I``) — no
+  auth (credential plumbing is config-level; this server proves the
+  replication protocol).
+- **IDENTIFY_SYSTEM** (simple query ``Q``): RowDescription +
+  DataRow(systemid, timeline, xlogpos, dbname) + CommandComplete.
+- **START_REPLICATION SLOT s LOGICAL lsn (opts)**: CopyBothResponse
+  (``W``), then CopyData (``d``) frames — XLogData ``w`` with
+  start/end LSN + server clock + one wal2json payload, and keepalive
+  ``k`` frames. The client answers with Standby Status Update ``r``
+  frames (written/flushed/applied LSNs); the server records the
+  FLUSHED LSN as the slot's ``confirmed_flush_lsn`` — a reconnecting
+  client that starts at LSN 0 resumes from the confirmed position,
+  the slot semantics that make replication restartable exactly-once
+  per payload.
+
+Changes are fed with :meth:`MiniPGServer.feed` (one wal2json line per
+call, monotonically increasing LSNs).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+import time
+
+__all__ = ["MiniPGServer", "ReplicationClient", "lsn_text"]
+
+_PG_EPOCH = 946684800  # 2000-01-01 in unix seconds (pg timestamps)
+
+
+def lsn_text(lsn: int) -> str:
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def parse_lsn(text: str) -> int:
+    hi, _, lo = text.partition("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _msg(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack(">I", len(body) + 4) + body
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def _pg_clock() -> int:
+    return int((time.time() - _PG_EPOCH) * 1_000_000)
+
+
+class MiniPGServer:
+    """Walsender-mode endpoint over a change log of wal2json lines."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
+                 slot: str = "conduit_spark", keepalive_s: float = 0.2):
+        self.host = host
+        self.slot = slot
+        self.keepalive_s = keepalive_s
+        self._changes: list[tuple[int, bytes]] = []  # (lsn, payload)
+        self._next_lsn = 0x1_0000_0000  # start at 1/0 like a real cluster
+        self.confirmed_flush_lsn = 0
+        self._lock = threading.Condition()
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    server._session(self.request)
+                except (ConnectionError, OSError):
+                    pass  # client went away; the slot state persists
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Server((host, port), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+
+    # -- producer side ------------------------------------------------------
+
+    def feed(self, payload: str | bytes) -> int:
+        """Append one wal2json line to the change log → its LSN."""
+        data = payload.encode() if isinstance(payload, str) else bytes(payload)
+        with self._lock:
+            lsn = self._next_lsn
+            self._next_lsn += max(len(data), 1)
+            self._changes.append((lsn, data))
+            self._lock.notify_all()
+            return lsn
+
+    @property
+    def current_lsn(self) -> int:
+        with self._lock:
+            return self._next_lsn
+
+    # -- protocol session ---------------------------------------------------
+
+    def _session(self, sock: socket.socket) -> None:
+        params = self._read_startup(sock)
+        if params.get("replication") not in ("database", "true", "on", "1"):
+            # plain sessions aren't served — this is a walsender
+            sock.sendall(_msg(b"E", _cstr("SFATAL") + _cstr(
+                "Mreplication=database required") + b"\x00"))
+            return
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 0))  # AuthenticationOk
+            + _msg(b"S", _cstr("server_version") + _cstr("16.0-mini"))
+            + _msg(b"K", struct.pack(">II", 1, 7))  # BackendKeyData
+            + _msg(b"Z", b"I")
+        )
+        while True:
+            tag, body = self._read_msg(sock)
+            if tag in (b"X", b""):  # Terminate / EOF
+                return
+            if tag != b"Q":
+                sock.sendall(_msg(b"E", _cstr("SERROR") + _cstr(
+                    f"Munsupported message {tag!r}") + b"\x00") + _msg(b"Z", b"I"))
+                continue
+            q = body.rstrip(b"\x00").decode().strip()
+            up = q.upper()
+            if up == "IDENTIFY_SYSTEM":
+                self._identify_system(sock)
+            elif up.startswith("START_REPLICATION"):
+                self._stream(sock, q)
+                return  # copy mode ends the session (like walsender)
+            else:
+                sock.sendall(_msg(b"E", _cstr("SERROR") + _cstr(
+                    f"Munsupported command {q!r}") + b"\x00") + _msg(b"Z", b"I"))
+
+    def _identify_system(self, sock: socket.socket) -> None:
+        cols = ["systemid", "timeline", "xlogpos", "dbname"]
+        desc = struct.pack(">h", len(cols))
+        for c in cols:
+            desc += _cstr(c) + struct.pack(">IhIhih", 0, 0, 25, -1, -1, 0)
+        vals = ["7000000000000000001", "1", lsn_text(self.current_lsn), "mini"]
+        row = struct.pack(">h", len(vals))
+        for v in vals:
+            b = v.encode()
+            row += struct.pack(">i", len(b)) + b
+        sock.sendall(
+            _msg(b"T", desc) + _msg(b"D", row)
+            + _msg(b"C", _cstr("IDENTIFY_SYSTEM")) + _msg(b"Z", b"I")
+        )
+
+    def _stream(self, sock: socket.socket, query: str) -> None:
+        # START_REPLICATION SLOT <name> LOGICAL <lsn> [(...)]
+        parts = query.replace("(", " ").split()
+        req_lsn = 0
+        for p in parts:
+            if "/" in p:
+                try:
+                    req_lsn = parse_lsn(p)
+                    break
+                except ValueError:
+                    continue
+        with self._lock:
+            # slot semantics: LSN 0/0 (or anything below the confirmed
+            # flush) resumes from confirmed_flush_lsn
+            start = max(req_lsn, self.confirmed_flush_lsn)
+        sock.sendall(_msg(b"W", struct.pack(">bh", 0, 0)))  # CopyBothResponse
+        sock.settimeout(self.keepalive_s)
+        sent_idx = 0
+        while True:
+            with self._lock:
+                pending = [
+                    (lsn, data) for lsn, data in self._changes[sent_idx:]
+                ]
+                sent_idx = len(self._changes)
+            for lsn, data in pending:
+                if lsn < start:
+                    continue
+                end = lsn + len(data)
+                xlog = (
+                    b"w" + struct.pack(">QQQ", lsn, end, _pg_clock()) + data
+                )
+                sock.sendall(_msg(b"d", xlog))
+            # keepalive (reply requested) + drain client status updates
+            ka = b"k" + struct.pack(">QQb", self.current_lsn, _pg_clock(), 1)
+            try:
+                sock.sendall(_msg(b"d", ka))
+            except OSError:
+                return
+            # drain EVERY pending client message (multiple status
+            # updates can queue between keepalive ticks; Terminate
+            # arrives after them when the client closes — a buffered
+            # socket still yields them post-close)
+            try:
+                while True:
+                    tag, body = self._read_msg(sock)
+                    if tag in (b"X", b""):
+                        return
+                    if tag == b"d" and body[:1] == b"r":
+                        _w, flushed, _a, _clock, _reply = struct.unpack(
+                            ">QQQQb", body[1:34]
+                        )
+                        with self._lock:
+                            self.confirmed_flush_lsn = max(
+                                self.confirmed_flush_lsn, flushed
+                            )
+                    elif tag == b"c":  # CopyDone → acknowledge and end
+                        sock.sendall(_msg(b"c", b""))
+                        return
+            except socket.timeout:
+                continue
+            except (ConnectionError, OSError):
+                return
+
+    # -- wire helpers -------------------------------------------------------
+
+    @staticmethod
+    def _read_exact(sock: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return buf
+
+    def _read_startup(self, sock: socket.socket) -> dict:
+        (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
+        body = self._read_exact(sock, ln - 4)
+        (proto,) = struct.unpack(">I", body[:4])
+        if proto != 196608:
+            raise ConnectionError(f"unsupported protocol {proto}")
+        fields = body[4:].split(b"\x00")
+        params = {}
+        for k, v in zip(fields[::2], fields[1::2]):
+            if k:
+                params[k.decode()] = v.decode()
+        return params
+
+    def _read_msg(self, sock: socket.socket) -> tuple[bytes, bytes]:
+        tag = self._read_exact(sock, 1)
+        (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
+        return tag, self._read_exact(sock, ln - 4)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def dsn(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def start(self) -> "MiniPGServer":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def __enter__(self) -> "MiniPGServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class ReplicationClient:
+    """Pure-Python logical-replication client: startup in
+    ``replication=database`` mode, IDENTIFY_SYSTEM, START_REPLICATION,
+    then a generator of ``(lsn, payload_bytes)`` from XLogData frames.
+    :meth:`confirm` sends a Standby Status Update with the flushed LSN
+    (what pg_recvlogical does on its --fsync-interval)."""
+
+    def __init__(self, dsn: str, *, slot: str = "conduit_spark",
+                 user: str = "conduit", dbname: str = "mini"):
+        host, _, port = dsn.rpartition(":")
+        self._sock = socket.create_connection((host, int(port)), timeout=30)
+        self.slot = slot
+        body = struct.pack(">I", 196608)
+        for k, v in (
+            ("user", user), ("database", dbname), ("replication", "database"),
+        ):
+            body += _cstr(k) + _cstr(v)
+        body += b"\x00"
+        self._sock.sendall(struct.pack(">I", len(body) + 4) + body)
+        # consume until ReadyForQuery
+        while True:
+            tag, msg = self._read_msg()
+            if tag == b"E":
+                raise ConnectionError(f"server error: {msg!r}")
+            if tag == b"Z":
+                break
+
+    def identify_system(self) -> dict:
+        self._sock.sendall(_msg(b"Q", _cstr("IDENTIFY_SYSTEM")))
+        out: dict = {}
+        cols: list[str] = []
+        while True:
+            tag, body = self._read_msg()
+            if tag == b"T":
+                (n,) = struct.unpack_from(">h", body, 0)
+                at = 2
+                for _ in range(n):
+                    end = body.index(b"\x00", at)
+                    cols.append(body[at:end].decode())
+                    at = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack_from(">h", body, 0)
+                at = 2
+                for i in range(n):
+                    (ln,) = struct.unpack_from(">i", body, at)
+                    at += 4
+                    val = body[at : at + ln].decode() if ln >= 0 else None
+                    at += max(ln, 0)
+                    out[cols[i]] = val
+            elif tag == b"Z":
+                return out
+
+    def start_replication(self, start_lsn: int = 0):
+        """→ generator of ``(lsn, payload)``; call :meth:`confirm`
+        between items to advance the slot."""
+        q = (
+            f"START_REPLICATION SLOT {self.slot} LOGICAL "
+            f"{lsn_text(start_lsn)} (\"format-version\" '2')"
+        )
+        self._sock.sendall(_msg(b"Q", _cstr(q)))
+        tag, _ = self._read_msg()
+        if tag != b"W":
+            raise ConnectionError(f"expected CopyBothResponse, got {tag!r}")
+
+        def frames():
+            while True:
+                tag, body = self._read_msg()
+                if tag != b"d":
+                    return
+                if body[:1] == b"w":
+                    lsn, _end, _clock = struct.unpack_from(">QQQ", body, 1)
+                    yield lsn, body[25:]
+                elif body[:1] == b"k":
+                    _end, _clock, reply = struct.unpack_from(">QQb", body, 1)
+                    if reply:
+                        self.confirm(self._flushed)
+                    # heartbeat: lets a consumer loop check stop flags
+                    # and run age-based flushes without new data
+                    yield None, b""
+        return frames()
+
+    _flushed = 0
+
+    def confirm(self, flushed_lsn: int) -> None:
+        """Standby Status Update: report written/flushed/applied."""
+        self._flushed = max(self._flushed, flushed_lsn)
+        body = b"r" + struct.pack(
+            ">QQQQb",
+            self._flushed, self._flushed, self._flushed, _pg_clock(), 0,
+        )
+        self._sock.sendall(_msg(b"d", body))
+
+    def close(self) -> None:
+        # Terminate, half-close, then DRAIN: closing with unread
+        # keepalives in the receive buffer would RST the connection
+        # and destroy in-flight status updates the server hasn't read
+        # yet — the final confirm would be lost and the slot would
+        # re-deliver on resume.
+        try:
+            self._sock.sendall(_msg(b"X", b""))
+            self._sock.shutdown(socket.SHUT_WR)
+            self._sock.settimeout(2.0)
+            while self._sock.recv(1 << 16):
+                pass
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "ReplicationClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _read_msg(self) -> tuple[bytes, bytes]:
+        tag = MiniPGServer._read_exact(self._sock, 1)
+        (ln,) = struct.unpack(">I", MiniPGServer._read_exact(self._sock, 4))
+        return tag, MiniPGServer._read_exact(self._sock, ln - 4)

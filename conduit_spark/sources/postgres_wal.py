@@ -525,14 +525,12 @@ class LiveWalTail:
         self.max_lines = max_lines
         self.max_secs = max_secs
         self.format_version = format_version
-        if command is None:
-            if dbname is None:
-                raise ValueError("need dbname (or an explicit command)")
+        if command is None and dbname is not None:
             command = [
                 "pg_recvlogical", "-d", dbname, "--slot", slot, "--start",
                 "-o", f"format-version={format_version}", "-f", "-",
             ]
-        self.command = command
+        self.command = command  # None is fine when using start_native()
         self._proc = None
         self._thread = None
         self._stop = None
@@ -545,6 +543,11 @@ class LiveWalTail:
         import threading
         import time
 
+        if self.command is None:
+            raise ValueError(
+                "need dbname or an explicit command for the subprocess "
+                "tail; use start_native(dsn) for the wire-protocol client"
+            )
         self._stop = threading.Event()
         self._proc = subprocess.Popen(
             self.command,
@@ -594,6 +597,81 @@ class LiveWalTail:
         self._thread.start()
         return self
 
+    def start_native(self, dsn: str, *, slot: str = "conduit_spark",
+                     start_lsn: int = 0) -> "LiveWalTail":
+        """Tail a replication endpoint over the ENGINE'S OWN wire
+        client (``functions.minipg.ReplicationClient`` — protocol-v3
+        walsender mode: startup with ``replication=database``,
+        START_REPLICATION, XLogData frames) instead of the
+        pg_recvlogical subprocess. The Standby Status Update confirming
+        the slot position is sent only AFTER a capture file is durably
+        renamed into place — crash-restart re-delivers at most the
+        unflushed tail (pg_recvlogical's --fsync-interval semantics),
+        and the confirmed slot never re-delivers what Spark can already
+        read."""
+        import os
+        import threading
+        import time
+
+        from conduit_spark.functions.minipg import ReplicationClient
+
+        self._stop = threading.Event()
+
+        def flush(buf: list[str]) -> None:
+            if not buf:
+                return
+            self._n_files += 1
+            final = os.path.join(
+                self.capture_dir, f"wal-{self._n_files:06d}.jsonl"
+            )
+            staged = os.path.join(
+                self.capture_dir, f".wal-{self._n_files:06d}.jsonl.tmp"
+            )
+            with open(staged, "w", encoding="utf-8") as f:
+                f.write("\n".join(buf) + "\n")
+            os.replace(staged, final)
+            buf.clear()
+
+        def pump() -> None:
+            client = ReplicationClient(dsn, slot=slot)
+            self._client = client
+            buf: list[str] = []
+            flushed_lsn = 0
+            last = time.monotonic()
+            try:
+                for lsn, payload in client.start_replication(start_lsn):
+                    if self._stop.is_set():
+                        break
+                    now = time.monotonic()
+                    if lsn is None:  # keepalive heartbeat
+                        if buf and now - last >= self.max_secs:
+                            flush(buf)
+                            client.confirm(flushed_lsn)
+                            last = now
+                        continue
+                    line = payload.decode("utf-8").rstrip("\n")
+                    if line:
+                        buf.append(line)
+                    flushed_lsn = lsn + len(payload)
+                    if len(buf) >= self.max_lines or (
+                        buf and now - last >= self.max_secs
+                    ):
+                        flush(buf)
+                        client.confirm(flushed_lsn)  # durable → confirm
+                        last = now
+            finally:
+                flush(buf)
+                try:
+                    client.confirm(flushed_lsn)
+                finally:
+                    client.close()
+
+        self._thread = threading.Thread(
+            target=pump, daemon=True, name="wal-native-pump"
+        )
+        self._thread.start()
+        return self
+
     def stream(
         self,
         spark: SparkSession,
@@ -616,6 +694,13 @@ class LiveWalTail:
         of capture files written."""
         if self._stop is not None:
             self._stop.set()
+        client = getattr(self, "_client", None)
+        if client is not None:
+            if self._thread is not None:
+                # let the pump notice _stop at the next frame/keepalive
+                self._thread.join(timeout=timeout)
+            if self._thread is None or self._thread.is_alive():
+                client.close()  # unblock a stuck read; pump flushes in finally
         if self._proc is not None and self._proc.poll() is None:
             self._proc.terminate()
             try:
