@@ -95,6 +95,11 @@ PROCESSOR_PLUGINS: dict[str, str] = {
     "openai.textgen": "LLM text generation (openai)",
 }
 
+# Live replication tails started by builtin:postgres cdc.dsn settings,
+# keyed (dsn, slot, capture_path) — one per process; callers stop them
+# explicitly, else they die with the process (daemon pump threads).
+_ACTIVE_WAL_TAILS: dict[tuple[str, str, str], Any] = {}
+
 CONNECTOR_PLUGINS: dict[str, dict[str, Any]] = {
     "builtin:file": {
         "source": True,
@@ -594,6 +599,34 @@ def build_source(
             key_cols = settings.get("keyColumns")
             if isinstance(key_cols, str):
                 key_cols = [k.strip() for k in key_cols.split(",")]
+            if "cdc.dsn" in settings:
+                # LIVE tailing over the engine's own replication-wire
+                # client: a walsender endpoint streams into cdc.path
+                # (rotating capture files) and the slot is confirmed
+                # only after a file is durably in place. One tail per
+                # (dsn, slot, path) per process; daemon lifecycle —
+                # stop via the returned tail in
+                # _ACTIVE_WAL_TAILS[(dsn, slot, path)].
+                if cdc_format != "wal2json":
+                    raise ValueError(
+                        "cdc.dsn live tailing streams wal2json; capture "
+                        "pgoutput offline instead"
+                    )
+                from conduit_spark.sources.postgres_wal import LiveWalTail
+
+                key = (
+                    str(settings["cdc.dsn"]),
+                    str(settings.get("cdc.slot", "conduit_spark")),
+                    str(settings["cdc.path"]),
+                )
+                if key not in _ACTIVE_WAL_TAILS:
+                    _ACTIVE_WAL_TAILS[key] = LiveWalTail(
+                        key[2],
+                        slot=key[1],
+                        format_version=int(
+                            settings.get("cdc.formatVersion", 2)
+                        ),
+                    ).start_native(key[0], slot=key[1])
             if cdc_format == "wal2json":
                 return wal2json_source(
                     spark,

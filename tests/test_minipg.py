@@ -199,3 +199,37 @@ def test_native_tail_resume_no_duplicates(spark, tmp_path):
         )
         assert ids1 == [0, 1, 2, 3]
         assert ids2 == [4, 5]  # nothing re-delivered
+
+
+def test_registry_cdc_dsn_live_tail(spark, tmp_path):
+    """builtin:postgres with cdc.dsn starts the native replication tail
+    into cdc.path and the streaming/batch wal2json source reads it."""
+    from conduit_spark.pipeline import registry
+
+    with MiniPGServer(keepalive_s=0.05) as srv:
+        for i in range(3):
+            srv.feed(_change(i, id=i))
+        cap = str(tmp_path / "cap")
+        settings = {
+            "cdc.format": "wal2json",
+            "cdc.dsn": srv.dsn,
+            "cdc.path": cap,
+            "keyColumns": "id",
+        }
+        # first build starts the tail (batch file index snapshots the
+        # dir at load, so wait for the flush then rebuild to read)
+        registry.build_source(
+            spark, "builtin:postgres", settings, "pgsrc", streaming=False
+        )
+        deadline = time.time() + 10
+        while srv.confirmed_flush_lsn < srv.current_lsn and time.time() < deadline:
+            time.sleep(0.1)
+        env = registry.build_source(
+            spark, "builtin:postgres", settings, "pgsrc", streaming=False
+        )
+        rows = env.collect()
+        assert len(rows) == 3
+        assert {r.operation for r in rows} == {"create"}
+        key = (srv.dsn, "conduit_spark", cap)
+        tail = registry._ACTIVE_WAL_TAILS.pop(key)
+        tail.stop()
