@@ -66,6 +66,10 @@ _REGISTRIES = [
 # round 1 (CORRECTNESS_r01) plus round-2 additions that didn't fit the
 # 50 slots. All remain pytest/gate_check-verified against the same
 # DuckDB oracles every round, and bench.py times them.
+# Round-6 rotation candidates (never driver-verified, strict-mirror
+# green): s_pq_topk, cur_split_leakage, m_decode_wav_real,
+# t_unigram_logprob, s_knn_join, sk_bloom was rotated r5; swap against
+# the longest-verified remaining processor/relational rows.
 _EXTENDED = (
     # Round-5 rotation: nine 3-4x-driver-verified rows move here so
     # t_bigram_lm / sk_bloom_filter / t_bpe_tokens / cur_funnel /

@@ -239,6 +239,13 @@ class MiniPGServer:
         (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
         body = self._read_exact(sock, ln - 4)
         (proto,) = struct.unpack(">I", body[:4])
+        if proto in (80877103, 80877104):  # SSLRequest / GSSENCRequest
+            # real libpq clients probe before the startup packet;
+            # answer 'N' (not supported) and read the actual startup
+            sock.sendall(b"N")
+            return self._read_startup(sock)
+        if proto == 80877102:  # CancelRequest — nothing to cancel
+            raise ConnectionError("cancel request")
         if proto != 196608:
             raise ConnectionError(f"unsupported protocol {proto}")
         fields = body[4:].split(b"\x00")

@@ -233,3 +233,23 @@ def test_registry_cdc_dsn_live_tail(spark, tmp_path):
         key = (srv.dsn, "conduit_spark", cap)
         tail = registry._ACTIVE_WAL_TAILS.pop(key)
         tail.stop()
+
+
+def test_ssl_probe_negotiated_down():
+    """libpq sends an SSLRequest probe before the startup packet; the
+    server answers 'N' and proceeds in cleartext (what pg_recvlogical
+    does against sslmode=prefer servers without TLS)."""
+    import socket
+    import struct
+
+    with MiniPGServer() as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(struct.pack(">II", 8, 80877103))  # SSLRequest
+        assert s.recv(1) == b"N"
+        body = (
+            struct.pack(">I", 196608)
+            + b"user\x00u\x00database\x00d\x00replication\x00database\x00\x00"
+        )
+        s.sendall(struct.pack(">I", len(body) + 4) + body)
+        assert s.recv(1) == b"R"  # AuthenticationOk follows
+        s.close()
