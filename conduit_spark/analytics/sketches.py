@@ -392,8 +392,137 @@ def sk_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap via KMV SET ALGEBRA (Beyer et al., SIGMOD
+    2007): each source keeps only its ``KMV_K`` smallest shingle
+    hashes; for a source pair, the k smallest of the sketch UNION give
+    theta (union-size estimator) and the fraction of those union
+    samples present in BOTH sketches estimates Jaccard — so
+    intersection size = jaccard x union, all from O(k) state per
+    source. This is the sketch-merge workflow for corpus-overlap
+    triage at 100 TB: sketches are tiny mergeable relations; the exact
+    columns (computed here for the error report) are the expensive
+    full-shuffle path the sketches let you SKIP.
+
+    Degenerate case mirrored exactly in the oracle: when the combined
+    sketch union holds fewer than k hashes, both sketches are
+    exhaustive and the sketch estimates ARE exact.
+    """
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= SHINGLE_W)
+        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
+        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .distinct()
+    ).localCheckpoint()
+    w = Window.partitionBy("source").orderBy("x")
+    sk = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_set("x")).alias("hs"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.slice(
+            F.array_sort(F.array_union(F.col("a.hs"), F.col("b.hs"))),
+            1,
+            KMV_K,
+        ).alias("uk"),
+        F.array_intersect(F.col("a.hs"), F.col("b.hs")).alias("both"),
+    )
+    exhaustive = F.size("uk") < KMV_K
+    theta = F.element_at("uk", KMV_K).cast("double")
+    n_inter_k = F.size(F.array_intersect("uk", "both")).cast("double")
+    jacc_est = F.when(
+        exhaustive,
+        F.size("both").cast("double") / F.size("uk").cast("double"),
+    ).otherwise(n_inter_k / F.lit(float(KMV_K)))
+    union_est = F.when(
+        exhaustive, F.size("uk").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE) / theta)
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        F.round(jacc_est, 6).alias("jaccard_est"),
+        F.round(union_est, 2).alias("union_est"),
+        F.round(jacc_est * union_est, 2).alias("inter_est"),
+    )
+    # exact side (the full-shuffle path the sketches avoid). One keyed
+    # agg by hash then an in-row pair expansion of each hash's source
+    # set (≤ n_sources² pairs per row) — no self-join of the big
+    # relation against itself.
+    src_sets = rel.groupBy("x").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda sa, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda sb: F.struct(sa.alias("source_a"), sb.alias("source_b")),
+            ),
+        )
+    )
+    inter = (
+        src_sets.filter(F.size("ss") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        inter.join(
+            counts.select(
+                F.col("source").alias("source_a"), F.col("n").alias("n_a")
+            ),
+            "source_a",
+        )
+        .join(
+            counts.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "jaccard_est",
+            "union_est",
+            "inter_est",
+            F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias(
+                "jaccard_exact"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_kmv_overlap": sk_kmv_overlap,
     "sk_bloom_filter": sk_bloom_filter,
     "sk_cms_topk": sk_cms_topk,
     "sk_hll_distinct": sk_hll_distinct,
@@ -524,6 +653,60 @@ ORACLES = {
                      / CAST(e.n_exact AS DOUBLE), 6) AS rel_error
         FROM exact e JOIN sk USING (source)
         ORDER BY e.source
+    """,
+    "sk_kmv_overlap": f"""
+        WITH rel AS ({_REL_SQL}),
+        sk AS (
+            SELECT source, list_sort(list(x)) AS hs
+            FROM (
+                SELECT source, x,
+                       row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+                FROM rel)
+            WHERE rn <= {KMV_K}
+            GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   (list_sort(list_distinct(list_concat(a.hs, b.hs))))[1:{KMV_K}] AS uk,
+                   list_intersect(a.hs, b.hs) AS both_hs
+            FROM sk a, sk b
+            WHERE a.source < b.source),
+        calc AS (
+            SELECT source_a, source_b,
+                   CASE WHEN len(uk) < {KMV_K}
+                        THEN CAST(len(both_hs) AS DOUBLE)
+                             / CAST(len(uk) AS DOUBLE)
+                        ELSE CAST(len(list_intersect(uk, both_hs)) AS DOUBLE)
+                             / {float(KMV_K)}
+                   END AS jacc,
+                   CASE WHEN len(uk) < {KMV_K}
+                        THEN CAST(len(uk) AS DOUBLE)
+                        ELSE {float(KMV_K - 1)} * {HASH_SPACE}
+                             / CAST(uk[{KMV_K}] AS DOUBLE)
+                   END AS uni
+            FROM pairs),
+        inter AS (
+            SELECT ra.source AS source_a, rb.source AS source_b,
+                   count(*) AS n_inter
+            FROM rel ra JOIN rel rb
+              ON ra.x = rb.x AND ra.source < rb.source
+            GROUP BY 1, 2),
+        counts AS (SELECT source, count(*) AS n FROM rel GROUP BY 1),
+        exact AS (
+            SELECT i.source_a, i.source_b,
+                   round(CAST(i.n_inter AS DOUBLE)
+                         / CAST(ca.n + cb.n - i.n_inter AS DOUBLE), 6)
+                       AS jaccard_exact
+            FROM inter i
+            JOIN counts ca ON ca.source = i.source_a
+            JOIN counts cb ON cb.source = i.source_b)
+        SELECT c.source_a, c.source_b,
+               round(c.jacc, 6) AS jaccard_est,
+               round(c.uni, 2) AS union_est,
+               round(c.jacc * c.uni, 2) AS inter_est,
+               coalesce(e.jaccard_exact, 0.0) AS jaccard_exact
+        FROM calc c
+        LEFT JOIN exact e USING (source_a, source_b)
+        ORDER BY source_a, source_b
     """,
     "sk_kmv_distinct": f"""
         WITH rel AS ({_REL_SQL}),
