@@ -99,6 +99,7 @@ _EXTENDED = (
     "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
     "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
     "sk_kmv_overlap",  # round-5: KMV set algebra (pairwise source overlap estimates)
+    "d_pagerank",  # round-5: canonicality scoring over the near-dup graph (3 unrolled power iterations)
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
     "q20_part_share_suppliers",  # displaced by sk_kmv_distinct (semi/anti-join family kept via q_orders_antijoin)

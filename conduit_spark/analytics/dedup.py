@@ -265,6 +265,76 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85  # damping
+
+
+def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup graph — the canonicality
+    score dedup pipelines use to pick the best cluster representative
+    (the most-connected near-duplicate, not just the lowest id).
+    ``PAGERANK_ITERS`` unrolled power iterations, damping 0.85, over
+    the symmetric edge relation; isolated documents keep the teleport
+    mass.
+
+    Exactness: each node's incoming contributions fold in
+    source-sorted order (the ``t_unigram_logprob`` trick), so both
+    engines sum identical doubles in identical order. Scale shape:
+    per iteration one keyed agg over edges joined to the rank relation
+    — rank state lives on executors keyed by node, never the driver;
+    at 10^9 nodes this is the standard Pregel-free DataFrame PageRank.
+    """
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    n_nodes = nodes.count()  # scalar driver state, like k-means centroids
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (1.0 - PAGERANK_D) / n_nodes
+    rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("r") / F.col("deg").cast("double")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("s")
+        )
+        # checkpoint per iteration: the rank relation is node-sized
+        # (the 4096x-reduced output of the LSH pipeline), and without
+        # the cut each iteration's plan re-nests the previous one —
+        # Catalyst analysis triples while the data stays tiny
+        rank = nodes.join(
+            summed, nodes.node == summed.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(PAGERANK_D) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        ).localCheckpoint()
+    return ordered_result(
+        rank.select(
+            F.col("node").alias("doc_id"), F.round("r", 9).alias("pagerank")
+        ),
+        F.desc("pagerank"),
+        F.asc("doc_id"),
+    )
+
+
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment: connected components over the verified
     near-dup pair graph, labeling every clustered doc with the minimum
@@ -596,6 +666,46 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _pagerank_sql() -> str:
+    iters = []
+    for t in range(PAGERANK_ITERS):
+        iters.append(f"""
+        c{t} AS (
+            SELECT e.dst, e.src, r.r / CAST(o.deg AS DOUBLE) AS c
+            FROM edges e
+            JOIN r{t} r ON e.src = r.node
+            JOIN outdeg o ON e.src = o.src),
+        s{t} AS (
+            SELECT dst,
+                   list_sum(list_transform(
+                       list_sort(list(struct_pack(src := src, c := c))),
+                       x -> x.c)) AS s
+            FROM c{t} GROUP BY dst),
+        r{t + 1} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST({PAGERANK_D} AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST({PAGERANK_D} AS DOUBLE) * coalesce(s.s, 0.0) AS r
+            FROM nodes n LEFT JOIN s{t} s ON n.node = s.dst)""")
+    return f"""
+        WITH {_LSH_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (
+            SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+            FROM nodes),{",".join(iters)}
+        SELECT node AS doc_id, round(r, 9) AS pagerank
+        FROM r{PAGERANK_ITERS}
+        ORDER BY pagerank DESC, doc_id ASC
+    """
+
+
 QUERIES = {
     "d_exact": d_exact,
     "d_contamination": d_contamination,
@@ -603,6 +713,7 @@ QUERIES = {
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
+    "d_pagerank": d_pagerank,
     "d_cluster_prune": d_cluster_prune,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
@@ -691,6 +802,7 @@ _LSH_CTES = f"""
 """
 
 ORACLES = {
+    "d_pagerank": _pagerank_sql(),
     "d_span_dedup": f"""
         WITH occ AS (
             SELECT doc_id,
