@@ -27,6 +27,7 @@ from conduit_spark.analytics.dedup import (
 from conduit_spark.analytics.sampling import RATES, stratified_sample
 from conduit_spark.analytics.text import STOPWORDS
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
+from conduit_spark.analytics import ordered_result
 from conduit_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.35  # min composite quality score (see text.t_quality)
@@ -189,7 +190,7 @@ def cur_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
         )
-        .orderBy("split_a", "split_b")
+        .transform(ordered_result, "split_a", "split_b")
     )
 
 

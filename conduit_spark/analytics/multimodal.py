@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from conduit_spark.analytics import ordered_result
 from conduit_spark.sources.tables import load_table
 
 MEDIA_SCHEMA = StructType(
@@ -427,7 +428,7 @@ def m_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, channels int, "
         "n_pixels long, pixel_mean double, pixel_min int, pixel_max int",
     )
-    return out.orderBy("media_id")
+    return ordered_result(out, "media_id")
 
 
 WAV_FRAMES_BASE, WAV_FRAMES_MOD = 100, 97  # n_frames = 100 + doc_id % 97
@@ -477,11 +478,14 @@ def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["sample_peak"].append(meta["sample_peak"])
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
-        run,
-        "media_id long, n_channels int, framerate int, n_frames long, "
-        "sample_mean double, sample_peak int",
-    ).orderBy("media_id")
+    return ordered_result(
+        docs.mapInPandas(
+            run,
+            "media_id long, n_channels int, framerate int, n_frames long, "
+            "sample_mean double, sample_peak int",
+        ),
+        "media_id",
+    )
 
 
 QUERIES = {

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from conduit_spark.analytics import ordered_result
 from conduit_spark.analytics.dedup import SHINGLE_W, word_grams
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
 from conduit_spark.sources.tables import load_table
@@ -516,7 +517,7 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_exact"
             ),
         )
-        .orderBy("source_a", "source_b")
+        .transform(ordered_result, "source_a", "source_b")
     )
 
 

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
+from conduit_spark.analytics import ordered_result
 from conduit_spark.sources.tables import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
@@ -405,13 +406,16 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["n"].cast("double") * s["logp"],
         ).alias("sum_logp"),
     )
-    return per.select(
-        "doc_id",
-        "n_bigrams",
-        F.round(F.col("sum_logp") / F.col("n_bigrams").cast("double"), 6).alias(
-            "avg_bigram_logprob"
+    return ordered_result(
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_logp") / F.col("n_bigrams").cast("double"), 6
+            ).alias("avg_bigram_logprob"),
         ),
-    ).orderBy("doc_id")
+        "doc_id",
+    )
 
 
 def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,13 +455,16 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["n"].cast("double") * s["logp"],
         ).alias("sum_logp"),
     )
-    return per.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("sum_logp") / F.col("n_tokens").cast("double"), 6).alias(
-            "avg_logprob"
+    return ordered_result(
+        per.select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_logp") / F.col("n_tokens").cast("double"), 6
+            ).alias("avg_logprob"),
         ),
-    ).orderBy("doc_id")
+        "doc_id",
+    )
 
 
 QUERIES = {
