@@ -977,7 +977,13 @@ def unframe(body: bytes) -> list[tuple[int, bytes]]:
 def _trailers(code: int, message: str = "") -> bytes:
     text = f"grpc-status: {code}\r\n"
     if message:
-        text += f"grpc-message: {message}\r\n"
+        # grpc-message is percent-encoded per the gRPC HTTP/2 spec
+        # (ASCII printable kept verbatim except '%'); unencoded CR/LF
+        # from an exception string would corrupt the trailer block
+        from urllib.parse import quote
+
+        safe = " !\"#$&'()*+,-./:;<=>?@[]^_`{|}~"
+        text += "grpc-message: " + quote(message, safe=safe) + "\r\n"
     return frame(0x80, text.encode("utf-8"))
 
 

@@ -650,3 +650,14 @@ def test_deprecated_plugin_service_combined_listing(server):
     res = _msg_of(frames, gw.LIST_CONNECTOR_PLUGINS_RES)
     names = [p["name"] for p in res["plugins"]]
     assert "builtin:s3" in names and "filter" in names  # both kinds
+
+
+def test_grpc_message_is_percent_encoded():
+    """CR/LF or '%' in an error message must not corrupt the trailer
+    block (gRPC spec: grpc-message is percent-encoded)."""
+    t = gw._trailers(13, "line1\r\nline2 100%")
+    body = t[5:].decode()
+    lines = body.split("\r\n")
+    assert lines[0] == "grpc-status: 13"
+    assert lines[1].startswith("grpc-message: ")
+    assert "%0D%0A" in lines[1] and "%25" in lines[1]
