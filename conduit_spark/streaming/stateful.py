@@ -10,6 +10,14 @@ complement of analytics.dedup.d_exact.
 Scale: state is partitioned by key; per-key state here is a single
 boolean presence marker (a seen-set sharded across the cluster), with
 optional TTL via timeout to bound it in long-running streams.
+
+Spark 4's newer ``transformWithStateInPandas`` API was evaluated and
+does not run in this image: its driver↔worker state protocol requires
+the ``protobuf`` Python package (verified: the streaming runner dies
+with ``ImportError: cannot import name 'descriptor' from
+'google.protobuf'``). ``applyInPandasWithState`` covers the same
+custom-stateful extension point without that dependency; migrate when
+the runtime image ships protobuf.
 """
 
 from __future__ import annotations
