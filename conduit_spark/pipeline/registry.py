@@ -195,6 +195,9 @@ def validate_connector(
         # wire transport addresses objects by endpoint+bucket, not an
         # s3a:// path
         required = ("aws.url", "aws.bucket")
+    if plugin == "builtin:kafka" and "topics" in settings:
+        # the reference connector's plural form (comma-separated list)
+        required = tuple(k for k in required if k != "topic")
     for key in required:
         if key not in settings:
             errors.append(f"missing required setting {key!r}")
@@ -705,12 +708,17 @@ def build_source(
                 df = (
                     spark.readStream.format("conduit-kafka-wire")
                     .option("servers", str(settings["servers"]))
-                    .option("topic", str(settings["topic"]))
+                    .option(
+                        "topic",
+                        str(settings.get("topics", settings.get("topic"))),
+                    )
                     .load()
                 )
                 return envelope_from_kafka(df, source_id)
             df = kafka_wire_source_df(
-                spark, str(settings["servers"]), str(settings["topic"])
+                spark,
+                str(settings["servers"]),
+                str(settings.get("topics", settings.get("topic"))),
             )
             return envelope_from_kafka(df, source_id)
         reader = spark.readStream if streaming else spark.read
@@ -721,40 +729,44 @@ def build_source(
 
 def kafka_wire_source_df(spark, servers: str, topic: str):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
-    wire client: the driver resolves (partition, earliest, latest)
-    offset ranges with Metadata + ListOffsets — O(partitions) control
-    traffic only — then one Spark task per partition Fetches its range
-    over its own connection via ``mapInPandas``. That is exactly the
-    task shape of the JVM kafka source (KafkaSourceRDD: one task per
-    topic-partition fetching a bounded offset range), so the plan
-    scales with partition count; record bytes never touch the driver.
-    Output columns match the spark-sql-kafka schema subset that
+    wire client: the driver resolves (topic, partition, earliest,
+    latest) offset ranges with Metadata + ListOffsets — O(partitions)
+    control traffic only — then one Spark task per topic-partition
+    Fetches its range over its own connection via ``mapInPandas``.
+    That is exactly the task shape of the JVM kafka source
+    (KafkaSourceRDD: one task per topic-partition fetching a bounded
+    offset range), so the plan scales with partition count; record
+    bytes never touch the driver. ``topic`` accepts a comma-separated
+    list (the reference connector's ``topics`` model). Output columns
+    match the spark-sql-kafka schema subset that
     ``envelope_from_kafka`` projects."""
     from conduit_spark.functions.minikafka import EARLIEST, LATEST, MiniKafkaClient
 
     server = str(servers).split(",")[0].strip()
+    topics = [t.strip() for t in str(topic).split(",") if t.strip()]
     schema = (
         "key binary, value binary, topic string, partition int, "
         "offset long, timestamp long"
     )
     with MiniKafkaClient(server) as c:
-        md = c.metadata([topic])
-        parts = [
-            p["partition"]
-            for p in md["topics"].get(topic, {"partitions": []})["partitions"]
-        ]
+        md = c.metadata(topics)
         ranges = []
-        for p in parts:
-            lo = c.list_offsets(topic, p, EARLIEST)
-            hi = c.list_offsets(topic, p, LATEST)
-            if hi > lo:
-                ranges.append((p, lo, hi))
+        for t in topics:
+            parts = [
+                p["partition"]
+                for p in md["topics"].get(t, {"partitions": []})["partitions"]
+            ]
+            for p in parts:
+                lo = c.list_offsets(t, p, EARLIEST)
+                hi = c.list_offsets(t, p, LATEST)
+                if hi > lo:
+                    ranges.append((t, p, lo, hi))
     if not ranges:
         return spark.createDataFrame([], schema)
 
     range_df = spark.createDataFrame(
-        ranges, "partition int, start long, end long"
-    ).repartition(len(ranges), "partition")
+        ranges, "topic string, partition int, start long, end long"
+    ).repartition(len(ranges), "topic", "partition")
 
     def _fetch(batches):
         import pandas as pd
@@ -765,7 +777,9 @@ def kafka_wire_source_df(spark, servers: str, topic: str):
                 with MiniKafkaClient(server) as client:
                     off = int(row.start)
                     while off < row.end:
-                        recs, _hwm = client.fetch(topic, int(row.partition), off)
+                        recs, _hwm = client.fetch(
+                            row.topic, int(row.partition), off
+                        )
                         if not recs:
                             break
                         for r in recs:
@@ -780,7 +794,7 @@ def kafka_wire_source_df(spark, servers: str, topic: str):
                     {
                         "key": keys,
                         "value": vals,
-                        "topic": topic,
+                        "topic": row.topic,
                         "partition": int(row.partition),
                         "offset": offs,
                         "timestamp": tss,

@@ -52,6 +52,7 @@ S3_WIRE_SCHEMA = (
 
 @dataclasses.dataclass
 class _KafkaRange(InputPartition):
+    topic: str
     partition: int
     start: int
     end: int
@@ -60,9 +61,10 @@ class _KafkaRange(InputPartition):
 class KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._servers = str(options.get("servers", ""))
-        self._topic = str(options.get("topic", ""))
-        if not self._servers or not self._topic:
-            raise ValueError("conduit-kafka-wire needs servers and topic")
+        topic = str(options.get("topics", options.get("topic", "")))
+        self._topics = [t.strip() for t in topic.split(",") if t.strip()]
+        if not self._servers or not self._topics:
+            raise ValueError("conduit-kafka-wire needs servers and topic(s)")
         self._server = self._servers.split(",")[0].strip()
 
     def _client(self):
@@ -71,22 +73,25 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return MiniKafkaClient(self._server)
 
     def _offsets(self, earliest: bool) -> dict:
+        # offsets keyed "topic:partition" — the multi-topic analog of
+        # the JVM source's per-topic-partition offset map
         from conduit_spark.functions.minikafka import EARLIEST, LATEST
 
+        out: dict = {}
         with self._client() as c:
-            md = c.metadata([self._topic])
-            parts = [
-                p["partition"]
-                for p in md["topics"].get(self._topic, {"partitions": []})[
-                    "partitions"
+            md = c.metadata(self._topics)
+            for t in self._topics:
+                parts = [
+                    p["partition"]
+                    for p in md["topics"].get(t, {"partitions": []})[
+                        "partitions"
+                    ]
                 ]
-            ]
-            return {
-                str(p): c.list_offsets(
-                    self._topic, p, EARLIEST if earliest else LATEST
-                )
-                for p in parts
-            }
+                for p in parts:
+                    out[f"{t}:{p}"] = c.list_offsets(
+                        t, p, EARLIEST if earliest else LATEST
+                    )
+        return out
 
     def initialOffset(self) -> dict:  # noqa: N802 — DataSource API
         return self._offsets(earliest=True)
@@ -96,13 +101,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         out = []
-        for p, hi in end.items():
-            lo = int(start.get(p, 0))
+        for key, hi in end.items():
+            topic, _, p = key.rpartition(":")
+            if not topic:  # pre-multi-topic checkpoint: bare partition
+                topic = self._topics[0]
+            lo = int(start.get(key, 0))
             if int(hi) > lo:
-                out.append(_KafkaRange(int(p), lo, int(hi)))
+                out.append(_KafkaRange(topic, int(p), lo, int(hi)))
         # the engine requires ≥1 partition per batch; an empty batch
         # plans one degenerate range that reads nothing
-        return out or [_KafkaRange(0, 0, 0)]
+        return out or [_KafkaRange(self._topics[0], 0, 0, 0)]
 
     def read(self, part: _KafkaRange) -> Iterator[tuple]:
         if part.end <= part.start:
@@ -110,7 +118,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         with self._client() as c:
             off = part.start
             while off < part.end:
-                recs, _hwm = c.fetch(self._topic, part.partition, off)
+                recs, _hwm = c.fetch(part.topic, part.partition, off)
                 if not recs:
                     break
                 for r in recs:
@@ -119,7 +127,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     yield (
                         r["key"],
                         r["value"],
-                        self._topic,
+                        part.topic,
                         part.partition,
                         r["offset"],
                         r["timestamp"],

@@ -320,3 +320,27 @@ def test_metadata_request_autocreates_named_topic(broker):
         # the all-topics listing never creates
         md2 = c.metadata(None)
         assert "other-unknown" not in md2["topics"]
+
+
+def test_wire_source_multi_topic_batch(spark, broker):
+    """kafka_wire_source_df accepts a comma-separated topic list."""
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    broker.create_topic("m1", partitions=1)
+    broker.create_topic("m2", partitions=2)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        c.produce("m1", 0, [{"key": None, "value": b"x", "timestamp": 1}])
+        c.produce("m2", 1, [{"key": None, "value": b"y", "timestamp": 1}])
+    df = kafka_wire_source_df(spark, broker.bootstrap, "m1, m2")
+    rows = {(r.topic, bytes(r.value)) for r in df.collect()}
+    assert rows == {("m1", b"x"), ("m2", b"y")}
+
+
+def test_validate_kafka_topics_plural():
+    from conduit_spark.pipeline.registry import validate_connector
+
+    assert validate_connector(
+        "source", "builtin:kafka", {"servers": "h:1", "topics": "a,b"}
+    ) == []
+    errs = validate_connector("source", "builtin:kafka", {"servers": "h:1"})
+    assert any("topic" in e for e in errs)

@@ -217,3 +217,40 @@ pipelines:
             )
     Pipeline(spark, cfg).run_streaming(ck, trigger_once=True)
     assert drain_out() == [i for i in range(35) if i % 2 == 0]
+
+
+def test_kafka_wire_stream_multi_topic(spark, broker, tmp_path):
+    """`topics: a,b` (the reference connector's plural form) streams
+    both topics with topic-qualified offsets in the checkpoint."""
+    pyds.register(spark)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(6):
+            c.produce("ta", 0, [{"key": None, "value": b"a%d" % i, "timestamp": 1}])
+            c.produce("tb", 1, [{"key": None, "value": b"b%d" % i, "timestamp": 1}])
+    df = (
+        spark.readStream.format("conduit-kafka-wire")
+        .option("servers", broker.bootstrap)
+        .option("topics", "ta, tb")
+        .load()
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(df, out, ck)
+    rows = spark.read.parquet(out).collect()
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, []).append(bytes(r.value).decode())
+    assert sorted(by_topic) == ["ta", "tb"]
+    assert sorted(by_topic["ta"]) == [f"a{i}" for i in range(6)]
+    assert sorted(by_topic["tb"]) == [f"b{i}" for i in range(6)]
+    # resume picks up only new records on either topic
+    with MiniKafkaClient(broker.bootstrap) as c:
+        c.produce("tb", 0, [{"key": None, "value": b"b99", "timestamp": 1}])
+    _run_available_now(
+        spark.readStream.format("conduit-kafka-wire")
+        .option("servers", broker.bootstrap)
+        .option("topics", "ta, tb")
+        .load(),
+        out,
+        ck,
+    )
+    assert spark.read.parquet(out).count() == 13
