@@ -198,6 +198,18 @@ def validate_connector(
     if plugin == "builtin:kafka" and "topics" in settings:
         # the reference connector's plural form (comma-separated list)
         required = tuple(k for k in required if k != "topic")
+    if (
+        plugin == "builtin:postgres"
+        and ctype == "source"
+        and ("tables" in settings or "cdc.format" in settings)
+    ):
+        # plural snapshots need url+tables; pure CDC replay needs
+        # neither url nor table (cdc.path feeds it)
+        required = tuple(
+            k
+            for k in required
+            if k != "table" and not ("cdc.format" in settings and k == "url")
+        )
     for key in required:
         if key not in settings:
             errors.append(f"missing required setting {key!r}")
@@ -660,22 +672,56 @@ def build_source(
 
         from conduit_spark import envelope as env
 
-        df = (
-            spark.read.format("jdbc")
-            .option("url", settings["url"])
-            .option("dbtable", settings["table"])
-            .options(**{k: str(v) for k, v in (settings.get("options") or {}).items()})
-            .load()
-        )
         key_cols = settings.get("keyColumns")
         if isinstance(key_cols, str):
             key_cols = [k.strip() for k in key_cols.split(",")]
-        return env.from_table(
-            df,
-            key_cols=key_cols or [df.columns[0]],
-            source_id=source_id,
-            operation="snapshot",
-        )
+
+        def snapshot(table: str, *, with_collection: bool):
+            df = (
+                spark.read.format("jdbc")
+                .option("url", settings["url"])
+                .option("dbtable", table)
+                .options(
+                    **{
+                        k: str(v)
+                        for k, v in (settings.get("options") or {}).items()
+                    }
+                )
+                .load()
+            )
+            out = env.from_table(
+                df,
+                key_cols=key_cols or [df.columns[0]],
+                source_id=source_id,
+                operation="snapshot",
+            )
+            if with_collection:
+                # multi-table snapshots tag each record with its
+                # source table (the reference's opencdc.collection)
+                out = out.withColumn(
+                    "metadata",
+                    F.map_concat(
+                        "metadata",
+                        F.create_map(
+                            F.lit(env.META_COLLECTION), F.lit(table)
+                        ),
+                    ),
+                )
+            return out
+
+        tables_setting = settings.get("tables")
+        if tables_setting:
+            # the reference's plural form: comma-separated table list,
+            # one snapshot per table unioned with collection metadata
+            tables = [
+                t.strip() for t in str(tables_setting).split(",") if t.strip()
+            ]
+            parts = [snapshot(t, with_collection=True) for t in tables]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=False)
+            return out
+        return snapshot(settings["table"], with_collection=False)
     if plugin == "custom.standalone" or plugin.startswith("standalone:"):
         # any-language source plugin as a subprocess (the standalone
         # connector dispenser analog, dispenser.go:25); the

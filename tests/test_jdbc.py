@@ -309,3 +309,49 @@ def test_postgres_snapshot_cdc_handoff_via_yaml(spark, tmp_path):
             {"url": url, "table": "accounts", "cdc.path": str(wal)},
             "pg",
         )
+
+
+def test_jdbc_multi_table_snapshot_with_collections(spark, tmp_path):
+    """`tables: a,b` (the reference's plural form) snapshots every
+    table into one envelope stream, each record tagged with its source
+    table in opencdc.collection metadata."""
+    import json
+
+    url = _url(tmp_path, "multidb")
+    spark.range(4).select(F.col("id").alias("pid")).write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "t_users").option("driver", DRIVER).save()
+    spark.range(3).select(F.col("id").alias("pid")).write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "t_orders").option("driver", DRIVER).save()
+
+    env = build_source(
+        spark,
+        "builtin:postgres",
+        {
+            "url": url,
+            "tables": "t_users, t_orders",
+            "keyColumns": "pid",
+            "options": {"driver": DRIVER},
+        },
+        "pg-multi",
+    )
+    rows = env.collect()
+    assert len(rows) == 7
+    by_coll = {}
+    for r in rows:
+        coll = dict(r.metadata)["opencdc.collection"]
+        by_coll.setdefault(coll, []).append(json.loads(r.key_json)["pid"])
+    assert sorted(by_coll) == ["t_orders", "t_users"]
+    assert sorted(by_coll["t_users"]) == [0, 1, 2, 3]
+    assert sorted(by_coll["t_orders"]) == [0, 1, 2]
+
+
+def test_validate_postgres_tables_plural():
+    from conduit_spark.pipeline.registry import validate_connector
+
+    assert validate_connector(
+        "source", "builtin:postgres", {"url": "jdbc:x", "tables": "a,b"}
+    ) == []
+    errs = validate_connector("source", "builtin:postgres", {"url": "jdbc:x"})
+    assert any("table" in e for e in errs)
