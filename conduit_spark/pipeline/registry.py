@@ -751,15 +751,19 @@ def build_source(
                 from conduit_spark.sources import pyds
 
                 pyds.register(spark)
-                df = (
+                reader = (
                     spark.readStream.format("conduit-kafka-wire")
                     .option("servers", str(settings["servers"]))
                     .option(
                         "topic",
                         str(settings.get("topics", settings.get("topic"))),
                     )
-                    .load()
                 )
+                if "startingOffsets" in settings:
+                    reader = reader.option(
+                        "startingOffsets", str(settings["startingOffsets"])
+                    )
+                df = reader.load()
                 return envelope_from_kafka(df, source_id)
             df = kafka_wire_source_df(
                 spark,

@@ -66,6 +66,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         if not self._servers or not self._topics:
             raise ValueError("conduit-kafka-wire needs servers and topic(s)")
         self._server = self._servers.split(",")[0].strip()
+        # startingOffsets: earliest (default) | latest — same contract
+        # as the JVM kafka source; only affects the FIRST batch (the
+        # checkpoint owns offsets afterwards)
+        start = str(options.get("startingoffsets",
+                                options.get("startingOffsets", "earliest")))
+        if start.lower() not in ("earliest", "latest"):
+            raise ValueError(
+                f"startingOffsets must be earliest|latest, got {start!r}"
+            )
+        self._start_latest = start.lower() == "latest"
 
     def _client(self):
         from conduit_spark.functions.minikafka import MiniKafkaClient
@@ -94,7 +104,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:  # noqa: N802 — DataSource API
-        return self._offsets(earliest=True)
+        return self._offsets(earliest=not self._start_latest)
 
     def latestOffset(self) -> dict:  # noqa: N802
         return self._offsets(earliest=False)

@@ -254,3 +254,30 @@ def test_kafka_wire_stream_multi_topic(spark, broker, tmp_path):
         ck,
     )
     assert spark.read.parquet(out).count() == 13
+
+
+def test_kafka_wire_starting_offsets_latest(spark, broker, tmp_path):
+    """startingOffsets=latest skips the backlog on first start; records
+    produced after attach flow normally (JVM source contract)."""
+    pyds.register(spark)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for i in range(5):
+            c.produce("lt", 0, [{"key": None, "value": b"old%d" % i, "timestamp": 1}])
+
+    def stream():
+        return (
+            spark.readStream.format("conduit-kafka-wire")
+            .option("servers", broker.bootstrap)
+            .option("topic", "lt")
+            .option("startingOffsets", "latest")
+            .load()
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(stream(), out, ck)
+    assert spark.read.parquet(out).count() == 0  # backlog skipped
+    with MiniKafkaClient(broker.bootstrap) as c:
+        c.produce("lt", 0, [{"key": None, "value": b"new", "timestamp": 1}])
+    _run_available_now(stream(), out, ck)
+    [row] = spark.read.parquet(out).collect()
+    assert bytes(row.value) == b"new"
