@@ -177,6 +177,16 @@ class S3WireStreamReader(DataSourceStreamReader):
         self._prefix = str(options.get("prefix", ""))
         self._chunk = int(options.get("chunk_bytes", 8 * 1024 * 1024))
         self._n_parts = int(options.get("fetch_parallelism", 8))
+        # startingPosition: earliest (default, snapshot-then-tail) |
+        # latest (skip the existing backlog; only objects written
+        # after attach flow) — the kafka startingOffsets analog
+        start = str(options.get("startingposition",
+                                options.get("startingPosition", "earliest")))
+        if start.lower() not in ("earliest", "latest"):
+            raise ValueError(
+                f"startingPosition must be earliest|latest, got {start!r}"
+            )
+        self._start_latest = start.lower() == "latest"
 
     def _list(self) -> list[dict]:
         from conduit_spark.functions.minis3 import MiniS3Client
@@ -186,6 +196,8 @@ class S3WireStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:  # noqa: N802
+        if self._start_latest:
+            return self.latestOffset()
         return {"since": ""}
 
     def latestOffset(self) -> dict:  # noqa: N802

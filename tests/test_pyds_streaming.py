@@ -281,3 +281,28 @@ def test_kafka_wire_starting_offsets_latest(spark, broker, tmp_path):
     _run_available_now(stream(), out, ck)
     [row] = spark.read.parquet(out).collect()
     assert bytes(row.value) == b"new"
+
+
+def test_s3_wire_starting_position_latest(spark, s3, tmp_path):
+    pyds.register(spark)
+    srv, c = s3
+    for i in range(4):
+        c.put_object("bkt", f"sp/old{i}", b"x")
+
+    def stream():
+        return (
+            spark.readStream.format("conduit-s3-wire")
+            .option("endpoint", srv.endpoint)
+            .option("bucket", "bkt")
+            .option("prefix", "sp/")
+            .option("startingPosition", "latest")
+            .load()
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available_now(stream(), out, ck)
+    assert spark.read.parquet(out).count() == 0  # backlog skipped
+    c.put_object("bkt", "sp/new", b"fresh")
+    _run_available_now(stream(), out, ck)
+    [row] = spark.read.parquet(out).collect()
+    assert row.key == "sp/new"
