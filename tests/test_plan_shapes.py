@@ -246,3 +246,22 @@ def test_scan_fanout_rules(spark):
     assert "l_quantity" in pushed and "LessThan" in pushed
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_ordered_result_equals_plain_orderby(spark):
+    """The lazy-checkpoint sort barrier must be a pure optimization:
+    identical rows, identical order, for both column-name and
+    Column-expression sort keys."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics import ordered_result
+
+    df = spark.range(500).select(
+        (F.col("id") % 17).alias("k"), (F.col("id") * 3 % 101).alias("v")
+    )
+    plain = df.orderBy("k", "v").collect()
+    barred = ordered_result(df, "k", "v").collect()
+    assert plain == barred
+    plain2 = df.orderBy(F.desc("v"), F.asc("k")).collect()
+    barred2 = ordered_result(df, F.desc("v"), F.asc("k")).collect()
+    assert plain2 == barred2
