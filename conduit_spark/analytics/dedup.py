@@ -293,6 +293,11 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     n_nodes = nodes.count()  # scalar driver state, like k-means centroids
+    if n_nodes == 0:
+        # no near-dup pairs at all → empty result, not a divide-by-zero
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id bigint, pagerank double"
+        )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = (1.0 - PAGERANK_D) / n_nodes
     rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))

@@ -204,7 +204,7 @@ class MiniPGServer:
             # socket still yields them post-close)
             try:
                 while True:
-                    tag, body = self._read_msg(sock)
+                    tag, body = self._read_msg_tag_timeout(sock)
                     if tag in (b"X", b""):
                         return
                     if tag == b"d" and body[:1] == b"r":
@@ -259,6 +259,22 @@ class MiniPGServer:
         tag = self._read_exact(sock, 1)
         (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
         return tag, self._read_exact(sock, ln - 4)
+
+    def _read_msg_tag_timeout(self, sock: socket.socket) -> tuple[bytes, bytes]:
+        """Like :meth:`_read_msg`, but only the 1-byte TAG read may
+        time out: once a tag arrives, the remainder reads blocking. A
+        timeout applied to every recv would otherwise fire mid-frame
+        when a message straddles TCP segments, discarding the consumed
+        prefix and desyncing the protocol (the next read would treat a
+        mid-frame byte as a tag)."""
+        tag = self._read_exact(sock, 1)  # may raise socket.timeout cleanly
+        prev = sock.gettimeout()
+        sock.settimeout(None)
+        try:
+            (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
+            return tag, self._read_exact(sock, ln - 4)
+        finally:
+            sock.settimeout(prev)
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -171,10 +171,14 @@ class MiniS3Server:
                         self._reply(200, xml, {"Content-Type": "application/xml"})
                         return
                     if "uploadId" in q:
-                        up = store._uploads.pop(q["uploadId"], None)
+                        up = store._uploads.get(q["uploadId"])
                         if up is None or up[0] != bucket or up[1] != key:
+                            # validate BEFORE removing: a complete
+                            # against the wrong bucket/key must leave
+                            # the in-flight upload intact (S3 behavior)
                             self._err(404, "NoSuchUpload", q.get("uploadId", ""))
                             return
+                        del store._uploads[q["uploadId"]]
                         parts = [up[2][n] for n in sorted(up[2])]
                         data = b"".join(parts)
                         digests = b"".join(

@@ -1032,7 +1032,9 @@ def handle_grpc_web(
 
         if isinstance(e, Conflict):
             out = _trailers(ALREADY_EXISTS, str(e))
-        elif isinstance(e, (ValueError, KeyError)):
+        elif isinstance(e, (ValueError, KeyError, re.error)):
+            # re.error: a malformed user-supplied name regex is a
+            # client fault, not an internal one
             out = _trailers(INVALID_ARGUMENT, f"{type(e).__name__}: {e}")
         elif isinstance(e, LookupError):
             out = _trailers(NOT_FOUND, str(e))

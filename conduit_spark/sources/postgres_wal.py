@@ -534,8 +534,19 @@ class LiveWalTail:
         self._proc = None
         self._thread = None
         self._stop = None
-        self._n_files = 0
         os.makedirs(capture_dir, exist_ok=True)
+        # Resume numbering AFTER any existing capture files: a restart
+        # into the same capture_dir must never overwrite wal-000001
+        # (Spark's file source treats files as immutable-once-seen, so
+        # an overwrite would both destroy old records AND hide the
+        # re-delivered ones).
+        existing = [
+            int(f[4:10])
+            for f in os.listdir(capture_dir)
+            if f.startswith("wal-") and f.endswith(".jsonl")
+            and f[4:10].isdigit()
+        ]
+        self._n_files = max(existing, default=0)
 
     def start(self) -> "LiveWalTail":
         import os

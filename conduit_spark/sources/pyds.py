@@ -24,9 +24,16 @@ per partition, reads executed on executors:
   exact).
 
 Both recover from a checkpoint by construction: offsets are plain
-JSON dicts the streaming engine persists/replays, and ``read`` is a
-pure function of the partition spec. Register once per session with
-:func:`register` (idempotent).
+JSON dicts the streaming engine persists/replays. Kafka replay is
+exactly deterministic (``read`` is a pure function of the offset
+range — the log is immutable). S3 replay is AT-LEAST-ONCE with
+read-latest semantics: ``partitions`` re-lists the bucket on recovery,
+so an object overwritten or deleted between the original attempt and
+the replay delivers its newest state (or drops out) rather than the
+version the failed batch saw — the same property as the reference's
+polling source, which also holds no snapshot of the bucket. Sinks
+needing exact replay should key on (key, etag) idempotently. Register
+once per session with :func:`register` (idempotent).
 """
 
 from __future__ import annotations
@@ -188,6 +195,8 @@ class S3WireStreamReader(DataSourceStreamReader):
             )
         self._start_latest = start.lower() == "latest"
 
+    _list_cache: tuple[str, list] | None = None
+
     def _list(self) -> list[dict]:
         from conduit_spark.functions.minis3 import MiniS3Client
 
@@ -195,55 +204,59 @@ class S3WireStreamReader(DataSourceStreamReader):
             self._bucket, self._prefix
         )
 
+    def _list_cached(self, until: str) -> list[dict]:
+        """One listing per micro-batch: latestOffset() caches its
+        listing keyed by the offset it returned; partitions() for that
+        same offset reuses it instead of re-listing the bucket (halves
+        per-trigger control-plane requests; also keeps planning
+        consistent with the offsets just computed)."""
+        if self._list_cache is not None and self._list_cache[0] == until:
+            return self._list_cache[1]
+        objs = self._list()
+        self._list_cache = (until, objs)
+        return objs
+
     def initialOffset(self) -> dict:  # noqa: N802
         if self._start_latest:
             return self.latestOffset()
         return {"since": ""}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        lm = [o["last_modified"] for o in self._list() if o["last_modified"]]
-        return {"since": max(lm, default="")}
+        objs = self._list()
+        lm = [o["last_modified"] for o in objs if o["last_modified"]]
+        until = max(lm, default="")
+        self._list_cache = (until, objs)
+        return {"since": until}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from conduit_spark.sources.s3_wire import greedy_pack
+
         since, until = start.get("since", ""), end.get("since", "")
         changed = [
             o
-            for o in self._list()
+            for o in self._list_cached(until)
             if o["last_modified"]
             and (not since or o["last_modified"] > since)
             and o["last_modified"] <= until
         ]
         if not changed:
             return [_S3Slice([])]
-        # greedy size balance, like the batch reader
-        n = min(len(changed), self._n_parts)
-        buckets: list[list] = [[] for _ in range(n)]
-        sizes = [0] * n
-        for o in sorted(changed, key=lambda o: -o["size"]):
-            t = min(range(n), key=sizes.__getitem__)
-            sizes[t] += o["size"]
-            buckets[t].append(
-                (o["key"], o["size"], o["etag"], o["last_modified"])
+        return [
+            _S3Slice(
+                [(o["key"], o["size"], o["etag"], o["last_modified"]) for o in g]
             )
-        return [_S3Slice(b) for b in buckets]
+            for g in greedy_pack(changed, self._n_parts)
+        ]
 
     def read(self, part: _S3Slice) -> Iterator[tuple]:
         if not part.objs:
             return
         from conduit_spark.functions.minis3 import MiniS3Client
+        from conduit_spark.sources.s3_wire import range_get
 
         c = MiniS3Client(self._endpoint)
         for key, size, etag, lm in part.objs:
-            if size > self._chunk:
-                chunks = []
-                off = 0
-                while off < size:
-                    hi = min(off + self._chunk, size) - 1
-                    chunks.append(c.get_object(self._bucket, key, (off, hi)))
-                    off = hi + 1
-                data = b"".join(chunks)
-            else:
-                data = c.get_object(self._bucket, key)
+            data = range_get(c, self._bucket, key, int(size), self._chunk)
             yield (key, data, len(data), etag, lm)
 
     def commit(self, end: dict) -> None:
@@ -265,14 +278,11 @@ class S3WireDataSource(DataSource):
         return S3WireStreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register(spark) -> None:
-    """Idempotently register both wire data sources on a session."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register both wire data sources on a session. Registration is a
+    name→class map update on the session, so re-registering is cheap
+    and safe — no identity cache (an ``id(spark)`` key would go stale
+    when a GC'd session's address is reused by a new one, silently
+    skipping registration)."""
     spark.dataSource.register(KafkaWireDataSource)
     spark.dataSource.register(S3WireDataSource)
-    _REGISTERED.add(key)

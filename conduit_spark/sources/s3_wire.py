@@ -30,14 +30,42 @@ buffer it is assembling.
 
 from __future__ import annotations
 
-from typing import Any
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 OBJ_SCHEMA = (
     "key string, value binary, size long, etag string, last_modified string"
 )
+
+
+
+def greedy_pack(objs: list[dict], n: int) -> list[list[dict]]:
+    """Size-balanced assignment of objects to ``n`` groups: biggest
+    objects placed first into the currently-lightest group, so no task
+    drags the stage (shared by the batch reader and the streaming
+    DataSource)."""
+    n = max(1, min(n, len(objs)))
+    groups: list[list[dict]] = [[] for _ in range(n)]
+    sizes = [0] * n
+    for o in sorted(objs, key=lambda o: -o["size"]):
+        t = min(range(n), key=sizes.__getitem__)
+        sizes[t] += o["size"]
+        groups[t].append(o)
+    return groups
+
+
+def range_get(client, bucket: str, key: str, size: int, chunk_bytes: int) -> bytes:
+    """GET one object, streaming down in Range slices when it exceeds
+    ``chunk_bytes`` — the chunk-boundary math lives HERE only."""
+    if size <= chunk_bytes:
+        return client.get_object(bucket, key)
+    parts = []
+    off = 0
+    while off < size:
+        end = min(off + chunk_bytes, size) - 1
+        parts.append(client.get_object(bucket, key, (off, end)))
+        off = end + 1
+    return b"".join(parts)
 
 
 def s3_wire_source_df(
@@ -74,16 +102,14 @@ def _fetch_objects_df(
     if not objs:
         return spark.createDataFrame([], OBJ_SCHEMA)
 
-    # greedy size-balanced assignment: big objects spread first so no
-    # task drags the stage (the s3a reader gets this from file splits;
-    # here objects are the indivisible unit)
+    # greedy size-balanced assignment (the s3a reader gets this from
+    # file splits; here objects are the indivisible unit)
     n_tasks = tasks or min(len(objs), spark.sparkContext.defaultParallelism)
-    buckets: list[int] = [0] * n_tasks
-    assign = []
-    for o in sorted(objs, key=lambda o: -o["size"]):
-        t = min(range(n_tasks), key=buckets.__getitem__)
-        buckets[t] += o["size"]
-        assign.append((t, o["key"], o["size"], o["etag"], o["last_modified"]))
+    assign = [
+        (t, o["key"], o["size"], o["etag"], o["last_modified"])
+        for t, group in enumerate(greedy_pack(objs, n_tasks))
+        for o in group
+    ]
 
     plan_df = spark.createDataFrame(
         assign, "task int, key string, size long, etag string, last_modified string"
@@ -98,18 +124,7 @@ def _fetch_objects_df(
         for pdf in batches:
             keys, vals, sizes, etags, lms = [], [], [], [], []
             for row in pdf.itertuples():
-                if row.size > chunk_bytes:
-                    parts = []
-                    off = 0
-                    while off < row.size:
-                        end = min(off + chunk_bytes, row.size) - 1
-                        parts.append(
-                            c.get_object(bucket, row.key, (off, end))
-                        )
-                        off = end + 1
-                    data = b"".join(parts)
-                else:
-                    data = c.get_object(bucket, row.key)
+                data = range_get(c, bucket, row.key, int(row.size), chunk_bytes)
                 keys.append(row.key)
                 vals.append(data)
                 sizes.append(len(data))
@@ -165,7 +180,6 @@ def s3_wire_sink(
     fmt: str = "json",
     buffer_size: int = 1000,
     multipart_threshold: int = 16 * 1024 * 1024,
-    settings: dict[str, Any] | None = None,
 ) -> None:
     """Write envelope records as objects: per partition, records chunk
     into ``buffer_size`` batches; each batch becomes ONE object
@@ -180,8 +194,6 @@ def s3_wire_sink(
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"s3 wire format must be json|parquet, got {fmt!r}")
-
-    cols = df.columns
 
     def _send(pdf_iter):
         import io
@@ -262,8 +274,7 @@ def s3_wire_sink(
         return v
 
     (
-        df.select(*cols)
-        .mapInPandas(_send, "n_sent long")
+        df.mapInPandas(_send, "n_sent long")
         .write.format("noop")
         .mode("overwrite")
         .save()
