@@ -21,6 +21,15 @@ reported value is the min).
 Each query executes fully on the cluster via the ``noop`` sink (no
 driver-side collect), so timings measure scan+shuffle+compute, not
 result transfer.
+
+Regression gate: full runs compare each query against its best-ever
+time in ``BENCH_HISTORY.json`` and exit 3 when any query is both
+>1.3x slower AND >0.75s absolutely slower with no ``bench-waiver:
+<name>`` line in PERF.md (the absolute floor keeps the documented
++/-8-14 pct contention band on sub-second queries from tripping it).
+The record JSON line is ALWAYS printed before exiting, so the
+driver's stdout-tail capture survives a failing gate. Set
+``BENCH_REGRESSION_STRICT=0`` to warn without failing.
 """
 
 from __future__ import annotations
@@ -51,6 +60,45 @@ def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
         del df
         gc.collect()
     return best
+
+
+def _regression_report(timings: dict[str, float]) -> list[str]:
+    """Compare a FULL run against per-query best-ever history and
+    return human-readable lines for unwaived >1.3x && >0.75s
+    regressions; updates BENCH_HISTORY.json with new bests."""
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.json")
+    try:
+        with open(hist_path) as f:
+            hist = json.load(f)
+    except (OSError, ValueError):
+        hist = {}
+    waived = set()
+    try:
+        with open(os.path.join(REPO, "PERF.md")) as f:
+            for ln in f:
+                if "bench-waiver:" in ln:
+                    tail = ln.split("bench-waiver:", 1)[1].strip()
+                    waived.add(tail.split()[0].strip("`,") if tail else "")
+    except OSError:
+        pass
+    bad = []
+    for name, t in timings.items():
+        best = hist.get(name)
+        if (
+            best is not None
+            and t > 1.3 * best
+            and t - best > 0.75
+            and name not in waived
+        ):
+            bad.append(
+                f"bench-regression: {name} {t:.2f}s vs best {best:.2f}s "
+                f"({t / best:.2f}x) — add 'bench-waiver: {name}' to "
+                f"PERF.md with a reason, or fix it"
+            )
+        hist[name] = t if best is None else round(min(best, t), 4)
+    with open(hist_path, "w") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+    return bad
 
 
 def main() -> None:
@@ -134,7 +182,15 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+    # Regression gate runs on FULL runs only (a subset run has no
+    # steady-state comparability) and reports BEFORE the record line
+    # so the driver tail always ends with the JSON.
+    bad = _regression_report(timings) if not subset else []
+    for ln in bad:
+        print(ln)
     print(line)
+    if bad and os.environ.get("BENCH_REGRESSION_STRICT", "1") != "0":
+        sys.exit(3)
 
 
 if __name__ == "__main__":

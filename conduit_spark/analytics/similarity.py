@@ -528,18 +528,32 @@ def _assign_udf(cents: list[tuple[int, list[int]]]):
     ids = np.asarray([cl for cl, _ in cents], dtype=np.int64)
     cmat = np.asarray([c for _, c in cents], dtype=np.int64)  # K×d
     n = len(cents)
-    offs = np.arange(n, dtype=np.int64)[None, :]
+
+    # Ship the K×d matrix as an EXPLICIT broadcast variable, not a
+    # closure capture: a capture is re-serialized into every task
+    # binary (K=11k × d=768 int64 ≈ 70 MB per task launch at SemDeDup
+    # scale), while a Broadcast ships torrent-style once per executor
+    # and the closure carries only the handle. Falls back to capture
+    # when no session is active (pure-python unit tests).
+    session = SparkSession.getActiveSession()
+    bc = (
+        session.sparkContext.broadcast((ids, cmat))
+        if session is not None
+        else None
+    )
 
     @F.pandas_udf("bigint")
     def assign(qs: pd.Series) -> pd.Series:
+        bids, bcmat = bc.value if bc is not None else (ids, cmat)
+        offs = np.arange(n, dtype=np.int64)[None, :]
         out = np.full(len(qs), -1, dtype=np.int64)
         mask = qs.notna().to_numpy()
         if mask.any():
             q = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in qs[mask]]
             )  # B×d
-            d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            out[mask] = ids[np.argmin(d2 * n + offs, axis=1)]
+            d2 = ((q[:, None, :] - bcmat[None, :, :]) ** 2).sum(axis=2)
+            out[mask] = bids[np.argmin(d2 * n + offs, axis=1)]
         res = pd.Series(out)
         return res.where(pd.Series(mask), None)
 
