@@ -58,7 +58,7 @@ _REGISTRIES = [
     (temporal.QUERIES, temporal.ORACLES),
     (quality_checks.QUERIES, quality_checks.ORACLES),
     (text.QUERIES, text.ORACLES),
-    (rag.QUERIES, rag.ORACLES),  # rows-only (no oracle entry)
+    (rag.QUERIES, rag.ORACLES),  # full hash-match oracle since r5
     (relational.QUERIES, relational.ORACLES),
 ]
 

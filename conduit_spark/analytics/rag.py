@@ -64,12 +64,18 @@ def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
         )
 
-    # embed the 1-row query through the SAME transport as the corpus,
-    # but as its own tiny plan — unioning it into the corpus made the
-    # qvec filter re-execute the whole corpus chunk+embed pipeline
+    # embed the 1-row query through the SAME transport function as the
+    # corpus, but driver-side: a full envelope+mapInPandas stage for
+    # one row cost ~0.4s of pure scheduling (r5), and the transport is
+    # deterministic pure Python, so calling it directly yields the
+    # bit-identical doubles the distributed path would.
     vecs = embed(chunks)
-    query = spark.createDataFrame([(-1, -1, QUERY_TEXT)], ["doc_id", "chunk_idx", "text"])
-    qvec = embed(query).select(F.col("embedding").alias("qvec"))
+    qv = ops.hash_embed_transport(
+        {"kind": "embed", "model": EMBED_MODEL, "input": [QUERY_TEXT]}
+    )["output"][0]
+    qvec = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in qv]).alias("qvec")
+    )
     return (
         vecs.crossJoin(F.broadcast(qvec))
         .select(
