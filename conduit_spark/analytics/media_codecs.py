@@ -44,11 +44,14 @@ def sniff(raw: bytes) -> str | None:
     return None
 
 
-def decode_png(raw: bytes) -> dict:
+def decode_png(raw: bytes, *, return_pixels: bool = False) -> dict:
     """Full PNG decode: IHDR parse, IDAT inflate, per-scanline
     unfilter (None/Sub/Up/Average/Paeth). Returns geometry plus pixel
     statistics computed from the *decoded* samples — proof the pixels
     were actually reconstructed, not just the header read.
+    ``return_pixels=True`` adds the raw interleaved sample bytes under
+    ``"pixels"`` (row-major, ``channels`` bytes per pixel) for
+    downstream operators (resize, feature extraction).
 
     Supports the non-interlaced 8-bit profiles (greyscale, RGB,
     palette-index, +alpha) that cover the overwhelming majority of
@@ -122,7 +125,7 @@ def decode_png(raw: bytes) -> dict:
             raise ValueError(f"unknown PNG filter {ftype}")
         prev_start = start
     n = len(out)
-    return {
+    meta = {
         "format": "png",
         "width": int(width),
         "height": int(height),
@@ -133,12 +136,18 @@ def decode_png(raw: bytes) -> dict:
         "pixel_min": min(out) if n else 0,
         "pixel_max": max(out) if n else 0,
     }
+    if return_pixels:
+        meta["pixels"] = bytes(out)
+    return meta
 
 
-def decode_wav(raw: bytes) -> dict:
+def decode_wav(raw: bytes, *, return_samples: bool = False) -> dict:
     """WAV decode via a RIFF chunk walk (fmt + data), returning the
     audio geometry and sample statistics for 16-bit PCM (the dominant
-    capture format); other sample widths return geometry only."""
+    capture format); other sample widths return geometry only.
+    ``return_samples=True`` adds the decoded 16-bit sample tuple under
+    ``"samples"`` (interleaved if multichannel) for downstream
+    operators (frame windowing, resampling)."""
     if not (raw[:4] == RIFF_MAGIC and raw[8:12] == b"WAVE"):
         raise ValueError("not a WAV")
     pos = 12
@@ -170,6 +179,8 @@ def decode_wav(raw: bytes) -> dict:
         if samples:
             out["sample_mean"] = sum(samples) / len(samples)
             out["sample_peak"] = max(abs(s) for s in samples)
+        if return_samples:
+            out["samples"] = samples
     return out
 
 
