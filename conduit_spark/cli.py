@@ -760,15 +760,75 @@ def cmd_connectors(args: argparse.Namespace) -> int:
 
     from conduit_spark import plugin_registry as reg
 
+    from conduit_spark import plugin_trust as trust
+
     try:
         kind = getattr(args, "kind", "connector")
         if args.verb == "install":
+            # --allow-unsigned is a REQUEST, not a decision: it routes
+            # through the policy gate (reference policy.Decide) —
+            # operator policy first, MCP never, non-interactive needs
+            # the env var, interactive needs the plugin name typed.
+            decision = False
+            if args.allow_unsigned:
+                tty = sys.stdin.isatty() and sys.stdout.isatty()
+                ci = os.environ.get("CI", "") not in ("", "0", "false")
+                confirmed = False
+                if tty and not ci:
+                    typed = input(
+                        f"unsigned install: type the plugin name "
+                        f"({args.ref}) to confirm: "
+                    )
+                    confirmed = typed.strip() == args.ref
+                decision = trust.decide_unsigned(
+                    operator_policy=not args.no_unsigned,
+                    tty=tty,
+                    ci_env=ci,
+                    typed_confirmation=confirmed,
+                )
             entry = reg.install(
                 args.ref,
                 index_path=args.index,
                 root=args.root,
-                allow_unsigned=args.allow_unsigned,
+                allow_unsigned=decision,
                 kind=kind,
+                trust_root_path=args.trust_root,
+            )
+            print(json.dumps(entry, indent=1))
+        elif args.verb == "keygen":
+            priv, pub = trust.generate_keypair()
+            with open(args.out + ".key", "w") as f:
+                f.write(priv)
+            os.chmod(args.out + ".key", 0o600)
+            with open(args.out + ".pub", "w") as f:
+                f.write(pub)
+            print(f"wrote {args.out}.key (private) and {args.out}.pub")
+        elif args.verb == "sign":
+            sig = trust.sign_artifact(
+                args.artifact,
+                name=args.name,
+                version=args.version,
+                kind=kind,
+                private_key_pem=open(args.key).read(),
+                key_id=args.key_id,
+                publisher=args.publisher,
+                identity=args.identity,
+            )
+            print(json.dumps(sig, indent=1))
+        elif args.verb == "bundle":
+            result = trust.prepare_bundle(
+                args.ref,
+                args.out,
+                index_path=args.index,
+                trust_root_path=args.trust_root,
+                kind=kind,
+            )
+            print(json.dumps(result, indent=1))
+        elif args.verb == "install-bundle":
+            entry = trust.install_from_bundle(
+                args.bundle,
+                root=args.root,
+                trust_root_path=args.trust_root,
             )
             print(json.dumps(entry, indent=1))
         elif args.verb == "uninstall":
@@ -1267,17 +1327,44 @@ def _build_parser() -> argparse.ArgumentParser:
     conn_sub = p_conn.add_subparsers(dest="verb", required=True)
     from conduit_spark.plugin_registry import DEFAULT_ROOT as _PLUGIN_ROOT
 
-    for verb in ("install", "uninstall", "installed", "list", "audit", "new"):
+    for verb in (
+        "install", "uninstall", "installed", "list", "audit", "new",
+        "keygen", "sign", "bundle", "install-bundle",
+    ):
         pv = conn_sub.add_parser(verb)
-        if verb in ("install", "uninstall"):
+        if verb in ("install", "uninstall", "bundle"):
             pv.add_argument("ref", help="name[@version]")
-        if verb in ("install", "list"):
+        if verb in ("install", "list", "bundle"):
             pv.add_argument("--index", required=True, help="index JSON path")
         if verb == "audit":
             pv.add_argument("--index", default=None, help="index JSON path")
         if verb == "install":
             pv.add_argument("--allow-unsigned", action="store_true")
-        if verb in ("install", "uninstall", "list"):
+            pv.add_argument(
+                "--no-unsigned", action="store_true",
+                help="operator policy: hard-forbid unsigned installs "
+                "(wins over --allow-unsigned)",
+            )
+            pv.add_argument("--trust-root", default=None)
+        if verb in ("bundle", "install-bundle"):
+            pv.add_argument("--trust-root", required=True)
+        if verb == "bundle":
+            pv.add_argument("--out", required=True, help="bundle tar.gz path")
+        if verb == "install-bundle":
+            pv.add_argument("bundle", help="bundle tar.gz path")
+        if verb == "keygen":
+            pv.add_argument("--out", required=True, help="key path prefix")
+        if verb == "sign":
+            pv.add_argument("artifact")
+            pv.add_argument("--name", required=True)
+            pv.add_argument("--version", required=True)
+            pv.add_argument("--key", required=True, help="private key PEM")
+            pv.add_argument("--key-id", required=True)
+            pv.add_argument("--publisher", required=True)
+            pv.add_argument("--identity", required=True)
+        if verb in (
+            "install", "uninstall", "list", "sign", "bundle",
+        ):
             # processor artifacts ride the same registry/trust core
             # (reference `processor-plugins install`)
             pv.add_argument(

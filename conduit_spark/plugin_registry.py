@@ -15,17 +15,32 @@ testable offline):
                            "sha256": "<hex>",
                            "description": "..."}}}}
 
-Trust model, mirroring the reference's tiers:
+Trust model, mirroring the reference's tiers (the signature layer and
+policy gate live in ``plugin_trust``):
 
-- verification is **fail-closed**: an index entry without a sha256 is
-  refused unless the caller passes ``allow_unsigned=True`` (the
-  `--allow-unsigned` operator flag); a digest mismatch always refuses
-  and leaves nothing behind.
+- **signed** entries carry a detached ed25519 signature over
+  ``(kind, name, version, sha256)`` plus a publisher identity;
+  verification is fail-closed against a local trust-root file
+  (``plugin_trust.verify_artifact`` — unknown publisher/key, identity
+  mismatch, or bad signature refuse with stable ``trust.*`` codes).
+  A signed entry with no trust root to check against REFUSES — it
+  never silently downgrades to digest-only.
+- **digest-pinned** entries (sha256, no signature) verify the digest
+  fail-closed; a mismatch always refuses and leaves nothing behind.
+- **unsigned** entries (neither) are a policy decision: the caller
+  must present a ``plugin_trust.Decision`` from ``decide_unsigned``
+  (the CLI path), or the legacy ``allow_unsigned=True`` boolean for
+  embedding apps that gate upstream.
 - the artifact is staged to a temp file, hashed, and only then moved
-  into place — a partial download can never be resolved.
+  into place — a partial download can never be resolved; installs
+  take an exclusive flock (``plugin_trust.install_lock``) so two
+  concurrent installs cannot interleave manifest writes.
 - the manifest is keyed ``name@version`` so two pipelines can pin two
   versions of one connector simultaneously (the reference's
   load-bearing manifest fix, plan-v2 §3).
+- the **offline bundle** path (``plugin_trust.prepare_bundle`` /
+  ``install_from_bundle``) packages an already-verified install and
+  re-verifies everything at install time with zero network access.
 
 Installed plugins are addressable from pipeline YAML as
 ``standalone:<name>[@<version>]`` (latest installed when unpinned),
@@ -153,14 +168,21 @@ def install(
     *,
     index_path: str,
     root: str = DEFAULT_ROOT,
-    allow_unsigned: bool = False,
+    allow_unsigned=False,
     kind: str = "connector",
+    trust_root_path: str | None = None,
 ) -> dict:
-    """Resolve → stage → verify → place → pin. Fail-closed at every
-    step: nothing is resolvable until the digest matched. ``kind``
-    selects the index collection; processor artifacts ride the SAME
+    """Resolve → stage → verify (signature and/or digest) → place →
+    pin, under an exclusive install lock. Fail-closed at every step:
+    nothing is resolvable until verification passed. ``kind`` selects
+    the index collection; processor artifacts ride the SAME
     verification path (the reference's one-trust-core decision,
-    ADR 20260727-processors-ride-connector-registry)."""
+    ADR 20260727-processors-ride-connector-registry).
+    ``allow_unsigned`` is a ``plugin_trust.Decision`` (the CLI path)
+    or the legacy boolean for embedders that gate upstream; it applies
+    ONLY to entries with neither signature nor sha256."""
+    from conduit_spark import plugin_trust
+
     if kind not in ("connector", "processor"):
         raise RegistryError(f"registry.bad_kind: {kind!r}")
     name, version = parse_ref(ref)
@@ -168,48 +190,80 @@ def install(
         load_index(index_path), name, version, kind=kind
     )
     want = entry.get("sha256")
-    if want is None and not allow_unsigned:
+    signature = entry.get("signature")
+    if signature is not None and trust_root_path is None:
         raise RegistryError(
-            f"registry.unsigned_artifact: {name}@{version} has no sha256 "
-            "in the index; pass allow_unsigned to install anyway"
+            f"trust.no_trust_root: {name}@{version} is signed but no "
+            "trust root was given to verify against; refusing (a signed "
+            "entry never downgrades to digest-only)"
         )
-    os.makedirs(root, exist_ok=True)
-    fd, staged = tempfile.mkstemp(dir=root, suffix=".staged")
-    os.close(fd)
-    try:
-        _fetch(entry["artifact"], staged)
-        got = hashlib.sha256(open(staged, "rb").read()).hexdigest()
-        if want is not None and got != want:
+    if want is None and signature is None:
+        ok = (
+            allow_unsigned.allowed()
+            if isinstance(allow_unsigned, plugin_trust.Decision)
+            else bool(allow_unsigned)
+        )
+        if not ok:
             raise RegistryError(
-                f"registry.artifact_verification_failed: {name}@{version} "
-                f"digest {got[:12]}… != index {want[:12]}…; refusing"
+                f"registry.unsigned_artifact: {name}@{version} has "
+                "neither signature nor sha256 in the index; present a "
+                "decide_unsigned Decision to install anyway"
             )
-        dest_dir = os.path.join(
-            root if kind == "connector" else os.path.join(root, "processors"),
-            name,
-            version,
-        )
-        os.makedirs(dest_dir, exist_ok=True)
-        dest = os.path.join(
-            dest_dir, os.path.basename(entry["artifact"].rstrip("/"))
-        )
-        os.replace(staged, dest)
-        os.chmod(dest, 0o755)
-    except BaseException:
-        if os.path.exists(staged):
-            os.unlink(staged)
-        raise
-    manifest = _load_manifest(root)
-    key = _manifest_key(kind, name, version)
-    manifest[key] = {
-        "name": name,
-        "version": version,
-        "kind": kind,
-        "path": dest,
-        "sha256": got,
-        "verified": want is not None,
-    }
-    _write_manifest(root, manifest)
+    os.makedirs(root, exist_ok=True)
+    with plugin_trust.install_lock(root):
+        fd, staged = tempfile.mkstemp(dir=root, suffix=".staged")
+        os.close(fd)
+        sig_result = None
+        try:
+            _fetch(entry["artifact"], staged)
+            got = hashlib.sha256(open(staged, "rb").read()).hexdigest()
+            if want is not None and got != want:
+                raise RegistryError(
+                    f"registry.artifact_verification_failed: {name}@{version} "
+                    f"digest {got[:12]}… != index {want[:12]}…; refusing"
+                )
+            if signature is not None:
+                sig_result = plugin_trust.verify_artifact(
+                    staged,
+                    name=name,
+                    version=version,
+                    kind=kind,
+                    signature=signature,
+                    trust_root=plugin_trust.load_trust_root(trust_root_path),
+                )
+            dest_dir = os.path.join(
+                root if kind == "connector" else os.path.join(root, "processors"),
+                name,
+                version,
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(
+                dest_dir, os.path.basename(entry["artifact"].rstrip("/"))
+            )
+            os.replace(staged, dest)
+            os.chmod(dest, 0o755)
+        except BaseException:
+            if os.path.exists(staged):
+                os.unlink(staged)
+            raise
+        manifest = _load_manifest(root)
+        key = _manifest_key(kind, name, version)
+        manifest[key] = {
+            "name": name,
+            "version": version,
+            "kind": kind,
+            "path": dest,
+            "sha256": got,
+            "verified": want is not None or sig_result is not None,
+            "signed": sig_result is not None,
+        }
+        if sig_result is not None:
+            manifest[key].update(
+                publisher=sig_result["publisher"],
+                key_id=sig_result["key_id"],
+                identity=sig_result["identity"],
+            )
+        _write_manifest(root, manifest)
     return manifest[key]
 
 

@@ -1,0 +1,404 @@
+"""Registry trust core e2e: real ed25519 signature verification,
+identity-pattern policy, the allow-unsigned policy gate, install
+locking, and the network-free offline bundle path (reference
+pkg/registry/trust + policy/gate.go + bundle.go semantics)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from conduit_spark import plugin_registry as reg
+from conduit_spark import plugin_trust as trust
+
+ARTIFACT = "#!/usr/bin/env python3\nprint('hello')\n"
+PATTERN = r"^github\.com/acme/conduit-connector-hello/\.github/.+$"
+IDENTITY = "github.com/acme/conduit-connector-hello/.github/workflows/release.yml@refs/tags/v1.0.0"
+
+
+@pytest.fixture()
+def signed_world(tmp_path):
+    """Artifact + keypair + trust root + signed index, all on disk."""
+    art = tmp_path / "hello-1.0.0.py"
+    art.write_text(ARTIFACT)
+    priv, pub = trust.generate_keypair()
+    troot = tmp_path / "trust_root.json"
+    troot.write_text(json.dumps({
+        "version": 1,
+        "publishers": {
+            "acme": {
+                "identity_pattern": PATTERN,
+                "keys": [{"key_id": "k1", "algorithm": "ed25519",
+                          "public_key_pem": pub}],
+            }
+        },
+    }))
+    sig = trust.sign_artifact(
+        str(art), name="hello", version="1.0.0", kind="connector",
+        private_key_pem=priv, key_id="k1", publisher="acme",
+        identity=IDENTITY,
+    )
+    index = tmp_path / "index.json"
+    index.write_text(json.dumps({
+        "connectors": {"hello": {"1.0.0": {
+            "artifact": str(art),
+            "sha256": hashlib.sha256(ARTIFACT.encode()).hexdigest(),
+            "signature": sig,
+        }}},
+    }))
+    return {
+        "art": art, "priv": priv, "pub": pub, "troot": str(troot),
+        "index": str(index), "sig": sig, "tmp": tmp_path,
+    }
+
+
+def _root(tmp_path):
+    return str(tmp_path / "plugins")
+
+
+# --- signed install ---------------------------------------------------
+
+
+def test_signed_install_passes_and_pins_identity(signed_world):
+    w = signed_world
+    entry = reg.install(
+        "hello", index_path=w["index"], root=_root(w["tmp"]),
+        trust_root_path=w["troot"],
+    )
+    assert entry["signed"] is True and entry["verified"] is True
+    assert entry["publisher"] == "acme" and entry["key_id"] == "k1"
+    assert entry["identity"] == IDENTITY
+    assert os.path.exists(entry["path"])
+
+
+def test_signed_entry_without_trust_root_refuses(signed_world):
+    w = signed_world
+    with pytest.raises(reg.RegistryError, match="trust.no_trust_root"):
+        reg.install("hello", index_path=w["index"], root=_root(w["tmp"]))
+
+
+def test_tampered_artifact_digest_refused(signed_world):
+    w = signed_world
+    w["art"].write_text(ARTIFACT + "# evil\n")
+    with pytest.raises(
+        reg.RegistryError, match="artifact_verification_failed"
+    ):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=w["troot"],
+        )
+    assert not os.path.exists(
+        os.path.join(_root(w["tmp"]), "hello", "1.0.0")
+    ) or not os.listdir(os.path.join(_root(w["tmp"]), "hello", "1.0.0"))
+
+
+def test_tampered_signature_refused(signed_world):
+    w = signed_world
+    idx = json.loads(open(w["index"]).read())
+    sig = idx["connectors"]["hello"]["1.0.0"]["signature"]
+    raw = bytearray(__import__("base64").b64decode(sig["signature_b64"]))
+    raw[0] ^= 0xFF
+    sig["signature_b64"] = __import__("base64").b64encode(bytes(raw)).decode()
+    open(w["index"], "w").write(json.dumps(idx))
+    with pytest.raises(trust.TrustError, match="trust.signature_invalid"):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=w["troot"],
+        )
+
+
+def test_signature_does_not_transfer_across_versions(signed_world):
+    """The signature binds (kind, name, version, digest): republishing
+    the same artifact+signature as a different version must refuse."""
+    w = signed_world
+    idx = json.loads(open(w["index"]).read())
+    entry = dict(idx["connectors"]["hello"]["1.0.0"])
+    idx["connectors"]["hello"]["9.9.9"] = entry
+    open(w["index"], "w").write(json.dumps(idx))
+    with pytest.raises(trust.TrustError, match="trust.signature_invalid"):
+        reg.install(
+            "hello@9.9.9", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=w["troot"],
+        )
+
+
+def test_unknown_key_and_publisher_refused(signed_world):
+    w = signed_world
+    troot = json.loads(open(w["troot"]).read())
+    troot["publishers"]["acme"]["keys"][0]["key_id"] = "other"
+    bad1 = w["tmp"] / "tr1.json"
+    bad1.write_text(json.dumps(troot))
+    with pytest.raises(trust.TrustError, match="trust.unknown_key"):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=str(bad1),
+        )
+    troot2 = {"version": 1, "publishers": {}}
+    bad2 = w["tmp"] / "tr2.json"
+    bad2.write_text(json.dumps(troot2))
+    with pytest.raises(trust.TrustError, match="trust.unknown_publisher"):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=str(bad2),
+        )
+
+
+def test_identity_mismatch_refused(signed_world):
+    w = signed_world
+    troot = json.loads(open(w["troot"]).read())
+    troot["publishers"]["acme"]["identity_pattern"] = (
+        r"^github\.com/acme/another-repo/\.github/.+$"
+    )
+    bad = w["tmp"] / "tr3.json"
+    bad.write_text(json.dumps(troot))
+    with pytest.raises(trust.TrustError, match="trust.identity_mismatch"):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=str(bad),
+        )
+
+
+def test_wrong_key_signature_refused(signed_world):
+    """A signature from a DIFFERENT valid key under the same key_id
+    (key-substitution attack) must refuse."""
+    w = signed_world
+    priv2, _pub2 = trust.generate_keypair()
+    sig2 = trust.sign_artifact(
+        str(w["art"]), name="hello", version="1.0.0",
+        private_key_pem=priv2, key_id="k1", publisher="acme",
+        identity=IDENTITY,
+    )
+    idx = json.loads(open(w["index"]).read())
+    idx["connectors"]["hello"]["1.0.0"]["signature"] = sig2
+    open(w["index"], "w").write(json.dumps(idx))
+    with pytest.raises(trust.TrustError, match="trust.signature_invalid"):
+        reg.install(
+            "hello", index_path=w["index"], root=_root(w["tmp"]),
+            trust_root_path=w["troot"],
+        )
+
+
+# --- identity-pattern tightness (reference identitypattern.go) --------
+
+
+@pytest.mark.parametrize("pattern", [
+    "github.com/acme/repo/.+",        # unanchored
+    "^.*$",                            # anchored but wildcard
+    "^(?m)github\\.com/acme/repo/x$",  # inline flag weakens anchors
+    "^short$",                         # literal prefix too short / no '/'
+    "^[g]ithub.com/acme/repo/.+$",     # metachar first → empty literal prefix
+])
+def test_loose_identity_patterns_refused(pattern):
+    with pytest.raises(trust.TrustError, match="identity_pattern_too_loose"):
+        trust.validate_identity_pattern(pattern)
+
+
+def test_tight_identity_pattern_accepted():
+    trust.validate_identity_pattern(PATTERN)
+
+
+# --- the policy gate (reference policy/gate.go matrix) ----------------
+
+
+def test_gate_operator_policy_wins_over_everything():
+    with pytest.raises(trust.TrustError, match="disabled_by_policy"):
+        trust.decide_unsigned(
+            operator_policy=False, tty=True, ci_env=False,
+            typed_confirmation=True,
+            env={trust.ALLOW_UNSIGNED_ENV: trust.ALLOW_UNSIGNED_ENV_VALUE},
+        )
+
+
+def test_gate_mcp_always_refused():
+    with pytest.raises(trust.TrustError, match="non_interactive"):
+        trust.decide_unsigned(
+            operator_policy=True, tty=True, ci_env=False, is_mcp=True,
+            typed_confirmation=True,
+            env={trust.ALLOW_UNSIGNED_ENV: trust.ALLOW_UNSIGNED_ENV_VALUE},
+        )
+
+
+def test_gate_non_interactive_requires_env_var():
+    with pytest.raises(trust.TrustError, match="non_interactive"):
+        trust.decide_unsigned(
+            operator_policy=True, tty=False, ci_env=False, env={},
+        )
+    d = trust.decide_unsigned(
+        operator_policy=True, tty=False, ci_env=False,
+        env={trust.ALLOW_UNSIGNED_ENV: trust.ALLOW_UNSIGNED_ENV_VALUE},
+    )
+    assert d.allowed()
+    # CI forces the non-interactive path even with a tty
+    with pytest.raises(trust.TrustError, match="non_interactive"):
+        trust.decide_unsigned(
+            operator_policy=True, tty=True, ci_env=True, env={},
+            typed_confirmation=True,
+        )
+
+
+def test_gate_interactive_needs_typed_confirmation():
+    with pytest.raises(trust.TrustError, match="non_interactive"):
+        trust.decide_unsigned(
+            operator_policy=True, tty=True, ci_env=False, env={},
+        )
+    d = trust.decide_unsigned(
+        operator_policy=True, tty=True, ci_env=False, env={},
+        typed_confirmation=True,
+    )
+    assert d.allowed()
+
+
+def test_decision_cannot_be_forged():
+    assert trust.Decision().allowed() is False
+    assert trust.Decision(object()).allowed() is False
+
+
+def test_unsigned_entry_requires_decision(tmp_path):
+    art = tmp_path / "shady.py"
+    art.write_text("#!/usr/bin/env python3\n")
+    index = tmp_path / "index.json"
+    index.write_text(json.dumps(
+        {"connectors": {"shady": {"0.1.0": {"artifact": str(art)}}}}
+    ))
+    with pytest.raises(reg.RegistryError, match="unsigned_artifact"):
+        reg.install("shady", index_path=str(index), root=_root(tmp_path))
+    d = trust.decide_unsigned(
+        operator_policy=True, tty=False, ci_env=True,
+        env={trust.ALLOW_UNSIGNED_ENV: trust.ALLOW_UNSIGNED_ENV_VALUE},
+    )
+    entry = reg.install(
+        "shady", index_path=str(index), root=_root(tmp_path),
+        allow_unsigned=d,
+    )
+    assert entry["verified"] is False and entry["signed"] is False
+
+
+# --- offline bundles (reference bundle.go) ----------------------------
+
+
+def test_bundle_prepare_verify_install_with_sockets_disabled(
+    signed_world, monkeypatch
+):
+    w = signed_world
+    bundle = w["tmp"] / "hello.bundle.tgz"
+    result = trust.prepare_bundle(
+        "hello", str(bundle), index_path=w["index"],
+        trust_root_path=w["troot"],
+    )
+    assert result["signed"] is True and bundle.exists()
+
+    # air-gap: ANY socket creation explodes — install must not notice
+    import socket as socket_mod
+
+    def no_net(*a, **k):
+        raise AssertionError("network access attempted during offline install")
+
+    monkeypatch.setattr(socket_mod, "socket", no_net)
+    monkeypatch.setattr(socket_mod, "create_connection", no_net)
+
+    entry = trust.install_from_bundle(
+        str(bundle), root=_root(w["tmp"]), trust_root_path=w["troot"],
+    )
+    assert entry["signed"] is True and entry["installed_from_bundle"]
+    assert os.path.exists(entry["path"])
+    # and it resolves like any normal install
+    assert reg.resolve_installed("hello", root=_root(w["tmp"])) == entry["path"]
+
+
+def test_bundle_refuses_unsigned_entry(tmp_path, signed_world):
+    w = signed_world
+    idx = json.loads(open(w["index"]).read())
+    del idx["connectors"]["hello"]["1.0.0"]["signature"]
+    open(w["index"], "w").write(json.dumps(idx))
+    with pytest.raises(trust.TrustError, match="unsigned_artifact"):
+        trust.prepare_bundle(
+            "hello", str(tmp_path / "b.tgz"), index_path=w["index"],
+            trust_root_path=w["troot"],
+        )
+
+
+def test_bundle_tamper_refused(signed_world):
+    """Re-pack the bundle with modified artifact bytes: digest check
+    refuses; with a matching-digest but re-signed artifact: signature
+    check refuses."""
+    import io
+    import tarfile
+
+    w = signed_world
+    bundle = w["tmp"] / "hello.bundle.tgz"
+    trust.prepare_bundle(
+        "hello", str(bundle), index_path=w["index"],
+        trust_root_path=w["troot"],
+    )
+    evil = w["tmp"] / "evil.tgz"
+    with tarfile.open(bundle, "r:gz") as src, tarfile.open(
+        evil, "w:gz"
+    ) as dst:
+        meta = json.loads(src.extractfile(trust.BUNDLE_META_NAME).read())
+        blob = json.dumps(meta).encode()
+        info = tarfile.TarInfo(trust.BUNDLE_META_NAME)
+        info.size = len(blob)
+        dst.addfile(info, io.BytesIO(blob))
+        payload = b"#!/usr/bin/env python3\nprint('evil')\n"
+        info2 = tarfile.TarInfo(trust.BUNDLE_ARTIFACT_NAME)
+        info2.size = len(payload)
+        dst.addfile(info2, io.BytesIO(payload))
+    with pytest.raises(
+        trust.TrustError, match="artifact_verification_failed"
+    ):
+        trust.install_from_bundle(
+            str(evil), root=_root(w["tmp"]), trust_root_path=w["troot"],
+        )
+
+
+def test_stale_bundle_refused_then_overridable(signed_world):
+    w = signed_world
+    bundle = w["tmp"] / "hello.bundle.tgz"
+    trust.prepare_bundle(
+        "hello", str(bundle), index_path=w["index"],
+        trust_root_path=w["troot"],
+    )
+    import time as time_mod
+
+    future = time_mod.time() + 365 * 86400
+    with pytest.raises(trust.TrustError, match="trust.bundle_stale"):
+        trust.install_from_bundle(
+            str(bundle), root=_root(w["tmp"]), trust_root_path=w["troot"],
+            now=future,
+        )
+    d = trust.decide_stale_bundle(
+        operator_policy=True, tty=False, ci_env=True,
+        env={trust.ALLOW_UNSIGNED_ENV: trust.ALLOW_UNSIGNED_ENV_VALUE},
+    )
+    entry = trust.install_from_bundle(
+        str(bundle), root=_root(w["tmp"]), trust_root_path=w["troot"],
+        now=future, stale_decision=d,
+    )
+    assert entry["signed"] is True
+
+
+# --- install lock (reference lock.go) ---------------------------------
+
+
+def test_install_lock_contention_times_out(tmp_path):
+    root = _root(tmp_path)
+    with trust.install_lock(root):
+        with pytest.raises(trust.TrustError, match="install_locked"):
+            with trust.install_lock(root, timeout=0.2):
+                pass  # pragma: no cover
+    # released → re-acquirable
+    with trust.install_lock(root, timeout=0.2):
+        pass
+
+
+def test_malformed_trust_root_raises_loudly(tmp_path):
+    p = tmp_path / "tr.json"
+    p.write_text("{}")
+    with pytest.raises(trust.TrustError, match="bad_trust_root"):
+        trust.load_trust_root(str(p))
+    p.write_text(json.dumps({"publishers": {"a": {"keys": []}}}))
+    with pytest.raises(trust.TrustError, match="bad_trust_root"):
+        trust.load_trust_root(str(p))
