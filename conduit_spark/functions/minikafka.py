@@ -16,7 +16,15 @@ tagged-field) revisions of each API — the oldest versions every real
 client still speaks — so the framing stays byte-exact to the public
 protocol guide without KIP-482 compact encodings:
 
-  ApiVersions v0, Metadata v1, Produce v3, Fetch v4, ListOffsets v1
+  ApiVersions v0, Metadata v1, Produce v3, Fetch v4, ListOffsets v1,
+  OffsetCommit v2, OffsetFetch v1, FindCoordinator v0, and the group
+  membership set JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 — the
+  broker is the coordinator for every group (single node), with
+  generation fencing on commits/heartbeats (ILLEGAL_GENERATION /
+  UNKNOWN_MEMBER_ID) and the simple-consumer commit path
+  (generation -1, empty member). The reference's kafka source is a
+  consumer-group source (pkg/plugin/connector/builtin/registry.go);
+  the wire source resumes from committed group offsets the same way.
 
 Record payloads are RecordBatch v2 via ``kafka_wire`` (CRC32C
 verified both directions). The broker restamps ``baseOffset`` on
@@ -47,11 +55,20 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_VERSIONS = 18
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
 
 EARLIEST = -2
 LATEST = -1
@@ -217,6 +234,10 @@ class MiniKafkaBroker:
         self.default_partitions = default_partitions
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: dict[str, int] = {}  # topic -> n_partitions
+        # consumer-group coordinator state (this broker is the
+        # coordinator for every group — single node): generation,
+        # members, leader, per-member assignments, committed offsets
+        self._groups: dict[str, dict] = {}
         self._lock = threading.RLock()  # produce auto-creates topics under the lock
         broker = self
 
@@ -281,21 +302,187 @@ class MiniKafkaBroker:
             API_PRODUCE: (3, self._produce),
             API_FETCH: (4, self._fetch),
             API_LIST_OFFSETS: (1, self._list_offsets),
+            API_OFFSET_COMMIT: (2, self._offset_commit),
+            API_OFFSET_FETCH: (1, self._offset_fetch),
+            API_FIND_COORDINATOR: (0, self._find_coordinator),
+            API_JOIN_GROUP: (0, self._join_group),
+            API_HEARTBEAT: (0, self._heartbeat),
+            API_LEAVE_GROUP: (0, self._leave_group),
+            API_SYNC_GROUP: (0, self._sync_group),
         }
         if api_key not in handlers or api_version != handlers[api_key][0]:
             raise ValueError(
                 f"unsupported api_key={api_key} version={api_version}; "
                 "this broker speaks ApiVersions v0, Metadata v1, "
-                "Produce v3, Fetch v4, ListOffsets v1"
+                "Produce v3, Fetch v4, ListOffsets v1, OffsetCommit v2, "
+                "OffsetFetch v1, FindCoordinator v0, "
+                "JoinGroup/Heartbeat/LeaveGroup/SyncGroup v0"
             )
         return struct.pack(">i", correlation_id) + handlers[api_key][1](r)
 
     def _api_versions(self, r: _Reader) -> bytes:
         rows = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
-                (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
+                (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
+                (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
+                (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
+                (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
+                (API_SYNC_GROUP, 0, 0)]
         out = struct.pack(">h", ERR_NONE) + struct.pack(">i", len(rows))
         for k, lo, hi in rows:
             out += struct.pack(">hhh", k, lo, hi)
+        return out
+
+    # -- consumer-group coordinator (reference: the kafka source is a
+    # consumer-group source, pkg/plugin/connector/builtin/registry.go;
+    # franz-go joins/commits against these exact wire shapes) ---------
+
+    def _group(self, gid: str) -> dict:
+        return self._groups.setdefault(gid, {
+            "generation": 0, "members": {}, "leader": None,
+            "protocol": None, "assignments": {}, "offsets": {},
+            "counter": 0,
+        })
+
+    def _member_check(self, g: dict, generation: int, member: str) -> int:
+        """Shared commit/heartbeat validation. Generation -1 with an
+        empty member id is the simple-consumer path (real Kafka allows
+        offset storage without group membership)."""
+        if generation == -1 and not member:
+            return ERR_NONE
+        if member not in g["members"]:
+            return ERR_UNKNOWN_MEMBER_ID
+        if generation != g["generation"]:
+            return ERR_ILLEGAL_GENERATION
+        return ERR_NONE
+
+    def _find_coordinator(self, r: _Reader) -> bytes:
+        r.string()  # coordinator key (group id) — we coordinate all
+        return (
+            struct.pack(">h", ERR_NONE)
+            + struct.pack(">i", self.node_id)
+            + _w_str(self.host)
+            + struct.pack(">i", self.port)
+        )
+
+    def _join_group(self, r: _Reader) -> bytes:
+        gid = r.string()
+        r.i32()  # session_timeout_ms (no expiry timers in-process)
+        member = r.string() or ""
+        protocol_type = r.string()  # "consumer"
+        protocols = []
+        for _ in range(r.i32()):
+            protocols.append((r.string(), r.bytes_()))
+        with self._lock:
+            g = self._group(gid)
+            if not member:
+                g["counter"] += 1
+                member = f"{protocol_type or 'member'}-{g['counter']}"
+            g["members"][member] = protocols[0][1] if protocols else b""
+            if g["leader"] not in g["members"]:
+                g["leader"] = member
+            g["generation"] += 1
+            g["protocol"] = protocols[0][0] if protocols else ""
+            members = list(g["members"].items())
+            out = (
+                struct.pack(">h", ERR_NONE)
+                + struct.pack(">i", g["generation"])
+                + _w_str(g["protocol"])
+                + _w_str(g["leader"])
+                + _w_str(member)
+                + struct.pack(">i", len(members))
+            )
+            for mid, meta in members:
+                out += _w_str(mid) + _w_bytes(meta)
+            return out
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        gid = r.string()
+        generation = r.i32()
+        member = r.string() or ""
+        assignments = {}
+        for _ in range(r.i32()):
+            mid = r.string()  # read order matters: id, then blob
+            assignments[mid] = r.bytes_()
+        with self._lock:
+            g = self._group(gid)
+            err = self._member_check(g, generation, member)
+            if err == ERR_NONE and assignments:  # the leader's sync
+                g["assignments"] = assignments
+            mine = g["assignments"].get(member, b"") if err == ERR_NONE else b""
+            return struct.pack(">h", err) + _w_bytes(mine)
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        gid = r.string()
+        generation = r.i32()
+        member = r.string() or ""
+        with self._lock:
+            return struct.pack(
+                ">h", self._member_check(self._group(gid), generation, member)
+            )
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        gid = r.string()
+        member = r.string() or ""
+        with self._lock:
+            g = self._group(gid)
+            if member not in g["members"]:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            del g["members"][member]
+            g["assignments"].pop(member, None)
+            if g["leader"] == member:
+                g["leader"] = next(iter(g["members"]), None)
+            g["generation"] += 1
+            return struct.pack(">h", ERR_NONE)
+
+    def _offset_commit(self, r: _Reader) -> bytes:
+        gid = r.string()
+        generation = r.i32()
+        member = r.string() or ""
+        r.i64()  # retention_time_ms
+        with self._lock:
+            g = self._group(gid)
+            err = self._member_check(g, generation, member)
+            out_topics = []
+            for _ in range(r.i32()):
+                topic = r.string()
+                parts = []
+                for _ in range(r.i32()):
+                    p = r.i32()
+                    off = r.i64()
+                    meta = r.string()
+                    if err == ERR_NONE:
+                        g["offsets"][(topic, p)] = (off, meta or "")
+                    parts.append((p, err))
+                out_topics.append((topic, parts))
+        out = struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _w_str(topic) + struct.pack(">i", len(parts))
+            for p, e in parts:
+                out += struct.pack(">ih", p, e)
+        return out
+
+    def _offset_fetch(self, r: _Reader) -> bytes:
+        gid = r.string()
+        with self._lock:
+            g = self._group(gid)
+            out_topics = []
+            for _ in range(r.i32()):
+                topic = r.string()
+                parts = []
+                for _ in range(r.i32()):
+                    p = r.i32()
+                    off, meta = g["offsets"].get((topic, p), (-1, ""))
+                    parts.append((p, off, meta))
+                out_topics.append((topic, parts))
+        out = struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _w_str(topic) + struct.pack(">i", len(parts))
+            for p, off, meta in parts:
+                out += (
+                    struct.pack(">iq", p, off)
+                    + _w_str(meta)
+                    + struct.pack(">h", ERR_NONE)
+                )
         return out
 
     def _metadata(self, r: _Reader) -> bytes:
@@ -591,6 +778,158 @@ class MiniKafkaClient:
                         if rec["offset"] >= offset:
                             records.append(rec)
         return records, hwm
+
+    # -- consumer-group protocol --------------------------------------
+
+    def find_coordinator(self, group_id: str) -> tuple[int, str, int]:
+        """(node_id, host, port) of the group's coordinator."""
+        r = self._call(API_FIND_COORDINATOR, 0, _w_str(group_id))
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"find_coordinator error {err}")
+        node = r.i32()
+        host = r.string()
+        port = r.i32()
+        return node, host, port
+
+    def join_group(
+        self,
+        group_id: str,
+        *,
+        member_id: str = "",
+        session_timeout_ms: int = 30000,
+        protocol_type: str = "consumer",
+        protocols: list[tuple[str, bytes]] | None = None,
+    ) -> dict:
+        """Join (or re-join) a consumer group; returns generation,
+        assigned member id, leader, protocol, and the member list (the
+        leader uses it to compute assignments for sync_group)."""
+        protos = protocols or [("range", b"")]
+        body = (
+            _w_str(group_id)
+            + struct.pack(">i", session_timeout_ms)
+            + _w_str(member_id)
+            + _w_str(protocol_type)
+            + struct.pack(">i", len(protos))
+        )
+        for name, meta in protos:
+            body += _w_str(name) + _w_bytes(meta)
+        r = self._call(API_JOIN_GROUP, 0, body)
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"join_group error {err}")
+        generation = r.i32()
+        protocol = r.string()
+        leader = r.string()
+        me = r.string()
+        members = {}
+        for _ in range(r.i32()):
+            mid = r.string()  # read order matters: id, then metadata
+            members[mid] = r.bytes_()
+        return {
+            "generation": generation, "protocol": protocol,
+            "leader": leader, "member_id": me, "members": members,
+        }
+
+    def sync_group(
+        self,
+        group_id: str,
+        generation: int,
+        member_id: str,
+        assignments: dict[str, bytes] | None = None,
+    ) -> bytes:
+        """The leader passes everyone's assignments; followers pass
+        none and receive their own."""
+        a = assignments or {}
+        body = (
+            _w_str(group_id)
+            + struct.pack(">i", generation)
+            + _w_str(member_id)
+            + struct.pack(">i", len(a))
+        )
+        for mid, blob in a.items():
+            body += _w_str(mid) + _w_bytes(blob)
+        r = self._call(API_SYNC_GROUP, 0, body)
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"sync_group error {err}")
+        return r.bytes_() or b""
+
+    def heartbeat(self, group_id: str, generation: int, member_id: str) -> None:
+        body = _w_str(group_id) + struct.pack(">i", generation) + _w_str(member_id)
+        r = self._call(API_HEARTBEAT, 0, body)
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"heartbeat error {err}")
+
+    def leave_group(self, group_id: str, member_id: str) -> None:
+        r = self._call(API_LEAVE_GROUP, 0, _w_str(group_id) + _w_str(member_id))
+        err = r.i16()
+        if err:
+            raise RuntimeError(f"leave_group error {err}")
+
+    def offset_commit(
+        self,
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+        *,
+        generation: int = -1,
+        member_id: str = "",
+        metadata: str = "",
+    ) -> None:
+        """Commit next-to-read offsets. Default generation -1 + empty
+        member is the simple-consumer path; group members pass their
+        join_group generation/member and a stale generation refuses
+        (ILLEGAL_GENERATION) — commits cannot cross a rebalance."""
+        topics: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            topics.setdefault(t, []).append((p, off))
+        body = (
+            _w_str(group_id)
+            + struct.pack(">i", generation)
+            + _w_str(member_id)
+            + struct.pack(">q", -1)  # retention: broker default
+            + struct.pack(">i", len(topics))
+        )
+        for t, parts in topics.items():
+            body += _w_str(t) + struct.pack(">i", len(parts))
+            for p, off in parts:
+                body += struct.pack(">iq", p, off) + _w_str(metadata)
+        r = self._call(API_OFFSET_COMMIT, 2, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise RuntimeError(f"offset_commit error {err}")
+
+    def offset_fetch(
+        self, group_id: str, parts: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], int]:
+        """Committed offsets for (topic, partition) pairs; -1 when the
+        group has no commit there."""
+        topics: dict[str, list[int]] = {}
+        for t, p in parts:
+            topics.setdefault(t, []).append(p)
+        body = _w_str(group_id) + struct.pack(">i", len(topics))
+        for t, ps in topics.items():
+            body += _w_str(t) + struct.pack(">i", len(ps))
+            for p in ps:
+                body += struct.pack(">i", p)
+        r = self._call(API_OFFSET_FETCH, 1, body)
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(r.i32()):
+            t = r.string()
+            for _ in range(r.i32()):
+                p = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err:
+                    raise RuntimeError(f"offset_fetch error {err}")
+                out[(t, p)] = off
+        return out
 
     def list_offsets(self, topic: str, partition: int, timestamp: int = LATEST) -> int:
         body = (

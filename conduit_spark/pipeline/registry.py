@@ -763,12 +763,19 @@ def build_source(
                     reader = reader.option(
                         "startingOffsets", str(settings["startingOffsets"])
                     )
+                if "groupId" in settings:
+                    reader = reader.option(
+                        "groupId", str(settings["groupId"])
+                    )
                 df = reader.load()
                 return envelope_from_kafka(df, source_id)
             df = kafka_wire_source_df(
                 spark,
                 str(settings["servers"]),
                 str(settings.get("topics", settings.get("topic"))),
+                group_id=(
+                    str(settings["groupId"]) if "groupId" in settings else None
+                ),
             )
             return envelope_from_kafka(df, source_id)
         reader = spark.readStream if streaming else spark.read
@@ -777,7 +784,7 @@ def build_source(
     raise ValueError(f"unknown source plugin {plugin!r}")
 
 
-def kafka_wire_source_df(spark, servers: str, topic: str):
+def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None = None):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
     wire client: the driver resolves (topic, partition, earliest,
     latest) offset ranges with Metadata + ListOffsets — O(partitions)
@@ -789,7 +796,13 @@ def kafka_wire_source_df(spark, servers: str, topic: str):
     bytes never touch the driver. ``topic`` accepts a comma-separated
     list (the reference connector's ``topics`` model). Output columns
     match the spark-sql-kafka schema subset that
-    ``envelope_from_kafka`` projects."""
+    ``envelope_from_kafka`` projects.
+
+    ``group_id`` switches each partition's START to the group's
+    committed offset (OffsetFetch; earliest where none) — the
+    consumer-group snapshot shape. Committing after a successful run
+    is the caller's job via :func:`kafka_wire_commit_group` (commit
+    must follow delivery, and a DataFrame is lazy)."""
     from conduit_spark.functions.minikafka import EARLIEST, LATEST, MiniKafkaClient
 
     server = str(servers).split(",")[0].strip()
@@ -800,17 +813,22 @@ def kafka_wire_source_df(spark, servers: str, topic: str):
     )
     with MiniKafkaClient(server) as c:
         md = c.metadata(topics)
+        all_parts = [
+            (t, p["partition"])
+            for t in topics
+            for p in md["topics"].get(t, {"partitions": []})["partitions"]
+        ]
+        committed = (
+            c.offset_fetch(group_id, all_parts) if group_id else {}
+        )
         ranges = []
-        for t in topics:
-            parts = [
-                p["partition"]
-                for p in md["topics"].get(t, {"partitions": []})["partitions"]
-            ]
-            for p in parts:
-                lo = c.list_offsets(t, p, EARLIEST)
-                hi = c.list_offsets(t, p, LATEST)
-                if hi > lo:
-                    ranges.append((t, p, lo, hi))
+        for t, p in all_parts:
+            lo = c.list_offsets(t, p, EARLIEST)
+            if committed.get((t, p), -1) >= 0:
+                lo = max(lo, committed[(t, p)])
+            hi = c.list_offsets(t, p, LATEST)
+            if hi > lo:
+                ranges.append((t, p, lo, hi))
     if not ranges:
         return spark.createDataFrame([], schema)
 
@@ -852,6 +870,38 @@ def kafka_wire_source_df(spark, servers: str, topic: str):
                 )
 
     return range_df.mapInPandas(_fetch, schema)
+
+
+def kafka_wire_commit_group(
+    servers: str, group_id: str, topic: str
+) -> dict[tuple[str, int], int]:
+    """Commit the CURRENT log-end offsets of ``topic`` (comma list ok)
+    to ``group_id`` under a real join/sync membership — the
+    after-successful-delivery half of the batch consumer-group read
+    (:func:`kafka_wire_source_df` with ``group_id``). Returns the
+    committed next-read offsets per (topic, partition). Driver-side
+    O(partitions) control traffic only."""
+    from conduit_spark.functions.minikafka import LATEST, MiniKafkaClient
+
+    server = str(servers).split(",")[0].strip()
+    topics = [t.strip() for t in str(topic).split(",") if t.strip()]
+    with MiniKafkaClient(server) as c:
+        md = c.metadata(topics)
+        offsets = {
+            (t, p["partition"]): c.list_offsets(t, p["partition"], LATEST)
+            for t in topics
+            for p in md["topics"].get(t, {"partitions": []})["partitions"]
+        }
+        g = c.join_group(group_id)
+        c.sync_group(
+            group_id, g["generation"], g["member_id"],
+            assignments={g["member_id"]: b""},
+        )
+        c.offset_commit(
+            group_id, offsets,
+            generation=g["generation"], member_id=g["member_id"],
+        )
+    return offsets
 
 
 def kafka_reader_options(settings: dict[str, Any]) -> dict[str, str]:

@@ -337,7 +337,24 @@ class Pipeline:
             query.awaitTermination(await_seconds)
         elif trigger_once:
             query.awaitTermination()
+        if trigger_once and not query.isActive:
+            # consumer-group half of the kafka wire source: Spark only
+            # calls reader.commit(N) when batch N+1 starts, so the
+            # run's final completed batch commits to the group from
+            # the checkpoint's own offset/commit logs here —
+            # committed-means-delivered, never log-end
+            self._commit_source_groups(checkpoint_dir)
         return query
+
+    def _commit_source_groups(self, checkpoint_dir: str) -> None:
+        from conduit_spark.sources.pyds import commit_group_from_checkpoint
+
+        for conn in self.config.sources:
+            s = conn.settings
+            if conn.plugin == "builtin:kafka" and "groupId" in s and "servers" in s:
+                commit_group_from_checkpoint(
+                    str(s["servers"]), str(s["groupId"]), checkpoint_dir
+                )
 
     def restart_with_backoff(
         self,

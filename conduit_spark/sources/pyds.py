@@ -83,6 +83,19 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 f"startingOffsets must be earliest|latest, got {start!r}"
             )
         self._start_latest = start.lower() == "latest"
+        # groupId: consumer-group mode (the reference's kafka source is
+        # a consumer-group source). The FIRST batch starts from the
+        # group's committed offsets (falling back to startingOffsets
+        # where none exist) and every completed batch commits back via
+        # OffsetCommit under a real JoinGroup/SyncGroup membership —
+        # so a second run sharing the group id resumes after the last
+        # commit even with a fresh checkpoint.
+        self._group_id = str(
+            options.get("groupid", options.get("groupId", ""))
+        ) or None
+        import uuid
+
+        self._member_id = f"conduit-spark-{uuid.uuid4().hex[:12]}"
 
     def _client(self):
         from conduit_spark.functions.minikafka import MiniKafkaClient
@@ -111,7 +124,23 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:  # noqa: N802 — DataSource API
-        return self._offsets(earliest=not self._start_latest)
+        fallback = self._offsets(earliest=not self._start_latest)
+        if self._group_id is None:
+            return fallback
+        parts = []
+        for key in fallback:
+            topic, _, p = key.rpartition(":")
+            parts.append((topic or self._topics[0], int(p)))
+        with self._client() as c:
+            committed = c.offset_fetch(self._group_id, parts)
+        return {
+            f"{t}:{p}": (
+                committed[(t, p)]
+                if committed.get((t, p), -1) >= 0
+                else fallback[f"{t}:{p}"]
+            )
+            for t, p in parts
+        }
 
     def latestOffset(self) -> dict:  # noqa: N802
         return self._offsets(earliest=False)
@@ -152,7 +181,31 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 off = recs[-1]["offset"] + 1
 
     def commit(self, end: dict) -> None:
-        pass  # broker retains by log policy; checkpoint owns progress
+        # checkpoint owns in-run progress; with a groupId the batch's
+        # end offsets ALSO commit to the group under a real membership
+        # (join → sync → commit with the generation, so a stale
+        # generation after a rebalance refuses, exactly like a real
+        # consumer). Without one, broker log retention is the policy.
+        # NOTE Spark invokes commit(N) lazily when batch N+1 starts,
+        # so a run's FINAL batch is committed by
+        # :func:`commit_group_from_checkpoint` after termination (the
+        # pipeline runtime calls it; see run_streaming).
+        if self._group_id is None or not end:
+            return
+        offsets = {}
+        for key, off in end.items():
+            topic, _, p = key.rpartition(":")
+            offsets[(topic or self._topics[0], int(p))] = int(off)
+        with self._client() as c:
+            g = c.join_group(self._group_id, member_id=self._member_id)
+            c.sync_group(
+                self._group_id, g["generation"], g["member_id"],
+                assignments={g["member_id"]: b""} if g["leader"] == g["member_id"] else None,
+            )
+            c.offset_commit(
+                self._group_id, offsets,
+                generation=g["generation"], member_id=g["member_id"],
+            )
 
 
 class KafkaWireDataSource(DataSource):
@@ -286,3 +339,76 @@ def register(spark) -> None:
     skipping registration)."""
     spark.dataSource.register(KafkaWireDataSource)
     spark.dataSource.register(S3WireDataSource)
+
+
+def commit_group_from_checkpoint(
+    servers: str, group_id: str, checkpoint_dir: str
+) -> dict | None:
+    """Commit the LAST COMPLETED batch's end offsets from a Structured
+    Streaming checkpoint to a consumer group.
+
+    Spark calls ``DataSourceStreamReader.commit(N)`` only when batch
+    N+1 starts, so a run's final batch never reaches the group through
+    the reader. The checkpoint itself is the source of truth for what
+    completed: ``offsets/N`` holds the planned end offsets and
+    ``commits/N`` exists iff batch N finished (sink included). Reading
+    those and committing is therefore exactly
+    committed-means-delivered — never the log end, which would
+    over-commit records produced after the final plan. Called by the
+    pipeline runtime after query termination; safe to call any time.
+
+    Returns the committed ``{"topic:partition": offset}`` map, or
+    ``None`` when no batch has completed."""
+    import json
+    import os
+
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        done = sorted(
+            int(f) for f in os.listdir(commits_dir) if f.isdigit()
+        )
+    except OSError:
+        done = []
+    if not done:
+        return None
+    try:
+        lines = open(
+            os.path.join(offsets_dir, str(done[-1])), encoding="utf-8"
+        ).read().splitlines()
+    except OSError:
+        return None
+    # offsets file: "v1", then a metadata JSON line, then one offset
+    # JSON line per source — pick the kafka-wire-shaped one
+    end = None
+    for line in lines[1:]:
+        try:
+            doc = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(doc, dict) and doc and all(
+            isinstance(k, str) and ":" in k and str(v).lstrip("-").isdigit()
+            for k, v in doc.items()
+        ):
+            end = doc
+            break
+    if end is None:
+        return None
+    from conduit_spark.functions.minikafka import MiniKafkaClient
+
+    offsets = {}
+    for key, off in end.items():
+        topic, _, p = key.rpartition(":")
+        offsets[(topic, int(p))] = int(off)
+    server = str(servers).split(",")[0].strip()
+    with MiniKafkaClient(server) as c:
+        g = c.join_group(group_id)
+        c.sync_group(
+            group_id, g["generation"], g["member_id"],
+            assignments={g["member_id"]: b""},
+        )
+        c.offset_commit(
+            group_id, offsets,
+            generation=g["generation"], member_id=g["member_id"],
+        )
+    return end

@@ -31,7 +31,12 @@ def broker():
 def test_api_versions_and_metadata(broker):
     with MiniKafkaClient(broker.bootstrap) as c:
         versions = c.api_versions()
-        assert versions == {0: (3, 3), 1: (4, 4), 2: (1, 1), 3: (1, 1), 18: (0, 0)}
+        # core data-plane APIs plus the consumer-group coordinator set
+        assert versions == {
+            0: (3, 3), 1: (4, 4), 2: (1, 1), 3: (1, 1), 18: (0, 0),
+            8: (2, 2), 9: (1, 1), 10: (0, 0), 11: (0, 0), 12: (0, 0),
+            13: (0, 0), 14: (0, 0),
+        }
         broker.create_topic("t1", partitions=4)
         md = c.metadata(["t1"])
         assert md["controller"] == 0
