@@ -848,10 +848,77 @@ def cmd_connectors(args: argparse.Namespace) -> int:
             print(json.dumps(findings, indent=1))
             return 0 if all(f["ok"] for f in findings) else 1
         elif args.verb == "new":
-            print(f"wrote {reg.scaffold(args.name, args.path)}")
+            return _cmd_connectors_new(args, reg)
     except reg.RegistryError as e:
         print(str(e), file=sys.stderr)
         return 2
+    return 0
+
+
+def _cmd_connectors_new(args: argparse.Namespace, reg) -> int:
+    """`connectors new`: a full buildable plugin project with
+    toolchain preflight, atomic staging write, and a protocol
+    selftest before delivery (reference pkg/scaffold Generate) — or
+    the legacy one-file skeleton for a `.py` path / --single-file.
+
+    Exit-code routing mirrors the reference's scaffold codes.go:
+    toolchain preflight failures are environment errors (3),
+    bad-input codes are validation errors (2), and build/selftest/
+    write failures are runtime errors (1)."""
+    import json
+
+    from conduit_spark import scaffold as project_scaffold
+
+    if args.single_file or (args.path or "").endswith(".py"):
+        if not args.path:
+            print("--single-file requires an explicit path", file=sys.stderr)
+            return 2
+        print(f"wrote {reg.scaffold(args.name, args.path)}")
+        return 0
+
+    req = project_scaffold.Request(
+        kind=args.kind,
+        name=args.name,
+        language=args.lang,
+        module=args.module,
+        path=args.path or "",
+        git=not args.no_git,
+        skip_build=args.skip_build,
+        force=args.force,
+    )
+    try:
+        res = project_scaffold.generate(req)
+    except project_scaffold.ScaffoldError as e:
+        if args.as_json:
+            print(json.dumps({"error": {"code": e.code, "message": e.message,
+                                        "suggestion": e.suggestion}}, indent=1))
+        else:
+            print(str(e), file=sys.stderr)
+            if e.suggestion:
+                print(f"  suggestion: {e.suggestion}", file=sys.stderr)
+        if e.code == project_scaffold.CODE_TOOLCHAIN:
+            return 3
+        if e.code in (
+            project_scaffold.CODE_INVALID_NAME,
+            project_scaffold.CODE_INVALID_MODULE,
+            project_scaffold.CODE_UNSUPPORTED_LANGUAGE,
+            project_scaffold.CODE_UNSUPPORTED_KIND,
+            project_scaffold.CODE_DESTINATION_EXISTS,
+        ):
+            return 2
+        return 1
+    if args.as_json:
+        print(json.dumps(res.as_dict(), indent=1))
+    else:
+        for s in res.steps:
+            mark = "✓" if s.ok else "✗"
+            extra = f" — {s.message}" if s.message else ""
+            print(f"{mark} {s.name} ({s.duration_ms}ms){extra}")
+        print(f"scaffolded {res.kind} {res.name} at {res.path} "
+              f"({res.elapsed_ms}ms)")
+        print("next steps:")
+        for step in res.next_steps:
+            print(f"  {step}")
     return 0
 
 
@@ -1373,7 +1440,31 @@ def _build_parser() -> argparse.ArgumentParser:
             )
         if verb == "new":
             pv.add_argument("name")
-            pv.add_argument("path")
+            pv.add_argument(
+                "path", nargs="?", default=None,
+                help="destination dir (default ./conduit-<kind>-<name>); "
+                "a .py path writes the legacy one-file skeleton",
+            )
+            pv.add_argument(
+                "--kind", choices=("connector", "processor"),
+                default="connector",
+            )
+            pv.add_argument("--module", default="")
+            pv.add_argument("--lang", default="python")
+            pv.add_argument("--force", action="store_true")
+            pv.add_argument("--no-git", action="store_true")
+            pv.add_argument(
+                "--skip-build", action="store_true",
+                help="skip the build + protocol-selftest steps",
+            )
+            pv.add_argument(
+                "--json", action="store_true", dest="as_json",
+                help="machine-readable result envelope",
+            )
+            pv.add_argument(
+                "--single-file", action="store_true",
+                help="legacy one-file source skeleton instead of a project",
+            )
         pv.add_argument("--root", default=_PLUGIN_ROOT)
         pv.set_defaults(fn=cmd_connectors)
 

@@ -67,6 +67,7 @@ def custom_subprocess(
     extra_env: dict[str, str] | None = None,
     sandbox: dict | None = None,
     egress: dict | None = None,
+    configure: dict | None = None,
 ) -> DataFrame:
     """Run records through a standalone executable (one per partition)
     speaking JSON-lines: line i of stdout answers record i of stdin
@@ -91,7 +92,16 @@ def custom_subprocess(
     hostname pre-filter + resolved-IP dial check) and writes
     ``{"cmd": "http_response", "id": …, status/headers/body | error,
     denied}`` back on the child's stdin, then keeps waiting for the
-    record's real answer. Because the engine PIPELINES records, lines
+    record's real answer. ``configure`` (a ``{"settings": …,
+    "connector_id": …}`` dict) switches the child to the
+    REGISTRY-ARTIFACT dialect: one ``{"cmd": "configure", …}`` line is
+    written before the first record, matching the scaffolded-processor
+    driver (``scaffold.py`` ``_PROCESSOR_MAIN``) and the standalone
+    connector handshake (``sources/standalone.py``). The child answers
+    nothing to configure. Without it the stream is records-only — the
+    original ``custom.standalone`` contract, unchanged.
+
+    Because the engine PIPELINES records, lines
     arriving on the child's stdin while an http_response is pending
     may be further records — children must match on ``cmd ==
     "http_response"`` and queue the rest (see the reference child in
@@ -299,6 +309,14 @@ def custom_subprocess(
                         _locked_write("\n".join(buf) + "\n")
             except BaseException as e:  # noqa: BLE001 — surfaced by reader
                 feed_err.append(e)
+
+        if configure is not None:
+            _locked_write(
+                json.dumps(
+                    {"cmd": "configure", **configure}, allow_nan=False
+                )
+                + "\n"
+            )
 
         try:
             for pdf in batches:

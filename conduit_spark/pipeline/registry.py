@@ -440,11 +440,31 @@ def build_processor(
         cmd = _standalone_command(plugin, settings, kind="processor")
         sandbox = settings.get("sandbox")
         egress = settings.get("egress")
+        # Dialect is manifest-declared: scaffolded project artifacts
+        # (zipapps embedding plugin.yaml `protocol: jsonlines/v2`) get
+        # ONE configure line carrying their settings before the record
+        # stream — the standalone connector handshake. Legacy
+        # single-file v1 processors stay records-only.
+        configure = None
+        if plugin_protocol(cmd[0]) == "jsonlines/v2":
+            child_settings = {
+                k: v
+                for k, v in settings.items()
+                if k not in ("sandbox", "egress", "pluginRoot", "command")
+            }
+            configure = {
+                "settings": child_settings,
+                "connector_id": plugin,
+            }
         return lambda df: _with_condition_passthrough(
             df,
             c,
             lambda d: ops.custom_subprocess(
-                d, cmd, sandbox=sandbox, egress=egress
+                d,
+                cmd,
+                sandbox=sandbox,
+                egress=egress,
+                configure=configure,
             ),
         )
     raise ValueError(f"unknown processor plugin {plugin!r}")
@@ -1060,6 +1080,34 @@ def write_destination(
         )
         return
     raise ValueError(f"unknown destination plugin {plugin!r}")
+
+
+def plugin_protocol(artifact_path: str) -> str:
+    """The JSON-lines dialect an installed plugin artifact speaks.
+
+    Scaffolded projects ship as zipapps with a ``plugin.yaml``
+    manifest whose ``protocol:`` line declares ``jsonlines/v2``
+    (configure-first). Anything else — legacy single-file skeletons,
+    foreign executables, unreadable manifests — is ``jsonlines/v1``
+    (records-only), so the sniff NEVER breaks a working v1 plugin.
+    ``zipfile`` locates the archive from the end-of-central-directory
+    record, so the shebang line zipapp prepends is transparent."""
+    import zipfile
+
+    try:
+        if not zipfile.is_zipfile(artifact_path):
+            return "jsonlines/v1"
+        with zipfile.ZipFile(artifact_path) as zf:
+            if "plugin.yaml" not in zf.namelist():
+                return "jsonlines/v1"
+            manifest = zf.read("plugin.yaml").decode("utf-8", "replace")
+    except (OSError, ValueError):
+        return "jsonlines/v1"
+    for line in manifest.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line.startswith("protocol:"):
+            return line.split(":", 1)[1].strip()
+    return "jsonlines/v1"
 
 
 def _standalone_command(
