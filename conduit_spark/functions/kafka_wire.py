@@ -112,7 +112,7 @@ def _encode_record(
     return _write_varint(len(body)) + bytes(body)
 
 
-_COMPRESSION_CODES = {None: 0, "gzip": 1}
+_COMPRESSION_CODES = {None: 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
 _CODE_NAMES = {1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
 
 
@@ -125,15 +125,17 @@ def encode_record_batch(
 ) -> bytes:
     """Records (``{key: bytes|None, value: bytes|None, headers:
     dict[str, bytes], timestamp: int}``) → one RecordBatch v2
-    (non-transactional). ``compression="gzip"`` gzips the records
-    section and sets attribute bits 0-2 to 1, exactly as a gzip
-    producer does (the batch HEADER stays uncompressed per spec);
-    snappy/lz4/zstd need native codecs and are refused by name."""
+    (non-transactional). ``compression`` takes any of the wire's four
+    codecs — the records section alone is compressed and attribute
+    bits 0-2 carry the code, exactly as a real producer does (the
+    batch HEADER stays uncompressed per spec). gzip is stdlib;
+    snappy/lz4/zstd come from the from-spec pure-Python codecs in
+    ``functions/compression.py`` (zstd emits Raw/RLE-block frames —
+    valid to every decoder, RLE-only ratio)."""
     if compression not in _COMPRESSION_CODES:
         raise ValueError(
-            f"unsupported compression {compression!r}; this codec does "
-            f"{sorted(k for k in _COMPRESSION_CODES if k)} (snappy/lz4/zstd "
-            "need native libraries)"
+            f"unsupported compression {compression!r}; pick one of "
+            f"{sorted(k for k in _COMPRESSION_CODES if k)}"
         )
     if not records:
         raise ValueError("a record batch holds at least one record")
@@ -150,10 +152,10 @@ def encode_record_batch(
         )
         for i, r in enumerate(records)
     )
-    if compression == "gzip":
-        import gzip as _gzip
+    if compression is not None:
+        from conduit_spark.functions.compression import kafka_compress
 
-        payload = _gzip.compress(payload, mtime=0)  # deterministic frame
+        payload = kafka_compress(payload, compression)
     # everything after the crc field, in order
     after_crc = (
         struct.pack(">h", _COMPRESSION_CODES[compression])  # attributes
@@ -195,20 +197,21 @@ def decode_record_batches(data: bytes, *, verify_crc: bool = True) -> list[dict]
         # already covered by the CRC over the batch body.
         (attributes,) = struct.unpack_from(">h", after_crc, 0)
         codec = attributes & 0x07
-        if codec not in (0, 1):
-            raise ValueError(
-                f"{_CODE_NAMES.get(codec, codec)}-compressed batches need "
-                "a native codec; this decoder does none/gzip"
-            )
+        if codec not in (0, 1, 2, 3, 4):
+            raise ValueError(f"unknown compression code {codec}")
         base_ts, _max_ts = struct.unpack_from(">qq", after_crc, 6)
         (record_count,) = struct.unpack_from(">i", after_crc, 36)
         at = 40
-        if codec == 1:
-            import gzip as _gzip
+        if codec:
+            from conduit_spark.functions.compression import kafka_decompress
 
             # CRC covers the COMPRESSED bytes (verified above); the
-            # records section alone is gzipped, the header is not
-            after_crc = after_crc[:40] + _gzip.decompress(after_crc[40:])
+            # records section alone is compressed, the header is not.
+            # zstd: foreign entropy-coded frames raise here by design
+            # (compression.py module docstring).
+            after_crc = after_crc[:40] + kafka_decompress(
+                after_crc[40:], _CODE_NAMES[codec]
+            )
         for _ in range(record_count):
             rec_len, at = _read_varint(after_crc, at)
             end = at + rec_len
