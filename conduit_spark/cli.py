@@ -168,6 +168,111 @@ def cmd_init(args: argparse.Namespace) -> int:
     return 0
 
 
+# Self-contained generator->log demo: structured sample records flow to
+# the console with no configuration and nothing written to the working
+# directory (reference cmd/conduit/root/quickstart/quickstart.go:42-64 —
+# same fields as its demoPipeline so the two stay consistent).
+QUICKSTART_PIPELINE = """version: "2.2"
+pipelines:
+  - id: quickstart
+    status: running
+    description: Demo pipeline - generates sample records and logs them.
+    connectors:
+      - id: source
+        type: source
+        plugin: builtin:generator
+        settings:
+          recordCount: {count}
+          rate: {rate}
+          format.options: {{scheduledDeparture: time, airline: string}}
+      - id: destination
+        type: destination
+        plugin: builtin:log
+        settings: {{n: {count}}}
+"""
+
+
+def cmd_quickstart(args: argparse.Namespace) -> int:
+    """The zero-config 5-minute-wow verb (reference `conduit
+    quickstart`): scaffold an ephemeral demo workspace in a temp
+    directory, run a generator->log pipeline in-process so records
+    visibly flow within seconds, and remove the workspace on exit.
+    ``--once`` runs a single bounded batch (the test path and the
+    CI-friendly demo); the default streams at ``--rate`` records/sec
+    until Ctrl-C, which drains checkpoints before exit."""
+    import shutil
+    import tempfile
+
+    from conduit_spark import get_spark
+    from conduit_spark.pipeline.runtime import Pipeline, PipelineFailure
+
+    workspace = tempfile.mkdtemp(prefix="conduit-quickstart-")
+    # the runtime scans these like the reference's workspace layout
+    pipelines_dir = os.path.join(workspace, "pipelines")
+    for sub_dir in ("pipelines", "connectors", "processors"):
+        os.mkdir(os.path.join(workspace, sub_dir))
+    with open(os.path.join(pipelines_dir, "quickstart.yaml"), "w") as fh:
+        fh.write(QUICKSTART_PIPELINE.format(count=args.count, rate=args.rate))
+    spark = get_spark("conduit-quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cfg = _gather(pipelines_dir)[0]
+        p = Pipeline(spark, cfg)
+        print(
+            "quickstart: demo pipeline running (generator -> log); "
+            + ("one batch, then exit" if args.once else "Ctrl-C to stop")
+        )
+        if args.once:
+            res = p.run_batch()
+            print(
+                f"quickstart: delivered={res.delivered} status={p.status} "
+                "— build your own with: python -m conduit_spark init"
+            )
+            return 0
+        queries: list = []
+        install_graceful_shutdown(queries)
+        ckpt = os.path.join(workspace, "checkpoint")  # ephemeral state
+        queries.append(p.run_streaming(ckpt))
+        queries[0].awaitTermination()
+        return 0
+    except PipelineFailure as e:
+        print(f"quickstart: FAILED — {e}", file=sys.stderr)
+        return 1
+    finally:
+        shutil.rmtree(workspace, ignore_errors=True)
+
+
+def cmd_open(args: argparse.Namespace) -> int:
+    """`conduit open <what>` analog (reference cmd/conduit/root/open):
+    resolve the URL for a resource and open it in the default browser.
+    ``docs`` targets the repo's generated ``llms.txt``/docs tree as a
+    ``file://`` URL (the reference opens its hosted docs site);
+    ``api``/``metrics`` target a running local control plane. With
+    ``--print`` (or when no browser is available) the URL is printed
+    instead — the command never fails just because the environment is
+    headless."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    targets = {
+        "docs": (repo / "llms.txt").as_uri(),
+        "api": f"http://localhost:{args.port}/v1/pipelines",
+        "metrics": f"http://localhost:{args.port}/metrics",
+    }
+    url = targets[args.what]
+    if not args.print:
+        import webbrowser
+
+        try:
+            if webbrowser.open(url):
+                print(f"opened {url}")
+                return 0
+        except Exception:  # noqa: BLE001 — headless fallback below
+            pass
+    print(url)
+    return 0
+
+
 def install_graceful_shutdown(queries: list, *, signals=None) -> object:
     """SIGTERM/SIGINT → stop every streaming query at its micro-batch
     boundary (Structured Streaming ``stop()`` lets the in-flight batch
@@ -1182,6 +1287,25 @@ def _build_parser() -> argparse.ArgumentParser:
         help="streaming: process available data then stop (availableNow)",
     )
     p_run.set_defaults(fn=cmd_run)
+
+    p_quick = sub.add_parser(
+        "quickstart",
+        help="run an ephemeral generator->log demo pipeline, zero config",
+    )
+    p_quick.add_argument(
+        "--once", action="store_true", help="one bounded batch, then exit"
+    )
+    p_quick.add_argument("--count", type=int, default=10, help="records per batch")
+    p_quick.add_argument("--rate", type=float, default=1, help="records/sec (streaming)")
+    p_quick.set_defaults(fn=cmd_quickstart)
+
+    p_open = sub.add_parser("open", help="open docs/api/metrics in a browser")
+    p_open.add_argument("what", choices=["docs", "api", "metrics"])
+    p_open.add_argument("--port", type=int, default=8080)
+    p_open.add_argument(
+        "--print", action="store_true", help="print the URL instead of opening"
+    )
+    p_open.set_defaults(fn=cmd_open)
 
     p_list = sub.add_parser("list", help="list configured pipelines")
     p_list.add_argument("--pipelines", required=True)

@@ -626,3 +626,27 @@ def test_validate_and_lint_json_output(tmp_path, capsys):
     by_file = {r["file"]: r for r in out["files"]}
     assert by_file[str(good)]["status"] == "ok"
     assert by_file[str(bad)]["status"] == "fail"
+
+
+def test_cli_open_prints_urls(capsys):
+    from conduit_spark import cli
+
+    assert cli.main(["open", "docs", "--print"]) == 0
+    assert capsys.readouterr().out.strip().startswith("file://")
+    assert cli.main(["open", "metrics", "--print", "--port", "9999"]) == 0
+    assert capsys.readouterr().out.strip() == "http://localhost:9999/metrics"
+
+
+def test_cli_quickstart_once_is_ephemeral(capsys, monkeypatch):
+    """The demo runs one bounded batch, prints flowing records, and
+    leaves nothing behind in the working directory or the temp root."""
+    import glob
+
+    from conduit_spark import cli
+
+    before = set(glob.glob("/tmp/conduit-quickstart-*"))
+    assert cli.main(["quickstart", "--once", "--count", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "airline" in out  # records visibly flowed to the console
+    assert "delivered={'destination': 5}" in out
+    assert set(glob.glob("/tmp/conduit-quickstart-*")) == before  # cleaned up
