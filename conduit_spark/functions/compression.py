@@ -18,12 +18,12 @@ format specifications alone:
   block/content checksums) with a from-spec XXH32. Kafka v2 record
   batches carry LZ4 *frames*. Specs: lz4_Block_format.md,
   lz4_Frame_format.md, xxhash spec.
-- **zstd** — frame reader/writer restricted to Raw and RLE blocks
-  (RFC 8878 §3.1.1). Encoding always works and any real zstd decoder
-  accepts our frames; decoding refuses Compressed blocks (FSE/Huffman
-  entropy coding) with a clear error, so self-produced round-trips are
-  exact while foreign zstd batches fail loudly instead of silently
-  corrupting. This is the one documented seam left in codec parity.
+- **zstd** — the writer emits frames restricted to Raw and RLE blocks
+  (RFC 8878 §3.1.1; valid to every decoder, RLE-only ratio). The
+  DECODER is the full RFC 8878 implementation in ``zstd_decode.py``
+  (FSE + Huffman + sequences + XXH64 checksums), so entropy-coded
+  frames from real producers decode exactly — golden-tested against
+  the JVM's zstd-jni across levels in ``tests/test_zstd_interop.py``.
 
 Scale note: these run driver-side (wire-transport framing) or inside
 ``mapInPandas`` batches on the executor; byte-level Python loops are
@@ -377,7 +377,9 @@ def lz4_frame_compress(data: bytes, *, block_max_id: int = 4) -> bytes:
     hc = (xxh32(descriptor) >> 8) & 0xFF
     out = bytearray(struct.pack("<I", _LZ4_MAGIC) + descriptor + bytes([hc]))
     block_max = _LZ4_BLOCK_MAX[block_max_id]
-    for at in range(0, len(data), block_max) or (0,):
+    # empty content = zero data blocks (what reference encoders emit;
+    # an explicit size-0 block is rejected by lz4-java's frame reader)
+    for at in range(0, len(data), block_max):
         chunk = data[at : at + block_max]
         comp = lz4_block_compress(chunk)
         if len(comp) < len(chunk):
@@ -510,56 +512,16 @@ def zstd_compress(data: bytes, *, block_max: int = 128 * 1024) -> bytes:
 
 
 def zstd_decompress(data: bytes) -> bytes:
-    """Decode zstd frames whose blocks are Raw or RLE. Compressed
-    blocks (entropy-coded) raise — see the module docstring for why
-    this seam is deliberate."""
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != _ZSTD_MAGIC:
-        raise ValueError(f"zstd: bad magic {magic:#x}")
-    fhd = data[4]
-    pos = 5
-    fcs_code = fhd >> 6
-    single_segment = bool(fhd & (1 << 5))
-    checksum = bool(fhd & (1 << 2))
-    did_code = fhd & 3
-    if not single_segment:
-        pos += 1  # window descriptor
-    pos += (0, 1, 2, 4)[did_code]
-    fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_code]
-    declared = None
-    if fcs_len:
-        declared = int.from_bytes(data[pos : pos + fcs_len], "little")
-        if fcs_len == 2:
-            declared += 256
-        pos += fcs_len
-    out = bytearray()
-    while True:
-        header = int.from_bytes(data[pos : pos + 3], "little")
-        pos += 3
-        last = header & 1
-        btype = (header >> 1) & 3
-        size = header >> 3
-        if btype == 0:  # Raw
-            out += data[pos : pos + size]
-            pos += size
-        elif btype == 1:  # RLE: one byte, regenerated `size` times
-            out += bytes([data[pos]]) * size
-            pos += 1
-        elif btype == 2:
-            raise ValueError(
-                "zstd: entropy-coded (Compressed) blocks need the native "
-                "zstd library; this decoder handles Raw/RLE frames "
-                "(everything zstd_compress emits)"
-            )
-        else:
-            raise ValueError("zstd: reserved block type")
-        if last:
-            break
-    if checksum:
-        pos += 4  # XXH64 low half — not verified (no XXH64 here)
-    if declared is not None and len(out) != declared:
-        raise ValueError("zstd: content size mismatch")
-    return bytes(out)
+    """Decode any zstd frame: delegates to the full RFC 8878 decoder
+    (``zstd_decode.zstd_decompress_full`` — FSE + Huffman + sequences,
+    golden-tested against zstd-jni), keeping this module's historical
+    fast path for the Raw/RLE frames our own encoder emits."""
+    from conduit_spark.functions.zstd_decode import zstd_decompress_full
+
+    try:
+        return zstd_decompress_full(data)
+    except (IndexError, struct.error) as e:  # truncated/corrupt input
+        raise ValueError(f"zstd: truncated or corrupt frame ({e})") from e
 
 
 # ---------------------------------------------------------------------------
