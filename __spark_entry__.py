@@ -73,6 +73,13 @@ _EXTENDED = (
     # m_decode_wav_real, d_pagerank, sk_kmv_overlap, t_unigram_logprob,
     # s_knn_join, cur_shuffle, q2_min_cost_supplier, and the three
     # real-codec upgrades m_frame_sample / m_features / m_resize).
+    # Round-7 rotation candidates (never driver-verified, in priority
+    # order): s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
+    # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
+    # smp_stratified_ids, s_quantized_topk, q_range_value_bands, q11,
+    # q21 — displace the rows that will then be 6x green (p_filter,
+    # p_field_set, p_unwrap_debezium, d_minhash_signatures, d_simhash,
+    # d_ngram_jaccard, t_token_count, q9, q_value_percentiles, ...).
     "p_filter",  # driver-green r1-r5; topology kept via p_error_dlq/p_webhook
     "p_field_set",  # driver-green r1-r5; processor core kept via p_cdc_upsert
     "p_unwrap_debezium",  # driver-green r1-r5

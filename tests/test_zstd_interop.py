@@ -128,3 +128,42 @@ def test_xxh64_against_jvm(jvm):
             want = h.hash(data, 0, len(data), seed & 0x7FFFFFFFFFFFFFFF)
             got = xxh64(data, seed & 0x7FFFFFFFFFFFFFFF)
             assert got == want & 0xFFFFFFFFFFFFFFFF, (len(data), seed)
+
+
+def test_foreign_zstd_record_batch_decodes(jvm):
+    """End-to-end foreign-producer shape: a RecordBatch v2 whose
+    records section was compressed by the NATIVE zstd (as a real
+    client with zstd-jni would produce) must decode through the wire
+    transport's normal path."""
+    import struct
+
+    from conduit_spark.functions.kafka_wire import (
+        crc32c,
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    records = [
+        {"key": f"k{i}".encode(), "value": (f"payload-{i} " * 8).encode(),
+         "headers": {"src": b"native"}, "timestamp": 1_700_000_000_000 + i}
+        for i in range(64)
+    ]
+    # build an uncompressed batch, then re-compress its records section
+    # with native zstd and restamp attributes + CRC, byte-for-byte what
+    # a zstd-producing client emits
+    plain = encode_record_batch(records)
+    body = plain[12:]
+    after_crc = bytearray(body[9:])
+    payload = bytes(after_crc[40:])
+    Zstd = jvm.com.github.luben.zstd.Zstd
+    native = bytes(Zstd.compress(payload, 3))
+    struct.pack_into(">h", after_crc, 0, 4)  # attributes: codec=zstd
+    recompressed = bytes(after_crc[:40]) + native
+    new_body = (
+        body[:5] + struct.pack(">I", crc32c(recompressed)) + recompressed
+    )
+    frame = plain[:8] + struct.pack(">i", len(new_body)) + new_body
+    out = decode_record_batches(frame)
+    assert [(r["key"], r["value"]) for r in out] == [
+        (r["key"], r["value"]) for r in records
+    ]
