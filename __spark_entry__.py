@@ -40,6 +40,7 @@ from conduit_spark.analytics import (
     sketches,
     temporal,
     text,
+    webdata,
 )
 
 # Registries in gate-priority order: operator-parity and the novel
@@ -58,6 +59,7 @@ _REGISTRIES = [
     (temporal.QUERIES, temporal.ORACLES),
     (quality_checks.QUERIES, quality_checks.ORACLES),
     (text.QUERIES, text.ORACLES),
+    (webdata.QUERIES, webdata.ORACLES),
     (rag.QUERIES, rag.ORACLES),  # full hash-match oracle since r5
     (relational.QUERIES, relational.ORACLES),
 ]
@@ -80,6 +82,12 @@ _EXTENDED = (
     # q21 — displace the rows that will then be 6x green (p_filter,
     # p_field_set, p_unwrap_debezium, d_minhash_signatures, d_simhash,
     # d_ngram_jaccard, t_token_count, q9, q_value_percentiles, ...).
+    # Round-6 second rotation: three 5x-green keepers move here so the
+    # new webdata family (d_url_dedup / cur_boilerplate /
+    # t_gopher_rules) earns first-time driver rows.
+    "p_webhook",  # driver-green r1-r5; enrich family kept via rag_ingest_retrieve
+    "d_minhash_lsh_pairs",  # driver-green r1-r5; dedup keeps 6 slots
+    "q5_region_revenue",  # driver-green r1-r5; relational keeps q1/q2
     "p_filter",  # driver-green r1-r5; topology kept via p_error_dlq/p_webhook
     "p_field_set",  # driver-green r1-r5; processor core kept via p_cdc_upsert
     "p_unwrap_debezium",  # driver-green r1-r5

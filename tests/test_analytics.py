@@ -12,6 +12,7 @@ from conduit_spark.analytics import (
     similarity,
     sketches,
     text,
+    webdata,
 )
 from tests.oracle_util import compare_spark_duckdb
 
@@ -24,6 +25,7 @@ MODULES = {
     "sampling": sampling,
     "sketches": sketches,
     "curation": curation,
+    "webdata": webdata,
 }
 
 CASES = [
