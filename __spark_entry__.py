@@ -76,7 +76,7 @@ _EXTENDED = (
     # s_knn_join, cur_shuffle, q2_min_cost_supplier, and the three
     # real-codec upgrades m_frame_sample / m_features / m_resize).
     # Round-7 rotation candidates (never driver-verified, in priority
-    # order): s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
+    # order): s_mmr_rerank, s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
     # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
     # smp_stratified_ids, s_quantized_topk, q_range_value_bands, q11,
     # q21 — displace the rows that will then be 6x green (p_filter,
@@ -133,6 +133,7 @@ _EXTENDED = (
     "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_quantized_topk",  # int8 scalar-quantized search variant
+    "s_mmr_rerank",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)

@@ -709,8 +709,107 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_K = 5  # results returned by MMR re-ranking
+MMR_CANDIDATES = 16  # relevance top-C candidate pool fed to MMR
+# MMR weights as separate literals: 0.7/0.3 are written verbatim in
+# both engines — deriving mu as 1 - 0.7 would yield 0.30000000000000004
+# in Python and break hash parity with the SQL literal 0.3.
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of the query's top-16 cosine candidates: greedily pick
+    ``argmax 0.7*rel(c) - 0.3*max_{s in selected} sim(c, s)`` for 5
+    steps — the diversity-aware retrieval stage a RAG pipeline runs
+    after ANN candidate generation, so near-duplicate passages don't
+    crowd the context window.
+
+    The greedy loop is K-1 UNROLLED DataFrame stages over the
+    checkpointed 16-row candidate pool and its 16x15 similarity
+    matrix — bounded by construction (top-C candidates), never
+    corpus-sized, so the "iteration" costs K tiny jobs regardless of
+    SF. All similarities are 9-rounded before the argmax, and the
+    lambda/mu literals are written identically in both engines, so
+    selection order is bit-deterministic (ties break on vec_id).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .localCheckpoint(eager=False)  # 16 rows, reused by every step
+    )
+    sims = (
+        cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+        .crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+                )
+            )
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine(F.col("ea"), F.col("eb")), 9).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # 16x15 rows
+    )
+    out = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            "vec_id",
+            "label",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, MMR_K + 1):
+        mx = (
+            sims.join(out.select(F.col("vec_id").alias("ib")), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("mx"))
+        )
+        nxt = (
+            cand.join(out.select("vec_id"), "vec_id", "left_anti")
+            .join(mx, F.col("vec_id") == F.col("ia"))
+            .select(
+                "vec_id",
+                "label",
+                "rel",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_MU) * F.col("mx"),
+                    9,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(step).alias("step"), "vec_id", "label", "rel", "mmr_score")
+        )
+        # checkpoint each 1-row pick: `out` is referenced three times
+        # per later stage, so an unpinned tree re-plans 3^k subtrees
+        out = out.unionByName(nxt).localCheckpoint(eager=False)
+    return out.orderBy("step")
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_mmr_rerank": s_mmr_rerank,
     "s_semantic_dedup": s_semantic_dedup,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
@@ -831,7 +930,51 @@ def _sql_ivf_cell(vec: str) -> str:
     return f"CAST(list_position({sims}, list_max({sims})) - 1 AS INT)"
 
 
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as CTE stages s1..sK (p_i = picked ids so
+    far); mirrors the Spark loop literal-for-literal (0.7/0.3,
+    9-rounded sims, vec_id tie-break)."""
+    head = f"""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT e.vec_id, e.label,
+                   round({_sql_cosine("e.embedding", "q.qv")}, 9) AS rel,
+                   e.embedding
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY rel DESC, e.vec_id ASC LIMIT {MMR_CANDIDATES}),
+        sims AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS s
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS (
+            SELECT 1 AS step, vec_id, label, rel, rel AS mmr_score
+            FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        p1 AS (SELECT vec_id FROM s1)"""
+    stages = [head]
+    for k in range(2, MMR_K + 1):
+        stages.append(f"""
+        s{k} AS (
+            SELECT {k} AS step, c.vec_id, c.label, c.rel,
+                   round({MMR_LAMBDA} * c.rel - {MMR_MU} * m.mx, 9) AS mmr_score
+            FROM cand c
+            JOIN (SELECT ia, max(s) AS mx FROM sims
+                  WHERE ib IN (SELECT vec_id FROM p{k - 1})
+                  GROUP BY ia) m ON m.ia = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM p{k - 1})
+            ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1),
+        p{k} AS (SELECT vec_id FROM p{k - 1}
+                 UNION ALL SELECT vec_id FROM s{k})""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(1, MMR_K + 1)
+    )
+    return ",".join(stages) + f"\n        {union}\n        ORDER BY step"
+
+
 ORACLES = {
+    "s_mmr_rerank": _mmr_sql(),
     "s_kmeans_centroids": f"""
         WITH v AS (
             SELECT vec_id,
