@@ -134,6 +134,10 @@ _EXTENDED = (
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_quantized_topk",  # int8 scalar-quantized search variant
     "s_mmr_rerank",  # late-r6 addition; r7 rotation candidate (gate full)
+    "smp_dsir",  # late-r6 addition; r7 rotation candidate (gate full)
+    "cur_ppl_buckets",  # late-r6 addition; r7 rotation candidate (gate full)
+    "d_substring_dedup",  # late-r6 addition; r7 rotation candidate (gate full)
+    "s_ivf_recall",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)

@@ -268,12 +268,116 @@ def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+# every document with a per-language LM, split each language into
+# head/middle/tail perplexity terciles, and train preferentially on the
+# head. The LM here is the corpus's own per-language unigram model
+# (the engine's deterministic stand-in for KenLM — same construction
+# as text.t_unigram_logprob, partitioned by lang).
+PPL_BIN_SCALE = 1000.0  # logprob quantized to 3-decimal bins
+
+
+def cur_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail perplexity buckets with doc and
+    token counts — the CCNet curation signal.
+
+    Tercile boundaries are computed at BIN granularity, never by a
+    corpus-wide rank: per-doc mean logprob is quantized to 3 decimals
+    (``floor(score*1000)``), the per-(lang, bin) histogram is
+    cumulated best-bin-first, and a bin belongs to the bucket its
+    LAST document falls into (``3*cum <= n`` → head, ``<= 2n`` →
+    middle, else tail) — pure integer comparisons, so both engines
+    agree exactly. The one window runs over the (lang, bin) histogram
+    — thousands of rows regardless of corpus size (logprob spans a few
+    units × 1000 bins), the ``c_pack_blocks`` reduced-relation
+    construction — while every corpus-sized step is a keyed agg or an
+    equi-join. The per-doc float fold is bucket-sorted for cross-engine
+    exactness (the ``t_unigram_logprob`` trick).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    corpus = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = corpus.groupBy("lang").agg(F.sum("c").cast("double").alias("total"))
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = (
+        per_tok.join(corpus, ["lang", "tok"])
+        .join(tot, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "tok",
+            "n",
+            F.log(F.col("c").cast("double") / F.col("total")).alias("logp"),
+        )
+    )
+    scored = (
+        j.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "n", "logp"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["n"].cast("double") * s["logp"],
+            ).alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(
+                F.col("sum_logp") / F.col("n_tokens").cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    binned = scored.select(
+        "lang",
+        "n_tokens",
+        "score",
+        F.floor(F.col("score") * F.lit(PPL_BIN_SCALE)).cast("bigint").alias("bin"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("nb"))
+    # higher mean logprob = lower perplexity = better ("head") — cumulate
+    # best-first over the reduced histogram relation
+    w = Window.partitionBy("lang").orderBy(F.desc("bin"))
+    nlang = binned.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    lab = (
+        hist.select("lang", "bin", F.sum("nb").over(w).alias("cum"))
+        .join(nlang, "lang")
+        .select(
+            "lang",
+            "bin",
+            F.when(F.col("cum") * 3 <= F.col("n"), F.lit("head"))
+            .when(F.col("cum") * 3 <= F.col("n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return (
+        binned.join(lab, ["lang", "bin"])
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 QUERIES = {
     "cur_funnel": cur_funnel,
     "cur_split_leakage": cur_split_leakage,
     "cur_shards": cur_shards,
     "cur_mix": cur_mix,
     "cur_shuffle": cur_shuffle,
+    "cur_ppl_buckets": cur_ppl_buckets,
 }
 
 
@@ -429,3 +533,49 @@ def _split_leakage_oracle() -> str:
 
 
 ORACLES["cur_split_leakage"] = _split_leakage_oracle()
+
+ORACLES["cur_ppl_buckets"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    corpus AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS total FROM corpus GROUP BY 1),
+    per_tok AS (
+        SELECT doc_id, lang, tok, count(*) AS n FROM toks GROUP BY 1, 2, 3),
+    j AS (
+        SELECT doc_id, lang, tok, n,
+               ln(CAST(c AS DOUBLE) / total) AS logp
+        FROM per_tok JOIN corpus USING (lang, tok) JOIN tot USING (lang)),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(list_sum(list_transform(
+                   list_sort(list(struct_pack(tok := tok, n := n, logp := logp))),
+                   s -> CAST(s.n AS DOUBLE) * s.logp))
+                   / CAST(sum(n) AS DOUBLE), 6) AS score
+        FROM j GROUP BY 1, 2),
+    binned AS (
+        SELECT lang, n_tokens, score,
+               CAST(floor(score * {PPL_BIN_SCALE}) AS BIGINT) AS bin
+        FROM scored),
+    hist AS (SELECT lang, bin, count(*) AS nb FROM binned GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, bin,
+               sum(nb) OVER (PARTITION BY lang ORDER BY bin DESC) AS cum
+        FROM hist),
+    nl AS (SELECT lang, count(*) AS n FROM binned GROUP BY 1),
+    lab AS (
+        SELECT c.lang, c.bin,
+               CASE WHEN c.cum * 3 <= nl.n THEN 'head'
+                    WHEN c.cum * 3 <= nl.n * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM cum c JOIN nl USING (lang))
+    SELECT b.lang, l.bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+           min(b.score) AS min_score,
+           max(b.score) AS max_score
+    FROM binned b JOIN lab l USING (lang, bin)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

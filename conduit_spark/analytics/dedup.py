@@ -672,6 +672,104 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): any >=SUB_W-token run appearing more
+# than once ANYWHERE in the corpus is duplicated text. The paper builds
+# a corpus-wide suffix array; the Spark-native equivalent is sliding
+# SUB_W-gram fingerprints — a duplicated maximal substring of length
+# L >= SUB_W is exactly a run of L-SUB_W+1 consecutive duplicated
+# grams, so merging adjacent duplicated gram positions recovers the
+# paper's maximal spans without any suffix-array global state.
+SUB_W = 16  # minimum duplicated run, in tokens (the paper uses 50 at web scale)
+
+
+def d_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring report: how many tokens sit
+    inside >=SUB_W-token runs that occur >=2 times corpus-wide, merged
+    into maximal spans — the Lee et al. exact-substring dedup signal
+    (C4-style ``d_span_dedup`` only sees aligned non-overlapping spans;
+    this sees EVERY duplicated window, at any offset).
+
+    Scale shape: sliding grams are one narrow ``posexplode`` hashed
+    immediately (the (doc_id, pos, hash) relation is checkpointed once
+    — it feeds the corpus count AND the join back); duplicated-gram
+    detection is a keyed count with map-side partials (never a window
+    over the hash — viral boilerplate grams would funnel one task);
+    span merging is a per-document sorted-array fold over positions
+    (bounded by doc token count, zero extra shuffle): with sorted
+    starts ``js``, consecutive gaps > SUB_W open a new span and union
+    coverage adds ``min(SUB_W, gap)`` per step — pure integer algebra,
+    bit-identical in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # split ONCE into a projected column — referencing `t` inside the
+    # transform keeps Catalyst from re-splitting the text per gram
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= SUB_W)
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {SUB_W} + 1),"
+        f" j -> array_join(slice(t, j, {SUB_W}), ' '))"
+    )
+    tn = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    occ = (
+        base.select("doc_id", F.posexplode(grams).alias("j", "gram"))
+        .select("doc_id", "j", md5_int32(F.col("gram")).alias("h"))
+        .localCheckpoint()  # feeds the corpus count AND the join back
+    )
+    dup_h = occ.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    per = (
+        occ.join(dup_h.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.array_sort(F.collect_list("j")).alias("js"),
+        )
+    )
+    diffs = F.zip_with(
+        F.expr("slice(js, 1, size(js) - 1)"),
+        F.expr("slice(js, 2, size(js) - 1)"),
+        lambda a, b: b - a,
+    )
+    stats = per.select(
+        "doc_id",
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        (
+            1
+            + F.size(F.filter(diffs, lambda d: d > F.lit(SUB_W)))
+        ).cast("bigint").alias("n_dup_spans"),
+        (
+            F.lit(SUB_W)
+            + F.coalesce(
+                F.aggregate(
+                    diffs,
+                    F.lit(0),
+                    lambda acc, d: acc + F.least(F.lit(SUB_W), d),
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("n_dup_tokens"),
+    )
+    return (
+        tn.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("dup_frac"),
+        )
+        .transform(ordered_result, "doc_id")
+    )
+
+
 def _pagerank_sql() -> str:
     iters = []
     for t in range(PAGERANK_ITERS):
@@ -715,6 +813,7 @@ QUERIES = {
     "d_exact": d_exact,
     "d_contamination": d_contamination,
     "d_span_dedup": d_span_dedup,
+    "d_substring_dedup": d_substring_dedup,
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
@@ -972,3 +1071,41 @@ ORACLES = {
         ORDER BY id_a, id_b
     """,
 }
+
+ORACLES["d_substring_dedup"] = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tn AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+        FROM base WHERE len(t) >= {SUB_W}),
+    occ AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - {SUB_W} + 1)) AS j, t
+        FROM base WHERE len(t) >= {SUB_W}),
+    g AS (
+        SELECT doc_id, j,
+               {sql_md5_int32(f"array_to_string(t[j:j+{SUB_W}-1], ' ')")} AS h
+        FROM occ),
+    dup_h AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    per AS (
+        SELECT doc_id, count(*) AS n_dup_grams, list_sort(list(j)) AS js
+        FROM g JOIN dup_h USING (h) GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id,
+               CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+               CAST(1 + len(list_filter(
+                   list_zip(js[1:len(js)-1], js[2:len(js)]),
+                   z -> z[2] - z[1] > {SUB_W})) AS BIGINT) AS n_dup_spans,
+               CAST({SUB_W} + coalesce(list_sum(list_transform(
+                   list_zip(js[1:len(js)-1], js[2:len(js)]),
+                   z -> least({SUB_W}, z[2] - z[1]))), 0) AS BIGINT)
+                   AS n_dup_tokens
+        FROM per)
+    SELECT tn.doc_id, tn.n_tokens,
+           coalesce(s.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+           round(CAST(coalesce(s.n_dup_tokens, 0) AS DOUBLE)
+                 / CAST(tn.n_tokens AS DOUBLE), 9) AS dup_frac
+    FROM tn LEFT JOIN stats s USING (doc_id)
+    ORDER BY doc_id
+"""

@@ -116,10 +116,136 @@ def smp_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): select raw-corpus documents whose hashed-n-gram feature
+# distribution looks like a small target domain. The standard
+# pretraining-data move when you have a quality exemplar set (wiki,
+# books) and a 100 TB crawl: score every raw doc with the bucketed
+# log-likelihood ratio log p_target(x)/p_raw(x), then Gumbel-top-k
+# resample proportionally to the importance weights.
+DSIR_BUCKETS = 512  # hashed feature space (the paper uses 10k at scale)
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the target-domain exemplar slice
+DSIR_K = 64  # resampled docs
+
+
+def smp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling over the documents corpus.
+
+    Features are hashed unigrams + bigrams: every gram lands in one of
+    ``DSIR_BUCKETS`` buckets via the shared md5 hash, and the two
+    bucket distributions (target slice vs the rest) are Laplace-
+    smoothed: ``p[b] = (c[b]+1) / (N+B)``. A raw doc's importance
+    weight is ``log w(x) = sum_b n_x[b] * (log p_t[b] - log p_r[b])``
+    and selection is deterministic Gumbel-top-k — ``logw +
+    (-ln(-ln(u)))`` with ``u`` derived from the md5 hash-gate, so the
+    sample is exactly reproducible in any engine (no RNG state).
+
+    Plan shape, all SF-linear: ONE exploded gram pass reduces to
+    per-(doc, bucket) counts (<=512 rows per doc, materialized once so
+    the histogram and the scoring don't each recompute the corpus-wide
+    explode); the <=512-row bucket histogram comes from conditional
+    sums over that reduced relation (map-side partials); the log-ratio
+    relation is broadcast back onto the per-doc counts; the per-doc
+    fold runs over the bucket-sorted list so both engines sum identical
+    doubles in identical order (the ``t_unigram_logprob`` exactness
+    trick); top-k is a TakeOrdered, not a global sort. At 100 TB
+    nothing here exceeds: one corpus-linear explode, keyed aggs, a
+    512-row broadcast, top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("tgt"),
+        F.split(F.col("text"), " ").alias("t"),
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        "tgt",
+        F.explode(
+            F.when(F.size("t") >= 2, F.concat(F.col("t"), bigrams)).otherwise(
+                F.col("t")
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "source",
+        "tgt",
+        (md5_int32(F.col("gram")) % DSIR_BUCKETS).alias("b"),
+    )
+    # one explode+hash pass: reduce to per-(doc, bucket) counts first
+    # (bounded by 512 buckets/doc — far smaller than the gram stream),
+    # materialized once so the histogram and the per-doc scoring don't
+    # each recompute the corpus-wide explode
+    pdb = (
+        grams.groupBy("doc_id", "source", "tgt", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    hist = pdb.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("tgt"), F.col("n")).otherwise(0)).alias("cr"),
+    )
+    tots = hist.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
+    )
+    # buckets no gram ever hits contribute 0 to every doc's weight, so
+    # the ratio relation only needs the buckets present in the corpus
+    lam = (
+        hist.crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("ct").cast("double") + 1.0)
+                    / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr").cast("double") + 1.0)
+                    / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
+                )
+            ).alias("lam"),
+        )
+    )
+    per_doc = (
+        pdb.filter(~F.col("tgt"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "n", "lam"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["n"].cast("double") * s["lam"],
+            ).alias("logw")
+        )
+    )
+    u = (md5_int32(F.col("doc_id")).cast("double") + 0.5) / F.lit(float(_SCALE))
+    gumbel = -F.log(-F.log(u))
+    return (
+        per_doc.select(
+            "doc_id",
+            "source",
+            F.round(F.col("logw"), 6).alias("log_weight"),
+            F.round(F.col("logw") + gumbel, 6).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+
+
 QUERIES = {
     "smp_stratified": smp_stratified,
     "smp_importance": smp_importance,
     "smp_stratified_ids": smp_stratified_ids,
+    "smp_dsir": smp_dsir,
 }
 
 _GATE = f"CAST({sql_md5_int32('CAST(doc_id AS VARCHAR)')} AS DOUBLE) / {float(_SCALE)}"
@@ -168,3 +294,59 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+_DSIR_TGT = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+ORACLES["smp_dsir"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               source IN ({_DSIR_TGT}) AS tgt,
+               string_split(text, ' ') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, source, tgt, unnest(t) AS gram FROM base
+        UNION ALL
+        SELECT doc_id, source, tgt,
+               unnest(list_transform(
+                   list_zip(t[1:len(t)-1], t[2:len(t)]),
+                   z -> z[1] || ' ' || z[2])) AS gram
+        FROM base WHERE len(t) >= 2),
+    g AS (
+        SELECT doc_id, source, tgt,
+               {sql_md5_int32('gram')} % {DSIR_BUCKETS} AS b
+        FROM grams),
+    hist AS (
+        SELECT b,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        FROM g GROUP BY b),
+    tots AS (
+        SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+               CAST(sum(cr) AS DOUBLE) AS tr
+        FROM hist),
+    lam AS (
+        SELECT b,
+               ln((CAST(ct AS DOUBLE) + 1.0)
+                  / (tots.tt + {float(DSIR_BUCKETS)}))
+               - ln((CAST(cr AS DOUBLE) + 1.0)
+                    / (tots.tr + {float(DSIR_BUCKETS)})) AS lam
+        FROM hist, tots),
+    pd AS (
+        SELECT doc_id, source, b, count(*) AS n
+        FROM g WHERE NOT tgt GROUP BY 1, 2, 3),
+    per AS (
+        SELECT doc_id, source,
+               list_sum(list_transform(
+                   list_sort(list(struct_pack(b := pd.b, n := n, lam := lam))),
+                   s -> CAST(s.n AS DOUBLE) * s.lam)) AS logw
+        FROM pd JOIN lam USING (b)
+        GROUP BY 1, 2)
+    SELECT doc_id, source,
+           round(logw, 6) AS log_weight,
+           round(logw + (-ln(-ln(
+               (CAST({sql_md5_int32('CAST(doc_id AS VARCHAR)')} AS DOUBLE)
+                + 0.5) / {float(_SCALE)}))), 6) AS gumbel_key
+    FROM per
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT {DSIR_K}
+"""

@@ -709,6 +709,42 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_K = 5  # recall audit depth (matches the ANN queries' top-5)
+
+
+def s_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF (nprobe=1) ANN path against exact brute
+    force — the audit every ANN deployment publishes alongside its
+    index parameters: how much of the true top-k does cell-probing
+    recover. Both sides are deterministic queries this module already
+    oracle-verifies, so recall itself is exact — the number quantifies
+    the nprobe=1 APPROXIMATION, not engine noise.
+
+    Scale: the exact side is the brute-force baseline (corpus-linear,
+    audit-time only — production retrieval uses the IVF path); the
+    intersection is a 5x5 join on ids. At 100 TB the audit runs over a
+    sampled query set, never per request.
+    """
+    exact = (
+        s_cosine_topk(spark, sf_dir)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    ivf = s_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        ivf.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(RECALL_K).alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(RECALL_K)), 9
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 MMR_K = 5  # results returned by MMR re-ranking
 MMR_CANDIDATES = 16  # relevance top-C candidate pool fed to MMR
 # MMR weights as separate literals: 0.7/0.3 are written verbatim in
@@ -814,6 +850,7 @@ QUERIES = {
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
+    "s_ivf_recall": s_ivf_recall,
     "s_pq_topk": s_pq_topk,
     "s_neardup_pairs": s_neardup_pairs,
     "s_knn_join": s_knn_join,
@@ -1150,3 +1187,17 @@ ORACLES = {
         LIMIT 10
     """,
 }
+
+# recall audit composes the two verified oracles: exact top-5 ids vs
+# the IVF cell-probe's ids (both subqueries carry their own WITH)
+ORACLES["s_ivf_recall"] = f"""
+    WITH exact AS (
+        SELECT vec_id FROM ({ORACLES["s_cosine_topk"]}) x
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {RECALL_K}),
+    ivf AS (SELECT vec_id FROM ({ORACLES["s_ivf_topk"]}) y)
+    SELECT {RECALL_K} AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(CAST(count(*) AS DOUBLE) / {float(RECALL_K)}, 9)
+               AS recall_at_k
+    FROM ivf JOIN exact USING (vec_id)
+"""

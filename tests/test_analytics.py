@@ -536,3 +536,92 @@ def test_profile_and_drift_detection(spark, sf_dir):
     # tolerances are overridable
     loose = drift_report(base, cur, {"lang_dist": 1.0})
     assert not next(f for f in loose if f["metric"] == "lang_dist")["drifted"]
+
+
+def test_dsir_prefers_target_like_docs(spark, tmp_path, monkeypatch):
+    """A raw doc written in the target domain's vocabulary must
+    out-weigh raw docs with disjoint vocabulary — the DSIR importance
+    weight is exactly the bucketed log-likelihood ratio, so the copy
+    scores high and the off-domain docs score low."""
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, target_text, "src0") for i in range(4)]  # target slice
+    rows.append((100, target_text, "srcX"))  # raw doc, target-like
+    rows += [
+        (i, "one two three four five six seven eight", "srcY")
+        for i in range(101, 110)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        sampling, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    out = {r.doc_id: r.log_weight for r in sampling.smp_dsir(spark, str(tmp_path)).collect()}
+    assert set(out) == {100, *range(101, 110)}  # raw docs only, all kept (K=64)
+    assert out[100] > max(v for k, v in out.items() if k != 100)
+    assert out[100] > 0 > min(out.values())  # ratio signs split by domain
+
+
+def test_ppl_buckets_tercile_invariants(spark, sf_dir):
+    """Bin-granular terciles: per language the buckets partition the
+    docs, score ranges are disjoint and ordered head >= middle >= tail,
+    and head/head+middle never exceed 1/3 and 2/3 of docs (a bin
+    straddling a boundary falls to the LATER bucket)."""
+    rows = curation.cur_ppl_buckets(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.bucket] = r
+    from conduit_spark.sources.tables import load_table
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, buckets in by_lang.items():
+        n = totals[lang]
+        assert sum(b.n_docs for b in buckets.values()) == n
+        if "head" in buckets:
+            assert 3 * buckets["head"].n_docs <= n
+            if "middle" in buckets:
+                assert buckets["head"].min_score >= buckets["middle"].max_score
+                assert 3 * (buckets["head"].n_docs + buckets["middle"].n_docs) <= 2 * n
+        if "middle" in buckets and "tail" in buckets:
+            assert buckets["middle"].min_score >= buckets["tail"].max_score
+
+
+def test_substring_dedup_merges_maximal_spans(spark, tmp_path, monkeypatch):
+    """A duplicated L-token run (L >= SUB_W) at DIFFERENT offsets in
+    two docs must merge into exactly one span covering L tokens —
+    L - SUB_W + 1 consecutive duplicated grams, gap-merged; two
+    disjoint duplicated runs in one doc must report two spans."""
+    from conduit_spark.analytics.dedup import SUB_W
+
+    run_a = [f"a{i}" for i in range(SUB_W + 4)]  # L = SUB_W+4
+    run_b = [f"b{i}" for i in range(SUB_W)]  # L = SUB_W
+    pad = lambda tag, n: [f"{tag}pad{i}" for i in range(n)]
+    rows = [
+        # doc 1: run_a at offset 0, run_b at the tail with a gap > SUB_W
+        (1, " ".join(run_a + pad("x", SUB_W + 2) + run_b)),
+        # doc 2: the same runs at different offsets
+        (2, " ".join(pad("y", 3) + run_a + pad("z", SUB_W + 2) + run_b)),
+        # doc 3: unique text, long enough to be reported with zeros
+        (3, " ".join(pad("u", SUB_W + 5))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    out = {r.doc_id: r for r in dedup.d_substring_dedup(spark, str(tmp_path)).collect()}
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 2
+        assert out[d].n_dup_tokens == len(run_a) + len(run_b)
+        assert out[d].n_dup_grams == (len(run_a) - SUB_W + 1) + 1
+    assert out[3].n_dup_grams == 0 and out[3].n_dup_spans == 0
+    assert out[3].dup_frac == 0.0
