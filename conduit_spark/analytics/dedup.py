@@ -672,6 +672,134 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Incremental dedup: the production shape for continuously-ingested
+# crawls — a NEW batch is deduped against the EXISTING corpus without
+# ever re-pairing the existing corpus with itself. The batch membership
+# gate is the shared md5 hash (deterministic, SQL-mirrorable).
+INCR_BATCH_MOD = 10  # ~1/10 of the corpus arrives as the "new batch"
+
+
+def _is_new():
+    return (md5_int32(F.col("doc_id")) % INCR_BATCH_MOD) == 0
+
+
+def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch document verdict against the existing corpus:
+    ``exact_dup`` (text hash already present), ``near_dup`` (verified
+    MinHash-LSH Jaccard >= threshold vs an existing doc), else
+    ``unique`` — with the best existing match id (exact wins; near-dup
+    ties break to max Jaccard then min existing id).
+
+    The scale property this query exists to pin: candidate generation
+    joins NEW band-buckets against EXISTING band-buckets only — the
+    existing corpus is never self-paired, so a daily batch costs
+    O(batch x bucket-collisions), not O(corpus^2) (the reason
+    incremental pipelines don't re-run ``d_minhash_lsh_pairs`` on the
+    union). Hot buckets are capped by the EXISTING side's occupancy
+    (viral boilerplate lives in the corpus, not the batch). Shingles
+    are computed once for both roles (persisted); every join is keyed;
+    exact dedup is one hash equi-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select("doc_id", "text", _is_new().alias("is_new"))
+    new_ids = flagged.filter(F.col("is_new")).select("doc_id")
+    old_hash = (
+        flagged.filter(~F.col("is_new"))
+        .groupBy(F.md5(F.col("text")).alias("th"))
+        .agg(F.min("doc_id").alias("exact_match_id"))
+    )
+    exact = (
+        flagged.filter(F.col("is_new"))
+        .select("doc_id", F.md5(F.col("text")).alias("th"))
+        .join(old_hash, "th")
+        .select("doc_id", "exact_match_id")
+    )
+    sh = _shingles_df(docs).persist()  # both roles read the same relation
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{j}"
+        )
+        for j, (a, b) in enumerate(_PARAMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bb = _band_buckets(sigs).withColumn("is_new", _is_new()).localCheckpoint()
+    hot = (
+        bb.filter(~F.col("is_new"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MINHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    n_side = bb.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("id_new"), "band", "bucket"
+    )
+    o_side = bb.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("id_old"), "band", "bucket"
+    )
+    cand = (
+        n_side.join(o_side, ["band", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_new"), "x"), "id_new")
+        .join(sh.select(F.col("doc_id").alias("id_old"), "x"), ["id_old", "x"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    jacc = F.col("ni").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("ni")
+    ).cast("double")
+    ver = (
+        inter.join(
+            counts.withColumnRenamed("doc_id", "id_new").withColumnRenamed("n", "n_a"),
+            "id_new",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "id_old").withColumnRenamed("n", "n_b"),
+            "id_old",
+        )
+        .select("id_new", "id_old", F.round(jacc, 9).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    bj = ver.groupBy("id_new").agg(F.max("jaccard").alias("mj"))
+    best = (
+        ver.join(bj, "id_new")
+        .filter(F.col("jaccard") == F.col("mj"))
+        .groupBy("id_new")
+        .agg(
+            F.min("id_old").alias("near_match_id"),
+            F.max("jaccard").alias("near_jaccard"),
+        )
+        .withColumnRenamed("id_new", "doc_id")
+    )
+    return (
+        new_ids.join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            # -1 sentinels instead of NULLs: a NULL numeric column
+            # round-trips as NaN through pandas-based oracle harnesses
+            F.coalesce(
+                F.col("exact_match_id"), F.col("near_match_id"), F.lit(-1)
+            )
+            .cast("bigint")
+            .alias("match_id"),
+            F.coalesce(
+                F.when(F.col("exact_match_id").isNull(), F.col("near_jaccard")),
+                F.lit(-1.0),
+            ).alias("jaccard"),
+        )
+        .transform(ordered_result, "doc_id")
+    )
+
+
 # Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
 # Makes Language Models Better"): any >=SUB_W-token run appearing more
 # than once ANYWHERE in the corpus is duplicated text. The paper builds
@@ -814,6 +942,7 @@ QUERIES = {
     "d_contamination": d_contamination,
     "d_span_dedup": d_span_dedup,
     "d_substring_dedup": d_substring_dedup,
+    "d_incremental": d_incremental,
     "d_minhash_signatures": d_minhash_signatures,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_dedup_clusters": d_dedup_clusters,
@@ -1108,4 +1237,75 @@ ORACLES["d_substring_dedup"] = f"""
                  / CAST(tn.n_tokens AS DOUBLE), 9) AS dup_frac
     FROM tn LEFT JOIN stats s USING (doc_id)
     ORDER BY doc_id
+"""
+
+_INCR_GATE = f"({sql_md5_int32('CAST(doc_id AS VARCHAR)')} % {INCR_BATCH_MOD} = 0)"
+
+ORACLES["d_incremental"] = f"""
+    WITH flags AS (
+        SELECT doc_id, text, {_INCR_GATE} AS is_new FROM documents),
+    old_hash AS (
+        SELECT md5(text) AS th, min(doc_id) AS exact_match_id
+        FROM flags WHERE NOT is_new GROUP BY 1),
+    exact AS (
+        SELECT f.doc_id, o.exact_match_id
+        FROM flags f JOIN old_hash o ON md5(f.text) = o.th
+        WHERE f.is_new),
+    sh AS ({_SHINGLE_SQL}),
+    sigs AS (SELECT doc_id, {_SIG_AGGS_SQL} FROM sh GROUP BY doc_id),
+    buckets AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || ':' || ".join(
+                f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            )
+            + " AS bucket FROM sigs"
+            for b in range(LSH_BANDS)
+        )}),
+    bflag AS (SELECT *, {_INCR_GATE} AS is_new FROM buckets),
+    kept AS (
+        SELECT * FROM bflag
+        WHERE (band, bucket) NOT IN (
+            SELECT (band, bucket) FROM bflag WHERE NOT is_new
+            GROUP BY band, bucket HAVING count(*) > {MINHASH_BUCKET_CAP})),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        FROM kept n JOIN kept o
+          ON n.band = o.band AND n.bucket = o.bucket
+         AND n.is_new AND NOT o.is_new),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_new, c.id_old, count(*) AS ni
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_new
+        JOIN sh sb ON sb.doc_id = c.id_old AND sb.x = sa.x
+        GROUP BY 1, 2),
+    ver AS (
+        SELECT id_new, id_old,
+               round(CAST(ni AS DOUBLE)
+                     / CAST(ca.n + cb.n - ni AS DOUBLE), 9) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = id_new
+        JOIN counts cb ON cb.doc_id = id_old
+        WHERE CAST(ni AS DOUBLE)
+              / CAST(ca.n + cb.n - ni AS DOUBLE) >= {JACCARD_THRESHOLD}),
+    bj AS (SELECT id_new, max(jaccard) AS mj FROM ver GROUP BY 1),
+    best AS (
+        SELECT v.id_new, min(v.id_old) AS near_match_id,
+               max(v.jaccard) AS near_jaccard
+        FROM ver v JOIN bj ON v.id_new = bj.id_new AND v.jaccard = bj.mj
+        GROUP BY 1)
+    SELECT f.doc_id,
+           CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact_dup'
+                WHEN b.near_match_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           CAST(coalesce(e.exact_match_id, b.near_match_id, -1) AS BIGINT)
+               AS match_id,
+           coalesce(CASE WHEN e.exact_match_id IS NULL THEN b.near_jaccard END,
+                    CAST(-1.0 AS DOUBLE)) AS jaccard
+    FROM flags f
+    LEFT JOIN exact e ON f.doc_id = e.doc_id
+    LEFT JOIN best b ON f.doc_id = b.id_new
+    WHERE f.is_new
+    ORDER BY f.doc_id
 """

@@ -467,9 +467,95 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval (Robertson et al.; the Lucene-form idf that is always
+# positive). The lexical-retrieval baseline every RAG/hybrid-search
+# stack runs next to its ANN path.
+BM25_QUERY = ("merge", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, n_query_terms, bm25) for every doc matching >=1 query
+    term — ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` summed
+    over query terms, ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Plan shape: doc lengths are one keyed agg over the token explode;
+    term frequencies only materialize for the |q| query terms (the
+    ``isin`` filter cuts the explode before any shuffle); document
+    frequencies reduce to a |q|-row relation joined broadcast; the
+    corpus stats (N, avgdl) are one scalar agg crossed in. The per-doc
+    sum folds term scores in term-sorted order so both engines add the
+    same doubles in the same sequence. All SF-linear, no windows,
+    nothing quadratic. Reused by ``rag.rag_hybrid_rrf`` as the lexical
+    leg of hybrid retrieval.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    num = F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    j = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", (idf * num / den).alias("s"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "s"))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["s"],
+            ).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_query_terms",
+            F.round(F.col("score"), 6).alias("bm25"),
+        )
+    )
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed query (see
+    :func:`bm25_scores` for the scoring math and plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, BM25_QUERY)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_unigram_logprob": t_unigram_logprob,
+    "t_bm25_topk": t_bm25_topk,
     "t_bigram_lm": t_bigram_lm,
     "t_entropy": t_entropy,
     "t_repetition": t_repetition,
@@ -697,3 +783,47 @@ ORACLES = {
         ORDER BY doc_id, rank
     """,
 }
+
+def bm25_cte_sql(terms: tuple[str, ...]) -> str:
+    """CTE chain ending in ``bm25_per(doc_id, n_query_terms, bm25)`` —
+    the exact SQL mirror of :func:`bm25_scores`, reused by the hybrid
+    RRF oracle in ``rag``."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ({tlist}) GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    bm25_j AS (
+        SELECT t.doc_id, t.tok,
+               ln(1.0 + (s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
+               / (CAST(t.tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}
+                  + {BM25_B} * CAST(l.dl AS DOUBLE) / s.avgdl)) AS s
+        FROM tf t
+        JOIN dfreq d USING (tok)
+        JOIN dl l USING (doc_id), stats s),
+    bm25_per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_query_terms,
+               round(list_sum(list_transform(
+                   list_sort(list(struct_pack(tok := tok, s := s))),
+                   e -> e.s)), 6) AS bm25
+        FROM bm25_j GROUP BY doc_id)"""
+
+
+ORACLES["t_bm25_topk"] = f"""
+    WITH {bm25_cte_sql(BM25_QUERY)}
+    SELECT doc_id, n_query_terms, bm25
+    FROM bm25_per
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+"""

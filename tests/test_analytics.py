@@ -625,3 +625,58 @@ def test_substring_dedup_merges_maximal_spans(spark, tmp_path, monkeypatch):
         assert out[d].n_dup_grams == (len(run_a) - SUB_W + 1) + 1
     assert out[3].n_dup_grams == 0 and out[3].n_dup_spans == 0
     assert out[3].dup_frac == 0.0
+
+
+def test_incremental_dedup_verdicts(spark, tmp_path, monkeypatch):
+    """New-batch docs (md5 gate: ids 1, 3, 6, 10) classified against
+    the existing corpus: exact copy -> exact_dup with the existing id,
+    shared-prefix near-dup -> near_dup with jaccard, disjoint text ->
+    unique with -1 sentinels. An exact pair WITHIN the existing corpus
+    (ids 4 and 5) must not surface anywhere — existing docs are never
+    re-paired."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),  # existing
+        (2, "totally different words nobody else uses anywhere at all"),
+        (4, "existing internal duplicate pair first copy here now yes"),
+        (5, "existing internal duplicate pair first copy here now yes"),
+        (1, base),  # new: exact copy of doc 0
+        (3, base + " tail"),  # new: near-dup of doc 0
+        (6, "unrelated fresh content with its own vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    out = {r.doc_id: r for r in dedup.d_incremental(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 3, 6}
+    assert out[1].verdict == "exact_dup" and out[1].match_id == 0
+    assert out[1].jaccard == -1.0
+    assert out[3].verdict == "near_dup" and out[3].match_id == 0
+    assert out[3].jaccard > 0.5
+    assert out[6].verdict == "unique" and out[6].match_id == -1
+
+
+def test_bm25_tf_and_length_normalization(spark, tmp_path, monkeypatch):
+    """Same length, more query-term hits -> higher BM25; same hits,
+    longer doc -> lower BM25 (the b-weighted length normalization)."""
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, "spark merge window " + filler("a", 17)),  # 3 hits, 20 toks
+        (2, "spark " + filler("b", 19)),  # 1 hit, 20 tokens
+        (3, "spark merge window " + filler("c", 57)),  # 3 hits, 60 toks
+        (4, filler("d", 20)),  # no hits -> absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        text, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
+    )
+    out = {r.doc_id: r for r in text.t_bm25_topk(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_query_terms == 3 and out[2].n_query_terms == 1
+    assert out[1].bm25 > out[2].bm25  # more matching terms wins
+    assert out[1].bm25 > out[3].bm25  # shorter doc wins at equal tf
