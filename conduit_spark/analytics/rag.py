@@ -38,9 +38,9 @@ QUERY_TEXT = "fast hash join on big table"
 EMBED_MODEL = "embed-v3"
 
 
-def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk all documents, embed chunks + the query (same transport),
-    return the top-k chunks by cosine similarity."""
+def _chunk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, score): cosine of every chunk embedding vs
+    the query embedding — the dense-retrieval relation before top-k."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = chunk_text(docs).select(
         "doc_id", "chunk_idx", F.col("chunk_text").alias("text")
@@ -76,15 +76,95 @@ def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = spark.range(1).select(
         F.array(*[F.lit(float(x)) for x in qv]).alias("qvec")
     )
+    return vecs.crossJoin(F.broadcast(qvec)).select(
+        "doc_id",
+        "chunk_idx",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("score"),
+    )
+
+
+def rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk all documents, embed chunks + the query (same transport),
+    return the top-k chunks by cosine similarity."""
     return (
-        vecs.crossJoin(F.broadcast(qvec))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("score"),
-        )
+        _chunk_scores(spark, sf_dir)
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
         .limit(TOP_K)
+    )
+
+
+# Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR 2009)
+# of the dense leg (chunk-embedding cosine, doc-level best chunk) and
+# the lexical leg (BM25 over the same query terms) — the standard
+# fusion every hybrid-search stack ships because it needs no score
+# calibration between retrievers.
+RRF_K = 60  # the canonical RRF damping constant
+RRF_DEPTH = 20  # per-retriever candidate depth fed to the fusion
+RRF_TOPK = 10
+
+
+def _rank_topn(df: DataFrame, score_col: str, n: int) -> DataFrame:
+    """(doc_id, rank) for the top-``n`` rows by (score desc, doc_id) —
+    rank WITHOUT a global window: the top-n relation (orderBy+limit =
+    TakeOrdered) is checkpointed, then ranked by an n x n self-join
+    count. n is a constant (20), so the join is bounded by construction
+    at any corpus size — the global-window smell never appears."""
+    top = (
+        df.orderBy(F.desc(score_col), F.asc("doc_id"))
+        .limit(n)
+        .localCheckpoint(eager=False)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    sa, sb = F.col(f"a.{score_col}"), F.col(f"b.{score_col}")
+    return (
+        a.join(
+            b,
+            (sb > sa)
+            | ((sb == sa) & (F.col("b.doc_id") <= F.col("a.doc_id"))),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+    )
+
+
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by reciprocal-rank fusion of dense and BM25
+    retrieval for the same query: ``rrf(d) = 1/(60+rank_dense(d)) +
+    1/(60+rank_bm25(d))``, each rank over its retriever's top-20
+    (missing from a leg contributes 0; -1 rank sentinel in the output).
+
+    Scale: each leg is an SF-linear scoring relation reduced to a
+    constant-size top-20 by TakeOrdered; ranking and fusion then touch
+    at most 40 rows regardless of corpus size.
+    """
+    from conduit_spark.analytics.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dense_doc = (
+        _chunk_scores(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("score").alias("dscore"))
+    )
+    d_rank = _rank_topn(dense_doc, "dscore", RRF_DEPTH).withColumnRenamed(
+        "rank", "rd"
+    )
+    terms = tuple(QUERY_TEXT.split(" "))
+    b_rank = _rank_topn(bm25_scores(docs, terms), "bm25", RRF_DEPTH).withColumnRenamed(
+        "rank", "rb"
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_K)) + c.cast("double")), F.lit(0.0)
+    )
+    return (
+        d_rank.join(b_rank, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rd"), F.lit(-1)).cast("bigint").alias("rank_dense"),
+            F.coalesce(F.col("rb"), F.lit(-1)).cast("bigint").alias("rank_bm25"),
+            F.round(contrib(F.col("rd")) + contrib(F.col("rb")), 9).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
     )
 
 
@@ -108,11 +188,14 @@ def _sql_norm(a: str) -> str:
     return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 
-QUERIES = {"rag_ingest_retrieve": rag_ingest_retrieve}
+QUERIES = {
+    "rag_ingest_retrieve": rag_ingest_retrieve,
+    "rag_hybrid_rrf": rag_hybrid_rrf,
+}
 
-ORACLES = {
-    "rag_ingest_retrieve": f"""
-        WITH t AS (
+# CTE chain ending in dense_scores(doc_id, chunk_idx, score) — the SQL
+# mirror of _chunk_scores, shared by both oracles.
+_DENSE_CTES = f"""t AS (
             SELECT doc_id, string_split(text, ' ') AS toks,
                    len(string_split(text, ' ')) AS n
             FROM documents),
@@ -132,12 +215,61 @@ ORACLES = {
             SELECT doc_id, chunk_idx,
                    {_sql_hash_vec("chunk_text")} AS v
             FROM chunks),
-        q AS (SELECT {_sql_hash_vec(f"'{QUERY_TEXT}'")} AS qv)
-        SELECT doc_id, chunk_idx,
-               round({_sql_dot("v", "qv")}
-                     / ({_sql_norm("v")} * {_sql_norm("qv")}), 9) AS score
-        FROM emb, q
+        q AS (SELECT {_sql_hash_vec(f"'{QUERY_TEXT}'")} AS qv),
+        dense_scores AS (
+            SELECT doc_id, chunk_idx,
+                   round({_sql_dot("v", "qv")}
+                         / ({_sql_norm("v")} * {_sql_norm("qv")}), 9) AS score
+            FROM emb, q)"""
+
+ORACLES = {
+    "rag_ingest_retrieve": f"""
+        WITH {_DENSE_CTES}
+        SELECT doc_id, chunk_idx, score
+        FROM dense_scores
         ORDER BY score DESC, doc_id ASC, chunk_idx ASC
         LIMIT {TOP_K}
     """,
 }
+
+
+def _hybrid_rrf_sql() -> str:
+    from conduit_spark.analytics.text import bm25_cte_sql
+
+    terms = tuple(QUERY_TEXT.split(" "))
+
+    def rank_cte(src: str, col: str) -> str:
+        # the same constant-size self-join rank as the Spark side
+        return f"""(
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS rank
+            FROM (SELECT doc_id, {col} FROM {src}
+                  ORDER BY {col} DESC, doc_id ASC LIMIT {RRF_DEPTH}) a
+            JOIN (SELECT doc_id, {col} FROM {src}
+                  ORDER BY {col} DESC, doc_id ASC LIMIT {RRF_DEPTH}) b
+              ON b.{col} > a.{col}
+                 OR (b.{col} = a.{col} AND b.doc_id <= a.doc_id)
+            GROUP BY a.doc_id)"""
+
+    return f"""
+        WITH {_DENSE_CTES},
+        {bm25_cte_sql(terms)},
+        ddoc AS (
+            SELECT doc_id, max(score) AS dscore
+            FROM dense_scores GROUP BY doc_id),
+        drank AS {rank_cte("ddoc", "dscore")},
+        brank AS {rank_cte("bm25_per", "bm25")}
+        SELECT coalesce(d.doc_id, b.doc_id) AS doc_id,
+               CAST(coalesce(d.rank, -1) AS BIGINT) AS rank_dense,
+               CAST(coalesce(b.rank, -1) AS BIGINT) AS rank_bm25,
+               round(coalesce(1.0 / ({float(RRF_K)}
+                                     + CAST(d.rank AS DOUBLE)), 0.0)
+                     + coalesce(1.0 / ({float(RRF_K)}
+                                       + CAST(b.rank AS DOUBLE)), 0.0), 9)
+                   AS rrf
+        FROM drank d FULL OUTER JOIN brank b ON d.doc_id = b.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {RRF_TOPK}
+    """
+
+
+ORACLES["rag_hybrid_rrf"] = _hybrid_rrf_sql()

@@ -680,3 +680,24 @@ def test_bm25_tf_and_length_normalization(spark, tmp_path, monkeypatch):
     assert out[1].n_query_terms == 3 and out[2].n_query_terms == 1
     assert out[1].bm25 > out[2].bm25  # more matching terms wins
     assert out[1].bm25 > out[3].bm25  # shorter doc wins at equal tf
+
+
+def test_hybrid_rrf_fusion_math(spark, sf_dir):
+    """Every output row's rrf equals the sum of its legs' reciprocal
+    ranks (missing leg -> -1 sentinel, 0 contribution), and a doc
+    present in both legs outranks one with the same single-leg rank."""
+    from conduit_spark.analytics import rag
+
+    rows = rag.rag_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == rag.RRF_TOPK
+    for r in rows:
+        expect = 0.0
+        if r.rank_dense != -1:
+            expect += 1.0 / (rag.RRF_K + r.rank_dense)
+        if r.rank_bm25 != -1:
+            expect += 1.0 / (rag.RRF_K + r.rank_bm25)
+        assert abs(r.rrf - expect) < 1e-9
+        assert r.rank_dense != -1 or r.rank_bm25 != -1
+    # output is rrf-descending with doc_id tie-break
+    keys = [(-r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
