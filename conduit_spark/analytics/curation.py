@@ -371,6 +371,99 @@ def cur_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order layout audit (Morton 1966; the Delta/Iceberg OPTIMIZE ZORDER
+# story): at 100 TB the scan cost of a selective two-dimensional
+# predicate is decided by DATA LAYOUT — min/max zone maps prune a file
+# only if both dimensions are locally clustered, which random placement
+# never gives and bit-interleaved ordering does.
+ZORDER_BITS = 12  # per-dimension quantization (4096 cells)
+ZORDER_SHARDS = 64
+_Z_SHIFT = 2 * ZORDER_BITS - 6  # top 6 interleaved bits -> 64 shards
+ZORDER_EPOCH = "1995-01-01"
+# the audited predicate: custkey in [100,199], orderdate within 1996
+ZQ_C_LO, ZQ_C_HI = 100, 199
+ZQ_D_LO, ZQ_D_HI = 366, 730  # 1996, in days since ZORDER_EPOCH
+
+
+def cur_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-pruning audit of naive (hash) vs Z-order layout for a
+    2-D predicate on orders (custkey x orderdate): interleave 12 bits
+    of each dimension into a Morton key, shard by its top 6 bits, and
+    report how many shards a min/max zone map would prune versus the
+    hash layout — rows_scanned/rows_total is the fraction of the table
+    a 100 TB scan would actually read.
+
+    All integer algebra (bit shifts, day counts, counts), so the
+    oracle is bit-exact; one explode (2 layout rows per order), one
+    keyed minmax agg with map-side partials, one 128-row final agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cx = F.col("o_custkey").cast("bigint")
+    cd = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit(ZORDER_EPOCH))
+    ).cast("bigint")
+    base = orders.select(cx.alias("c"), cd.alias("d"), "o_orderkey")
+    z = F.lit(0).cast("bigint")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("c"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(F.col("d"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    layouts = F.array(
+        F.struct(
+            F.lit("naive").alias("layout"),
+            (md5_int32(F.col("o_orderkey")) % ZORDER_SHARDS).alias("shard"),
+        ),
+        F.struct(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(z, _Z_SHIFT).alias("shard"),
+        ),
+    )
+    both = base.select("c", "d", F.explode(layouts).alias("ls")).select(
+        "c", "d", F.col("ls.layout").alias("layout"), F.col("ls.shard").alias("shard")
+    )
+    sh = both.groupBy("layout", "shard").agg(
+        F.min("c").alias("mc"),
+        F.max("c").alias("xc"),
+        F.min("d").alias("md"),
+        F.max("d").alias("xd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pruned = (
+        (F.col("xc") < ZQ_C_LO)
+        | (F.col("mc") > ZQ_C_HI)
+        | (F.col("xd") < ZQ_D_LO)
+        | (F.col("md") > ZQ_D_HI)
+    )
+    return (
+        sh.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+            F.sum(F.when(~pruned, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n").cast("bigint").alias("rows_total"),
+        )
+        .select(
+            "layout",
+            "n_shards",
+            "n_pruned",
+            "rows_scanned",
+            "rows_total",
+            F.round(
+                F.col("rows_scanned").cast("double")
+                / F.col("rows_total").cast("double"),
+                9,
+            ).alias("scan_frac"),
+        )
+        .orderBy("layout")
+    )
+
+
 QUERIES = {
     "cur_funnel": cur_funnel,
     "cur_split_leakage": cur_split_leakage,
@@ -378,6 +471,7 @@ QUERIES = {
     "cur_mix": cur_mix,
     "cur_shuffle": cur_shuffle,
     "cur_ppl_buckets": cur_ppl_buckets,
+    "cur_zorder": cur_zorder,
 }
 
 
@@ -578,4 +672,49 @@ ORACLES["cur_ppl_buckets"] = f"""
     FROM binned b JOIN lab l USING (lang, bin)
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+_Z_EXPR = " + ".join(
+    f"(((c >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+    for i in range(ZORDER_BITS)
+)
+_Z_PRUNED = (
+    f"(xc < {ZQ_C_LO} OR mc > {ZQ_C_HI} OR xd < {ZQ_D_LO} OR md_ > {ZQ_D_HI})"
+)
+
+ORACLES["cur_zorder"] = f"""
+    WITH b0 AS (
+        SELECT CAST(o_custkey AS BIGINT) AS c,
+               CAST(date_diff('day', DATE '{ZORDER_EPOCH}',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               o_orderkey
+        FROM orders),
+    b AS (
+        SELECT c, d,
+               {sql_md5_int32("CAST(o_orderkey AS VARCHAR)")}
+                   % {ZORDER_SHARDS} AS shard_naive,
+               ({_Z_EXPR}) >> {_Z_SHIFT} AS shard_z
+        FROM b0),
+    lay AS (
+        SELECT c, d, 'naive' AS layout, shard_naive AS shard FROM b
+        UNION ALL
+        SELECT c, d, 'zorder' AS layout, shard_z AS shard FROM b),
+    sh AS (
+        SELECT layout, shard,
+               min(c) AS mc, max(c) AS xc,
+               min(d) AS md_, max(d) AS xd,
+               count(*) AS n
+        FROM lay GROUP BY 1, 2)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(CASE WHEN {_Z_PRUNED} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pruned,
+           CAST(sum(CASE WHEN {_Z_PRUNED} THEN 0 ELSE n END) AS BIGINT)
+               AS rows_scanned,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           round(CAST(sum(CASE WHEN {_Z_PRUNED} THEN 0 ELSE n END) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 9) AS scan_frac
+    FROM sh
+    GROUP BY layout
+    ORDER BY layout
 """

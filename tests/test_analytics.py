@@ -701,3 +701,14 @@ def test_hybrid_rrf_fusion_math(spark, sf_dir):
     # output is rrf-descending with doc_id tie-break
     keys = [(-r.rrf, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_zorder_layout_prunes_naive_does_not(spark, sf_dir):
+    """The layout audit's whole point: under hash placement every shard
+    straddles the predicate box (nothing prunes), under Morton
+    interleaving most shards prune and the scan fraction collapses."""
+    rows = {r.layout: r for r in curation.cur_zorder(spark, sf_dir).collect()}
+    assert rows["naive"].rows_total == rows["zorder"].rows_total
+    assert rows["naive"].rows_scanned + rows["zorder"].rows_scanned > 0
+    assert rows["zorder"].n_pruned > rows["naive"].n_pruned
+    assert rows["zorder"].scan_frac < rows["naive"].scan_frac / 2
