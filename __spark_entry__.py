@@ -76,7 +76,10 @@ _EXTENDED = (
     # s_knn_join, cur_shuffle, q2_min_cost_supplier, and the three
     # real-codec upgrades m_frame_sample / m_features / m_resize).
     # Round-7 rotation candidates (never driver-verified, in priority
-    # order): s_mmr_rerank, s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
+    # order): the nine late-r6 operators first — rag_hybrid_rrf,
+    # d_incremental, smp_dsir, cur_ppl_buckets, d_substring_dedup,
+    # cur_zorder, t_bm25_topk, s_mmr_rerank, s_ivf_recall — then
+    # s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
     # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
     # smp_stratified_ids, s_quantized_topk, q_range_value_bands, q11,
     # q21 — displace the rows that will then be 6x green (p_filter,
