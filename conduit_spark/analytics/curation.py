@@ -371,6 +371,72 @@ def cur_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature (alpha) sampling over languages (XLM-R, Conneau et al.
+# 2020 §3.1; mBERT's exponent-smoothed multinomial): resampling rates
+# q_l ∝ p_l^alpha flatten the language distribution so high-resource
+# languages stop drowning the tail — the standard multilingual
+# pretraining mix.
+LANG_TEMP_ALPHA = 0.3
+LANG_TEMP_BUDGET = 0.5  # fraction of total corpus tokens in the mix
+
+
+def cur_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-sampling audit: natural token share
+    ``p``, alpha-smoothed target share ``q = p^alpha / sum(p^alpha)``,
+    the boost factor ``q/p`` (tail languages > 1), and the token count
+    a ``LANG_TEMP_BUDGET`` mix would draw from each language.
+
+    One keyed agg to the |languages|-row relation; the smoothed
+    normalizer is a scalar agg over that relation crossed back in —
+    nothing corpus-sized after the first agg, SF-invariant output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("p"),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("t"),
+            F.lit(LANG_TEMP_ALPHA),
+        ).alias("pw"),
+        F.col("t"),
+    )
+    # normalizer folded in lang-sorted order — a bare float sum over
+    # the language relation would add in partition order and drift vs
+    # the oracle's sum order (the t_unigram_logprob exactness rule)
+    z = p.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "pw"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["pw"],
+        ).alias("z")
+    )
+    q = F.col("pw") / F.col("z")
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p"), 9).alias("nat_share"),
+            F.round(q, 9).alias("temp_share"),
+            F.round(q / F.col("p"), 9).alias("boost"),
+            F.round(
+                q * F.lit(LANG_TEMP_BUDGET) * F.col("t"), 6
+            ).alias("mix_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Z-order layout audit (Morton 1966; the Delta/Iceberg OPTIMIZE ZORDER
 # story): at 100 TB the scan cost of a selective two-dimensional
 # predicate is decided by DATA LAYOUT — min/max zone maps prune a file
@@ -472,6 +538,7 @@ QUERIES = {
     "cur_shuffle": cur_shuffle,
     "cur_ppl_buckets": cur_ppl_buckets,
     "cur_zorder": cur_zorder,
+    "cur_lang_temperature": cur_lang_temperature,
 }
 
 
@@ -717,4 +784,32 @@ ORACLES["cur_zorder"] = f"""
     FROM sh
     GROUP BY layout
     ORDER BY layout
+"""
+
+ORACLES["cur_lang_temperature"] = f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+    p AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / tot.t AS p,
+               pow(CAST(n_tokens AS DOUBLE) / tot.t,
+                   {LANG_TEMP_ALPHA}) AS pw,
+               tot.t AS t
+        FROM per, tot),
+    z AS (
+        SELECT list_sum(list_transform(
+                   list_sort(list(struct_pack(lang := lang, pw := pw))),
+                   e -> e.pw)) AS z
+        FROM p)
+    SELECT lang, n_docs, n_tokens,
+           round(p, 9) AS nat_share,
+           round(pw / z.z, 9) AS temp_share,
+           round(pw / z.z / p, 9) AS boost,
+           round(pw / z.z * {LANG_TEMP_BUDGET} * t, 6) AS mix_tokens
+    FROM p, z
+    ORDER BY lang
 """

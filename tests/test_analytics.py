@@ -712,3 +712,16 @@ def test_zorder_layout_prunes_naive_does_not(spark, sf_dir):
     assert rows["naive"].rows_scanned + rows["zorder"].rows_scanned > 0
     assert rows["zorder"].n_pruned > rows["naive"].n_pruned
     assert rows["zorder"].scan_frac < rows["naive"].scan_frac / 2
+
+
+def test_lang_temperature_flattens_distribution(spark, sf_dir):
+    """Alpha-smoothing must boost tail languages (q/p > 1), damp the
+    head language (q/p < 1), and both share columns must sum to 1."""
+    rows = curation.cur_lang_temperature(spark, sf_dir).collect()
+    assert abs(sum(r.nat_share for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-6
+    head = max(rows, key=lambda r: r.nat_share)
+    tail = min(rows, key=lambda r: r.nat_share)
+    assert head.boost < 1.0 < tail.boost
+    assert head.temp_share < head.nat_share
+    assert tail.temp_share > tail.nat_share
