@@ -131,7 +131,46 @@ def dq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(load_table(spark, sf_dir, "documents"), documents_checks())
 
 
-QUERIES = {"dq_documents": dq_documents}
+# --- the embeddings QA suite -----------------------------------------
+#
+# The vector-table gate an ANN index build runs first: a single NULL
+# element poisons every fold-based dot product downstream, a zero
+# vector makes cosine undefined, and a dimension mismatch breaks
+# zip_with silently (it truncates). All conditions are integer/boolean
+# algebra — no float sums in any check predicate.
+
+EMB_DIM = 64
+EMB_N_LABELS = 10
+
+
+def embeddings_checks() -> list[RowCheck | UniqueCheck]:
+    return [
+        RowCheck("vec_id_not_null", F.col("vec_id").isNull()),
+        UniqueCheck("vec_id_unique", ("vec_id",)),
+        RowCheck("dim_exact", F.size(F.col("embedding")) != EMB_DIM),
+        RowCheck(
+            "no_null_elements",
+            F.exists(F.col("embedding"), lambda x: x.isNull()),
+        ),
+        RowCheck(
+            "no_zero_vectors",
+            ~F.exists(F.col("embedding"), lambda x: x != 0),
+        ),
+        RowCheck(
+            "label_in_range",
+            (F.col("label") < 0) | (F.col("label") >= EMB_N_LABELS),
+        ),
+    ]
+
+
+def dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-table QA gate before an ANN index build."""
+    return run_checks(
+        load_table(spark, sf_dir, "embeddings"), embeddings_checks()
+    )
+
+
+QUERIES = {"dq_documents": dq_documents, "dq_embeddings": dq_embeddings}
 
 _SQL_ALL = ",".join(f"'{x}'" for x in ALL_LANGS)
 _SQL_LATIN = ",".join(f"'{x}'" for x in LATIN_LANGS)
@@ -163,6 +202,30 @@ ORACLES = {
             UNION ALL SELECT 'lang_known', bad_known, n, 0.0 FROM m
             UNION ALL SELECT 'lang_latin_only', bad_latin, n, 0.0 FROM m
             UNION ALL SELECT 'min_length', bad_short, n, {SHORT_MAX_FRAC} FROM m)
+        ORDER BY check_name
+    """,
+    "dq_embeddings": f"""
+        WITH m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS bad_null,
+                   CAST(sum(CASE WHEN len(embedding) != {EMB_DIM} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_dim,
+                   CAST(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS bad_nel,
+                   CAST(sum(CASE WHEN len(list_filter(embedding, x -> x != 0)) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS bad_zero,
+                   CAST(sum(CASE WHEN label < 0 OR label >= {EMB_N_LABELS} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_label
+            FROM embeddings),
+        uid AS (
+            SELECT CAST(count(*) - count(DISTINCT md5(CAST(vec_id AS VARCHAR))) AS DOUBLE) AS surplus
+            FROM embeddings)
+        SELECT check_name, round(bad / n, 9) AS metric,
+               CAST(threshold AS DOUBLE) AS threshold,
+               round(bad / n, 9) <= threshold AS passed
+        FROM (
+            SELECT 'vec_id_not_null' AS check_name, bad_null AS bad, n, 0.0 AS threshold FROM m
+            UNION ALL SELECT 'vec_id_unique', uid.surplus, n, 0.0 FROM m, uid
+            UNION ALL SELECT 'dim_exact', bad_dim, n, 0.0 FROM m
+            UNION ALL SELECT 'no_null_elements', bad_nel, n, 0.0 FROM m
+            UNION ALL SELECT 'no_zero_vectors', bad_zero, n, 0.0 FROM m
+            UNION ALL SELECT 'label_in_range', bad_label, n, 0.0 FROM m)
         ORDER BY check_name
     """,
 }

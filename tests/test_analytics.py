@@ -725,3 +725,33 @@ def test_lang_temperature_flattens_distribution(spark, sf_dir):
     assert head.boost < 1.0 < tail.boost
     assert head.temp_share < head.nat_share
     assert tail.temp_share > tail.nat_share
+
+
+def test_dq_embeddings_catches_each_corruption(spark, tmp_path, monkeypatch):
+    """One corrupt row per failure class: the gate must fail exactly
+    the matching checks, with metric = 1/n each."""
+    from conduit_spark.analytics import quality_checks as qc
+
+    dim = qc.EMB_DIM
+    good = [float(i % 7) + 0.5 for i in range(dim)]
+    rows = [
+        (1, 0, good),
+        (2, 1, good[: dim - 1]),  # dim_exact violation
+        (3, 2, [0.0] * dim),  # no_zero_vectors violation
+        (4, 99, good),  # label_in_range violation
+        (4, 3, good),  # vec_id_unique violation (dup id)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, label: long, embedding: array<double>"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        qc, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    out = {r.check_name: r for r in qc.dq_embeddings(spark, str(tmp_path)).collect()}
+    assert not out["dim_exact"].passed and abs(out["dim_exact"].metric - 0.2) < 1e-9
+    assert not out["no_zero_vectors"].passed
+    assert not out["label_in_range"].passed
+    assert not out["vec_id_unique"].passed
+    assert out["vec_id_not_null"].passed and out["no_null_elements"].passed
