@@ -1,0 +1,184 @@
+"""Independent-model property tests for the late-round-6 operators.
+
+The DuckDB oracles mirror each operator's algebra, so a shared
+misunderstanding (wrong span-merge rule, wrong BM25 normalization,
+wrong greedy step) would pass the oracle gate on both sides. These
+tests compare against NAIVE pure-Python reference implementations
+written from the papers' definitions — a different failure surface.
+
+Seeded ``random`` corpora, one Spark job per test (the
+test_property.py convention: many cases, one action).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+
+VOCAB = [f"w{i}" for i in range(12)]  # small vocab → organic collisions
+
+
+def _random_corpus(rng: random.Random, n_docs: int, max_len: int):
+    docs = []
+    for i in range(n_docs):
+        n = rng.randint(1, max_len)
+        toks = [rng.choice(VOCAB) for _ in range(n)]
+        docs.append((i, " ".join(toks)))
+    # force structure: two docs share a long verbatim run at different
+    # offsets, one doc is an exact copy of another
+    run = [rng.choice(VOCAB) for _ in range(25)]
+    docs.append((n_docs, " ".join(run + [f"tail{n_docs}"] * 3)))
+    docs.append((n_docs + 1, " ".join(["head"] * 2 + run)))
+    docs.append((n_docs + 2, docs[0][1]))
+    return docs
+
+
+def test_substring_dedup_matches_naive_model(spark, tmp_path, monkeypatch):
+    from conduit_spark.analytics import dedup
+    from conduit_spark.analytics.dedup import SUB_W, d_substring_dedup
+
+    rng = random.Random(20260815)
+    docs = _random_corpus(rng, 40, 60)
+
+    # naive reference: count every sliding gram corpus-wide, then merge
+    # each doc's duplicated positions into maximal spans by walking them
+    gram_count: dict[tuple, int] = {}
+    tokenized = {i: t.split(" ") for i, t in docs}
+    for i, toks in tokenized.items():
+        for j in range(len(toks) - SUB_W + 1):
+            g = tuple(toks[j : j + SUB_W])
+            gram_count[g] = gram_count.get(g, 0) + 1
+    expected = {}
+    for i, toks in tokenized.items():
+        n = len(toks)
+        if n < SUB_W:
+            continue
+        pos = [
+            j
+            for j in range(n - SUB_W + 1)
+            if gram_count[tuple(toks[j : j + SUB_W])] >= 2
+        ]
+        if not pos:
+            expected[i] = (n, 0, 0, 0)
+            continue
+        spans, covered, start, prev = 1, 0, pos[0], pos[0]
+        for j in pos[1:]:
+            if j - prev > SUB_W:  # gap: close the span
+                spans += 1
+                covered += prev + SUB_W - start
+                start = j
+            prev = j
+        covered += prev + SUB_W - start
+        expected[i] = (n, len(pos), spans, covered)
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_grams, r.n_dup_spans, r.n_dup_tokens)
+        for r in d_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values())  # non-vacuous
+
+
+def test_bm25_matches_naive_model(spark, tmp_path, monkeypatch):
+    from conduit_spark.analytics import text
+    from conduit_spark.analytics.text import BM25_B, BM25_K1, bm25_scores
+
+    rng = random.Random(20260816)
+    docs = _random_corpus(rng, 50, 40)
+    terms = ("w1", "w5", "w9")
+
+    tokenized = {i: t.split(" ") for i, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in tokenized.values()) / n_docs
+    dfreq = {
+        q: sum(1 for t in tokenized.values() if q in t) for q in terms
+    }
+    expected = {}
+    for i, toks in tokenized.items():
+        score, hits = 0.0, 0
+        for q in sorted(terms):  # the term-sorted fold order
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n_docs - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            score += (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * len(toks) / avgdl))
+            )
+        if hits:
+            expected[i] = (hits, round(score, 6))
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        text, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
+    )
+    got = {
+        r.doc_id: (r.n_query_terms, r.bm25)
+        for r in bm25_scores(
+            spark.read.parquet(path), terms
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (hits, score) in expected.items():
+        assert got[i][0] == hits
+        assert abs(got[i][1] - score) < 1e-6, i  # libm ULP tolerance
+
+
+def test_mmr_matches_naive_greedy(spark, sf_dir):
+    """Replicate the MMR greedy loop in numpy-free pure Python from
+    the paper's definition and compare the SELECTION ORDER."""
+    from conduit_spark.analytics.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_MU,
+        QUERY_VEC_ID,
+        s_mmr_rerank,
+    )
+    from conduit_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: list(map(float, r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[QUERY_VEC_ID]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 9)
+
+    rel = {i: cos(v, q) for i, v in emb.items() if i != QUERY_VEC_ID}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_CANDIDATES]
+    sims = {
+        (a, b): cos(emb[a], emb[b]) for a in cand for b in cand if a != b
+    }
+    picked = [max(cand, key=lambda i: (rel[i], -i))]
+    while len(picked) < MMR_K:
+        rest = [c for c in cand if c not in picked]
+        scored = {
+            c: round(
+                MMR_LAMBDA * rel[c]
+                - MMR_MU * max(sims[(c, s)] for s in picked),
+                9,
+            )
+            for c in rest
+        }
+        picked.append(max(rest, key=lambda c: (scored[c], -c)))
+
+    got = [r.vec_id for r in s_mmr_rerank(spark, sf_dir).collect()]
+    assert got == picked
