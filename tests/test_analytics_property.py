@@ -182,3 +182,138 @@ def test_mmr_matches_naive_greedy(spark, sf_dir):
 
     got = [r.vec_id for r in s_mmr_rerank(spark, sf_dir).collect()]
     assert got == picked
+
+
+def _md5_int32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_dsir_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Pure-Python DSIR from the paper's definition: hashed uni+bigram
+    buckets, Laplace-smoothed log-likelihood-ratio weights, Gumbel keys
+    from the md5 gate — selection set and weights must match."""
+    from conduit_spark.analytics import sampling
+    from conduit_spark.analytics.sampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCES,
+        smp_dsir,
+    )
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(60):
+        src = rng.choice(["src0", "src1", "srcA", "srcB", "srcC"])
+        n = rng.randint(1, 30)
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(n)), src))
+
+    def grams(toks):
+        out = list(toks)
+        out += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return out
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    meta = {}
+    for i, text, src in rows:
+        toks = text.split(" ")
+        tgt = src in DSIR_TARGET_SOURCES
+        meta[i] = src
+        buckets = [_md5_int32(g) % DSIR_BUCKETS for g in grams(toks)]
+        for b in buckets:
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+        if not tgt:
+            d = per_doc.setdefault(i, {})
+            for b in buckets:
+                d[b] = d.get(b, 0) + 1
+    tt, tr = float(sum(ct.values())), float(sum(cr.values()))
+    expected = {}
+    for i, d in per_doc.items():
+        logw = 0.0
+        for b in sorted(d):  # the bucket-sorted fold order
+            lam = math.log((ct.get(b, 0) + 1.0) / (tt + DSIR_BUCKETS)) - math.log(
+                (cr.get(b, 0) + 1.0) / (tr + DSIR_BUCKETS)
+            )
+            logw += d[b] * lam
+        u = (_md5_int32(str(i)) + 0.5) / 2**32
+        expected[i] = (round(logw, 6), round(logw + (-math.log(-math.log(u))), 6))
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        sampling, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        r.doc_id: (r.log_weight, r.gumbel_key, r.source)
+        for r in smp_dsir(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expected)  # DSIR_K=64 > raw docs: all kept
+    for i, (lw, gk) in expected.items():
+        assert abs(got[i][0] - lw) < 1e-6 and abs(got[i][1] - gk) < 1e-6, i
+        assert got[i][2] == meta[i]
+
+
+def test_ppl_buckets_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Pure-Python CCNet bucketing: per-lang unigram LM scores, 3-decimal
+    bins, integer cumulative tercile boundaries — per-(lang, bucket)
+    doc counts must match exactly."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics import curation
+    from conduit_spark.analytics.curation import cur_ppl_buckets
+
+    rng = random.Random(20260818)
+    rows = []
+    for i in range(80):
+        lang = rng.choice(["aa", "bb", "cc"])
+        n = rng.randint(1, 25)
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(n)), lang))
+
+    corpus: dict[tuple, int] = defaultdict(int)
+    totals: dict[str, int] = defaultdict(int)
+    for _, text, lang in rows:
+        for t in text.split(" "):
+            corpus[(lang, t)] += 1
+            totals[lang] += 1
+    binned = defaultdict(list)  # lang -> [(bin, n_tokens)]
+    for i, text, lang in rows:
+        toks = text.split(" ")
+        per_tok = defaultdict(int)
+        for t in toks:
+            per_tok[t] += 1
+        logp = 0.0
+        for t in sorted(per_tok):  # tok-sorted fold
+            logp += per_tok[t] * math.log(corpus[(lang, t)] / totals[lang])
+        score = round(logp / len(toks), 6)
+        binned[lang].append((math.floor(score * 1000.0), len(toks)))
+    expected = defaultdict(lambda: [0, 0])  # (lang,bucket) -> [docs, toks]
+    for lang, items in binned.items():
+        n = len(items)
+        hist = defaultdict(int)
+        for b, _ in items:
+            hist[b] += 1
+        cum, label = 0, {}
+        for b in sorted(hist, reverse=True):
+            cum += hist[b]
+            label[b] = (
+                "head" if 3 * cum <= n else "middle" if 3 * cum <= 2 * n else "tail"
+            )
+        for b, ntok in items:
+            e = expected[(lang, label[b])]
+            e[0] += 1
+            e[1] += ntok
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        (r.lang, r.bucket): [r.n_docs, r.n_tokens]
+        for r in cur_ppl_buckets(spark, str(tmp_path)).collect()
+    }
+    assert got == dict(expected)
