@@ -317,3 +317,114 @@ def test_ppl_buckets_matches_naive_model(spark, tmp_path, monkeypatch):
         for r in cur_ppl_buckets(spark, str(tmp_path)).collect()
     }
     assert got == dict(expected)
+
+
+def test_incremental_dedup_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Full pure-Python reimplementation of the incremental pipeline —
+    md5 batch gate, shingle minhash signatures, banded buckets with the
+    existing-side hot cap, new x existing candidates, exact-Jaccard
+    verify, best-match selection — compared verdict-for-verdict. Also
+    independently validates the LSH machinery shared with
+    d_minhash_lsh_pairs."""
+    from conduit_spark.analytics import dedup
+    from conduit_spark.analytics.dedup import (
+        INCR_BATCH_MOD,
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_BUCKET_CAP,
+        SHINGLE_W,
+        _PARAMS,
+        d_incremental,
+    )
+    from conduit_spark.functions.hashing import MINHASH_PRIME
+
+    rng = random.Random(20260819)
+    docs = _random_corpus(rng, 60, 50)
+    # ids 1 and 3 hash into the new batch (md5 gate); pin every verdict
+    # class: doc 1 = exact copy of existing doc 0, doc 3 = near-dup of
+    # doc 0 (two appended tokens), the other new ids stay random
+    text0 = " ".join(rng.choice(VOCAB) for _ in range(30))
+    overrides = {0: text0, 1: text0, 3: text0 + " zz1 zz2"}
+    docs = [(i, overrides.get(i, t)) for i, t in docs]
+
+    is_new = {i: _md5_int32(str(i)) % INCR_BATCH_MOD == 0 for i, _ in docs}
+    assert is_new[1] and is_new[3] and not is_new[0]
+    shingles = {}
+    for i, text in docs:
+        toks = text.split(" ")
+        if len(toks) < SHINGLE_W:
+            continue
+        shingles[i] = {
+            _md5_int32(" ".join(toks[j : j + SHINGLE_W]))
+            for j in range(len(toks) - SHINGLE_W + 1)
+        }
+    sigs = {
+        i: [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in _PARAMS]
+        for i, xs in shingles.items()
+    }
+    buckets = {
+        i: [
+            (b, ":".join(str(sig[b * LSH_ROWS + r]) for r in range(LSH_ROWS)))
+            for b in range(LSH_BANDS)
+        ]
+        for i, sig in sigs.items()
+    }
+    occupancy: dict[tuple, int] = {}
+    for i, bs in buckets.items():
+        if not is_new[i]:
+            for key in bs:
+                occupancy[key] = occupancy.get(key, 0) + 1
+    hot = {k for k, n in occupancy.items() if n > MINHASH_BUCKET_CAP}
+    cand = set()
+    for i, bs in buckets.items():
+        if not is_new[i]:
+            continue
+        for key in set(bs) - hot:
+            for j, bs2 in buckets.items():
+                if not is_new[j] and key in set(bs2) - hot:
+                    cand.add((i, j))
+    import hashlib
+
+    text_of = dict(docs)
+    old_hash: dict[str, int] = {}
+    for i, text in docs:
+        if not is_new[i]:
+            h = hashlib.md5(text.encode()).hexdigest()
+            old_hash[h] = min(old_hash.get(h, i), i)
+    expected = {}
+    for i, text in docs:
+        if not is_new[i]:
+            continue
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h in old_hash:
+            expected[i] = ("exact_dup", old_hash[h], -1.0)
+            continue
+        best = None
+        for (a, b) in cand:
+            if a != i:
+                continue
+            inter = len(shingles[i] & shingles[b])
+            jac = round(inter / len(shingles[i] | shingles[b]), 9)
+            if jac >= JACCARD_THRESHOLD:
+                if best is None or (jac, -b) > (best[1], -best[0]):
+                    best = (b, jac)
+        if best:
+            expected[i] = ("near_dup", best[0], best[1])
+        else:
+            expected[i] = ("unique", -1, -1.0)
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        r.doc_id: (r.verdict, r.match_id, r.jaccard)
+        for r in d_incremental(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # every verdict class exercised
+    assert {v[0] for v in expected.values()} == {"exact_dup", "near_dup", "unique"}
+    assert expected[1][0] == "exact_dup" and expected[3][0] == "near_dup"
