@@ -467,6 +467,105 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE tokenizer training (Sennrich et al., ACL 2016): learn the top-K
+# merge rules from corpus character statistics. The distributed shape
+# every tokenizer trainer uses: ONE corpus-linear word-count agg, then
+# every iteration runs over the vocab-sized (word, count) relation —
+# at 100 TB the corpus is touched once, the training loop never is.
+BPE_MERGES = 6
+
+
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_MERGES`` byte-pair merges (rank, left_sym,
+    right_sym, pair_count) learned from the corpus.
+
+    Symbol sequences are kept as wrapped strings ``(h)(e)(l)(l)(o)``
+    so applying a merge is ONE literal ``replace`` of ``(a)(b)`` with
+    ``(ab)`` — the pattern starts and ends exactly on symbol
+    boundaries and shares no characters with an adjacent match, so a
+    single left-to-right replace pass IS the canonical greedy
+    non-overlapping merge (including odd-length same-symbol runs:
+    ``aaaaa`` -> ``aa|aa|a``), with byte-identical semantics in Spark
+    and DuckDB. Ties break (count desc, left asc, right asc). Words
+    are restricted to ``[A-Za-z0-9]+`` so the wrapper chars can never
+    collide with symbol text. Per-iteration relations are
+    vocab-sized and checkpointed (the d_pagerank loop discipline), so
+    the unrolled plan stays flat.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    w_rel = words.select(
+        F.regexp_replace(F.col("w"), "(.)", "($1)").alias("s"), "wc"
+    ).localCheckpoint(eager=False)
+    merges = []
+    for t in range(1, BPE_MERGES + 1):
+        sy = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), "\\)\\("
+        )
+        pairs = (
+            w_rel.select(sy.alias("sy"), "wc")
+            .filter(F.size("sy") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(sy, 1, size(sy) - 1)"),
+                        F.expr("slice(sy, 2, size(sy) - 1)"),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("z"),
+                "wc",
+            )
+            .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        m = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("bigint").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+            .localCheckpoint(eager=False)  # reused by the update AND the output
+        )
+        merges.append(m)
+        w_rel = (
+            w_rel.crossJoin(
+                F.broadcast(m.select("left_sym", "right_sym"))
+            )
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("("),
+                        F.col("left_sym"),
+                        F.lit(")("),
+                        F.col("right_sym"),
+                        F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("),
+                        F.col("left_sym"),
+                        F.col("right_sym"),
+                        F.lit(")"),
+                    ),
+                ).alias("s"),
+                "wc",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
 # BM25 retrieval (Robertson et al.; the Lucene-form idf that is always
 # positive). The lexical-retrieval baseline every RAG/hybrid-search
 # stack runs next to its ANN path.
@@ -556,6 +655,7 @@ QUERIES = {
     "t_token_count": t_token_count,
     "t_unigram_logprob": t_unigram_logprob,
     "t_bm25_topk": t_bm25_topk,
+    "t_bpe_train": t_bpe_train,
     "t_bigram_lm": t_bigram_lm,
     "t_entropy": t_entropy,
     "t_repetition": t_repetition,
@@ -827,3 +927,54 @@ ORACLES["t_bm25_topk"] = f"""
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {BM25_TOPK}
 """
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled K merge iterations as CTE stages — each applies the
+    previous stage's argmax merge via the same boundary-safe wrapped
+    replace the Spark side uses."""
+
+    def pairs_cte(t: int) -> str:
+        return f"""pairs{t} AS (
+        SELECT z[1] AS a, z[2] AS b, sum(wc) AS cnt
+        FROM (
+            SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z, wc
+            FROM (
+                SELECT string_split(s[2:length(s)-1], ')(') AS sy, wc
+                FROM w{t - 1})
+            WHERE len(sy) >= 2)
+        GROUP BY 1, 2),
+    m{t} AS (
+        SELECT CAST({t} AS BIGINT) AS merge_rank,
+               a AS left_sym, b AS right_sym,
+               CAST(cnt AS BIGINT) AS pair_count
+        FROM pairs{t}
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+
+    def apply_cte(t: int) -> str:
+        return f"""w{t} AS (
+        SELECT replace(s, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                          '(' || m.left_sym || m.right_sym || ')') AS s, wc
+        FROM w{t - 1}, m{t} m)"""
+
+    stages = [
+        """w0 AS (
+        SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
+               CAST(wc AS BIGINT) AS wc
+        FROM (
+            SELECT w, count(*) AS wc
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
+            GROUP BY w))"""
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        stages.append(pairs_cte(t))
+        if t < BPE_MERGES:
+            stages.append(apply_cte(t))
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM m{t}" for t in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(stages) + f"\n    {union}\n    ORDER BY merge_rank"
+
+
+ORACLES["t_bpe_train"] = _bpe_train_sql()

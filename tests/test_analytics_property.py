@@ -428,3 +428,58 @@ def test_incremental_dedup_matches_naive_model(spark, tmp_path, monkeypatch):
     # every verdict class exercised
     assert {v[0] for v in expected.values()} == {"exact_dup", "near_dup", "unique"}
     assert expected[1][0] == "exact_dup" and expected[3][0] == "near_dup"
+
+
+def test_bpe_train_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Classic BPE trainer (Sennrich et al. 2016) in pure Python —
+    weighted pair counts over the word vocabulary, greedy left-to-right
+    single-scan merge application — must produce the identical merge
+    table, including inside same-char runs (the canonical-greedy case
+    the wrapped-replace representation exists to get right)."""
+    from collections import Counter
+
+    from conduit_spark.analytics import text
+    from conduit_spark.analytics.text import BPE_MERGES, t_bpe_train
+
+    rng = random.Random(20260820)
+    docs = _random_corpus(rng, 40, 30)
+    # inject same-char runs so odd-run greedy segmentation is exercised
+    docs += [(900, "aaaaa aaa bbbb"), (901, "aaaaa aaaaa")]
+
+    vocab = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w and all(c.isalnum() and ord(c) < 128 for c in w):
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = seqs[w]
+            for x, y in zip(s, s[1:]):
+                pairs[(x, y)] += c
+        (a, b), cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((rank, a, b, cnt))
+        for w in seqs:
+            s, new, i = seqs[w], [], 0
+            while i < len(s):  # canonical greedy single scan
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = new
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        text, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in t_bpe_train(spark, str(tmp_path)).collect()
+    ]
+    assert got == expected
