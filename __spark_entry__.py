@@ -148,6 +148,7 @@ _EXTENDED = (
     "cur_lang_temperature",  # late-r6 addition; r7 rotation candidate (gate full)
     "dq_embeddings",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_bpe_train",  # late-r6 addition; r7 rotation candidate (gate full)
+    "t_bpe_encode",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)

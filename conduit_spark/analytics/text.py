@@ -492,6 +492,17 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized and checkpointed (the d_pagerank loop discipline), so
     the unrolled plan stays flat.
     """
+    merges, _ = _bpe_learn(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the K merge iterations; returns (per-rank 1-row merge
+    DataFrames, the final vocab relation (w, s, wc) with every merge
+    applied) — shared by the trainer and the encoder."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -500,7 +511,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
     )
     w_rel = words.select(
-        F.regexp_replace(F.col("w"), "(.)", "($1)").alias("s"), "wc"
+        "w", F.regexp_replace(F.col("w"), "(.)", "($1)").alias("s"), "wc"
     ).localCheckpoint(eager=False)
     merges = []
     for t in range(1, BPE_MERGES + 1):
@@ -540,6 +551,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(m.select("left_sym", "right_sym"))
             )
             .select(
+                "w",
                 F.replace(
                     F.col("s"),
                     F.concat(
@@ -560,10 +572,56 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return merges, w_rel
+
+
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges corpus-wide: per-document real BPE
+    token count and chars-per-token compression.
+
+    The scale-smart inference shape: the K merges are applied ONCE to
+    the distinct-word vocabulary (the trainer loop's final relation),
+    then the corpus just joins each word occurrence to its symbol
+    count — the 100 TB corpus is never string-rewritten, only the
+    Zipf-small vocab is. Non-alphanumeric words fall outside the
+    trained vocab and count as one token each (the single-symbol
+    fallback every tokenizer has).
+    """
+    _, vocab = _bpe_learn(spark, sf_dir)
+    word_tokens = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\)\\(")
+        ).cast("bigint").alias("n_sym"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    j = occ.join(word_tokens, "w", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_sym"), F.lit(1)).alias("n_sym"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_word_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                9,
+            ).alias("chars_per_token"),
+        )
+        .transform(ordered_result, "doc_id")
+    )
 
 
 # BM25 retrieval (Robertson et al.; the Lucene-form idf that is always
@@ -656,6 +714,7 @@ QUERIES = {
     "t_unigram_logprob": t_unigram_logprob,
     "t_bm25_topk": t_bm25_topk,
     "t_bpe_train": t_bpe_train,
+    "t_bpe_encode": t_bpe_encode,
     "t_bigram_lm": t_bigram_lm,
     "t_entropy": t_entropy,
     "t_repetition": t_repetition,
@@ -929,10 +988,10 @@ ORACLES["t_bm25_topk"] = f"""
 """
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled K merge iterations as CTE stages — each applies the
-    previous stage's argmax merge via the same boundary-safe wrapped
-    replace the Spark side uses."""
+def _bpe_stages() -> list:
+    """Shared CTE stages w0..wK / pairs_t / m_t — the SQL mirror of
+    ``_bpe_learn`` (``w`` carried through so the encoder can join the
+    final vocab back to the corpus)."""
 
     def pairs_cte(t: int) -> str:
         return f"""pairs{t} AS (
@@ -953,13 +1012,13 @@ def _bpe_train_sql() -> str:
 
     def apply_cte(t: int) -> str:
         return f"""w{t} AS (
-        SELECT replace(s, '(' || m.left_sym || ')(' || m.right_sym || ')',
-                          '(' || m.left_sym || m.right_sym || ')') AS s, wc
+        SELECT w, replace(s, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                             '(' || m.left_sym || m.right_sym || ')') AS s, wc
         FROM w{t - 1}, m{t} m)"""
 
     stages = [
         """w0 AS (
-        SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
+        SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
                CAST(wc AS BIGINT) AS wc
         FROM (
             SELECT w, count(*) AS wc
@@ -969,12 +1028,42 @@ def _bpe_train_sql() -> str:
     ]
     for t in range(1, BPE_MERGES + 1):
         stages.append(pairs_cte(t))
-        if t < BPE_MERGES:
-            stages.append(apply_cte(t))
+        stages.append(apply_cte(t))
+    return stages
+
+
+def _bpe_train_sql() -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT * FROM m{t}" for t in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n    ".join(stages) + f"\n    {union}\n    ORDER BY merge_rank"
+    return (
+        "WITH " + ",\n    ".join(_bpe_stages())
+        + f"\n    {union}\n    ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    k = BPE_MERGES
+    tail = f""",
+    vocab_tokens AS (
+        SELECT w, CAST(len(string_split(s[2:length(s)-1], ')(')) AS BIGINT)
+                   AS n_sym
+        FROM w{k}),
+    occ AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    j AS (
+        SELECT doc_id,
+               coalesce(v.n_sym, 1) AS n_sym,
+               CAST(length(o.w) AS BIGINT) AS n_chars
+        FROM occ o LEFT JOIN vocab_tokens v USING (w))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / CAST(sum(n_sym) AS DOUBLE), 9) AS chars_per_token
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+    return "WITH " + ",\n    ".join(_bpe_stages()) + tail
 
 
 ORACLES["t_bpe_train"] = _bpe_train_sql()
+ORACLES["t_bpe_encode"] = _bpe_encode_sql()

@@ -483,3 +483,58 @@ def test_bpe_train_matches_naive_model(spark, tmp_path, monkeypatch):
         for r in t_bpe_train(spark, str(tmp_path)).collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Encoding with the learned merges: per-doc token counts must
+    equal applying the pure-Python trainer's final word segmentations
+    (out-of-vocab words count as one token)."""
+    from collections import Counter
+
+    from conduit_spark.analytics import text
+    from conduit_spark.analytics.text import BPE_MERGES, t_bpe_encode
+
+    rng = random.Random(20260821)
+    docs = _random_corpus(rng, 30, 25)
+    docs += [(900, "aaaaa aaa !!punct!! bbbb")]  # OOV word in play
+
+    vocab = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w and all(c.isalnum() and ord(c) < 128 for c in w):
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    for _ in range(BPE_MERGES):
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = seqs[w]
+            for x, y in zip(s, s[1:]):
+                pairs[(x, y)] += c
+        (a, b), _cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in seqs:
+            s, new, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = new
+    expected = {}
+    for i, t in docs:
+        words = t.split(" ")
+        n_tok = sum(len(seqs[w]) if w in seqs else 1 for w in words)
+        expected[i] = (len(words), n_tok)
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        text, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in t_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
