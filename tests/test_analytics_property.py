@@ -538,3 +538,122 @@ def test_bpe_encode_matches_naive_model(spark, tmp_path, monkeypatch):
         for r in t_bpe_encode(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_zorder_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Pure-Python Morton interleave + zone-map pruning over a seeded
+    random orders table — per-layout shard counts, pruned counts, and
+    scanned rows must match exactly."""
+    import datetime
+
+    from conduit_spark.analytics import curation
+    from conduit_spark.analytics.curation import (
+        ZORDER_BITS,
+        ZORDER_SHARDS,
+        ZQ_C_LO,
+        ZQ_C_HI,
+        ZQ_D_LO,
+        ZQ_D_HI,
+        _Z_SHIFT,
+        cur_zorder,
+    )
+
+    rng = random.Random(20260822)
+    epoch = datetime.datetime(1995, 1, 1)
+    rows = []
+    for k in range(800):
+        c = rng.randint(0, 1500)
+        d = rng.randint(0, 2400)
+        rows.append((k, c, epoch + datetime.timedelta(days=d)))
+
+    def morton(c, d):
+        z = 0
+        for i in range(ZORDER_BITS):
+            z += ((c >> i) & 1) << (2 * i)
+            z += ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    shards = {}  # (layout, shard) -> [min_c, max_c, min_d, max_d, n]
+    for k, c, dt in rows:
+        d = (dt - epoch).days
+        for layout, shard in (
+            ("naive", _md5_int32(str(k)) % ZORDER_SHARDS),
+            ("zorder", morton(c, d) >> _Z_SHIFT),
+        ):
+            e = shards.setdefault((layout, shard), [c, c, d, d, 0])
+            e[0], e[1] = min(e[0], c), max(e[1], c)
+            e[2], e[3] = min(e[2], d), max(e[3], d)
+            e[4] += 1
+    expected = {}
+    for (layout, _), (mc, xc, md, xd, n) in shards.items():
+        e = expected.setdefault(layout, [0, 0, 0, 0])
+        pruned = xc < ZQ_C_LO or mc > ZQ_C_HI or xd < ZQ_D_LO or md > ZQ_D_HI
+        e[0] += 1
+        e[1] += 1 if pruned else 0
+        e[2] += 0 if pruned else n
+        e[3] += n
+
+    df = spark.createDataFrame(
+        rows, "o_orderkey: long, o_custkey: long, o_orderdate: timestamp"
+    )
+    path = str(tmp_path / "orders.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        r.layout: [r.n_shards, r.n_pruned, r.rows_scanned, r.rows_total]
+        for r in cur_zorder(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    assert expected["zorder"][1] > 0  # the z layout actually prunes
+
+
+def test_lang_temperature_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Pure-Python alpha-smoothing over a seeded corpus: shares, boosts,
+    and budgeted token draws must match to the rounding contract."""
+    from conduit_spark.analytics import curation
+    from conduit_spark.analytics.curation import (
+        LANG_TEMP_ALPHA,
+        LANG_TEMP_BUDGET,
+        cur_lang_temperature,
+    )
+
+    rng = random.Random(20260823)
+    rows = []
+    for i in range(90):
+        lang = rng.choice(["aa", "bb", "cc", "dd"])
+        n = rng.randint(1, 40)
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(n)), lang))
+
+    toks = {}
+    for _, text, lang in rows:
+        toks[lang] = toks.get(lang, 0) + len(text.split(" "))
+    total = float(sum(toks.values()))
+    p = {lang: n / total for lang, n in toks.items()}
+    pw = {lang: p[lang] ** LANG_TEMP_ALPHA for lang in p}
+    z = sum(pw[lang] for lang in sorted(pw))  # lang-sorted fold order
+    expected = {
+        lang: (
+            round(p[lang], 9),
+            round(pw[lang] / z, 9),
+            round(pw[lang] / z / p[lang], 9),
+            round(pw[lang] / z * LANG_TEMP_BUDGET * total, 6),
+        )
+        for lang in p
+    }
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    path = str(tmp_path / "documents.parquet")
+    df.repartition(3).write.parquet(path)
+    monkeypatch.setattr(
+        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    got = {
+        r.lang: (r.nat_share, r.temp_share, r.boost, r.mix_tokens)
+        for r in cur_lang_temperature(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expected)
+    for lang in expected:
+        for a, b in zip(got[lang], expected[lang]):
+            assert abs(a - b) < 1e-6, lang  # pow/ULP tolerance
