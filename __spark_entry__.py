@@ -149,6 +149,10 @@ _EXTENDED = (
     "dq_embeddings",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_bpe_train",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_bpe_encode",  # late-r6 addition; r7 rotation candidate (gate full)
+    "q_skew_salted_join",  # late-r6 addition; r7 rotation candidate (gate full)
+    "q_bloom_prune_join",  # late-r6 addition; r7 rotation candidate (gate full)
+    "t_quality_lr",  # late-r6 addition; r7 rotation candidate (gate full)
+    "cur_token_budget",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_tfidf_top_terms",  # text family already gate-verified 5×
     "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)

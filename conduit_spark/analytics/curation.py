@@ -530,8 +530,90 @@ def cur_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_PCT = 50  # select best docs until 50% of corpus tokens are used
+BUDGET_BAND = 1000  # micro-logit quality bands per prefix-sum bucket
+
+
+def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: keep the highest-quality documents until
+    a global token budget is exhausted ("train on the best 50% of
+    tokens" — the selection step behind quality-pruned corpora like
+    FineWeb-Edu and phi-style data diets).
+
+    Quality = the hashed-weight LR logit of :func:`text.t_quality_lr`,
+    kept in EXACT integer micro-logits (``wsum*1_000_000 div n_tok``)
+    so ranking never touches a float. The greedy cut needs each doc's
+    running token total in global quality order — a prefix sum over a
+    corpus-wide sort. Like :func:`chunking.c_pack_blocks` this uses the
+    two-phase shape instead of one global window: per-BAND token sums
+    (keyed agg over ``quality div BUDGET_BAND``) → running sum over the
+    tiny band relation (the only unpartitioned window — bounded by the
+    quality-band count, ~thousands of rows at ANY corpus size) → join
+    back + an intra-band window partitioned by band. The budget itself
+    is a broadcast 1-row scalar (BUDGET_PCT% of total tokens).
+
+    A doc is kept iff the tokens of all strictly-better-ranked docs
+    fit under the budget (``cum_before < budget``); the straddling doc
+    is flagged ``partial`` so a downstream packer can truncate it.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: md5_int32(t) % 2001 - F.lit(1000)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        wsum.alias("__wsum"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(__wsum * 1000000) div n_tokens").alias("quality"),
+    ).withColumn(
+        "band", F.expr(f"quality div {BUDGET_BAND}")
+    ).localCheckpoint()  # feeds band sums, the scalar total, and the join back
+    total = per_doc.agg(F.sum("n_tokens").alias("__total")).select(
+        F.expr(f"(__total * {BUDGET_PCT}) div 100").alias("budget")
+    )
+    bsums = per_doc.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    boffs = bsums.select(
+        "band", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("band_off")
+    )
+    wi = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("band_off") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+    out = (
+        per_doc.join(boffs, "band")
+        .withColumn("cum_before", cum_before)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            "cum_before",
+            (F.col("cum_before") < F.col("budget")).cast("int").alias("keep"),
+            (
+                (F.col("cum_before") < F.col("budget"))
+                & (F.col("cum_before") + F.col("n_tokens") > F.col("budget"))
+            )
+            .cast("int")
+            .alias("partial"),
+        )
+    )
+    return ordered_result(out, "doc_id")
+
+
 QUERIES = {
     "cur_funnel": cur_funnel,
+    "cur_token_budget": cur_token_budget,
     "cur_split_leakage": cur_split_leakage,
     "cur_shards": cur_shards,
     "cur_mix": cur_mix,
@@ -812,4 +894,35 @@ ORACLES["cur_lang_temperature"] = f"""
            round(pw / z.z * {LANG_TEMP_BUDGET} * t, 6) AS mix_tokens
     FROM p, z
     ORDER BY lang
+"""
+
+ORACLES["cur_token_budget"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_sum(list_transform(
+                   string_split(text, ' '),
+                   t -> {sql_md5_int32('t')} % 2001 - 1000)) AS wsum
+        FROM documents),
+    q AS (
+        SELECT doc_id, n_tokens,
+               CAST((CAST(wsum AS BIGINT) * 1000000) // n_tokens AS BIGINT)
+                   AS quality
+        FROM d),
+    b AS (
+        SELECT (CAST(sum(n_tokens) AS BIGINT) * {BUDGET_PCT}) // 100 AS budget
+        FROM q),
+    c AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+        FROM q)
+    SELECT doc_id, quality, n_tokens, cum_before,
+           CASE WHEN cum_before < budget THEN 1 ELSE 0 END AS keep,
+           CASE WHEN cum_before < budget
+                 AND cum_before + n_tokens > budget THEN 1 ELSE 0 END AS partial
+    FROM c, b
+    ORDER BY doc_id
 """

@@ -961,6 +961,149 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8  # reducers a hot join key is spread across
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-fact join via explicit key salting — the
+    manual form of what AQE skew-split does at runtime, written out so
+    the pattern is testable: the probe side (lineitem) gets a
+    deterministic per-row salt in ``[0, SALT_BUCKETS)``, the build side
+    (orders) is replicated once per salt value, and the join key becomes
+    ``(o_orderkey, salt)``. Every lineitem row still matches exactly one
+    replica of its order, so the result is IDENTICAL to the unsalted
+    join (the oracle runs the plain join) — but a hot orderkey's rows
+    now hash to SALT_BUCKETS different reducers instead of one.
+
+    Scale posture (100 TB): replication multiplies the build side by
+    SALT_BUCKETS — you salt the FACT side and replicate the smaller
+    side, and you do it only for keys AQE can't already split (e.g. a
+    skewed aggregation feeding a join). The salt is
+    ``pmod(xxhash64(key, linenumber), S)`` — deterministic, no RNG, so
+    retried tasks produce identical output (speculative execution
+    safe). Everything stays whole-stage-codegen column algebra.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(SALT_BUCKETS)),
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice"))
+        * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li["__salt"] == orders["__salt"].cast("long")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            revenue.cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_RF_M = 1 << 18  # runtime-filter bits (32 KiB of driver state, SF-constant)
+BLOOM_RF_K = 4  # hash probes
+
+
+def bloom_runtime_filter(build_df: DataFrame, key: str):
+    """Build a Bloom filter over ``build_df[key]`` and return a
+    ``Column -> Column`` membership predicate for the probe side.
+
+    The bit vector travels through the driver (``BLOOM_RF_M/8`` bytes,
+    SF-constant — the same state Spark's own ``InjectRuntimeFilter``
+    coordinates) and is shipped to executors as ONE hex-string literal;
+    the probe is hex-substring + conv + bit-test column algebra, K
+    probes per row, inside WholeStageCodegen. May return false
+    positives (rate ~``fill^K``) — callers must follow with the exact
+    join; never false negatives.
+    """
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_RF_K)])
+    pos = F.pmod(F.xxhash64(F.col(key), F.col("seed")), F.lit(BLOOM_RF_M))
+    rows = (
+        build_df.select(key, F.explode(seeds).alias("seed"))
+        .select(
+            (pos / 8).cast("int").alias("byte_idx"),
+            # 1 << (pos % 8) — F.shiftleft needs a literal shift, so use
+            # pow (exact in double up to 2^7)
+            F.pow(F.lit(2.0), F.pmod(pos, F.lit(8)).cast("double"))
+            .cast("int")
+            .alias("bit"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or("bit").alias("byte"))
+        .collect()
+    )
+    vec = bytearray(BLOOM_RF_M // 8)
+    for r in rows:
+        vec[r["byte_idx"]] = r["byte"]
+    hex_lit = F.lit(vec.hex())
+
+    def might_contain(probe_key):
+        out = None
+        for j in range(BLOOM_RF_K):
+            p = F.pmod(F.xxhash64(probe_key, F.lit(j)), F.lit(BLOOM_RF_M))
+            byte = F.conv(
+                hex_lit.substr(((p / 8).cast("int") * 2 + 1).cast("int"), F.lit(2)),
+                16,
+                10,
+            ).cast("int")
+            bit = F.pow(F.lit(2.0), F.pmod(p, F.lit(8)).cast("double")).cast("int")
+            t = byte.bitwiseAND(bit) != 0
+            out = t if out is None else (out & t)
+        return out
+
+    return might_contain
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the manual form of Spark's
+    ``InjectRuntimeFilter``/DPP: build a Bloom filter over the join keys
+    that survive the build-side predicate (URGENT orders in a date
+    range), ship it to the probe side as ONE string literal, and drop
+    probe rows whose key cannot match BEFORE the shuffle join. False
+    positives pass the filter but are removed by the exact join that
+    follows, so the result is IDENTICAL to the plain join (the oracle
+    runs the plain join) — the filter only saves shuffle volume.
+
+    Scale posture (100 TB): driver state is the bit vector itself —
+    ``BLOOM_RF_M/8`` = 32 KiB, constant in SF (this is exactly the
+    state Spark's own bloom runtime filter moves through the driver).
+    The probe is pure column algebra (hex-substring + conv + bit test,
+    K=4 probes) inside WholeStageCodegen — no UDF, no per-row Python.
+    Filter sizing: at fill fraction p the probe passes ``p^K`` of
+    non-matching rows; m should be ~8 bits per distinct build key.
+    """
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    might_contain = bloom_runtime_filter(orders_f, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        might_contain(F.col("l_orderkey"))
+    )
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice"))
+        * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
+    )
+    return (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .groupBy(F.month("o_orderdate").cast("bigint").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            revenue.cast("double").alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_user_sessions": q_user_sessions,
@@ -997,6 +1140,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q_skew_salted_join": q_skew_salted_join,
+    "q_bloom_prune_join": q_bloom_prune_join,
 }
 
 ORACLES = {
@@ -1437,5 +1582,34 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY hour, event_type
+    """,
+    # the salted join is result-identical to the plain join — the salt
+    # only changes the physical shuffle layout, so the oracle IS the
+    # unsalted query
+    "q_skew_salted_join": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # bloom false positives are removed by the exact join that follows,
+    # so the runtime-filtered plan is result-identical to the plain join
+    "q_bloom_prune_join": """
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY order_month
     """,
 }

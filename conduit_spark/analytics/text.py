@@ -709,8 +709,58 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LR_WEIGHT_MOD = 2001  # hashed weight in [-1000, 1000] (÷1000 at the end)
+LR_THRESHOLD = 0.5  # keep gate on the sigmoid score
+
+
+def t_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference at scale (the FineWeb-Edu /
+    DCLM-fastText pattern): score every document with a linear model
+    over hashed bag-of-words features and gate on the sigmoid score.
+
+    The model here is a deterministic stand-in — weight(token) =
+    ``(md5_int32(token) % 2001 - 1000) / 1000`` — because the container
+    has no trained artifact; in production the weight table is a
+    broadcast map or the hash trick exactly as written (feature id =
+    hash(token), weights indexed from a broadcast array), which is how
+    fastText/linear quality filters actually run over 100 TB.
+
+    Plan/determinism shape: zero shuffles — one projection with array
+    higher-order functions. The per-doc accumulation sums INTEGER
+    weights (exact, order-insensitive) and converts to float ONCE at
+    the end, so Spark's fold order can never drift from DuckDB's; the
+    one transcendental (exp in the sigmoid) is rounded to 9 digits on
+    both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    wsum = F.aggregate(
+        F.transform(
+            F.col("toks"),
+            lambda t: md5_int32(t) % LR_WEIGHT_MOD - F.lit(1000),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = d.select("doc_id", F.size("toks").alias("n_tok"), wsum.alias("wsum"))
+    logit = F.col("wsum").cast("double") / (
+        F.lit(1000.0) * F.col("n_tok").cast("double")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(logit, 9).alias("logit"),
+        F.round(score, 9).alias("score"),
+        # sigmoid >= 0.5 <=> logit >= 0 <=> integer wsum >= 0: the keep
+        # flag is decided in exact integer arithmetic, float-proof
+        (F.col("wsum") >= 0).cast("int").alias("keep"),
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_quality_lr": t_quality_lr,
     "t_unigram_logprob": t_unigram_logprob,
     "t_bm25_topk": t_bm25_topk,
     "t_bpe_train": t_bpe_train,
@@ -1067,3 +1117,21 @@ def _bpe_encode_sql() -> str:
 
 ORACLES["t_bpe_train"] = _bpe_train_sql()
 ORACLES["t_bpe_encode"] = _bpe_encode_sql()
+
+ORACLES["t_quality_lr"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(
+                   string_split(text, ' '),
+                   t -> {sql_md5_int32('t')} % {LR_WEIGHT_MOD} - 1000
+               )) AS wsum
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(CAST(wsum AS DOUBLE) / (1000.0 * n_tok), 9) AS logit,
+           round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (1000.0 * n_tok)))), 9)
+               AS score,
+           CASE WHEN wsum >= 0 THEN 1 ELSE 0 END AS keep
+    FROM s
+"""

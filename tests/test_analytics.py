@@ -105,6 +105,43 @@ def test_ngram_df_cap_bounds_hot_shingle_blowup(spark, tmp_path, monkeypatch):
     assert all(a >= 900 for a, b in pairs), pairs
 
 
+def test_quality_lr_matches_naive_model(spark, tmp_path, monkeypatch):
+    """Score a 3-doc fixture against an independent pure-Python
+    implementation of the hashed-weight linear model."""
+    import hashlib
+    import math
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "one two three four five six"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    orig = text.load_table
+    monkeypatch.setattr(text, "load_table", lambda sp, d, name: sp.read.parquet(path))
+    try:
+        got = {r.doc_id: r for r in text.t_quality_lr(spark, str(tmp_path)).collect()}
+    finally:
+        monkeypatch.setattr(text, "load_table", orig)
+
+    def w(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return h % text.LR_WEIGHT_MOD - 1000
+
+    for doc_id, txt in rows:
+        toks = txt.split(" ")
+        wsum = sum(w(t) for t in toks)
+        logit = wsum / (1000.0 * len(toks))
+        score = 1.0 / (1.0 + math.exp(-logit))
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.logit - logit) < 1e-8
+        assert abs(r.score - score) < 1e-8
+        assert r.keep == (1 if wsum >= 0 else 0)
+
+
 def test_redact_pii_patterns(spark):
     """The scrub handles multiple occurrences, leaves clean text alone,
     and applies email-before-ip-before-phone ordering."""
