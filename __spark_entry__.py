@@ -75,16 +75,40 @@ _EXTENDED = (
     # m_decode_wav_real, d_pagerank, sk_kmv_overlap, t_unigram_logprob,
     # s_knn_join, cur_shuffle, q2_min_cost_supplier, and the three
     # real-codec upgrades m_frame_sample / m_features / m_resize).
-    # Round-7 rotation candidates (never driver-verified, in priority
-    # order): the nine late-r6 operators first — rag_hybrid_rrf,
-    # d_incremental, smp_dsir, cur_ppl_buckets, d_substring_dedup,
-    # cur_zorder, t_bm25_topk, s_mmr_rerank, s_ivf_recall — then
-    # s_kmeans_centroids, sk_hll_distinct, t_tfidf_top_terms,
-    # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
-    # smp_stratified_ids, s_quantized_topk, q_range_value_bands, q11,
-    # q21 — displace the rows that will then be 6x green (p_filter,
-    # p_field_set, p_unwrap_debezium, d_minhash_signatures, d_simhash,
-    # d_ngram_jaccard, t_token_count, q9, q_value_percentiles, ...).
+    # Round-7 rotation (DONE): fifteen never-driver-verified queries
+    # take gate slots — the thirteen VERDICT-r6 priority names
+    # (rag_hybrid_rrf, d_incremental, smp_dsir, cur_ppl_buckets,
+    # d_substring_dedup, cur_zorder, t_bm25_topk, s_mmr_rerank,
+    # s_ivf_recall, t_bpe_train, t_bpe_encode, dq_embeddings,
+    # cur_lang_temperature) plus s_kmeans_centroids + sk_hll_distinct;
+    # the 16th freed slot goes to the new connector-transport query
+    # g_s3_wire_snapshot (VERDICT r6 item 9). Displaced: sixteen
+    # 4-6x-green keepers listed below under "Round-7 rotation out".
+    # Round-8 rotation candidates (never driver-verified, in priority
+    # order): t_tfidf_top_terms, d_simhash_pairs, cur_shards, cur_mix,
+    # t_repetition, t_redact_pii, smp_stratified_ids, s_quantized_topk,
+    # q_range_value_bands, q_skew_salted_join, q_bloom_prune_join,
+    # t_quality_lr, cur_token_budget, q11_important_parts,
+    # q21_waiting_suppliers, q8_market_share, q15_top_supplier —
+    # displace rows that will then be 2x+ green (the round-7 first-time
+    # names above).
+    # Round-7 rotation out (driver-green 4-6x each):
+    "p_avro_decode",  # driver-green r3-r6; processor family kept via p_cdc_upsert
+    "p_error_dlq",  # driver-green r3-r6
+    "g_pipeline_chain",  # driver-green r3-r6; generator kept via g_throughput_1m
+    "c_chunk_documents",  # driver-green r3-r6; chunking kept via c_pack_blocks
+    "smp_stratified",  # driver-green r3-r6; sampling keeps smp_importance+smp_dsir
+    "d_contamination",  # driver-green r3-r6; dedup keeps 6 slots
+    "d_dedup_clusters",  # driver-green r3-r6; CC kept via d_pagerank/d_cluster_prune
+    "sk_kmv_distinct",  # driver-green r3-r6; sketches keep 5 slots
+    "q_asof_attribution",  # driver-green r3-r6; temporal kept via q_funnel/q_trending
+    "q_user_sessions",  # driver-green r4-r6
+    "s_ann_lsh_topk",  # driver-green r3-r6; similarity keeps 6 slots
+    "s_ivf_topk",  # driver-green r3-r6
+    "s_lsh_buckets",  # driver-green r3-r6
+    "s_neardup_pairs",  # driver-green r3-r6
+    "rag_ingest_retrieve",  # driver-green r3-r6; rag family kept via rag_hybrid_rrf
+    "q1_pricing_summary",  # driver-green r3-r6; still the entry() flagship
     # Round-6 second rotation: three 5x-green keepers move here so the
     # new webdata family (d_url_dedup / cur_boilerplate /
     # t_gopher_rules) earns first-time driver rows.
@@ -128,27 +152,12 @@ _EXTENDED = (
     "p_base64",  # driver-green r1-r3; displaced by s_semantic_dedup (r4 second rotation)
     "p_unwrap_opencdc",  # driver-green r1-r3; displaced by sk_cms_topk (unwrap family kept via debezium/kafkaconnect)
     "p_field_convert",  # driver-green r1-r3; displaced by q_funnel_conversion (field family kept via p_field_set)
-    "s_kmeans_centroids",  # IVF centroid trainer; similarity family gate-verified 4×
-    "sk_hll_distinct",  # HLL sketch; sketch family gate-verified via sk_kmv_distinct
     "q13_order_count_distribution",  # displaced by d_dedup_clusters (same CASE-agg family as q12)
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
     "q20_part_share_suppliers",  # displaced by sk_kmv_distinct (semi/anti-join family kept via q_orders_antijoin)
     "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
     "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
     "s_quantized_topk",  # int8 scalar-quantized search variant
-    "s_mmr_rerank",  # late-r6 addition; r7 rotation candidate (gate full)
-    "smp_dsir",  # late-r6 addition; r7 rotation candidate (gate full)
-    "cur_ppl_buckets",  # late-r6 addition; r7 rotation candidate (gate full)
-    "d_substring_dedup",  # late-r6 addition; r7 rotation candidate (gate full)
-    "s_ivf_recall",  # late-r6 addition; r7 rotation candidate (gate full)
-    "d_incremental",  # late-r6 addition; r7 rotation candidate (gate full)
-    "t_bm25_topk",  # late-r6 addition; r7 rotation candidate (gate full)
-    "rag_hybrid_rrf",  # late-r6 addition; r7 rotation candidate (gate full)
-    "cur_zorder",  # late-r6 addition; r7 rotation candidate (gate full)
-    "cur_lang_temperature",  # late-r6 addition; r7 rotation candidate (gate full)
-    "dq_embeddings",  # late-r6 addition; r7 rotation candidate (gate full)
-    "t_bpe_train",  # late-r6 addition; r7 rotation candidate (gate full)
-    "t_bpe_encode",  # late-r6 addition; r7 rotation candidate (gate full)
     "q_skew_salted_join",  # late-r6 addition; r7 rotation candidate (gate full)
     "q_bloom_prune_join",  # late-r6 addition; r7 rotation candidate (gate full)
     "t_quality_lr",  # late-r6 addition; r7 rotation candidate (gate full)

@@ -134,6 +134,19 @@ def main() -> None:
     # absorb ~5s of one-time session cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Python/Arrow worker-pool warmup: the first mapInPandas stage of a
+    # session forks the daemon + one worker per core and pays Arrow
+    # import in each — ~3-4s that round-6's gate charged to whichever
+    # mapInPandas query ran first (p_cdc_upsert: 5.52s driver vs 1.41s
+    # solo; VERDICT r6 item 3). One no-op pass over 32 partitions
+    # spins the whole pool up before any timed query runs.
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(32, numPartitions=32).mapInPandas(_noop, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     all_queries = entrymod.extended_queries()
     gate_names = set(entrymod.queries())

@@ -157,12 +157,12 @@ def cur_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage). Composes the banded-LSH pair relation with a broadcast
     split assignment — one keyed agg on top, SF-linear.
     """
-    from conduit_spark.analytics.dedup import _lsh_pairs
+    from conduit_spark.analytics.dedup import lsh_pairs_cached
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", split_of(F.col("doc_id")).alias("split")
     )
-    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = lsh_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     j = (
         pairs.join(
             docs.select(

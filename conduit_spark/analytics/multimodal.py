@@ -403,7 +403,13 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     model replaced by an analytic featurizer (a learned model is a
     documented seam; the decode + batch plumbing is what a real
     encoder consumes). Counts are exact integers, so the oracle check
-    is bit-exact, not tolerance-based."""
+    is bit-exact, not tolerance-based.
+
+    The histogram is emitted as the comma-joined count string (the
+    ``m_resize`` thumb pattern): round-6's ``hist array<long>`` column
+    broke the driver canonicalizer's pandas sort (``unhashable type:
+    'list'``) — gate queries must not emit array/map columns (lint
+    enforced in scripts/gate_check.py)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -430,7 +436,7 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["media_id"].append(did)
                 rows["modality"].append("image")
                 rows["n_pixels"].append(len(px))
-                rows["hist"].append(counts.tolist())
+                rows["hist"].append(",".join(str(int(c)) for c in counts))
                 rows["mean_intensity"].append(
                     round(int(px.sum(dtype="int64")) / len(px), 9)
                 )
@@ -440,7 +446,7 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.mapInPandas(
             run,
             "media_id long, modality string, n_pixels long, "
-            "hist array<long>, mean_intensity double",
+            "hist string, mean_intensity double",
         ),
         "media_id",
     )
@@ -774,7 +780,7 @@ ORACLES = {
             FROM px GROUP BY doc_id, w, h)
         SELECT bins.doc_id AS media_id, 'image' AS modality,
                stats.n_pixels,
-               list(CAST(bins.c AS BIGINT) ORDER BY bins.bin) AS hist,
+               string_agg(CAST(bins.c AS VARCHAR), ',' ORDER BY bins.bin) AS hist,
                stats.m AS mean_intensity
         FROM bins JOIN stats ON stats.doc_id = bins.doc_id
         GROUP BY bins.doc_id, stats.n_pixels, stats.m

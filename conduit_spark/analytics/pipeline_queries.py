@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.pipeline import Pipeline, parse_yaml
 from conduit_spark.sources.generator import generator_source
+from conduit_spark.sources.tables import load_table
 
 GEN_N = 1000
 
@@ -113,10 +114,74 @@ def g_throughput_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAP_N = 300  # objects seeded into the wire snapshot (bounded driver loop)
+
+# endpoint cache so repeated calls in one session (gate_check + bench)
+# reuse one live server instead of leaking one per call; servers are
+# closed atexit. Keyed by sf_dir because the seeded corpus differs.
+_S3_SNAP_CACHE: dict[str, tuple[object, str]] = {}
+
+
+def g_s3_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``builtin:s3`` source, transport=wire, under the DuckDB oracle —
+    the first connector-transport query in the gate (before round 7 the
+    S3/kafka wire paths were pytest-only; VERDICT r6 item 9).
+
+    Shape: the first ``SNAP_N`` documents (by doc_id) are PUT into an
+    in-process :class:`MiniS3Server` over real loopback TCP (driver
+    side, bounded — metadata+bytes for 300 small objects), then
+    ``s3_wire_source_df`` snapshot-reads them back: paginated
+    ListObjectsV2 on the driver (metadata only), size-balanced
+    executor tasks each GETting their own objects over their own
+    connection. The output re-derives (doc_id, byte length, server
+    ETag, text) from the FETCHED BYTES, so a corrupted wire transfer,
+    a wrong Range reassembly, or a bad listing cannot hash-match the
+    oracle, which recomputes the same columns from the parquet table
+    (S3 ETag IS md5, so ``md5(text)`` is the oracle-side ETag).
+
+    Scale: the bounded seed loop is test scaffolding; the read path
+    under test is the production one — listing paginates, object
+    bytes move executor-side only (s3_wire.py module docstring)."""
+    from conduit_spark.sources.s3_wire import s3_wire_source_df
+
+    if sf_dir not in _S3_SNAP_CACHE:
+        import atexit
+
+        from conduit_spark.functions.minis3 import MiniS3Client, MiniS3Server
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(SNAP_N)
+            .collect()
+        )
+        srv = MiniS3Server().start()
+        atexit.register(srv.close)
+        client = MiniS3Client(srv.endpoint)
+        client.create_bucket("gate")
+        for r in docs:
+            client.put_object(
+                "gate", f"snap/{int(r['doc_id']):08d}", r["text"].encode()
+            )
+        _S3_SNAP_CACHE[sf_dir] = (srv, srv.endpoint)
+    endpoint = _S3_SNAP_CACHE[sf_dir][1]
+
+    obj = s3_wire_source_df(spark, endpoint, "gate", "snap/")
+    return obj.select(
+        F.col("key"),
+        F.substring("key", 6, 8).cast("bigint").alias("doc_id"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+        F.col("etag"),
+        F.col("value").cast("string").alias("text"),
+    )
+
+
 QUERIES = {
     "g_generator": g_generator,
     "g_pipeline_chain": g_pipeline_chain,
     "g_throughput_1m": g_throughput_1m,
+    "g_s3_wire_snapshot": g_s3_wire_snapshot,
 }
 
 ORACLES = {
@@ -137,6 +202,19 @@ ORACLES = {
                count(*) AS n_staged
         FROM (SELECT unnest(generate_series(0, {THROUGHPUT_N - 1})) AS i)
         WHERE i % 2 <> 0
+    """,
+    # re-derives the wire round-trip analytically: key layout, UTF-8
+    # byte length, and the S3 ETag (= md5 of the object bytes; the
+    # server computes it from what actually arrived over TCP, DuckDB
+    # from the source text — equality proves byte-exact transfer).
+    "g_s3_wire_snapshot": f"""
+        SELECT 'snap/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+               doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS etag,
+               text
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT {SNAP_N})
     """,
     "g_pipeline_chain": """
         WITH g1 AS (

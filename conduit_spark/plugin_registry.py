@@ -50,6 +50,7 @@ standalone connector runtime executes.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -147,12 +148,51 @@ def _write_manifest(root: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(root))
 
 
-def _fetch(artifact: str, dest: str) -> None:
+# Hard ceiling on a fetched artifact. The reference carries a dedicated
+# bounded fetcher (pkg/registry/boundedfetch/boundedfetch.go) because a
+# malicious or compromised index can point at an endless stream and
+# disk-fill the host before digest verification ever runs. Same
+# semantics here: declared Content-Length over the cap fails fast, a
+# stream that keeps going past the cap fails mid-flight, and the
+# partial staging file is removed either way (fail-closed, no residue).
+MAX_ARTIFACT_BYTES = 512 * 1024 * 1024
+
+
+def _fetch(artifact: str, dest: str, *, max_bytes: int | None = None) -> None:
+    if max_bytes is None:  # late-bound so embedders/tests can tune the cap
+        max_bytes = MAX_ARTIFACT_BYTES
+
+    def _over(n) -> "RegistryError":
+        return RegistryError(
+            f"registry.artifact_too_large: {artifact} is {n} bytes "
+            f"(cap {max_bytes}); refusing to stage"
+        )
+
     if artifact.startswith(("http://", "https://", "file://")):
-        with urllib.request.urlopen(artifact, timeout=60) as resp:  # noqa: S310
-            with open(dest, "wb") as f:
-                shutil.copyfileobj(resp, f)
+        try:
+            with urllib.request.urlopen(artifact, timeout=60) as resp:  # noqa: S310
+                declared = resp.headers.get("Content-Length")
+                if declared is not None and int(declared) > max_bytes:
+                    raise _over(declared)
+                got = 0
+                with open(dest, "wb") as f:
+                    while True:
+                        chunk = resp.read(1024 * 1024)
+                        if not chunk:
+                            break
+                        got += len(chunk)
+                        if got > max_bytes:
+                            raise _over(f">{got}")
+                        f.write(chunk)
+        except RegistryError:
+            # never leave a partial (possibly cap-sized) file staged
+            with contextlib.suppress(OSError):
+                os.remove(dest)
+            raise
     else:
+        size = os.stat(artifact).st_size
+        if size > max_bytes:
+            raise _over(size)
         shutil.copyfile(artifact, dest)
 
 

@@ -70,9 +70,36 @@ def multiset(columns, rows):
     return sorted("|".join(canon_strict(r[i]) for i in order) for r in rows)
 
 
-def check_one(spark, con, name, fn, sql, sf_dir):
+def complex_output_cols(schema) -> list[str]:
+    """Array/map/struct-typed top-level columns — forbidden in GATE
+    queries. The driver's canonicalizer sorts the result through a
+    pandas ``sort_values``, which factorizes object columns and dies
+    on unhashable lists/dicts (round-6 ``m_features``: ``hist
+    array<long>`` → ``TypeError: unhashable type: 'list'``). This is
+    the general form of the round-1 DATE-column lesson
+    (COVERAGE.md): gate output must be scalar columns only — emit
+    vectors as comma-joined strings or explode to rows."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def check_one(spark, con, name, fn, sql, sf_dir, in_gate=True):
     t0 = time.time()
     sdf = fn(spark, sf_dir)
+    if in_gate:
+        bad = complex_output_cols(sdf.schema)
+        if bad:
+            return {
+                "name": name, "spark_rows": None, "secs": None,
+                "status": "GATE-LINT", "ok": False,
+                "detail": f"array/map/struct output columns {bad} break "
+                          f"the driver canonicalizer — stringify or explode",
+            }
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
     res = {"name": name, "spark_rows": len(spark_rows), "secs": None}
@@ -131,7 +158,8 @@ def main():
             n_bad += 1
             continue
         try:
-            r = check_one(spark, con, name, queries[name], oracles.get(name), args.sf)
+            r = check_one(spark, con, name, queries[name], oracles.get(name),
+                          args.sf, in_gate=name in gate_names)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             n_bad += 1

@@ -63,5 +63,56 @@ def test_priority_families_inside_gate():
             f"family {fam!r} (prefix {prefix!r}) has no driver gate row"
         )
     # anchors that must never rotate out: the e2e flagship paths
-    for name in ("p_cdc_upsert", "g_throughput_1m", "rag_ingest_retrieve"):
+    # (rag_ingest_retrieve rotated to extended in r7 after 4 green
+    # rounds; the rag family stays represented via the prefix loop)
+    for name in ("p_cdc_upsert", "g_throughput_1m"):
         assert name in gate, f"{name} fell out of the driver gate"
+
+
+def test_gate_lint_flags_complex_columns(spark):
+    """The driver canonicalizer pandas-sorts result columns; array/map
+    values are unhashable there (round-6 m_features red row). The
+    gate_check lint must flag them and pass scalar schemas."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts"),
+    )
+    from gate_check import complex_output_cols
+
+    bad = spark.sql(
+        "SELECT 1 AS a, array(1,2) AS arr, map('k','v') AS m, "
+        "named_struct('x', 1) AS s"
+    )
+    assert complex_output_cols(bad.schema) == ["arr", "m", "s"]
+    ok = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(1.5 AS DOUBLE) AS c")
+    assert complex_output_cols(ok.schema) == []
+
+
+def test_no_gate_query_emits_complex_columns(spark, sf_dir):
+    """Schema-level sweep of every gate query at sf0.001: none may
+    emit an array/map/struct output column (the class the round-6
+    m_features row died on). Schemas come from the lazy plan — no
+    query executes here except bounded driver-side setup."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts"),
+    )
+    from gate_check import complex_output_cols
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        cols = complex_output_cols(fn(spark, sf_dir).schema)
+        if cols:
+            offenders[name] = cols
+    assert not offenders, (
+        f"gate queries with array/map/struct output columns: {offenders} "
+        "— stringify (m_resize thumb pattern) or explode to rows"
+    )

@@ -335,3 +335,103 @@ def test_index_with_only_processors_is_valid(proc_registry, tmp_path):
         empty = tmp_path / "empty.json"
         empty.write_text("{}")
         reg.load_index(str(empty))
+
+
+# -- bounded artifact fetch (pkg/registry/boundedfetch parity) --------------
+#
+# A malicious or compromised index can point at an endless stream and
+# disk-fill the host before digest verification runs; the fetcher must
+# fail closed at a byte cap and remove the partial staging file.
+
+
+def _serve(handler_cls):
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_bounded_fetch_refuses_oversized_local_file(tmp_path):
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * 2048)
+    dest = tmp_path / "dest.bin"
+    with pytest.raises(reg.RegistryError, match="registry.artifact_too_large"):
+        reg._fetch(str(big), str(dest), max_bytes=1024)
+    assert not dest.exists()
+
+
+def test_bounded_fetch_fails_fast_on_declared_content_length(tmp_path):
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(10**9))
+            self.end_headers()
+            # body never sent: the client must refuse on the header alone
+
+        def log_message(self, *a):
+            pass
+
+    srv = _serve(H)
+    try:
+        dest = tmp_path / "d.bin"
+        with pytest.raises(reg.RegistryError, match="registry.artifact_too_large"):
+            reg._fetch(
+                f"http://127.0.0.1:{srv.server_port}/a", str(dest),
+                max_bytes=64 * 1024,
+            )
+        assert not dest.exists()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_bounded_fetch_kills_unbounded_stream_and_removes_partial(tmp_path):
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"  # no Content-Length: read-until-close
+
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            try:
+                for _ in range(256):  # 256 KiB against a 64 KiB cap
+                    self.wfile.write(b"y" * 1024)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up at the cap — expected
+
+        def log_message(self, *a):
+            pass
+
+    srv = _serve(H)
+    try:
+        dest = tmp_path / "d.bin"
+        with pytest.raises(reg.RegistryError, match="registry.artifact_too_large"):
+            reg._fetch(
+                f"http://127.0.0.1:{srv.server_port}/a", str(dest),
+                max_bytes=64 * 1024,
+            )
+        assert not dest.exists()  # partial removed, not left cap-sized
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_install_refuses_oversized_artifact_staging_clean(
+    registry, monkeypatch, tmp_path
+):
+    """End-to-end: the cap holds through install() and the staging dir
+    stays free of *.staged residue."""
+    index_path, root = registry
+    monkeypatch.setattr(reg, "MAX_ARTIFACT_BYTES", 16)  # every artifact over
+    with pytest.raises(reg.RegistryError, match="registry.artifact_too_large"):
+        reg.install(
+            "echo@v1.0.0", index_path=index_path, root=root
+        )
+    leftovers = [f for f in os.listdir(root) if f.endswith(".staged")]
+    assert leftovers == []
+    assert "echo@v1.0.0" not in reg._load_manifest(root)
