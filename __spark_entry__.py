@@ -92,6 +92,7 @@ _EXTENDED = (
     # q21_waiting_suppliers, q8_market_share, q15_top_supplier —
     # displace rows that will then be 2x+ green (the round-7 first-time
     # names above).
+    "g_kafka_wire_snapshot",  # new in r7; r8 gate candidate (kafka wire sibling of g_s3_wire_snapshot)
     # Round-7 rotation out (driver-green 4-6x each):
     "p_avro_decode",  # driver-green r3-r6; processor family kept via p_cdc_upsert
     "p_error_dlq",  # driver-green r3-r6

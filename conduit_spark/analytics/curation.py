@@ -531,7 +531,14 @@ def cur_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BUDGET_PCT = 50  # select best docs until 50% of corpus tokens are used
-BUDGET_BAND = 1000  # micro-logit quality bands per prefix-sum bucket
+# Micro-logit quality bands per prefix-sum bucket. Quality spans about
+# ±1e9 micro-logits, so the band width bounds the unpartitioned band
+# window at ~2e9/BUDGET_BAND rows REGARDLESS of corpus size: 1e6 keeps
+# it ≤ ~2001 bands (ADVICE r6: the former width of 1000 admitted up to
+# ~2M distinct bands on a diverse corpus — results stay exact at any
+# width by band monotonicity, but the bound claim only holds if the
+# band count, not the doc count, caps the window input).
+BUDGET_BAND = 1_000_000
 
 
 def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,9 +555,10 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase shape instead of one global window: per-BAND token sums
     (keyed agg over ``quality div BUDGET_BAND``) → running sum over the
     tiny band relation (the only unpartitioned window — bounded by the
-    quality-band count, ~thousands of rows at ANY corpus size) → join
-    back + an intra-band window partitioned by band. The budget itself
-    is a broadcast 1-row scalar (BUDGET_PCT% of total tokens).
+    band-DOMAIN size ~2e9/BUDGET_BAND ≈ 2001 rows at any corpus size,
+    because micro-logits span ±1e9; see the BUDGET_BAND constant note)
+    → join back + an intra-band window partitioned by band. The budget
+    itself is a broadcast 1-row scalar (BUDGET_PCT% of total tokens).
 
     A doc is kept iff the tokens of all strictly-better-ranked docs
     fit under the budget (``cum_before < budget``); the straddling doc

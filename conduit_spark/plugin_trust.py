@@ -168,6 +168,28 @@ def load_trust_root(path: str) -> dict:
                     f"trust.bad_trust_root: publisher {pub!r} key "
                     "missing key_id/public_key_pem"
                 )
+    builder = doc.get("builder")
+    if builder is not None:
+        # optional builder policy (reference builderpolicy.go): one
+        # global expected builder, its own identity pattern + keys
+        if not isinstance(builder, dict) or not builder.get(
+            "expected_builder_id"
+        ):
+            raise TrustError(
+                f"trust.bad_trust_root: {path} 'builder' block missing "
+                "expected_builder_id"
+            )
+        validate_identity_pattern(builder.get("identity_pattern", ""))
+        if not builder.get("keys"):
+            raise TrustError(
+                f"trust.bad_trust_root: {path} 'builder' block has no keys"
+            )
+        for k in builder["keys"]:
+            if not k.get("key_id") or not k.get("public_key_pem"):
+                raise TrustError(
+                    f"trust.bad_trust_root: builder key missing "
+                    "key_id/public_key_pem"
+                )
     return doc
 
 
@@ -299,6 +321,219 @@ def verify_artifact(
         "key_id": key["key_id"],
         "identity": identity,
         "sha256": digest,
+    }
+
+
+# --- provenance attestations + builder policy -------------------------
+# (reference trust/provenance.go CheckProvenanceBinding + builderpolicy.go)
+#
+# The artifact signature answers "who published these bytes"; the
+# provenance attestation answers "which build system produced them".
+# Under SLSA L3 the attestation is signed by the isolated BUILDER's
+# identity, deliberately distinct from the publisher's
+# (builderpolicy.go BuilderPinnedIdentity doc), and three semantic
+# checks bind it to THIS artifact (provenance.go:62-88):
+#   1. predicateType must be a recognized SLSA version — an
+#      unrecognized type is a hard reject, never a skipped check;
+#   2. some subject[].digest.sha256 must equal the digest of the
+#      artifact's ACTUALLY RECEIVED bytes (never a value read back out
+#      of the index); a subject offering only a non-sha256 digest
+#      never counts as a match;
+#   3. predicate.builder.id must equal the policy's expected builder
+#      EXACTLY — the field path differs per predicate version
+#      (v1: predicate.runDetails.builder.id; v0.2: predicate.builder.id).
+
+SLSA_V1 = "https://slsa.dev/provenance/v1"
+SLSA_V02 = "https://slsa.dev/provenance/v0.2"
+SUPPORTED_SLSA_PREDICATE_TYPES = frozenset({SLSA_V1, SLSA_V02})
+
+PROVENANCE_MESSAGE_PREFIX = b"conduit-spark-provenance-v1\x00"
+
+
+def _statement_bytes(statement: dict) -> bytes:
+    """Canonical bytes the builder key signs: domain-prefixed compact
+    sorted-keys JSON of the in-toto statement (the DSSE-envelope
+    analog — one stable serialization on both sides)."""
+    return PROVENANCE_MESSAGE_PREFIX + json.dumps(
+        statement, sort_keys=True, separators=(",", ":")
+    ).encode()
+
+
+def extract_builder_id(statement: dict) -> str | None:
+    """builder.id at the predicate-version-dependent path; None when
+    the shape doesn't match (missing predicate, non-string id,
+    unrecognized predicateType) — callers treat None as reject."""
+    pred = statement.get("predicate")
+    if not isinstance(pred, dict):
+        return None
+    pt = statement.get("predicateType")
+    if pt == SLSA_V1:
+        run = pred.get("runDetails")
+        builder = run.get("builder") if isinstance(run, dict) else None
+    elif pt == SLSA_V02:
+        builder = pred.get("builder")
+    else:
+        return None
+    bid = builder.get("id") if isinstance(builder, dict) else None
+    return bid if isinstance(bid, str) else None
+
+
+def check_provenance_binding(
+    statement: dict, artifact_sha256: str, expected_builder_id: str
+) -> None:
+    """The three SLSA-semantic checks, fail-closed with a code distinct
+    from identity mismatches (the signing identity can be exactly right
+    while the provenance's claims are wrong — provenance.go:57-60)."""
+    if not isinstance(statement, dict):
+        raise TrustError(
+            "trust.provenance_invalid: no provenance statement to check"
+        )
+    pt = statement.get("predicateType")
+    if pt not in SUPPORTED_SLSA_PREDICATE_TYPES:
+        raise TrustError(
+            f"trust.provenance_invalid: unrecognized provenance "
+            f"predicateType {pt!r} — refusing rather than skipping the "
+            "check"
+        )
+    want = artifact_sha256.lower()
+    subjects = statement.get("subject")
+    matched = isinstance(subjects, list) and any(
+        isinstance(s, dict)
+        and isinstance(s.get("digest"), dict)
+        and s["digest"].get("sha256") == want
+        for s in subjects
+    )
+    if not matched:
+        raise TrustError(
+            "trust.provenance_invalid: provenance attestation's subject "
+            "digest does not match this artifact's actual sha256"
+        )
+    bid = extract_builder_id(statement)
+    if bid is None or bid != expected_builder_id:
+        raise TrustError(
+            f"trust.provenance_invalid: provenance attestation's "
+            f"builder.id ({bid!r}) does not match the expected builder "
+            f"({expected_builder_id!r})"
+        )
+
+
+def sign_provenance(
+    statement: dict, *, private_key_pem: str, key_id: str, identity: str
+) -> dict:
+    """Builder-side half: detached ed25519 signature over the canonical
+    statement bytes. Returns the dict that rides under the index
+    entry's ``provenance.signature`` key."""
+    ed25519, serialization = _require_crypto()
+    priv = serialization.load_pem_private_key(
+        private_key_pem.encode(), password=None
+    )
+    sig = priv.sign(_statement_bytes(statement))
+    return {
+        "key_id": key_id,
+        "identity": identity,
+        "algorithm": "ed25519",
+        "signature_b64": base64.b64encode(sig).decode(),
+    }
+
+
+def make_provenance_statement(
+    artifact_path: str,
+    *,
+    name: str,
+    builder_id: str,
+    predicate_type: str = SLSA_V1,
+) -> dict:
+    """In-toto-statement-shaped provenance for an artifact — the
+    publish-pipeline half (and the test fixture generator)."""
+    digest = hashlib.sha256(open(artifact_path, "rb").read()).hexdigest()
+    if predicate_type == SLSA_V1:
+        predicate = {"runDetails": {"builder": {"id": builder_id}}}
+    elif predicate_type == SLSA_V02:
+        predicate = {"builder": {"id": builder_id}}
+    else:
+        raise TrustError(
+            f"trust.provenance_invalid: cannot author predicateType "
+            f"{predicate_type!r}"
+        )
+    return {
+        "_type": "https://in-toto.io/Statement/v1",
+        "predicateType": predicate_type,
+        "subject": [{"name": name, "digest": {"sha256": digest}}],
+        "predicate": predicate,
+    }
+
+
+def verify_provenance(
+    artifact_path: str, *, provenance: dict, trust_root: dict
+) -> dict:
+    """Fail-closed provenance verification: builder policy present →
+    attestation signed by a pinned BUILDER key under the builder's own
+    identity pattern → statement binds to the received bytes and the
+    expected builder id. Returns {"builder_id", "key_id", "identity"}.
+
+    Mirrors the reference's two-layer design: the cert-identity check
+    (BuilderPinnedIdentity) and the predicate builder-id binding
+    (CheckProvenanceBinding) are belt-and-suspenders — both run, both
+    must pass."""
+    ed25519, serialization = _require_crypto()
+    policy = trust_root.get("builder")
+    if not isinstance(policy, dict):
+        raise TrustError(
+            "trust.no_builder_policy: index entry carries a provenance "
+            "attestation but the trust root pins no builder; refusing "
+            "(an attestation never downgrades to unchecked)"
+        )
+    statement = provenance.get("statement")
+    signature = provenance.get("signature") or {}
+    pattern = policy.get("identity_pattern", "")
+    validate_identity_pattern(pattern)
+    identity = signature.get("identity", "")
+    if re.match(pattern, identity) is None:
+        raise TrustError(
+            f"trust.identity_mismatch: provenance signing identity "
+            f"{identity!r} does not match the pinned builder pattern "
+            f"{pattern!r}"
+        )
+    key = next(
+        (
+            k
+            for k in policy.get("keys", [])
+            if k.get("key_id") == signature.get("key_id")
+        ),
+        None,
+    )
+    if key is None:
+        raise TrustError(
+            f"trust.unknown_key: provenance key_id "
+            f"{signature.get('key_id')!r} is not pinned for the builder"
+        )
+    if signature.get("algorithm", "ed25519") != "ed25519":
+        raise TrustError(
+            f"trust.unsupported_algorithm: {signature.get('algorithm')!r}"
+        )
+    if not isinstance(statement, dict):
+        raise TrustError(
+            "trust.provenance_invalid: provenance entry has no statement"
+        )
+    pub = serialization.load_pem_public_key(key["public_key_pem"].encode())
+    try:
+        raw = base64.b64decode(
+            signature.get("signature_b64", ""), validate=True
+        )
+        pub.verify(raw, _statement_bytes(statement))
+    except Exception as e:
+        raise TrustError(
+            "trust.signature_invalid: provenance attestation signature "
+            "does not verify against the pinned builder key; refusing"
+        ) from e
+    digest = hashlib.sha256(open(artifact_path, "rb").read()).hexdigest()
+    check_provenance_binding(
+        statement, digest, policy.get("expected_builder_id", "")
+    )
+    return {
+        "builder_id": extract_builder_id(statement),
+        "key_id": key["key_id"],
+        "identity": identity,
     }
 
 

@@ -792,3 +792,28 @@ def test_dq_embeddings_catches_each_corruption(spark, tmp_path, monkeypatch):
     assert not out["label_in_range"].passed
     assert not out["vec_id_unique"].passed
     assert out["vec_id_not_null"].passed and out["no_null_elements"].passed
+
+
+def test_profile_dist_bounds_high_cardinality(spark):
+    """The categorical profiler must collect at most top_k values plus
+    an exact __other__ bucket — a unique-per-row column (url-like) is
+    the driver-bomb case (VERDICT r6 #5)."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics.quality_checks import profile_documents
+
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.concat(F.lit("lang-"), F.col("id")).alias("lang"),  # all unique
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    prof = profile_documents(docs)
+    assert len(prof["lang_dist"]) <= 101  # top 100 + __other__
+    assert "__other__" in prof["lang_dist"]
+    assert abs(sum(prof["lang_dist"].values()) - 1.0) < 1e-9
+    # exactness: each of the 100 kept uniques is 1/n, other = (n-100)/n
+    assert abs(prof["lang_dist"]["__other__"] - (n - 100) / n) < 1e-9
+    # low-cardinality columns unchanged: no __other__, exact shares
+    assert set(prof["source_dist"]) == {"0", "1", "2"}

@@ -349,3 +349,83 @@ def test_validate_kafka_topics_plural():
     ) == []
     errs = validate_connector("source", "builtin:kafka", {"servers": "h:1"})
     assert any("topic" in e for e in errs)
+
+
+def test_modern_client_apiversions_downgrade(broker):
+    """KIP-511 first-connection sequence of a modern (flexible) client:
+    ApiVersions v3 with request header v2 → the broker must answer
+    UNSUPPORTED_VERSION in a v0-SHAPED body that still carries the
+    supported-versions table (never kill the connection); the client
+    re-sends v0 on the SAME socket and proceeds at the advertised
+    non-flexible revisions. ADR:
+    docs/architecture-decision-records/20260815-kafka-wire-nonflexible-scope.md
+    """
+    import socket as _socket
+    import struct as _struct
+
+    from conduit_spark.functions.minikafka import (
+        ERR_UNSUPPORTED_VERSION,
+        _Reader,
+        _recv_exact,
+        _w_str,
+    )
+
+    def uvarint(n: int) -> bytes:
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def compact_str(s: str) -> bytes:
+        raw = s.encode()
+        return uvarint(len(raw) + 1) + raw
+
+    host, port = broker.bootstrap.rsplit(":", 1)
+    sock = _socket.create_connection((host, int(port)))
+    try:
+        # -- exchange 1: ApiVersions v3, flexible request header v2
+        # (client_id stays a CLASSIC nullable string in header v2;
+        # the flexibility is the trailing tagged-field buffer + the
+        # compact-encoded body)
+        req = (
+            _struct.pack(">hhi", 18, 3, 7)     # api_key, version, corr
+            + _w_str("franz-go-alike")          # header v2 client_id
+            + uvarint(0)                        # header tagged fields
+            + compact_str("conduit-test")       # client_software_name
+            + compact_str("1.0.0")              # client_software_version
+            + uvarint(0)                        # body tagged fields
+        )
+        sock.sendall(_struct.pack(">i", len(req)) + req)
+        (size,) = _struct.unpack(">i", _recv_exact(sock, 4))
+        r = _Reader(_recv_exact(sock, size))
+        assert r.i32() == 7                     # response header v0
+        assert r.i16() == ERR_UNSUPPORTED_VERSION
+        table = {r.i16(): (r.i16(), r.i16()) for _ in range(r.i32())}
+        assert table[18] == (0, 0)              # broker advertises its max
+
+        # -- exchange 2: the downgraded retry, same socket
+        req = _struct.pack(">hhi", 18, 0, 8) + _w_str("franz-go-alike")
+        sock.sendall(_struct.pack(">i", len(req)) + req)
+        (size,) = _struct.unpack(">i", _recv_exact(sock, 4))
+        r = _Reader(_recv_exact(sock, size))
+        assert r.i32() == 8
+        assert r.i16() == 0
+        table0 = {r.i16(): (r.i16(), r.i16()) for _ in range(r.i32())}
+        assert table0 == table                  # one table, two replies
+    finally:
+        sock.close()
+
+    # -- proceed at the negotiated (non-flexible) versions
+    broker.create_topic("downgrade-t", partitions=1)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        assert c.api_versions() == table0
+        base = c.produce(
+            "downgrade-t", 0,
+            [{"key": b"k", "value": b"v", "timestamp": 1}],
+        )
+        got, hwm = c.fetch("downgrade-t", 0, base)
+        assert hwm == base + 1
+        assert [(rec["key"], rec["value"]) for rec in got] == [(b"k", b"v")]
