@@ -511,6 +511,123 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JPEG_BW_MOD, JPEG_BH_MOD = 3, 2  # block grid: (2+did%3) x (1+did%2) 8px blocks
+
+
+def _synth_jpeg_bytes(did: int) -> bytes:
+    """Deterministic grayscale baseline JPEG for ``doc_id`` whose
+    DECODED pixels have a closed form: the image is a grid of 8×8
+    CONSTANT blocks, block (by,bx) = ``(did*3 + 13*by + 7*bx) % 256``.
+    A constant block has a DC-only DCT (DC = 8·(v−128)); with the DC
+    quant step fixed at 8 the quantized coefficient is exactly v−128,
+    so dequantize + IDCT reproduce every pixel EXACTLY — a lossy codec
+    exercised on its lossless subspace, which is what makes a
+    bit-exact SQL oracle possible (same trick as the PNG/WAV synth).
+    Entropy layout: canonical DC Huffman with symbols 0..11 at 4 bits
+    (code == symbol), one 2-bit AC symbol (EOB), 0xFF byte-stuffing —
+    a fully legal ITU-T T.81 baseline stream that the real decoder's
+    marker walk / Huffman / IDCT path must parse."""
+    import struct as _s
+
+    w = 8 * (2 + did % JPEG_BW_MOD)
+    h = 8 * (1 + did % JPEG_BH_MOD)
+    qt = bytes([8] + [1] * 63)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + qt)
+    out += seg(0xC0, _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00, 0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    out += seg(0xC4, bytes([0x10, 0, 1] + [0] * 14) + bytes([0x00]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)  # byte stuffing
+
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            dc = (did * 3 + 13 * by + 7 * bx) % 256 - 128
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            put(t, 4)  # DC symbol: canonical code == symbol, 4 bits
+            if t:
+                put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            put(0, 2)  # EOB: the one AC code, 2 bits
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-fill final byte
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def m_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the DuckDB oracle: synthesize a
+    deterministic constant-block JPEG per doc (see
+    :func:`_synth_jpeg_bytes`) and run the full
+    ``media_codecs.decode_jpeg`` path — marker walk, canonical Huffman
+    entropy decode, dequantize, orthonormal IDCT. The emitted stats
+    come from the DECODED pixel array, so a wrong Huffman table build,
+    DC predictor, zigzag, or IDCT cannot match the analytic oracle
+    (which recomputes the stats from the block-value formula). Closes
+    the "JPEG is pytest-golden-only" gap — PNG/WAV earned driver rows
+    in r6, this is the JPEG sibling (r8 rotation candidate)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np  # noqa: F401 (decode_jpeg needs it importable)
+
+        from conduit_spark.analytics.media_codecs import decode_jpeg
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "n_pixels": [], "pixel_mean": [], "pixel_min": [],
+                "pixel_max": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_jpeg(_synth_jpeg_bytes(did))
+                px = meta["pixels"]
+                rows["media_id"].append(did)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["channels"].append(meta["channels"])
+                rows["n_pixels"].append(int(px.size))
+                rows["pixel_mean"].append(
+                    round(int(px.sum(dtype="int64")) / px.size, 9)
+                )
+                rows["pixel_min"].append(int(px.min()))
+                rows["pixel_max"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return ordered_result(
+        docs.mapInPandas(
+            run,
+            "media_id long, width int, height int, channels int, "
+            "n_pixels long, pixel_mean double, pixel_min int, pixel_max int",
+        ),
+        "media_id",
+    )
+
+
 PNG_W_BASE, PNG_W_MOD = 16, 17  # width  = 16 + doc_id % 17  (16..32)
 PNG_H_BASE, PNG_H_MOD = 8, 13  # height =  8 + doc_id % 13  ( 8..20)
 
@@ -663,6 +780,7 @@ def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "m_decode_stub": m_decode_stub,
+    "m_decode_jpeg_real": m_decode_jpeg_real,
     "m_decode_png_real": m_decode_png_real,
     "m_decode_wav_real": m_decode_wav_real,
     "m_frame_sample": m_frame_sample,
@@ -671,6 +789,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # constant-block geometry: pixel stats are 64x the block-value
+    # stats (every pixel in block (by,bx) is the same v); integer sums
+    # and one IEEE division keep both engines bit-identical
+    "m_decode_jpeg_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 * (2 + doc_id % {JPEG_BW_MOD}) AS w,
+                   8 * (1 + doc_id % {JPEG_BH_MOD}) AS h
+            FROM documents),
+        blk AS (
+            SELECT doc_id, w, h,
+                   (doc_id * 3 + 13 * by.by + 7 * bx.bx) % 256 AS v
+            FROM dims,
+                 generate_series(0, {JPEG_BH_MOD - 1}) AS by(by),
+                 generate_series(0, {JPEG_BW_MOD + 1}) AS bx(bx)
+            WHERE by.by < h // 8 AND bx.bx < w // 8)
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               1 AS channels,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(CAST(sum(v) * 64 AS DOUBLE) / (w * h), 9) AS pixel_mean,
+               CAST(min(v) AS INT) AS pixel_min,
+               CAST(max(v) AS INT) AS pixel_max
+        FROM blk
+        GROUP BY doc_id, w, h
+        ORDER BY media_id
+    """,
     "m_decode_png_real": f"""
         WITH dims AS (
             SELECT doc_id,

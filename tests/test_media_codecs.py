@@ -520,3 +520,29 @@ def test_jpeg_roundtrip_property():
         assert err.mean() <= (30 if not smooth else 4)
 
     check()
+
+
+def test_synth_jpeg_is_lossless_constant_block_subspace():
+    """The registry's deterministic JPEG corpus must round-trip
+    EXACTLY through the real decoder (constant 8x8 blocks + DC quant
+    step 8 make the lossy codec lossless by construction) — the
+    property the m_decode_jpeg_real oracle depends on. The synth's
+    entropy stream is produced independently of the test-side
+    encode_jpeg above (different Huffman layout), so this also
+    cross-checks the decoder against a second legal encoder."""
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+    from conduit_spark.analytics.multimodal import _synth_jpeg_bytes
+
+    for did in (0, 1, 5, 255, 256, 9999):
+        meta = decode_jpeg(_synth_jpeg_bytes(did))
+        w, h = meta["width"], meta["height"]
+        assert (w, h) == (8 * (2 + did % 3), 8 * (1 + did % 2))
+        exp = np.zeros((h, w), dtype=np.int64)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    did * 3 + 13 * by + 7 * bx
+                ) % 256
+        assert (meta["pixels"].astype(np.int64) == exp).all()
