@@ -7,12 +7,14 @@ These back ``decode_media(real_codecs=True)`` for the formats that can
 genuinely be decoded without native libraries — PNG's DEFLATE stream
 via ``zlib`` with the five per-scanline filters reversed per the PNG
 spec (RFC 2083 §6); WAV's RIFF/fmt/data chunks per the canonical WAVE
-layout; baseline sequential JFIF per ITU-T T.81 (SOF0, 8-bit, any
-h/v subsampling up to 2, restart markers) with the 2-D IDCT as an
-orthonormal-matrix product; MP4's ftyp/moov/trak/tkhd/stsd boxes per
-ISO 14496-12 for brand/duration/track geometry/codec fourccs.
-Progressive JPEG (SOF2) and MP4 *frame decode* (H.264 entropy +
-prediction) remain explicit unsupported seams.
+layout; sequential AND progressive JFIF per ITU-T T.81 (SOF0/1/2,
+8-bit, any h/v subsampling up to 2, restart markers, spectral
+selection + successive approximation with EOB runs — progressive
+support landed round 7, closing the former seam); MP4's
+ftyp/moov/trak/tkhd/stsd boxes per ISO 14496-12 for
+brand/duration/track geometry/codec fourccs. MP4 *frame decode*
+(H.264 entropy + prediction), arithmetic-coded and hierarchical JPEG
+remain explicit unsupported seams.
 
 Everything here is a pure ``bytes -> dict`` function so the Spark
 side stays a thin ``mapInPandas`` wrapper and the decoders are
@@ -276,6 +278,13 @@ def _entropy_segments(raw: bytes, start: int) -> list[bytes]:
     """Scan data from ``start``: unstuff 0xFF00, split at RSTn (each
     restart segment gets fresh DC predictors), stop at any other
     marker."""
+    return _entropy_segments_span(raw, start)[0]
+
+
+def _entropy_segments_span(raw: bytes, start: int) -> tuple[list[bytes], int]:
+    """Like :func:`_entropy_segments` but also return the offset of the
+    terminating marker's 0xFF — progressive files carry several scans,
+    so the header walk must resume there."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -297,19 +306,133 @@ def _entropy_segments(raw: bytes, start: int) -> list[bytes]:
         else:  # EOI or next header marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(i, n)
+
+
+def _jpeg_full_block(reader, coef, pred, cid, dc_t, ac_t) -> None:
+    """Sequential-mode block: DC diff + the 0..63 AC band in one pass
+    (T.81 F.2). ``coef`` is a length-64 int view in ZIGZAG order —
+    dequantization happens after all scans, shared with progressive."""
+    t = _huff_decode(reader, dc_t)
+    pred[cid] += _extend(reader.read_bits(t), t)
+    coef[0] = pred[cid]
+    k = 1
+    while k <= 63:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC index overflow")
+        coef[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _jpeg_ac_first(reader, coef, ss, se, al, eobrun, ac_t) -> int:
+    """Progressive first AC scan for one block (T.81 G.1.2.2): the
+    band's coefficients at successive-approximation level ``al``, with
+    EOBn run-length codes spanning blocks. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob = (1 << r) - 1
+            if r:
+                eob += reader.read_bits(r)
+            return eob  # EOBn: this block is done, eob more follow
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow in progressive band")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, coef, ss, se, al, eobrun, ac_t) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±1<<al with runs counted over
+    ZERO-history positions only; every nonzero-history coefficient
+    crossed (and, inside an EOB run, every nonzero in the rest of the
+    band) receives one correction bit. Returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    if eobrun > 0:
+        # a whole block inside the EOB run: one correction bit per
+        # already-significant coefficient, one run unit consumed
+        for k in range(ss, se + 1):
+            if coef[k] != 0:
+                correct(k)
+        return eobrun - 1
+
+    k = ss
+    in_eob = False
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                # EOBn: value ℓ covers THIS block's tail plus ℓ-1
+                # whole following blocks — the current block's tail
+                # correction below does not consume a run unit
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                in_eob = True
+                break
+            val = 0  # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("JPEG: bad refinement magnitude")
+            val = p1 if reader.read_bit() else m1
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val != 0 and k <= se:
+            coef[k] = val
+        k += 1
+    if in_eob:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+    return eobrun
 
 
 def decode_jpeg(raw: bytes) -> dict:
-    """Baseline sequential JPEG decode, pure Python + numpy: marker
-    walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode,
-    dequantize + de-zigzag, orthonormal-matrix 2-D IDCT, nearest
-    chroma upsample, BT.601 YCbCr→RGB. Returns geometry plus pixel
-    statistics from the reconstructed samples — proof of real decode.
+    """JPEG decode, pure Python + numpy: marker walk (DQT/DHT/SOF/DRI/
+    multi-SOS), canonical Huffman entropy decode, dequantize +
+    de-zigzag, orthonormal-matrix 2-D IDCT, nearest chroma upsample,
+    BT.601 YCbCr→RGB. Returns geometry plus pixel statistics from the
+    reconstructed samples — proof of real decode.
 
-    Covers the baseline profile (SOF0, 8-bit, ≤4 components, h/v
-    sampling ≤2, restart intervals). Progressive (SOF2), arithmetic
-    coding, and 12-bit raise ValueError."""
+    Covers baseline sequential (SOF0/1) AND progressive (SOF2, since
+    round 7): spectral selection, successive approximation on DC and
+    AC (first + refinement scans, EOBn runs per G.1.2), interleaved DC
+    scans, non-interleaved AC scans on the component's own block grid,
+    restart intervals in every scan mode. All scans accumulate into
+    per-component quantized-coefficient planes (zigzag order);
+    dequantize + IDCT run once at the end, vectorized. Arithmetic
+    coding, hierarchical and 12-bit raise ValueError."""
     import numpy as np
 
     if raw[:3] != b"\xff\xd8\xff":
@@ -319,14 +442,16 @@ def decode_jpeg(raw: bytes) -> dict:
     ac_tables: dict[int, dict] = {}
     comps: list[dict] = []
     width = height = None
+    progressive = False
     restart_interval = 0
-    scan_comps: list[dict] = []
-    scan_start = None
+    scans: list[dict] = []
     i = 2
-    while i + 4 <= len(raw) and scan_start is None:
+    while i + 2 <= len(raw):
         if raw[i] != 0xFF:
             raise ValueError("JPEG: marker expected")
         marker = raw[i + 1]
+        if marker == 0xD9:  # EOI
+            break
         (seg_len,) = struct.unpack_from(">H", raw, i + 2)
         body = raw[i + 4 : i + 2 + seg_len]
         i += 2 + seg_len
@@ -354,10 +479,11 @@ def decode_jpeg(raw: bytes) -> dict:
                     counts, symbols
                 )
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"JPEG: {precision}-bit unsupported")
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", body, 1)
             n_comp = body[5]
             for c in range(n_comp):
@@ -365,80 +491,130 @@ def decode_jpeg(raw: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            _hm = max(c["h"] for c in comps)
+            _vm = max(c["v"] for c in comps)
+            for c in comps:
+                # non-interleaved scans run on the component's TRUE
+                # block grid (ceil(comp_dim/8)), not the MCU-padded one
+                c["cbw"] = -(-(-(-width * c["h"] // _hm)) // 8)
+                c["cbh"] = -(-(-(-height * c["v"] // _vm)) // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "JPEG: only baseline sequential (SOF0/1) is supported"
+                "JPEG: only baseline sequential (SOF0/1) and "
+                "progressive (SOF2) are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tables = body[1 + 2 * c : 3 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cid)
                 scan_comps.append(
                     dict(comp, td=tables >> 4, ta=tables & 15)
                 )
-            scan_start = i
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            segs, end = _entropy_segments_span(raw, i)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "segs": segs,
+                    "dc_tables": dict(dc_tables),
+                    "ac_tables": dict(ac_tables),
+                    "ri": restart_interval,
+                }
+            )
+            i = end
         # APPn/COM and anything else: skipped
-    if scan_start is None or width is None:
+    if not scans or width is None:
         raise ValueError("JPEG: missing SOS/SOF")
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = {
+    coefs = {
         c["id"]: np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
         )
-        for c in scan_comps
+        for c in comps
     }
-    m = _idct_matrix()
-    segments = _entropy_segments(raw, scan_start)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    pred = {c["id"]: 0 for c in scan_comps}
-    per_seg = restart_interval or (mcus_x * mcus_y)
-    for mcu in range(mcus_x * mcus_y):
-        if mcu and mcu % per_seg == 0 and seg_idx + 1 < len(segments):
-            seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            pred = {c["id"]: 0 for c in scan_comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in scan_comps:
-            qt = qts[c["tq"]]
-            dc_t, ac_t = dc_tables[c["td"]], ac_tables[c["ta"]]
-            for v in range(c["v"]):
-                for h in range(c["h"]):
-                    coef = np.zeros(64)
-                    t = _huff_decode(reader, dc_t)
+
+    for scan in scans:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if progressive and ss > 0 and len(scomps) != 1:
+            raise ValueError("JPEG: progressive AC scans must have ns=1")
+        interleaved = len(scomps) > 1
+        if interleaved:
+            total_units = mcus_x * mcus_y
+        else:
+            total_units = scomps[0]["cbw"] * scomps[0]["cbh"]
+        segs = scan["segs"]
+        per_seg = scan["ri"] or total_units
+        seg_idx = 0
+        reader = _BitReader(segs[0])
+        pred = {c["id"]: 0 for c in scomps}
+        eobrun = 0
+        for unit in range(total_units):
+            if unit and unit % per_seg == 0 and seg_idx + 1 < len(segs):
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                pred = {c["id"]: 0 for c in scomps}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                blocks = [
+                    (c, my * c["v"] + v, mx * c["h"] + h)
+                    for c in scomps
+                    for v in range(c["v"])
+                    for h in range(c["h"])
+                ]
+            else:
+                c0 = scomps[0]
+                by, bx = divmod(unit, c0["cbw"])
+                blocks = [(c0, by, bx)]
+            for c, by, bx in blocks:
+                coef = coefs[c["id"]][by, bx]
+                if not progressive:
+                    _jpeg_full_block(
+                        reader, coef, pred, c["id"],
+                        scan["dc_tables"][c["td"]],
+                        scan["ac_tables"][c["ta"]],
+                    )
+                elif ss == 0 and ah == 0:  # first DC scan
+                    t = _huff_decode(reader, scan["dc_tables"][c["td"]])
                     pred[c["id"]] += _extend(reader.read_bits(t), t)
-                    coef[0] = pred[c["id"]] * qt[0]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG: AC index overflow")
-                        coef[_ZIGZAG[k]] = (
-                            _extend(reader.read_bits(s), s) * qt[k]
-                        )
-                        k += 1
-                    block = m.T @ coef.reshape(8, 8) @ m + 128.0
-                    by = (my * c["v"] + v) * 8
-                    bx = (mx * c["h"] + h) * 8
-                    planes[c["id"]][by : by + 8, bx : bx + 8] = block
-    # upsample each plane to full geometry and crop the MCU padding
+                    coef[0] = pred[c["id"]] << al
+                elif ss == 0:  # DC refinement: one bit per block
+                    coef[0] |= reader.read_bit() << al
+                elif ah == 0:  # first AC scan for this band
+                    eobrun = _jpeg_ac_first(
+                        reader, coef, ss, se, al, eobrun,
+                        scan["ac_tables"][c["ta"]],
+                    )
+                else:  # AC refinement
+                    eobrun = _jpeg_ac_refine(
+                        reader, coef, ss, se, al, eobrun,
+                        scan["ac_tables"][c["ta"]],
+                    )
+
+    # dequantize + de-zigzag + IDCT, vectorized across all blocks
+    m = _idct_matrix()
     full = []
-    for c in scan_comps:
-        p = planes[c["id"]]
+    for c in comps:
+        zz = coefs[c["id"]] * np.array(qts[c["tq"]], dtype=np.int64)
+        nat = np.empty_like(zz, dtype=np.float64)
+        nat[..., _ZIGZAG] = zz
+        bv, bh = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bv, bh, 8, 8)
+        spatial = m.T @ blocks @ m + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:height, :width])
     if len(full) == 3:

@@ -11,10 +11,11 @@ for WAV, baseline JPEG Huffman+IDCT, MP4 box walk) back
 ``m_frame_sample`` / ``m_features`` / ``m_resize`` registry query,
 each checked against an ANALYTIC SQL oracle over deterministically
 synthesized media. The remaining seams are documented and narrow:
-progressive JPEG, MP4 *frame* decode (needs native codecs), and
-learned feature-extraction models. ``decode_media``'s default mode
-keeps the digest-derived deterministic fake for opaque-blob plumbing
-tests.
+MP4 *frame* decode (needs native codecs) and learned
+feature-extraction models — progressive JPEG closed in round 7
+(``media_codecs.decode_jpeg`` handles SOF2 spectral selection +
+successive approximation). ``decode_media``'s default mode keeps the
+digest-derived deterministic fake for opaque-blob plumbing tests.
 
 At scale: binary payloads stay columnar in parquet, the metadata
 struct supports predicate pushdown (filter by modality/size without
@@ -87,10 +88,11 @@ def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     chunk walk for WAV; Huffman + IDCT + YCbCr→RGB for JPEG; ISO BMFF
     box walk for MP4): width/height are the true image/video
     dimensions, and for audio (n_frames, n_channels) fill the same
-    slots. Progressive JPEG and MP4 *frame* decode raise inside the
-    task — those need native codecs and remain documented seams. The
-    default deterministic fake derives width/height from the content
-    digest — stable, partition-parallel, and SQL-reproducible.
+    slots. MP4 *frame* decode raises inside the task — that needs
+    native codecs and remains the one documented seam (progressive
+    JPEG decodes for real since round 7). The default deterministic
+    fake derives width/height from the content digest — stable,
+    partition-parallel, and SQL-reproducible.
     """
     if real_codecs:
         from conduit_spark.analytics.media_codecs import decode_any

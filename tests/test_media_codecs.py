@@ -412,15 +412,366 @@ def test_jpeg_roundtrip_420_subsampled():
     assert np.abs(meta["pixels"].astype(float) - img).max() <= 40
 
 
-def test_jpeg_progressive_refused():
+def test_jpeg_arithmetic_and_hierarchical_refused():
     import pytest as _pytest
 
     from conduit_spark.analytics.media_codecs import decode_jpeg
 
     raw = encode_jpeg(_gradient_rgb(8, 8))
-    bad = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
-    with _pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bad)
+    for sof in (b"\xff\xc9", b"\xff\xc3"):  # arithmetic / lossless
+        bad = raw.replace(b"\xff\xc0", sof, 1)
+        with _pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(bad)
+
+
+# -- progressive JPEG: in-test transcoder -------------------------------
+#
+# The progressive encoder below shares the baseline encoder's DCT +
+# flat quantization, so a progressive stream carries EXACTLY the same
+# quantized coefficients as the baseline stream of the same image —
+# the decoder must therefore reproduce the baseline decode's pixels
+# bit-for-bit through the multi-scan path (spectral selection, DC/AC
+# successive approximation with EOB runs and correction bits, T.81
+# G.1.2). The entropy writers are independent mirrors of G.1.2.2/3,
+# not shared code with the decoder.
+
+
+def _qblock(block, qt, np):
+    """Quantized coefficients of one 8x8 block, zigzag order (the
+    emission-free half of _encode_block)."""
+    import math
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            m[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    coefs = m @ (block - 128.0) @ m.T
+    return [int(round(coefs.flat[_ZZ[k]] / qt[k])) for k in range(64)]
+
+
+def _prog_prep(rgb, subsample, np):
+    """Component planes + MCU-padded quantized coefficient grids,
+    replicating encode_jpeg's geometry exactly."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, width = rgb.shape[:2]
+    gray = rgb.ndim == 2
+    qt = [16] * 64
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [rgb]
+    else:
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+
+            def down(p):
+                ph = p[: (p.shape[0] // 2) * 2, : (p.shape[1] // 2) * 2]
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2]
+                    + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4
+
+            planes = [y, down(cb), down(cr)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            planes = [y, cb, cr]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = {}
+    true_dims = {}
+    for (cid, hx, vx, _), p in zip(comps, planes):
+        th, tw = mcus_y * vx * 8, mcus_x * hx * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        pbv, pbh = th // 8, tw // 8
+        g = np.zeros((pbv, pbh, 64), dtype=np.int64)
+        for by in range(pbv):
+            for bx in range(pbh):
+                g[by, bx] = _qblock(
+                    pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt, np
+                )
+        grids[cid] = g
+        comp_w = -(-width * hx // hmax)
+        comp_h = -(-h * vx // vmax)
+        true_dims[cid] = (-(-comp_h // 8), -(-comp_w // 8))  # (cbh, cbw)
+    return h, width, qt, comps, grids, true_dims, mcus_x, mcus_y
+
+
+def _tz(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 A.4)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _ProgWriter:
+    """Entropy writer for one scan with restart support: align + RSTn
+    every ``ri`` units, with a reset callback for scan state."""
+
+    def __init__(self, ri: int):
+        self.parts = bytearray()
+        self.w = _BitWriter()
+        self.ri = ri
+        self.rst = 0
+
+    def maybe_restart(self, unit: int, reset) -> None:
+        if self.ri and unit and unit % self.ri == 0:
+            reset()
+            self.w.align()
+            self.parts += self.w.out
+            self.parts += bytes([0xFF, 0xD0 + self.rst % 8])
+            self.rst += 1
+            self.w = _BitWriter()
+
+    def finish(self, flush) -> bytes:
+        flush()
+        self.w.align()
+        self.parts += self.w.out
+        return bytes(self.parts)
+
+
+def _w_dc_scan(scomps, grids, mcus_x, mcus_y, ah, al, ri):
+    pw = _ProgWriter(ri)
+    pred = {c[0]: 0 for c in scomps}
+    for mcu in range(mcus_x * mcus_y):
+        pw.maybe_restart(mcu, lambda: pred.update({c[0]: 0 for c in scomps}))
+        my, mx = divmod(mcu, mcus_x)
+        for cid, hx, vx, _ in scomps:
+            for v in range(vx):
+                for hh in range(hx):
+                    dc = int(grids[cid][my * vx + v, mx * hx + hh, 0])
+                    if ah == 0:  # first DC scan: diff of (dc >> al)
+                        d = (dc >> al) - pred[cid]
+                        pred[cid] = dc >> al
+                        t = abs(d).bit_length()
+                        pw.w.write(t, 4)
+                        if t:
+                            pw.w.write(d if d > 0 else d + (1 << t) - 1, t)
+                    else:  # refinement: the next lower bit
+                        pw.w.write((dc >> al) & 1, 1)
+    return pw.finish(lambda: None)
+
+
+def _w_ac_first_scan(grid, cbh, cbw, ss, se, al, ri):
+    pw = _ProgWriter(ri)
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            c, nb = _ac_code(n << 4)
+            pw.w.write(c, nb)
+            if n:
+                pw.w.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    def reset():
+        flush_eob()
+
+    for unit in range(cbh * cbw):
+        pw.maybe_restart(unit, reset)
+        by, bx = divmod(unit, cbw)
+        vt = [_tz(int(grid[by, bx, k]), al) for k in range(ss, se + 1)]
+        if not any(vt):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for v in vt:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, nb = _ac_code(0xF0)  # ZRL
+                pw.w.write(c, nb)
+                r -= 16
+            s = abs(v).bit_length()
+            c, nb = _ac_code((r << 4) | s)
+            pw.w.write(c, nb)
+            pw.w.write(v if v > 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+    return pw.finish(flush_eob)
+
+
+def _w_ac_refine_scan(grid, cbh, cbw, ss, se, al, ri):
+    """T.81 G.1.2.3 encoder: newly-significant coefficients as runs
+    over zero-history positions + sign bit; correction bits for
+    already-significant positions buffered and emitted after the next
+    symbol (or after the EOBn that closes a run)."""
+    pw = _ProgWriter(ri)
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            c, nb = _ac_code(n << 4)
+            pw.w.write(c, nb)
+            if n:
+                pw.w.write(eobrun - (1 << n), n)
+            for b in pending:
+                pw.w.write(b, 1)
+            eobrun = 0
+            pending = []
+
+    for unit in range(cbh * cbw):
+        pw.maybe_restart(unit, flush_eob)
+        by, bx = divmod(unit, cbw)
+        coefs = [int(grid[by, bx, k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in coefs]
+        eob = -1  # index of last newly-significant coefficient
+        for idx, a in enumerate(absv):
+            if a == 1:
+                eob = idx
+        r = 0
+        br: list[int] = []
+        for idx, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                flush_eob()
+                c, nb = _ac_code(0xF0)
+                pw.w.write(c, nb)
+                r -= 16
+                for b in br:
+                    pw.w.write(b, 1)
+                br = []
+            if a > 1:  # already significant: one correction bit
+                br.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            flush_eob()
+            c, nb = _ac_code((r << 4) | 1)
+            pw.w.write(c, nb)
+            pw.w.write(1 if coefs[idx] > 0 else 0, 1)
+            for b in br:
+                pw.w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    return pw.finish(flush_eob)
+
+
+def encode_jpeg_progressive(
+    rgb, subsample=False, restart_interval=0, levels=(0,),
+    bands=((1, 5), (6, 63)),
+):
+    """Progressive JFIF transcoder: same DCT/quantization as
+    encode_jpeg, coefficients delivered as SOF2 scans — interleaved DC
+    first + refinements per ``levels`` (e.g. (2, 1, 0)), then per-
+    component AC band scans (first at levels[0], refinements stepping
+    down). Independent of the decoder under test."""
+    import numpy as np
+
+    h, width, qt, comps, grids, true_dims, mcus_x, mcus_y = _prog_prep(
+        rgb, subsample, np
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qt))
+    sof = struct.pack(">BHHB", 8, h, width, len(comps))
+    for cid, hx, vx, tq in comps:
+        sof += bytes([cid, (hx << 4) | vx, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMS)
+    out += seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(comp_list, ss, se, ah, al):
+        body = bytes([len(comp_list)])
+        for cid in comp_list:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    lmax = levels[0]
+    all_ids = [c[0] for c in comps]
+    # DC first + refinements (interleaved across all components)
+    out += sos(all_ids, 0, 0, 0, lmax)
+    out += _w_dc_scan(comps, grids, mcus_x, mcus_y, 0, lmax, restart_interval)
+    # AC first scans per component per band
+    for cid, hx, vx, _ in comps:
+        cbh, cbw = true_dims[cid]
+        for ss, se in bands:
+            out += sos([cid], ss, se, 0, lmax)
+            out += _w_ac_first_scan(
+                grids[cid], cbh, cbw, ss, se, lmax, restart_interval
+            )
+    # refinement passes stepping the point transform down
+    for ah, al in zip(levels, levels[1:]):
+        out += sos(all_ids, 0, 0, ah, al)
+        out += _w_dc_scan(comps, grids, mcus_x, mcus_y, ah, al, restart_interval)
+        for cid, hx, vx, _ in comps:
+            cbh, cbw = true_dims[cid]
+            for ss, se in bands:
+                out += sos([cid], ss, se, ah, al)
+                out += _w_ac_refine_scan(
+                    grids[cid], cbh, cbw, ss, se, al, restart_interval
+                )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _assert_prog_equals_baseline(rgb, **prog_kw):
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    base = decode_jpeg(encode_jpeg(rgb, subsample=prog_kw.get("subsample", False)))
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, **prog_kw))
+    assert (prog["width"], prog["height"]) == (base["width"], base["height"])
+    assert np.array_equal(prog["pixels"], base["pixels"]), (
+        int(np.abs(prog["pixels"].astype(int) - base["pixels"].astype(int)).max())
+    )
+
+
+def test_jpeg_progressive_spectral_selection_only():
+    _assert_prog_equals_baseline(_gradient_rgb(24, 16), levels=(0,))
+
+
+def test_jpeg_progressive_successive_approximation():
+    _assert_prog_equals_baseline(_gradient_rgb(24, 16), levels=(2, 1, 0))
+
+
+def test_jpeg_progressive_grayscale_and_fine_bands():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(19, 22)).astype(float)
+    _assert_prog_equals_baseline(
+        img, levels=(3, 2, 1, 0), bands=((1, 2), (3, 9), (10, 63))
+    )
+
+
+def test_jpeg_progressive_420_subsampled():
+    _assert_prog_equals_baseline(
+        _gradient_rgb(21, 18), subsample=True, levels=(1, 0)
+    )
+
+
+def test_jpeg_progressive_with_restarts():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(17, 26, 3)).astype(float)
+    _assert_prog_equals_baseline(img, levels=(2, 1, 0), restart_interval=2)
 
 
 # -- MP4 container metadata -------------------------------------------
@@ -546,3 +897,46 @@ def test_synth_jpeg_is_lossless_constant_block_subspace():
                     did * 3 + 13 * by + 7 * bx
                 ) % 256
         assert (meta["pixels"].astype(np.int64) == exp).all()
+
+
+def test_jpeg_progressive_randomized_sweep():
+    """20 random (image, scan-script) pairs: any geometry (incl. odd
+    dims), gray/444/420, random band splits, random SA depth, random
+    restart interval — progressive decode must equal baseline decode
+    bit-for-bit every time (same quantized coefficients by
+    construction)."""
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        mode = trial % 3
+        if mode == 0:
+            img = rng.randint(0, 256, size=(h, w)).astype(float)
+            sub = False
+        else:
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(float)
+            sub = mode == 2
+        # random band split of 1..63 into 1-3 bands
+        cuts = sorted(rng.choice(range(2, 63), size=int(rng.randint(0, 3)),
+                                 replace=False).tolist())
+        edges = [1] + cuts + [64]
+        bands = tuple(
+            (edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)
+        )
+        depth = int(rng.randint(1, 4))
+        levels = tuple(range(depth - 1, -1, -1))
+        ri = int(rng.choice([0, 0, 1, 3]))
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, subsample=sub, levels=levels, bands=bands,
+                restart_interval=ri,
+            )
+        )
+        assert np.array_equal(prog["pixels"], base["pixels"]), (
+            trial, h, w, mode, bands, levels, ri,
+        )
