@@ -527,68 +527,107 @@ def _synth_jpeg_bytes(did: int) -> bytes:
     bit-exact SQL oracle possible (same trick as the PNG/WAV synth).
     Entropy layout: canonical DC Huffman with symbols 0..11 at 4 bits
     (code == symbol), one 2-bit AC symbol (EOB), 0xFF byte-stuffing —
-    a fully legal ITU-T T.81 baseline stream that the real decoder's
-    marker walk / Huffman / IDCT path must parse."""
+    a fully legal ITU-T T.81 stream that the real decoder's marker
+    walk / Huffman / IDCT path must parse.
+
+    EVEN doc_ids emit a baseline-sequential (SOF0) stream; ODD ids a
+    PROGRESSIVE (SOF2) one — DC first scan at Al=1, DC refinement at
+    Al=0, then an all-EOB AC scan — so one gate row drives both
+    profiles' scan machinery against the same closed-form oracle
+    (progressive decode landed round 7)."""
     import struct as _s
 
     w = 8 * (2 + did % JPEG_BW_MOD)
     h = 8 * (1 + did % JPEG_BH_MOD)
     qt = bytes([8] + [1] * 63)
+    progressive = did % 2 == 1
+    blocks = [
+        (did * 3 + 13 * by + 7 * bx) % 256 - 128
+        for by in range(h // 8)
+        for bx in range(w // 8)
+    ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
 
+    class _W:
+        def __init__(self) -> None:
+            self.acc = 0
+            self.nbits = 0
+            self.body = bytearray()
+
+        def put(self, v: int, n: int) -> None:
+            self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+            self.nbits += n
+            while self.nbits >= 8:
+                self.nbits -= 8
+                b = (self.acc >> self.nbits) & 0xFF
+                self.body.append(b)
+                if b == 0xFF:
+                    self.body.append(0x00)  # byte stuffing
+
+        def done(self) -> bytes:
+            if self.nbits:
+                self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+            return bytes(self.body)
+
+    def dc_scan(shift: int) -> bytes:
+        wtr = _W()
+        pred = 0
+        for dc in blocks:
+            diff = (dc >> shift) - pred
+            pred = dc >> shift
+            t = abs(diff).bit_length()
+            wtr.put(t, 4)  # DC symbol: canonical code == symbol
+            if t:
+                wtr.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            if not progressive:
+                wtr.put(0, 2)  # sequential: EOB ends each block's ACs
+        return wtr.done()
+
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0]) + qt)
-    out += seg(0xC0, _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof = _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += seg(0xC4, bytes([0x00, 0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
     out += seg(0xC4, bytes([0x10, 0, 1] + [0] * 14) + bytes([0x00]))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-
-    acc = 0
-    nbits = 0
-    body = bytearray()
-
-    def put(v: int, n: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << n) | (v & ((1 << n) - 1))
-        nbits += n
-        while nbits >= 8:
-            nbits -= 8
-            b = (acc >> nbits) & 0xFF
-            body.append(b)
-            if b == 0xFF:
-                body.append(0x00)  # byte stuffing
-
-    pred = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            dc = (did * 3 + 13 * by + 7 * bx) % 256 - 128
-            diff = dc - pred
-            pred = dc
-            t = abs(diff).bit_length()
-            put(t, 4)  # DC symbol: canonical code == symbol, 4 bits
-            if t:
-                put(diff if diff > 0 else diff + (1 << t) - 1, t)
-            put(0, 2)  # EOB: the one AC code, 2 bits
-    if nbits:
-        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-fill final byte
-    out += body
+    if not progressive:
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += dc_scan(0)
+    else:
+        # scan 1: DC first, Al=1 (halved magnitudes)
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        out += dc_scan(1)
+        # scan 2: DC refinement, Ah=1 Al=0 (one bit per block)
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        wtr = _W()
+        for dc in blocks:
+            wtr.put(dc & 1, 1)
+        out += wtr.done()
+        # scan 3: the 1..63 AC band — all zero, one EOB0 per block
+        # (our minimal AC table only carries symbol 0x00)
+        out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+        wtr = _W()
+        for _ in blocks:
+            wtr.put(0, 2)
+        out += wtr.done()
     out += b"\xff\xd9"
     return bytes(out)
 
 
 def m_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode under the DuckDB oracle: synthesize a
-    deterministic constant-block JPEG per doc (see
-    :func:`_synth_jpeg_bytes`) and run the full
-    ``media_codecs.decode_jpeg`` path — marker walk, canonical Huffman
-    entropy decode, dequantize, orthonormal IDCT. The emitted stats
-    come from the DECODED pixel array, so a wrong Huffman table build,
-    DC predictor, zigzag, or IDCT cannot match the analytic oracle
-    (which recomputes the stats from the block-value formula). Closes
-    the "JPEG is pytest-golden-only" gap — PNG/WAV earned driver rows
-    in r6, this is the JPEG sibling (r8 rotation candidate)."""
+    """REAL JPEG decode under the DuckDB oracle — BOTH profiles:
+    synthesize a deterministic constant-block JPEG per doc (see
+    :func:`_synth_jpeg_bytes`; even doc_ids baseline SOF0, odd ids
+    progressive SOF2 with DC successive approximation) and run the
+    full ``media_codecs.decode_jpeg`` path — marker walk, canonical
+    Huffman entropy decode, progressive scan accumulation, dequantize,
+    orthonormal IDCT. The emitted stats come from the DECODED pixel
+    array, so a wrong Huffman table build, DC predictor/refinement,
+    zigzag, or IDCT cannot match the analytic oracle (which recomputes
+    the stats from the block-value formula). Closes the "JPEG is
+    pytest-golden-only" gap — PNG/WAV earned driver rows in r6, this
+    is the JPEG sibling (r8 rotation candidate)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
