@@ -265,3 +265,29 @@ def test_ordered_result_equals_plain_orderby(spark):
     plain2 = df.orderBy(F.desc("v"), F.asc("k")).collect()
     barred2 = ordered_result(df, F.desc("v"), F.asc("k")).collect()
     assert plain2 == barred2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf):
+    """q_bucketed_join's SortMergeJoin must read the pre-bucketed
+    tables directly: no Exchange on the JOIN KEY anywhere in the
+    executed plan — the only exchanges allowed are the post-join
+    groupBy(o_orderpriority) and the final presentation sort. This is
+    the property that makes the bucketed ingest pay for itself at
+    100 TB (join shuffles paid once at write time, not per query)."""
+    import re
+
+    from conduit_spark.plans import executed_plan
+
+    df = relational.q_bucketed_join(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "SortMergeJoin" in plan  # the merge hint held
+    for m in re.finditer(r"Exchange (hashpartitioning|rangepartitioning)\(([^)]*)", plan):
+        keys = m.group(2)
+        assert "orderkey" not in keys, (
+            f"join-key shuffle crept back into the bucketed join: {m.group(0)}"
+        )
+    # and the bucketed scans themselves declare their bucketing
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or (
+        "bucket" in plan.lower()
+    )
