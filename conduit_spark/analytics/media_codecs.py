@@ -144,9 +144,10 @@ def decode_png(raw: bytes, *, return_pixels: bool = False) -> dict:
 
 
 def decode_wav(raw: bytes, *, return_samples: bool = False) -> dict:
-    """WAV decode via a RIFF chunk walk (fmt + data), returning the
-    audio geometry and sample statistics for 16-bit PCM (the dominant
-    capture format); other sample widths return geometry only.
+    """WAV decode via a RIFF chunk walk (fmt + data): 16-bit PCM (fmt
+    1, the dominant capture format), G.711 A-law/μ-law (fmt 6/7,
+    telephony), and IMA ADPCM (fmt 17) all decode to 16-bit linear
+    samples with statistics; other tags return geometry only.
     ``return_samples=True`` adds the decoded 16-bit sample tuple under
     ``"samples"`` (interleaved if multichannel) for downstream
     operators (frame windowing, resampling)."""
@@ -166,24 +167,178 @@ def decode_wav(raw: bytes, *, return_samples: bool = False) -> dict:
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    _audio_fmt, n_channels, framerate, _byte_rate, block_align, bits = fmt
-    n_frames = len(data) // block_align if block_align else 0
+    audio_fmt, n_channels, framerate, _byte_rate, block_align, bits = fmt
+    codec = {1: "pcm", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}.get(
+        audio_fmt, f"tag{audio_fmt}"
+    )
+    samples: tuple | None = None
+    if audio_fmt == 1 and bits == 16:
+        samples = struct.unpack(
+            f"<{len(data) // 2}h", data[: (len(data) // 2) * 2]
+        )
+    elif audio_fmt in (6, 7) and bits == 8:
+        table = _ALAW_DEC if audio_fmt == 6 else _ULAW_DEC
+        samples = tuple(table[b] for b in data)
+    elif audio_fmt == 17:
+        samples = tuple(
+            ima_adpcm_wav_decode(data, n_channels, block_align)
+        )
+    if samples is not None and n_channels:
+        n_frames = len(samples) // n_channels
+    else:
+        n_frames = len(data) // block_align if block_align else 0
     out = {
         "format": "wav",
+        "codec": codec,
         "n_channels": int(n_channels),
         "framerate": int(framerate),
         "bits_per_sample": int(bits),
         "n_frames": int(n_frames),
         "duration_sec": (n_frames / framerate) if framerate else 0.0,
     }
-    if bits == 16:
-        samples = struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
-        if samples:
-            out["sample_mean"] = sum(samples) / len(samples)
-            out["sample_peak"] = max(abs(s) for s in samples)
-        if return_samples:
-            out["samples"] = samples
+    if samples:
+        out["sample_mean"] = sum(samples) / len(samples)
+        out["sample_peak"] = max(abs(s) for s in samples)
+    if samples is not None and return_samples:
+        out["samples"] = samples
     return out
+
+
+# --- G.711 companding + IMA ADPCM (telephony WAV formats) ------------
+#
+# μ-law/A-law per ITU-T G.711 (Sun's reference bit layout, verified
+# EXHAUSTIVELY against CPython's audioop over all 65,536 16-bit inputs
+# and all 256 code bytes in tests/test_media_codecs.py); IMA/DVI
+# ADPCM per the IMA ADPCM reference algorithm (same step/index tables
+# as audioop, golden-tested against it). Encoders live here too — the
+# publisher half that the deterministic media synth uses.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ulaw_encode(x: int) -> int:
+    """16-bit linear → μ-law byte (G.711; == audioop.lin2ulaw)."""
+    p = x >> 2  # 14-bit domain
+    if p < 0:
+        p = -p
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    p = min(p + 0x21, 0x1FFF)
+    seg = max(p.bit_length() - 6, 0)
+    return ((seg << 4) | ((p >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def ulaw_decode_byte(u: int) -> int:
+    """μ-law byte → 16-bit linear (G.711; == audioop.ulaw2lin)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_encode(x: int) -> int:
+    """16-bit linear → A-law byte (G.711; == audioop.lin2alaw)."""
+    p = x >> 3  # 13-bit domain
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = max(p.bit_length() - 5, 0)
+    if seg >= 8:
+        a = 0x7F
+    elif seg == 0:
+        a = p >> 1
+    else:
+        a = (seg << 4) | ((p >> seg) & 0x0F)
+    return a ^ mask
+
+
+def alaw_decode_byte(a: int) -> int:
+    """A-law byte → 16-bit linear (G.711; == audioop.alaw2lin)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_DEC = [ulaw_decode_byte(u) for u in range(256)]
+_ALAW_DEC = [alaw_decode_byte(a) for a in range(256)]
+
+
+def _ima_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new predictor, new step index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if (nibble & 8) else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_IDX[nibble & 7]))
+    return pred, index
+
+
+def ima_adpcm_wav_decode(
+    data: bytes, n_channels: int, block_align: int
+) -> list[int]:
+    """WAV fmt-tag-17 (IMA ADPCM) data chunk → interleaved 16-bit
+    samples. Block layout per the IMA WAV mapping: per channel a
+    4-byte header (int16 predictor — emitted as the block's first
+    sample — plus step index), then 4-byte-per-channel interleaved
+    data words, LOW nibble first (the raw DVI stream audioop speaks is
+    high-nibble-first; the WAV container flips it)."""
+    out: list[list[int]] = [[] for _ in range(n_channels)]
+    pos = 0
+    n = len(data)
+    while pos + 4 * n_channels <= n:
+        block_end = min(pos + block_align, n)
+        preds, idxs = [], []
+        for ch in range(n_channels):
+            (p,) = struct.unpack_from("<h", data, pos + 4 * ch)
+            idx = data[pos + 4 * ch + 2]
+            if idx > 88:
+                raise ValueError("ADPCM: step index out of range")
+            preds.append(p)
+            idxs.append(min(idx, 88))
+            out[ch].append(p)  # header sample IS the first sample
+        pos += 4 * n_channels
+        while pos + 4 * n_channels <= block_end:
+            for ch in range(n_channels):
+                word = data[pos + 4 * ch : pos + 4 * ch + 4]
+                for b in word:
+                    for nib in (b & 0x0F, (b >> 4) & 0x0F):  # low first
+                        preds[ch], idxs[ch] = _ima_step(
+                            nib, preds[ch], idxs[ch]
+                        )
+                        out[ch].append(preds[ch])
+            pos += 4 * n_channels
+        pos = block_end
+    n_frames = min(len(o) for o in out) if out else 0
+    inter: list[int] = []
+    for i in range(n_frames):
+        for ch in range(n_channels):
+            inter.append(out[ch][i])
+    return inter
 
 
 # --- baseline JPEG (ITU-T T.81) --------------------------------------

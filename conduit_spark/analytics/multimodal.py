@@ -779,6 +779,73 @@ def _synth_wav_bytes(did: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _synth_ulaw_wav_bytes(did: int) -> bytes:
+    """Deterministic G.711 μ-law WAV for ``doc_id``: the SAME sample
+    formula as :func:`_synth_wav_bytes`, companded through the real
+    μ-law encoder (fmt tag 7, 8 bits). The decoded output is the
+    μ-law ROUNDTRIP of each formula sample — a pure per-sample
+    function the SQL oracle reproduces exactly (validated over all
+    65,536 inputs against audioop in tests)."""
+    import struct
+
+    from conduit_spark.analytics.media_codecs import ulaw_encode
+
+    n = WAV_FRAMES_BASE + did % WAV_FRAMES_MOD
+    data = bytes(
+        ulaw_encode(((did * 31 + i * 17) % 65536) - 32768) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 7, 1, WAV_RATE, WAV_RATE, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def m_decode_ulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 μ-law decode under the DuckDB oracle: a telephony
+    WAV (fmt tag 7) per doc, the RIFF walk + companding-table decode
+    runs for real (round-7 codec addition next to progressive JPEG),
+    and the decoded sample statistics check against the analytic
+    μ-law roundtrip of the generation formula — the oracle implements
+    G.711's segment/mantissa arithmetic in plain SQL (floor-shift
+    emulation included: DuckDB's ``//`` truncates, it doesn't floor).
+    A wrong companding table, bias, or segment boundary cannot match.
+    (r8 rotation candidate)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "codec": [], "n_frames": [],
+                "sample_mean": [], "sample_peak": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_wav(_synth_ulaw_wav_bytes(did), return_samples=True)
+                s = meta["samples"]
+                rows["media_id"].append(did)
+                rows["codec"].append(meta["codec"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["sample_mean"].append(round(sum(s) / len(s), 9))
+                rows["sample_peak"].append(max(abs(v) for v in s))
+            yield pd.DataFrame(rows)
+
+    return ordered_result(
+        docs.mapInPandas(
+            run,
+            "media_id long, codec string, n_frames long, "
+            "sample_mean double, sample_peak int",
+        ),
+        "media_id",
+    )
+
+
 def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode, same construction as :func:`m_decode_png_real`:
     deterministic 16-bit mono PCM per doc, the RIFF chunk walk + PCM
@@ -822,6 +889,7 @@ def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
+    "m_decode_ulaw_real": m_decode_ulaw_real,
     "m_decode_png_real": m_decode_png_real,
     "m_decode_wav_real": m_decode_wav_real,
     "m_frame_sample": m_frame_sample,
@@ -830,6 +898,51 @@ QUERIES = {
 }
 
 ORACLES = {
+    # G.711 μ-law roundtrip in plain SQL: floor-shift to the 14-bit
+    # domain (DuckDB // truncates — the CASE emulates an arithmetic
+    # shift), bias 33, segment by magnitude threshold, mantissa via
+    # truncating shift, then the decoder expansion. Validated over all
+    # 65,536 inputs against the real codec (and audioop) in tests.
+    "m_decode_ulaw_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {WAV_FRAMES_BASE} + doc_id % {WAV_FRAMES_MOD} AS n
+            FROM documents),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+            FROM dims,
+                 generate_series(0, {WAV_FRAMES_BASE + WAV_FRAMES_MOD - 2}) AS i(i)
+            WHERE i.i < n),
+        c AS (
+            SELECT doc_id, n,
+                   CASE WHEN v >= 0 THEN v // 4
+                        ELSE -((-v + 3) // 4) END AS p
+            FROM s),
+        c2 AS (
+            SELECT doc_id, n,
+                   CASE WHEN p < 0 THEN -1 ELSE 1 END AS sg,
+                   least(abs(p) + 33, 8191) AS a
+            FROM c),
+        rt AS (
+            SELECT doc_id, n,
+                   sg * (((((a // (2 * (1 << g))) % 16) * 8 + 132)
+                          * (1 << g)) - 132) AS r
+            FROM (SELECT *,
+                         CASE WHEN a < 64 THEN 0 WHEN a < 128 THEN 1
+                              WHEN a < 256 THEN 2 WHEN a < 512 THEN 3
+                              WHEN a < 1024 THEN 4 WHEN a < 2048 THEN 5
+                              WHEN a < 4096 THEN 6 ELSE 7 END AS g
+                  FROM c2))
+        SELECT doc_id AS media_id,
+               'ulaw' AS codec,
+               CAST(n AS BIGINT) AS n_frames,
+               round(CAST(sum(r) AS DOUBLE) / n, 9) AS sample_mean,
+               CAST(max(abs(r)) AS INT) AS sample_peak
+        FROM rt
+        GROUP BY doc_id, n
+        ORDER BY media_id
+    """,
     # constant-block geometry: pixel stats are 64x the block-value
     # stats (every pixel in block (by,bx) is the same v); integer sums
     # and one IEEE division keep both engines bit-identical

@@ -940,3 +940,180 @@ def test_jpeg_progressive_randomized_sweep():
         assert np.array_equal(prog["pixels"], base["pixels"]), (
             trial, h, w, mode, bands, levels, ri,
         )
+
+
+# -- G.711 + IMA ADPCM (audioop golden tests) ---------------------------
+
+
+def test_g711_tables_match_audioop_exhaustively():
+    """All 65,536 16-bit inputs through both encoders and all 256 code
+    bytes through both decoders, against CPython's audioop."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from conduit_spark.analytics.media_codecs import (
+        alaw_decode_byte,
+        alaw_encode,
+        ulaw_decode_byte,
+        ulaw_encode,
+    )
+
+    pcm = b"".join(struct.pack("<h", x) for x in range(-32768, 32768))
+    assert audioop.lin2ulaw(pcm, 2) == bytes(
+        ulaw_encode(x) for x in range(-32768, 32768)
+    )
+    assert audioop.lin2alaw(pcm, 2) == bytes(
+        alaw_encode(x) for x in range(-32768, 32768)
+    )
+    codes = bytes(range(256))
+    assert audioop.ulaw2lin(codes, 2) == b"".join(
+        struct.pack("<h", ulaw_decode_byte(u)) for u in range(256)
+    )
+    assert audioop.alaw2lin(codes, 2) == b"".join(
+        struct.pack("<h", alaw_decode_byte(a)) for a in range(256)
+    )
+
+
+def _wav(fmt_tag, n_channels, rate, bits, block_align, data):
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_channels, rate,
+        rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_formats_end_to_end():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from conduit_spark.analytics.media_codecs import (
+        alaw_encode,
+        decode_wav,
+        ulaw_encode,
+    )
+
+    samples = [((i * 37) % 60001) - 30000 for i in range(500)]
+    for tag, enc, aud in (
+        (7, ulaw_encode, audioop.ulaw2lin),
+        (6, alaw_encode, audioop.alaw2lin),
+    ):
+        payload = bytes(enc(s) for s in samples)
+        raw = _wav(tag, 1, 8000, 8, 1, payload)
+        meta = decode_wav(raw, return_samples=True)
+        expect = struct.unpack(f"<{len(samples)}h", aud(payload, 2))
+        assert meta["codec"] == ("ulaw" if tag == 7 else "alaw")
+        assert meta["n_frames"] == 500
+        assert meta["samples"] == expect
+
+
+def _ima_encode_trace(samples, pred=0, index=0):
+    """In-test IMA ADPCM encoder returning (nibbles, reconstruction) —
+    the reconstruction is what any conforming decoder must output.
+    ``pred``/``index`` seed the state (the WAV block header values)."""
+    from conduit_spark.analytics.media_codecs import _IMA_IDX, _IMA_STEPS
+
+    nibbles, recon = [], []
+    for s in samples:
+        step = _IMA_STEPS[index]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # decoder-mirror reconstruction
+        d = step >> 3
+        if nib & 4:
+            d += step
+        if nib & 2:
+            d += step >> 1
+        if nib & 1:
+            d += step >> 2
+        pred = pred - d if (nib & 8) else pred + d
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_IDX[nib & 7]))
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon
+
+
+def test_wav_ima_adpcm_mono_matches_audioop():
+    """Mono fmt-17 WAV with header (pred=0, index=0): our block decode
+    must equal audioop's DVI decode of the same nibble stream (audioop
+    packs high nibble first; the WAV container low-first)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from conduit_spark.analytics.media_codecs import decode_wav
+
+    samples = [((i * 311) % 50001) - 25000 for i in range(64)]
+    nibbles, _ = _ima_encode_trace(samples)
+    # WAV: 4-byte header + low-nibble-first words, one block
+    wav_words = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 64, 2)
+    )
+    data = struct.pack("<hBB", 0, 0, 0) + wav_words
+    raw = _wav(17, 1, 8000, 4, len(data), data)
+    meta = decode_wav(raw, return_samples=True)
+    # audioop: same nibbles, high-first packing, fresh (0,0) state
+    aud_stream = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, 64, 2)
+    )
+    expect = struct.unpack("<64h", audioop.adpcm2lin(aud_stream, 2, None)[0])
+    assert meta["codec"] == "ima_adpcm"
+    assert meta["samples"][0] == 0  # the header predictor sample
+    assert meta["samples"][1:] == expect
+
+
+def test_wav_ima_adpcm_stereo_blocks():
+    """Two channels, two blocks, nonzero header predictors: decode
+    must equal the encoder's own reconstruction trace, interleaved."""
+    from conduit_spark.analytics.media_codecs import decode_wav
+
+    left = [((i * 211) % 40001) - 20000 for i in range(33)]
+    right = [((i * 97) % 30001) - 15000 for i in range(33)]
+    blocks = bytearray()
+    expect = []
+    for off in (0, 0):  # two identical-shape blocks
+        nl, rl = _ima_encode_trace(left[1:9], pred=left[0])
+        nr, rr = _ima_encode_trace(right[1:9], pred=right[0])
+        blocks += struct.pack("<hBB", left[0], 0, 0)
+        blocks += struct.pack("<hBB", right[0], 0, 0)
+        # one 4-byte word per channel, interleaved, low nibble first
+        for w in range(1):
+            lw = nl[w * 8 : w * 8 + 8]
+            rw = nr[w * 8 : w * 8 + 8]
+            blocks += bytes(
+                lw[i] | (lw[i + 1] << 4) for i in range(0, 8, 2)
+            )
+            blocks += bytes(
+                rw[i] | (rw[i + 1] << 4) for i in range(0, 8, 2)
+            )
+        frames = [(left[0], right[0])] + list(zip(rl, rr))
+        expect.extend(v for fr in frames for v in fr)
+    block_align = 4 * 2 + 4 * 2  # headers + one interleaved word pair
+    raw = _wav(17, 2, 8000, 4, block_align, bytes(blocks))
+    meta = decode_wav(raw, return_samples=True)
+    assert meta["codec"] == "ima_adpcm" and meta["n_channels"] == 2
+    assert list(meta["samples"]) == expect
