@@ -1032,7 +1032,18 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Results are IDENTICAL to the plain join — the oracle runs it
     directly against the parquet files."""
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    import os as _os
+
+    # table names carry the PID: concurrent engine processes (pytest +
+    # bench + audit on one box) share ./spark-warehouse, and a second
+    # process DROP+recreating the same managed table yanks the parquet
+    # files out from under the first's cached relation
+    # (FAILED_READ_FILE mid-scan). Per-process names make the ingest
+    # private; the stale-location cleanup below handles PID reuse.
+    tag = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + f"_{_os.getpid()}"
+    )
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
     if sf_dir not in _BUCKET_TABLES:
         # one-time bucketed ingest (session-scoped managed tables).
