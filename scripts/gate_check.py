@@ -88,6 +88,23 @@ def complex_output_cols(schema) -> list[str]:
     ]
 
 
+def pandas_canonicalizer_accepts(columns, rows) -> str | None:
+    """Replicate the driver harness's canonicalization step — a pandas
+    ``sort_values`` over every column — and report why it would die
+    instead of letting the defect ship to the driver (round-6
+    m_features: ``hist array<long>`` → lists in an object column →
+    ``TypeError: unhashable type`` inside factorize). Returns an error
+    string or None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=columns)
+        pdf.sort_values(by=sorted(columns), inplace=True)
+    except Exception as e:  # noqa: BLE001 — any failure here IS the finding
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def check_one(spark, con, name, fn, sql, sf_dir, in_gate=True):
     t0 = time.time()
     sdf = fn(spark, sf_dir)
@@ -118,6 +135,14 @@ def check_one(spark, con, name, fn, sql, sf_dir, in_gate=True):
     if len(spark_rows) != len(duck_rows):
         res.update(status="ROWS-MISMATCH", ok=False)
         return res
+    if in_gate:
+        canon_err = pandas_canonicalizer_accepts(spark_cols, spark_rows)
+        if canon_err:
+            res.update(
+                status="GATE-LINT", ok=False,
+                detail=f"driver pandas canonicalizer would fail: {canon_err}",
+            )
+            return res
     s, d = multiset(spark_cols, spark_rows), multiset(duck_cols, duck_rows)
     if s != d:
         only_s = [r for r in s if r not in d][:2]

@@ -116,3 +116,26 @@ def test_no_gate_query_emits_complex_columns(spark, sf_dir):
         f"gate queries with array/map/struct output columns: {offenders} "
         "— stringify (m_resize thumb pattern) or explode to rows"
     )
+
+
+def test_pandas_canonicalizer_probe_flags_unhashable():
+    """The gate_check pandas-canonicalizer probe must fail exactly the
+    way the driver harness does on list-valued cells, and pass scalar
+    result sets (incl. bytes and None)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts"),
+    )
+    from gate_check import pandas_canonicalizer_accepts
+
+    err = pandas_canonicalizer_accepts(
+        ["a", "hist"], [(1, [1, 2]), (2, [3, 4]), (3, [3, 4])]
+    )
+    assert err and "unhashable" in err
+    assert pandas_canonicalizer_accepts(
+        ["a", "b", "c"], [(1, "x", b"\x00"), (2, None, b"\xff")]
+    ) is None
