@@ -71,8 +71,18 @@ class MiniS3Server:
     """Threaded in-memory S3 endpoint (path-style addressing only,
     like MinIO's default — ``http://host:port/bucket/key``)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        credentials: dict[str, str] | None = None,
+    ):
         self.host = host
+        # {access_key: secret_key}; when set, EVERY request must carry
+        # a valid SigV4 signature (functions/sigv4.py) or gets 403 —
+        # the reject paths the e2e auth tests drive
+        self._credentials = credentials
         # bucket -> {key -> _Obj}; plain dicts guarded by one lock —
         # request handlers touch state only under it
         self._buckets: dict[str, dict[str, _Obj]] = {}
@@ -116,9 +126,24 @@ class MiniS3Server:
                 n = int(self.headers.get("Content-Length") or 0)
                 return self.rfile.read(n) if n else b""
 
+            def _auth_ok(self, data: bytes = b"") -> bool:
+                if store._credentials is None:
+                    return True
+                from conduit_spark.functions import sigv4
+
+                ok, reason = sigv4.verify(
+                    self.command, self.path, dict(self.headers), data,
+                    credentials=store._credentials,
+                )
+                if not ok:
+                    self._err(403, "SignatureDoesNotMatch", reason)
+                return ok
+
             def do_PUT(self):  # noqa: N802
                 bucket, key, q = self._split()
                 data = self._body()
+                if not self._auth_ok(data):
+                    return
                 with store._lock:
                     if not key:
                         store._buckets.setdefault(bucket, {})
@@ -150,6 +175,8 @@ class MiniS3Server:
             def do_POST(self):  # noqa: N802
                 bucket, key, q = self._split()
                 body = self._body()
+                if not self._auth_ok(body):
+                    return
                 with store._lock:
                     b = store._buckets.get(bucket)
                     if b is None:
@@ -202,6 +229,8 @@ class MiniS3Server:
                 self._err(400, "InvalidRequest", "unsupported POST")
 
             def do_GET(self):  # noqa: N802
+                if not self._auth_ok():
+                    return
                 bucket, key, q = self._split()
                 with store._lock:
                     b = store._buckets.get(bucket)
@@ -237,6 +266,8 @@ class MiniS3Server:
                 self.do_GET()
 
             def do_DELETE(self):  # noqa: N802
+                if not self._auth_ok():
+                    return
                 bucket, key, _q = self._split()
                 with store._lock:
                     b = store._buckets.get(bucket)
@@ -335,10 +366,27 @@ class MiniS3Server:
 class MiniS3Client:
     """Minimal path-style S3 REST client over urllib (stdlib only) —
     works against :class:`MiniS3Server`, MinIO, or any path-style S3
-    endpoint that doesn't require SigV4 (test/dev endpoints)."""
+    endpoint. With ``access_key``/``secret_key`` every request is
+    SigV4-signed (``functions/sigv4.py``, conformance pinned by the
+    AWS-published worked example), so the jar-free wire transport
+    speaks to REAL authenticated endpoints, not just test servers;
+    without credentials it stays the unauthenticated dev-mode client."""
 
-    def __init__(self, endpoint: str):
+    def __init__(
+        self,
+        endpoint: str,
+        *,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str = "us-east-1",
+        session_token: str | None = None,
+    ):
         self.endpoint = endpoint.rstrip("/")
+        self._creds = (
+            (access_key, secret_key) if access_key and secret_key else None
+        )
+        self._region = region
+        self._session_token = session_token
 
     def _url(self, bucket: str, key: str = "", query: dict | None = None) -> str:
         path = f"/{urllib.parse.quote(bucket)}"
@@ -355,8 +403,18 @@ class MiniS3Client:
         data: bytes | None = None,
         headers: dict | None = None,
     ):
+        headers = dict(headers or {})
+        if self._creds is not None:
+            from conduit_spark.functions import sigv4
+
+            headers = sigv4.sign(
+                method, url, headers, data or b"",
+                access_key=self._creds[0], secret_key=self._creds[1],
+                region=self._region, service="s3",
+                session_token=self._session_token,
+            )
         req = urllib.request.Request(  # noqa: S310 — explicit test endpoint
-            url, data=data, method=method, headers=headers or {}
+            url, data=data, method=method, headers=headers
         )
         return urllib.request.urlopen(req, timeout=30)  # noqa: S310
 

@@ -551,6 +551,7 @@ def build_source(
                         str(settings["aws.bucket"]),
                         str(settings.get("prefix", "")),
                         since=str(settings["cdc.since"]),
+                        creds=_s3_creds(settings),
                     )
                     return envelope_from_s3(
                         objs,
@@ -563,6 +564,7 @@ def build_source(
                     str(settings["aws.url"]),
                     str(settings["aws.bucket"]),
                     str(settings.get("prefix", "")),
+                    creds=_s3_creds(settings),
                 )
                 return envelope_from_s3(
                     objs, source_id, str(settings["aws.bucket"])
@@ -804,6 +806,23 @@ def build_source(
     raise ValueError(f"unknown source plugin {plugin!r}")
 
 
+def _s3_creds(settings: dict) -> dict | None:
+    """Map the reference connector's ``aws.*`` credential settings
+    (conduit-connector-s3: accessKeyId/secretAccessKey/region/
+    sessionToken) onto the wire client's SigV4 kwargs; None when
+    unauthenticated (dev endpoints)."""
+    ak = settings.get("aws.accessKeyId")
+    sk = settings.get("aws.secretAccessKey")
+    if not ak or not sk:
+        return None
+    out = {"access_key": str(ak), "secret_key": str(sk)}
+    if settings.get("aws.region"):
+        out["region"] = str(settings["aws.region"])
+    if settings.get("aws.sessionToken"):
+        out["session_token"] = str(settings["aws.sessionToken"])
+    return out
+
+
 def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None = None):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
     wire client: the driver resolves (topic, partition, earliest,
@@ -1016,6 +1035,7 @@ def write_destination(
                     str(settings.get("prefix", "")),
                     fmt=str(settings.get("format", "json")),
                     buffer_size=int(settings.get("bufferSize", 1000)),
+                    creds=_s3_creds(settings),
                 )
                 return
             apply_s3_conf(df.sparkSession, settings)

@@ -235,6 +235,17 @@ class S3WireStreamReader(DataSourceStreamReader):
         if not self._endpoint or not self._bucket:
             raise ValueError("conduit-s3-wire needs endpoint and bucket")
         self._prefix = str(options.get("prefix", ""))
+        # SigV4 credentials (reference aws.* setting names) — the
+        # streaming reader signs like the batch wire client does
+        ak = options.get("access_key", options.get("aws.accesskeyid"))
+        sk = options.get("secret_key", options.get("aws.secretaccesskey"))
+        self._creds = (
+            {"access_key": str(ak), "secret_key": str(sk)} if ak and sk else None
+        )
+        if self._creds and options.get("region", options.get("aws.region")):
+            self._creds["region"] = str(
+                options.get("region", options.get("aws.region"))
+            )
         self._chunk = int(options.get("chunk_bytes", 8 * 1024 * 1024))
         self._n_parts = int(options.get("fetch_parallelism", 8))
         # startingPosition: earliest (default, snapshot-then-tail) |
@@ -253,9 +264,9 @@ class S3WireStreamReader(DataSourceStreamReader):
     def _list(self) -> list[dict]:
         from conduit_spark.functions.minis3 import MiniS3Client
 
-        return MiniS3Client(self._endpoint).list_objects(
-            self._bucket, self._prefix
-        )
+        return MiniS3Client(
+            self._endpoint, **(self._creds or {})
+        ).list_objects(self._bucket, self._prefix)
 
     def _list_cached(self, until: str) -> list[dict]:
         """One listing per micro-batch: latestOffset() caches its
@@ -307,7 +318,7 @@ class S3WireStreamReader(DataSourceStreamReader):
         from conduit_spark.functions.minis3 import MiniS3Client
         from conduit_spark.sources.s3_wire import range_get
 
-        c = MiniS3Client(self._endpoint)
+        c = MiniS3Client(self._endpoint, **(self._creds or {}))
         for key, size, etag, lm in part.objs:
             data = range_get(c, self._bucket, key, int(size), self._chunk)
             yield (key, data, len(data), etag, lm)

@@ -39,6 +39,16 @@ OBJ_SCHEMA = (
 
 
 
+
+def _client(endpoint: str, creds: dict | None):
+    """Wire client, optionally SigV4-signing (``creds`` keys:
+    access_key/secret_key/region/session_token — mapped from the
+    connector's ``aws.*`` settings by the registry)."""
+    from conduit_spark.functions.minis3 import MiniS3Client
+
+    return MiniS3Client(endpoint, **(creds or {}))
+
+
 def greedy_pack(objs: list[dict], n: int) -> list[list[dict]]:
     """Size-balanced assignment of objects to ``n`` groups: biggest
     objects placed first into the currently-lightest group, so no task
@@ -77,15 +87,15 @@ def s3_wire_source_df(
     page_size: int = 1000,
     chunk_bytes: int = 8 * 1024 * 1024,
     tasks: int | None = None,
+    creds: dict | None = None,
 ) -> DataFrame:
     """Snapshot-read every object under ``prefix`` → one row per
     object (key, value=bytes, size, etag, last_modified)."""
-    from conduit_spark.functions.minis3 import MiniS3Client
-
-    client = MiniS3Client(endpoint)
+    client = _client(endpoint, creds)
     objs = client.list_objects(bucket, prefix, page_size=page_size)
     return _fetch_objects_df(
-        spark, endpoint, bucket, objs, chunk_bytes=chunk_bytes, tasks=tasks
+        spark, endpoint, bucket, objs, chunk_bytes=chunk_bytes, tasks=tasks,
+        creds=creds,
     )
 
 
@@ -97,6 +107,7 @@ def _fetch_objects_df(
     *,
     chunk_bytes: int,
     tasks: int | None = None,
+    creds: dict | None = None,
 ) -> DataFrame:
     """Executor-parallel GET of a known object list → OBJ_SCHEMA rows."""
     if not objs:
@@ -118,9 +129,7 @@ def _fetch_objects_df(
     def _fetch(batches):
         import pandas as pd
 
-        from conduit_spark.functions.minis3 import MiniS3Client as _C
-
-        c = _C(endpoint)
+        c = _client(endpoint, creds)
         for pdf in batches:
             keys, vals, sizes, etags, lms = [], [], [], [], []
             for row in pdf.itertuples():
@@ -180,6 +189,7 @@ def s3_wire_sink(
     fmt: str = "json",
     buffer_size: int = 1000,
     multipart_threshold: int = 16 * 1024 * 1024,
+    creds: dict | None = None,
 ) -> None:
     """Write envelope records as objects: per partition, records chunk
     into ``buffer_size`` batches; each batch becomes ONE object
@@ -201,11 +211,10 @@ def s3_wire_sink(
 
         import pandas as pd
 
-        from conduit_spark.functions.minis3 import MiniS3Client as _C
         from pyspark import TaskContext
 
         part = TaskContext.get().partitionId()
-        c = _C(endpoint)
+        c = _client(endpoint, creds)
         n_sent = 0
         chunk_no = 0
         buf: list[dict] = []
@@ -290,6 +299,7 @@ def s3_wire_cdc_df(
     since: str = "",
     page_size: int = 1000,
     chunk_bytes: int = 8 * 1024 * 1024,
+    creds: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """One CDC polling cycle, the reference S3 source's change-capture
     half (conduit-connector-s3 source: after the snapshot it polls
@@ -304,9 +314,7 @@ def s3_wire_cdc_df(
     The listing walk is the same metadata-only pagination as the
     snapshot; only CHANGED objects' bytes move, executor-side.
     """
-    from conduit_spark.functions.minis3 import MiniS3Client
-
-    client = MiniS3Client(endpoint)
+    client = _client(endpoint, creds)
     changed = [
         o
         for o in client.list_objects(bucket, prefix, page_size=page_size)
@@ -316,6 +324,6 @@ def s3_wire_cdc_df(
     # only the CHANGED objects enter the fetch plan — bytes of
     # unchanged objects never move
     df = _fetch_objects_df(
-        spark, endpoint, bucket, changed, chunk_bytes=chunk_bytes
+        spark, endpoint, bucket, changed, chunk_bytes=chunk_bytes, creds=creds
     )
     return df, new_pos
