@@ -25,6 +25,13 @@ protocol guide without KIP-482 compact encodings:
   (generation -1, empty member). The reference's kafka source is a
   consumer-group source (pkg/plugin/connector/builtin/registry.go);
   the wire source resumes from committed group offsets the same way.
+  Round 7 adds SASL (KIP-152 framing: SaslHandshake v1 +
+  SaslAuthenticate v0) with PLAIN and SCRAM-SHA-256 (RFC 5802/7677,
+  ``functions/scram.py``, golden vector pinned) — brokers constructed
+  with ``users={...}`` require authentication on every connection and
+  close unauthenticated data-API connections; the client signs in at
+  connect when given ``sasl={mechanism, username, password}`` and
+  verifies the SCRAM server signature (spoofed-broker detection).
 
 Record payloads are RecordBatch v2 via ``kafka_wire`` (CRC32C
 verified both directions). The broker restamps ``baseOffset`` on
@@ -63,6 +70,8 @@ API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
 API_VERSIONS = 18
+API_SASL_HANDSHAKE = 17
+API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
@@ -70,6 +79,9 @@ ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_UNSUPPORTED_VERSION = 35  # KIP-511 ApiVersions downgrade signal
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 EARLIEST = -2
 LATEST = -1
@@ -175,6 +187,12 @@ def partition_for_key(key: bytes | None, value: bytes | None, n_partitions: int)
     return (murmur2(data) & 0x7FFFFFFF) % n_partitions
 
 
+class _SaslRequired(Exception):
+    """Data API attempted before SASL completed on a broker that
+    requires it — the connection is closed (pre-KIP-152 broker
+    behavior for unauthenticated clients)."""
+
+
 # ---------------------------------------------------------------------------
 # broker
 # ---------------------------------------------------------------------------
@@ -230,8 +248,21 @@ class MiniKafkaBroker:
 
     node_id = 0
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, *, default_partitions: int = 2):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        default_partitions: int = 2,
+        users: dict[str, str] | None = None,
+    ):
         self.host = host
+        # {username: password}; when set, every connection must pass
+        # SASL (PLAIN or SCRAM-SHA-256 via SaslHandshake v1 +
+        # SaslAuthenticate v0, the KIP-152 framing) before any data
+        # API; an unauthenticated data request closes the connection
+        # (the pre-KIP-152 broker behavior, documented in tests)
+        self._users = users
         self.default_partitions = default_partitions
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: dict[str, int] = {}  # topic -> n_partitions
@@ -245,6 +276,8 @@ class MiniKafkaBroker:
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
                 sock = self.request
+                conn = {"authed": broker._users is None, "scram": None,
+                        "mech": None}
                 while True:
                     hdr = _recv_exact(sock, 4)
                     if hdr is None:
@@ -253,7 +286,10 @@ class MiniKafkaBroker:
                     body = _recv_exact(sock, size)
                     if body is None:
                         return
-                    resp = broker._dispatch(body)
+                    try:
+                        resp = broker._dispatch(body, conn)
+                    except _SaslRequired:
+                        return  # close: data API before authentication
                     sock.sendall(struct.pack(">i", len(resp)) + resp)
 
         class Server(socketserver.ThreadingTCPServer):
@@ -291,12 +327,23 @@ class MiniKafkaBroker:
 
     # -- request dispatch ---------------------------------------------------
 
-    def _dispatch(self, req: bytes) -> bytes:
+    def _dispatch(self, req: bytes, conn: dict | None = None) -> bytes:
+        conn = conn if conn is not None else {"authed": True}
         r = _Reader(req)
         api_key = r.i16()
         api_version = r.i16()
         correlation_id = r.i32()
         r.string()  # client_id
+        if api_key == API_SASL_HANDSHAKE and api_version == 1:
+            return struct.pack(">i", correlation_id) + self._sasl_handshake(
+                r, conn
+            )
+        if api_key == API_SASL_AUTHENTICATE and api_version == 0:
+            return struct.pack(">i", correlation_id) + self._sasl_authenticate(
+                r, conn
+            )
+        if not conn.get("authed") and api_key != API_VERSIONS:
+            raise _SaslRequired(api_key)
         handlers = {
             API_VERSIONS: (0, self._api_versions),
             API_METADATA: (1, self._metadata),
@@ -345,7 +392,8 @@ class MiniKafkaBroker:
                 (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
-                (API_SYNC_GROUP, 0, 0)]
+                (API_SYNC_GROUP, 0, 0), (API_SASL_HANDSHAKE, 1, 1),
+                (API_SASL_AUTHENTICATE, 0, 0)]
         out = struct.pack(">i", len(rows))
         for k, lo, hi in rows:
             out += struct.pack(">hhh", k, lo, hi)
@@ -353,6 +401,71 @@ class MiniKafkaBroker:
 
     def _api_versions(self, r: _Reader) -> bytes:
         return struct.pack(">h", ERR_NONE) + self._api_versions_table()
+
+    # -- SASL (KIP-152 framing: SaslHandshake v1 + SaslAuthenticate v0;
+    # mechanisms PLAIN and SCRAM-SHA-256, functions/scram.py) ---------
+
+    SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256")
+
+    def _sasl_handshake(self, r: _Reader, conn: dict) -> bytes:
+        mech = r.string() or ""
+        mechs = b"".join(_w_str(m) for m in self.SASL_MECHANISMS)
+        listing = struct.pack(">i", len(self.SASL_MECHANISMS)) + mechs
+        if mech not in self.SASL_MECHANISMS:
+            return struct.pack(">h", ERR_UNSUPPORTED_SASL_MECHANISM) + listing
+        conn["mech"] = mech
+        conn["scram"] = None
+        return struct.pack(">h", ERR_NONE) + listing
+
+    def _sasl_authenticate(self, r: _Reader, conn: dict) -> bytes:
+        def resp(err: int, msg: str | None, auth: bytes) -> bytes:
+            return struct.pack(">h", err) + _w_str(msg) + _w_bytes(auth)
+
+        if self._users is None:
+            # open broker: accept anything (dev mode), like PLAINTEXT
+            conn["authed"] = True
+            return resp(ERR_NONE, None, b"")
+        auth = r.bytes_() or b""
+        mech = conn.get("mech")
+        if mech == "PLAIN":
+            parts = auth.split(b"\x00")
+            if len(parts) != 3:
+                return resp(
+                    ERR_SASL_AUTHENTICATION_FAILED, "malformed PLAIN", b""
+                )
+            user, password = parts[1].decode(), parts[2].decode()
+            if self._users.get(user) != password:
+                return resp(
+                    ERR_SASL_AUTHENTICATION_FAILED,
+                    "authentication failed", b"",
+                )
+            conn["authed"] = True
+            return resp(ERR_NONE, None, b"")
+        if mech == "SCRAM-SHA-256":
+            from conduit_spark.functions.scram import ScramServer
+
+            if conn.get("scram") is None:
+                conn["scram"] = ScramServer(self._users)
+                try:
+                    return resp(
+                        ERR_NONE, None,
+                        conn["scram"].first(auth.decode()).encode(),
+                    )
+                except (ValueError, KeyError) as e:
+                    return resp(
+                        ERR_SASL_AUTHENTICATION_FAILED, str(e), b""
+                    )
+            final = conn["scram"].final(auth.decode())
+            conn["scram"] = None
+            if final.startswith("e="):
+                return resp(
+                    ERR_SASL_AUTHENTICATION_FAILED, final, final.encode()
+                )
+            conn["authed"] = True
+            return resp(ERR_NONE, None, final.encode())
+        return resp(
+            ERR_ILLEGAL_SASL_STATE, "SaslHandshake required first", b""
+        )
 
     # -- consumer-group coordinator (reference: the kafka source is a
     # consumer-group source, pkg/plugin/connector/builtin/registry.go;
@@ -650,11 +763,61 @@ class MiniKafkaClient:
     connection, sequential correlation ids — the shape of one Spark
     task's transport in the wire sink/source."""
 
-    def __init__(self, bootstrap: str, client_id: str = "conduit-spark"):
+    def __init__(
+        self,
+        bootstrap: str,
+        client_id: str = "conduit-spark",
+        *,
+        sasl: dict | None = None,
+    ):
         host, port = bootstrap.rsplit(":", 1)
         self._sock = socket.create_connection((host, int(port)))
         self._client_id = client_id
         self._corr = 0
+        if sasl:
+            self._sasl_login(
+                str(sasl.get("mechanism", "SCRAM-SHA-256")).upper(),
+                str(sasl["username"]),
+                str(sasl["password"]),
+            )
+
+    def _sasl_login(self, mechanism: str, username: str, password: str) -> None:
+        """KIP-152 flow: SaslHandshake v1 negotiates the mechanism,
+        SaslAuthenticate v0 frames carry the mechanism exchange —
+        PLAIN's single message or SCRAM-SHA-256's two round trips
+        (with server-signature verification, so a spoofed broker that
+        doesn't know the password is detected client-side too)."""
+        r = self._call(API_SASL_HANDSHAKE, 1, _w_str(mechanism))
+        err = r.i16()
+        if err:
+            n = r.i32()
+            offered = [r.string() for _ in range(n)]
+            raise RuntimeError(
+                f"SASL mechanism {mechanism!r} rejected (err {err}); "
+                f"broker offers {offered}"
+            )
+
+        def auth_round(payload: bytes) -> bytes:
+            rr = self._call(API_SASL_AUTHENTICATE, 0, _w_bytes(payload))
+            e = rr.i16()
+            msg = rr.string()
+            data = rr.bytes_() or b""
+            if e:
+                raise RuntimeError(f"SASL authentication failed: {msg}")
+            return data
+
+        if mechanism == "PLAIN":
+            auth_round(b"\x00" + username.encode() + b"\x00" + password.encode())
+            return
+        if mechanism == "SCRAM-SHA-256":
+            from conduit_spark.functions.scram import ScramClient
+
+            c = ScramClient(username, password)
+            server_first = auth_round(c.first().encode()).decode()
+            server_final = auth_round(c.final(server_first).encode()).decode()
+            c.verify_server(server_final)
+            return
+        raise ValueError(f"unsupported SASL mechanism {mechanism!r}")
 
     def close(self) -> None:
         self._sock.close()

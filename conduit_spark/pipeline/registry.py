@@ -798,12 +798,28 @@ def build_source(
                 group_id=(
                     str(settings["groupId"]) if "groupId" in settings else None
                 ),
+                sasl=_kafka_sasl(settings),
             )
             return envelope_from_kafka(df, source_id)
         reader = spark.readStream if streaming else spark.read
         df = reader.format("kafka").options(**kafka_reader_options(settings)).load()
         return envelope_from_kafka(df, source_id)
     raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def _kafka_sasl(settings: dict) -> dict | None:
+    """Map the reference kafka connector's SASL settings
+    (conduit-connector-kafka: saslMechanism/saslUsername/saslPassword)
+    onto the wire client's sasl kwargs; None when unauthenticated."""
+    user = settings.get("saslUsername")
+    pw = settings.get("saslPassword")
+    if not user or pw is None:
+        return None
+    return {
+        "mechanism": str(settings.get("saslMechanism", "SCRAM-SHA-256")),
+        "username": str(user),
+        "password": str(pw),
+    }
 
 
 def _s3_creds(settings: dict) -> dict | None:
@@ -823,7 +839,10 @@ def _s3_creds(settings: dict) -> dict | None:
     return out
 
 
-def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None = None):
+def kafka_wire_source_df(
+    spark, servers: str, topic: str, group_id: str | None = None,
+    sasl: dict | None = None,
+):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
     wire client: the driver resolves (topic, partition, earliest,
     latest) offset ranges with Metadata + ListOffsets — O(partitions)
@@ -850,7 +869,7 @@ def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None =
         "key binary, value binary, topic string, partition int, "
         "offset long, timestamp long"
     )
-    with MiniKafkaClient(server) as c:
+    with MiniKafkaClient(server, sasl=sasl) as c:
         md = c.metadata(topics)
         all_parts = [
             (t, p["partition"])
@@ -881,7 +900,7 @@ def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None =
         for pdf in batches:
             for row in pdf.itertuples():
                 keys, vals, offs, tss = [], [], [], []
-                with MiniKafkaClient(server) as client:
+                with MiniKafkaClient(server, sasl=sasl) as client:
                     off = int(row.start)
                     while off < row.end:
                         recs, _hwm = client.fetch(
@@ -912,7 +931,7 @@ def kafka_wire_source_df(spark, servers: str, topic: str, group_id: str | None =
 
 
 def kafka_wire_commit_group(
-    servers: str, group_id: str, topic: str
+    servers: str, group_id: str, topic: str, sasl: dict | None = None
 ) -> dict[tuple[str, int], int]:
     """Commit the CURRENT log-end offsets of ``topic`` (comma list ok)
     to ``group_id`` under a real join/sync membership — the
@@ -924,7 +943,7 @@ def kafka_wire_commit_group(
 
     server = str(servers).split(",")[0].strip()
     topics = [t.strip() for t in str(topic).split(",") if t.strip()]
-    with MiniKafkaClient(server) as c:
+    with MiniKafkaClient(server, sasl=sasl) as c:
         md = c.metadata(topics)
         offsets = {
             (t, p["partition"]): c.list_offsets(t, p["partition"], LATEST)
@@ -1078,6 +1097,7 @@ def write_destination(
                 settings["servers"],
                 settings["topic"],
                 compression=settings.get("compression"),
+                sasl=_kafka_sasl(settings),
             )
             return
         sinks.kafka_sink(

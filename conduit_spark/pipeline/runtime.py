@@ -352,8 +352,11 @@ class Pipeline:
         for conn in self.config.sources:
             s = conn.settings
             if conn.plugin == "builtin:kafka" and "groupId" in s and "servers" in s:
+                from conduit_spark.pipeline.registry import _kafka_sasl
+
                 commit_group_from_checkpoint(
-                    str(s["servers"]), str(s["groupId"]), checkpoint_dir
+                    str(s["servers"]), str(s["groupId"]), checkpoint_dir,
+                    sasl=_kafka_sasl(s),
                 )
 
     def restart_with_backoff(

@@ -93,6 +93,22 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self._group_id = str(
             options.get("groupid", options.get("groupId", ""))
         ) or None
+        # SASL (reference saslMechanism/saslUsername/saslPassword)
+        su = options.get("saslusername", options.get("saslUsername"))
+        sp = options.get("saslpassword", options.get("saslPassword"))
+        self._sasl = (
+            {
+                "mechanism": str(
+                    options.get("saslmechanism",
+                                options.get("saslMechanism",
+                                            "SCRAM-SHA-256"))
+                ),
+                "username": str(su),
+                "password": str(sp),
+            }
+            if su and sp is not None
+            else None
+        )
         import uuid
 
         self._member_id = f"conduit-spark-{uuid.uuid4().hex[:12]}"
@@ -100,7 +116,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def _client(self):
         from conduit_spark.functions.minikafka import MiniKafkaClient
 
-        return MiniKafkaClient(self._server)
+        return MiniKafkaClient(self._server, sasl=self._sasl)
 
     def _offsets(self, earliest: bool) -> dict:
         # offsets keyed "topic:partition" — the multi-topic analog of
@@ -353,7 +369,8 @@ def register(spark) -> None:
 
 
 def commit_group_from_checkpoint(
-    servers: str, group_id: str, checkpoint_dir: str
+    servers: str, group_id: str, checkpoint_dir: str,
+    sasl: dict | None = None,
 ) -> dict | None:
     """Commit the LAST COMPLETED batch's end offsets from a Structured
     Streaming checkpoint to a consumer group.
@@ -412,7 +429,7 @@ def commit_group_from_checkpoint(
         topic, _, p = key.rpartition(":")
         offsets[(topic, int(p))] = int(off)
     server = str(servers).split(",")[0].strip()
-    with MiniKafkaClient(server) as c:
+    with MiniKafkaClient(server, sasl=sasl) as c:
         g = c.join_group(group_id)
         c.sync_group(
             group_id, g["generation"], g["member_id"],

@@ -35,7 +35,7 @@ def test_api_versions_and_metadata(broker):
         assert versions == {
             0: (3, 3), 1: (4, 4), 2: (1, 1), 3: (1, 1), 18: (0, 0),
             8: (2, 2), 9: (1, 1), 10: (0, 0), 11: (0, 0), 12: (0, 0),
-            13: (0, 0), 14: (0, 0),
+            13: (0, 0), 14: (0, 0), 17: (1, 1), 36: (0, 0),
         }
         broker.create_topic("t1", partitions=4)
         md = c.metadata(["t1"])
@@ -429,3 +429,131 @@ def test_modern_client_apiversions_downgrade(broker):
         got, hwm = c.fetch("downgrade-t", 0, base)
         assert hwm == base + 1
         assert [(rec["key"], rec["value"]) for rec in got] == [(b"k", b"v")]
+
+
+# -- SASL (PLAIN + SCRAM-SHA-256) ----------------------------------------
+
+
+def test_scram_matches_rfc7677_worked_example():
+    """RFC 7677 §3 vector (user/pencil, published nonces): client
+    proof and server signature must match the RFC byte-for-byte."""
+    from conduit_spark.functions.scram import ScramClient
+
+    c = ScramClient("user", "pencil", nonce="rOprNGfwEbeRWgbNEkqO")
+    assert c.first() == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    assert c.final(server_first) == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    c.verify_server("v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+
+
+@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+def test_sasl_authenticated_produce_fetch(mechanism):
+    users = {"svc": "hunter2"}
+    with MiniKafkaBroker(users=users) as b:
+        b.create_topic("sec", partitions=1)
+        sasl = {"mechanism": mechanism, "username": "svc", "password": "hunter2"}
+        with MiniKafkaClient(b.bootstrap, sasl=sasl) as c:
+            base = c.produce(
+                "sec", 0, [{"key": b"k", "value": b"v", "timestamp": 1}]
+            )
+            recs, hwm = c.fetch("sec", 0, base)
+            assert hwm == base + 1
+            assert recs[0]["value"] == b"v"
+
+
+@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+def test_sasl_wrong_password_fails(mechanism):
+    with MiniKafkaBroker(users={"svc": "hunter2"}) as b:
+        sasl = {"mechanism": mechanism, "username": "svc", "password": "nope"}
+        with pytest.raises(RuntimeError, match="authentication failed"):
+            MiniKafkaClient(b.bootstrap, sasl=sasl)
+
+
+def test_sasl_unknown_user_and_mechanism():
+    with MiniKafkaBroker(users={"svc": "hunter2"}) as b:
+        with pytest.raises(RuntimeError, match="authentication failed"):
+            MiniKafkaClient(
+                b.bootstrap,
+                sasl={"mechanism": "SCRAM-SHA-256",
+                      "username": "ghost", "password": "x"},
+            )
+        with pytest.raises(RuntimeError, match="broker offers"):
+            MiniKafkaClient(
+                b.bootstrap,
+                sasl={"mechanism": "SCRAM-SHA-512",
+                      "username": "svc", "password": "hunter2"},
+            )
+
+
+def test_unauthenticated_data_api_closes_connection():
+    """A data request before SASL on a requiring broker gets the
+    connection closed, and ApiVersions (the pre-auth discovery call)
+    still answers."""
+    with MiniKafkaBroker(users={"svc": "hunter2"}) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            versions = c.api_versions()  # allowed pre-auth
+            assert versions[17] == (1, 1) and versions[36] == (0, 0)
+            with pytest.raises((ConnectionError, ValueError)):
+                c.metadata(["t"])
+
+
+def test_open_broker_still_accepts_sasl_clients():
+    """No users configured: SASL clients authenticate trivially and
+    anonymous clients keep working (dev mode unchanged)."""
+    with MiniKafkaBroker() as b:
+        b.create_topic("t", partitions=1)
+        sasl = {"mechanism": "PLAIN", "username": "x", "password": "y"}
+        with MiniKafkaClient(b.bootstrap, sasl=sasl) as c:
+            c.produce("t", 0, [{"key": None, "value": b"v", "timestamp": 1}])
+        with MiniKafkaClient(b.bootstrap) as c:
+            recs, _ = c.fetch("t", 0, 0)
+            assert recs[0]["value"] == b"v"
+
+
+def test_sasl_wire_transport_end_to_end(spark):
+    """transport=wire with SASL settings on BOTH sides against a
+    credential-requiring broker: sink tasks and source tasks each
+    authenticate their own connections (reference
+    saslMechanism/saslUsername/saslPassword setting names)."""
+    from conduit_spark.pipeline import registry
+
+    with MiniKafkaBroker(users={"svc": "pw"}) as b:
+        b.create_topic("sec-pipe", partitions=2)
+        sasl_settings = {
+            "servers": b.bootstrap, "topic": "sec-pipe",
+            "transport": "wire", "saslMechanism": "SCRAM-SHA-256",
+            "saslUsername": "svc", "saslPassword": "pw",
+        }
+        src = spark.createDataFrame(
+            [(f"u{i}", json.dumps({"n": i})) for i in range(12)],
+            "key_json string, payload_after_json string",
+        ).selectExpr(
+            "key_json",
+            "cast(null as binary) as key_raw",
+            "payload_after_json",
+            "cast(null as binary) as payload_after_raw",
+        )
+        registry.write_destination(src, "builtin:kafka", sasl_settings)
+        env = registry.build_source(
+            spark, "builtin:kafka", sasl_settings, "ksrc", streaming=False
+        )
+        got = env.collect()
+        assert len(got) == 12
+        ns = sorted(
+            json.loads(bytes(r.payload_after_raw).decode())["n"] for r in got
+        )
+        assert ns == list(range(12))
+
+        # the same flow WITHOUT credentials cannot reach the broker
+        plain = {k: v for k, v in sasl_settings.items()
+                 if not k.startswith("sasl")}
+        with pytest.raises(Exception, match="onnection|closed|reset"):
+            registry.build_source(
+                spark, "builtin:kafka", plain, "k2", streaming=False
+            )
