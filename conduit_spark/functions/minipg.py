@@ -69,8 +69,15 @@ class MiniPGServer:
     """Walsender-mode endpoint over a change log of wal2json lines."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
-                 slot: str = "conduit_spark", keepalive_s: float = 0.2):
+                 slot: str = "conduit_spark", keepalive_s: float = 0.2,
+                 users: dict[str, str] | None = None):
         self.host = host
+        # {startup-user: password}; when set, the session must pass
+        # SCRAM-SHA-256 (protocol-v3 AuthenticationSASL flow, RFC 5802
+        # via functions/scram.py) before AuthenticationOk — postgres
+        # semantics: the STARTUP user is authoritative, the SASL
+        # client-first carries an empty n= like libpq sends
+        self._users = users
         self.slot = slot
         self.keepalive_s = keepalive_s
         self._changes: list[tuple[int, bytes]] = []  # (lsn, payload)
@@ -120,6 +127,8 @@ class MiniPGServer:
             sock.sendall(_msg(b"E", _cstr("SFATAL") + _cstr(
                 "Mreplication=database required") + b"\x00"))
             return
+        if self._users is not None and not self._scram_auth(sock, params):
+            return
         sock.sendall(
             _msg(b"R", struct.pack(">I", 0))  # AuthenticationOk
             + _msg(b"S", _cstr("server_version") + _cstr("16.0-mini"))
@@ -144,6 +153,51 @@ class MiniPGServer:
             else:
                 sock.sendall(_msg(b"E", _cstr("SERROR") + _cstr(
                     f"Munsupported command {q!r}") + b"\x00") + _msg(b"Z", b"I"))
+
+    def _scram_auth(self, sock: socket.socket, params: dict) -> bool:
+        """Protocol-v3 SASL exchange: AuthenticationSASL(10) offering
+        SCRAM-SHA-256 → SASLInitialResponse → AuthenticationSASL-
+        Continue(11) → SASLResponse → AuthenticationSASLFinal(12).
+        Failure sends ErrorResponse 28P01 (invalid_password)."""
+        from conduit_spark.functions.scram import ScramServer
+
+        def fail(msg: str) -> bool:
+            sock.sendall(_msg(b"E", _cstr("SFATAL") + _cstr("C28P01")
+                              + _cstr("M" + msg) + b"\x00"))
+            return False
+
+        user = params.get("user", "")
+        password = self._users.get(user)
+        sock.sendall(_msg(
+            b"R", struct.pack(">I", 10) + _cstr("SCRAM-SHA-256") + b"\x00"
+        ))
+        tag, body = self._read_msg(sock)
+        if tag != b"p":
+            return fail("expected SASLInitialResponse")
+        end = body.index(b"\x00")
+        mech = body[:end].decode()
+        if mech != "SCRAM-SHA-256":
+            return fail(f"unsupported SASL mechanism {mech!r}")
+        (n,) = struct.unpack_from(">i", body, end + 1)
+        first = body[end + 5 : end + 5 + max(n, 0)].decode()
+        # postgres ignores the SASL-layer username; the startup user is
+        # authoritative (libpq sends n=)
+        srv = ScramServer({"": password} if password is not None else {})
+        try:
+            server_first = srv.first(first)
+        except (ValueError, KeyError) as e:
+            return fail(f"malformed client-first: {e}")
+        sock.sendall(_msg(
+            b"R", struct.pack(">I", 11) + server_first.encode()
+        ))
+        tag, body = self._read_msg(sock)
+        if tag != b"p":
+            return fail("expected SASLResponse")
+        final = srv.final(body.decode())
+        if final.startswith("e="):
+            return fail("password authentication failed")
+        sock.sendall(_msg(b"R", struct.pack(">I", 12) + final.encode()))
+        return True
 
     def _identify_system(self, sock: socket.socket) -> None:
         cols = ["systemid", "timeline", "xlogpos", "dbname"]
@@ -305,7 +359,8 @@ class ReplicationClient:
     (what pg_recvlogical does on its --fsync-interval)."""
 
     def __init__(self, dsn: str, *, slot: str = "conduit_spark",
-                 user: str = "conduit", dbname: str = "mini"):
+                 user: str = "conduit", dbname: str = "mini",
+                 password: str | None = None):
         host, _, port = dsn.rpartition(":")
         self._sock = socket.create_connection((host, int(port)), timeout=30)
         self.slot = slot
@@ -316,11 +371,47 @@ class ReplicationClient:
             body += _cstr(k) + _cstr(v)
         body += b"\x00"
         self._sock.sendall(struct.pack(">I", len(body) + 4) + body)
-        # consume until ReadyForQuery
+        # consume until ReadyForQuery, answering SASL challenges
+        scram = None
         while True:
             tag, msg = self._read_msg()
             if tag == b"E":
                 raise ConnectionError(f"server error: {msg!r}")
+            if tag == b"R":
+                (code,) = struct.unpack_from(">I", msg, 0)
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 10:  # AuthenticationSASL
+                    mechs = msg[4:].split(b"\x00")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise ConnectionError(
+                            f"server offers no SCRAM-SHA-256: {mechs!r}"
+                        )
+                    if password is None:
+                        raise ConnectionError(
+                            "server requires SCRAM but no password given"
+                        )
+                    from conduit_spark.functions.scram import ScramClient
+
+                    # libpq sends an empty SASL username; the startup
+                    # user is authoritative server-side
+                    scram = ScramClient("", password)
+                    first = scram.first().encode()
+                    self._sock.sendall(_msg(
+                        b"p",
+                        _cstr("SCRAM-SHA-256")
+                        + struct.pack(">i", len(first)) + first,
+                    ))
+                elif code == 11:  # AuthenticationSASLContinue
+                    final = scram.final(msg[4:].decode()).encode()
+                    self._sock.sendall(_msg(b"p", final))
+                elif code == 12:  # AuthenticationSASLFinal
+                    scram.verify_server(msg[4:].decode())
+                else:
+                    raise ConnectionError(
+                        f"unsupported authentication request {code}"
+                    )
+                continue
             if tag == b"Z":
                 break
 

@@ -609,7 +609,8 @@ class LiveWalTail:
         return self
 
     def start_native(self, dsn: str, *, slot: str = "conduit_spark",
-                     start_lsn: int = 0) -> "LiveWalTail":
+                     start_lsn: int = 0, user: str = "conduit",
+                     password: str | None = None) -> "LiveWalTail":
         """Tail a replication endpoint over the ENGINE'S OWN wire
         client (``functions.minipg.ReplicationClient`` — protocol-v3
         walsender mode: startup with ``replication=database``,
@@ -644,7 +645,7 @@ class LiveWalTail:
             buf.clear()
 
         def pump() -> None:
-            client = ReplicationClient(dsn, slot=slot)
+            client = ReplicationClient(dsn, slot=slot, user=user, password=password)
             self._client = client
             buf: list[str] = []
             flushed_lsn = 0

@@ -253,3 +253,45 @@ def test_ssl_probe_negotiated_down():
         s.sendall(struct.pack(">I", len(body) + 4) + body)
         assert s.recv(1) == b"R"  # AuthenticationOk follows
         s.close()
+
+
+# -- SCRAM-SHA-256 authentication (protocol-v3 SASL flow) ----------------
+
+
+def test_walsender_scram_authenticated_stream():
+    """Server requires SCRAM: the client authenticates via the
+    protocol-v3 AuthenticationSASL(10)/Continue(11)/Final(12) flow
+    (empty SASL username, startup user authoritative — libpq
+    semantics), streams XLogData, and the server signature verifies
+    client-side."""
+    with MiniPGServer(users={"conduit": "replica-pw"}) as srv:
+        lsn1 = srv.feed('{"action":"I","lsn":"x"}')
+        with ReplicationClient(srv.dsn, password="replica-pw") as c:
+            info = c.identify_system()
+            assert "xlogpos" in {k.lower() for k in info}
+            frames = c.start_replication(0)
+            got_lsn, payload = next(frames)
+            assert got_lsn == lsn1
+            assert b'"action":"I"' in payload
+            c.confirm(lsn1)
+
+
+def test_walsender_scram_rejects():
+    with MiniPGServer(users={"conduit": "replica-pw"}) as srv:
+        srv.feed("{}")
+        # wrong password
+        with pytest.raises((ConnectionError, ValueError)):
+            ReplicationClient(srv.dsn, password="nope")
+        # unknown startup user
+        with pytest.raises((ConnectionError, ValueError)):
+            ReplicationClient(srv.dsn, user="ghost", password="replica-pw")
+        # no password at all
+        with pytest.raises(ConnectionError, match="SCRAM|password"):
+            ReplicationClient(srv.dsn)
+
+
+def test_walsender_open_server_unchanged():
+    with MiniPGServer() as srv:
+        srv.feed("{}")
+        with ReplicationClient(srv.dsn) as c:
+            assert c.identify_system()
