@@ -85,13 +85,16 @@ _EXTENDED = (
     # g_s3_wire_snapshot (VERDICT r6 item 9). Displaced: sixteen
     # 4-6x-green keepers listed below under "Round-7 rotation out".
     # Round-8 rotation candidates (never driver-verified, in priority
-    # order): t_tfidf_top_terms, d_simhash_pairs, cur_shards, cur_mix,
-    # t_repetition, t_redact_pii, smp_stratified_ids, s_quantized_topk,
-    # q_range_value_bands, q_skew_salted_join, q_bloom_prune_join,
-    # t_quality_lr, cur_token_budget, q11_important_parts,
-    # q21_waiting_suppliers, q8_market_share, q15_top_supplier —
-    # displace rows that will then be 2x+ green (the round-7 first-time
-    # names above).
+    # order): the seven round-7 additions first — g_kafka_wire_snapshot,
+    # g_pg_wal_cdc, g_file_roundtrip, m_decode_jpeg_real,
+    # m_decode_ulaw_real, q_bucketed_join, plus keeping
+    # g_s3_wire_snapshot if its r7 row lands — then t_tfidf_top_terms,
+    # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
+    # smp_stratified_ids, s_quantized_topk, q_range_value_bands,
+    # q_skew_salted_join, q_bloom_prune_join, t_quality_lr,
+    # cur_token_budget, q11_important_parts, q21_waiting_suppliers,
+    # q8_market_share, q15_top_supplier — displace rows that will then
+    # be 2x+ green (the round-7 first-time names above).
     "g_kafka_wire_snapshot",  # new in r7; r8 gate candidate (kafka wire sibling of g_s3_wire_snapshot)
     "m_decode_jpeg_real",  # new in r7; r8 gate candidate (real Huffman+IDCT path, PNG/WAV siblings driver-green r6)
     "g_pg_wal_cdc",  # new in r7; r8 gate candidate (wal2json parse + LSN-ordered apply — postgres CDC evidence)

@@ -1059,6 +1059,23 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             if wh:
                 shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        # opportunistic GC of dead processes' per-PID ingest dirs (a
+        # day old is safely past any live session on this box)
+        if wh and os.path.isdir(wh):
+            import time as _time
+
+            cutoff = _time.time() - 86400
+            for d in os.listdir(wh):
+                full = os.path.join(wh, d)
+                if (
+                    d.startswith(("b_orders_", "b_lineitem_"))
+                    and not d.endswith(f"_{_os.getpid()}")
+                ):
+                    try:
+                        if os.path.getmtime(full) < cutoff:
+                            shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ).write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey").mode(
