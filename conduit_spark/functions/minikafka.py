@@ -255,8 +255,11 @@ class MiniKafkaBroker:
         *,
         default_partitions: int = 2,
         users: dict[str, str] | None = None,
+        tls: tuple[str, str] | None = None,
     ):
         self.host = host
+        # (cert_pem, key_pem): TLS listener (SASL_SSL when users set)
+        self._tls = tls
         # {username: password}; when set, every connection must pass
         # SASL (PLAIN or SCRAM-SHA-256 via SaslHandshake v1 +
         # SaslAuthenticate v0, the KIP-152 framing) before any data
@@ -297,6 +300,12 @@ class MiniKafkaBroker:
             daemon_threads = True
 
         self._server = Server((host, port), Handler)
+        if tls is not None:
+            from conduit_spark.functions.tlsutil import server_context
+
+            self._server.socket = server_context(*tls).wrap_socket(
+                self._server.socket, server_side=True
+            )
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
@@ -769,9 +778,17 @@ class MiniKafkaClient:
         client_id: str = "conduit-spark",
         *,
         sasl: dict | None = None,
+        tls_ca: str | None = None,
+        tls: bool = False,
     ):
         host, port = bootstrap.rsplit(":", 1)
         self._sock = socket.create_connection((host, int(port)))
+        if tls or tls_ca is not None:
+            from conduit_spark.functions.tlsutil import client_context
+
+            self._sock = client_context(tls_ca).wrap_socket(
+                self._sock, server_hostname=host
+            )
         self._client_id = client_id
         self._corr = 0
         if sasl:

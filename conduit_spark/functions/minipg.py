@@ -70,8 +70,13 @@ class MiniPGServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
                  slot: str = "conduit_spark", keepalive_s: float = 0.2,
-                 users: dict[str, str] | None = None):
+                 users: dict[str, str] | None = None,
+                 tls: tuple[str, str] | None = None):
         self.host = host
+        # (cert_pem, key_pem): answer the SSLRequest probe with 'S' and
+        # upgrade the connection (postgres STARTTLS, protocol v3) —
+        # sslmode=require semantics; without it the probe gets 'N'
+        self._tls = tls
         # {startup-user: password}; when set, the session must pass
         # SCRAM-SHA-256 (protocol-v3 AuthenticationSASL flow, RFC 5802
         # via functions/scram.py) before AuthenticationOk — postgres
@@ -121,7 +126,7 @@ class MiniPGServer:
     # -- protocol session ---------------------------------------------------
 
     def _session(self, sock: socket.socket) -> None:
-        params = self._read_startup(sock)
+        params, sock = self._read_startup(sock)
         if params.get("replication") not in ("database", "true", "on", "1"):
             # plain sessions aren't served — this is a walsender
             sock.sendall(_msg(b"E", _cstr("SFATAL") + _cstr(
@@ -289,10 +294,20 @@ class MiniPGServer:
             buf += chunk
         return buf
 
-    def _read_startup(self, sock: socket.socket) -> dict:
+    def _read_startup(self, sock: socket.socket) -> tuple[dict, socket.socket]:
         (ln,) = struct.unpack(">I", self._read_exact(sock, 4))
         body = self._read_exact(sock, ln - 4)
         (proto,) = struct.unpack(">I", body[:4])
+        if proto == 80877103 and self._tls is not None:  # SSLRequest
+            # postgres STARTTLS: 'S' then the handshake on the same
+            # connection; the startup packet arrives over TLS
+            from conduit_spark.functions.tlsutil import server_context
+
+            sock.sendall(b"S")
+            sock = server_context(*self._tls).wrap_socket(
+                sock, server_side=True
+            )
+            return self._read_startup(sock)
         if proto in (80877103, 80877104):  # SSLRequest / GSSENCRequest
             # real libpq clients probe before the startup packet;
             # answer 'N' (not supported) and read the actual startup
@@ -307,7 +322,7 @@ class MiniPGServer:
         for k, v in zip(fields[::2], fields[1::2]):
             if k:
                 params[k.decode()] = v.decode()
-        return params
+        return params, sock
 
     def _read_msg(self, sock: socket.socket) -> tuple[bytes, bytes]:
         tag = self._read_exact(sock, 1)
@@ -360,10 +375,26 @@ class ReplicationClient:
 
     def __init__(self, dsn: str, *, slot: str = "conduit_spark",
                  user: str = "conduit", dbname: str = "mini",
-                 password: str | None = None):
+                 password: str | None = None,
+                 sslmode: str = "disable", ssl_ca: str | None = None):
         host, _, port = dsn.rpartition(":")
         self._sock = socket.create_connection((host, int(port)), timeout=30)
         self.slot = slot
+        if sslmode not in ("disable", "require"):
+            raise ValueError("sslmode must be disable|require")
+        if sslmode == "require":
+            # SSLRequest probe then TLS upgrade (postgres STARTTLS)
+            self._sock.sendall(struct.pack(">II", 8, 80877103))
+            answer = self._sock.recv(1)
+            if answer != b"S":
+                raise ConnectionError(
+                    f"server refused TLS (answered {answer!r})"
+                )
+            from conduit_spark.functions.tlsutil import client_context
+
+            self._sock = client_context(ssl_ca).wrap_socket(
+                self._sock, server_hostname=host
+            )
         body = struct.pack(">I", 196608)
         for k, v in (
             ("user", user), ("database", dbname), ("replication", "database"),

@@ -24,9 +24,12 @@ destination side), plus a urllib client. Protocol notes:
   ``?partNumber&uploadId`` part puts, ``?uploadId`` POST complete)
   concatenates parts in part-number order and ETags the result as
   ``md5(concat(part_md5s))-N``, matching AWS's published scheme.
-- No auth: the server accepts any/absent ``Authorization`` header —
-  credential *plumbing* is covered by ``apply_s3_conf`` tests; this
-  server proves the object protocol.
+- Auth + TLS (round 7): with ``credentials={access_key: secret}``
+  every request must carry a valid AWS SigV4 signature
+  (``functions/sigv4.py``; 403 reject paths tested); with
+  ``tls=(cert_pem, key_pem)`` the endpoint serves HTTPS and clients
+  pin the cert as their CA (``functions/tlsutil.py``). Without either
+  it stays the open dev endpoint.
 
 Deliberately NOT implemented (out of the connector's contract):
 versioning, ACLs, presigned URLs, SSE, object tagging.
@@ -77,8 +80,12 @@ class MiniS3Server:
         port: int = 0,
         *,
         credentials: dict[str, str] | None = None,
+        tls: tuple[str, str] | None = None,
     ):
         self.host = host
+        # (cert_pem, key_pem): serve HTTPS; the cert doubles as the CA
+        # clients pin (functions/tlsutil.py)
+        self._tls = tls
         # {access_key: secret_key}; when set, EVERY request must carry
         # a valid SigV4 signature (functions/sigv4.py) or gets 403 —
         # the reject paths the e2e auth tests drive
@@ -285,6 +292,12 @@ class MiniS3Server:
             daemon_threads = True
 
         self._srv = Server((host, port), Handler)
+        if tls is not None:
+            from conduit_spark.functions.tlsutil import server_context
+
+            self._srv.socket = server_context(*tls).wrap_socket(
+                self._srv.socket, server_side=True
+            )
         self.port = self._srv.server_address[1]
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
 
@@ -346,7 +359,8 @@ class MiniS3Server:
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self._tls is not None else "http"
+        return f"{scheme}://{self.host}:{self.port}"
 
     def start(self) -> "MiniS3Server":
         self._thread.start()
@@ -380,8 +394,14 @@ class MiniS3Client:
         secret_key: str | None = None,
         region: str = "us-east-1",
         session_token: str | None = None,
+        ca_pem: str | None = None,
     ):
         self.endpoint = endpoint.rstrip("/")
+        self._ssl_ctx = None
+        if self.endpoint.startswith("https://"):
+            from conduit_spark.functions.tlsutil import client_context
+
+            self._ssl_ctx = client_context(ca_pem)
         self._creds = (
             (access_key, secret_key) if access_key and secret_key else None
         )
@@ -416,7 +436,9 @@ class MiniS3Client:
         req = urllib.request.Request(  # noqa: S310 — explicit test endpoint
             url, data=data, method=method, headers=headers
         )
-        return urllib.request.urlopen(req, timeout=30)  # noqa: S310
+        return urllib.request.urlopen(  # noqa: S310
+            req, timeout=30, context=self._ssl_ctx
+        )
 
     def create_bucket(self, bucket: str) -> None:
         self._req("PUT", self._url(bucket)).read()
