@@ -799,12 +799,24 @@ def build_source(
                     str(settings["groupId"]) if "groupId" in settings else None
                 ),
                 sasl=_kafka_sasl(settings),
+                tls=_kafka_tls(settings),
             )
             return envelope_from_kafka(df, source_id)
         reader = spark.readStream if streaming else spark.read
         df = reader.format("kafka").options(**kafka_reader_options(settings)).load()
         return envelope_from_kafka(df, source_id)
     raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def _kafka_tls(settings: dict) -> dict:
+    """Map the reference kafka connector's TLS settings (tls.enabled /
+    tls.caCert — conduit-connector-kafka; clientCert/clientKey mTLS is
+    out of scope for the wire transport) onto MiniKafkaClient kwargs."""
+    enabled = str(settings.get("tls.enabled", "")).lower() in ("1", "true", "yes")
+    ca = settings.get("tls.caCert")
+    if not enabled and not ca:
+        return {}
+    return {"tls": True, "tls_ca": str(ca) if ca else None}
 
 
 def _kafka_sasl(settings: dict) -> dict | None:
@@ -841,7 +853,7 @@ def _s3_creds(settings: dict) -> dict | None:
 
 def kafka_wire_source_df(
     spark, servers: str, topic: str, group_id: str | None = None,
-    sasl: dict | None = None,
+    sasl: dict | None = None, tls: dict | None = None,
 ):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
     wire client: the driver resolves (topic, partition, earliest,
@@ -865,11 +877,12 @@ def kafka_wire_source_df(
 
     server = str(servers).split(",")[0].strip()
     topics = [t.strip() for t in str(topic).split(",") if t.strip()]
+    tls_kw = tls or {}
     schema = (
         "key binary, value binary, topic string, partition int, "
         "offset long, timestamp long"
     )
-    with MiniKafkaClient(server, sasl=sasl) as c:
+    with MiniKafkaClient(server, sasl=sasl, **tls_kw) as c:
         md = c.metadata(topics)
         all_parts = [
             (t, p["partition"])
@@ -900,7 +913,7 @@ def kafka_wire_source_df(
         for pdf in batches:
             for row in pdf.itertuples():
                 keys, vals, offs, tss = [], [], [], []
-                with MiniKafkaClient(server, sasl=sasl) as client:
+                with MiniKafkaClient(server, sasl=sasl, **tls_kw) as client:
                     off = int(row.start)
                     while off < row.end:
                         recs, _hwm = client.fetch(
@@ -1098,6 +1111,7 @@ def write_destination(
                 settings["topic"],
                 compression=settings.get("compression"),
                 sasl=_kafka_sasl(settings),
+                tls=_kafka_tls(settings),
             )
             return
         sinks.kafka_sink(

@@ -244,6 +244,7 @@ def kafka_wire_sink(
     batch_size: int = 500,
     compression: str | None = None,
     sasl: dict | None = None,
+    tls: dict | None = None,
 ) -> None:
     """Jar-free ``builtin:kafka`` destination over the engine's own
     wire client (``functions/minikafka.py``): envelope → key/value →
@@ -282,7 +283,9 @@ def kafka_wire_sink(
             for pdf in batches:
                 for row in pdf.itertuples():
                     if client is None:
-                        client = MiniKafkaClient(server, sasl=sasl)
+                        client = MiniKafkaClient(
+                            server, sasl=sasl, **(tls or {})
+                        )
                         md = client.metadata([topic])
                         parts = md["topics"].get(topic, {}).get("partitions", [])
                         # A v1 metadata request for a named topic

@@ -109,6 +109,15 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             if su and sp is not None
             else None
         )
+        tls_on = str(
+            options.get("tls.enabled", options.get("tls.enabled".lower(), ""))
+        ).lower() in ("1", "true", "yes")
+        tls_ca = options.get("tls.cacert", options.get("tls.caCert"))
+        self._tls = (
+            {"tls": True, "tls_ca": str(tls_ca) if tls_ca else None}
+            if (tls_on or tls_ca)
+            else {}
+        )
         import uuid
 
         self._member_id = f"conduit-spark-{uuid.uuid4().hex[:12]}"
@@ -116,7 +125,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def _client(self):
         from conduit_spark.functions.minikafka import MiniKafkaClient
 
-        return MiniKafkaClient(self._server, sasl=self._sasl)
+        return MiniKafkaClient(self._server, sasl=self._sasl, **self._tls)
 
     def _offsets(self, earliest: bool) -> dict:
         # offsets keyed "topic:partition" — the multi-topic analog of

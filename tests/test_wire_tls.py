@@ -141,3 +141,43 @@ def test_postgres_without_tls_still_answers_N():
             ReplicationClient(srv.dsn, sslmode="require")
         with ReplicationClient(srv.dsn) as c:  # plaintext still fine
             assert c.identify_system()
+
+
+def test_kafka_wire_transport_tls_settings_end_to_end(spark, cert):
+    """transport=wire + tls.caCert + SASL settings through the
+    registry: sink and source tasks each wrap + verify their own TLS
+    connections."""
+    import json
+
+    from conduit_spark.functions.minikafka import MiniKafkaBroker
+    from conduit_spark.pipeline import registry
+
+    cert_pem, key_pem = cert
+    with MiniKafkaBroker(tls=(cert_pem, key_pem), users={"svc": "pw"}) as b:
+        b.create_topic("tls-pipe", partitions=2)
+        settings = {
+            "servers": b.bootstrap, "topic": "tls-pipe",
+            "transport": "wire", "tls.enabled": "true",
+            "tls.caCert": cert_pem, "saslMechanism": "SCRAM-SHA-256",
+            "saslUsername": "svc", "saslPassword": "pw",
+        }
+        src = spark.createDataFrame(
+            [(f"u{i}", json.dumps({"n": i})) for i in range(8)],
+            "key_json string, payload_after_json string",
+        ).selectExpr(
+            "key_json",
+            "cast(null as binary) as key_raw",
+            "payload_after_json",
+            "cast(null as binary) as payload_after_raw",
+        )
+        registry.write_destination(src, "builtin:kafka", settings)
+        env = registry.build_source(
+            spark, "builtin:kafka", settings, "k", streaming=False
+        )
+        got = env.collect()
+        assert len(got) == 8
+        ns = sorted(
+            __import__("json").loads(bytes(r.payload_after_raw).decode())["n"]
+            for r in got
+        )
+        assert ns == list(range(8))
