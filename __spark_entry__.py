@@ -101,6 +101,7 @@ _EXTENDED = (
     "g_file_roundtrip",  # new in r7; r8 gate candidate (file sink->source->json.decode chain)
     "q_bucketed_join",  # new in r7; r8 gate candidate (bucketBy co-located join, zero-Exchange plan)
     "m_decode_ulaw_real",  # new in r7; r8 gate candidate (G.711 telephony WAV, exact SQL companding oracle)
+    "m_decode_alaw_real",  # new in r7; A-law sibling (European law, 13-bit domain, clamp segment)
     # Round-7 rotation out (driver-green 4-6x each):
     "p_avro_decode",  # driver-green r3-r6; processor family kept via p_cdc_upsert
     "p_error_dlq",  # driver-green r3-r6

@@ -846,6 +846,65 @@ def m_decode_ulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_alaw_wav_bytes(did: int) -> bytes:
+    """A-law sibling of :func:`_synth_ulaw_wav_bytes` (fmt tag 6)."""
+    import struct
+
+    from conduit_spark.analytics.media_codecs import alaw_encode
+
+    n = WAV_FRAMES_BASE + did % WAV_FRAMES_MOD
+    data = bytes(
+        alaw_encode(((did * 31 + i * 17) % 65536) - 32768) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 6, 1, WAV_RATE, WAV_RATE, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def m_decode_alaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode under the DuckDB oracle — the second
+    companding law (European telephony; different segment table, XOR
+    masking and 13-bit point domain than μ-law). The oracle implements
+    A-law's segment/mantissa arithmetic in plain SQL, exhaustively
+    validated against the real codec over all 65,536 inputs (r8
+    rotation candidate next to m_decode_ulaw_real)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "codec": [], "n_frames": [],
+                "sample_mean": [], "sample_peak": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_wav(_synth_alaw_wav_bytes(did), return_samples=True)
+                s = meta["samples"]
+                rows["media_id"].append(did)
+                rows["codec"].append(meta["codec"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["sample_mean"].append(round(sum(s) / len(s), 9))
+                rows["sample_peak"].append(max(abs(v) for v in s))
+            yield pd.DataFrame(rows)
+
+    return ordered_result(
+        docs.mapInPandas(
+            run,
+            "media_id long, codec string, n_frames long, "
+            "sample_mean double, sample_peak int",
+        ),
+        "media_id",
+    )
+
+
 def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode, same construction as :func:`m_decode_png_real`:
     deterministic 16-bit mono PCM per doc, the RIFF chunk walk + PCM
@@ -890,6 +949,7 @@ QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
     "m_decode_ulaw_real": m_decode_ulaw_real,
+    "m_decode_alaw_real": m_decode_alaw_real,
     "m_decode_png_real": m_decode_png_real,
     "m_decode_wav_real": m_decode_wav_real,
     "m_frame_sample": m_frame_sample,
@@ -936,6 +996,59 @@ ORACLES = {
                   FROM c2))
         SELECT doc_id AS media_id,
                'ulaw' AS codec,
+               CAST(n AS BIGINT) AS n_frames,
+               round(CAST(sum(r) AS DOUBLE) / n, 9) AS sample_mean,
+               CAST(max(abs(r)) AS INT) AS sample_peak
+        FROM rt
+        GROUP BY doc_id, n
+        ORDER BY media_id
+    """,
+    # G.711 A-law roundtrip in plain SQL (13-bit floor-shift domain,
+    # segment by magnitude threshold incl. the >=4096 clamp to the top
+    # code, per-segment decoder expansion); exhaustively validated
+    # against the real codec over all 65,536 inputs.
+    "m_decode_alaw_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {WAV_FRAMES_BASE} + doc_id % {WAV_FRAMES_MOD} AS n
+            FROM documents),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+            FROM dims,
+                 generate_series(0, {WAV_FRAMES_BASE + WAV_FRAMES_MOD - 2}) AS i(i)
+            WHERE i.i < n),
+        c AS (
+            SELECT doc_id, n,
+                   CASE WHEN v >= 0 THEN v // 8
+                        ELSE -((-v + 7) // 8) END AS p
+            FROM s),
+        c2 AS (
+            SELECT doc_id, n,
+                   CASE WHEN p >= 0 THEN 1 ELSE -1 END AS sg,
+                   CASE WHEN p >= 0 THEN p ELSE -p - 1 END AS q
+            FROM c),
+        c3 AS (
+            SELECT doc_id, n, sg, q,
+                   CASE WHEN q < 32 THEN 0 WHEN q < 64 THEN 1
+                        WHEN q < 128 THEN 2 WHEN q < 256 THEN 3
+                        WHEN q < 512 THEN 4 WHEN q < 1024 THEN 5
+                        WHEN q < 2048 THEN 6 WHEN q < 4096 THEN 7
+                        ELSE 8 END AS g
+            FROM c2),
+        rt AS (
+            SELECT doc_id, n,
+                   sg * (CASE WHEN g = 0 THEN mant * 16 + 8
+                              WHEN g = 1 THEN mant * 16 + 264
+                              ELSE (mant * 16 + 264)
+                                   * (1 << (least(g, 7) - 1)) END) AS r
+            FROM (SELECT *,
+                         CASE WHEN g = 0 THEN (q // 2) % 16
+                              WHEN g >= 8 THEN 15
+                              ELSE (q // (1 << g)) % 16 END AS mant
+                  FROM c3))
+        SELECT doc_id AS media_id,
+               'alaw' AS codec,
                CAST(n AS BIGINT) AS n_frames,
                round(CAST(sum(r) AS DOUBLE) / n, 9) AS sample_mean,
                CAST(max(abs(r)) AS INT) AS sample_peak
