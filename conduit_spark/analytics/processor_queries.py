@@ -57,6 +57,15 @@ def _materialized_fixture(name: str, spark: SparkSession, sf_dir: str, build) ->
     inline plan produced."""
     import tempfile
 
+    from conduit_spark.plans import barriers_suspended
+
+    if barriers_suspended():
+        # plan-audit mode (plans.barriers_disabled): inline the build
+        # plan instead of materializing, so the audit sees the full
+        # upstream DAG; the cache is neither read nor populated, so a
+        # later non-audit run in the same session still materializes.
+        return build()
+
     key = (name, sf_dir)
     path = _FIXTURE_CACHE.get(key)
     if path is None:

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from conduit_spark.analytics import ordered_result
+from conduit_spark.plans import iteration_barrier
 from conduit_spark.functions.hashing import hyperplanes
 from conduit_spark.sources.tables import load_table
 
@@ -838,8 +839,10 @@ def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(step).alias("step"), "vec_id", "label", "rel", "mmr_score")
         )
         # checkpoint each 1-row pick: `out` is referenced three times
-        # per later stage, so an unpinned tree re-plans 3^k subtrees
-        out = out.unionByName(nxt).localCheckpoint(eager=False)
+        # per later stage, so an unpinned tree re-plans 3^k subtrees —
+        # iteration_barrier keeps the cut even under the plan audit's
+        # barriers_disabled (which would otherwise hang in analysis)
+        out = iteration_barrier(out.unionByName(nxt), eager=False)
     return out.orderBy("step")
 
 

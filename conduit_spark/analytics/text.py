@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
 from conduit_spark.analytics import ordered_result
+from conduit_spark.plans import iteration_barrier
 from conduit_spark.sources.tables import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
@@ -543,7 +544,9 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
                 F.col("b").alias("right_sym"),
                 F.col("cnt").cast("bigint").alias("pair_count"),
             )
-            .localCheckpoint(eager=False)  # reused by the update AND the output
+            .transform(iteration_barrier, eager=False)
+            # reused by the update AND the output; iteration_barrier so
+            # the audit's barriers_disabled can't unroll the merge loop
         )
         merges.append(m)
         w_rel = (
@@ -570,7 +573,9 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
                 ).alias("s"),
                 "wc",
             )
-            .localCheckpoint(eager=False)
+            .transform(iteration_barrier, eager=False)
+            # in-loop: w_rel is referenced twice per round (pair count
+            # + merge apply) — an unpinned tree doubles per merge
         )
     return merges, w_rel
 

