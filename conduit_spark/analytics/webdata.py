@@ -174,7 +174,10 @@ def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.size(F.split(F.col("text"), " ")) >= BOILER_K)
         .select("doc_id", "source", F.explode(word_grams(BOILER_K)).alias("g"))
         .select("doc_id", "source", md5_int60(F.col("g")).alias("g"))
-        .persist()
+        .localCheckpoint()  # not persist: checkpoint blocks are freed
+        # when the DataFrame is GC'd, while the old persist() was never
+        # unpersisted and accumulated cached partitions across the
+        # gate+bench+scale_probe invocations of one session (ADVICE r7)
     )
     boiler = (
         grams.groupBy("source", "g")

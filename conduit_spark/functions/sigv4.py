@@ -26,7 +26,10 @@ Scope notes (documented, not silent): header signing only (no
 presigned URLs, no chunked ``STREAMING-AWS4-`` payloads); payloads are
 signed with their real SHA-256 (no ``UNSIGNED-PAYLOAD``) since the
 wire transport always has the bytes in hand; session tokens ride the
-``x-amz-security-token`` header when provided.
+``x-amz-security-token`` header when provided. :func:`verify` enforces
+the AWS 15-minute freshness window and requires host/x-amz-date in
+SignedHeaders (ADVICE r7); a nonce-store replay cache is out of scope
+for the test-harness server.
 """
 
 from __future__ import annotations
@@ -53,11 +56,23 @@ def amz_date(now: datetime | None = None) -> str:
     return now.strftime("%Y%m%dT%H%M%SZ")
 
 
-def _canonical_uri(path: str) -> str:
-    """URI-encode each path segment (S3 variant: the path is encoded
-    once, slashes preserved, RFC 3986 unreserved characters only)."""
+def _canonical_uri(path: str, service: str) -> str:
+    """Canonical URI per the AWS rules, which differ by service:
+
+    - **s3**: the canonical URI is the once-encoded path EXACTLY as it
+      appears on the wire — no re-encoding. Re-quoting each segment
+      double-encodes any key containing a space/'+'/'='/non-ASCII
+      (``a b`` → ``a%2520b``) and real S3/MinIO/R2 then reject with
+      SignatureDoesNotMatch (ADVICE r7, medium). The caller's URL
+      builder is responsible for encoding the raw key exactly once.
+    - **everything else** (iam, sts, ...): encode each segment AGAIN
+      (the spec's "URI-encode twice" rule) — pinned by the
+      AKIDEXAMPLE GET-iam vector.
+    """
     if not path:
         return "/"
+    if service == "s3":
+        return path if path.startswith("/") else "/" + path
     segs = path.split("/")
     return "/".join(urllib.parse.quote(seg, safe="-_.~") for seg in segs)
 
@@ -80,9 +95,11 @@ def _canonical_query(query: str) -> str:
 
 def canonical_request(
     method: str, path: str, query: str, headers: dict[str, str],
-    payload_sha256: str,
+    payload_sha256: str, service: str = "s3",
 ) -> tuple[str, str]:
-    """Returns (canonical request text, signed-header-name list)."""
+    """Returns (canonical request text, signed-header-name list).
+    ``service`` selects the canonical-URI rule (s3 = wire path
+    verbatim; others = re-encode, see :func:`_canonical_uri`)."""
     norm = {
         k.lower().strip(): " ".join(str(v).split())
         for k, v in headers.items()
@@ -92,7 +109,7 @@ def canonical_request(
     text = "\n".join(
         (
             method.upper(),
-            _canonical_uri(path),
+            _canonical_uri(path, service),
             _canonical_query(query),
             canon_headers,
             signed,
@@ -144,7 +161,7 @@ def sign(
     if session_token:
         out["x-amz-security-token"] = session_token
     canon, signed = canonical_request(
-        method, parsed.path, parsed.query, out, payload_hash
+        method, parsed.path, parsed.query, out, payload_hash, service
     )
     scope = f"{date}/{region}/{service}/aws4_request"
     sig = hmac.new(
@@ -182,6 +199,9 @@ def _parse_authorization(value: str) -> dict | None:
         return None
 
 
+MAX_SKEW_SECONDS = 900  # AWS's 15-minute request-freshness rule
+
+
 def verify(
     method: str,
     path_qs: str,
@@ -189,12 +209,21 @@ def verify(
     payload: bytes,
     *,
     credentials: dict[str, str],
+    max_skew_seconds: int | None = MAX_SKEW_SECONDS,
+    now: datetime | None = None,
 ) -> tuple[bool, str]:
     """Server-side SigV4 check against known ``{access_key: secret}``
     pairs: recompute the signature over the SIGNED headers the client
     declared and the payload that actually arrived. Returns
     (ok, reason). Fail-closed: unknown key, malformed header, digest
-    mismatch and signature mismatch all refuse."""
+    mismatch and signature mismatch all refuse.
+
+    Replay hardening (ADVICE r7): ``host`` and ``x-amz-date`` MUST be
+    in SignedHeaders (otherwise the date check verifies an unsigned
+    value), and ``x-amz-date`` must be within ``max_skew_seconds`` of
+    server time (AWS's 15-minute rule; pass ``None`` to disable for
+    fixed-vector tests). A full replay cache (nonce store) is out of
+    scope for a test-harness server and documented as such."""
     norm = {k.lower(): v for k, v in headers.items()}
     auth = _parse_authorization(norm.get("authorization", ""))
     if auth is None:
@@ -202,9 +231,22 @@ def verify(
     secret = credentials.get(auth["access_key"])
     if secret is None:
         return False, f"unknown access key {auth['access_key']!r}"
+    for required in ("host", "x-amz-date"):
+        if required not in auth["signed_headers"]:
+            return False, f"{required} must be a signed header"
     dt = norm.get("x-amz-date", "")
     if not dt.startswith(auth["date"]):
         return False, "x-amz-date does not match credential scope date"
+    if max_skew_seconds is not None:
+        try:
+            req_time = datetime.strptime(dt, "%Y%m%dT%H%M%SZ").replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            return False, "malformed x-amz-date"
+        ref = now or datetime.now(timezone.utc)
+        if abs((ref - req_time).total_seconds()) > max_skew_seconds:
+            return False, "request expired (x-amz-date outside skew window)"
     declared = norm.get("x-amz-content-sha256", "")
     if declared != _sha256_hex(payload or b""):
         return False, "payload sha256 does not match x-amz-content-sha256"
@@ -214,7 +256,8 @@ def verify(
         return False, f"signed header {e} absent from request"
     parsed = urllib.parse.urlsplit(path_qs)
     canon, _ = canonical_request(
-        method, parsed.path, parsed.query, sign_headers, declared
+        method, parsed.path, parsed.query, sign_headers, declared,
+        auth["service"],
     )
     scope = (
         f"{auth['date']}/{auth['region']}/{auth['service']}/aws4_request"

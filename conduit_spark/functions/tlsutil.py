@@ -17,8 +17,10 @@ client against a TLS port must fail — both reject paths are tested.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import ipaddress
+import os
 import ssl
 import tempfile
 
@@ -69,20 +71,32 @@ def generate_self_signed(
     return cert_pem, key_pem
 
 
-def _pem_to_file(pem: str, suffix: str) -> str:
+@contextlib.contextmanager
+def _pem_file(pem: str, suffix: str):
+    """PEM material on disk ONLY for the duration of the ssl load call
+    (``load_cert_chain``/``load_verify_locations`` read the file
+    eagerly). The pre-r8 version used delete=False and never unlinked,
+    leaking unencrypted private-key files in the temp dir beyond
+    process lifetime (ADVICE r7); the stdlib ssl module has no
+    from-memory chain loader before 3.12's ``SSLContext.load_cert_
+    chain`` keyfile duality, so write → load → unlink is the portable
+    shape."""
     f = tempfile.NamedTemporaryFile(
         "w", suffix=suffix, delete=False, encoding="utf-8"
     )
-    f.write(pem)
-    f.close()
-    return f.name
+    try:
+        f.write(pem)
+        f.close()
+        yield f.name
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(f.name)
 
 
 def server_context(cert_pem: str, key_pem: str) -> ssl.SSLContext:
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-    ctx.load_cert_chain(
-        _pem_to_file(cert_pem, ".crt"), _pem_to_file(key_pem, ".key")
-    )
+    with _pem_file(cert_pem, ".crt") as crt, _pem_file(key_pem, ".key") as key:
+        ctx.load_cert_chain(crt, key)
     return ctx
 
 
@@ -93,7 +107,8 @@ def client_context(ca_pem: str | None) -> ssl.SSLContext:
     if ca_pem is None:
         return ssl.create_default_context()
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-    ctx.load_verify_locations(cafile=_pem_to_file(ca_pem, ".pem"))
+    # cadata accepts in-memory PEM directly — no file needed at all
+    ctx.load_verify_locations(cadata=ca_pem)
     ctx.verify_mode = ssl.CERT_REQUIRED
     ctx.check_hostname = True
     return ctx

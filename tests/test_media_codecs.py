@@ -1117,3 +1117,108 @@ def test_wav_ima_adpcm_stereo_blocks():
     meta = decode_wav(raw, return_samples=True)
     assert meta["codec"] == "ima_adpcm" and meta["n_channels"] == 2
     assert list(meta["samples"]) == expect
+
+
+# -- progressive JPEG: hand-assembled T.81 spec vector -------------------
+#
+# ADVICE r7 (low): the progressive machinery was validated only against
+# the repo's own in-test progressive ENCODER — a shared encoder/decoder
+# misreading of T.81 G.1.2 would pass. This container has no image
+# tooling (no PIL/libjpeg/ImageMagick) and no network, so an
+# externally-produced fixture cannot be pinned; the independent check
+# here is the next-strongest thing: the scan BITSTREAMS below are
+# hand-assembled bit-by-bit from the spec's decoder rules (G.1.2.2
+# first-scan coding, G.1.2.3 refinement/EOB-run semantics, Annex C
+# canonical Huffman), with no repo encoder anywhere in the loop, and
+# the expected pixels come from an independent in-test zigzag + IDCT.
+# Every coefficient travels through a different progressive feature:
+# DC successive approximation + refinement, AC first scan with an
+# EOBn run spanning into the second block, refinement inserting newly
+# significant coefficients, correction bits on already-significant
+# ones (one flipped, one held), and a refinement EOB0 with a tail
+# correction.
+
+
+def _t81_vector_bytes() -> bytes:
+    """16x8 grayscale SOF2 JPEG, four scans, hand-written bits.
+
+    Scan 1 DC first  (Ss=0,Se=0,Ah=0,Al=1): diffs +5,-2
+        bits: [110 101] [10 01]            -> D6 7F (1-padded)
+    Scan 2 AC first  (Ss=1,Se=63,Ah=0,Al=1):
+        block0: 0x02 '11' (k1=+3), 0x21 '0' (k4=-1), EOB1 '0' (run=1)
+        block1: consumed by the EOB run
+        bits: [001 11 100 0 010 0]         -> 3C 27
+    Scan 3 DC refine (Ss=0,Se=0,Ah=1,Al=0): bits 1,0 -> BF
+    Scan 4 AC refine (Ss=1,Se=63,Ah=1,Al=0):
+        block0: 0x11 sign=1 (insert +1 after 1 zero-history pos),
+                correction k1=1 (6->7), EOB0, tail correction k4=0
+        block1: 0x11 sign=0 (insert -1 at k2), EOB0 (no tail bits)
+        bits: [011 1 1 000 0] [011 0 000]  -> 78 30
+    """
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: 8-bit table 0, all ones (dequant == coefficients)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    # SOF2: 8-bit, 8 high x 16 wide, one component id=1 h=v=1 tq=0
+    out += b"\xff\xc2" + (11).to_bytes(2, "big")
+    out += bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    out += bytes([1, 1, 0x11, 0])
+    # DHT DC0: lengths {2: syms 0,1,2  (codes 00,01,10), 3: sym 3 (110)}
+    counts_dc = bytes([0, 3, 1] + [0] * 13)
+    out += b"\xff\xc4" + (23).to_bytes(2, "big") + b"\x00"
+    out += counts_dc + bytes([0, 1, 2, 3])
+    # DHT AC0: five length-3 codes 000..100 for 00,02,10,11,21
+    counts_ac = bytes([0, 0, 5] + [0] * 13)
+    out += b"\xff\xc4" + (24).to_bytes(2, "big") + b"\x10"
+    out += counts_ac + bytes([0x00, 0x02, 0x10, 0x11, 0x21])
+
+    def sos(ss: int, se: int, ahal: int, data: bytes) -> bytes:
+        return (
+            b"\xff\xda" + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x00, ss, se, ahal]) + data
+        )
+
+    out += sos(0, 0, 0x01, bytes([0xD6, 0x7F]))
+    out += sos(1, 63, 0x01, bytes([0x3C, 0x27]))
+    out += sos(0, 0, 0x10, bytes([0xBF]))
+    out += sos(1, 63, 0x10, bytes([0x78, 0x30]))
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_jpeg_progressive_t81_hand_vector():
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    meta = decode_jpeg(_t81_vector_bytes())
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 8, 1)
+
+    # expected pixels, computed WITHOUT the repo decoder: final
+    # coefficients per the hand trace above, own zigzag walk, own
+    # orthonormal IDCT (T.81 A.3.3)
+    zz_b0 = {0: 11, 1: 7, 3: 1, 4: -2}   # DC (5<<1)|1, 6+1, new +1, -2 held
+    zz_b1 = {0: 6, 2: -1}                # DC 3<<1 (refine bit 0), new -1
+    # standard zigzag: natural (row, col) for each zigzag index
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+    m = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+        for x in range(8):
+            m[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    expect = np.zeros((8, 16))
+    for bx, zz in ((0, zz_b0), (1, zz_b1)):
+        block = np.zeros((8, 8))
+        for zi, v in zz.items():
+            block[order[zi]] = v  # quant table is all ones
+        expect[:, bx * 8 : bx * 8 + 8] = m.T @ block @ m + 128.0
+    expect_px = np.clip(np.rint(expect), 0, 255).astype(np.uint8)
+    assert np.array_equal(meta["pixels"], expect_px)
+    # the scans really did change the image (guards against a decoder
+    # that ignores refinement scans but matches on geometry)
+    assert meta["pixel_min"] != meta["pixel_max"]

@@ -427,6 +427,108 @@ def test_sigv4_e2e_signed_rountrip_and_rejects():
         assert e.value.code == 403
 
 
+def test_sigv4_special_char_keys_sign_once():
+    """ADVICE r7 (medium): keys containing a space, '+', '=', or
+    non-ASCII must round-trip against a SigV4-ENFORCING server. The
+    old _canonical_uri re-quoted the already-encoded wire path
+    ('a b' -> 'a%2520b' in the canonical request); the in-repo server
+    mirrored the bug so tests passed while real S3/MinIO/R2 would 403.
+    The canonical URI is now the once-encoded wire path verbatim for
+    service=s3, so a double-encoding regression fails here."""
+    from conduit_spark.functions import sigv4
+
+    creds = {"AKIDTEST": "secret-squirrel"}
+    with MiniS3Server(credentials=creds) as srv:
+        c = MiniS3Client(
+            srv.endpoint, access_key="AKIDTEST", secret_key="secret-squirrel"
+        )
+        c.create_bucket("chars")
+        for key in ("a b.txt", "c+d=e.bin", "über/µ.dat", "pre fix/x+y z"):
+            c.put_object("chars", key, key.encode())
+            assert c.get_object("chars", key) == key.encode(), key
+        listed = sorted(o["key"] for o in c.list_objects("chars"))
+        assert "a b.txt" in listed and "c+d=e.bin" in listed
+
+    # unit pin: for s3 the canonical URI is the wire path VERBATIM —
+    # exactly one level of percent-encoding survives into the
+    # canonical request
+    canon, _ = sigv4.canonical_request(
+        "GET", "/bkt/a%20b%2Bc", "", {"host": "x"}, "e3b0", "s3"
+    )
+    assert canon.splitlines()[1] == "/bkt/a%20b%2Bc"
+    # ...while non-s3 services keep the published double-encode rule
+    canon_iam, _ = sigv4.canonical_request(
+        "GET", "/a%20b", "", {"host": "x"}, "e3b0", "iam"
+    )
+    assert canon_iam.splitlines()[1] == "/a%2520b"
+
+
+def test_sigv4_replay_and_signed_header_hardening():
+    """ADVICE r7 (low): verify() enforces AWS's 15-minute freshness
+    window on x-amz-date and requires host + x-amz-date to actually be
+    SIGNED, so a captured request cannot replay indefinitely and the
+    date check can't be satisfied by an unsigned header."""
+    from datetime import datetime, timedelta, timezone
+
+    from conduit_spark.functions import sigv4
+
+    creds = {"AK": "sk"}
+
+    def signed(dt: str) -> dict:
+        return sigv4.sign(
+            "GET", "http://h:1/b/k", {}, b"",
+            access_key="AK", secret_key="sk", date_time=dt,
+        )
+
+    now = datetime(2026, 8, 15, 12, 0, 0, tzinfo=timezone.utc)
+    fresh = now.strftime("%Y%m%dT%H%M%SZ")
+    stale = (now - timedelta(hours=2)).strftime("%Y%m%dT%H%M%SZ")
+
+    ok, _ = sigv4.verify(
+        "GET", "/b/k", signed(fresh), b"", credentials=creds, now=now
+    )
+    assert ok
+    ok, reason = sigv4.verify(
+        "GET", "/b/k", signed(stale), b"", credentials=creds, now=now
+    )
+    assert not ok and "expired" in reason
+    # the stale request IS valid when freshness checking is disabled
+    # (fixed-vector mode)
+    ok, _ = sigv4.verify(
+        "GET", "/b/k", signed(stale), b"",
+        credentials=creds, max_skew_seconds=None,
+    )
+    assert ok
+
+    # a signature that omits x-amz-date from SignedHeaders is refused
+    # even if the header itself is present and the signature matches
+    hdrs = signed(fresh)
+    auth = hdrs["authorization"]
+    assert "x-amz-date" in auth
+    import hashlib as _hashlib
+    import hmac as _hmac
+
+    # re-sign by hand WITHOUT x-amz-date in the signed set
+    subset = {"host": "h:1", "x-amz-content-sha256": hdrs["x-amz-content-sha256"]}
+    canon, signed_names = sigv4.canonical_request(
+        "GET", "/b/k", "", subset, hdrs["x-amz-content-sha256"], "s3"
+    )
+    scope = f"{fresh[:8]}/us-east-1/s3/aws4_request"
+    sig = _hmac.new(
+        sigv4.signing_key("sk", fresh[:8], "us-east-1", "s3"),
+        sigv4.string_to_sign(fresh, scope, canon).encode(),
+        _hashlib.sha256,
+    ).hexdigest()
+    hdrs["authorization"] = (
+        f"{sigv4.ALGORITHM} Credential=AK/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={sig}"
+    )
+    ok, reason = sigv4.verify(
+        "GET", "/b/k", hdrs, b"", credentials=creds, now=now
+    )
+    assert not ok and "must be a signed header" in reason
+
+
 def test_sigv4_unauthenticated_server_still_open():
     """No credentials on the server -> anonymous and signed clients
     both work (dev mode unchanged)."""
