@@ -102,6 +102,7 @@ _EXTENDED = (
     "q_bucketed_join",  # new in r7; r8 gate candidate (bucketBy co-located join, zero-Exchange plan)
     "m_decode_ulaw_real",  # new in r7; r8 gate candidate (G.711 telephony WAV, exact SQL companding oracle)
     "m_decode_alaw_real",  # new in r7; A-law sibling (European law, 13-bit domain, clamp segment)
+    "m_decode_mp4_meta",  # new in r8 (VERDICT r7 item 8); r8 gate candidate — ISO-BMFF container oracle row
     # Round-7 rotation out (driver-green 4-6x each):
     "p_avro_decode",  # driver-green r3-r6; processor family kept via p_cdc_upsert
     "p_error_dlq",  # driver-green r3-r6

@@ -945,9 +945,93 @@ def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MP4_BRANDS = ("isom", "mp42", "iso5", "dash")
+
+
+def _synth_mp4_bytes(did: int) -> bytes:
+    """Deterministic ISO-BMFF container for ``doc_id``: ftyp brand,
+    mvhd timescale/duration, 1–3 traks (video tkhd geometry + stsd
+    fourcc, optional audio/subtitle tracks) — all closed-form in
+    doc_id so the container walk's output has an analytic SQL oracle."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def trak(w: int, h: int, fourcc: bytes) -> bytes:
+        tkhd = box(b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16))
+        entry = struct.pack(">I", 16) + fourcc + bytes(8)
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        return box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+
+    ftyp = box(
+        b"ftyp", MP4_BRANDS[did % 4].encode() + bytes(4) + b"isom"
+    )
+    ts, dur = 1000, (did % 97 + 10) * 1000
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", ts, dur) + bytes(80))
+    video = trak(
+        16 * (did % 8 + 4), 16 * (did % 6 + 3),
+        b"avc1" if did % 2 == 0 else b"hev1",
+    )
+    traks = video
+    if did % 3 >= 1:
+        traks += trak(0, 0, b"mp4a")
+    if did % 3 >= 2:
+        traks += trak(0, 0, b"tx3g")
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def m_decode_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF container walk under the DuckDB oracle (VERDICT r7
+    item 8 — the MP4 path previously had unit tests but no oracle row):
+    a deterministic MP4 per doc (ftyp/moov/mvhd/trak/tkhd/mdia/minf/
+    stbl/stsd nesting), ``decode_mp4``'s box walk extracts brand,
+    duration, track count, video geometry (16.16 fixed point) and
+    sample-entry fourccs, all checked against the closed-form oracle.
+    FRAME decode (H.264/H.265) remains the documented unsupported seam
+    (media_codecs.decode_mp4 docstring); the container plumbing —
+    schema, partitioning, Arrow batching — is the real 100 TB path.
+    Reference parity: multimodal metadata extraction the reference's
+    AI-pipeline processors would front
+    (docs/design-documents/20260724-ai-pipeline-components.md)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_mp4
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "brand": [], "duration_sec": [],
+                "n_tracks": [], "width": [], "height": [], "codecs": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_mp4(_synth_mp4_bytes(did))
+                rows["media_id"].append(did)
+                rows["brand"].append(meta["brand"])
+                rows["duration_sec"].append(meta["duration_sec"])
+                rows["n_tracks"].append(meta["n_tracks"])
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["codecs"].append(",".join(meta["codecs"]))
+            yield pd.DataFrame(rows)
+
+    return ordered_result(
+        docs.mapInPandas(
+            run,
+            "media_id long, brand string, duration_sec double, "
+            "n_tracks int, width int, height int, codecs string",
+        ),
+        "media_id",
+    )
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
+    "m_decode_mp4_meta": m_decode_mp4_meta,
     "m_decode_ulaw_real": m_decode_ulaw_real,
     "m_decode_alaw_real": m_decode_alaw_real,
     "m_decode_png_real": m_decode_png_real,
@@ -958,6 +1042,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    # everything in the container is a closed-form function of doc_id
+    "m_decode_mp4_meta": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                    WHEN 2 THEN 'iso5' ELSE 'dash' END AS brand,
+               CAST(doc_id % 97 + 10 AS DOUBLE) AS duration_sec,
+               CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+               CAST(16 * (doc_id % 8 + 4) AS INT) AS width,
+               CAST(16 * (doc_id % 6 + 3) AS INT) AS height,
+               (CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END)
+               || (CASE WHEN doc_id % 3 >= 1 THEN ',mp4a' ELSE '' END)
+               || (CASE WHEN doc_id % 3 >= 2 THEN ',tx3g' ELSE '' END)
+                   AS codecs
+        FROM documents
+        ORDER BY media_id
+    """,
     # G.711 μ-law roundtrip in plain SQL: floor-shift to the 14-bit
     # domain (DuckDB // truncates — the CASE emulates an arithmetic
     # shift), bias 33, segment by magnitude threshold, mantissa via

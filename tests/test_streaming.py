@@ -429,6 +429,30 @@ def test_rollup_merge_is_idempotent(spark, tmp_path):
     assert got == [(1000, "a", 2, 3.0), (2000, "b", 1, 5.0)]
 
 
+def test_rollup_merge_caps_changed_window_collect(spark, tmp_path, monkeypatch):
+    """A pathological batch touching more distinct windows than
+    MAX_WINDOWS_PER_BATCH (a watermark-less backfill) raises a clear
+    sizing error instead of collecting an unbounded window list to the
+    driver (VERDICT r7 minor #4). Watermark-bounded batches under the
+    cap are unaffected."""
+    import pytest
+
+    from conduit_spark.streaming import rollup as R
+
+    monkeypatch.setattr(R, "MAX_WINDOWS_PER_BATCH", 8)
+    target = str(tmp_path / "t")
+    wide = spark.range(9).select(
+        (F.col("id") * 1000).alias(R.WIN_COL),
+        F.lit("k1").alias("k"),
+        F.lit(1).alias("n"),
+    )
+    with pytest.raises(ValueError, match="distinct windows"):
+        R.merge_rollup_batch(spark, wide, target, ["k"])
+    ok = wide.filter(F.col(R.WIN_COL) < 8000)  # 8 windows: at the cap
+    R.merge_rollup_batch(spark, ok, target, ["k"])
+    assert spark.read.parquet(target).count() == 8
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     """Watermarked stream-stream interval join (purchase ⋈ clicks by
     the same user in the prior hour) matches the identical batch join
