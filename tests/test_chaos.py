@@ -76,3 +76,205 @@ def test_sigkill_mid_stream_no_loss_no_dup(tmp_path):
     assert rc == 0
     final = sorted(collect_lines(out))
     assert final == sorted(expected)  # exactly once: no loss, no dups
+
+
+# -- DBZ-2 crash-point matrix for the postgres CDC path ---------------------
+#
+# The reference's CDC correctness suite
+# (docs/design-documents/20260726-dbz2-cdc-correctness-suite.md:10-14)
+# names SIGKILL at three distinct crash points: mid-snapshot,
+# mid-handoff, mid-position-write. tests/chaos_cdc_child.py runs the
+# engine's snapshot->CDC handoff (the two legs of
+# snapshot_handoff_source, sources/postgres_wal.py:424) over a snapshot
+# parquet and LiveWalTail-captured wal2json files; each crash point is
+# MARKER-GATED (the child flags `reached` and blocks on `hold`), so the
+# kill lands at a verified-reached state, never on a timer.
+
+CDC_SNAP_IDS = list(range(12))
+CDC_WAL_CHANGES = [
+    # (op, id, name) in feed order; lsn in the wal2json line is 0/1..0/6
+    ("U", 1, "updated-1"),
+    ("D", 3, None),
+    ("I", 100, "new-100"),
+    ("U", 100, "renamed-100"),
+    ("D", 7, None),
+    ("I", 101, "new-101"),
+]
+CDC_OP_NAME = {"I": "create", "U": "update", "D": "delete"}
+
+
+def _write_snapshot_parquet(snap_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(snap_dir, exist_ok=True)
+    for f in range(3):  # 3 files -> 3 snapshot micro-batches
+        ids = CDC_SNAP_IDS[f * 4 : f * 4 + 4]
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "name": [f"u{i}" for i in ids],
+                    "balance": [i * 1.5 for i in ids],
+                }
+            ),
+            os.path.join(snap_dir, f"part-{f}.parquet"),
+        )
+
+
+def _capture_wal_with_live_tail(cap_dir: str) -> None:
+    """Produce the wal capture through the REAL replication client:
+    MiniPGServer walsender -> LiveWalTail.start_native -> rotating
+    capture files (the same transport the engine tails in production
+    tests)."""
+    from conduit_spark.functions.minipg import MiniPGServer, lsn_text
+    from conduit_spark.sources.postgres_wal import LiveWalTail
+
+    def line(seq: int, op: str, rid: int, name) -> str:
+        doc = {
+            "action": op,
+            "schema": "public",
+            "table": "users",
+            "lsn": lsn_text(seq),
+            "columns": [
+                {"name": "id", "type": "integer", "value": rid},
+                {"name": "name", "type": "text", "value": name},
+            ],
+        }
+        if op in ("U", "D"):
+            doc["identity"] = [
+                {"name": "id", "type": "integer", "value": rid}
+            ]
+        return json.dumps(doc)
+
+    with MiniPGServer(keepalive_s=0.05) as srv:
+        for seq, (op, rid, name) in enumerate(CDC_WAL_CHANGES, start=1):
+            srv.feed(line(seq, op, rid, name))
+        tail = LiveWalTail(cap_dir, max_lines=2, max_secs=0.2).start_native(
+            srv.dsn
+        )
+        deadline = time.monotonic() + 15
+        while (
+            srv.confirmed_flush_lsn < srv.current_lsn
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+        tail.stop()
+        assert srv.confirmed_flush_lsn == srv.current_lsn
+
+
+def _collect_cdc(out: str, prefix: str) -> list[dict]:
+    rows = []
+    for f in glob.glob(os.path.join(out, f"{prefix}=*", "*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(ln) for ln in fh if ln.strip())
+    return rows
+
+
+@pytest.mark.parametrize(
+    "crash_point", ["mid-snapshot", "mid-handoff", "mid-position-write"]
+)
+def test_cdc_sigkill_crash_matrix(tmp_path, crash_point):
+    snap_dir = str(tmp_path / "snap")
+    cap_dir = str(tmp_path / "cap")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    hold = str(tmp_path / "hold")
+    reached = str(tmp_path / f"reached-{crash_point}")
+    snap_lsn = "0/0"  # every captured change is strictly after
+
+    _write_snapshot_parquet(snap_dir)
+    _capture_wal_with_live_tail(cap_dir)
+    open(hold, "w").write("1")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    args = [
+        sys.executable, os.path.join(REPO, "tests", "chaos_cdc_child.py"),
+        snap_dir, cap_dir, out, ckpt, crash_point, hold, reached, snap_lsn,
+    ]
+    child = subprocess.Popen(
+        args, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            if os.path.exists(reached):
+                break
+            if child.poll() is not None:
+                pytest.fail("child exited before reaching the crash point")
+            time.sleep(0.2)
+        else:
+            pytest.fail(f"crash point {crash_point} never reached")
+        child.send_signal(signal.SIGKILL)
+        child.wait(30)
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # crash-point-specific mid-state invariants
+    snap_dirs = glob.glob(os.path.join(out, "snap=*"))
+    wal_dirs = glob.glob(os.path.join(out, "wal=*"))
+    if crash_point == "mid-snapshot":
+        assert 0 < len(snap_dirs) < 3  # durable partial snapshot
+        assert not wal_dirs
+    elif crash_point == "mid-handoff":
+        assert len(snap_dirs) == 3 and not wal_dirs
+        assert os.path.exists(os.path.join(out, "_snapshot_done"))
+    else:  # mid-position-write: sink written, position not recorded
+        assert len(wal_dirs) == 1
+
+    # release the gate; the restart must finish everything
+    os.unlink(hold)
+    rc = subprocess.run(
+        args, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        timeout=300,
+    ).returncode
+    assert rc == 0
+
+    # exactly once: snapshot ids delivered once each ...
+    snap_rows = _collect_cdc(out, "snap")
+    got_ids = sorted(json.loads(r["key_json"])["id"] for r in snap_rows)
+    assert got_ids == CDC_SNAP_IDS
+    assert {r["operation"] for r in snap_rows} == {"snapshot"}
+    assert {r["lsn"] for r in snap_rows} == {snap_lsn}
+    # ... and every WAL change delivered once, strictly after the cutover
+    wal_rows = _collect_cdc(out, "wal")
+    got = sorted(
+        (r["lsn"], r["operation"], int(json.loads(r["key_json"])["id"]))
+        for r in wal_rows
+    )
+    expect = sorted(
+        (f"0/{seq}", CDC_OP_NAME[op], rid)
+        for seq, (op, rid, _) in enumerate(CDC_WAL_CHANGES, start=1)
+    )
+    assert got == expect
+
+    if crash_point == "mid-position-write":
+        # the at-least-once window really opened: the wal batch was
+        # WRITTEN twice (pre-kill + replay) yet delivered exactly once
+        with open(os.path.join(out, "writes.log")) as fh:
+            wal_writes = [ln for ln in fh if "/wal=0" in ln]
+        assert len(wal_writes) >= 2
+
+    # LSN-ordered materialization equals replay-from-empty (the
+    # cdc_apply contract: max-LSN row per key wins, deletes remove)
+    state = {i: f"u{i}" for i in CDC_SNAP_IDS}
+    for op, rid, name in CDC_WAL_CHANGES:
+        if op == "D":
+            state.pop(rid, None)
+        else:
+            state[rid] = name
+    applied = {i: f"u{i}" for i in CDC_SNAP_IDS}
+    for lsn, op, rid in sorted(
+        got, key=lambda t: int(t[0].split("/")[1], 16)
+    ):
+        if op == "delete":
+            applied.pop(rid, None)
+        else:
+            row = next(
+                json.loads(r["payload_after_json"])
+                for r in wal_rows
+                if r["lsn"] == lsn
+            )
+            applied[int(row["id"])] = row["name"]
+    assert applied == state
