@@ -84,25 +84,41 @@ _EXTENDED = (
     # the 16th freed slot goes to the new connector-transport query
     # g_s3_wire_snapshot (VERDICT r6 item 9). Displaced: sixteen
     # 4-6x-green keepers listed below under "Round-7 rotation out".
-    # Round-8 rotation candidates (never driver-verified, in priority
-    # order): the seven round-7 additions first — g_kafka_wire_snapshot,
-    # g_pg_wal_cdc, g_file_roundtrip, m_decode_jpeg_real,
-    # m_decode_ulaw_real, q_bucketed_join, plus keeping
-    # g_s3_wire_snapshot if its r7 row lands — then t_tfidf_top_terms,
-    # d_simhash_pairs, cur_shards, cur_mix, t_repetition, t_redact_pii,
-    # smp_stratified_ids, s_quantized_topk, q_range_value_bands,
-    # q_skew_salted_join, q_bloom_prune_join, t_quality_lr,
-    # cur_token_budget, q11_important_parts, q21_waiting_suppliers,
-    # q8_market_share, q15_top_supplier — displace rows that will then
-    # be 2x+ green (the round-7 first-time names above).
-    "g_kafka_wire_snapshot",  # new in r7; r8 gate candidate (kafka wire sibling of g_s3_wire_snapshot)
-    "m_decode_jpeg_real",  # new in r7; r8 gate candidate (real Huffman+IDCT path, PNG/WAV siblings driver-green r6)
-    "g_pg_wal_cdc",  # new in r7; r8 gate candidate (wal2json parse + LSN-ordered apply — postgres CDC evidence)
-    "g_file_roundtrip",  # new in r7; r8 gate candidate (file sink->source->json.decode chain)
-    "q_bucketed_join",  # new in r7; r8 gate candidate (bucketBy co-located join, zero-Exchange plan)
-    "m_decode_ulaw_real",  # new in r7; r8 gate candidate (G.711 telephony WAV, exact SQL companding oracle)
-    "m_decode_alaw_real",  # new in r7; A-law sibling (European law, 13-bit domain, clamp segment)
-    "m_decode_mp4_meta",  # new in r8 (VERDICT r7 item 8); r8 gate candidate — ISO-BMFF container oracle row
+    # Round-8 rotation (DONE; VERDICT r7 item 3 — the full never-verified
+    # backlog): ALL 26 never-driver-verified queries take gate slots,
+    # plus the new m_decode_mp4_meta (r8, VERDICT item 8) and
+    # sk_kmv_distinct (restructured to two-phase k-min this round, so
+    # the new plan earns a fresh driver row next to sk_kmv_overlap's).
+    # After a green r8, every suite query has held a driver CORRECTNESS
+    # row at least once. Displaced: 28 r7 first-time-green rows below.
+    "s_mmr_rerank",  # driver-green r7
+    "s_ivf_recall",  # driver-green r7
+    "s_pq_topk",  # driver-green r7
+    "s_knn_join",  # driver-green r7
+    "s_kmeans_centroids",  # driver-green r7
+    "m_decode_wav_real",  # driver-green r6-r7; multimodal keeps png/jpeg/ulaw/alaw/mp4
+    "m_frame_sample",  # driver-green r6-r7
+    "m_features",  # driver-green r7 (the r6 red row, fixed)
+    "smp_importance",  # driver-green r5-r7; sampling keeps smp_dsir + smp_stratified_ids
+    "d_span_dedup",  # driver-green r4-r7; dedup keeps d_incremental/d_substring/d_simhash_pairs
+    "d_pagerank",  # driver-green r7
+    "d_cluster_prune",  # driver-green r7
+    "sk_bloom_filter",  # driver-green r5-r7; sketches keep kmv x2 + hll
+    "sk_cms_topk",  # driver-green r5-r7
+    "sk_hist_quantiles",  # driver-green r4-r7
+    "cur_split_leakage",  # driver-green r6-r7; curation keeps funnel/zorder/token_budget/shards/mix
+    "cur_shuffle",  # driver-green r6-r7
+    "cur_ppl_buckets",  # driver-green r7
+    "cur_lang_temperature",  # driver-green r7
+    "q_trending_hourly",  # driver-green r5-r7; temporal keeps q_funnel_conversion
+    "dq_embeddings",  # driver-green r7; quality keeps dq_documents
+    "t_unigram_logprob",  # driver-green r6-r7; text keeps bm25/bpe_train/quality_lr/tfidf/...
+    "t_bpe_encode",  # driver-green r7
+    "t_bigram_lm",  # driver-green r5-r7
+    "t_entropy",  # driver-green r4-r7
+    "t_bpe_tokens",  # driver-green r5-r7
+    "cur_boilerplate",  # driver-green r6-r7; webdata keeps d_url_dedup + t_gopher_rules
+    "q_value_outliers",  # driver-green r5-r7; relational keeps q2 + 10 rotated-in
     # Round-7 rotation out (driver-green 4-6x each):
     "p_avro_decode",  # driver-green r3-r6; processor family kept via p_cdc_upsert
     "p_error_dlq",  # driver-green r3-r6
@@ -111,7 +127,6 @@ _EXTENDED = (
     "smp_stratified",  # driver-green r3-r6; sampling keeps smp_importance+smp_dsir
     "d_contamination",  # driver-green r3-r6; dedup keeps 6 slots
     "d_dedup_clusters",  # driver-green r3-r6; CC kept via d_pagerank/d_cluster_prune
-    "sk_kmv_distinct",  # driver-green r3-r6; sketches keep 5 slots
     "q_asof_attribution",  # driver-green r3-r6; temporal kept via q_funnel/q_trending
     "q_user_sessions",  # driver-green r4-r6
     "s_ann_lsh_topk",  # driver-green r3-r6; similarity keeps 6 slots
@@ -167,27 +182,12 @@ _EXTENDED = (
     "q3_shipping_priority",  # displaced by d_contamination (join+agg family kept via q5/q9)
     "q20_part_share_suppliers",  # displaced by sk_kmv_distinct (semi/anti-join family kept via q_orders_antijoin)
     "q17_small_quantity_revenue",  # displaced by smp_stratified (scalar-subquery family kept via q22)
-    "smp_stratified_ids",  # the id-level variant; the audit query holds the gate slot
-    "s_quantized_topk",  # int8 scalar-quantized search variant
-    "q_skew_salted_join",  # late-r6 addition; r7 rotation candidate (gate full)
-    "q_bloom_prune_join",  # late-r6 addition; r7 rotation candidate (gate full)
-    "t_quality_lr",  # late-r6 addition; r7 rotation candidate (gate full)
-    "cur_token_budget",  # late-r6 addition; r7 rotation candidate (gate full)
-    "t_tfidf_top_terms",  # text family already gate-verified 5×
-    "d_simhash_pairs",  # hamming-pairs variant; simhash fingerprints gate-verified via d_simhash
     "m_decode_stub",  # r5 second rotation: displaced by m_decode_png_real (driver slot upgrades fake decode to the REAL zlib codec)
-    "t_repetition",  # text family already gate-verified 5×
-    "t_redact_pii",
-    "cur_shards",  # shard-balance audit for the training_shard_sink writer
-    "cur_mix",  # source-mixing weights; same agg family as cur_funnel
-    "q_range_value_bands",  # broadcast range-join variant; as-of holds the gate slot
     "q12_priority_by_status",  # displaced by q_asof_attribution (CASE-agg family kept via q1/q14)
     "q6_forecast_revenue",
     "q7_nation_volume",
-    "q8_market_share",
     "q10_returned_items",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q16_part_supplier_counts",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -198,10 +198,6 @@ _EXTENDED = (
     "q_customer_orders_topn",
     "q_events_by_type",
     "q_events_hourly",
-    "q_props_json_stats",
-    "q_user_retention",
-    "q11_important_parts",  # round-4 addition
-    "q21_waiting_suppliers",  # round-4 addition
 )
 
 GATE_CAP = 50
