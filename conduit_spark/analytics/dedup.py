@@ -146,8 +146,11 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # shingling (split + md5 + distinct) feeds both signature building
-    # and the verify join — persist so it computes once, not 3×
-    sh_cached = _shingles_df(docs).persist()
+    # and the verify join — materialize so it computes once, not 3×.
+    # localCheckpoint, not persist: CacheManager entries outlive the
+    # query (the cur_boilerplate leak class, ADVICE r7) while
+    # checkpoint blocks free with the DataFrame
+    sh_cached = _shingles_df(docs).localCheckpoint()
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
         for j, (a, b) in enumerate(_PARAMS)
@@ -449,17 +452,18 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot-shingle list is tiny, so it broadcasts into an anti-join
     — no extra shuffle on the big relation."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist the RAW shingle relation: it feeds the hot-list agg AND
-    # the capped relation (itself used by counts + both join sides) —
-    # without the cache the distinct() shuffle runs twice
-    raw_sh = _shingles_df(docs).persist()
+    # materialize the RAW shingle relation: it feeds the hot-list agg
+    # AND the capped relation (itself used by counts + both join sides)
+    # — without it the distinct() shuffle runs twice. localCheckpoint
+    # so the blocks free with the DataFrame (the persist-leak class)
+    raw_sh = _shingles_df(docs).localCheckpoint()
     hot = (
         raw_sh.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_DF_CAP)
         .select("x")
     )
-    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").persist()
+    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").localCheckpoint()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -740,7 +744,9 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(old_hash, "th")
         .select("doc_id", "exact_match_id")
     )
-    sh = _shingles_df(docs).persist()  # both roles read the same relation
+    # both roles read the same relation; localCheckpoint (not
+    # persist) so the blocks free with the DataFrame
+    sh = _shingles_df(docs).localCheckpoint()
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"h{j}"
