@@ -278,3 +278,101 @@ def test_cdc_sigkill_crash_matrix(tmp_path, crash_point):
             )
             applied[int(row["id"])] = row["name"]
     assert applied == state
+
+
+# -- kafka wire: SIGKILL in the commit window + per-partition ordering ------
+
+
+def test_kafka_wire_sigkill_resume_per_partition_ordering(tmp_path):
+    """The DBZ-2 ordering property on the kafka connector path: kill
+    the wire consumer after its first batch's sink write but before
+    Spark records the commit (marker-gated, like the CDC matrix), feed
+    more records, resume from the checkpoint. The killed batch must
+    REPLAY (proven via writes.log) yet deliver exactly once, and each
+    partition's delivered offsets must be gapless, duplicate-free, and
+    in produced order — cross-partition order is explicitly not
+    asserted (the documented contract)."""
+    from conduit_spark.functions.minikafka import MiniKafkaBroker, MiniKafkaClient
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    hold = str(tmp_path / "hold")
+    reached = str(tmp_path / "reached")
+    wave1 = {0: [f"a{i}" for i in range(4)], 1: [f"b{i}" for i in range(4)]}
+    wave2 = {0: ["a4", "a5"], 1: ["b4"]}
+
+    with MiniKafkaBroker(default_partitions=2) as broker:
+        broker.create_topic("t", partitions=2)
+        with MiniKafkaClient(broker.bootstrap) as c:
+            for part, vals in wave1.items():
+                c.produce("t", part, [{"value": v.encode()} for v in vals])
+        open(hold, "w").write("1")
+
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+        args = [
+            sys.executable,
+            os.path.join(REPO, "tests", "chaos_kafka_child.py"),
+            broker.bootstrap, "t", out, ckpt, hold, reached,
+        ]
+        child = subprocess.Popen(
+            args, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            deadline = time.monotonic() + 180
+            while time.monotonic() < deadline:
+                if os.path.exists(reached):
+                    break
+                if child.poll() is not None:
+                    pytest.fail("child exited before the crash point")
+                time.sleep(0.2)
+            else:
+                pytest.fail("crash point never reached")
+            child.send_signal(signal.SIGKILL)
+            child.wait(30)
+        finally:
+            if child.poll() is None:
+                child.kill()
+
+        # batch 0 was sink-written but its commit never landed
+        assert glob.glob(os.path.join(out, "b=0", "*.json"))
+
+        # new records arrive while the consumer is down
+        with MiniKafkaClient(broker.bootstrap) as c:
+            for part, vals in wave2.items():
+                c.produce("t", part, [{"value": v.encode()} for v in vals])
+
+        os.unlink(hold)
+        # run 2 replays the uncommitted batch 0 and commits it; run 3
+        # plans the next batch over the wave-2 records (the wire
+        # source is one micro-batch per availableNow run — the
+        # pipeline runtime's trigger-once cadence)
+        for _ in range(2):
+            rc = subprocess.run(
+                args, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=300,
+            ).returncode
+            assert rc == 0
+
+    # the killed batch replayed (written twice), everything else once
+    with open(os.path.join(out, "writes.log")) as fh:
+        writes = [ln.strip() for ln in fh if ln.strip()]
+    assert writes.count("b=0") >= 2
+
+    rows = []
+    for f in glob.glob(os.path.join(out, "b=*", "*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(ln) for ln in fh if ln.strip())
+    per_part = {0: [], 1: []}
+    for r in rows:
+        per_part[r["partition"]].append((r["offset"], r["value"]))
+    for part in (0, 1):
+        ordered = sorted(per_part[part])
+        produced = wave1[part] + wave2[part]
+        # gapless offsets 0..n-1, each exactly once, values in
+        # produced order — no loss, no dup, no reorder within the
+        # partition
+        assert [o for o, _ in ordered] == list(range(len(produced)))
+        assert [v for _, v in ordered] == produced
+        assert len(per_part[part]) == len(produced)
