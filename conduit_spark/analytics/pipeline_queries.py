@@ -349,6 +349,130 @@ def g_pg_wal_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_pg_pgoutput_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINARY replication protocol under the DuckDB oracle: the
+    same change script as :func:`g_pg_wal_cdc` (INSERT per event,
+    UPDATE value×2 for event_id%3==0, DELETE for event_id%5==0)
+    synthesized as length-framed **pgoutput** captures — Relation
+    message with replica-identity flags, Begin per tx carrying the
+    LSN, Insert/Update/Delete with K/N TupleData — then decoded by the
+    production ``pgoutput_source`` (the stateful per-file binary
+    parser) and materialized with ``cdc_apply``. Final state must
+    equal direct SQL over the base table, so a mis-parsed TupleData
+    kind, a dropped Relation column, or a broken K/O-before-N update
+    path cannot hash-match. Evidence role: until round 8 the pgoutput
+    decoder (postgres_wal.parse_pgoutput) was pytest-only; wal2json
+    had the oracle row.
+
+    Fixture synthesis is distributed: events group by ``event_id %
+    32``, each group builds its deterministic blob in one applyInPandas
+    task and writes it atomically under a group-derived name (retries
+    rewrite identical bytes), so no capture bytes ever pass through
+    the driver."""
+    import os as _os
+
+    from conduit_spark.analytics.processor_queries import _FIXTURE_CACHE
+    from conduit_spark.operators.cdc import cdc_apply
+    from conduit_spark.sources.postgres_wal import pgoutput_source
+
+    key = ("pgoutput_capture", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="conduit_fixture_pgoutput_") + "/cap"
+        _os.makedirs(path, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "value", (F.col("event_id") % 32).alias("grp")
+        )
+
+        def write_group(pdf):
+            import os
+            import struct
+
+            import pandas as pd
+
+            OID = 54321
+
+            def msg(b: bytes) -> bytes:
+                return struct.pack(">I", len(b)) + b
+
+            def cstr(s: str) -> bytes:
+                return s.encode() + b"\x00"
+
+            def tup(vals) -> bytes:
+                out = struct.pack(">H", len(vals))
+                for v in vals:
+                    if v is None:
+                        out += b"n"
+                    else:
+                        vb = v.encode()
+                        out += b"t" + struct.pack(">I", len(vb)) + vb
+                return out
+
+            def begin(lsn: int) -> bytes:
+                # final_lsn, commit ts, xid — parser takes the lsn
+                return msg(
+                    b"B" + struct.pack(">QqI", lsn, 0, 0)
+                )
+
+            rel = (
+                b"R" + struct.pack(">I", OID) + cstr("public")
+                + cstr("events") + b"d" + struct.pack(">H", 2)
+                + bytes([1]) + cstr("event_id") + struct.pack(">II", 20, 0)
+                + bytes([0]) + cstr("value") + struct.pack(">II", 701, 0)
+            )
+            blob = bytearray(msg(rel))
+            grp = int(pdf["grp"].iloc[0])
+            for _, row in pdf.sort_values("event_id").iterrows():
+                eid, val = int(row["event_id"]), float(row["value"])
+                key_only = [str(eid), None]
+                blob += begin(eid * 3 + 1) + msg(
+                    b"I" + struct.pack(">I", OID) + b"N"
+                    + tup([str(eid), repr(val)])
+                )
+                if eid % 3 == 0:
+                    blob += begin(eid * 3 + 2) + msg(
+                        b"U" + struct.pack(">I", OID)
+                        + b"K" + tup(key_only)
+                        + b"N" + tup([str(eid), repr(val * 2)])
+                    )
+                if eid % 5 == 0:
+                    blob += begin(eid * 3 + 3) + msg(
+                        b"D" + struct.pack(">I", OID) + b"K" + tup(key_only)
+                    )
+            dest = os.path.join(path, f"cap-{grp:05d}.bin")
+            tmp = dest + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(bytes(blob))
+            os.replace(tmp, dest)  # atomic; retries rewrite same bytes
+            return pd.DataFrame({"grp": [grp], "n": [len(pdf)]})
+
+        ev.groupBy("grp").applyInPandas(
+            write_group, "grp int, n long"
+        ).count()  # materialize the side-effect writes
+        _FIXTURE_CACHE[key] = path
+
+    env = pgoutput_source(spark, path, source_id="pg")
+    final = cdc_apply(
+        env,
+        F.get_json_object(
+            F.coalesce(F.col("key_json"), F.col("payload_after_json")),
+            "$.event_id",
+        ).cast("bigint"),
+        F.col("metadata").getItem("postgres.lsn").cast("bigint"),
+    )
+    return final.select(
+        F.get_json_object("payload_after_json", "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.get_json_object("payload_after_json", "$.value")
+        .cast("double")
+        .alias("value"),
+        F.col("operation").alias("last_op"),
+    )
+
+
 def g_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``builtin:file`` destination→source round-trip under the DuckDB
     oracle: documents serialize to JSON lines (one line per record —
@@ -398,6 +522,7 @@ QUERIES = {
     "g_s3_wire_snapshot": g_s3_wire_snapshot,
     "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
     "g_pg_wal_cdc": g_pg_wal_cdc,
+    "g_pg_pgoutput_cdc": g_pg_pgoutput_cdc,
     "g_file_roundtrip": g_file_roundtrip,
 }
 
@@ -436,6 +561,17 @@ ORACLES = {
     # position = md5(file || line) cast to binary → always 32 hex bytes
     "g_file_roundtrip": """
         SELECT doc_id, text, 32 AS pos_bytes FROM documents
+    """,
+    # same change script as g_pg_wal_cdc, carried over the BINARY
+    # pgoutput protocol instead of wal2json lines
+    "g_pg_pgoutput_cdc": """
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                   AS value,
+               CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'create' END
+                   AS last_op
+        FROM events
+        WHERE event_id % 5 <> 0
     """,
     "g_pg_wal_cdc": """
         SELECT event_id,

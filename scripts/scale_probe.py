@@ -44,6 +44,12 @@ DEFAULT = [
     "cur_boilerplate",
     "d_url_dedup",
     "t_gopher_rules",
+    # round-8 restructures: the two-phase KMV sketches (r7's weak
+    # plans) and the input-scaled token-budget banding — tracked so a
+    # regression back toward the one-task shapes shows up as a ratio
+    "sk_kmv_distinct",
+    "sk_kmv_overlap",
+    "cur_token_budget",
 ]
 
 
