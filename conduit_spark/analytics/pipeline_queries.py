@@ -349,6 +349,82 @@ def g_pg_wal_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KAFKA_SASL_CACHE: dict[str, tuple] = {}
+
+
+def g_kafka_wire_sasl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`g_kafka_wire_snapshot` with the PRODUCTION transport
+    posture: the broker requires SASL_SSL (SCRAM-SHA-256 over TLS with
+    a pinned CA), so every executor fetch task performs the full
+    TLS handshake + SCRAM exchange (functions/scram.py, RFC 7677
+    construction) before its Fetch — the reference kafka connector's
+    ``saslMechanism=SCRAM-SHA-256`` + ``tls.enabled`` configuration.
+    Same value-hash oracle as the plaintext row: authentication and
+    encryption must be TRANSPARENT to the delivered bytes, so a
+    transport that corrupts, reorders, or truncates under TLS framing
+    cannot hash-match. Until round 8 the SASL_SSL path was
+    pytest-only (tests/test_wire_tls.py); this gives it an oracle row
+    (r9 rotation candidate)."""
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    if sf_dir not in _KAFKA_SASL_CACHE:
+        import atexit
+
+        from conduit_spark.functions.minikafka import (
+            MiniKafkaBroker,
+            MiniKafkaClient,
+            partition_for_key,
+        )
+        from conduit_spark.functions.tlsutil import generate_self_signed
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(SNAP_N)
+            .collect()
+        )
+        cert_pem, key_pem = generate_self_signed()
+        broker = MiniKafkaBroker(
+            default_partitions=4,
+            users={"svc": "gate-pw"},
+            tls=(cert_pem, key_pem),
+        ).start()
+        atexit.register(broker.close)
+        broker.create_topic("gate-docs-sec", partitions=4)
+        sasl = {
+            "mechanism": "SCRAM-SHA-256",
+            "username": "svc",
+            "password": "gate-pw",
+        }
+        by_part: dict[int, list[dict]] = {}
+        for r in docs:
+            key = str(int(r["doc_id"])).encode()
+            val = r["text"].encode()
+            p = partition_for_key(key, val, 4)
+            by_part.setdefault(p, []).append(
+                {"key": key, "value": val, "timestamp": int(r["doc_id"])}
+            )
+        with MiniKafkaClient(
+            broker.bootstrap, sasl=sasl, tls_ca=cert_pem
+        ) as c:
+            for p, recs in sorted(by_part.items()):
+                c.produce("gate-docs-sec", p, recs)
+        _KAFKA_SASL_CACHE[sf_dir] = (broker, broker.bootstrap, sasl, cert_pem)
+    _, bootstrap, sasl, cert_pem = _KAFKA_SASL_CACHE[sf_dir]
+
+    raw = kafka_wire_source_df(
+        spark, bootstrap, "gate-docs-sec",
+        sasl=sasl, tls={"tls_ca": cert_pem},
+    )
+    return raw.select(
+        F.col("key").cast("string").cast("bigint").alias("doc_id"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+        F.col("value").cast("string").alias("text"),
+        F.col("timestamp").alias("ts_ms"),
+    )
+
+
 def g_pg_pgoutput_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BINARY replication protocol under the DuckDB oracle: the
     same change script as :func:`g_pg_wal_cdc` (INSERT per event,
@@ -521,6 +597,7 @@ QUERIES = {
     "g_throughput_1m": g_throughput_1m,
     "g_s3_wire_snapshot": g_s3_wire_snapshot,
     "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
+    "g_kafka_wire_sasl_snapshot": g_kafka_wire_sasl_snapshot,
     "g_pg_wal_cdc": g_pg_wal_cdc,
     "g_pg_pgoutput_cdc": g_pg_pgoutput_cdc,
     "g_file_roundtrip": g_file_roundtrip,
@@ -581,6 +658,16 @@ ORACLES = {
                    AS last_op
         FROM events
         WHERE event_id % 5 <> 0
+    """,
+    # the SASL_SSL row must deliver byte-identical records: auth and
+    # encryption are transport, not transformation
+    "g_kafka_wire_sasl_snapshot": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text,
+               doc_id AS ts_ms
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT {SNAP_N})
     """,
     "g_kafka_wire_snapshot": f"""
         SELECT doc_id,
