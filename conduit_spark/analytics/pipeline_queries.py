@@ -177,6 +177,68 @@ def g_s3_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S3_SECURE_CACHE: dict[str, tuple] = {}
+
+
+def g_s3_wire_secure_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`g_s3_wire_snapshot` with the PRODUCTION transport
+    posture AND hostile keys: the server enforces AWS SigV4 over HTTPS
+    (pinned CA), and every object key contains a space and a '+' —
+    exactly the characters the r7 double-encoding bug corrupted in the
+    canonical URI (ADVICE r7 medium, fixed this round: for service=s3
+    the canonical URI is the once-encoded wire path verbatim). Every
+    executor GET signs its own request; the oracle recomputes
+    (doc_id, byte length, md5-ETag, text) from the parquet table, so a
+    signing failure (403 → task error), a mis-encoded key, or
+    corrupted TLS framing cannot hash-match (r9 rotation candidate)."""
+    from conduit_spark.sources.s3_wire import s3_wire_source_df
+
+    if sf_dir not in _S3_SECURE_CACHE:
+        import atexit
+
+        from conduit_spark.functions.minis3 import MiniS3Client, MiniS3Server
+        from conduit_spark.functions.tlsutil import generate_self_signed
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(SNAP_N)
+            .collect()
+        )
+        cert_pem, key_pem = generate_self_signed()
+        srv = MiniS3Server(
+            credentials={"AKIDGATE": "gate-secret"}, tls=(cert_pem, key_pem)
+        ).start()
+        atexit.register(srv.close)
+        creds = {
+            "access_key": "AKIDGATE",
+            "secret_key": "gate-secret",
+            "ca_pem": cert_pem,
+        }
+        client = MiniS3Client(srv.endpoint, **creds)
+        client.create_bucket("gate")
+        for r in docs:
+            # 'se c/' prefix + 8-digit id + '+v 1' suffix: space and
+            # '+' on both sides of the id, signed once-encoded
+            client.put_object(
+                "gate",
+                f"se c/{int(r['doc_id']):08d}+v 1",
+                r["text"].encode(),
+            )
+        _S3_SECURE_CACHE[sf_dir] = (srv, srv.endpoint, creds)
+    _, endpoint, creds = _S3_SECURE_CACHE[sf_dir]
+
+    obj = s3_wire_source_df(spark, endpoint, "gate", "se c/", creds=creds)
+    return obj.select(
+        F.col("key"),
+        F.substring("key", 6, 8).cast("bigint").alias("doc_id"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+        F.col("etag"),
+        F.col("value").cast("string").alias("text"),
+    )
+
+
 _KAFKA_SNAP_CACHE: dict[str, tuple[object, str]] = {}
 
 
@@ -596,6 +658,7 @@ QUERIES = {
     "g_pipeline_chain": g_pipeline_chain,
     "g_throughput_1m": g_throughput_1m,
     "g_s3_wire_snapshot": g_s3_wire_snapshot,
+    "g_s3_wire_secure_snapshot": g_s3_wire_secure_snapshot,
     "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
     "g_kafka_wire_sasl_snapshot": g_kafka_wire_sasl_snapshot,
     "g_pg_wal_cdc": g_pg_wal_cdc,
@@ -626,6 +689,18 @@ ORACLES = {
     # byte length, and the S3 ETag (= md5 of the object bytes; the
     # server computes it from what actually arrived over TCP, DuckDB
     # from the source text — equality proves byte-exact transfer).
+    # SigV4+HTTPS sibling with hostile keys (space + '+' around the
+    # id) — the r7 double-encoding bug class under the hash oracle
+    "g_s3_wire_secure_snapshot": f"""
+        SELECT 'se c/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '+v 1'
+                   AS key,
+               doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS etag,
+               text
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT {SNAP_N})
+    """,
     "g_s3_wire_snapshot": f"""
         SELECT 'snap/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
                doc_id,
