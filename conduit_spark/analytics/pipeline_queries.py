@@ -487,6 +487,127 @@ def g_kafka_wire_sasl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PG_LIVE_N = 300  # events fed to the live walsender (bounded driver loop)
+
+
+def g_pg_live_wal_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE replication transport under the DuckDB oracle — the
+    third leg of the authenticated-transport trifecta (kafka SASL_SSL,
+    s3 SigV4+HTTPS, postgres SCRAM+STARTTLS). :func:`g_pg_wal_cdc`
+    replays a pre-written capture; here the capture is produced by the
+    engine's OWN replication client at query-construction time:
+    ``LiveWalTail.start_native`` opens a protocol-v3 walsender session
+    against an in-process :class:`MiniPGServer` that REQUIRES
+    SCRAM-SHA-256 auth over STARTTLS (pinned CA), streams the change
+    script (INSERT per event, UPDATE value×2 for event_id%3==0, DELETE
+    for event_id%5==0, first ``PG_LIVE_N`` events), rotates capture
+    files, and confirms the slot only after durable rename. The
+    captured lines then flow through the production wal2json parse +
+    ``cdc_apply``; final state must equal direct SQL over the base
+    table — so an auth short-circuit, a dropped XLogData frame, or a
+    mis-ordered apply cannot hash-match (r9 rotation candidate)."""
+    import json as _json
+
+    from conduit_spark.operators.cdc import cdc_apply
+    from conduit_spark.sources.postgres_wal import lsn_to_long, wal2json_source
+
+    from conduit_spark.analytics.processor_queries import _FIXTURE_CACHE
+
+    key = ("pg_live_wal_capture", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        import tempfile
+        import time as _time
+
+        from conduit_spark.functions.minipg import MiniPGServer, lsn_text
+        from conduit_spark.functions.tlsutil import generate_self_signed
+        from conduit_spark.sources.postgres_wal import LiveWalTail
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "value")
+            .orderBy("event_id")
+            .limit(PG_LIVE_N)
+            .collect()
+        )
+
+        def line(seq: int, action: str, eid: int, val) -> str:
+            doc = {
+                "action": action,
+                "schema": "public",
+                "table": "events",
+                "lsn": lsn_text(seq),
+                "columns": [
+                    {"name": "event_id", "type": "bigint", "value": eid},
+                ],
+            }
+            if val is not None:
+                doc["columns"].append(
+                    {"name": "value", "type": "double precision", "value": val}
+                )
+            if action in ("U", "D"):
+                doc["identity"] = [
+                    {"name": "event_id", "type": "bigint", "value": eid}
+                ]
+            if action == "D":
+                del doc["columns"]
+            return _json.dumps(doc)
+
+        cert_pem, key_pem = generate_self_signed()
+        path = tempfile.mkdtemp(prefix="conduit_fixture_pglive_") + "/cap"
+        with MiniPGServer(
+            keepalive_s=0.05,
+            users={"conduit": "gate-pw"},
+            tls=(cert_pem, key_pem),
+        ) as srv:
+            seq = 0
+            for r in ev:
+                eid, val = int(r["event_id"]), float(r["value"])
+                seq += 1
+                srv.feed(line(seq, "I", eid, val))
+                if eid % 3 == 0:
+                    seq += 1
+                    srv.feed(line(seq, "U", eid, val * 2))
+                if eid % 5 == 0:
+                    seq += 1
+                    srv.feed(line(seq, "D", eid, None))
+            tail = LiveWalTail(path, max_lines=64, max_secs=0.1).start_native(
+                srv.dsn,
+                password="gate-pw",
+                sslmode="require",
+                ssl_ca=cert_pem,
+            )
+            deadline = _time.monotonic() + 60
+            while (
+                srv.confirmed_flush_lsn < srv.current_lsn
+                and _time.monotonic() < deadline
+            ):
+                _time.sleep(0.05)
+            tail.stop()
+            if srv.confirmed_flush_lsn < srv.current_lsn:
+                raise RuntimeError("live WAL tail never confirmed the feed")
+        _FIXTURE_CACHE[key] = path
+
+    env = wal2json_source(spark, path, key_cols=["event_id"])
+    final = cdc_apply(
+        env,
+        F.get_json_object(
+            F.coalesce(F.col("key_json"), F.col("payload_after_json")),
+            "$.event_id",
+        ).cast("bigint"),
+        lsn_to_long(F.col("metadata").getItem("postgres.lsn")),
+    )
+    return final.select(
+        F.get_json_object("payload_after_json", "$.event_id")
+        .cast("bigint")
+        .alias("event_id"),
+        F.get_json_object("payload_after_json", "$.value")
+        .cast("double")
+        .alias("value"),
+        F.col("operation").alias("last_op"),
+    )
+
+
 def g_pg_pgoutput_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BINARY replication protocol under the DuckDB oracle: the
     same change script as :func:`g_pg_wal_cdc` (INSERT per event,
@@ -662,6 +783,7 @@ QUERIES = {
     "g_kafka_wire_snapshot": g_kafka_wire_snapshot,
     "g_kafka_wire_sasl_snapshot": g_kafka_wire_sasl_snapshot,
     "g_pg_wal_cdc": g_pg_wal_cdc,
+    "g_pg_live_wal_cdc": g_pg_live_wal_cdc,
     "g_pg_pgoutput_cdc": g_pg_pgoutput_cdc,
     "g_file_roundtrip": g_file_roundtrip,
 }
@@ -723,6 +845,18 @@ ORACLES = {
                CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'create' END
                    AS last_op
         FROM events
+        WHERE event_id % 5 <> 0
+    """,
+    # live walsender (SCRAM over STARTTLS) capture of the same script,
+    # bounded to the first PG_LIVE_N events
+    "g_pg_live_wal_cdc": f"""
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+                   AS value,
+               CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'create' END
+                   AS last_op
+        FROM (SELECT event_id, value FROM events
+              ORDER BY event_id LIMIT {PG_LIVE_N})
         WHERE event_id % 5 <> 0
     """,
     "g_pg_wal_cdc": """

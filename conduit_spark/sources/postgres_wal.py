@@ -610,7 +610,9 @@ class LiveWalTail:
 
     def start_native(self, dsn: str, *, slot: str = "conduit_spark",
                      start_lsn: int = 0, user: str = "conduit",
-                     password: str | None = None) -> "LiveWalTail":
+                     password: str | None = None,
+                     sslmode: str = "disable",
+                     ssl_ca: str | None = None) -> "LiveWalTail":
         """Tail a replication endpoint over the ENGINE'S OWN wire
         client (``functions.minipg.ReplicationClient`` — protocol-v3
         walsender mode: startup with ``replication=database``,
@@ -645,7 +647,10 @@ class LiveWalTail:
             buf.clear()
 
         def pump() -> None:
-            client = ReplicationClient(dsn, slot=slot, user=user, password=password)
+            client = ReplicationClient(
+                dsn, slot=slot, user=user, password=password,
+                sslmode=sslmode, ssl_ca=ssl_ca,
+            )
             self._client = client
             buf: list[str] = []
             flushed_lsn = 0
