@@ -170,7 +170,47 @@ def dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dq_documents": dq_documents, "dq_embeddings": dq_embeddings}
+# --- the events QA suite ----------------------------------------------
+#
+# The event-stream gate a sessionization/funnel pipeline runs before
+# trusting its clickstream: key integrity, a closed event-type domain,
+# value bounds, the ingest time window, and payload-JSON parseability
+# (a malformed props breaks every get_json_object consumer silently —
+# NULL, not error). Same one-scan conditional-sum shape.
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+VALUE_MAX = 1000.0
+EVENTS_YEAR = 2024
+
+
+def events_checks() -> list[RowCheck | UniqueCheck]:
+    return [
+        RowCheck("event_id_not_null", F.col("event_id").isNull()),
+        UniqueCheck("event_id_unique", ("event_id",)),
+        RowCheck("user_id_not_null", F.col("user_id").isNull()),
+        RowCheck("event_type_known", ~F.col("event_type").isin(*EVENT_TYPES)),
+        RowCheck(
+            "value_in_range",
+            (F.col("value") < 0) | (F.col("value") > VALUE_MAX),
+        ),
+        RowCheck("ts_in_window", F.year(F.col("ts")) != EVENTS_YEAR),
+        RowCheck(
+            "props_json_parses",
+            F.get_json_object(F.col("props"), "$.k").isNull(),
+        ),
+    ]
+
+
+def dq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clickstream QA gate before sessionization/funnel analysis."""
+    return run_checks(load_table(spark, sf_dir, "events"), events_checks())
+
+
+QUERIES = {
+    "dq_documents": dq_documents,
+    "dq_embeddings": dq_embeddings,
+    "dq_events": dq_events,
+}
 
 _SQL_ALL = ",".join(f"'{x}'" for x in ALL_LANGS)
 _SQL_LATIN = ",".join(f"'{x}'" for x in LATIN_LANGS)
@@ -202,6 +242,32 @@ ORACLES = {
             UNION ALL SELECT 'lang_known', bad_known, n, 0.0 FROM m
             UNION ALL SELECT 'lang_latin_only', bad_latin, n, 0.0 FROM m
             UNION ALL SELECT 'min_length', bad_short, n, {SHORT_MAX_FRAC} FROM m)
+        ORDER BY check_name
+    """,
+    "dq_events": f"""
+        WITH m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS bad_null,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS bad_user,
+                   CAST(sum(CASE WHEN event_type NOT IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)}) THEN 1 ELSE 0 END) AS DOUBLE) AS bad_type,
+                   CAST(sum(CASE WHEN value < 0 OR value > {VALUE_MAX} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_val,
+                   CAST(sum(CASE WHEN year(ts) != {EVENTS_YEAR} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_ts,
+                   CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS bad_props
+            FROM events),
+        uid AS (
+            SELECT CAST(count(*) - count(DISTINCT md5(CAST(event_id AS VARCHAR))) AS DOUBLE) AS surplus
+            FROM events)
+        SELECT check_name, round(bad / n, 9) AS metric,
+               CAST(threshold AS DOUBLE) AS threshold,
+               round(bad / n, 9) <= threshold AS passed
+        FROM (
+            SELECT 'event_id_not_null' AS check_name, bad_null AS bad, n, 0.0 AS threshold FROM m
+            UNION ALL SELECT 'event_id_unique', uid.surplus, n, 0.0 FROM m, uid
+            UNION ALL SELECT 'user_id_not_null', bad_user, n, 0.0 FROM m
+            UNION ALL SELECT 'event_type_known', bad_type, n, 0.0 FROM m
+            UNION ALL SELECT 'value_in_range', bad_val, n, 0.0 FROM m
+            UNION ALL SELECT 'ts_in_window', bad_ts, n, 0.0 FROM m
+            UNION ALL SELECT 'props_json_parses', bad_props, n, 0.0 FROM m)
         ORDER BY check_name
     """,
     "dq_embeddings": f"""
