@@ -817,3 +817,39 @@ def test_profile_dist_bounds_high_cardinality(spark):
     assert abs(prof["lang_dist"]["__other__"] - (n - 100) / n) < 1e-9
     # low-cardinality columns unchanged: no __other__, exact shares
     assert set(prof["source_dist"]) == {"0", "1", "2"}
+
+
+def test_kmv_two_phase_salt_invariance(spark, sf_dir, monkeypatch):
+    """The r8 two-phase k-min restructure must be SALT-INVARIANT: the
+    k smallest values of a set do not depend on how the partial top-k
+    fans out, so KMV_SALTS in {1, 7, 64} (1 = degenerate single-phase)
+    must produce identical sketches and estimates."""
+    baseline = None
+    for salts in (1, 7, 64):
+        monkeypatch.setattr(sketches, "KMV_SALTS", salts)
+        rows = sorted(
+            (r.source, r.n_exact, r.kth_hash, r.est_distinct)
+            for r in sketches.sk_kmv_distinct(spark, sf_dir).collect()
+        )
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"KMV_SALTS={salts} changed the sketch"
+
+
+def test_token_budget_band_invariance(spark, sf_dir, monkeypatch):
+    """The two-level banded prefix sum is RESULT-invariant in the band
+    target (any monotone banding partitions the sum exactly): wildly
+    different BUDGET_BAND_DOCS must produce identical keep/partial
+    decisions and cum_before values."""
+    baseline = None
+    for target in (64, 4096, 10**9):  # 10^9 -> one band holds everything
+        monkeypatch.setattr(curation, "BUDGET_BAND_DOCS", target)
+        rows = sorted(
+            (r.doc_id, r.quality, r.n_tokens, r.cum_before, r.keep, r.partial)
+            for r in curation.cur_token_budget(spark, sf_dir).collect()
+        )
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"BUDGET_BAND_DOCS={target} changed results"

@@ -477,3 +477,39 @@ time.sleep(60)  # a real tail never exits on its own
     assert not [f for f in os.listdir(capture) if f.startswith(".wal-")]
     batch = spark.read.parquet(out)
     assert _materialize(batch) == FINAL_STATE
+
+
+def test_parse_pgoutput_schema_evolution_mid_stream():
+    """DBZ-2 invariant 6 on the BINARY path (the wal2json sibling is
+    test_wal2json_schema_evolution_mid_stream): a Relation message
+    re-sent mid-stream after ALTER TABLE ADD COLUMN must rebind the
+    oid — later rows carry the new column, earlier decodes keep the
+    old shape, and nothing is silently mangled or truncated."""
+    rel = 16400
+    stream = b""
+    stream += _msg(b"B" + struct.pack(">QQI", 0x10, 0, 800))
+    stream += _msg(_relation(rel, "public", "t", ["id", "name"], [True, False]))
+    stream += _msg(b"I" + struct.pack(">I", rel) + b"N" + _tuple([1, "a"]))
+    # ALTER TABLE ADD COLUMN tier: the server re-sends Relation
+    stream += _msg(b"B" + struct.pack(">QQI", 0x20, 0, 801))
+    stream += _msg(
+        _relation(rel, "public", "t", ["id", "name", "tier"],
+                  [True, False, False])
+    )
+    stream += _msg(
+        b"I" + struct.pack(">I", rel) + b"N" + _tuple([2, "b", "gold"])
+    )
+    # and an update back-fills the new column on an old row
+    stream += _msg(
+        b"U" + struct.pack(">I", rel)
+        + b"K" + _tuple([1, None, None])
+        + b"N" + _tuple([1, "a", "silver"])
+    )
+    changes = parse_pgoutput(stream)
+    assert [c["op"] for c in changes] == ["create", "create", "update"]
+    assert changes[0]["cols"] == ["id", "name"]
+    assert changes[0]["after"] == ["1", "a"]
+    assert changes[1]["cols"] == ["id", "name", "tier"]
+    assert changes[1]["after"] == ["2", "b", "gold"]
+    assert changes[2]["after"] == ["1", "a", "silver"]
+    assert changes[2]["keys"] == ["id"]
