@@ -217,11 +217,28 @@ class ControlPlane:
                     cause = f"{type(exc).__name__}: {exc}"
                 with self._lock:
                     if self._status.get(pid) == "running":
-                        self._status[pid] = final
-                        if final == "failed":
-                            self._stopped_reason[pid] = "system"
+                        if (
+                            final == "failed"
+                            and self._stopped_reason.get(pid) == "user"
+                        ):
+                            # the reference's archv2 drain-reconfigure
+                            # O3 race (20260731-archv2-drain-reconfigure
+                            # .md): an operator-initiated graceful stop
+                            # racing a transient error surfacing from
+                            # the drain itself is a STOP, not a
+                            # spontaneous failure — a supervisor
+                            # watching status would otherwise restart a
+                            # pipeline the operator just told to stop.
+                            # The drain error stays visible in `error`.
+                            self._status[pid] = "stopped"
                             if cause is not None:
                                 self._error[pid] = cause
+                        else:
+                            self._status[pid] = final
+                            if final == "failed":
+                                self._stopped_reason[pid] = "system"
+                                if cause is not None:
+                                    self._error[pid] = cause
 
             t = threading.Thread(target=work, daemon=True, name=f"pipeline-{pid}")
             self._threads[pid] = t

@@ -175,6 +175,44 @@ def test_start_stop_lifecycle(plane_and_port):
     _req(port, "POST", "/v1/pipelines/demo/stop")
 
 
+def test_user_stop_racing_drain_error_is_not_a_failure():
+    """The reference's archv2 drain-reconfigure O3 race
+    (20260731-archv2-drain-reconfigure.md): an operator-initiated
+    graceful stop whose DRAIN surfaces a transient error must
+    classify as 'stopped' (reason user, error visible), never as a
+    spontaneous 'failed' — a supervisor watching status would restart
+    a pipeline the operator just told to stop. A genuinely
+    spontaneous crash still classifies as failed/system."""
+    import threading
+
+    from conduit_spark.http_api import ControlPlane
+
+    draining = threading.Event()
+
+    def runner(cfg, stop):
+        draining.set()
+        stop.wait(timeout=30)
+        raise RuntimeError("transient drain error")  # surfaces mid-drain
+
+    plane = ControlPlane(_configs(), runner=runner)
+    assert plane.start("demo") == "running"
+    assert draining.wait(timeout=10)
+    assert plane.stop("demo") == "stopped"  # user stop, drain raised
+    assert plane.status("demo") == "stopped"
+    doc = plane.get("demo")
+    assert doc["stopped_reason"] == "user"
+    assert "transient drain error" in doc.get("error", "")
+
+    # control: the same error WITHOUT a user stop is a real failure
+    def crash_runner(cfg, stop):
+        raise RuntimeError("spontaneous crash")
+
+    plane2 = ControlPlane(_configs(), runner=crash_runner)
+    plane2.start("demo")
+    assert plane2.wait("demo", timeout=10) == "failed"
+    assert plane2.get("demo")["stopped_reason"] == "system"
+
+
 def test_unknown_routes_and_ids(plane_and_port):
     _, port, _ = plane_and_port
     assert _req(port, "GET", "/v1/nope")[0] == 404
