@@ -682,6 +682,44 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_resnapshot(args: argparse.Namespace) -> int:
+    """Inject an ad-hoc consistent snapshot into a live CDC capture
+    stream (the Debezium incremental-snapshot capability, reference
+    CDC roadmap "Incremental-snapshot operator UX"): heals gaps from
+    lost capture files / recycled WAL without stopping the tail.
+    ``--lsn`` must be the snapshot read's consistent point (for the
+    live tail, the slot's confirmed position at read time); cdc_apply's
+    (key, LSN) last-write-wins reconciles everything downstream —
+    see sources/postgres_wal.py::emit_resnapshot_capture."""
+    import json
+
+    from conduit_spark import get_spark
+    from conduit_spark.sources.postgres_wal import emit_resnapshot_capture
+
+    spark = get_spark("conduit-spark-resnapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.snapshot)
+    n_rows = df.count()
+    n_files = emit_resnapshot_capture(
+        df,
+        args.capture_dir,
+        snapshot_lsn=args.lsn,
+        schema_name=args.schema,
+        table=args.table,
+    )
+    print(
+        json.dumps(
+            {
+                "capture_dir": args.capture_dir,
+                "files": n_files,
+                "rows": n_rows,
+                "lsn": args.lsn,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Print the effective engine configuration (the `conduit config`
     analog): env knobs, the Spark confs the session factory pins, and
@@ -1519,6 +1557,21 @@ def _build_parser() -> argparse.ArgumentParser:
     p_prof.add_argument("--out", help="write the profile JSON here")
     p_prof.add_argument("--baseline", help="profile JSON to diff against")
     p_prof.set_defaults(fn=cmd_profile)
+
+    p_resnap = sub.add_parser(
+        "resnapshot",
+        help="inject an ad-hoc consistent snapshot into a CDC capture "
+        "stream (incremental re-snapshot; heals lost-capture gaps)",
+    )
+    p_resnap.add_argument("snapshot", help="snapshot table parquet path")
+    p_resnap.add_argument("--capture-dir", required=True, dest="capture_dir")
+    p_resnap.add_argument(
+        "--lsn", required=True,
+        help="the snapshot read's consistent LSN (e.g. 0/1A2B3C)",
+    )
+    p_resnap.add_argument("--schema", default="public")
+    p_resnap.add_argument("--table", default="table")
+    p_resnap.set_defaults(fn=cmd_resnapshot)
 
     p_docsv = sub.add_parser(
         "docs", help="generate llms.txt from the live registries"

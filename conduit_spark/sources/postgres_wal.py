@@ -486,6 +486,91 @@ def snapshot_handoff_source(
     return snap.unionByName(tail)
 
 
+def emit_resnapshot_capture(
+    snapshot_df: DataFrame,
+    capture_dir: str,
+    *,
+    snapshot_lsn: str,
+    schema_name: str = "public",
+    table: str = "table",
+) -> int:
+    """Ad-hoc incremental re-snapshot (the Debezium incremental-
+    snapshot capability, reference CDC roadmap
+    ``20260722-debezium-compete-roadmap.md`` "Incremental-snapshot
+    operator UX"): inject a consistent snapshot of the table INTO the
+    live capture stream, so the running pipeline heals gaps (lost
+    capture files, a slot recreated after retention loss) without
+    stopping the tail or replaying history.
+
+    Debezium needs the DBLog watermark protocol (low/high watermark,
+    chunk-vs-open-transaction dedup) because its consumers see an
+    ORDERED stream. This engine's materialization is declarative —
+    ``cdc_apply`` is last-write-wins by (key, LSN) — so a snapshot
+    taken at consistent point X and stamped with LSN X reconciles by
+    construction: changes after X (higher LSN) win over snapshot rows,
+    snapshot rows win over anything at-or-before X (whose effects the
+    consistent read already includes, so equal-LSN ties carry
+    identical values), and keys deleted before X are simply absent
+    from the snapshot while their delete envelopes still win as the
+    key's last op. No watermarks, no chunk signals, no pause.
+
+    Mechanics: rows serialize DISTRIBUTED to wal2json-v2 INSERT lines
+    (the same dialect the tail captures, so the production parser
+    ingests them unchanged) into a temp directory; the part files then
+    move atomically into ``capture_dir`` under unique names — the
+    staged-rename convention LiveWalTail uses, so a streaming reader
+    never sees a half-written file. Returns the number of files
+    injected."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cols = snapshot_df.columns
+    colarr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("name"),
+                F.lit("text").alias("type"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    line = F.to_json(
+        F.struct(
+            F.lit("I").alias("action"),
+            F.lit(schema_name).alias("schema"),
+            F.lit(table).alias("table"),
+            F.lit(snapshot_lsn).alias("lsn"),
+            colarr.alias("columns"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="conduit_resnap_")
+    try:
+        snapshot_df.select(line.alias("value")).write.mode(
+            "overwrite"
+        ).text(tmp)
+        os.makedirs(capture_dir, exist_ok=True)
+        n = 0
+        for name in sorted(os.listdir(tmp)):
+            if not name.startswith("part-"):
+                continue
+            src = os.path.join(tmp, name)
+            if os.path.getsize(src) == 0:
+                continue
+            final = os.path.join(
+                capture_dir, f"snap-{uuid.uuid4().hex[:12]}-{n:05d}.jsonl"
+            )
+            staged = os.path.join(capture_dir, "." + os.path.basename(final))
+            shutil.move(src, staged)
+            os.rename(staged, final)  # atomic: never half-visible
+            n += 1
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 class LiveWalTail:
     """Live logical-replication tail: spawn ``pg_recvlogical`` against
     a replication slot and pump its stdout into ROTATING capture files

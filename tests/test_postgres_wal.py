@@ -513,3 +513,99 @@ def test_parse_pgoutput_schema_evolution_mid_stream():
     assert changes[1]["after"] == ["2", "b", "gold"]
     assert changes[2]["after"] == ["1", "a", "silver"]
     assert changes[2]["keys"] == ["id"]
+
+
+def test_incremental_resnapshot_heals_lost_capture(spark, tmp_path):
+    """The Debezium incremental-snapshot capability, Spark-first
+    (emit_resnapshot_capture): a capture file is LOST (retention /
+    recycled WAL), so materialization shows a gap; injecting an
+    ad-hoc consistent snapshot stamped at its read LSN into the SAME
+    capture stream heals the state without stopping the tail or
+    replaying history — cdc_apply's (key, LSN) last-write-wins
+    reconciles snapshot vs in-flight changes with no watermark
+    protocol. Later changes keep winning over the snapshot."""
+    from conduit_spark.sources.postgres_wal import (
+        emit_resnapshot_capture,
+        wal2json_source,
+    )
+
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    # two capture files, as a rotating tail would write them; dave
+    # (id 4) exists ONLY in the first file — no later change carries
+    # his row, so losing that file is a REAL gap, not one the
+    # full-row update envelopes would paper over
+    dave = (
+        '{"action":"I","schema":"public","table":"accounts",'
+        '"lsn":"0/1000000","columns":[{"name":"id","type":"integer",'
+        '"value":4},{"name":"name","type":"text","value":"dave"},'
+        '{"name":"balance","type":"numeric","value":5.0}]}'
+    )
+    (cap / "wal-000001.jsonl").write_text(
+        dave + "\n" + "\n".join(W2J_V2_LINES[:4]) + "\n"
+    )
+    (cap / "wal-000002.jsonl").write_text("\n".join(W2J_V2_LINES[4:]) + "\n")
+    true_state = {**FINAL_STATE, 4: ("dave", 5.0)}
+
+    # the true state after the full changelog
+    assert _materialize(wal2json_source(spark, str(cap), key_cols=["id"])) == (
+        true_state
+    )
+
+    # retention loss: the first file (inserts of ids 1 and 2) vanishes
+    (cap / "wal-000001.jsonl").unlink()
+    broken = _materialize(wal2json_source(spark, str(cap), key_cols=["id"]))
+    assert 4 not in broken  # dave is GONE — the structural gap
+
+    # ad-hoc re-snapshot: the table as of 0/1000005 (the true state),
+    # stamped at that LSN, injected into the live capture dir
+    snap = spark.createDataFrame(
+        [(1, "alice", 99.9), (3, "carol", 7.25), (4, "dave", 5.0)],
+        "id long, name string, balance double",
+    )
+    n_files = emit_resnapshot_capture(
+        snap, str(cap), snapshot_lsn="0/1000005",
+        schema_name="public", table="accounts",
+    )
+    assert n_files >= 1
+    healed = _materialize(wal2json_source(spark, str(cap), key_cols=["id"]))
+    assert healed == true_state
+
+    # changes AFTER the snapshot point keep winning over it
+    (cap / "wal-000003.jsonl").write_text(
+        '{"action":"U","schema":"public","table":"accounts",'
+        '"lsn":"0/1000006","columns":[{"name":"id","type":"integer",'
+        '"value":3},{"name":"name","type":"text","value":"carol"},'
+        '{"name":"balance","type":"numeric","value":1.0}],'
+        '"identity":[{"name":"id","type":"integer","value":3}]}\n'
+    )
+    after = _materialize(wal2json_source(spark, str(cap), key_cols=["id"]))
+    assert after == {**true_state, 3: ("carol", 1.0)}
+
+
+def test_cli_resnapshot_verb(spark, tmp_path, capsys):
+    """`python -m conduit_spark resnapshot` — the operator UX wrapper
+    over emit_resnapshot_capture (--json-shaped output, stable exit
+    code), per the reference CDC roadmap's acceptance criterion."""
+    from conduit_spark import cli
+    from conduit_spark.sources.postgres_wal import wal2json_source
+
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    snap_path = str(tmp_path / "snap.parquet")
+    spark.createDataFrame(
+        [(1, "alice", 99.9), (3, "carol", 7.25)],
+        "id long, name string, balance double",
+    ).write.parquet(snap_path)
+
+    rc = cli.main([
+        "resnapshot", snap_path, "--capture-dir", str(cap),
+        "--lsn", "0/1000005", "--schema", "public", "--table", "accounts",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2 and out["files"] >= 1
+
+    assert _materialize(
+        wal2json_source(spark, str(cap), key_cols=["id"])
+    ) == FINAL_STATE
