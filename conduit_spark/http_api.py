@@ -295,6 +295,72 @@ class ControlPlane:
                 "window_nack_threshold": dlq.window_nack_threshold,
             }
 
+    def get_dlq_records(self, pid: str, count: int = 10) -> dict:
+        """Dead-lettered RECORD CONTENT, newest first — the queryable
+        DLQ view the reference deferred as Tier-1 work
+        (20260715-dlq-record-visibility.md: v0.18 ships a config-only
+        view; a bounded, crash-safe, queryable record store needed its
+        own design). This engine gets the store for free: a
+        file-backed DLQ destination IS a crash-safe queryable log
+        (json lines / parquet), so the view is a bounded tail read of
+        it — no Spark session, no new storage system. Non-file DLQs
+        (builtin:log) have no record store and return an explicit
+        error, matching the reference's honest config-only answer."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        with self._lock:
+            if pid not in self._configs:
+                raise LookupError(pid)
+            from conduit_spark.pipeline.config import DLQConfig
+
+            dlq = self._configs[pid].dlq or DLQConfig()
+        if dlq.plugin != "builtin:file":
+            raise ValueError(
+                "DLQ record view requires a file-backed DLQ "
+                f"(plugin is {dlq.plugin!r}); configure "
+                "dead-letter-queue.settings.path"
+            )
+        path = str(dlq.settings.get("path", ""))
+        fmt = str(dlq.settings.get("format", "json"))
+        count = max(1, min(int(count), 1000))  # bounded view
+        records: list[dict] = []
+        files = sorted(
+            (
+                f
+                for f in _glob.glob(_os.path.join(path, "**"), recursive=True)
+                if _os.path.isfile(f)
+                and not _os.path.basename(f).startswith((".", "_"))
+            ),
+            key=_os.path.getmtime,
+            reverse=True,
+        )
+        for f in files:
+            if len(records) >= count:
+                break
+            try:
+                if fmt == "json":
+                    with open(f, encoding="utf-8") as fh:
+                        lines = [ln for ln in fh if ln.strip()]
+                    batch = [_json.loads(ln) for ln in reversed(lines)]
+                elif fmt == "parquet":
+                    import pyarrow.parquet as _pq
+
+                    batch = list(reversed(_pq.read_table(f).to_pylist()))
+                else:
+                    raise ValueError(f"unsupported DLQ format {fmt!r}")
+            except (OSError, ValueError) as e:
+                if "unsupported DLQ format" in str(e):
+                    raise
+                continue  # torn/foreign file: skip, keep the view alive
+            records.extend(batch[: count - len(records)])
+        for r in records:  # binary fields aren't JSON-serializable
+            for k, v in list(r.items()):
+                if isinstance(v, (bytes, bytearray)):
+                    r[k] = bytes(v).decode("utf-8", "replace")
+        return {"records": records, "count": len(records)}
+
     def update_dlq(self, pid: str, doc: dict) -> dict:
         from conduit_spark.pipeline.config import DLQConfig
 
@@ -717,6 +783,7 @@ _ROUTES = [
     ("POST", re.compile(r"^/v1/pipelines/import$"), "import_pipeline"),
     ("POST", re.compile(r"^/v1/pipelines/plan$"), "plan"),
     ("POST", re.compile(r"^/v1/pipelines/apply$"), "apply"),
+    ("GET", re.compile(r"^/v1/pipelines/([^/]+)/dead-letter-queue/records$"), "dlq_records"),
     ("GET", re.compile(r"^/v1/pipelines/([^/]+)/dead-letter-queue$"), "get_dlq"),
     ("PUT", re.compile(r"^/v1/pipelines/([^/]+)/dead-letter-queue$"), "update_dlq"),
     ("POST", re.compile(r"^/v1/pipelines/([^/]+)/export$"), "export_pipeline"),
@@ -944,6 +1011,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, plane.delete_processor(groups[0]))
         elif op == "get_dlq":
             self._send(200, plane.get_dlq(groups[0]))
+        elif op == "dlq_records":
+            try:
+                self._send(
+                    200,
+                    plane.get_dlq_records(
+                        groups[0], count=int(self.query.get("count", "10"))
+                    ),
+                )
+            except ValueError as e:
+                self._send(409, {"error": str(e)})
         elif op == "update_dlq":
             self._send(200, plane.update_dlq(groups[0], self._body()))
         elif op == "export_pipeline":

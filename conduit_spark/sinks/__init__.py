@@ -454,3 +454,59 @@ def compact_partitions(
         "rows": rows_before,
         "bytes": total_bytes,
     }
+
+
+def dlq_prune(path: str, *, max_bytes: int) -> dict:
+    """Bound a file-backed DLQ store: delete the OLDEST batch
+    directories / files until the store fits ``max_bytes`` — the
+    "bounded" third of the reference's deferred DLQ-record-store
+    requirements (20260715-dlq-record-visibility.md: bounded,
+    crash-safe, queryable; crash-safety comes from the idempotent
+    batch_id dirs, queryability from ControlPlane.get_dlq_records).
+
+    Retention is whole-batch (a batch dir either fully survives or
+    fully goes) and oldest-first by mtime, so the view's newest-first
+    tail is never torn mid-batch. Never deletes the newest unit, even
+    when it alone exceeds the cap — an oversized cap misconfiguration
+    must not destroy the only evidence. Returns
+    {kept_bytes, deleted_bytes, deleted_units}."""
+    import contextlib
+    import os
+    import shutil
+
+    units: list[tuple[float, str, int]] = []  # (mtime, path, bytes)
+    if not os.path.isdir(path):
+        return {"kept_bytes": 0, "deleted_bytes": 0, "deleted_units": 0}
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if name.startswith((".", "_")):
+            continue
+        if os.path.isdir(full):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(full)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(full)
+        units.append((os.path.getmtime(full), full, size))
+    units.sort(reverse=True)  # newest first
+    kept = 0
+    deleted_bytes = 0
+    deleted = 0
+    for idx, (_, full, size) in enumerate(units):
+        if idx == 0 or kept + size <= max_bytes:
+            kept += size
+            continue
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            with contextlib.suppress(OSError):
+                os.unlink(full)
+        deleted_bytes += size
+        deleted += 1
+    return {
+        "kept_bytes": kept,
+        "deleted_bytes": deleted_bytes,
+        "deleted_units": deleted,
+    }

@@ -1066,3 +1066,68 @@ def test_errors_carry_stable_codes(plane_and_port):
     assert status in (400, 409)
     if status == 409:
         assert body["code"] == "provisioning.plan_stale"
+
+
+def test_dlq_records_view_and_prune(plane_and_port, tmp_path):
+    """The queryable-DLQ gap the reference deferred as Tier-1
+    (20260715-dlq-record-visibility.md): with a file-backed DLQ the
+    record CONTENT is queryable (bounded newest-first tail over the
+    crash-safe store), a log-backed DLQ returns the honest 409, and
+    dlq_prune bounds the store oldest-first without ever deleting the
+    newest batch."""
+    import os
+    import time
+
+    from conduit_spark.sinks import dlq_prune
+
+    _, port, _ = plane_and_port
+    # log-backed DLQ has no record store → explicit error, not []
+    status, err = _req(
+        port, "GET", "/v1/pipelines/demo/dead-letter-queue/records"
+    )
+    assert status == 409 and "file-backed" in err["error"]
+
+    dlq_dir = tmp_path / "dlq"
+    (dlq_dir / "batch_id=0").mkdir(parents=True)
+    (dlq_dir / "batch_id=1").mkdir()
+    rec = {
+        "position": "p-0",
+        "operation": "create",
+        "metadata": {"conduit.dlq.error": "boom-0", "conduit.dlq.scope": "pipeline"},
+        "payload_after_json": '{"id": 0}',
+    }
+    with open(dlq_dir / "batch_id=0" / "part-0.json", "w") as f:
+        for i in range(3):
+            r = dict(rec, position=f"p-{i}")
+            r["metadata"] = dict(rec["metadata"], **{"conduit.dlq.error": f"boom-{i}"})
+            f.write(json.dumps(r) + "\n")
+    time.sleep(0.05)  # newest-first ordering is mtime-based
+    with open(dlq_dir / "batch_id=1" / "part-0.json", "w") as f:
+        f.write(json.dumps(dict(rec, position="p-new")) + "\n")
+
+    new = {
+        "plugin": "builtin:file",
+        "settings": {"path": str(dlq_dir), "format": "json"},
+        "window_size": 5,
+        "window_nack_threshold": 2,
+    }
+    status, _ = _req(port, "PUT", "/v1/pipelines/demo/dead-letter-queue", new)
+    assert status == 200
+    status, doc = _req(
+        port, "GET", "/v1/pipelines/demo/dead-letter-queue/records?count=2"
+    )
+    assert status == 200 and doc["count"] == 2
+    # newest first: the batch_id=1 record leads, then batch 0's tail
+    assert doc["records"][0]["position"] == "p-new"
+    assert doc["records"][1]["position"] == "p-2"
+    assert doc["records"][1]["metadata"]["conduit.dlq.error"] == "boom-2"
+
+    # prune to a cap that only fits the newest batch
+    newest_size = os.path.getsize(dlq_dir / "batch_id=1" / "part-0.json")
+    out = dlq_prune(str(dlq_dir), max_bytes=newest_size)
+    assert out["deleted_units"] == 1 and out["kept_bytes"] == newest_size
+    assert not (dlq_dir / "batch_id=0").exists()
+    # the newest unit survives even a zero cap
+    out = dlq_prune(str(dlq_dir), max_bytes=0)
+    assert out["deleted_units"] == 0
+    assert (dlq_dir / "batch_id=1").exists()
