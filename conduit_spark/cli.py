@@ -682,6 +682,31 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dlq(args: argparse.Namespace) -> int:
+    """Show dead-lettered RECORD CONTENT from a running server (the
+    CLI front-end of GET /dead-letter-queue/records — one code path,
+    per the reference's no-divergent-surfaces rule). Exit 2 when the
+    pipeline's DLQ has no record store (log-backed, 409)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    url = (
+        args.server.rstrip("/")
+        + f"/v1/pipelines/{args.id}/dead-letter-queue/records"
+        + f"?count={args.count}"
+    )
+    try:
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            doc = json.loads(resp.read().decode())
+            print(json.dumps(doc, indent=1))
+            return 0
+    except urllib.error.HTTPError as e:
+        print(json.dumps(json.loads(e.read().decode()), indent=1),
+              file=sys.stderr)
+        return 2 if e.code == 409 else 1
+
+
 def cmd_resnapshot(args: argparse.Namespace) -> int:
     """Inject an ad-hoc consistent snapshot into a live CDC capture
     stream (the Debezium incremental-snapshot capability, reference
@@ -1557,6 +1582,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p_prof.add_argument("--out", help="write the profile JSON here")
     p_prof.add_argument("--baseline", help="profile JSON to diff against")
     p_prof.set_defaults(fn=cmd_profile)
+
+    p_dlq = sub.add_parser(
+        "dlq", help="show dead-lettered records from a running server"
+    )
+    p_dlq.add_argument("id", help="pipeline id")
+    p_dlq.add_argument("--server", default="http://127.0.0.1:8080")
+    p_dlq.add_argument("--count", type=int, default=10)
+    p_dlq.set_defaults(fn=cmd_dlq)
 
     p_resnap = sub.add_parser(
         "resnapshot",

@@ -1131,3 +1131,29 @@ def test_dlq_records_view_and_prune(plane_and_port, tmp_path):
     out = dlq_prune(str(dlq_dir), max_bytes=0)
     assert out["deleted_units"] == 0
     assert (dlq_dir / "batch_id=1").exists()
+
+
+def test_cli_dlq_verb(plane_and_port, tmp_path, capsys):
+    """`python -m conduit_spark dlq <id>` — CLI front-end of the
+    records route; exit 2 on the no-record-store (log-backed) case."""
+    from conduit_spark import cli
+
+    _, port, _ = plane_and_port
+    server = f"http://127.0.0.1:{port}"
+    assert cli.main(["dlq", "demo", "--server", server]) == 2  # log-backed
+    capsys.readouterr()
+
+    dlq_dir = tmp_path / "dlq"
+    dlq_dir.mkdir()
+    (dlq_dir / "part-0.json").write_text(
+        json.dumps({"position": "p-0", "operation": "create",
+                    "metadata": {"conduit.dlq.error": "x"}}) + "\n"
+    )
+    _req(port, "PUT", "/v1/pipelines/demo/dead-letter-queue", {
+        "plugin": "builtin:file",
+        "settings": {"path": str(dlq_dir), "format": "json"},
+        "window_size": 5, "window_nack_threshold": 2,
+    })
+    assert cli.main(["dlq", "demo", "--server", server, "--count", "5"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["count"] == 1 and doc["records"][0]["position"] == "p-0"
