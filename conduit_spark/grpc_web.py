@@ -136,8 +136,11 @@ STOP_PIPELINE_REQ = {1: ("id", "string"), 2: ("force", "bool")}
 STOP_PIPELINE_RES: dict = {}
 # api.proto:650-675
 GET_DLQ_REQ = {1: ("id", "string")}
+GET_DLQ_RECORDS_REQ = {1: ("id", "string"), 2: ("count", "uint64")}
 GET_DLQ_RES = {1: ("dlq", "message", PIPELINE_DLQ)}
 UPDATE_DLQ_REQ = {1: ("id", "string"), 2: ("dlq", "message", PIPELINE_DLQ)}
+# records response reuses the inspect routes' opencdc.v1.Record shape
+# (GET_DLQ_RECORDS_RES defined after OPENCDC_RECORD below)
 UPDATE_DLQ_RES = {1: ("dlq", "message", PIPELINE_DLQ)}
 EXPORT_PIPELINE_REQ = {1: ("id", "string")}
 EXPORT_PIPELINE_RES = {1: ("pipeline", "message", PIPELINE)}
@@ -251,6 +254,7 @@ OPENCDC_RECORD = {
 _OPERATION_ENUM = {"create": 1, "update": 2, "delete": 3, "snapshot": 4}
 
 # api.proto:965-970, 1147-1159 (server-streaming inspect)
+GET_DLQ_RECORDS_RES = {1: ("records", "message*", OPENCDC_RECORD)}
 INSPECT_CONNECTOR_REQ = {1: ("id", "string")}
 INSPECT_CONNECTOR_RES = {1: ("record", "message", OPENCDC_RECORD)}
 INSPECT_PROCESSOR_IN_REQ = {1: ("id", "string")}
@@ -659,6 +663,18 @@ def _h_get_dlq(plane, req: dict) -> dict:
         raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found") from None
 
 
+def _h_dlq_records(plane, req: dict) -> dict:
+    try:
+        out = plane.get_dlq_records(
+            req["id"], count=int(req.get("count") or 10)
+        )
+    except LookupError:
+        raise GrpcError(NOT_FOUND, f"pipeline {req['id']!r} not found") from None
+    except ValueError as e:  # log-backed DLQ: no record store
+        raise GrpcError(INVALID_ARGUMENT, str(e)) from None
+    return {"records": [_pb_opencdc(r) for r in out["records"]]}
+
+
 def _h_update_dlq(plane, req: dict) -> dict:
     try:
         out = plane.update_dlq(req["id"], req.get("dlq") or {})
@@ -869,6 +885,9 @@ SERVICES = {
         "StartPipeline": (START_PIPELINE_REQ, START_PIPELINE_RES, _h_start),
         "StopPipeline": (STOP_PIPELINE_REQ, STOP_PIPELINE_RES, _h_stop),
         "GetDLQ": (GET_DLQ_REQ, GET_DLQ_RES, _h_get_dlq),
+        "GetDLQRecords": (
+            GET_DLQ_RECORDS_REQ, GET_DLQ_RECORDS_RES, _h_dlq_records,
+        ),
         "UpdateDLQ": (UPDATE_DLQ_REQ, UPDATE_DLQ_RES, _h_update_dlq),
         "ExportPipeline": (
             EXPORT_PIPELINE_REQ, EXPORT_PIPELINE_RES, _h_export,

@@ -661,3 +661,56 @@ def test_grpc_message_is_percent_encoded():
     assert lines[0] == "grpc-status: 13"
     assert lines[1].startswith("grpc-message: ")
     assert "%0D%0A" in lines[1] and "%25" in lines[1]
+
+
+def test_dlq_records_over_grpc_web(server, tmp_path):
+    """GetDLQRecords: the queryable DLQ record view on the gRPC-Web
+    surface (same plane method as REST — no divergent logic). Records
+    come back as opencdc.v1.Record messages; a log-backed DLQ maps the
+    no-record-store error to INVALID_ARGUMENT."""
+    import json as _json
+
+    _, port, _ = server
+    # default (log-backed): error status in trailers
+    frames = _stream_call(
+        port, "PipelineService", "GetDLQRecords",
+        gw.GET_DLQ_RECORDS_REQ, {"id": "demo", "count": 5},
+    )
+    trailer = next(f for k, f in frames if k == 0x80).decode()
+    assert "grpc-status: 3" in trailer  # INVALID_ARGUMENT
+
+    dlq_dir = tmp_path / "dlq"
+    dlq_dir.mkdir()
+    (dlq_dir / "part-0.json").write_text(
+        _json.dumps(
+            {
+                "position": "p-7",
+                "operation": "create",
+                "metadata": {"conduit.dlq.error": "boom"},
+                "payload_after_json": '{"id": 7}',
+            }
+        )
+        + "\n"
+    )
+    upd = pw.encode(
+        gw.UPDATE_DLQ_REQ,
+        {
+            "id": "demo",
+            "dlq": {
+                "plugin": "builtin:file",
+                "settings": {"path": str(dlq_dir), "format": "json"},
+                "window_size": 10,
+                "window_nack_threshold": 2,
+            },
+        },
+    )
+    _call(port, "UpdateDLQ", upd)
+    frames = _stream_call(
+        port, "PipelineService", "GetDLQRecords",
+        gw.GET_DLQ_RECORDS_REQ, {"id": "demo", "count": 5},
+    )
+    out = _msg_of(frames, gw.GET_DLQ_RECORDS_RES)
+    recs = out["records"]
+    assert len(recs) == 1
+    assert recs[0]["position"] == b"p-7"
+    assert recs[0]["metadata"]["conduit.dlq.error"] == "boom"
