@@ -130,6 +130,18 @@ class MCPServer:
             },
             self._t_inspect,
         )
+        t["dlq_records"] = (
+            {
+                "description": "Dead-lettered record content from the "
+                "running server, newest first (file-backed DLQs only). "
+                "Read-only.",
+                "inputSchema": _schema(
+                    pipeline_id=dict({"type": "string"}, _required=True),
+                    count={"type": "integer", "description": "max records"},
+                ),
+            },
+            self._t_dlq_records,
+        )
         t["repair"] = (
             {
                 "description": "Machine-appliable fix plan for one "
@@ -256,6 +268,14 @@ class MCPServer:
         count = int(args.get("count", 10))
         return self._http(
             "GET", f"/v1/{kind}s/{args['node_id']}/inspect?count={count}"
+        )
+
+    def _t_dlq_records(self, args: dict) -> dict:
+        count = int(args.get("count", 10))
+        return self._http(
+            "GET",
+            f"/v1/pipelines/{args['pipeline_id']}"
+            f"/dead-letter-queue/records?count={count}",
         )
 
     def _t_apply(self, args: dict) -> dict:

@@ -147,7 +147,8 @@ def test_mcp_handshake_and_catalog():
     assert srv.handle({"jsonrpc": "2.0", "method": "notifications/initialized"}) is None
     tools = {t["name"] for t in _rpc(srv, "tools/list")["result"]["tools"]}
     assert tools == {
-        "validate", "lint", "dry_run", "doctor", "deploy", "inspect", "repair",
+        "validate", "lint", "dry_run", "doctor", "deploy", "inspect",
+        "dlq_records", "repair",
     }
     # write tools appear ONLY with the process-level flag
     mut = MCPServer(allow_mutations=True)
