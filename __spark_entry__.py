@@ -91,6 +91,7 @@ _EXTENDED = (
     # the new plan earns a fresh driver row next to sk_kmv_overlap's).
     # After a green r8, every suite query has held a driver CORRECTNESS
     # row at least once. Displaced: 28 r7 first-time-green rows below.
+    "smp_reservoir",  # new in r8: exact-k deterministic reservoir (two-phase bottom-k); r9 rotation candidate
     "dq_events",  # new in r8: clickstream QA gate (events-table dq row); r9 rotation candidate
     "g_pg_live_wal_cdc",  # new in r8: live walsender (SCRAM+STARTTLS) capture under the oracle; r9 rotation candidate
     "g_s3_wire_secure_snapshot",  # new in r8: SigV4+HTTPS + hostile keys under the oracle; r9 rotation candidate

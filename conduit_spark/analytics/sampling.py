@@ -241,11 +241,58 @@ def smp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 16  # exact sample size per stratum
+RESERVOIR_SALTS = 64
+
+
+def smp_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-``RESERVOIR_K`` deterministic reservoir per source: the k
+    docs with the smallest ``md5(doc_id)`` — Algorithm-R semantics
+    without RNG state (the rate-based gates above can't promise an
+    exact sample SIZE; evaluation sets and few-shot pools need one).
+
+    Same two-phase k-min shape as the KMV sketches (r8): per-(source,
+    salt) partial top-k of (hash, doc_id) structs, merge the ≤ SALTS
+    k-sized arrays, slice k, posexplode for ranks. No window ranks the
+    full relation; the reservoir is mergeable O(k) state per stratum,
+    and growth never flips old picks except by displacing the largest
+    hash — the standard bottom-k property."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        F.struct(
+            md5_int32(F.col("doc_id")).alias("h"),
+            F.col("doc_id").alias("doc_id"),
+        ).alias("s"),
+    )
+    partial = keyed.groupBy(
+        "source", (F.col("s.doc_id") % RESERVOIR_SALTS).alias("salt")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, RESERVOIR_K).alias("m")
+    )
+    merged = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("m"))), 1, RESERVOIR_K
+        ).alias("res")
+    )
+    return (
+        merged.select("source", F.posexplode("res").alias("pos", "s"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.h").cast("bigint").alias("sample_key"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
 QUERIES = {
     "smp_stratified": smp_stratified,
     "smp_importance": smp_importance,
     "smp_stratified_ids": smp_stratified_ids,
     "smp_dsir": smp_dsir,
+    "smp_reservoir": smp_reservoir,
 }
 
 _GATE = f"CAST({sql_md5_int32('CAST(doc_id AS VARCHAR)')} AS DOUBLE) / {float(_SCALE)}"
@@ -256,6 +303,20 @@ _RATE = (
 )
 
 ORACLES = {
+    # bottom-k by md5(doc_id) per source; ties impossible (doc_id
+    # unique, hash ties broken by doc_id in the struct sort)
+    "smp_reservoir": f"""
+        SELECT source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {sql_md5_int32('CAST(doc_id AS VARCHAR)')}, doc_id
+               ) AS INT) AS rank,
+               doc_id,
+               {sql_md5_int32('CAST(doc_id AS VARCHAR)')} AS sample_key
+        FROM documents
+        QUALIFY rank <= {RESERVOIR_K}
+        ORDER BY source, rank
+    """,
     # rate = n/512 terminates within 9 decimals (2^-9), so round(.,9)
     # is exact and the kept SET matches bit-for-bit; 1/rate rounds the
     # same double in both engines
