@@ -668,3 +668,81 @@ def test_field_convert_time_targets(typed_df, spark):
     out_s = ops.field_convert(tdf, ".Payload.After.when_str", "time")
     v2 = out_s.select("payload_after.when_str").collect()[0][0]
     assert v2 == datetime.datetime(2024, 3, 1, 12, 0)  # RFC3339 path
+
+
+def test_split_run_ack_ledger_member_dispositions_independent(spark):
+    """The reference's split-run ack-ledger invariant
+    (20260801-archv2-split-run-ack-ledger.md, fixing #2723/#2730): a
+    record split into N members may only ack its source position when
+    EVERY member reaches a terminal disposition, and run membership is
+    defined exactly once — (position, split.index). In this engine the
+    ack is the micro-batch commit, which by construction follows all
+    members' delivery; the record-level property that must hold (and
+    that #2723 broke: the head acked while the tail was undelivered,
+    so a crash lost tail members) is CONSERVATION — every member of
+    every run lands in exactly one terminal set (delivered or DLQ),
+    siblings of an errored member still deliver, and no (position,
+    split.index) duplicates anywhere."""
+    import json as _json
+
+    from conduit_spark import envelope as env
+
+    n_items = {0: 3, 1: 1, 2: 4, 3: 2}
+    recs = []
+    for i, n in n_items.items():
+        items = [
+            ("bad" if (i + j) % 3 == 0 else f"ok-{i}-{j}") for j in range(n)
+        ]
+        recs.append(
+            {
+                "position": f"src:{i}".encode(),
+                "operation": "create",
+                "metadata": {},
+                "key_raw": None,
+                "key_json": None,
+                "payload_before_json": None,
+                "payload_after_json": _json.dumps({"id": i, "items": items}),
+                "payload_after_raw": None,
+                "is_structured": True,
+            }
+        )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("items", ArrayType(StringType())),
+        ]
+    )
+    df = env.with_typed_payload(
+        spark.createDataFrame(recs, schema=env.ENVELOPE_SCHEMA), schema
+    )
+    out = ops.split(df, ".Payload.After.items")
+    out = ops.error(
+        out, "poison member", condition='{{ eq .Payload.After.items "bad" }}'
+    )
+    ok, errored = ops.split_errors(out)
+
+    def members(frame):
+        return [
+            (
+                bytes(r.position).decode(),
+                r.metadata["split.index"],
+                _json.loads(r.payload_after_json)["items"],
+            )
+            for r in frame.collect()
+        ]
+
+    delivered, dead = members(ok), members(errored)
+    # terminal-set partition: every member exactly once across both
+    seen = [(p, ix) for p, ix, _ in delivered + dead]
+    assert len(seen) == len(set(seen))  # membership defined ONCE (#2730)
+    assert len(seen) == sum(n_items.values())
+    # per-run conservation: all N members terminal before any "ack"
+    per_run: dict = {}
+    for p, _, _ in delivered + dead:
+        per_run[p] = per_run.get(p, 0) + 1
+    assert per_run == {f"src:{i}": n for i, n in n_items.items()}
+    # disposition independence: the bad member dead, siblings delivered
+    assert all(v == "bad" for _, _, v in dead)
+    assert all(v != "bad" for _, _, v in delivered)
+    assert any(p == "src:0" for p, _, _ in dead)  # run 0 has a bad member
+    assert any(p == "src:0" for p, _, _ in delivered)  # ...and survivors
