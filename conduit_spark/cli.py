@@ -682,6 +682,41 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_generate(args: argparse.Namespace) -> int:
+    """`conduit generate "<natural language>"` (reference
+    20260722-conduit-generate.md): grounded generation through the
+    pluggable provider, gated by the REAL validators plus the
+    deterministic semantic-intent checker. Prints the validated YAML
+    (or a JSON report with --json); exit 3 when a gate rejects —
+    rejection lists every reason, and an unknown plugin always carries
+    a closest-match suggestion, never a fabricated name. Deploying the
+    output goes through the existing deploy/apply plan+hash flow."""
+    import json
+
+    from conduit_spark.generate import GenerateError, generate_pipeline
+
+    try:
+        out = generate_pipeline(args.request, pipeline_id=args.id)
+    except GenerateError as e:
+        doc = {"rejected": True, "reasons": e.reasons}
+        print(json.dumps(doc, indent=1), file=sys.stderr)
+        return 3
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(out["yaml"])
+        print(f"wrote {args.out}")
+    if args.json:
+        print(json.dumps(
+            {"pipeline": out["pipeline"], "warnings": out["warnings"]},
+            indent=1,
+        ))
+    elif not args.out:
+        print(out["yaml"])
+    for w in out["warnings"]:
+        print(f"warning: {w}", file=sys.stderr)
+    return 0
+
+
 def cmd_dlq(args: argparse.Namespace) -> int:
     """Show dead-lettered RECORD CONTENT from a running server (the
     CLI front-end of GET /dead-letter-queue/records — one code path,
@@ -1582,6 +1617,19 @@ def _build_parser() -> argparse.ArgumentParser:
     p_prof.add_argument("--out", help="write the profile JSON here")
     p_prof.add_argument("--baseline", help="profile JSON to diff against")
     p_prof.set_defaults(fn=cmd_profile)
+
+    p_gen = sub.add_parser(
+        "generate",
+        help="natural language -> validated pipeline YAML (gated by "
+        "the real validators + a semantic-intent check; exit 3 on "
+        "rejection)",
+    )
+    p_gen.add_argument("request", help="what the pipeline should do")
+    p_gen.add_argument("--id", default="generated", help="pipeline id")
+    p_gen.add_argument("--out", help="write the YAML here")
+    p_gen.add_argument("--json", action="store_true",
+                       help="print a JSON report instead of YAML")
+    p_gen.set_defaults(fn=cmd_generate)
 
     p_dlq = sub.add_parser(
         "dlq", help="show dead-lettered records from a running server"

@@ -130,6 +130,19 @@ class MCPServer:
             },
             self._t_inspect,
         )
+        t["generate"] = (
+            {
+                "description": "Natural language -> validated pipeline "
+                "YAML, gated by the real validators + a semantic-intent "
+                "check (never fabricates plugin names). Read-only: "
+                "deploying the output goes through deploy/apply.",
+                "inputSchema": _schema(
+                    request=dict({"type": "string"}, _required=True),
+                    pipeline_id={"type": "string"},
+                ),
+            },
+            self._t_generate,
+        )
         t["dlq_records"] = (
             {
                 "description": "Dead-lettered record content from the "
@@ -269,6 +282,22 @@ class MCPServer:
         return self._http(
             "GET", f"/v1/{kind}s/{args['node_id']}/inspect?count={count}"
         )
+
+    def _t_generate(self, args: dict) -> dict:
+        from conduit_spark.generate import GenerateError, generate_pipeline
+
+        try:
+            out = generate_pipeline(
+                args["request"],
+                pipeline_id=args.get("pipeline_id", "generated"),
+            )
+        except GenerateError as e:
+            return {"rejected": True, "reasons": e.reasons}
+        return {
+            "yaml": out["yaml"],
+            "warnings": out["warnings"],
+            "next": "review, then deploy via the deploy+apply tools",
+        }
 
     def _t_dlq_records(self, args: dict) -> dict:
         count = int(args.get("count", 10))

@@ -148,7 +148,7 @@ def test_mcp_handshake_and_catalog():
     tools = {t["name"] for t in _rpc(srv, "tools/list")["result"]["tools"]}
     assert tools == {
         "validate", "lint", "dry_run", "doctor", "deploy", "inspect",
-        "dlq_records", "repair",
+        "generate", "dlq_records", "repair",
     }
     # write tools appear ONLY with the process-level flag
     mut = MCPServer(allow_mutations=True)
