@@ -1157,3 +1157,35 @@ def test_cli_dlq_verb(plane_and_port, tmp_path, capsys):
     assert cli.main(["dlq", "demo", "--server", server, "--count", "5"]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["count"] == 1 and doc["records"][0]["position"] == "p-0"
+
+
+def test_dlq_records_parquet_format(plane_and_port, tmp_path):
+    """The parquet branch of the record view (a parquet-format DLQ
+    destination is the other file-backed shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, port, _ = plane_and_port
+    dlq_dir = tmp_path / "dlqp"
+    dlq_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "position": [b"p-0", b"p-1"],
+                "operation": ["create", "create"],
+                "payload_after_json": ['{"id":0}', '{"id":1}'],
+            }
+        ),
+        dlq_dir / "part-0.parquet",
+    )
+    _req(port, "PUT", "/v1/pipelines/demo/dead-letter-queue", {
+        "plugin": "builtin:file",
+        "settings": {"path": str(dlq_dir), "format": "parquet"},
+        "window_size": 5, "window_nack_threshold": 2,
+    })
+    status, doc = _req(
+        port, "GET", "/v1/pipelines/demo/dead-letter-queue/records?count=1"
+    )
+    assert status == 200 and doc["count"] == 1
+    # newest-first within a file = reversed row order; bytes decoded
+    assert doc["records"][0]["position"] == "p-1"
