@@ -84,6 +84,13 @@ _EXTENDED = (
     # the 16th freed slot goes to the new connector-transport query
     # g_s3_wire_snapshot (VERDICT r6 item 9). Displaced: sixteen
     # 4-6x-green keepers listed below under "Round-7 rotation out".
+    # Round-9 rotation candidates (never driver-verified, in priority
+    # order): the seven round-8 additions — g_pg_pgoutput_cdc (binary
+    # replication protocol), g_kafka_wire_sasl_snapshot +
+    # g_s3_wire_secure_snapshot + g_pg_live_wal_cdc (the authenticated-
+    # transport trifecta), dq_events, smp_reservoir, and (already in
+    # the gate) m_decode_mp4_meta's row should land in r8. Displace
+    # r8 first-time-green rows; keep family coverage per the r8 notes.
     # Round-8 rotation (DONE; VERDICT r7 item 3 — the full never-verified
     # backlog): ALL 26 never-driver-verified queries take gate slots,
     # plus the new m_decode_mp4_meta (r8, VERDICT item 8) and
