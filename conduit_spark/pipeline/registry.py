@@ -570,6 +570,12 @@ def build_source(
                     objs, source_id, str(settings["aws.bucket"])
                 )
             apply_s3_conf(spark, settings)
+        ropts = {}
+        if "maxFilesPerTrigger" in settings:
+            # the standard file-stream rate limit (one setting users
+            # expect from the JVM file source); everything else stays
+            # behind the explicit keys above
+            ropts["maxFilesPerTrigger"] = str(settings["maxFilesPerTrigger"])
         return file_source(
             spark,
             settings["path"],
@@ -577,6 +583,7 @@ def build_source(
             source_id=source_id,
             schema=settings.get("schema"),
             streaming=streaming,
+            reader_options=ropts or None,
         )
     if plugin == "builtin:postgres":
         # Four modes, mirroring the reference source's snapshot + CDC

@@ -253,10 +253,27 @@ class Pipeline:
                     "builtin:s3",
                 ):
                     settings = dict(settings)
-                    settings["path"] = (
-                        settings["path"].rstrip("/") + f"/batch_id={batch_id}"
-                    )
-                    settings["mode"] = "overwrite"  # replays overwrite, not dup
+                    if (
+                        dest.plugin == "builtin:s3"
+                        and str(settings.get("transport", "jvm")) == "wire"
+                    ):
+                        # the wire sink addresses objects by
+                        # prefix+deterministic part keys, not a path:
+                        # scope the PREFIX per batch so a replayed
+                        # batch overwrites its own objects (PutObject
+                        # idempotence) and distinct batches can never
+                        # collide on part-00000-00000 (pre-r8 this
+                        # branch raised KeyError('path') instead)
+                        base = str(settings.get("prefix", "")).rstrip("/")
+                        settings["prefix"] = (
+                            f"{base}/batch_id={batch_id}/".lstrip("/")
+                        )
+                    else:
+                        settings["path"] = (
+                            settings["path"].rstrip("/")
+                            + f"/batch_id={batch_id}"
+                        )
+                        settings["mode"] = "overwrite"  # replays overwrite
                 final = routed_ok.drop(ERROR_COL)
                 self._tap(dest.id, final)
                 if dest.plugin in (

@@ -595,3 +595,67 @@ def test_registry_s3_creds_mapping():
         "access_key": "A", "secret_key": "S",
         "region": "eu-west-1", "session_token": "tok",
     }
+
+
+def test_streaming_wire_s3_destination_batch_scoped_prefixes(spark, tmp_path):
+    """Streaming pipeline with an s3 WIRE destination: each micro-batch
+    lands under its own batch_id=N/ prefix (pre-r8 this path raised
+    KeyError('path'), and without the scoped prefix two batches would
+    collide on the deterministic part keys), delivery is exactly-once
+    across batches, and a resumed run with the same checkpoint adds
+    ONLY the new batch."""
+    from conduit_spark.pipeline.config import parse_yaml
+    from conduit_spark.pipeline.runtime import Pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f0.txt").write_text("a0\na1\n")
+    (src / "f1.txt").write_text("b0\nb1\nb2\n")
+
+    with MiniS3Server() as srv:
+        MiniS3Client(srv.endpoint).create_bucket("sbkt")
+        cfg = parse_yaml(
+            f"""
+version: "2.2"
+pipelines:
+  - id: s3-stream
+    connectors:
+      - id: files
+        type: source
+        plugin: builtin:file
+        settings:
+          path: "{src}"
+          format: text
+          streaming: "true"
+          maxFilesPerTrigger: "1"
+      - id: out
+        type: destination
+        plugin: builtin:s3
+        settings:
+          transport: wire
+          aws.url: {srv.endpoint}
+          aws.bucket: sbkt
+          prefix: st
+"""
+        )[0]
+        ckpt = str(tmp_path / "ckpt")
+        Pipeline(spark, cfg).run_streaming(ckpt, trigger_once=True)
+        c = MiniS3Client(srv.endpoint)
+        keys = sorted(o["key"] for o in c.list_objects("sbkt", "st/"))
+        prefixes = {k.split("/")[1] for k in keys}
+        assert prefixes == {"batch_id=0", "batch_id=1"}
+        lines = []
+        for k in keys:
+            lines += c.get_object("sbkt", k).decode().splitlines()
+        assert len(lines) == 5  # exactly once across batches
+
+        # resume with new data: only the new batch appears
+        (src / "f2.txt").write_text("c0\n")
+        Pipeline(spark, cfg).run_streaming(ckpt, trigger_once=True)
+        keys2 = sorted(o["key"] for o in c.list_objects("sbkt", "st/"))
+        prefixes2 = {k.split("/")[1] for k in keys2}
+        assert prefixes2 == {"batch_id=0", "batch_id=1", "batch_id=2"}
+        lines2 = []
+        for k in keys2:
+            lines2 += c.get_object("sbkt", k).decode().splitlines()
+        assert len(lines2) == 6
