@@ -367,3 +367,30 @@ def test_mcp_http_transport(tmp_path):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_mcp_generate_tool():
+    """The generate tool on MCP: a satisfiable request returns gated
+    YAML + the deploy-next-step hint; an unsatisfiable one returns a
+    structured rejection (not an error — the agent needs the reasons)."""
+    from conduit_spark.mcp import MCPServer
+
+    srv = MCPServer()
+    out = _rpc(
+        srv, "tools/call",
+        {"name": "generate",
+         "arguments": {"request": "from kafka topic 'orders' to s3"}},
+    )
+    assert out["result"]["isError"] is False
+    payload = json.loads(out["result"]["content"][0]["text"])
+    assert "builtin:kafka" in payload["yaml"] and "orders" in payload["yaml"]
+    assert "deploy" in payload["next"]
+
+    out = _rpc(
+        srv, "tools/call",
+        {"name": "generate",
+         "arguments": {"request": "from dynamodb to snowflake"}},
+    )
+    payload = json.loads(out["result"]["content"][0]["text"])
+    assert payload["rejected"] is True
+    assert any("dynamodb" in r for r in payload["reasons"])
