@@ -179,6 +179,12 @@ def g_s3_wire_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S3_SECURE_CACHE: dict[str, tuple] = {}
 
+# fewer objects than the plaintext row: every PUT is a fresh driver-side
+# TLS handshake (seed scaffolding, once per session); 120 still fans the
+# signed GETs across every core and the oracle derives from the same
+# doc ordering
+SECURE_N = 120
+
 
 def g_s3_wire_secure_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`g_s3_wire_snapshot` with the PRODUCTION transport
@@ -203,7 +209,7 @@ def g_s3_wire_secure_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .orderBy("doc_id")
-            .limit(SNAP_N)
+            .limit(SECURE_N)
             .collect()
         )
         cert_pem, key_pem = generate_self_signed()
@@ -821,7 +827,7 @@ ORACLES = {
                md5(text) AS etag,
                text
         FROM (SELECT doc_id, text FROM documents
-              ORDER BY doc_id LIMIT {SNAP_N})
+              ORDER BY doc_id LIMIT {SECURE_N})
     """,
     "g_s3_wire_snapshot": f"""
         SELECT 'snap/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
