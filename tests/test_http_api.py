@@ -1189,3 +1189,29 @@ def test_dlq_records_parquet_format(plane_and_port, tmp_path):
     assert status == 200 and doc["count"] == 1
     # newest-first within a file = reversed row order; bytes decoded
     assert doc["records"][0]["position"] == "p-1"
+
+
+def test_dlq_prune_flat_files_and_missing_dir(tmp_path):
+    """dlq_prune's non-batch-dir shapes: flat part files prune
+    oldest-first under the cap, and a missing path is a zero no-op."""
+    import os
+    import time
+
+    from conduit_spark.sinks import dlq_prune
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part-{i}.json").write_text("x" * 100)
+        time.sleep(0.03)
+    out = dlq_prune(str(d), max_bytes=200)
+    assert out["deleted_units"] == 1 and out["kept_bytes"] == 200
+    assert not (d / "part-0.json").exists()  # oldest went first
+    assert (d / "part-2.json").exists()
+    assert dlq_prune(str(tmp_path / "nope"), max_bytes=10) == {
+        "kept_bytes": 0, "deleted_bytes": 0, "deleted_units": 0,
+    }
+    # hidden/_ files are never counted or deleted
+    (d / "_SUCCESS").write_text("")
+    out = dlq_prune(str(d), max_bytes=10**6)
+    assert out["deleted_units"] == 0 and (d / "_SUCCESS").exists()
