@@ -84,13 +84,19 @@ _EXTENDED = (
     # the 16th freed slot goes to the new connector-transport query
     # g_s3_wire_snapshot (VERDICT r6 item 9). Displaced: sixteen
     # 4-6x-green keepers listed below under "Round-7 rotation out".
-    # Round-9 rotation candidates (never driver-verified, in priority
-    # order): the seven round-8 additions — g_pg_pgoutput_cdc (binary
-    # replication protocol), g_kafka_wire_sasl_snapshot +
-    # g_s3_wire_secure_snapshot + g_pg_live_wal_cdc (the authenticated-
-    # transport trifecta), dq_events, smp_reservoir, and (already in
-    # the gate) m_decode_mp4_meta's row should land in r8. Displace
-    # r8 first-time-green rows; keep family coverage per the r8 notes.
+    # Round-9 rotation (DONE; VERDICT r8 items 1+6): the six
+    # never-driver-verified r8 additions take gate slots —
+    # g_pg_pgoutput_cdc (binary replication protocol),
+    # g_kafka_wire_sasl_snapshot + g_s3_wire_secure_snapshot +
+    # g_pg_live_wal_cdc (the authenticated-transport trifecta),
+    # dq_events, smp_reservoir — plus sk_hist_quantiles (VERDICT item
+    # 6: re-earn a driver row for the sketch family on the
+    # post-audit-mode / post-leak-closure plans). Displaced: seven
+    # multi-green siblings below under "Round-9 rotation out", chosen
+    # so every family keeps at least one gate row (kafka/s3/pg wire
+    # kept via the SECURED siblings; quality via dq_events; sampling
+    # via smp_dsir+smp_reservoir; sketches via kmv x2 + hist; G.711
+    # via alaw). After a green r9, never-driver-verified count = 0.
     # Round-8 rotation (DONE; VERDICT r7 item 3 — the full never-verified
     # backlog): ALL 26 never-driver-verified queries take gate slots,
     # plus the new m_decode_mp4_meta (r8, VERDICT item 8) and
@@ -98,12 +104,15 @@ _EXTENDED = (
     # the new plan earns a fresh driver row next to sk_kmv_overlap's).
     # After a green r8, every suite query has held a driver CORRECTNESS
     # row at least once. Displaced: 28 r7 first-time-green rows below.
-    "smp_reservoir",  # new in r8: exact-k deterministic reservoir (two-phase bottom-k); r9 rotation candidate
-    "dq_events",  # new in r8: clickstream QA gate (events-table dq row); r9 rotation candidate
-    "g_pg_live_wal_cdc",  # new in r8: live walsender (SCRAM+STARTTLS) capture under the oracle; r9 rotation candidate
-    "g_s3_wire_secure_snapshot",  # new in r8: SigV4+HTTPS + hostile keys under the oracle; r9 rotation candidate
-    "g_kafka_wire_sasl_snapshot",  # new in r8: SASL_SSL transport under the oracle; r9 rotation candidate
-    "g_pg_pgoutput_cdc",  # new in r8: BINARY pgoutput decode oracle row (wal2json sibling holds the gate slot); r9 rotation candidate
+    # Round-9 rotation out (multi-green; displaced by the six
+    # never-verified r8 rows + sk_hist_quantiles):
+    "g_kafka_wire_snapshot",  # driver-green r8; kafka wire kept via g_kafka_wire_sasl_snapshot (SASL_SSL superset path)
+    "g_s3_wire_snapshot",  # driver-green r7-r8; s3 wire kept via g_s3_wire_secure_snapshot (SigV4+HTTPS superset path)
+    "g_pg_wal_cdc",  # driver-green r8; pg CDC kept via g_pg_pgoutput_cdc + g_pg_live_wal_cdc (binary + live-walsender superset paths)
+    "smp_stratified_ids",  # driver-green r8; sampling keeps smp_dsir + smp_reservoir
+    "dq_documents",  # driver-green r5-r8; quality family kept via dq_events
+    "sk_hll_distinct",  # driver-green r7-r8; sketches keep kmv x2 + sk_hist_quantiles
+    "m_decode_ulaw_real",  # driver-green r8; G.711 kept via m_decode_alaw_real (same codec pair)
     "s_mmr_rerank",  # driver-green r7
     "s_ivf_recall",  # driver-green r7
     "s_pq_topk",  # driver-green r7
@@ -118,7 +127,6 @@ _EXTENDED = (
     "d_cluster_prune",  # driver-green r7
     "sk_bloom_filter",  # driver-green r5-r7; sketches keep kmv x2 + hll
     "sk_cms_topk",  # driver-green r5-r7
-    "sk_hist_quantiles",  # driver-green r4-r7
     "cur_split_leakage",  # driver-green r6-r7; curation keeps funnel/zorder/token_budget/shards/mix
     "cur_shuffle",  # driver-green r6-r7
     "cur_ppl_buckets",  # driver-green r7

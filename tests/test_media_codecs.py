@@ -1222,3 +1222,95 @@ def test_jpeg_progressive_t81_hand_vector():
     # the scans really did change the image (guards against a decoder
     # that ignores refinement scans but matches on geometry)
     assert meta["pixel_min"] != meta["pixel_max"]
+
+
+# -- progressive JPEG: externally-produced fixtures (JDK ImageIO) --------
+#
+# VERDICT r8 item 2: pin the progressive decoder against the ecosystem,
+# not just the spec-as-read. tests/fixtures/jpeg/* were produced by
+# scripts/MakeJpegFixtures.java with the JDK 17 ImageIO JPEG plugin (the
+# IJG libjpeg-derived codec bundled with the JDK) — no repo code in the
+# encode loop. The progressive files use libjpeg's standard multi-scan
+# script (10 scans: DC successive approximation + spectral-selection AC
+# scans with refinements; SOF2 verified below), the hardest real-world
+# shape of T.81 G.1.2.
+
+_JPEG_FIX = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "fixtures", "jpeg"
+)
+
+
+def _fix(name: str) -> bytes:
+    with open(f"{_JPEG_FIX}/{name}", "rb") as f:
+        return f.read()
+
+
+def _sof_marker(raw: bytes) -> int:
+    i = 2
+    while i + 4 <= len(raw):
+        m = raw[i + 1]
+        if m in (0xC0, 0xC1, 0xC2):
+            return m
+        if m == 0xDA:
+            break
+        i += 2 + int.from_bytes(raw[i + 2 : i + 4], "big")
+    raise AssertionError("no SOF marker")
+
+
+def test_jpeg_progressive_imageio_color_pixel_equal_sequential():
+    """Progressive and sequential ImageIO encodes of the same source
+    image carry the same quantized coefficients (progressive mode only
+    reorders entropy coding), so the decodes must be pixel-IDENTICAL.
+    A decoder that mishandles any of the 10 progressive scans cannot
+    match its own sequential decode."""
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    prog_raw, seq_raw = _fix("imageio_prog.jpg"), _fix("imageio_seq.jpg")
+    assert _sof_marker(prog_raw) == 0xC2  # really progressive
+    assert _sof_marker(seq_raw) == 0xC0  # really baseline
+    prog, seq = decode_jpeg(prog_raw), decode_jpeg(seq_raw)
+    assert (prog["width"], prog["height"], prog["channels"]) == (64, 48, 3)
+    assert np.array_equal(prog["pixels"], seq["pixels"])
+    assert prog["pixel_min"] != prog["pixel_max"]
+
+
+def test_jpeg_progressive_imageio_gray_matches_jdk_decoder():
+    """Grayscale (single component, no chroma subsampling, so the
+    implementation-defined upsampling filter is out of the loop): the
+    repo's exact float IDCT must match the JDK decoder's own pixel dump
+    within +/-1 — the libjpeg integer-IDCT rounding envelope. Also
+    asserts progressive == sequential exactly, as for color."""
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    prog_raw = _fix("imageio_gray_prog.jpg")
+    assert _sof_marker(prog_raw) == 0xC2
+    prog = decode_jpeg(prog_raw)
+    seq = decode_jpeg(_fix("imageio_gray_seq.jpg"))
+    assert (prog["width"], prog["height"], prog["channels"]) == (64, 48, 1)
+    assert np.array_equal(prog["pixels"], seq["pixels"])
+    jdk = np.frombuffer(_fix("imageio_gray_prog_px.bin"), dtype=np.uint8)
+    jdk = jdk.reshape(48, 64)
+    assert int(np.abs(prog["pixels"].astype(int) - jdk.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_imageio_color_luma_close_to_jdk():
+    """Color 4:2:0: chroma upsampling filters legitimately differ
+    (nearest here vs libjpeg's triangle filter), so RGB channels are
+    not comparable pixelwise — but BT.601 luma recovered from both
+    decodes must agree closely (mean < 1 code value)."""
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_jpeg
+
+    prog = decode_jpeg(_fix("imageio_prog.jpg"))
+    jdk = np.frombuffer(_fix("imageio_prog_rgb.bin"), dtype=np.uint8)
+    jdk = jdk.reshape(48, 64, 3).astype(float)
+    mine = prog["pixels"].astype(float)
+    w = np.array([0.299, 0.587, 0.114])
+    dy = np.abs(mine @ w - jdk @ w)
+    assert float(dy.mean()) < 1.0
+    assert float(dy.max()) < 10.0
