@@ -104,6 +104,12 @@ _EXTENDED = (
     # the new plan earns a fresh driver row next to sk_kmv_overlap's).
     # After a green r8, every suite query has held a driver CORRECTNESS
     # row at least once. Displaced: 28 r7 first-time-green rows below.
+    # Round-9 NEW queries (never driver-verified; r10 rotation
+    # candidates in priority order — both locally oracle-exact via
+    # gate_check/pytest):
+    "d_containment_pairs",  # new in r9: asymmetric n-gram containment (GPT-3/PaLM decontamination metric); r10 rotation candidate
+    "t_ngram_novelty",  # new in r9: first-appearance n-gram novelty score per doc; r10 rotation candidate
+    "m_decode_gif_real",  # new in r9: real LZW/GIF decode (interlace-sensitive checksum oracle, JDK-fixture-pinned decoder); r10 rotation candidate
     # Round-9 rotation out (multi-green; displaced by the six
     # never-verified r8 rows + sk_hist_quantiles):
     "g_kafka_wire_snapshot",  # driver-green r8; kafka wire kept via g_kafka_wire_sasl_snapshot (SASL_SSL superset path)

@@ -490,6 +490,74 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Asymmetric containment threshold: c(A,B) = |S_A ∩ S_B| / |S_A| (Broder's
+# containment measure). 0.5 = "half of the smaller doc's shingles appear
+# in the other" — the doc-in-doc band where Jaccard goes blind (a short
+# doc fully quoted inside a long one has tiny Jaccard but containment 1).
+CONTAIN_MIN = 0.5
+
+
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — the decontamination metric
+    of the big-LM training reports (13-gram containment in the GPT-3 /
+    PaLM eval-leakage methodology; reference scope: the dedup family of
+    SURVEY §2's training-data operators, round 9 addition).
+
+    Jaccard punishes size mismatch: a 50-word doc quoted verbatim
+    inside a 5000-word doc has Jaccard ≈ 0.01 but containment 1.0 in
+    the short→long direction. Emits both directions per unordered pair
+    (``cont_a_in_b`` = n_inter/|S_A|, ``cont_b_in_a`` = n_inter/|S_B|)
+    where either ≥ ``CONTAIN_MIN``.
+
+    Scale shape is d_ngram_jaccard's, unchanged: DF-capped shingle
+    space (hot boilerplate shingles broadcast into an anti-join, never
+    F² pair rows), one gram-keyed equi-join for intersections, two
+    broadcast-sized count joins. The only delta is the final ratio
+    arithmetic — containment adds no new shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw_sh = _shingles_df(docs).localCheckpoint()
+    hot = (
+        raw_sh.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("x")
+    )
+    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").localCheckpoint()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("ca")
+    b = sh.alias("cb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ca.x") == F.col("cb.x"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("id_a"), F.col("cb.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = inter.join(
+        counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"),
+        "id_a",
+    ).join(
+        counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"),
+        "id_b",
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        joined.filter(F.greatest(c_ab, c_ba) >= CONTAIN_MIN)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 9).alias("cont_a_in_b"),
+            F.round(c_ba, 9).alias("cont_b_in_a"),
+        )
+        .transform(ordered_result, "id_a", "id_b")
+    )
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (token-frequency weighted).
 
@@ -981,6 +1049,7 @@ QUERIES = {
     "d_pagerank": d_pagerank,
     "d_cluster_prune": d_cluster_prune,
     "d_ngram_jaccard": d_ngram_jaccard,
+    "d_containment_pairs": d_containment_pairs,
     "d_simhash": d_simhash,
     "d_simhash_pairs": d_simhash_pairs,
 }
@@ -1155,6 +1224,30 @@ ORACLES = {
         JOIN counts cb ON cb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) /
               CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.05
+        ORDER BY id_a, id_b
+    """,
+    "d_containment_pairs": f"""
+        WITH raw_sh AS ({_SHINGLE_SQL}),
+        sh AS (
+            SELECT * FROM raw_sh
+            WHERE x NOT IN (
+                SELECT x FROM raw_sh GROUP BY x HAVING count(*) > {NGRAM_DF_CAP})),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) / CAST(ca.n AS DOUBLE), 9)
+                   AS cont_a_in_b,
+               round(CAST(n_inter AS DOUBLE) / CAST(cb.n AS DOUBLE), 9)
+                   AS cont_b_in_a
+        FROM inter
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(ca.n AS DOUBLE),
+                       CAST(n_inter AS DOUBLE) / CAST(cb.n AS DOUBLE))
+              >= {CONTAIN_MIN}
         ORDER BY id_a, id_b
     """,
     "d_minhash_lsh_pairs": f"""

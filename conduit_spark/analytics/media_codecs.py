@@ -1,7 +1,8 @@
 """Real media codecs, stdlib+numpy only: PNG (zlib inflate + scanline
 unfilter), WAV (RIFF chunk walk), baseline JPEG (Huffman entropy
-decode + dequantize + IDCT + chroma upsample + YCbCr→RGB), and MP4
-container metadata (ISO BMFF box walk).
+decode + dequantize + IDCT + chroma upsample + YCbCr→RGB), GIF (full
+LZW dictionary decode + four-pass de-interlace + palette mapping),
+and MP4 container metadata (ISO BMFF box walk).
 
 These back ``decode_media(real_codecs=True)`` for the formats that can
 genuinely be decoded without native libraries — PNG's DEFLATE stream
@@ -43,6 +44,8 @@ def sniff(raw: bytes) -> str | None:
         return "jpeg"
     if raw[4:8] == b"ftyp":
         return "mp4"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -877,6 +880,223 @@ def decode_mp4(raw: bytes) -> dict:
     return out
 
 
+# --- GIF (LZW dictionary coding, GIF87a/89a) --------------------------
+#
+# A genuinely different compression family from everything above:
+# DEFLATE (PNG) is LZ77+Huffman, JPEG is transform coding — GIF's LZW
+# is adaptive DICTIONARY coding with variable-width codes (3..12 bits,
+# LSB-first packing, in-band CLEAR/EOI, the "code == next_code"
+# self-reference case, and the decoder-side width bump one entry
+# before the encoder's). Reference scope: the multimodal decode family
+# of SURVEY §2's training-data operators (round-9 addition).
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at
+    ``min_code_size+1``, LSB-first bit packing, CLEAR resets the
+    dictionary, EOI ends the stream, width grows when the next free
+    code reaches ``1<<width`` (decoder side), capped at 12 bits
+    (deferred-clear streams then keep emitting 12-bit codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total:
+        i = bitpos >> 3
+        window = int.from_bytes(data[i : i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("GIF: first code after clear not a literal")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK self-reference case
+        else:
+            raise ValueError(f"GIF: LZW code {code} ahead of dictionary")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF LZW encoder (dictionary-building, not the degenerate
+    clear-per-symbol trick): used by the synthetic-corpus generator so
+    the decode query exercises dictionary growth, width bumps, and the
+    self-reference case on every image. The encoder bumps its emit
+    width one assignment AFTER the decoder bumps its read width
+    (next_code == (1<<width)+1 here vs == (1<<width) in decode — the
+    decoder trails the encoder's table by exactly one entry). Emits
+    CLEAR when the table fills rather than deferring."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    w: tuple = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset rather than defer
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    buf = bytearray()
+    acc = nbits = 0
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+# four-pass row order for interlaced images (GIF89a spec appendix E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(raw: bytes, *, return_pixels: bool = False) -> dict:
+    """GIF87a/89a decode, pure Python: header + logical screen
+    descriptor, global/local color tables, extension-block skip (GCE/
+    comment/application), full LZW decompression (variable width,
+    clear/EOI, KwKwK), four-pass de-interlace, palette mapping to RGB.
+    Multi-frame files decode the FIRST frame for statistics and count
+    the rest (``n_frames``). Pixel stats are computed from the mapped
+    RGB samples — proof of real decode, as for PNG/JPEG."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = raw[pos : pos + 3 * n]
+        pos += 3 * n
+    n_frames = 0
+    first: dict | None = None
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = raw[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: image without a color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code = raw[pos]
+        pos += 1
+        comp = bytearray()
+        while raw[pos] != 0:
+            ln = raw[pos]
+            comp += raw[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is not None:
+            continue  # later frames: count only
+        idx = _lzw_decode(bytes(comp), min_code)
+        if len(idx) < w * h:
+            raise ValueError(f"GIF: {len(idx)} indices for {w}x{h} frame")
+        idx = idx[: w * h]
+        if interlaced:
+            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+            ordered: list[list[int]] = [None] * h  # type: ignore[list-item]
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                for r in range(start, h, step):
+                    ordered[r] = rows[src]
+                    src += 1
+            idx = [v for row in ordered for v in row]
+        n_colors = len(pal) // 3
+        if max(idx) >= n_colors:
+            raise ValueError("GIF: palette index out of range")
+        first = {
+            "width": int(w),
+            "height": int(h),
+            "left": int(left),
+            "top": int(top),
+            "interlaced": interlaced,
+            "palette_size": n_colors,
+            "indices": idx,
+            "palette": pal,
+        }
+    if first is None:
+        raise ValueError("GIF: no image data")
+    rgb = [first["palette"][3 * v + c] for v in first["indices"] for c in range(3)]
+    meta = {
+        "format": "gif",
+        "width": first["width"],
+        "height": first["height"],
+        "channels": 3,
+        "bit_depth": 8,
+        "screen_width": int(sw),
+        "screen_height": int(sh),
+        "n_frames": n_frames,
+        "interlaced": first["interlaced"],
+        "palette_size": first["palette_size"],
+        "pixel_mean": (sum(rgb) / len(rgb)) if rgb else 0.0,
+        "pixel_min": min(rgb) if rgb else 0,
+        "pixel_max": max(rgb) if rgb else 0,
+    }
+    if return_pixels:
+        meta["indices"] = first["indices"]
+        meta["palette"] = bytes(first["palette"])
+    return meta
+
+
 def decode_any(raw: bytes) -> dict:
     """Dispatch on magic bytes; containers without a pure-Python
     decode path keep the honest NotImplementedError seam."""
@@ -891,7 +1111,9 @@ def decode_any(raw: bytes) -> dict:
         return meta
     if kind == "mp4":
         return decode_mp4(raw)
+    if kind == "gif":
+        return decode_gif(raw)
     raise NotImplementedError(
         f"no pure-Python codec for container {kind or 'unknown'!r}; "
-        "PNG, WAV, baseline JPEG, and MP4 metadata decode natively"
+        "PNG, WAV, baseline JPEG, GIF, and MP4 metadata decode natively"
     )

@@ -82,10 +82,11 @@ def as_media(df: DataFrame, content_col: str, id_col: str, modality: str) -> Dat
 def decode_media(df: DataFrame, *, real_codecs: bool = False) -> DataFrame:
     """Decode media content → metadata (mapInPandas, Arrow-batched).
 
-    ``real_codecs=True`` decodes PNG, WAV, baseline JPEG, and MP4
+    ``real_codecs=True`` decodes PNG, WAV, baseline JPEG, GIF, and MP4
     container metadata for real with the pure-Python codecs in
     ``media_codecs`` (zlib inflate + scanline unfilter for PNG; RIFF
-    chunk walk for WAV; Huffman + IDCT + YCbCr→RGB for JPEG; ISO BMFF
+    chunk walk for WAV; Huffman + IDCT + YCbCr→RGB for JPEG; LZW +
+    de-interlace + palette for GIF; ISO BMFF
     box walk for MP4): width/height are the true image/video
     dimensions, and for audio (n_frames, n_channels) fill the same
     slots. MP4 *frame* decode raises inside the task — that needs
@@ -756,6 +757,115 @@ def m_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "media_id")
 
 
+GIF_W_BASE, GIF_W_MOD = 24, 13  # width  = 24 + doc_id % 13  (24..36)
+GIF_H_BASE, GIF_H_MOD = 10, 7  # height = 10 + doc_id % 7   (10..16)
+GIF_COLORS = 64  # palette i -> (4i+3, (7i+11) mod 256, 255-3i)
+
+
+def _synth_gif_bytes(did: int) -> bytes:
+    """Deterministic 64-color GIF89a for ``doc_id``: palette entry i is
+    ``(4i+3, (7i+11) mod 256, 255-3i)`` and pixel index(r,c) =
+    ``(did + 3r + c//4) mod 64`` (the ``//4`` makes horizontal runs so
+    the LZW dictionary genuinely builds). Even doc_ids are written
+    INTERLACED (four-pass row order), odd sequential — both pixel
+    statistics and the order-sensitive index checksum have closed-form
+    SQL oracles, so a decoder that skipped de-interlacing or misread
+    the variable-width LZW stream cannot hash-match. The encoder is
+    ``media_codecs.lzw_encode`` (real dictionary LZW); the DECODER is
+    additionally pinned against JDK ImageIO-produced fixtures in
+    tests/fixtures/gif, so encoder and decoder cannot share a
+    misreading of the spec."""
+    import struct
+
+    from conduit_spark.analytics.media_codecs import lzw_encode
+
+    w = GIF_W_BASE + did % GIF_W_MOD
+    h = GIF_H_BASE + did % GIF_H_MOD
+    interlaced = did % 2 == 0
+    pal = bytearray()
+    for i in range(GIF_COLORS):
+        pal += bytes((4 * i + 3, (7 * i + 11) % 256, 255 - 3 * i))
+    rows = [
+        [(did + 3 * r + c // 4) % GIF_COLORS for c in range(w)]
+        for r in range(h)
+    ]
+    if interlaced:
+        order: list[int] = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        stream = [v for r in order for v in rows[r]]
+    else:
+        stream = [v for row in rows for v in row]
+    size_field = 5  # 2 << 5 == 64 palette entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+    )
+    min_code = 6  # 64 literals
+    out.append(min_code)
+    comp = lzw_encode(stream, min_code)
+    i = 0
+    while i < len(comp):
+        blk = comp[i : i + 255]
+        out.append(len(blk))
+        out += blk
+        i += 255
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def m_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec GIF decode, driver-verifiable: deterministic 64-color
+    GIFs (half the corpus interlaced), full LZW decompression +
+    de-interlace + palette mapping in ``media_codecs.decode_gif``, and
+    the emitted statistics — including an ORDER-SENSITIVE position-
+    weighted index checksum, which a decoder that skips de-interlacing
+    cannot reproduce — checked against the generation formulas computed
+    analytically by the SQL oracle. LZW is dictionary coding, a third
+    compression family next to PNG's LZ77+Huffman and JPEG's transform
+    coding. Scale shape: one ``mapInPandas`` pass, zero shuffles beyond
+    the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_gif
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "interlaced": [], "palette_size": [], "n_pixels": [],
+                "idx_checksum": [], "pixel_mean": [], "pixel_min": [],
+                "pixel_max": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_gif(_synth_gif_bytes(did), return_pixels=True)
+                idx = meta["indices"]
+                rows["media_id"].append(did)
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["interlaced"].append(bool(meta["interlaced"]))
+                rows["palette_size"].append(meta["palette_size"])
+                rows["n_pixels"].append(meta["width"] * meta["height"])
+                rows["idx_checksum"].append(
+                    sum((p + 1) * v for p, v in enumerate(idx))
+                )
+                rows["pixel_mean"].append(round(meta["pixel_mean"], 9))
+                rows["pixel_min"].append(meta["pixel_min"])
+                rows["pixel_max"].append(meta["pixel_max"])
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        run,
+        "media_id long, width int, height int, interlaced boolean, "
+        "palette_size int, n_pixels long, idx_checksum long, "
+        "pixel_mean double, pixel_min int, pixel_max int",
+    )
+    return ordered_result(out, "media_id")
+
+
 WAV_FRAMES_BASE, WAV_FRAMES_MOD = 100, 97  # n_frames = 100 + doc_id % 97
 WAV_RATE = 16000
 
@@ -1035,6 +1145,7 @@ QUERIES = {
     "m_decode_ulaw_real": m_decode_ulaw_real,
     "m_decode_alaw_real": m_decode_alaw_real,
     "m_decode_png_real": m_decode_png_real,
+    "m_decode_gif_real": m_decode_gif_real,
     "m_decode_wav_real": m_decode_wav_real,
     "m_frame_sample": m_frame_sample,
     "m_features": m_features,
@@ -1207,6 +1318,42 @@ ORACLES = {
                round(CAST(sum(v) AS DOUBLE) / (w * h), 9) AS pixel_mean,
                CAST(min(v) AS INT) AS pixel_min,
                CAST(max(v) AS INT) AS pixel_max
+        FROM px
+        GROUP BY doc_id, w, h
+        ORDER BY media_id
+    """,
+    # GIF: palette components and indices are closed-form; the
+    # position-weighted checksum is computed over ROW-MAJOR pixel order
+    # (p = r*w + c), which only a correct de-interlace reproduces for
+    # the even (interlaced) half of the corpus
+    "m_decode_gif_real": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {GIF_W_BASE} + doc_id % {GIF_W_MOD} AS w,
+                   {GIF_H_BASE} + doc_id % {GIF_H_MOD} AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h,
+                   r.r * w + c.c + 1 AS p1,
+                   (doc_id + 3 * r.r + c.c // 4) % {GIF_COLORS} AS i
+            FROM dims,
+                 generate_series(0, {GIF_H_BASE + GIF_H_MOD - 2}) AS r(r),
+                 generate_series(0, {GIF_W_BASE + GIF_W_MOD - 2}) AS c(c)
+            WHERE r.r < h AND c.c < w)
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               doc_id % 2 = 0 AS interlaced,
+               CAST({GIF_COLORS} AS INT) AS palette_size,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(sum(p1 * i) AS BIGINT) AS idx_checksum,
+               round(CAST(sum((4 * i + 3) + (7 * i + 11) % 256
+                             + (255 - 3 * i)) AS DOUBLE) / (3 * w * h), 9)
+                   AS pixel_mean,
+               CAST(min(least(4 * i + 3, (7 * i + 11) % 256,
+                              255 - 3 * i)) AS INT) AS pixel_min,
+               CAST(max(greatest(4 * i + 3, (7 * i + 11) % 256,
+                                 255 - 3 * i)) AS INT) AS pixel_max
         FROM px
         GROUP BY doc_id, w, h
         ORDER BY media_id

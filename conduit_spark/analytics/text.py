@@ -763,8 +763,52 @@ def t_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word shingles whose FIRST appearance (minimum doc_id — the
+    corpus's arrival order) is this document. The standard
+    train-set-freshness score: novelty ≈ 1 means new content,
+    novelty ≈ 0 means everything was seen before (round-9 addition to
+    SURVEY §2's text-analysis family; complements d_span_dedup, which
+    finds the duplicated spans rather than scoring the docs).
+
+    Two shuffles, both mergeable: a gram-keyed min-agg for first
+    owners (partial min map-side), then the gram-keyed equi-join back
+    — each shingle row matches EXACTLY one first-owner row, so the
+    join output is linear in the shingle relation (no F² hot-gram
+    blowup; hot grams are fine here, unlike the pair queries), and a
+    final doc-keyed count agg. Reuses dedup's shingle relation so the
+    Spark side and the DuckDB oracle shingle identically."""
+    from conduit_spark.analytics.dedup import _shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs).localCheckpoint()
+    first = sh.groupBy("x").agg(F.min("doc_id").alias("first_id"))
+    out = (
+        sh.join(first, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+    return ordered_result(
+        out.select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.round(novelty, 9).alias("novelty"),
+        ),
+        "doc_id",
+    )
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_ngram_novelty": t_ngram_novelty,
     "t_quality_lr": t_quality_lr,
     "t_unigram_logprob": t_unigram_logprob,
     "t_bm25_topk": t_bm25_topk,
@@ -1140,3 +1184,28 @@ ORACLES["t_quality_lr"] = f"""
            CASE WHEN wsum >= 0 THEN 1 ELSE 0 END AS keep
     FROM s
 """
+
+
+def _novelty_sql() -> str:
+    # late import: dedup owns the canonical shingle construction (the
+    # Spark side reuses dedup._shingles_df, so both engines shingle
+    # identically); importing at call-build time keeps module import
+    # order irrelevant
+    from conduit_spark.analytics.dedup import _SHINGLE_SQL
+
+    return f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        first AS (SELECT x, min(doc_id) AS first_id FROM sh GROUP BY x)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0
+                              END) AS DOUBLE) / count(*), 9) AS novelty
+        FROM sh s JOIN first f ON s.x = f.x
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """
+
+
+ORACLES["t_ngram_novelty"] = _novelty_sql()

@@ -853,3 +853,80 @@ def test_token_budget_band_invariance(spark, sf_dir, monkeypatch):
             baseline = rows
         else:
             assert rows == baseline, f"BUDGET_BAND_DOCS={target} changed results"
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(
+    spark, tmp_path, monkeypatch
+):
+    """A short doc quoted verbatim inside a much longer one: Jaccard
+    is diluted below its 0.05 floor... no — here below any useful
+    near-dup threshold — while containment short→long is exactly 1.0.
+    The asymmetric metric is the decontamination workhorse for exactly
+    this shape (eval questions embedded in crawled pages)."""
+    quoted = "alpha beta gamma delta epsilon"  # 3 shingles at W=3
+    filler = " ".join(f"unique{i}" for i in range(60))
+    rows = [
+        (1, quoted),
+        (2, f"{filler} {quoted}"),  # long doc containing all of doc 1
+        (3, "totally different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    orig = dedup.load_table
+    monkeypatch.setattr(
+        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    try:
+        cont = {
+            (r.id_a, r.id_b): r
+            for r in dedup.d_containment_pairs(spark, str(tmp_path)).collect()
+        }
+        jacc = {
+            (r.id_a, r.id_b)
+            for r in dedup.d_ngram_jaccard(spark, str(tmp_path)).collect()
+        }
+    finally:
+        monkeypatch.setattr(dedup, "load_table", orig)
+    r = cont[(1, 2)]
+    assert r.cont_a_in_b == 1.0  # every shingle of 1 appears in 2
+    assert r.cont_b_in_a < 0.1  # but 2 is mostly NOT doc 1
+    # jaccard's view of the same pair: 3 shared / (3 + 63ish) — far
+    # below any near-dup threshold; d_ngram_jaccard's 0.05 floor keeps
+    # it (barely) but a dedup decision at jaccard>=0.5 would miss it
+    assert (1, 3) not in cont and (2, 3) not in cont
+    for pair in jacc:
+        assert pair != (1, 3) and pair != (2, 3)
+
+
+def test_ngram_novelty_first_owner_semantics(spark, tmp_path, monkeypatch):
+    """doc1 introduces all its shingles (novelty 1); doc2 is a verbatim
+    copy (novelty 0 — every shingle first appeared in doc1); doc3
+    splices doc1's text with fresh text (novelty strictly between)."""
+    base = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, f"{base} zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    from conduit_spark.analytics import text as text_mod
+
+    orig = dedup.load_table
+    monkeypatch.setattr(
+        text_mod, "load_table", lambda sp, d, name: sp.read.parquet(path)
+    )
+    try:
+        got = {
+            r.doc_id: r
+            for r in text_mod.t_ngram_novelty(spark, str(tmp_path)).collect()
+        }
+    finally:
+        monkeypatch.setattr(text_mod, "load_table", orig)
+    assert got[1].novelty == 1.0
+    assert got[2].novelty == 0.0
+    assert 0.0 < got[3].novelty < 1.0
+    # doc3: 10 words -> 8 shingles, 3 inherited from doc1's 5-word text
+    assert got[3].n_grams == 8 and got[3].n_novel == 5

@@ -1314,3 +1314,117 @@ def test_jpeg_progressive_imageio_color_luma_close_to_jdk():
     dy = np.abs(mine @ w - jdk @ w)
     assert float(dy.mean()) < 1.0
     assert float(dy.max()) < 10.0
+
+
+# -- GIF: LZW dictionary coding ------------------------------------------
+#
+# Round-9 codec: a third compression family (adaptive dictionary
+# coding) next to PNG's LZ77+Huffman and JPEG's transform coding. The
+# decoder is pinned two ways: (a) externally-produced fixtures from the
+# JDK ImageIO GIF writer (scripts/MakeGifFixtures.java — palette
+# indexing is lossless, so the match must be byte-exact, no rounding
+# envelope), including an INTERLACED file; (b) a hand-written KwKwK
+# spec vector with no repo encoder in the loop.
+
+_GIF_FIX = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "fixtures", "gif"
+)
+
+
+def _gif_fix(name: str) -> bytes:
+    with open(f"{_GIF_FIX}/{name}", "rb") as f:
+        return f.read()
+
+
+def test_gif_imageio_sequential_matches_jdk_decoder():
+    import numpy as np
+
+    from conduit_spark.analytics.media_codecs import decode_gif
+
+    meta = decode_gif(_gif_fix("imageio_seq.gif"), return_pixels=True)
+    assert (meta["width"], meta["height"]) == (61, 37)
+    assert meta["interlaced"] is False
+    assert meta["palette_size"] >= 64  # writer may pad the table
+    jdk = np.frombuffer(_gif_fix("imageio_rgb.bin"), dtype=np.uint8)
+    jdk = jdk.reshape(37, 61, 3)
+    pal = meta["palette"]
+    mine = np.array(
+        [[pal[3 * v], pal[3 * v + 1], pal[3 * v + 2]] for v in meta["indices"]],
+        dtype=np.uint8,
+    ).reshape(37, 61, 3)
+    assert np.array_equal(mine, jdk)
+
+
+def test_gif_imageio_interlaced_deinterlaces_to_same_image():
+    """The interlaced encode of the SAME image must decode to identical
+    indices — only a correct four-pass de-interlace achieves that."""
+    from conduit_spark.analytics.media_codecs import decode_gif
+
+    seq = decode_gif(_gif_fix("imageio_seq.gif"), return_pixels=True)
+    il = decode_gif(_gif_fix("imageio_interlaced.gif"), return_pixels=True)
+    assert il["interlaced"] is True
+    assert il["indices"] == seq["indices"]
+
+
+def test_gif_lzw_kwkwk_hand_vector():
+    """The LZW self-reference case (code == next_code, 'KwKwK'),
+    hand-assembled bit-by-bit with no repo encoder in the loop:
+    min_code_size=2 (clear=4, eoi=5), stream for indices
+    [1, 1, 1, 1, 1] is CLEAR, 1, 6, 6, EOI — code 6 is emitted while 6
+    is the decoder's NEXT free slot both times (first '11', then
+    '111' via the just-created entry). 3-bit codes 100 001 110 110 101
+    packed LSB-first: 0b110001100 -> 0x8C + leftover high bit, then
+    0b1011101 -> 0x5D."""
+    from conduit_spark.analytics.media_codecs import _lzw_decode
+
+    assert _lzw_decode(bytes([0x8C, 0x5D]), 2) == [1, 1, 1, 1, 1]
+
+
+def test_gif_lzw_roundtrip_own_encoder_growth_and_reset():
+    """Encoder/decoder agreement across the width bumps (3->12 bits)
+    and a table-full CLEAR reset: >4096 dictionary entries forces the
+    encoder's reset path."""
+    from conduit_spark.analytics.media_codecs import _lzw_decode, lzw_encode
+
+    idx = [((x * x + 7 * x) >> 2) % 256 for x in range(60000)]
+    enc = lzw_encode(idx, 8)
+    assert _lzw_decode(enc, 8) == idx
+
+
+def test_gif_reject_paths():
+    import pytest as _pytest
+
+    from conduit_spark.analytics.media_codecs import decode_gif
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF")
+    # truncated: header only
+    with _pytest.raises((ValueError, IndexError, Exception)):
+        decode_gif(b"GIF89a" + b"\x00" * 7)
+
+
+def test_gif_synth_corpus_properties():
+    """The driver query's synthetic corpus: interlace half, stats and
+    checksum recomputed independently from the generation formula."""
+    from conduit_spark.analytics.media_codecs import decode_gif
+    from conduit_spark.analytics.multimodal import (
+        GIF_COLORS,
+        GIF_H_BASE,
+        GIF_H_MOD,
+        GIF_W_BASE,
+        GIF_W_MOD,
+        _synth_gif_bytes,
+    )
+
+    for did in (0, 1, 7, 12, 101):
+        meta = decode_gif(_synth_gif_bytes(did), return_pixels=True)
+        w = GIF_W_BASE + did % GIF_W_MOD
+        h = GIF_H_BASE + did % GIF_H_MOD
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["interlaced"] is (did % 2 == 0)
+        expect = [
+            (did + 3 * r + c // 4) % GIF_COLORS
+            for r in range(h)
+            for c in range(w)
+        ]
+        assert meta["indices"] == expect
