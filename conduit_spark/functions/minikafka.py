@@ -32,6 +32,12 @@ protocol guide without KIP-482 compact encodings:
   close unauthenticated data-API connections; the client signs in at
   connect when given ``sasl={mechanism, username, password}`` and
   verifies the SCRAM server signature (spoofed-broker detection).
+  Round 9 completes the reference connector's ``saslMechanism``
+  inclusion list with SCRAM-SHA-512 (same construction, hash swapped)
+  and adds mTLS: ``MiniKafkaBroker(client_ca=...)`` REQUIRES client
+  certificates, ``MiniKafkaClient(client_cert=, client_key=)``
+  presents one — the reference's ``clientCert``/``clientKey``
+  settings, mapped from YAML by ``registry._kafka_tls``.
 
 Record payloads are RecordBatch v2 via ``kafka_wire`` (CRC32C
 verified both directions). The broker restamps ``baseOffset`` on
@@ -256,10 +262,15 @@ class MiniKafkaBroker:
         default_partitions: int = 2,
         users: dict[str, str] | None = None,
         tls: tuple[str, str] | None = None,
+        client_ca: str | None = None,
     ):
         self.host = host
-        # (cert_pem, key_pem): TLS listener (SASL_SSL when users set)
+        # (cert_pem, key_pem): TLS listener (SASL_SSL when users set);
+        # client_ca additionally REQUIRES a client certificate chained
+        # to it (mTLS — the reference kafka connector's
+        # clientCert/clientKey settings)
         self._tls = tls
+        self._client_ca = client_ca
         # {username: password}; when set, every connection must pass
         # SASL (PLAIN or SCRAM-SHA-256 via SaslHandshake v1 +
         # SaslAuthenticate v0, the KIP-152 framing) before any data
@@ -303,9 +314,9 @@ class MiniKafkaBroker:
         if tls is not None:
             from conduit_spark.functions.tlsutil import server_context
 
-            self._server.socket = server_context(*tls).wrap_socket(
-                self._server.socket, server_side=True
-            )
+            self._server.socket = server_context(
+                *tls, client_ca_pem=client_ca
+            ).wrap_socket(self._server.socket, server_side=True)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
@@ -414,7 +425,7 @@ class MiniKafkaBroker:
     # -- SASL (KIP-152 framing: SaslHandshake v1 + SaslAuthenticate v0;
     # mechanisms PLAIN and SCRAM-SHA-256, functions/scram.py) ---------
 
-    SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256")
+    SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
     def _sasl_handshake(self, r: _Reader, conn: dict) -> bytes:
         mech = r.string() or ""
@@ -450,11 +461,16 @@ class MiniKafkaBroker:
                 )
             conn["authed"] = True
             return resp(ERR_NONE, None, b"")
-        if mech == "SCRAM-SHA-256":
-            from conduit_spark.functions.scram import ScramServer
+        if mech in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
+            from conduit_spark.functions.scram import (
+                ScramServer,
+                algo_for_mechanism,
+            )
 
             if conn.get("scram") is None:
-                conn["scram"] = ScramServer(self._users)
+                conn["scram"] = ScramServer(
+                    self._users, algo=algo_for_mechanism(mech)
+                )
                 try:
                     return resp(
                         ERR_NONE, None,
@@ -780,15 +796,19 @@ class MiniKafkaClient:
         sasl: dict | None = None,
         tls_ca: str | None = None,
         tls: bool = False,
+        client_cert: str | None = None,
+        client_key: str | None = None,
     ):
         host, port = bootstrap.rsplit(":", 1)
         self._sock = socket.create_connection((host, int(port)))
-        if tls or tls_ca is not None:
+        if tls or tls_ca is not None or client_cert is not None:
             from conduit_spark.functions.tlsutil import client_context
 
-            self._sock = client_context(tls_ca).wrap_socket(
-                self._sock, server_hostname=host
-            )
+            self._sock = client_context(
+                tls_ca,
+                client_cert_pem=client_cert,
+                client_key_pem=client_key,
+            ).wrap_socket(self._sock, server_hostname=host)
         self._client_id = client_id
         self._corr = 0
         if sasl:
@@ -826,10 +846,15 @@ class MiniKafkaClient:
         if mechanism == "PLAIN":
             auth_round(b"\x00" + username.encode() + b"\x00" + password.encode())
             return
-        if mechanism == "SCRAM-SHA-256":
-            from conduit_spark.functions.scram import ScramClient
+        if mechanism in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
+            from conduit_spark.functions.scram import (
+                ScramClient,
+                algo_for_mechanism,
+            )
 
-            c = ScramClient(username, password)
+            c = ScramClient(
+                username, password, algo=algo_for_mechanism(mechanism)
+            )
             server_first = auth_round(c.first().encode()).decode()
             server_final = auth_round(c.final(server_first).encode()).decode()
             c.verify_server(server_final)

@@ -93,22 +93,46 @@ def _pem_file(pem: str, suffix: str):
             os.unlink(f.name)
 
 
-def server_context(cert_pem: str, key_pem: str) -> ssl.SSLContext:
+def server_context(
+    cert_pem: str, key_pem: str, *, client_ca_pem: str | None = None
+) -> ssl.SSLContext:
+    """Server context; ``client_ca_pem`` switches on mTLS — the
+    handshake then REQUIRES a client certificate chaining to that CA
+    (the reference kafka connector's ``clientCert``/``clientKey``
+    posture, round 9). A client presenting no certificate or one from
+    a different CA fails the handshake."""
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
     with _pem_file(cert_pem, ".crt") as crt, _pem_file(key_pem, ".key") as key:
         ctx.load_cert_chain(crt, key)
+    if client_ca_pem is not None:
+        ctx.load_verify_locations(cadata=client_ca_pem)
+        ctx.verify_mode = ssl.CERT_REQUIRED
     return ctx
 
 
-def client_context(ca_pem: str | None) -> ssl.SSLContext:
+def client_context(
+    ca_pem: str | None,
+    *,
+    client_cert_pem: str | None = None,
+    client_key_pem: str | None = None,
+) -> ssl.SSLContext:
     """Verifying client context: the server's self-signed cert IS the
     CA (pinning). ``None`` falls back to the system trust store (real
-    endpoints with real certificates)."""
+    endpoints with real certificates). ``client_cert_pem`` +
+    ``client_key_pem`` present a client certificate (mTLS)."""
     if ca_pem is None:
-        return ssl.create_default_context()
-    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-    # cadata accepts in-memory PEM directly — no file needed at all
-    ctx.load_verify_locations(cadata=ca_pem)
-    ctx.verify_mode = ssl.CERT_REQUIRED
-    ctx.check_hostname = True
+        ctx = ssl.create_default_context()
+    else:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        # cadata accepts in-memory PEM directly — no file needed at all
+        ctx.load_verify_locations(cadata=ca_pem)
+        ctx.verify_mode = ssl.CERT_REQUIRED
+        ctx.check_hostname = True
+    if client_cert_pem is not None:
+        if client_key_pem is None:
+            raise ValueError("client certificate requires a client key")
+        with _pem_file(client_cert_pem, ".crt") as crt, _pem_file(
+            client_key_pem, ".key"
+        ) as key:
+            ctx.load_cert_chain(crt, key)
     return ctx

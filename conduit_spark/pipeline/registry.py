@@ -816,14 +816,29 @@ def build_source(
 
 
 def _kafka_tls(settings: dict) -> dict:
-    """Map the reference kafka connector's TLS settings (tls.enabled /
-    tls.caCert — conduit-connector-kafka; clientCert/clientKey mTLS is
-    out of scope for the wire transport) onto MiniKafkaClient kwargs."""
+    """Map the reference kafka connector's TLS settings onto
+    MiniKafkaClient kwargs: tls.enabled / caCert / clientCert /
+    clientKey (conduit-connector-kafka's parameter names, accepted
+    bare or under the ``tls.`` namespace the engine's YAML uses).
+    clientCert+clientKey turn on mTLS — the client presents its
+    certificate during the handshake (round 9; previously descoped)."""
+
+    def get(name: str):
+        v = settings.get(f"tls.{name}", settings.get(name))
+        return str(v) if v is not None else None
+
     enabled = str(settings.get("tls.enabled", "")).lower() in ("1", "true", "yes")
-    ca = settings.get("tls.caCert")
-    if not enabled and not ca:
+    ca = get("caCert")
+    cert, key = get("clientCert"), get("clientKey")
+    if not enabled and not ca and not cert:
         return {}
-    return {"tls": True, "tls_ca": str(ca) if ca else None}
+    out: dict = {"tls": True, "tls_ca": ca}
+    if cert:
+        if not key:
+            raise ValueError("kafka tls.clientCert requires tls.clientKey")
+        out["client_cert"] = cert
+        out["client_key"] = key
+    return out
 
 
 def _kafka_sasl(settings: dict) -> dict | None:
@@ -951,7 +966,8 @@ def kafka_wire_source_df(
 
 
 def kafka_wire_commit_group(
-    servers: str, group_id: str, topic: str, sasl: dict | None = None
+    servers: str, group_id: str, topic: str, sasl: dict | None = None,
+    tls: dict | None = None,
 ) -> dict[tuple[str, int], int]:
     """Commit the CURRENT log-end offsets of ``topic`` (comma list ok)
     to ``group_id`` under a real join/sync membership — the
@@ -963,7 +979,7 @@ def kafka_wire_commit_group(
 
     server = str(servers).split(",")[0].strip()
     topics = [t.strip() for t in str(topic).split(",") if t.strip()]
-    with MiniKafkaClient(server, sasl=sasl) as c:
+    with MiniKafkaClient(server, sasl=sasl, **(tls or {})) as c:
         md = c.metadata(topics)
         offsets = {
             (t, p["partition"]): c.list_offsets(t, p["partition"], LATEST)

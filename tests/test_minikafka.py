@@ -483,10 +483,13 @@ def test_sasl_unknown_user_and_mechanism():
                 sasl={"mechanism": "SCRAM-SHA-256",
                       "username": "ghost", "password": "x"},
             )
+        # SCRAM-SHA-512 is SUPPORTED since round 9; OAUTHBEARER is the
+        # documented descope (ADR: infrastructure dependencies), so it
+        # is the unsupported-mechanism probe now
         with pytest.raises(RuntimeError, match="broker offers"):
             MiniKafkaClient(
                 b.bootstrap,
-                sasl={"mechanism": "SCRAM-SHA-512",
+                sasl={"mechanism": "OAUTHBEARER",
                       "username": "svc", "password": "hunter2"},
             )
 

@@ -181,3 +181,191 @@ def test_kafka_wire_transport_tls_settings_end_to_end(spark, cert):
             for r in got
         )
         assert ns == list(range(8))
+
+
+# -- mTLS (round 9): the reference kafka connector's clientCert/clientKey --
+
+
+@pytest.fixture(scope="module")
+def client_cert():
+    return generate_self_signed(common_name="client")
+
+
+def test_kafka_mtls_roundtrip_and_rejects(cert, other_cert, client_cert):
+    """Broker pins a client CA: a client presenting the matching
+    certificate authenticates the CHANNEL (on top of SASL, which
+    authenticates the principal); no certificate or a foreign
+    certificate fails the handshake."""
+    import ssl as _ssl
+
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+
+    cert_pem, key_pem = cert
+    cc_pem, ck_pem = client_cert
+    with MiniKafkaBroker(
+        tls=(cert_pem, key_pem), client_ca=cc_pem, users={"svc": "pw"}
+    ) as b:
+        b.create_topic("mtls-t", partitions=1)
+        with MiniKafkaClient(
+            b.bootstrap, tls_ca=cert_pem,
+            client_cert=cc_pem, client_key=ck_pem,
+            sasl={"mechanism": "SCRAM-SHA-256",
+                  "username": "svc", "password": "pw"},
+        ) as c:
+            base = c.produce(
+                "mtls-t", 0, [{"key": b"k", "value": b"v", "timestamp": 1}]
+            )
+            recs, _ = c.fetch("mtls-t", 0, base)
+            assert recs[0]["value"] == b"v"
+        # no client certificate: server aborts the handshake
+        with pytest.raises((_ssl.SSLError, ConnectionError, OSError)):
+            MiniKafkaClient(b.bootstrap, tls_ca=cert_pem).api_versions()
+        # foreign client certificate (not chained to the pinned CA)
+        with pytest.raises((_ssl.SSLError, ConnectionError, OSError)):
+            MiniKafkaClient(
+                b.bootstrap, tls_ca=cert_pem,
+                client_cert=other_cert[0], client_key=other_cert[1],
+            ).api_versions()
+
+
+def test_kafka_tls_settings_mapping_client_cert():
+    """YAML settings → wire-client kwargs, both the reference's bare
+    names (caCert/clientCert/clientKey) and the tls.-namespaced form;
+    a cert without its key is a config error, not a silent no-op."""
+    from conduit_spark.pipeline.registry import _kafka_tls
+
+    kw = _kafka_tls(
+        {"tls.caCert": "CA", "tls.clientCert": "CC", "tls.clientKey": "CK"}
+    )
+    assert kw == {
+        "tls": True, "tls_ca": "CA", "client_cert": "CC", "client_key": "CK"
+    }
+    kw = _kafka_tls({"caCert": "CA", "clientCert": "CC", "clientKey": "CK"})
+    assert kw["client_cert"] == "CC" and kw["tls_ca"] == "CA"
+    with pytest.raises(ValueError, match="clientKey"):
+        _kafka_tls({"tls.clientCert": "CC"})
+    assert _kafka_tls({}) == {}
+
+
+# -- SCRAM-SHA-512 (round 9): the third saslMechanism inclusion value --
+
+
+def test_kafka_scram_sha512_over_tls_and_reject(cert):
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+
+    cert_pem, key_pem = cert
+    with MiniKafkaBroker(tls=(cert_pem, key_pem), users={"u": "s3cret"}) as b:
+        b.create_topic("s512-t", partitions=1)
+        with MiniKafkaClient(
+            b.bootstrap, tls_ca=cert_pem,
+            sasl={"mechanism": "SCRAM-SHA-512",
+                  "username": "u", "password": "s3cret"},
+        ) as c:
+            base = c.produce(
+                "s512-t", 0, [{"key": None, "value": b"x", "timestamp": 1}]
+            )
+            recs, _ = c.fetch("s512-t", 0, base)
+            assert recs[0]["value"] == b"x"
+        with pytest.raises(RuntimeError, match="SASL authentication failed"):
+            MiniKafkaClient(
+                b.bootstrap, tls_ca=cert_pem,
+                sasl={"mechanism": "SCRAM-SHA-512",
+                      "username": "u", "password": "wrong"},
+            )
+
+
+def test_scram_sha512_known_answer_from_primitives():
+    """SHA-512 has no RFC 7677 worked example; pin the client proof
+    against a value computed HERE from hashlib/hmac primitives alone
+    (fixed nonces/salt/iterations), independent of scram.py's internal
+    composition — a module that mixed hash widths anywhere would
+    mismatch."""
+    import base64
+    import hashlib
+    import hmac as _hmac
+
+    from conduit_spark.functions.scram import ScramClient
+
+    salt = b"0123456789abcdef"
+    server_first = (
+        "r=cnonceSNONCE,s=" + base64.b64encode(salt).decode() + ",i=4096"
+    )
+    c = ScramClient("user", "pencil", nonce="cnonce", algo="sha512")
+    final = c.final(server_first)
+
+    sp = hashlib.pbkdf2_hmac("sha512", b"pencil", salt, 4096)
+    ck = _hmac.new(sp, b"Client Key", hashlib.sha512).digest()
+    sk = hashlib.sha512(ck).digest()
+    auth = (
+        "n=user,r=cnonce," + server_first + ",c=biws,r=cnonceSNONCE"
+    ).encode()
+    sig = _hmac.new(sk, auth, hashlib.sha512).digest()
+    proof = bytes(a ^ b for a, b in zip(ck, sig))
+    assert final == (
+        "c=biws,r=cnonceSNONCE,p=" + base64.b64encode(proof).decode()
+    )
+    # and the server signature the client will verify
+    srv_sig = _hmac.new(
+        _hmac.new(sp, b"Server Key", hashlib.sha512).digest(),
+        auth, hashlib.sha512,
+    ).digest()
+    c.verify_server("v=" + base64.b64encode(srv_sig).decode())
+
+
+def test_kafka_wire_mtls_scram512_settings_end_to_end(spark, cert, client_cert):
+    """The full round-9 posture through YAML settings: mTLS
+    (clientCert/clientKey) + SCRAM-SHA-512 over TLS, sink then source —
+    every executor task presents the client certificate on its own
+    connection (the kwargs ship inside the mapInPandas closures)."""
+    import json
+
+    from conduit_spark.functions.minikafka import MiniKafkaBroker
+    from conduit_spark.pipeline import registry
+
+    cert_pem, key_pem = cert
+    cc_pem, ck_pem = client_cert
+    with MiniKafkaBroker(
+        tls=(cert_pem, key_pem), client_ca=cc_pem, users={"svc": "pw"}
+    ) as b:
+        b.create_topic("mtls-pipe", partitions=2)
+        settings = {
+            "servers": b.bootstrap, "topic": "mtls-pipe",
+            "transport": "wire",
+            "tls.caCert": cert_pem,
+            "tls.clientCert": cc_pem, "tls.clientKey": ck_pem,
+            "saslMechanism": "SCRAM-SHA-512",
+            "saslUsername": "svc", "saslPassword": "pw",
+        }
+        src = spark.createDataFrame(
+            [(f"u{i}", json.dumps({"n": i})) for i in range(6)],
+            "key_json string, payload_after_json string",
+        ).selectExpr(
+            "key_json",
+            "cast(null as binary) as key_raw",
+            "payload_after_json",
+            "cast(null as binary) as payload_after_raw",
+        )
+        registry.write_destination(src, "builtin:kafka", settings)
+        env = registry.build_source(
+            spark, "builtin:kafka", settings, "k", streaming=False
+        )
+        got = env.collect()
+        assert len(got) == 6
+        ns = sorted(
+            json.loads(bytes(r.payload_after_raw).decode())["n"] for r in got
+        )
+        assert ns == list(range(6))
+        # the same settings WITHOUT the client certificate must fail
+        # (the broker requires one)
+        bad = dict(settings)
+        bad.pop("tls.clientCert"); bad.pop("tls.clientKey")
+        with pytest.raises(Exception):
+            registry.build_source(
+                spark, "builtin:kafka", bad, "k", streaming=False
+            )
