@@ -71,12 +71,17 @@ class MiniPGServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
                  slot: str = "conduit_spark", keepalive_s: float = 0.2,
                  users: dict[str, str] | None = None,
-                 tls: tuple[str, str] | None = None):
+                 tls: tuple[str, str] | None = None,
+                 client_ca: str | None = None):
         self.host = host
         # (cert_pem, key_pem): answer the SSLRequest probe with 'S' and
         # upgrade the connection (postgres STARTTLS, protocol v3) —
-        # sslmode=require semantics; without it the probe gets 'N'
+        # sslmode=require semantics; without it the probe gets 'N'.
+        # client_ca additionally REQUIRES a client certificate in the
+        # upgrade handshake (libpq sslcert/sslkey — clientcert=verify-ca
+        # in pg_hba terms), round 9
         self._tls = tls
+        self._client_ca = client_ca
         # {startup-user: password}; when set, the session must pass
         # SCRAM-SHA-256 (protocol-v3 AuthenticationSASL flow, RFC 5802
         # via functions/scram.py) before AuthenticationOk — postgres
@@ -304,9 +309,9 @@ class MiniPGServer:
             from conduit_spark.functions.tlsutil import server_context
 
             sock.sendall(b"S")
-            sock = server_context(*self._tls).wrap_socket(
-                sock, server_side=True
-            )
+            sock = server_context(
+                *self._tls, client_ca_pem=self._client_ca
+            ).wrap_socket(sock, server_side=True)
             return self._read_startup(sock)
         if proto in (80877103, 80877104):  # SSLRequest / GSSENCRequest
             # real libpq clients probe before the startup packet;
@@ -376,7 +381,8 @@ class ReplicationClient:
     def __init__(self, dsn: str, *, slot: str = "conduit_spark",
                  user: str = "conduit", dbname: str = "mini",
                  password: str | None = None,
-                 sslmode: str = "disable", ssl_ca: str | None = None):
+                 sslmode: str = "disable", ssl_ca: str | None = None,
+                 sslcert: str | None = None, sslkey: str | None = None):
         host, _, port = dsn.rpartition(":")
         self._sock = socket.create_connection((host, int(port)), timeout=30)
         self.slot = slot
@@ -392,9 +398,9 @@ class ReplicationClient:
                 )
             from conduit_spark.functions.tlsutil import client_context
 
-            self._sock = client_context(ssl_ca).wrap_socket(
-                self._sock, server_hostname=host
-            )
+            self._sock = client_context(
+                ssl_ca, client_cert_pem=sslcert, client_key_pem=sslkey
+            ).wrap_socket(self._sock, server_hostname=host)
         body = struct.pack(">I", 196608)
         for k, v in (
             ("user", user), ("database", dbname), ("replication", "database"),

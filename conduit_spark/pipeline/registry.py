@@ -664,13 +664,38 @@ def build_source(
                     str(settings["cdc.path"]),
                 )
                 if key not in _ACTIVE_WAL_TAILS:
+                    # libpq-style auth/TLS settings (round 9): cdc.user
+                    # / cdc.password (SCRAM), cdc.sslmode +
+                    # cdc.sslrootcert (STARTTLS, CA pin), cdc.sslcert +
+                    # cdc.sslkey (mTLS client certificate)
                     _ACTIVE_WAL_TAILS[key] = LiveWalTail(
                         key[2],
                         slot=key[1],
                         format_version=int(
                             settings.get("cdc.formatVersion", 2)
                         ),
-                    ).start_native(key[0], slot=key[1])
+                    ).start_native(
+                        key[0],
+                        slot=key[1],
+                        user=str(settings.get("cdc.user", "conduit")),
+                        password=(
+                            str(settings["cdc.password"])
+                            if "cdc.password" in settings else None
+                        ),
+                        sslmode=str(settings.get("cdc.sslmode", "disable")),
+                        ssl_ca=(
+                            str(settings["cdc.sslrootcert"])
+                            if "cdc.sslrootcert" in settings else None
+                        ),
+                        sslcert=(
+                            str(settings["cdc.sslcert"])
+                            if "cdc.sslcert" in settings else None
+                        ),
+                        sslkey=(
+                            str(settings["cdc.sslkey"])
+                            if "cdc.sslkey" in settings else None
+                        ),
+                    )
             if cdc_format == "wal2json":
                 return wal2json_source(
                     spark,

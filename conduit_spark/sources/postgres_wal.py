@@ -697,7 +697,9 @@ class LiveWalTail:
                      start_lsn: int = 0, user: str = "conduit",
                      password: str | None = None,
                      sslmode: str = "disable",
-                     ssl_ca: str | None = None) -> "LiveWalTail":
+                     ssl_ca: str | None = None,
+                     sslcert: str | None = None,
+                     sslkey: str | None = None) -> "LiveWalTail":
         """Tail a replication endpoint over the ENGINE'S OWN wire
         client (``functions.minipg.ReplicationClient`` — protocol-v3
         walsender mode: startup with ``replication=database``,
@@ -735,6 +737,7 @@ class LiveWalTail:
             client = ReplicationClient(
                 dsn, slot=slot, user=user, password=password,
                 sslmode=sslmode, ssl_ca=ssl_ca,
+                sslcert=sslcert, sslkey=sslkey,
             )
             self._client = client
             buf: list[str] = []

@@ -369,3 +369,94 @@ def test_kafka_wire_mtls_scram512_settings_end_to_end(spark, cert, client_cert):
             registry.build_source(
                 spark, "builtin:kafka", bad, "k", streaming=False
             )
+
+
+def test_postgres_walsender_mtls_roundtrip_and_rejects(
+    cert, other_cert, client_cert, tmp_path
+):
+    """libpq-style mTLS on the replication wire: the walsender pins a
+    client CA (pg_hba clientcert=verify-ca semantics); a client
+    presenting sslcert/sslkey streams normally, one without fails the
+    STARTTLS upgrade."""
+    import ssl as _ssl
+
+    from conduit_spark.functions.minipg import MiniPGServer, ReplicationClient
+
+    cert_pem, key_pem = cert
+    cc_pem, ck_pem = client_cert
+    with MiniPGServer(
+        tls=(cert_pem, key_pem), client_ca=cc_pem,
+        users={"repl": "walpass"},
+    ) as srv:
+        srv.feed('{"action":"I","table":"t"}')
+        c = ReplicationClient(
+            srv.dsn, user="repl", password="walpass",
+            sslmode="require", ssl_ca=cert_pem,
+            sslcert=cc_pem, sslkey=ck_pem,
+        )
+        gen = c.start_replication(0)
+        lsn, payload = next(gen)
+        assert b'"action":"I"' in payload
+        c.close()
+        with pytest.raises((_ssl.SSLError, ConnectionError, OSError)):
+            ReplicationClient(
+                srv.dsn, user="repl", password="walpass",
+                sslmode="require", ssl_ca=cert_pem,
+            ).start_replication(0).__next__()
+        with pytest.raises((_ssl.SSLError, ConnectionError, OSError)):
+            ReplicationClient(
+                srv.dsn, user="repl", password="walpass",
+                sslmode="require", ssl_ca=cert_pem,
+                sslcert=other_cert[0], sslkey=other_cert[1],
+            ).start_replication(0).__next__()
+
+
+def test_postgres_cdc_dsn_settings_reach_wire_client(
+    cert, client_cert, tmp_path, spark
+):
+    """YAML cdc.* auth/TLS settings flow into the live tail's wire
+    client: SCRAM + STARTTLS + client certificate, end-to-end into
+    capture files and out as envelopes."""
+    import json
+    import time
+
+    from conduit_spark.functions.minipg import MiniPGServer
+    from conduit_spark.pipeline import registry
+
+    cert_pem, key_pem = cert
+    cc_pem, ck_pem = client_cert
+    cap = str(tmp_path / "cap")
+    with MiniPGServer(
+        tls=(cert_pem, key_pem), client_ca=cc_pem,
+        users={"repl": "walpass"}, keepalive_s=0.05,
+    ) as srv:
+        for i in range(4):
+            srv.feed(json.dumps({
+                "action": "I", "schema": "public", "table": "t",
+                "columns": [{"name": "id", "type": "integer", "value": i}],
+            }))
+        settings = {
+            "cdc.dsn": srv.dsn, "cdc.path": cap, "cdc.slot": "s9",
+            "cdc.user": "repl", "cdc.password": "walpass",
+            "cdc.sslmode": "require", "cdc.sslrootcert": cert_pem,
+            "cdc.sslcert": cc_pem, "cdc.sslkey": ck_pem,
+            "cdc.format": "wal2json",
+        }
+        # first call starts the live tail (and binds to an empty dir);
+        # wait for capture files, then rebuild — the batch DataFrame
+        # lists files at build time (the gate query does the same)
+        registry.build_source(
+            spark, "builtin:postgres", settings, "pg", streaming=False
+        )
+        import glob
+
+        deadline = time.time() + 15
+        while time.time() < deadline and not glob.glob(f"{cap}/wal-*.jsonl"):
+            time.sleep(0.2)
+        assert glob.glob(f"{cap}/wal-*.jsonl"), "no capture files written"
+        env = registry.build_source(
+            spark, "builtin:postgres", settings, "pg", streaming=False
+        )
+        assert env.count() >= 4
+        tail = registry._ACTIVE_WAL_TAILS.pop((srv.dsn, "s9", cap))
+        tail.stop()
