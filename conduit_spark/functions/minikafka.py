@@ -798,6 +798,7 @@ class MiniKafkaClient:
         tls: bool = False,
         client_cert: str | None = None,
         client_key: str | None = None,
+        insecure_skip_verify: bool = False,
     ):
         host, port = bootstrap.rsplit(":", 1)
         self._sock = socket.create_connection((host, int(port)))
@@ -808,6 +809,7 @@ class MiniKafkaClient:
                 tls_ca,
                 client_cert_pem=client_cert,
                 client_key_pem=client_key,
+                insecure_skip_verify=insecure_skip_verify,
             ).wrap_socket(self._sock, server_hostname=host)
         self._client_id = client_id
         self._corr = 0

@@ -115,12 +115,20 @@ def client_context(
     *,
     client_cert_pem: str | None = None,
     client_key_pem: str | None = None,
+    insecure_skip_verify: bool = False,
 ) -> ssl.SSLContext:
     """Verifying client context: the server's self-signed cert IS the
     CA (pinning). ``None`` falls back to the system trust store (real
     endpoints with real certificates). ``client_cert_pem`` +
-    ``client_key_pem`` present a client certificate (mTLS)."""
-    if ca_pem is None:
+    ``client_key_pem`` present a client certificate (mTLS).
+    ``insecure_skip_verify`` disables chain and hostname verification
+    (the reference kafka connector's ``insecureSkipVerify``; encrypted
+    but unauthenticated — dev/self-signed endpoints only)."""
+    if insecure_skip_verify:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    elif ca_pem is None:
         ctx = ssl.create_default_context()
     else:
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)

@@ -855,7 +855,8 @@ def _kafka_tls(settings: dict) -> dict:
     enabled = str(settings.get("tls.enabled", "")).lower() in ("1", "true", "yes")
     ca = get("caCert")
     cert, key = get("clientCert"), get("clientKey")
-    if not enabled and not ca and not cert:
+    skip = str(get("insecureSkipVerify") or "").lower() in ("1", "true", "yes")
+    if not enabled and not ca and not cert and not skip:
         return {}
     out: dict = {"tls": True, "tls_ca": ca}
     if cert:
@@ -863,6 +864,8 @@ def _kafka_tls(settings: dict) -> dict:
             raise ValueError("kafka tls.clientCert requires tls.clientKey")
         out["client_cert"] = cert
         out["client_key"] = key
+    if skip:
+        out["insecure_skip_verify"] = True
     return out
 
 

@@ -460,3 +460,34 @@ def test_postgres_cdc_dsn_settings_reach_wire_client(
         assert env.count() >= 4
         tail = registry._ACTIVE_WAL_TAILS.pop((srv.dsn, "s9", cap))
         tail.stop()
+
+
+def test_kafka_insecure_skip_verify(cert):
+    """The reference's insecureSkipVerify: a client that pins no CA
+    connects to a self-signed broker when set (encrypted,
+    unauthenticated), and fails verification by default."""
+    import ssl as _ssl
+
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline.registry import _kafka_tls
+
+    cert_pem, key_pem = cert
+    with MiniKafkaBroker(tls=(cert_pem, key_pem)) as b:
+        b.create_topic("isv-t", partitions=1)
+        with MiniKafkaClient(
+            b.bootstrap, tls=True, insecure_skip_verify=True
+        ) as c:
+            base = c.produce(
+                "isv-t", 0, [{"key": None, "value": b"v", "timestamp": 1}]
+            )
+            recs, _ = c.fetch("isv-t", 0, base)
+            assert recs[0]["value"] == b"v"
+        # default: self-signed cert is NOT in the system trust store
+        with pytest.raises(_ssl.SSLError):
+            MiniKafkaClient(b.bootstrap, tls=True).api_versions()
+    assert _kafka_tls({"insecureSkipVerify": "true"}) == {
+        "tls": True, "tls_ca": None, "insecure_skip_verify": True
+    }
