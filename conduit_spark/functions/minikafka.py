@@ -304,7 +304,8 @@ class MiniKafkaBroker:
                         resp = broker._dispatch(body, conn)
                     except _SaslRequired:
                         return  # close: data API before authentication
-                    sock.sendall(struct.pack(">i", len(resp)) + resp)
+                    if resp is not None:  # acks=0 produce: no response
+                        sock.sendall(struct.pack(">i", len(resp)) + resp)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -347,7 +348,7 @@ class MiniKafkaBroker:
 
     # -- request dispatch ---------------------------------------------------
 
-    def _dispatch(self, req: bytes, conn: dict | None = None) -> bytes:
+    def _dispatch(self, req: bytes, conn: dict | None = None) -> bytes | None:
         conn = conn if conn is not None else {"authed": True}
         r = _Reader(req)
         api_key = r.i16()
@@ -404,7 +405,10 @@ class MiniKafkaBroker:
                 "OffsetFetch v1, FindCoordinator v0, "
                 "JoinGroup/Heartbeat/LeaveGroup/SyncGroup v0"
             )
-        return struct.pack(">i", correlation_id) + handlers[api_key][1](r)
+        body_out = handlers[api_key][1](r)
+        if body_out is None:  # acks=0 produce: the protocol sends NOTHING
+            return None
+        return struct.pack(">i", correlation_id) + body_out
 
     def _api_versions_table(self) -> bytes:
         rows = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
@@ -678,9 +682,9 @@ class MiniKafkaBroker:
                 out += struct.pack(">ii", 1, self.node_id)  # isr
         return out
 
-    def _produce(self, r: _Reader) -> bytes:
+    def _produce(self, r: _Reader) -> bytes | None:
         r.string()  # transactional_id
-        r.i16()  # acks
+        acks = r.i16()
         r.i32()  # timeout_ms
         n_topics = r.i32()
         out_topics = b""
@@ -703,6 +707,11 @@ class MiniKafkaBroker:
                     base = log.append(record_set)
                 part_out += struct.pack(">ihqq", partition, ERR_NONE, base, -1)
             out_topics += _w_str(topic) + struct.pack(">i", n_parts) + part_out
+        if acks == 0:
+            # fire-and-forget: a real broker sends NO produce response
+            # for acks=0 (the request has no means of correlation) —
+            # the append above still happened
+            return None
         # Produce is the one API with throttle_time_ms LAST (v1-v8)
         return struct.pack(">i", n_topics) + out_topics + struct.pack(">i", 0)
 
@@ -872,6 +881,15 @@ class MiniKafkaClient:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    def _send_noreply(self, api_key: int, api_version: int, body: bytes) -> None:
+        self._corr += 1
+        req = (
+            struct.pack(">hhi", api_key, api_version, self._corr)
+            + _w_str(self._client_id)
+            + body
+        )
+        self._sock.sendall(struct.pack(">i", len(req)) + req)
+
     def _call(self, api_key: int, api_version: int, body: bytes) -> _Reader:
         self._corr += 1
         req = (
@@ -952,6 +970,12 @@ class MiniKafkaClient:
             + struct.pack(">i", 1) + struct.pack(">i", partition)
             + _w_bytes(record_set)
         )
+        if acks == 0:
+            # fire-and-forget: send the frame and do not wait — the
+            # broker will not respond (reference destination "acks:
+            # none"); base offset is unknowable by design
+            self._send_noreply(API_PRODUCE, 3, body)
+            return -1
         r = self._call(API_PRODUCE, 3, body)
         base_offset = None
         for _ in range(r.i32()):

@@ -830,6 +830,11 @@ def build_source(
                 group_id=(
                     str(settings["groupId"]) if "groupId" in settings else None
                 ),
+                read_from_beginning=(
+                    str(settings.get("readFromBeginning", "true")).lower()
+                    in ("1", "true", "yes")
+                ),
+                client_id=str(settings.get("clientID", "conduit-spark")),
                 sasl=_kafka_sasl(settings),
                 tls=_kafka_tls(settings),
             )
@@ -838,6 +843,21 @@ def build_source(
         df = reader.format("kafka").options(**kafka_reader_options(settings)).load()
         return envelope_from_kafka(df, source_id)
     raise ValueError(f"unknown source plugin {plugin!r}")
+
+
+def _duration_ms(v, *, default_ms: int) -> int:
+    """Reference Go-duration settings ("5s", "500ms", "1m") or a bare
+    number of SECONDS -> milliseconds."""
+    if v is None:
+        return default_ms
+    t = str(v).strip()
+    if t.endswith("ms"):
+        return int(float(t[:-2]))
+    if t.endswith("s"):
+        return int(float(t[:-1]) * 1000)
+    if t.endswith("m"):
+        return int(float(t[:-1]) * 60_000)
+    return int(float(t) * 1000)
 
 
 def _kafka_tls(settings: dict) -> dict:
@@ -903,6 +923,7 @@ def _s3_creds(settings: dict) -> dict | None:
 
 def kafka_wire_source_df(
     spark, servers: str, topic: str, group_id: str | None = None,
+    read_from_beginning: bool = True, client_id: str = "conduit-spark",
     sasl: dict | None = None, tls: dict | None = None,
 ):
     """Jar-free ``builtin:kafka`` snapshot reader over the engine's
@@ -919,8 +940,12 @@ def kafka_wire_source_df(
     ``envelope_from_kafka`` projects.
 
     ``group_id`` switches each partition's START to the group's
-    committed offset (OffsetFetch; earliest where none) — the
-    consumer-group snapshot shape. Committing after a successful run
+    committed offset (OffsetFetch; where none, ``read_from_beginning``
+    picks earliest (default) or latest — the reference source's
+    ``readFromBeginning``, whose own default is the LATEST side
+    because it tails as a daemon; a batch snapshot with latest-start
+    would be empty on first run, so the engine defaults to earliest
+    and the setting opts out). Committing after a successful run
     is the caller's job via :func:`kafka_wire_commit_group` (commit
     must follow delivery, and a DataFrame is lazy)."""
     from conduit_spark.functions.minikafka import EARLIEST, LATEST, MiniKafkaClient
@@ -932,7 +957,7 @@ def kafka_wire_source_df(
         "key binary, value binary, topic string, partition int, "
         "offset long, timestamp long"
     )
-    with MiniKafkaClient(server, sasl=sasl, **tls_kw) as c:
+    with MiniKafkaClient(server, client_id=client_id, sasl=sasl, **tls_kw) as c:
         md = c.metadata(topics)
         all_parts = [
             (t, p["partition"])
@@ -944,10 +969,13 @@ def kafka_wire_source_df(
         )
         ranges = []
         for t, p in all_parts:
-            lo = c.list_offsets(t, p, EARLIEST)
-            if committed.get((t, p), -1) >= 0:
-                lo = max(lo, committed[(t, p)])
             hi = c.list_offsets(t, p, LATEST)
+            if committed.get((t, p), -1) >= 0:
+                lo = max(c.list_offsets(t, p, EARLIEST), committed[(t, p)])
+            elif group_id and not read_from_beginning:
+                lo = hi  # readFromBeginning=false: only NEW records
+            else:
+                lo = c.list_offsets(t, p, EARLIEST)
             if hi > lo:
                 ranges.append((t, p, lo, hi))
     if not ranges:
@@ -1161,6 +1189,17 @@ def write_destination(
                 settings["servers"],
                 settings["topic"],
                 compression=settings.get("compression"),
+                acks=settings.get("acks", "all"),
+                delivery_timeout_ms=_duration_ms(
+                    settings.get("deliveryTimeout"), default_ms=30000
+                ),
+                client_id=str(
+                    settings.get("clientID", "conduit-spark")
+                ),
+                batch_bytes=(
+                    int(settings["batchBytes"])
+                    if "batchBytes" in settings else None
+                ),
                 sasl=_kafka_sasl(settings),
                 tls=_kafka_tls(settings),
             )

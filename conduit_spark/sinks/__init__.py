@@ -236,13 +236,20 @@ def kafka_sink(
     )
 
 
+ACKS_BY_NAME = {"none": 0, "one": 1, "all": -1}
+
+
 def kafka_wire_sink(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     *,
     batch_size: int = 500,
+    batch_bytes: int | None = None,
     compression: str | None = None,
+    acks: str | int = "all",
+    delivery_timeout_ms: int = 30000,
+    client_id: str = "conduit-spark",
     sasl: dict | None = None,
     tls: dict | None = None,
 ) -> None:
@@ -252,7 +259,12 @@ def kafka_wire_sink(
     connection and sends RecordBatch v2 produces of ≤``batch_size``
     records per partition — the same per-task connection/batching
     shape a real producer fleet has, so the plan scales with executor
-    count. Partition routing is Kafka's default-partitioner murmur2
+    count. Round 9 maps the rest of the reference destination's
+    parameters: ``acks`` none/one/all -> 0/1/-1 on the Produce request
+    (none = fire-and-forget, the broker sends no response),
+    ``batchBytes`` caps the encoded request size per partition batch
+    (Kafka's max.message.bytes guard), ``deliveryTimeout`` becomes the
+    produce timeout, ``clientID`` travels in every request header. Partition routing is Kafka's default-partitioner murmur2
     on the record key (value-hash for null keys, documented in
     ``partition_for_key``). The JVM ``format("kafka")`` path in
     :func:`kafka_sink` remains the hot path where the spark-sql-kafka
@@ -264,6 +276,7 @@ def kafka_wire_sink(
     runtime's delivery ``Observation`` (CollectMetrics only flows
     through Dataset actions), deadlocking ``Pipeline._deliver``."""
     records = kafka_records(df)
+    acks_int = ACKS_BY_NAME[acks] if isinstance(acks, str) else int(acks)
 
     def _send(batches):
         import time
@@ -279,12 +292,14 @@ def kafka_wire_sink(
         n_sent = 0
         try:
             buf: dict[int, list[dict]] = {}
+            sizes: dict[int, int] = {}
             n_parts = 1
             for pdf in batches:
                 for row in pdf.itertuples():
                     if client is None:
                         client = MiniKafkaClient(
-                            server, sasl=sasl, **(tls or {})
+                            server, client_id=client_id,
+                            sasl=sasl, **(tls or {}),
                         )
                         md = client.metadata([topic])
                         parts = md["topics"].get(topic, {}).get("partitions", [])
@@ -315,11 +330,26 @@ def kafka_wire_sink(
                     buf.setdefault(p, []).append(
                         {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
                     )
+                    # ~70B of RecordBatch framing per record on top of
+                    # key+value — a cheap upper bound that keeps every
+                    # request under batchBytes without encoding twice
+                    sizes[p] = sizes.get(p, 0) + (
+                        len(k or b"") + len(v or b"") + 70
+                    )
                     n_sent += 1
-                    if len(buf[p]) >= batch_size:
-                        client.produce(topic, p, buf.pop(p), compression=compression)
+                    if len(buf[p]) >= batch_size or (
+                        batch_bytes is not None and sizes[p] >= batch_bytes
+                    ):
+                        client.produce(
+                            topic, p, buf.pop(p), compression=compression,
+                            acks=acks_int, timeout_ms=delivery_timeout_ms,
+                        )
+                        sizes.pop(p)
             for p, recs in buf.items():
-                client.produce(topic, p, recs, compression=compression)
+                client.produce(
+                    topic, p, recs, compression=compression,
+                    acks=acks_int, timeout_ms=delivery_timeout_ms,
+                )
         finally:
             if client is not None:
                 client.close()

@@ -253,3 +253,87 @@ class TestKafkaWireFormat:
             "t1:0:1001",
             "t1:0:1002",
         ]
+
+
+# -- round-9 destination/source parameters (reference parity) ------------
+
+
+def test_duration_ms_parses_go_durations():
+    from conduit_spark.pipeline.registry import _duration_ms
+
+    assert _duration_ms(None, default_ms=30000) == 30000
+    assert _duration_ms("500ms", default_ms=0) == 500
+    assert _duration_ms("5s", default_ms=0) == 5000
+    assert _duration_ms("2m", default_ms=0) == 120000
+    assert _duration_ms(3, default_ms=0) == 3000  # bare seconds
+
+
+def test_kafka_wire_acks_none_and_batch_bytes(spark):
+    """acks=none (fire-and-forget Produce, broker sends no response)
+    and batchBytes-capped requests through YAML settings: every record
+    still lands, in order per partition."""
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline import registry
+
+    with MiniKafkaBroker() as b:
+        b.create_topic("acks0-pipe", partitions=2)
+        settings = {
+            "servers": b.bootstrap, "topic": "acks0-pipe",
+            "transport": "wire", "acks": "none",
+            "batchBytes": "200",  # forces multi-request batches
+            "deliveryTimeout": "5s", "clientID": "r9-test",
+        }
+        src = spark.createDataFrame(
+            [(f"u{i}", json.dumps({"n": i, "pad": "x" * 40})) for i in range(30)],
+            "key_json string, payload_after_json string",
+        ).coalesce(1).selectExpr(
+            # one producer task so per-kafka-partition order is
+            # deterministic (a multi-task fleet interleaves, as real
+            # producers do)
+            "key_json",
+            "cast(null as binary) as key_raw",
+            "payload_after_json",
+            "cast(null as binary) as payload_after_raw",
+        )
+        registry.write_destination(src, "builtin:kafka", settings)
+        seen = []
+        with MiniKafkaClient(b.bootstrap) as c:
+            for p in (0, 1):
+                recs, _ = c.fetch("acks0-pipe", p, 0)
+                ns = [json.loads(r["value"])["n"] for r in recs]
+                # single producer task: per-partition arrival order is
+                # source order even across the size-capped requests
+                assert ns == sorted(ns)
+                seen.extend(ns)
+        assert sorted(seen) == list(range(30))
+
+
+def test_kafka_wire_read_from_beginning_false_skips_backlog(spark):
+    """readFromBeginning=false with a fresh consumer group: partitions
+    without a committed offset start at LATEST (only new records) —
+    the reference source's default tail behavior."""
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    with MiniKafkaBroker() as b:
+        b.create_topic("rfb-t", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("rfb-t", 0, [
+                {"key": None, "value": b"old", "timestamp": 1}
+            ])
+        df = kafka_wire_source_df(
+            spark, b.bootstrap, "rfb-t", group_id="g-rfb",
+            read_from_beginning=False,
+        )
+        assert df.count() == 0  # backlog skipped
+        df2 = kafka_wire_source_df(
+            spark, b.bootstrap, "rfb-t", group_id="g-rfb",
+            read_from_beginning=True,
+        )
+        assert df2.count() == 1  # opt-in to the backlog
