@@ -1156,10 +1156,25 @@ def write_destination(
             fmt=settings.get("format", "json"),
             mode=settings.get("mode", "append"),
             partition_by_collection=bool(settings.get("partitionByCollection", False)),
+            record_format=(
+                str(settings["sdk.record.format"])
+                if "sdk.record.format" in settings else None
+            ),
+            record_format_options=(
+                str(settings["sdk.record.format.options"])
+                if "sdk.record.format.options" in settings else None
+            ),
         )
         return
     if plugin == "builtin:log":
-        sinks.log_sink(df, n=int(settings.get("n", 20)))
+        sinks.log_sink(
+            df,
+            n=int(settings.get("n", 20)),
+            level=str(settings.get("level", "info")),
+            message=(
+                str(settings["message"]) if "message" in settings else None
+            ),
+        )
         return
     if plugin == "builtin:postgres":
         if settings.get("writeMode") == "upsert":

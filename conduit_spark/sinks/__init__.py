@@ -28,6 +28,84 @@ def _serializable(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def record_line(
+    df: DataFrame, fmt: str = "opencdc/json", options: str | None = None
+):
+    """The rendered-record Column behind :func:`format_records` —
+    callers that need extra columns alongside the line (e.g. a
+    partitionBy key) select this next to them."""
+    return _record_line(df, fmt, options)
+
+
+def format_records(
+    df: DataFrame, fmt: str = "opencdc/json", options: str | None = None
+) -> DataFrame:
+    """Reference ``sdk.record.format`` middleware: envelope → ONE
+    string column ``value`` per record, rendered JVM-side.
+
+    - ``opencdc/json`` (the reference default): the nested OpenCDC
+      record shape ``{"position": <b64>, "operation": ..., "metadata":
+      {...}, "key": ..., "payload": {"before": ..., "after": ...}}``.
+      Structured key/payload embed VERBATIM as JSON objects (they are
+      JSON text columns already — no reparse, no schema needed); raw
+      bytes travel base64-quoted, like the reference's log example.
+    - ``template``: ``options`` is a Go template executed per record
+      (``expr/template.py`` compiles it to a Column — whole-stage
+      codegen, not a row-at-a-time UDF), the reference's template
+      output format.
+
+    Scale: both are pure column algebra on the write path — zero extra
+    shuffles, distributed rendering."""
+    return df.select(_record_line(df, fmt, options).alias("value"))
+
+
+def _record_line(df: DataFrame, fmt: str, options: str | None):
+    if fmt == "opencdc/json":
+        # base64 of binary -> JSON string literal; structured JSON text
+        # embeds verbatim
+        key = F.coalesce(
+            F.col("key_json"),
+            F.concat(F.lit('"'), F.base64(F.col("key_raw")), F.lit('"')),
+            F.lit("null"),
+        )
+        after = F.coalesce(
+            F.col("payload_after_json"),
+            F.concat(
+                F.lit('"'), F.base64(F.col("payload_after_raw")), F.lit('"')
+            ),
+            F.lit("null"),
+        )
+        before = F.coalesce(F.col("payload_before_json"), F.lit("null"))
+        line = F.concat(
+            F.lit('{"position":'),
+            F.coalesce(
+                F.concat(F.lit('"'), F.base64(F.col("position")), F.lit('"')),
+                F.lit("null"),
+            ),
+            F.lit(',"operation":"'), F.col("operation"), F.lit('"'),
+            F.lit(',"metadata":'),
+            F.coalesce(F.to_json(F.col("metadata")), F.lit("null")),
+            F.lit(',"key":'), key,
+            F.lit(',"payload":{"before":'), before,
+            F.lit(',"after":'), after,
+            F.lit("}}"),
+        )
+        return line
+    if fmt == "template":
+        from conduit_spark.expr.template import compile_template
+
+        if not options:
+            raise ValueError(
+                "sdk.record.format=template requires the template in "
+                "sdk.record.format.options"
+            )
+        return compile_template(options, df)
+    raise ValueError(
+        f"unsupported sdk.record.format {fmt!r}; "
+        "supported: opencdc/json, template"
+    )
+
+
 def file_sink(
     df: DataFrame,
     path: str,
@@ -35,15 +113,37 @@ def file_sink(
     fmt: str = "json",
     mode: str = "append",
     partition_by_collection: bool = False,
+    record_format: str | None = None,
+    record_format_options: str | None = None,
 ) -> None:
     """Write envelopes to files (json/parquet/orc/text).
 
     ``partition_by_collection=True`` routes records to per-collection
     directories (the destination-table-template analog) — at scale
     this is a partitioned write, one task per collection shard, no
-    driver routing.
-    """
+    driver routing. ``record_format`` (the reference's
+    ``sdk.record.format``) switches the output to one rendered line
+    per record via :func:`format_records`; the file format becomes
+    ``text``."""
     out = df
+    if record_format is not None:
+        line = record_line(out, record_format, record_format_options)
+        if partition_by_collection:
+            both = out.select(
+                line.alias("value"),
+                F.coalesce(
+                    F.col("metadata").getItem(META_COLLECTION),
+                    F.lit("default"),
+                ).alias("collection"),
+            )
+            both.write.mode(mode).partitionBy("collection").format(
+                "text"
+            ).save(path)
+            return
+        out.select(line.alias("value")).write.mode(mode).format("text").save(
+            path
+        )
+        return
     writer_df = out
     if partition_by_collection:
         writer_df = out.withColumn(
@@ -58,9 +158,46 @@ def file_sink(
     w.format(fmt).save(path)
 
 
-def log_sink(df: DataFrame, n: int = 20) -> None:
-    """builtin:log — print records (dev/debug destination)."""
-    _serializable(df).show(n=n, truncate=False)
+_LOG_LEVELS = {  # the reference's inclusion(trace,debug,info,warn,error)
+    "trace": 5, "debug": 10, "info": 20, "warn": 30, "error": 40,
+}
+
+
+def log_sink(
+    df: DataFrame, n: int = 20, *,
+    level: str = "info", message: str | None = None,
+) -> None:
+    """builtin:log — log records (dev/debug destination).
+
+    Reference parity (conduit-connector-log destination parameters):
+    each record is emitted as one JSON line through the engine logger
+    at ``level`` (trace/debug/info/warn/error — trace maps to a
+    level-5 custom level like zerolog's), with the optional ``message``
+    prefixed, mirroring the reference's
+    ``{"level":...,"record":{...}}`` log shape. Output is capped at
+    ``n`` records (driver-side logging is inherently single-point; the
+    cap keeps a misconfigured corpus-sized pipeline from flooding the
+    driver — the reference has no cap because its engine IS
+    single-node)."""
+    import json as _json
+    import logging
+
+    lvl = _LOG_LEVELS.get(str(level).lower())
+    if lvl is None:
+        raise ValueError(
+            f"log level must be one of {sorted(_LOG_LEVELS)}, got {level!r}"
+        )
+    logger = logging.getLogger("conduit_spark.log_sink")
+    rows = _serializable(df).limit(n + 1).collect()
+    for row in rows[:n]:
+        rec = {
+            k: (v.hex() if isinstance(v, (bytes, bytearray)) else v)
+            for k, v in row.asDict(recursive=True).items()
+        }
+        line = _json.dumps({"record": rec}, default=str)
+        logger.log(lvl, "%s%s", f"{message} " if message else "", line)
+    if len(rows) > n:
+        logger.log(lvl, "... (log sink capped at %d records)", n)
 
 
 def jdbc_sink(

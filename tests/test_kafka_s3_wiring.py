@@ -337,3 +337,105 @@ def test_kafka_wire_read_from_beginning_false_skips_backlog(spark):
             read_from_beginning=True,
         )
         assert df2.count() == 1  # opt-in to the backlog
+
+
+def test_log_sink_level_and_message(spark, caplog):
+    """The reference log destination's level/message parameters: one
+    JSON line per record at the configured level, message prefixed,
+    invalid level rejected (inclusion validation)."""
+    import logging
+
+    from conduit_spark.pipeline import registry
+
+    df = spark.createDataFrame(
+        [("k1", '{"n": 1}'), ("k2", '{"n": 2}')],
+        "key_json string, payload_after_json string",
+    )
+    with caplog.at_level(logging.WARNING, logger="conduit_spark.log_sink"):
+        registry.write_destination(
+            df, "builtin:log", {"level": "warn", "message": "demo"}
+        )
+    lines = [r for r in caplog.records if r.name == "conduit_spark.log_sink"]
+    assert len(lines) == 2
+    assert all(r.levelno == logging.WARNING for r in lines)
+    assert all("demo" in r.getMessage() for r in lines)
+    # the payload travels as a JSON-string field, so it appears
+    # escaped inside the record line
+    assert any('\\"n\\": 1' in r.getMessage() for r in lines)
+    assert all('"record"' in r.getMessage() for r in lines)
+    with pytest.raises(ValueError, match="log level"):
+        registry.write_destination(df, "builtin:log", {"level": "loud"})
+
+
+def test_sdk_record_format_opencdc_json_and_template(spark, tmp_path):
+    """The reference's sdk.record.format output middleware on the file
+    destination: opencdc/json renders the nested record shape
+    (structured key/payload as real JSON objects, position base64),
+    template renders the Go template per record — both pure column
+    algebra."""
+    from conduit_spark import envelope as envm
+    from conduit_spark.pipeline import registry
+    from conduit_spark.sinks import format_records
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    env = envm.from_table(df, key_cols=["id"], source_id="t")
+
+    out1 = tmp_path / "opencdc"
+    registry.write_destination(
+        env, "builtin:file",
+        {"path": str(out1), "sdk.record.format": "opencdc/json"},
+    )
+    lines = [
+        json.loads(line)
+        for p in out1.glob("*.txt")
+        for line in p.read_text().splitlines()
+    ]
+    assert len(lines) == 2
+    by_id = {o["key"]["id"]: o for o in lines}
+    assert by_id[1]["payload"]["after"] == {"id": 1, "name": "a"}
+    assert by_id[1]["payload"]["before"] is None
+    assert by_id[1]["operation"] == "create"
+    import base64 as b64mod
+
+    assert b64mod.b64decode(by_id[2]["position"])  # real base64
+
+    out2 = tmp_path / "tpl"
+    registry.write_destination(
+        env, "builtin:file",
+        {
+            "path": str(out2),
+            "sdk.record.format": "template",
+            "sdk.record.format.options":
+                "{{ .Payload.After.id }}|{{ .Payload.After.name }}",
+        },
+    )
+    rendered = sorted(
+        line for p in out2.glob("*.txt") for line in p.read_text().splitlines()
+    )
+    assert rendered == ["1|a", "2|b"]
+
+    with pytest.raises(ValueError, match="sdk.record.format"):
+        format_records(env, "debezium/yaml")
+    with pytest.raises(ValueError, match="requires the template"):
+        format_records(env, "template")
+
+
+def test_sdk_record_format_raw_payload_base64(spark, tmp_path):
+    """Raw (non-structured) key/payload travel base64-quoted in the
+    opencdc/json line, matching the reference's log example."""
+    import base64 as b64mod
+
+    from conduit_spark.envelope import ENVELOPE_SCHEMA
+    from conduit_spark.sinks import format_records
+
+    env = spark.createDataFrame(
+        [(b"pos1", "create", {"m": "1"}, b"rawkey", None, None, None,
+          b"rawbytes", False)],
+        ENVELOPE_SCHEMA,
+    )
+    o = json.loads(format_records(env).collect()[0].value)
+    assert b64mod.b64decode(o["key"]) == b"rawkey"
+    assert b64mod.b64decode(o["payload"]["after"]) == b"rawbytes"
+    assert o["metadata"] == {"m": "1"}
