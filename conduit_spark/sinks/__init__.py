@@ -170,34 +170,34 @@ def log_sink(
     """builtin:log — log records (dev/debug destination).
 
     Reference parity (conduit-connector-log destination parameters):
-    each record is emitted as one JSON line through the engine logger
-    at ``level`` (trace/debug/info/warn/error — trace maps to a
-    level-5 custom level like zerolog's), with the optional ``message``
-    prefixed, mirroring the reference's
-    ``{"level":...,"record":{...}}`` log shape. Output is capped at
-    ``n`` records (driver-side logging is inherently single-point; the
-    cap keeps a misconfigured corpus-sized pipeline from flooding the
-    driver — the reference has no cap because its engine IS
-    single-node)."""
+    each record is one JSON console line in the reference's exact
+    shape ``{"level": ..., ["message": ...,] "record": {...}}``
+    (conduit-connector-log's documented example), with ``level``
+    inclusion-validated (trace/debug/info/warn/error) and the optional
+    ``message`` added to every line. Output is capped at ``n`` records
+    (driver-side logging is inherently single-point; the cap keeps a
+    misconfigured corpus-sized pipeline from flooding the driver — the
+    reference has no cap because its engine IS single-node)."""
     import json as _json
-    import logging
 
-    lvl = _LOG_LEVELS.get(str(level).lower())
-    if lvl is None:
+    level = str(level).lower()
+    if level not in _LOG_LEVELS:
         raise ValueError(
             f"log level must be one of {sorted(_LOG_LEVELS)}, got {level!r}"
         )
-    logger = logging.getLogger("conduit_spark.log_sink")
     rows = _serializable(df).limit(n + 1).collect()
     for row in rows[:n]:
         rec = {
             k: (v.hex() if isinstance(v, (bytes, bytearray)) else v)
             for k, v in row.asDict(recursive=True).items()
         }
-        line = _json.dumps({"record": rec}, default=str)
-        logger.log(lvl, "%s%s", f"{message} " if message else "", line)
+        out: dict = {"level": level}
+        if message:
+            out["message"] = message
+        out["record"] = rec
+        print(_json.dumps(out, default=str))
     if len(rows) > n:
-        logger.log(lvl, "... (log sink capped at %d records)", n)
+        print(f"... (log sink capped at {n} records)")
 
 
 def jdbc_sink(

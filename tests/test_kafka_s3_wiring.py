@@ -339,30 +339,30 @@ def test_kafka_wire_read_from_beginning_false_skips_backlog(spark):
         assert df2.count() == 1  # opt-in to the backlog
 
 
-def test_log_sink_level_and_message(spark, caplog):
+def test_log_sink_level_and_message(spark, capsys):
     """The reference log destination's level/message parameters: one
-    JSON line per record at the configured level, message prefixed,
-    invalid level rejected (inclusion validation)."""
-    import logging
-
+    console JSON line per record in the documented
+    {"level":...,"record":{...}} shape, invalid level rejected
+    (inclusion validation)."""
     from conduit_spark.pipeline import registry
 
     df = spark.createDataFrame(
         [("k1", '{"n": 1}'), ("k2", '{"n": 2}')],
         "key_json string, payload_after_json string",
     )
-    with caplog.at_level(logging.WARNING, logger="conduit_spark.log_sink"):
-        registry.write_destination(
-            df, "builtin:log", {"level": "warn", "message": "demo"}
-        )
-    lines = [r for r in caplog.records if r.name == "conduit_spark.log_sink"]
+    registry.write_destination(
+        df, "builtin:log", {"level": "warn", "message": "demo"}
+    )
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ]
     assert len(lines) == 2
-    assert all(r.levelno == logging.WARNING for r in lines)
-    assert all("demo" in r.getMessage() for r in lines)
-    # the payload travels as a JSON-string field, so it appears
-    # escaped inside the record line
-    assert any('\\"n\\": 1' in r.getMessage() for r in lines)
-    assert all('"record"' in r.getMessage() for r in lines)
+    assert all(o["level"] == "warn" for o in lines)
+    assert all(o["message"] == "demo" for o in lines)
+    payloads = {o["record"]["payload_after_json"] for o in lines}
+    assert payloads == {'{"n": 1}', '{"n": 2}'}
     with pytest.raises(ValueError, match="log level"):
         registry.write_destination(df, "builtin:log", {"level": "loud"})
 
