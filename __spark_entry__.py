@@ -104,12 +104,18 @@ _EXTENDED = (
     # the new plan earns a fresh driver row next to sk_kmv_overlap's).
     # After a green r8, every suite query has held a driver CORRECTNESS
     # row at least once. Displaced: 28 r7 first-time-green rows below.
-    # Round-9 NEW queries (never driver-verified; r10 rotation
-    # candidates in priority order — both locally oracle-exact via
-    # gate_check/pytest):
-    "d_containment_pairs",  # new in r9: asymmetric n-gram containment (GPT-3/PaLM decontamination metric); r10 rotation candidate
-    "t_ngram_novelty",  # new in r9: first-appearance n-gram novelty score per doc; r10 rotation candidate
-    "m_decode_gif_real",  # new in r9: real LZW/GIF decode (interlace-sensitive checksum oracle, JDK-fixture-pinned decoder); r10 rotation candidate
+    # Round-10 rotation (DONE; VERDICT r9 item 1): the three
+    # never-driver-verified r9 additions take gate slots —
+    # d_containment_pairs, t_ngram_novelty, m_decode_gif_real.
+    # Displaced: three multi-green keepers below, chosen so every
+    # family keeps at least one gate row (similarity keeps
+    # s_quantized_topk; sketches keep sk_kmv_overlap +
+    # sk_hist_quantiles; multimodal keeps png/jpeg/alaw/mp4 + the
+    # incoming gif). After a green r10, every suite query has held a
+    # driver CORRECTNESS row at least once — never-verified count = 0.
+    "s_semantic_dedup",  # driver-green 6x (r4-r9)
+    "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
+    "m_resize",  # driver-green 4x (r6-r9)
     # Round-9 rotation out (multi-green; displaced by the six
     # never-verified r8 rows + sk_hist_quantiles):
     "g_kafka_wire_snapshot",  # driver-green r8; kafka wire kept via g_kafka_wire_sasl_snapshot (SASL_SSL superset path)

@@ -780,6 +780,28 @@ def g_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warm_wire_endpoints(spark: SparkSession, sf_dir: str) -> None:
+    """Seed every in-process wire endpoint / on-disk fixture this
+    module's queries stand up at DataFrame-construction time (MiniS3
+    plain+HTTPS, MiniKafka plain+SASL_SSL, MiniPG wal2json/live/
+    pgoutput captures, the file-roundtrip lines dir), so a timing
+    harness can charge queries for list+fetch+decode ONLY (VERDICT r9
+    item 4: seeding inside the timed path caused rebaseline-forcing
+    drift). Construction is discarded — no Spark action runs here, and
+    the per-``sf_dir`` caches make repeat calls free."""
+    for fn in (
+        g_s3_wire_snapshot,
+        g_s3_wire_secure_snapshot,
+        g_kafka_wire_snapshot,
+        g_kafka_wire_sasl_snapshot,
+        g_pg_wal_cdc,
+        g_pg_live_wal_cdc,
+        g_pg_pgoutput_cdc,
+        g_file_roundtrip,
+    ):
+        fn(spark, sf_dir)
+
+
 QUERIES = {
     "g_generator": g_generator,
     "g_pipeline_chain": g_pipeline_chain,

@@ -152,6 +152,77 @@ class _Reader:
         self.at += n
         return b
 
+    # -- KIP-482 compact/flexible primitives (Produce v9, Fetch v12) --
+
+    def uvarint(self) -> int:
+        """Unsigned LEB128 varint (the flexible-version length prefix)."""
+        shift = 0
+        out = 0
+        while True:
+            b = self.buf[self.at]
+            self.at += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def compact_string(self) -> str | None:
+        n = self.uvarint()
+        if n == 0:
+            return None
+        s = self.buf[self.at : self.at + n - 1].decode("utf-8")
+        self.at += n - 1
+        return s
+
+    def compact_bytes(self) -> bytes | None:
+        n = self.uvarint()
+        if n == 0:
+            return None
+        b = self.buf[self.at : self.at + n - 1]
+        self.at += n - 1
+        return b
+
+    def tags(self) -> dict[int, bytes]:
+        """Read a TAG_BUFFER; unknown tags are skipped by contract
+        (KIP-482's forward-compatibility mechanism), returned here so
+        tests can assert round-trips."""
+        out: dict[int, bytes] = {}
+        for _ in range(self.uvarint()):
+            tag = self.uvarint()
+            size = self.uvarint()
+            out[tag] = self.buf[self.at : self.at + size]
+            self.at += size
+        return out
+
+
+def _w_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_compact_str(s: str | None) -> bytes:
+    if s is None:
+        return b"\x00"
+    raw = s.encode("utf-8")
+    return _w_uvarint(len(raw) + 1) + raw
+
+
+def _w_compact_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return b"\x00"
+    return _w_uvarint(len(b) + 1) + b
+
+
+# empty TAG_BUFFER — no tagged fields (the normal case)
+_TAGS = b"\x00"
+
 
 def murmur2(data: bytes) -> int:
     """Kafka's murmur2 (seed 0x9747b28c) — the default partitioner
@@ -284,6 +355,12 @@ class MiniKafkaBroker:
         # coordinator for every group — single node): generation,
         # members, leader, per-member assignments, committed offsets
         self._groups: dict[str, dict] = {}
+        # (api_key, api_version, request_size_bytes, client_id) per
+        # request served
+        self.request_log: list[tuple[int, int, int, str | None]] = []
+        # encoded RecordBatch bytes per produce partition-set — lets
+        # tests assert the producer's batchBytes request-size cap
+        self.produce_set_sizes: list[int] = []
         self._lock = threading.RLock()  # produce auto-creates topics under the lock
         broker = self
 
@@ -354,7 +431,13 @@ class MiniKafkaBroker:
         api_key = r.i16()
         api_version = r.i16()
         correlation_id = r.i32()
-        r.string()  # client_id
+        client_id = r.string()
+        # Observability for tests: (api_key, api_version, request_size,
+        # client_id) per request — lets tests assert batchBytes request
+        # caps, negotiated protocol revisions, and that clientID
+        # travels on every connection (driver AND executor), like a
+        # real broker's request log would show.
+        self.request_log.append((api_key, api_version, len(req), client_id))
         if api_key == API_SASL_HANDSHAKE and api_version == 1:
             return struct.pack(">i", correlation_id) + self._sasl_handshake(
                 r, conn
@@ -365,11 +448,30 @@ class MiniKafkaBroker:
             )
         if not conn.get("authed") and api_key != API_VERSIONS:
             raise _SaslRequired(api_key)
+        # Produce v3-v9 / Fetch v4-v12 are version-parameterized; v9/v12
+        # are the KIP-482 flexible revisions (request header v2 carries
+        # a TAG_BUFFER after client_id; response header v1 carries one
+        # after correlation_id).
+        if api_key == API_PRODUCE and 3 <= api_version <= 9:
+            if api_version >= 9:
+                r.tags()  # request header v2 TAG_BUFFER
+            body_out = self._produce(r, api_version)
+            if body_out is None:  # acks=0: the protocol sends NOTHING
+                return None
+            hdr = struct.pack(">i", correlation_id)
+            if api_version >= 9:
+                hdr += _TAGS  # response header v1
+            return hdr + body_out
+        if api_key == API_FETCH and 4 <= api_version <= 12:
+            if api_version >= 12:
+                r.tags()
+            hdr = struct.pack(">i", correlation_id)
+            if api_version >= 12:
+                hdr += _TAGS
+            return hdr + self._fetch(r, api_version)
         handlers = {
             API_VERSIONS: (0, self._api_versions),
             API_METADATA: (1, self._metadata),
-            API_PRODUCE: (3, self._produce),
-            API_FETCH: (4, self._fetch),
             API_LIST_OFFSETS: (1, self._list_offsets),
             API_OFFSET_COMMIT: (2, self._offset_commit),
             API_OFFSET_FETCH: (1, self._offset_fetch),
@@ -401,8 +503,8 @@ class MiniKafkaBroker:
             raise ValueError(
                 f"unsupported api_key={api_key} version={api_version}; "
                 "this broker speaks ApiVersions v0, Metadata v1, "
-                "Produce v3, Fetch v4, ListOffsets v1, OffsetCommit v2, "
-                "OffsetFetch v1, FindCoordinator v0, "
+                "Produce v3-v9, Fetch v4-v12, ListOffsets v1, "
+                "OffsetCommit v2, OffsetFetch v1, FindCoordinator v0, "
                 "JoinGroup/Heartbeat/LeaveGroup/SyncGroup v0"
             )
         body_out = handlers[api_key][1](r)
@@ -411,7 +513,7 @@ class MiniKafkaBroker:
         return struct.pack(">i", correlation_id) + body_out
 
     def _api_versions_table(self) -> bytes:
-        rows = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
+        rows = [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 1),
                 (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
                 (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
@@ -682,73 +784,163 @@ class MiniKafkaBroker:
                 out += struct.pack(">ii", 1, self.node_id)  # isr
         return out
 
-    def _produce(self, r: _Reader) -> bytes | None:
-        r.string()  # transactional_id
+    def _produce(self, r: _Reader, version: int = 3) -> bytes | None:
+        """Produce v3-v9. The REQUEST layout is identical v3-v8
+        (transactional_id, acks, timeout, topics); v9 is the KIP-482
+        flexible revision (compact strings/bytes/arrays + TAG_BUFFERs).
+        Response grows per the published schema: v5+ adds
+        log_start_offset, v8+ adds record_errors + error_message, v9
+        goes compact. throttle_time_ms stays LAST for Produce."""
+        flexible = version >= 9
+        if flexible:
+            r.compact_string()  # transactional_id
+        else:
+            r.string()
         acks = r.i16()
         r.i32()  # timeout_ms
-        n_topics = r.i32()
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
         out_topics = b""
         for _ in range(n_topics):
-            topic = r.string()
-            n_parts = r.i32()
+            topic = (r.compact_string() if flexible else r.string()) or ""
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
             part_out = b""
             for _ in range(n_parts):
                 partition = r.i32()
-                record_set = r.bytes_() or b""
+                record_set = (
+                    r.compact_bytes() if flexible else r.bytes_()
+                ) or b""
+                if flexible:
+                    r.tags()  # per-partition request TAG_BUFFER
+                self.produce_set_sizes.append(len(record_set))
                 with self._lock:
                     if topic not in self._topics:
                         self.create_topic(topic)
                     log = self._logs.get((topic, partition))
                     if log is None:
-                        part_out += struct.pack(
-                            ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
-                        )
-                        continue
-                    base = log.append(record_set)
-                part_out += struct.pack(">ihqq", partition, ERR_NONE, base, -1)
-            out_topics += _w_str(topic) + struct.pack(">i", n_parts) + part_out
+                        err, base = ERR_UNKNOWN_TOPIC_OR_PARTITION, -1
+                    else:
+                        err, base = ERR_NONE, log.append(record_set)
+                part_out += struct.pack(">ihqq", partition, err, base, -1)
+                if version >= 5:
+                    part_out += struct.pack(">q", 0)  # log_start_offset
+                if version >= 8:
+                    if flexible:
+                        part_out += _w_uvarint(1)  # record_errors: empty
+                        part_out += _w_compact_str(None)  # error_message
+                        part_out += _TAGS
+                    else:
+                        part_out += struct.pack(">i", 0) + _w_str(None)
+            if flexible:
+                r.tags()  # per-topic request TAG_BUFFER
+                out_topics += (
+                    _w_compact_str(topic)
+                    + _w_uvarint(n_parts + 1)
+                    + part_out
+                    + _TAGS
+                )
+            else:
+                out_topics += _w_str(topic) + struct.pack(">i", n_parts) + part_out
+        if flexible:
+            r.tags()  # top-level request TAG_BUFFER
         if acks == 0:
             # fire-and-forget: a real broker sends NO produce response
             # for acks=0 (the request has no means of correlation) —
             # the append above still happened
             return None
+        if flexible:
+            return (
+                _w_uvarint(n_topics + 1)
+                + out_topics
+                + struct.pack(">i", 0)
+                + _TAGS
+            )
         # Produce is the one API with throttle_time_ms LAST (v1-v8)
         return struct.pack(">i", n_topics) + out_topics + struct.pack(">i", 0)
 
-    def _fetch(self, r: _Reader) -> bytes:
+    def _fetch(self, r: _Reader, version: int = 4) -> bytes:
+        """Fetch v4-v12 per the published schema evolution: v5 adds
+        log_start_offset (both sides), v7 adds incremental-session
+        fields (session_id/epoch + forgotten_topics + top-level
+        error_code/session_id — this broker serves every fetch as a
+        full, sessionless response: session_id 0, KIP-227's stateless
+        fallback), v9 adds current_leader_epoch, v11 adds rack_id +
+        preferred_read_replica, v12 is the KIP-482 flexible revision
+        (compact + TAG_BUFFERs, last_fetched_epoch)."""
+        flexible = version >= 12
         r.i32()  # replica_id
         r.i32()  # max_wait_ms
         r.i32()  # min_bytes
         r.i32()  # max_bytes (response-level; per-partition cap honored below)
         r.i8()  # isolation_level
-        n_topics = r.i32()
+        if version >= 7:
+            r.i32()  # session_id
+            r.i32()  # session_epoch
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
         out = struct.pack(">i", 0)  # throttle_time_ms (first for Fetch)
-        out += struct.pack(">i", n_topics)
+        if version >= 7:
+            out += struct.pack(">hi", ERR_NONE, 0)  # error_code, session_id
+        out += _w_uvarint(n_topics + 1) if flexible else struct.pack(">i", n_topics)
         for _ in range(n_topics):
-            topic = r.string()
-            n_parts = r.i32()
-            out += _w_str(topic) + struct.pack(">i", n_parts)
+            topic = (r.compact_string() if flexible else r.string()) or ""
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
+            if flexible:
+                out += _w_compact_str(topic) + _w_uvarint(n_parts + 1)
+            else:
+                out += _w_str(topic) + struct.pack(">i", n_parts)
             for _ in range(n_parts):
                 partition = r.i32()
+                if version >= 9:
+                    r.i32()  # current_leader_epoch
                 fetch_offset = r.i64()
+                if version >= 12:
+                    r.i32()  # last_fetched_epoch
+                if version >= 5:
+                    r.i64()  # log_start_offset (request side)
                 part_max = r.i32()
+                if flexible:
+                    r.tags()
                 with self._lock:
                     log = self._logs.get((topic, partition))
                     if log is None:
-                        out += struct.pack(
-                            ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
-                        ) + struct.pack(">i", 0) + _w_bytes(None)
-                        continue
-                    hwm = log.next_offset
-                    if fetch_offset > hwm:
-                        out += struct.pack(
-                            ">ihqq", partition, ERR_OFFSET_OUT_OF_RANGE, hwm, hwm
-                        ) + struct.pack(">i", 0) + _w_bytes(None)
-                        continue
-                    data = log.read_from(fetch_offset, part_max)
-                out += struct.pack(">ihqq", partition, ERR_NONE, hwm, hwm)
-                out += struct.pack(">i", 0)  # aborted_transactions: empty
-                out += _w_bytes(data)
+                        err, hwm, data = ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None
+                    elif fetch_offset > log.next_offset:
+                        err, hwm, data = ERR_OFFSET_OUT_OF_RANGE, log.next_offset, None
+                    else:
+                        hwm = log.next_offset
+                        err = ERR_NONE
+                        data = log.read_from(fetch_offset, part_max)
+                out += struct.pack(">ihqq", partition, err, hwm, hwm)
+                if version >= 5:
+                    out += struct.pack(">q", 0)  # log_start_offset
+                # aborted_transactions: empty
+                out += _w_uvarint(1) if flexible else struct.pack(">i", 0)
+                if version >= 11:
+                    out += struct.pack(">i", -1)  # preferred_read_replica
+                out += _w_compact_bytes(data) if flexible else _w_bytes(data)
+                if flexible:
+                    out += _TAGS
+            if flexible:
+                r.tags()  # per-topic request TAG_BUFFER
+                out += _TAGS
+        if version >= 7:
+            # forgotten_topics_data (incremental sessions; we serve
+            # full responses, so just consume)
+            n_forgot = (r.uvarint() - 1) if flexible else r.i32()
+            for _ in range(n_forgot):
+                if flexible:
+                    r.compact_string()
+                    for _ in range(r.uvarint() - 1):
+                        r.i32()
+                    r.tags()
+                else:
+                    r.string()
+                    for _ in range(r.i32()):
+                        r.i32()
+        if version >= 11:
+            r.compact_string() if flexible else r.string()  # rack_id
+        if flexible:
+            r.tags()
+            out += _TAGS
         return out
 
     def _list_offsets(self, r: _Reader) -> bytes:
@@ -822,6 +1014,9 @@ class MiniKafkaClient:
             ).wrap_socket(self._sock, server_hostname=host)
         self._client_id = client_id
         self._corr = 0
+        # non-flexible floor until negotiate_versions() raises them
+        self._produce_version = 3
+        self._fetch_version = 4
         if sasl:
             self._sasl_login(
                 str(sasl.get("mechanism", "SCRAM-SHA-256")).upper(),
@@ -881,20 +1076,28 @@ class MiniKafkaClient:
     def __exit__(self, *exc) -> None:
         self.close()
 
-    def _send_noreply(self, api_key: int, api_version: int, body: bytes) -> None:
+    def _send_noreply(
+        self, api_key: int, api_version: int, body: bytes,
+        *, flexible: bool = False,
+    ) -> None:
         self._corr += 1
         req = (
             struct.pack(">hhi", api_key, api_version, self._corr)
             + _w_str(self._client_id)
+            + (_TAGS if flexible else b"")  # request header v2 TAG_BUFFER
             + body
         )
         self._sock.sendall(struct.pack(">i", len(req)) + req)
 
-    def _call(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+    def _call(
+        self, api_key: int, api_version: int, body: bytes,
+        *, flexible: bool = False,
+    ) -> _Reader:
         self._corr += 1
         req = (
             struct.pack(">hhi", api_key, api_version, self._corr)
             + _w_str(self._client_id)
+            + (_TAGS if flexible else b"")
             + body
         )
         self._sock.sendall(struct.pack(">i", len(req)) + req)
@@ -909,6 +1112,8 @@ class MiniKafkaClient:
         corr = r.i32()
         if corr != self._corr:
             raise ValueError(f"correlation id mismatch: sent {self._corr}, got {corr}")
+        if flexible:
+            r.tags()  # response header v1 TAG_BUFFER
         return r
 
     def api_versions(self) -> dict[int, tuple[int, int]]:
@@ -921,6 +1126,24 @@ class MiniKafkaClient:
             key = r.i16()
             out[key] = (r.i16(), r.i16())
         return out
+
+    # highest revisions this client can speak (flexible per KIP-482)
+    MAX_PRODUCE_VERSION = 9
+    MAX_FETCH_VERSION = 12
+
+    def negotiate_versions(self) -> dict[int, tuple[int, int]]:
+        """ApiVersions handshake → pin produce/fetch to the highest
+        mutually supported revisions (the franz-go startup flow the
+        reference connector rides on). Against this repo's broker that
+        lands on the flexible pair Produce v9 + Fetch v12; against an
+        old broker it stays at the non-flexible floor (v3/v4). Returns
+        the broker's full version table."""
+        table = self.api_versions()
+        _, p_hi = table.get(API_PRODUCE, (3, 3))
+        self._produce_version = max(3, min(self.MAX_PRODUCE_VERSION, p_hi))
+        _, f_hi = table.get(API_FETCH, (4, 4))
+        self._fetch_version = max(4, min(self.MAX_FETCH_VERSION, f_hi))
+        return table
 
     def metadata(self, topics: list[str] | None = None) -> dict:
         body = struct.pack(">i", -1) if topics is None else (
@@ -961,33 +1184,66 @@ class MiniKafkaClient:
         compression: str | None = None,
         acks: int = -1,
         timeout_ms: int = 30000,
+        version: int | None = None,
     ) -> int:
+        """Produce at ``version`` (default: the negotiated revision,
+        v3 floor / v9 flexible ceiling)."""
+        v = self._produce_version if version is None else version
+        flexible = v >= 9
         record_set = encode_record_batch(records, compression=compression)
-        body = (
-            _w_str(None)  # transactional_id
-            + struct.pack(">hi", acks, timeout_ms)
-            + struct.pack(">i", 1) + _w_str(topic)
-            + struct.pack(">i", 1) + struct.pack(">i", partition)
-            + _w_bytes(record_set)
-        )
+        if flexible:
+            body = (
+                _w_compact_str(None)  # transactional_id
+                + struct.pack(">hi", acks, timeout_ms)
+                + _w_uvarint(2) + _w_compact_str(topic)
+                + _w_uvarint(2) + struct.pack(">i", partition)
+                + _w_compact_bytes(record_set)
+                + _TAGS  # partition
+                + _TAGS  # topic
+                + _TAGS  # request body
+            )
+        else:
+            body = (
+                _w_str(None)  # transactional_id
+                + struct.pack(">hi", acks, timeout_ms)
+                + struct.pack(">i", 1) + _w_str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + _w_bytes(record_set)
+            )
         if acks == 0:
             # fire-and-forget: send the frame and do not wait — the
             # broker will not respond (reference destination "acks:
             # none"); base offset is unknowable by design
-            self._send_noreply(API_PRODUCE, 3, body)
+            self._send_noreply(API_PRODUCE, v, body, flexible=flexible)
             return -1
-        r = self._call(API_PRODUCE, 3, body)
+        r = self._call(API_PRODUCE, v, body, flexible=flexible)
         base_offset = None
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
+        for _ in range(n_topics):
+            r.compact_string() if flexible else r.string()
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
+            for _ in range(n_parts):
                 r.i32()  # partition
                 err = r.i16()
                 base = r.i64()
                 r.i64()  # log_append_time
+                if v >= 5:
+                    r.i64()  # log_start_offset
+                if v >= 8:
+                    n_rec_err = (r.uvarint() - 1) if flexible else r.i32()
+                    for _ in range(n_rec_err):
+                        r.i32()
+                        r.compact_string() if flexible else r.string()
+                        if flexible:
+                            r.tags()
+                    r.compact_string() if flexible else r.string()
+                if flexible:
+                    r.tags()
                 if err:
                     raise RuntimeError(f"produce error {err} on {topic}/{partition}")
                 base_offset = base
+            if flexible:
+                r.tags()
         r.i32()  # throttle_time_ms (trailing for Produce)
         return base_offset
 
@@ -998,30 +1254,76 @@ class MiniKafkaClient:
         offset: int,
         *,
         max_bytes: int = 16 * 1024 * 1024,
+        version: int | None = None,
     ) -> tuple[list[dict], int]:
         """Returns (records, high_watermark); each record carries its
-        absolute ``offset`` plus key/value/headers/timestamp."""
-        body = (
-            struct.pack(">iiii", -1, 0, 1, max_bytes)
-            + struct.pack(">b", 0)  # isolation: read_uncommitted
-            + struct.pack(">i", 1) + _w_str(topic)
-            + struct.pack(">i", 1)
-            + struct.pack(">iqi", partition, offset, max_bytes)
-        )
-        r = self._call(API_FETCH, 4, body)
+        absolute ``offset`` plus key/value/headers/timestamp. Speaks
+        the negotiated revision by default (v4 floor / v12 flexible
+        ceiling); always a full, sessionless fetch (session_id 0,
+        epoch -1 — KIP-227's stateless mode)."""
+        v = self._fetch_version if version is None else version
+        flexible = v >= 12
+        body = struct.pack(">iiii", -1, 0, 1, max_bytes)
+        body += struct.pack(">b", 0)  # isolation: read_uncommitted
+        if v >= 7:
+            body += struct.pack(">ii", 0, -1)  # session_id, session_epoch
+        # one topic, one partition
+        part = struct.pack(">i", partition)
+        if v >= 9:
+            part += struct.pack(">i", -1)  # current_leader_epoch
+        part += struct.pack(">q", offset)
+        if v >= 12:
+            part += struct.pack(">i", -1)  # last_fetched_epoch
+        if v >= 5:
+            part += struct.pack(">q", -1)  # log_start_offset
+        part += struct.pack(">i", max_bytes)
+        if flexible:
+            part += _TAGS
+            body += (
+                _w_uvarint(2) + _w_compact_str(topic)
+                + _w_uvarint(2) + part + _TAGS
+            )
+        else:
+            body += (
+                struct.pack(">i", 1) + _w_str(topic)
+                + struct.pack(">i", 1) + part
+            )
+        if v >= 7:  # forgotten_topics_data: empty
+            body += _w_uvarint(1) if flexible else struct.pack(">i", 0)
+        if v >= 11:  # rack_id
+            body += _w_compact_str("") if flexible else _w_str("")
+        if flexible:
+            body += _TAGS
+        r = self._call(API_FETCH, v, body, flexible=flexible)
         r.i32()  # throttle
+        if v >= 7:
+            top_err = r.i16()
+            r.i32()  # session_id
+            if top_err:
+                raise RuntimeError(f"fetch error {top_err} (session level)")
         records: list[dict] = []
         hwm = -1
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
+        for _ in range(n_topics):
+            r.compact_string() if flexible else r.string()
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
+            for _ in range(n_parts):
                 r.i32()  # partition
                 err = r.i16()
                 hwm = r.i64()
                 r.i64()  # last_stable_offset
-                for _ in range(r.i32()):  # aborted_transactions
+                if v >= 5:
+                    r.i64()  # log_start_offset
+                n_aborted = (r.uvarint() - 1) if flexible else r.i32()
+                for _ in range(max(0, n_aborted)):
                     r.i64(); r.i64()
-                data = r.bytes_()
+                    if flexible:
+                        r.tags()
+                if v >= 11:
+                    r.i32()  # preferred_read_replica
+                data = r.compact_bytes() if flexible else r.bytes_()
+                if flexible:
+                    r.tags()
                 if err == ERR_OFFSET_OUT_OF_RANGE:
                     continue
                 if err:
@@ -1030,6 +1332,8 @@ class MiniKafkaClient:
                     for rec in decode_record_batches(data):
                         if rec["offset"] >= offset:
                             records.append(rec)
+            if flexible:
+                r.tags()
         return records, hwm
 
     # -- consumer-group protocol --------------------------------------

@@ -972,8 +972,12 @@ def kafka_wire_source_df(
             hi = c.list_offsets(t, p, LATEST)
             if committed.get((t, p), -1) >= 0:
                 lo = max(c.list_offsets(t, p, EARLIEST), committed[(t, p)])
-            elif group_id and not read_from_beginning:
-                lo = hi  # readFromBeginning=false: only NEW records
+            elif not read_from_beginning:
+                # readFromBeginning=false: only NEW records. Honored
+                # with or without a groupId (ADVICE r9: falling through
+                # to EARLIEST when no group was set silently inverted
+                # the setting for ported reference pipelines).
+                lo = hi
             else:
                 lo = c.list_offsets(t, p, EARLIEST)
             if hi > lo:
@@ -991,7 +995,14 @@ def kafka_wire_source_df(
         for pdf in batches:
             for row in pdf.itertuples():
                 keys, vals, offs, tss = [], [], [], []
-                with MiniKafkaClient(server, sasl=sasl, **tls_kw) as client:
+                # client_id travels on executor fetch connections too,
+                # not just the driver metadata connection (ADVICE r9)
+                with MiniKafkaClient(
+                    server, client_id=client_id, sasl=sasl, **tls_kw
+                ) as client:
+                    # highest mutual Fetch revision (v12 flexible
+                    # against this repo's broker; v4 floor elsewhere)
+                    client.negotiate_versions()
                     off = int(row.start)
                     while off < row.end:
                         recs, _hwm = client.fetch(

@@ -412,8 +412,17 @@ def kafka_wire_sink(
     ``foreachPartition`` — an RDD action would never fire the
     runtime's delivery ``Observation`` (CollectMetrics only flows
     through Dataset actions), deadlocking ``Pipeline._deliver``."""
+    # validate config before touching the DataFrame (reference-style
+    # inclusion(none,one,all) error instead of a bare KeyError)
+    if isinstance(acks, str):
+        if acks not in ACKS_BY_NAME:
+            raise ValueError(
+                f"acks must be one of none/one/all, got {acks!r}"
+            )
+        acks_int = ACKS_BY_NAME[acks]
+    else:
+        acks_int = int(acks)
     records = kafka_records(df)
-    acks_int = ACKS_BY_NAME[acks] if isinstance(acks, str) else int(acks)
 
     def _send(batches):
         import time
@@ -438,6 +447,9 @@ def kafka_wire_sink(
                             server, client_id=client_id,
                             sasl=sasl, **(tls or {}),
                         )
+                        # highest mutual Produce revision (v9 flexible
+                        # against this repo's broker; v3 floor elsewhere)
+                        client.negotiate_versions()
                         md = client.metadata([topic])
                         parts = md["topics"].get(topic, {}).get("partitions", [])
                         # A v1 metadata request for a named topic
@@ -464,24 +476,38 @@ def kafka_wire_sink(
                     k = bytes(row.key) if row.key is not None else None
                     v = bytes(row.value) if row.value is not None else None
                     p = partition_for_key(k, v, n_parts)
-                    buf.setdefault(p, []).append(
-                        {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
-                    )
                     # ~70B of RecordBatch framing per record on top of
                     # key+value — a cheap upper bound that keeps every
-                    # request under batchBytes without encoding twice
-                    sizes[p] = sizes.get(p, 0) + (
-                        len(k or b"") + len(v or b"") + 70
-                    )
-                    n_sent += 1
-                    if len(buf[p]) >= batch_size or (
-                        batch_bytes is not None and sizes[p] >= batch_bytes
+                    # request under batchBytes without encoding twice.
+                    # batchBytes caps the MAXIMUM request size (the
+                    # reference mirrors max.message.bytes — an oversized
+                    # request is rejected by a real broker), so flush
+                    # BEFORE appending a record that would push past the
+                    # cap; a single record larger than the cap travels
+                    # alone, since the buffer is empty when it lands and
+                    # the next record triggers this same pre-flush.
+                    rec_size = len(k or b"") + len(v or b"") + 70
+                    if (
+                        batch_bytes is not None
+                        and buf.get(p)
+                        and sizes.get(p, 0) + rec_size > batch_bytes
                     ):
                         client.produce(
                             topic, p, buf.pop(p), compression=compression,
                             acks=acks_int, timeout_ms=delivery_timeout_ms,
                         )
-                        sizes.pop(p)
+                        sizes.pop(p, None)
+                    buf.setdefault(p, []).append(
+                        {"key": k, "value": v, "timestamp": int(time.time() * 1000)}
+                    )
+                    sizes[p] = sizes.get(p, 0) + rec_size
+                    n_sent += 1
+                    if len(buf[p]) >= batch_size:
+                        client.produce(
+                            topic, p, buf.pop(p), compression=compression,
+                            acks=acks_int, timeout_ms=delivery_timeout_ms,
+                        )
+                        sizes.pop(p, None)
             for p, recs in buf.items():
                 client.produce(
                     topic, p, recs, compression=compression,

@@ -439,3 +439,110 @@ def test_sdk_record_format_raw_payload_base64(spark, tmp_path):
     assert b64mod.b64decode(o["key"]) == b"rawkey"
     assert b64mod.b64decode(o["payload"]["after"]) == b"rawbytes"
     assert o["metadata"] == {"m": "1"}
+
+
+def test_kafka_wire_read_from_beginning_false_without_group(spark):
+    """readFromBeginning=false is honored even when NO consumer group
+    is configured (ADVICE r9: it used to fall through to EARLIEST,
+    silently inverting the setting for ported reference pipelines)."""
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    with MiniKafkaBroker() as b:
+        b.create_topic("rfb-nogroup", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("rfb-nogroup", 0, [
+                {"key": None, "value": b"backlog", "timestamp": 1}
+            ])
+        df = kafka_wire_source_df(
+            spark, b.bootstrap, "rfb-nogroup", read_from_beginning=False,
+        )
+        assert df.count() == 0  # backlog skipped, groupId or not
+        df2 = kafka_wire_source_df(
+            spark, b.bootstrap, "rfb-nogroup", read_from_beginning=True,
+        )
+        assert df2.count() == 1
+
+
+def test_kafka_wire_sink_rejects_unknown_acks(spark):
+    """acks gets the reference's inclusion(none,one,all) validation —
+    a typo or the numeric string '1' raises ValueError, not a bare
+    KeyError (ADVICE r9)."""
+    from conduit_spark.sinks import kafka_wire_sink
+
+    df = spark.createDataFrame([("k", b"v")], "key_json string, value binary")
+    with pytest.raises(ValueError, match="none/one/all.*'1'"):
+        kafka_wire_sink(df, "127.0.0.1:1", "t", acks="1")
+
+
+def test_kafka_wire_sink_batch_bytes_is_a_request_cap(spark):
+    """batchBytes limits the MAXIMUM produce request size (the
+    reference mirrors max.message.bytes — a real broker rejects an
+    oversized request). The producer must flush BEFORE appending a
+    record that would push past the cap, so every encoded RecordBatch
+    the broker sees stays under batchBytes (ADVICE r9: the old
+    append-then-check let the flushed request be the first one OVER
+    the cap)."""
+    from conduit_spark.functions.minikafka import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline import registry
+
+    batch_bytes = 500
+    with MiniKafkaBroker() as b:
+        b.create_topic("bb-cap", partitions=1)
+        settings = {
+            "servers": b.bootstrap, "topic": "bb-cap",
+            "transport": "wire", "batchBytes": str(batch_bytes),
+        }
+        # value ~120B -> ~190B estimated per record: 2 fit under 500,
+        # a 3rd would have been appended by the old buggy logic
+        src = spark.createDataFrame(
+            [(f"k{i}", json.dumps({"i": i, "pad": "y" * 100})) for i in range(9)],
+            "key_json string, payload_after_json string",
+        ).coalesce(1).selectExpr(
+            "key_json",
+            "cast(null as binary) as key_raw",
+            "payload_after_json",
+            "cast(null as binary) as payload_after_raw",
+        )
+        registry.write_destination(src, "builtin:kafka", settings)
+        assert b.produce_set_sizes, "no produce requests observed"
+        assert max(b.produce_set_sizes) <= batch_bytes, b.produce_set_sizes
+        with MiniKafkaClient(b.bootstrap) as c:
+            total = len(c.fetch("bb-cap", 0, 0)[0])
+        assert total == 9  # the cap never drops records
+
+
+def test_kafka_wire_source_client_id_on_executor_fetches(spark):
+    """clientID travels on executor fetch connections, not only the
+    driver metadata connection (ADVICE r9) — observable in the
+    broker's request log the way a real broker's request metrics
+    would tag every API by client.id."""
+    from conduit_spark.functions.minikafka import (
+        API_FETCH,
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+    from conduit_spark.pipeline.registry import kafka_wire_source_df
+
+    with MiniKafkaBroker() as b:
+        b.create_topic("cid-t", partitions=2)
+        with MiniKafkaClient(b.bootstrap) as c:
+            for p in (0, 1):
+                c.produce("cid-t", p, [
+                    {"key": None, "value": b"x", "timestamp": 1}
+                ])
+        b.request_log.clear()
+        df = kafka_wire_source_df(
+            spark, b.bootstrap, "cid-t", client_id="trace-me",
+        )
+        assert df.count() == 2
+        fetch_cids = {
+            cid for api, _, _, cid in b.request_log if api == API_FETCH
+        }
+        assert fetch_cids == {"trace-me"}
