@@ -157,6 +157,10 @@ class MiniPGServer:
             up = q.upper()
             if up == "IDENTIFY_SYSTEM":
                 self._identify_system(sock)
+            elif up.startswith("CREATE_REPLICATION_SLOT"):
+                self._create_slot(sock, q)
+            elif up.startswith("DROP_REPLICATION_SLOT"):
+                self._drop_slot(sock, q)
             elif up.startswith("START_REPLICATION"):
                 self._stream(sock, q)
                 return  # copy mode ends the session (like walsender)
@@ -222,6 +226,51 @@ class MiniPGServer:
         sock.sendall(
             _msg(b"T", desc) + _msg(b"D", row)
             + _msg(b"C", _cstr("IDENTIFY_SYSTEM")) + _msg(b"Z", b"I")
+        )
+
+    def _create_slot(self, sock: socket.socket, query: str) -> None:
+        """``CREATE_REPLICATION_SLOT <name> [TEMPORARY] LOGICAL
+        <plugin>`` — the walsender command the live-tail client issues
+        against a fresh database (real walsenders accept exactly this
+        grammar; pg_recvlogical --create-slot sends it)."""
+        parts = query.split()
+        name = parts[1] if len(parts) > 1 else "conduit_spark"
+        plugin = parts[-1].lower()
+        with self._lock:
+            self._slots = getattr(self, "_slots", set())
+            if name in self._slots:
+                sock.sendall(_msg(b"E", _cstr("SERROR") + _cstr("C42710")
+                                  + _cstr(f"Mreplication slot \"{name}\" "
+                                          "already exists") + b"\x00")
+                             + _msg(b"Z", b"I"))
+                return
+            self._slots.add(name)
+            point = lsn_text(self.current_lsn)
+        cols = ["slot_name", "consistent_point", "snapshot_name",
+                "output_plugin"]
+        desc = struct.pack(">h", len(cols))
+        for c in cols:
+            desc += _cstr(c) + struct.pack(">IhIhih", 0, 0, 25, -1, -1, 0)
+        row = struct.pack(">h", 4)
+        for v in (name, point, None, plugin):
+            if v is None:
+                row += struct.pack(">i", -1)
+            else:
+                b = v.encode()
+                row += struct.pack(">i", len(b)) + b
+        sock.sendall(
+            _msg(b"T", desc) + _msg(b"D", row)
+            + _msg(b"C", _cstr("CREATE_REPLICATION_SLOT")) + _msg(b"Z", b"I")
+        )
+
+    def _drop_slot(self, sock: socket.socket, query: str) -> None:
+        parts = query.split()
+        name = parts[1] if len(parts) > 1 else ""
+        with self._lock:
+            self._slots = getattr(self, "_slots", set())
+            self._slots.discard(name)
+        sock.sendall(
+            _msg(b"C", _cstr("DROP_REPLICATION_SLOT")) + _msg(b"Z", b"I")
         )
 
     def _stream(self, sock: socket.socket, query: str) -> None:
@@ -418,6 +467,27 @@ class ReplicationClient:
                 (code,) = struct.unpack_from(">I", msg, 0)
                 if code == 0:
                     continue  # AuthenticationOk
+                if code == 3:  # AuthenticationCleartextPassword
+                    if password is None:
+                        raise ConnectionError(
+                            "server requires a password but none given"
+                        )
+                    self._sock.sendall(_msg(b"p", _cstr(password)))
+                    continue
+                if code == 5:  # AuthenticationMD5Password
+                    if password is None:
+                        raise ConnectionError(
+                            "server requires a password but none given"
+                        )
+                    import hashlib as _hl
+
+                    salt = msg[4:8]
+                    inner = _hl.md5(
+                        password.encode() + user.encode()
+                    ).hexdigest()
+                    outer = _hl.md5(inner.encode() + salt).hexdigest()
+                    self._sock.sendall(_msg(b"p", _cstr("md5" + outer)))
+                    continue
                 if code == 10:  # AuthenticationSASL
                     mechs = msg[4:].split(b"\x00")
                     if b"SCRAM-SHA-256" not in mechs:
@@ -476,6 +546,58 @@ class ReplicationClient:
                     out[cols[i]] = val
             elif tag == b"Z":
                 return out
+
+    def _simple_result(self) -> dict:
+        """Consume one RowDescription/DataRow/CommandComplete/Z cycle
+        into a {col: value} dict (the walsender command-result shape)."""
+        out: dict = {}
+        cols: list[str] = []
+        while True:
+            tag, body = self._read_msg()
+            if tag == b"E":
+                # drain to ReadyForQuery so the NEXT command's reply
+                # stream starts clean (an error still ends with Z)
+                while tag != b"Z":
+                    tag, _ = self._read_msg()
+                raise ConnectionError(f"server error: {body!r}")
+            if tag == b"T":
+                (n,) = struct.unpack_from(">h", body, 0)
+                at = 2
+                for _ in range(n):
+                    end = body.index(b"\x00", at)
+                    cols.append(body[at:end].decode())
+                    at = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack_from(">h", body, 0)
+                at = 2
+                for i in range(n):
+                    (ln,) = struct.unpack_from(">i", body, at)
+                    at += 4
+                    val = body[at : at + ln].decode() if ln >= 0 else None
+                    at += max(ln, 0)
+                    out[cols[i]] = val
+            elif tag == b"Z":
+                return out
+
+    def create_slot(
+        self, plugin: str = "wal2json", *, temporary: bool = False
+    ) -> dict:
+        """``CREATE_REPLICATION_SLOT`` over the replication protocol
+        (what ``pg_recvlogical --create-slot`` sends); returns the
+        result row (slot_name, consistent_point, snapshot_name,
+        output_plugin). Against a real postgres, pass the installed
+        output plugin — ``wal2json`` for the text path this client's
+        START_REPLICATION options request."""
+        tempkw = "TEMPORARY " if temporary else ""
+        q = f"CREATE_REPLICATION_SLOT {self.slot} {tempkw}LOGICAL {plugin}"
+        self._sock.sendall(_msg(b"Q", _cstr(q)))
+        return self._simple_result()
+
+    def drop_slot(self) -> None:
+        self._sock.sendall(
+            _msg(b"Q", _cstr(f"DROP_REPLICATION_SLOT {self.slot}"))
+        )
+        self._simple_result()
 
     def start_replication(self, start_lsn: int = 0):
         """→ generator of ``(lsn, payload)``; call :meth:`confirm`

@@ -295,3 +295,23 @@ def test_walsender_open_server_unchanged():
         srv.feed("{}")
         with ReplicationClient(srv.dsn) as c:
             assert c.identify_system()
+
+
+def test_create_and_drop_replication_slot():
+    """CREATE_REPLICATION_SLOT / DROP_REPLICATION_SLOT over the
+    replication protocol (the pg_recvlogical --create-slot exchange):
+    result row carries (slot_name, consistent_point, plugin), a
+    duplicate create errors (42710, like a real walsender), drop makes
+    the name reusable."""
+    with MiniPGServer(keepalive_s=0.05) as srv:
+        c = ReplicationClient(srv.dsn, slot="slot_a")
+        row = c.create_slot("wal2json")
+        assert row["slot_name"] == "slot_a"
+        assert row["output_plugin"] == "wal2json"
+        assert "/" in row["consistent_point"]
+        assert row["snapshot_name"] is None
+        with pytest.raises(ConnectionError, match="already exists"):
+            c.create_slot("wal2json")
+        c.drop_slot()
+        assert c.create_slot("pgoutput")["output_plugin"] == "pgoutput"
+        c.close()
