@@ -376,3 +376,84 @@ def test_kafka_wire_sigkill_resume_per_partition_ordering(tmp_path):
         assert [o for o, _ in ordered] == list(range(len(produced)))
         assert [v for _, v in ordered] == produced
         assert len(per_part[part]) == len(produced)
+
+
+def test_sigkill_mid_stream_tws_state_recovery(tmp_path):
+    """VERDICT r9 item 7: executor/driver kill mid-batch over a
+    transformWithStateInPandas query. The v2 state store (RocksDB,
+    checkpointed) must recover such that keys emitted BEFORE the kill
+    are not re-emitted after restart (no double-emit) and every key
+    still emits exactly once with its FIRST payload — the stateful
+    analog of the source-side exactly-once invariant above."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # overlapping keys across micro-batches: k1 recurs in every file,
+    # each file introduces one new key; first payload must win
+    keys = []
+    for i in range(4):
+        rows = [{"k": "k1", "p": f"dup-{i}"}, {"k": f"new{i}", "p": f"first-{i}"}]
+        (src / f"f{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        keys.append(f"new{i}")
+    expected_keys = sorted(["k1"] + keys)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    child = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "chaos_tws_child.py"),
+         str(src), out, ckpt, "20"],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            if glob.glob(os.path.join(out, "batch_id=*", "*.json")):
+                break
+            if child.poll() is not None:
+                pytest.fail("child exited before first batch")
+            time.sleep(0.5)
+        else:
+            pytest.fail("first batch never committed")
+        time.sleep(1.0)  # land inside the post-commit sleep window
+        child.send_signal(signal.SIGKILL)
+        child.wait(30)
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    def emitted() -> list[tuple[str, str]]:
+        rows = []
+        for f in glob.glob(os.path.join(out, "**", "*.json"), recursive=True):
+            with open(f) as fh:
+                for ln in fh:
+                    if ln.strip():
+                        d = _json.loads(ln)
+                        rows.append((d["dedup_key"], d["first_payload"]))
+        return rows
+
+    before = emitted()
+    assert 0 < len(before) < len(expected_keys)  # killed mid-stream
+
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "chaos_tws_child.py"),
+         str(src), out, ckpt, "0"],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        timeout=420,
+    ).returncode
+    assert rc == 0
+    final = emitted()
+    got_keys = sorted(k for k, _ in final)
+    # every key exactly once — a state-store recovery failure would
+    # re-emit k1 (seen pre-kill) on the post-restart batches
+    assert got_keys == expected_keys
+    # first occurrence wins: k1's payload is from micro-batch 0
+    payloads = dict(final)
+    assert payloads["k1"] == "dup-0"
