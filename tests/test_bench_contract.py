@@ -41,3 +41,49 @@ def test_every_gate_query_has_matching_oracle_columns():
     assert rows_only <= {"rag_ingest_retrieve"}, rows_only
     for name, sql in o.items():
         assert "select" in sql.lower(), name
+
+
+def _report_in_tmp(monkeypatch, tmp_path, hist: dict, timings: dict, aa=None):
+    """Run bench._regression_report against a THROWAWAY history dir —
+    never the repo's real BENCH_HISTORY.json (calling it ad hoc there
+    rewrites __suspects__; that wiped real suspects once in r9)."""
+    import bench
+
+    (tmp_path / "BENCH_HISTORY.json").write_text(json.dumps(hist))
+    (tmp_path / "PERF.md").write_text("")
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    bad = bench._regression_report(timings, aa)
+    return bad, json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+
+
+def test_aa_control_widens_regression_factor(monkeypatch, tmp_path):
+    """A session measuring 30% A/A jitter must not flag a 1.4x read:
+    the factor becomes max(1.3, 1 + 2*0.30) = 1.6 (VERDICT r9 item 3).
+    The same read IS a suspect when the session is quiet."""
+    hist = {"q": 10.0, "__suspects__": []}
+    aa = {"query": "x", "a_sec": 1.0, "b_sec": 1.3, "delta_pct": 30.0}
+    bad, out = _report_in_tmp(
+        monkeypatch, tmp_path, dict(hist), {"q": 14.0}, aa
+    )
+    assert bad == [] and out["__suspects__"] == []
+    assert out["__aa_control__"] == aa
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), {"q": 14.0})
+    assert bad == [] and out["__suspects__"] == ["q"]  # first-time warn
+
+
+def test_suspects_survive_partial_runs(monkeypatch, tmp_path):
+    """ADVICE r9: a run missing a prior suspect must carry it over,
+    not erase it — otherwise the two-consecutive-runs alarm never
+    fires. A suspect that repeats in-run still alarms."""
+    hist = {"q": 10.0, "other": 5.0, "__suspects__": ["other", "q"]}
+    bad, out = _report_in_tmp(
+        monkeypatch, tmp_path, dict(hist), {"q": 14.0}
+    )
+    # "other" absent from timings -> carried; "q" re-tripped -> alarms
+    assert out["__suspects__"] == ["other", "q"]
+    assert len(bad) == 1 and "q 14.00s" in bad[0]
+    # a clean run of BOTH clears them
+    bad, out = _report_in_tmp(
+        monkeypatch, tmp_path, dict(hist), {"q": 10.1, "other": 5.1}
+    )
+    assert bad == [] and out["__suspects__"] == []
