@@ -125,7 +125,12 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def _client(self):
         from conduit_spark.functions.minikafka import MiniKafkaClient
 
-        return MiniKafkaClient(self._server, sasl=self._sasl, **self._tls)
+        c = MiniKafkaClient(self._server, sasl=self._sasl, **self._tls)
+        # ride the highest mutual Produce/Fetch revisions (KIP-482
+        # flexible against this repo's broker), like franz-go does on
+        # every fresh connection
+        c.negotiate_versions()
+        return c
 
     def _offsets(self, earliest: bool) -> dict:
         # offsets keyed "topic:partition" — the multi-topic analog of
