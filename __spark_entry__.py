@@ -113,6 +113,9 @@ _EXTENDED = (
     # sk_hist_quantiles; multimodal keeps png/jpeg/alaw/mp4 + the
     # incoming gif). After a green r10, every suite query has held a
     # driver CORRECTNESS row at least once — never-verified count = 0.
+    # Round-10 NEW query (never driver-verified; r11 rotation candidate
+    # — locally oracle-exact via gate_check/pytest):
+    "d_lsh_recall",  # new in r10: banded-LSH recall audit vs exact jaccard truth
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

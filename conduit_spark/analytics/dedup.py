@@ -558,6 +558,51 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded-LSH candidate generator against
+    EXACT n-gram Jaccard ground truth — the dedup analog of
+    ``s_ivf_recall`` (reference scope: the dedup family of SURVEY §2's
+    training-data operators; round-10 addition). Banding + hot-bucket
+    caps are the approximations that make minhash dedup scale; this
+    operator MEASURES what they cost instead of asserting it: one row
+    per ground-truth near-dup pair (exact Jaccard ≥
+    ``JACCARD_THRESHOLD`` on the DF-capped shingle space, the same
+    space every exact pipeline here uses) with a flag for whether the
+    production LSH path (:func:`d_minhash_lsh_pairs`' banding →
+    bucket-cap → verify chain) surfaced it. A missed pair is a
+    banding false-negative (no band fully agrees) or a hot-bucket-cap
+    casualty — both visible here, neither visible to the LSH path
+    itself.
+
+    Scale: the truth side is ``d_ngram_jaccard``'s DF-capped pair
+    join (its blowup guard documented there); the LSH side reads the
+    session-materialized pair relation (``lsh_pairs_cached``). The
+    final join is near-dup-rate-sized on both sides — tiny relative
+    to the corpus. At 100 TB the same audit runs on a SAMPLE of the
+    corpus (the truth side is the expensive leg, exactly like IVF
+    recall audits sample queries)."""
+    truth = d_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    found = (
+        lsh_pairs_cached(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("found_by_lsh", F.lit(True))
+    )
+    return (
+        truth.join(found, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce(F.col("found_by_lsh"), F.lit(False)).alias(
+                "found_by_lsh"
+            ),
+        )
+        .transform(ordered_result, "id_a", "id_b")
+    )
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (token-frequency weighted).
 
@@ -1050,6 +1095,7 @@ QUERIES = {
     "d_cluster_prune": d_cluster_prune,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_containment_pairs": d_containment_pairs,
+    "d_lsh_recall": d_lsh_recall,
     "d_simhash": d_simhash,
     "d_simhash_pairs": d_simhash_pairs,
 }
@@ -1433,4 +1479,32 @@ ORACLES["d_incremental"] = f"""
     LEFT JOIN best b ON f.doc_id = b.id_new
     WHERE f.is_new
     ORDER BY f.doc_id
+"""
+
+
+ORACLES["d_lsh_recall"] = f"""
+    WITH {_LSH_CTES},
+    capped AS (
+        SELECT * FROM sh
+        WHERE x NOT IN (
+            SELECT x FROM sh GROUP BY x HAVING count(*) > {NGRAM_DF_CAP})),
+    tcounts AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    tinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM capped a JOIN capped b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) /
+                     CAST(ca.n + cb.n - n_inter AS DOUBLE), 9) AS jaccard
+        FROM tinter
+        JOIN tcounts ca ON ca.doc_id = id_a
+        JOIN tcounts cb ON cb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+              CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD})
+    SELECT t.id_a, t.id_b, t.jaccard,
+           lp.id_a IS NOT NULL AS found_by_lsh
+    FROM truth t
+    LEFT JOIN lsh_pairs lp ON lp.id_a = t.id_a AND lp.id_b = t.id_b
+    ORDER BY t.id_a, t.id_b
 """

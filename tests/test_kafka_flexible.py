@@ -201,3 +201,80 @@ def test_production_paths_negotiate_flexible(spark):
         fetch_vs = {v for k, v, _, _ in b.request_log if k == API_FETCH}
         assert produce_vs == {9}, produce_vs
         assert fetch_vs == {12}, fetch_vs
+
+
+# --- property tests (hypothesis) --------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(min_value=0, max_value=2**42))
+def test_uvarint_property(n):
+    r = _Reader(_w_uvarint(n) + b"\xaa")  # trailing byte must be untouched
+    assert r.uvarint() == n
+    assert r.buf[r.at :] == b"\xaa"
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.one_of(st.none(), st.text(max_size=80)))
+def test_compact_string_property(s):
+    r = _Reader(_w_compact_str(s))
+    assert r.compact_string() == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    tags=st.dictionaries(
+        st.integers(min_value=0, max_value=2**20),
+        st.binary(max_size=32),
+        max_size=6,
+    )
+)
+def test_tag_buffer_round_trip(tags):
+    buf = _w_uvarint(len(tags))
+    for tag in sorted(tags):
+        buf += _w_uvarint(tag) + _w_uvarint(len(tags[tag])) + tags[tag]
+    r = _Reader(buf + b"\x99")
+    assert r.tags() == tags
+    assert r.buf[r.at :] == b"\x99"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {
+                "key": st.one_of(st.none(), st.binary(max_size=24)),
+                "value": st.one_of(st.none(), st.binary(max_size=48)),
+                "timestamp": st.integers(min_value=0, max_value=2**40),
+            }
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    produce_v=st.sampled_from([3, 4, 5, 6, 7, 8, 9]),
+    fetch_v=st.sampled_from([4, 5, 6, 7, 8, 9, 10, 11, 12]),
+)
+def test_any_version_pair_round_trips(records, produce_v, fetch_v):
+    """EVERY advertised (produce, fetch) revision pair round-trips any
+    record shape through the broker's log — the fuzz closure over the
+    version matrix (the parametrized matrix test pins a sample; this
+    pins the space)."""
+    with MiniKafkaBroker() as b:
+        b.create_topic("prop", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("prop", 0, records, version=produce_v)
+            got, hwm = c.fetch("prop", 0, 0, version=fetch_v)
+    assert hwm == len(records)
+    assert [
+        (r["key"], r["value"], r["timestamp"]) for r in got
+    ] == [
+        (
+            bytes(r["key"]) if r["key"] is not None else None,
+            bytes(r["value"]) if r["value"] is not None else None,
+            r["timestamp"],
+        )
+        for r in records
+    ]
