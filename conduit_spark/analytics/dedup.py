@@ -574,16 +574,25 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     casualty — both visible here, neither visible to the LSH path
     itself.
 
-    Scale: the truth side is ``d_ngram_jaccard``'s DF-capped pair
-    join (its blowup guard documented there); the LSH side reads the
-    session-materialized pair relation (``lsh_pairs_cached``). The
-    final join is near-dup-rate-sized on both sides — tiny relative
-    to the corpus. At 100 TB the same audit runs on a SAMPLE of the
-    corpus (the truth side is the expensive leg, exactly like IVF
-    recall audits sample queries)."""
-    truth = d_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    Scale: BOTH legs read session-materialized pair relations —
+    ``d_ngram_jaccard``'s DF-capped exact pairs (the expensive leg,
+    materialized once like ``lsh_pairs_cached`` since the curation DAG
+    already computes it; the live pipeline stays ``d_ngram_jaccard``'s
+    own timing anchor) and the LSH pair relation. The final join is
+    near-dup-rate-sized on both sides — tiny relative to the corpus.
+    At 100 TB the same audit runs on a SAMPLE of the corpus (the
+    truth side is the expensive leg, exactly like IVF recall audits
+    sample queries)."""
+    from conduit_spark.analytics.processor_queries import (
+        _materialized_fixture,
     )
+
+    truth = _materialized_fixture(
+        "ngram_jaccard_pairs",
+        spark,
+        sf_dir,
+        lambda: d_ngram_jaccard(spark, sf_dir),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     found = (
         lsh_pairs_cached(spark, sf_dir)
         .select("id_a", "id_b")
