@@ -102,19 +102,27 @@ def _regression_report(
         pass
     # A/A control (VERDICT r9 item 3, BASELINE.md's own methodology):
     # each full session times one fixed query twice under identical
-    # conditions; the measured delta is this session's noise band. The
-    # regression factor must clear BOTH the static 1.3x AND twice the
-    # session's own A/A noise — a session measuring 20% A/A jitter has
-    # no business alarming (or rebaselining a floor) on a 1.35x read.
+    # conditions; the measured delta is this session's noise band.
+    # ALARMS must clear BOTH the static 1.3x AND twice the session's
+    # own A/A noise — a session measuring 20% A/A jitter has no
+    # business alarming (or rebaselining a floor) on a 1.35x read.
+    # Two guards on the widening itself:
+    # - capped at 2.0x: a single bad A/A pair (transient stall on the
+    #   control query) must not grant the whole session a blank check;
+    # - SUSPECT STREAKS use the static threshold: a query that trips
+    #   1.3x during a noisy session stays suspect (no alarm), so a
+    #   persistent regression interleaved with noisy sessions still
+    #   alarms on its next quiet-session trip instead of cycling
+    #   warn/clear forever.
     aa_frac = (aa or {}).get("delta_pct", 0.0) / 100.0
-    factor = max(1.3, 1.0 + 2.0 * aa_frac)
+    factor = max(1.3, min(2.0, 1.0 + 2.0 * aa_frac))
     bad = []
     suspects = []
     for name, t in timings.items():
         best = hist.get(name)
         if (
             best is not None
-            and t > factor * best
+            and t > 1.3 * best
             and t - best > 0.75
             and name not in waived
         ):
@@ -122,7 +130,10 @@ def _regression_report(
             line = (
                 f"{name} {t:.2f}s vs best {best:.2f}s ({t / best:.2f}x)"
             )
-            if name in prev_suspects:
+            if t <= factor * best:
+                print(f"bench-watch: {line} — inside the session A/A "
+                      f"band ({factor:.2f}x); streak kept, no alarm")
+            elif name in prev_suspects:
                 bad.append(
                     f"bench-regression: {line} — second consecutive run "
                     f"over threshold; add 'bench-waiver: {name}' to "
@@ -174,16 +185,6 @@ def main() -> None:
     spark.range(32, numPartitions=32).mapInPandas(_noop, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
-    # Wire-endpoint/fixture seeding happens at query CONSTRUCTION time
-    # (MiniS3/MiniKafka/MiniPG servers + capture files, cached per
-    # sf_dir). Seed them all before any timed query so wire-gate
-    # timings measure list+fetch+decode only — first-call seeding
-    # inside the timed path caused the drift that forced two r9
-    # rebaselines (VERDICT r9 item 4).
-    from conduit_spark.analytics.pipeline_queries import warm_wire_endpoints
-
-    warm_wire_endpoints(spark, sf_dir)
-
     all_queries = entrymod.extended_queries()
     gate_names = set(entrymod.queries())
     subset = os.environ.get("BENCH_QUERIES")
@@ -192,6 +193,21 @@ def main() -> None:
         if subset
         else sorted(all_queries)
     )
+
+    # Wire-endpoint/fixture seeding happens at query CONSTRUCTION time
+    # (MiniS3/MiniKafka/MiniPG servers + capture files, cached per
+    # sf_dir). Seed them all before any timed query so wire-gate
+    # timings measure list+fetch+decode only — first-call seeding
+    # inside the timed path caused the drift that forced two r9
+    # rebaselines (VERDICT r9 item 4). Skipped when a BENCH_QUERIES
+    # subset selects no wire queries: a one-query relational run must
+    # not pay multi-second endpoint seeding it never reads.
+    if any(n.startswith("g_") for n in names):
+        from conduit_spark.analytics.pipeline_queries import (
+            warm_wire_endpoints,
+        )
+
+        warm_wire_endpoints(spark, sf_dir)
 
     # History bests were recorded best-of-2 warm; a single extended run
     # pays one-time costs (fixture materialization, first scan of a

@@ -570,9 +570,15 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     space every exact pipeline here uses) with a flag for whether the
     production LSH path (:func:`d_minhash_lsh_pairs`' banding →
     bucket-cap → verify chain) surfaced it. A missed pair is a
-    banding false-negative (no band fully agrees) or a hot-bucket-cap
-    casualty — both visible here, neither visible to the LSH path
-    itself.
+    banding false-negative (no band fully agrees), a hot-bucket-cap
+    casualty, or a threshold-space mismatch — the LSH verify stage
+    scores Jaccard on the RAW shingle space while the exact truth here
+    uses the DF-capped space every exact pipeline shares, so a pair
+    whose capped Jaccard clears the threshold but whose raw Jaccard
+    does not counts as missed even when banding surfaced the
+    candidate. All three causes are invisible to the LSH path itself;
+    the third is a property of the two spaces, not of any banding
+    parameter.
 
     Scale: BOTH legs read session-materialized pair relations —
     ``d_ngram_jaccard``'s DF-capped exact pairs (the expensive leg,

@@ -355,12 +355,18 @@ class MiniKafkaBroker:
         # coordinator for every group — single node): generation,
         # members, leader, per-member assignments, committed offsets
         self._groups: dict[str, dict] = {}
+        from collections import deque
+
         # (api_key, api_version, request_size_bytes, client_id) per
-        # request served
-        self.request_log: list[tuple[int, int, int, str | None]] = []
+        # request served; bounded — the wire-gate brokers are cached
+        # for the whole session and an unbounded list would grow on
+        # every request of every timed repetition
+        self.request_log: deque[tuple[int, int, int, str | None]] = deque(
+            maxlen=100_000
+        )
         # encoded RecordBatch bytes per produce partition-set — lets
         # tests assert the producer's batchBytes request-size cap
-        self.produce_set_sizes: list[int] = []
+        self.produce_set_sizes: deque[int] = deque(maxlen=100_000)
         self._lock = threading.RLock()  # produce auto-creates topics under the lock
         broker = self
 

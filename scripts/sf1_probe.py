@@ -62,17 +62,24 @@ VERBATIM = ["region", "nation"]
 SKIP_PREFIXES = ("g_", "p_")
 
 
+def _complete(out: str) -> bool:
+    # a bare exists() would accept a partially-written table from an
+    # interrupted prior build and silently understate every ratio;
+    # Spark writes _SUCCESS last, so that is the completion marker
+    return os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def build_sf1(spark) -> None:
     os.makedirs(SF1_DIR, exist_ok=True)
     for table in VERBATIM:
         out = os.path.join(SF1_DIR, f"{table}.parquet")
-        if not os.path.exists(out):
+        if not _complete(out):
             spark.read.parquet(
                 os.path.join(SF_SMALL, f"{table}.parquet")
             ).write.mode("overwrite").parquet(out)
     for table, keys in REPLICATE.items():
         out = os.path.join(SF1_DIR, f"{table}.parquet")
-        if os.path.exists(out):
+        if _complete(out):
             continue
         base = spark.read.parquet(os.path.join(SF_SMALL, f"{table}.parquet"))
         parts = []

@@ -57,18 +57,35 @@ def _report_in_tmp(monkeypatch, tmp_path, hist: dict, timings: dict, aa=None):
 
 
 def test_aa_control_widens_regression_factor(monkeypatch, tmp_path):
-    """A session measuring 30% A/A jitter must not flag a 1.4x read:
-    the factor becomes max(1.3, 1 + 2*0.30) = 1.6 (VERDICT r9 item 3).
-    The same read IS a suspect when the session is quiet."""
+    """A session measuring 30% A/A jitter must not ALARM a 1.4x read
+    (factor widens to max(1.3, 1+2*0.30)=1.6, VERDICT r9 item 3) — but
+    the suspect STREAK is kept on the static 1.3x threshold, so a
+    persistent regression interleaved with noisy sessions still alarms
+    on its next quiet-session trip instead of cycling warn/clear."""
     hist = {"q": 10.0, "__suspects__": []}
     aa = {"query": "x", "a_sec": 1.0, "b_sec": 1.3, "delta_pct": 30.0}
     bad, out = _report_in_tmp(
         monkeypatch, tmp_path, dict(hist), {"q": 14.0}, aa
     )
-    assert bad == [] and out["__suspects__"] == []
+    assert bad == [] and out["__suspects__"] == ["q"]  # streak kept
     assert out["__aa_control__"] == aa
-    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), {"q": 14.0})
-    assert bad == [] and out["__suspects__"] == ["q"]  # first-time warn
+    # quiet session, prior suspect, still 1.4x -> alarms now
+    hist2 = {"q": 10.0, "__suspects__": ["q"]}
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, hist2, {"q": 14.0})
+    assert len(bad) == 1 and "q 14.00s" in bad[0]
+    # NOISY session with prior suspect: still no alarm, streak intact
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, hist2, {"q": 14.0}, aa)
+    assert bad == [] and out["__suspects__"] == ["q"]
+
+
+def test_aa_widening_is_capped(monkeypatch, tmp_path):
+    """A single bad A/A pair (100% jitter on the control query) must
+    not grant the session a blank check: the factor caps at 2.0, so a
+    2.8x regression with a prior streak still alarms."""
+    hist = {"q": 10.0, "__suspects__": ["q"]}
+    aa = {"query": "x", "a_sec": 1.0, "b_sec": 2.0, "delta_pct": 100.0}
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, hist, {"q": 28.0}, aa)
+    assert len(bad) == 1 and "q 28.00s" in bad[0]
 
 
 def test_suspects_survive_partial_runs(monkeypatch, tmp_path):
