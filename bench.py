@@ -116,6 +116,32 @@ def _regression_report(
     #   warn/clear forever.
     aa_frac = (aa or {}).get("delta_pct", 0.0) / 100.0
     factor = max(1.3, min(2.0, 1.0 + 2.0 * aa_frac))
+    # Environment-shift detector (round-10): the A/A pair bounds
+    # WITHIN-session jitter, but the r9/r10 drift class is a
+    # CROSS-session level shift — the whole box runs 1.3-1.7x slower
+    # for hours on identical code (verified r10 by running the
+    # morning-commit tree side-by-side on the slow box: same slow
+    # numbers; single- and 32-proc CPU microbenchmarks meanwhile
+    # normal). A real regression is sparse — one query, one plan; a
+    # box shift moves the whole fleet. So: when the MEDIAN t/best
+    # ratio across the full run (queries with best >= 0.3s, sample
+    # >= 10) exceeds 1.25, alarms demote to watches — streaks are
+    # still recorded on the static threshold, so the next
+    # normal-level session re-arms them and a real regression that
+    # persists across the shift still alarms there.
+    ratios = sorted(
+        t / hist[n]
+        for n, t in timings.items()
+        if isinstance(hist.get(n), (int, float)) and hist[n] >= 0.3
+    )
+    env_shift = ratios[len(ratios) // 2] if len(ratios) >= 10 else 1.0
+    env_slow = env_shift > 1.25
+    if env_slow:
+        print(
+            f"bench-environment: median t/best across {len(ratios)} "
+            f"queries is {env_shift:.2f}x — box-level shift, alarms "
+            "demoted to watches (streaks kept)"
+        )
     bad = []
     suspects = []
     for name, t in timings.items():
@@ -133,6 +159,9 @@ def _regression_report(
             if t <= factor * best:
                 print(f"bench-watch: {line} — inside the session A/A "
                       f"band ({factor:.2f}x); streak kept, no alarm")
+            elif env_slow:
+                print(f"bench-watch: {line} — box-level shift "
+                      f"(median {env_shift:.2f}x); streak kept, no alarm")
             elif name in prev_suspects:
                 bad.append(
                     f"bench-regression: {line} — second consecutive run "
@@ -150,6 +179,7 @@ def _regression_report(
     hist["__suspects__"] = sorted(set(suspects) | carried)
     if aa is not None:
         hist["__aa_control__"] = aa
+    hist["__env_shift__"] = round(env_shift, 4)
     if rebaselined:
         hist["__rebaselined__"] = rebaselined
     with open(hist_path, "w") as f:

@@ -104,3 +104,25 @@ def test_suspects_survive_partial_runs(monkeypatch, tmp_path):
         monkeypatch, tmp_path, dict(hist), {"q": 10.1, "other": 5.1}
     )
     assert bad == [] and out["__suspects__"] == []
+
+
+def test_env_shift_demotes_alarms_to_watches(monkeypatch, tmp_path):
+    """When the MEDIAN t/best across the run shows the whole box
+    shifted (>1.25x on >=10 queries), a second-consecutive trip is a
+    watch, not an alarm — but the streak survives, so a real
+    regression still alarms on the next normal-level session."""
+    hist = {f"q{i}": 1.0 for i in range(12)}
+    hist["__suspects__"] = ["q0"]
+    # whole fleet reads 1.5x: box shift
+    timings = {f"q{i}": 1.5 if i else 2.2 for i in range(12)}
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert bad == []  # q0 at 2.2x with a prior streak: demoted
+    assert "q0" in out["__suspects__"]
+    assert out["__env_shift__"] == 1.5
+    # normal-level session, q0 still regressed -> alarms
+    hist2 = {f"q{i}": 1.0 for i in range(12)}
+    hist2["__suspects__"] = out["__suspects__"]
+    timings2 = {f"q{i}": 1.0 if i else 2.2 for i in range(12)}
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, hist2, timings2)
+    assert len(bad) == 1 and "q0 2.20s" in bad[0]
+    assert out["__env_shift__"] == 1.0

@@ -278,3 +278,22 @@ def test_any_version_pair_round_trips(records, produce_v, fetch_v):
         )
         for r in records
     ]
+
+
+def test_flexible_error_paths():
+    """Error codes travel the flexible framings correctly: produce to
+    an out-of-range partition raises with UNKNOWN_TOPIC_OR_PARTITION
+    semantics at v9, fetch past the high watermark returns empty (not
+    an exception) at v12, and the connection stays usable after both."""
+    with MiniKafkaBroker() as b:
+        b.create_topic("errs", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            with pytest.raises(RuntimeError, match="produce error 3"):
+                c.produce("errs", 7, RECORDS, version=9)  # no partition 7
+            c.produce("errs", 0, RECORDS, version=9)
+            # beyond-hwm fetch: OFFSET_OUT_OF_RANGE -> empty, hwm still
+            # reported through the flexible framing
+            recs, hwm = c.fetch("errs", 0, 99, version=12)
+            assert recs == [] and hwm == 3
+            recs, hwm = c.fetch("errs", 0, 0, version=12)  # still usable
+            assert len(recs) == 3
