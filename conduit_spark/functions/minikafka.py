@@ -487,19 +487,43 @@ class MiniKafkaBroker:
             API_LEAVE_GROUP: (0, self._leave_group),
             API_SYNC_GROUP: (0, self._sync_group),
         }
+        if api_key == API_VERSIONS and api_version in (1, 2):
+            # v1/v2: v0 shape + trailing throttle_time_ms (the range we
+            # advertise must be contiguous, so serve every revision in it)
+            return (
+                struct.pack(">i", correlation_id)
+                + struct.pack(">h", ERR_NONE)
+                + self._api_versions_table()
+                + struct.pack(">i", 0)
+            )
+        if api_key == API_VERSIONS and api_version == 3:
+            # Native service of the revision modern clients open with
+            # (franz-go/librdkafka default): request header v2 + compact
+            # body (client_software_name/version, KIP-511's metadata).
+            # ApiVersionsResponse is PINNED to response header v0 — no
+            # header TAG_BUFFER even at v3; the BODY is flexible.
+            r.tags()  # request header v2 TAG_BUFFER
+            r.compact_string()  # client_software_name
+            r.compact_string()  # client_software_version
+            r.tags()
+            rows = self._api_version_rows()
+            body = struct.pack(">h", ERR_NONE) + _w_uvarint(len(rows) + 1)
+            for k, lo, hi in rows:
+                body += struct.pack(">hhh", k, lo, hi) + _TAGS
+            body += struct.pack(">i", 0) + _TAGS  # throttle, body tags
+            return struct.pack(">i", correlation_id) + body
         if api_key == API_VERSIONS and api_version != 0:
-            # KIP-511 downgrade path — the ONE exchange a modern client
-            # sends before it knows our versions. Clients default to
-            # ApiVersions v3 (flexible header); the protocol's answer is
-            # NOT a dead connection but UNSUPPORTED_VERSION in a
-            # v0-SHAPED body that still carries the supported-versions
-            # table (ApiVersionsResponse is pinned to response header v0
-            # and clients must parse an over-version reply as v0 —
-            # that's what makes the downgrade deterministic). The client
-            # then re-sends ApiVersions v0 and proceeds with the
-            # non-flexible revisions we advertise. See
-            # docs/architecture-decision-records/20260815/
-            # 0815-kafka-wire-nonflexible-scope.md.
+            # KIP-511 downgrade path for every OTHER unsupported
+            # revision — the ONE exchange a client sends before it
+            # knows our versions, so the protocol's answer is NOT a
+            # dead connection but UNSUPPORTED_VERSION in a v0-SHAPED
+            # body that still carries the supported-versions table
+            # (ApiVersionsResponse is pinned to response header v0 and
+            # clients must parse an over-version reply as v0 — that's
+            # what makes the downgrade deterministic). The client then
+            # re-sends ApiVersions v0 and proceeds with the revisions
+            # we advertise. See docs/architecture-decision-records/
+            # 20260815-kafka-wire-nonflexible-scope.md.
             return (
                 struct.pack(">i", correlation_id)
                 + struct.pack(">h", ERR_UNSUPPORTED_VERSION)
@@ -518,14 +542,17 @@ class MiniKafkaBroker:
             return None
         return struct.pack(">i", correlation_id) + body_out
 
-    def _api_versions_table(self) -> bytes:
-        rows = [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 1),
-                (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
+    def _api_version_rows(self) -> list[tuple[int, int, int]]:
+        return [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 1),
+                (API_METADATA, 1, 1), (API_VERSIONS, 0, 3),
                 (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
                 (API_SYNC_GROUP, 0, 0), (API_SASL_HANDSHAKE, 1, 1),
                 (API_SASL_AUTHENTICATE, 0, 0)]
+
+    def _api_versions_table(self) -> bytes:
+        rows = self._api_version_rows()
         out = struct.pack(">i", len(rows))
         for k, lo, hi in rows:
             out += struct.pack(">hhh", k, lo, hi)

@@ -33,7 +33,7 @@ def test_api_versions_and_metadata(broker):
         versions = c.api_versions()
         # core data-plane APIs plus the consumer-group coordinator set
         assert versions == {
-            0: (3, 9), 1: (4, 12), 2: (1, 1), 3: (1, 1), 18: (0, 0),
+            0: (3, 9), 1: (4, 12), 2: (1, 1), 3: (1, 1), 18: (0, 3),
             8: (2, 2), 9: (1, 1), 10: (0, 0), 11: (0, 0), 12: (0, 0),
             13: (0, 0), 14: (0, 0), 17: (1, 1), 36: (0, 0),
         }
@@ -352,12 +352,13 @@ def test_validate_kafka_topics_plural():
 
 
 def test_modern_client_apiversions_downgrade(broker):
-    """KIP-511 first-connection sequence of a modern (flexible) client:
-    ApiVersions v3 with request header v2 → the broker must answer
-    UNSUPPORTED_VERSION in a v0-SHAPED body that still carries the
-    supported-versions table (never kill the connection); the client
-    re-sends v0 on the SAME socket and proceeds at the advertised
-    non-flexible revisions. ADR:
+    """KIP-511 downgrade sequence for a FUTURE revision: ApiVersions v4
+    (not served — our range is 0-3) with request header v2 → the broker
+    must answer UNSUPPORTED_VERSION in a v0-SHAPED body that still
+    carries the supported-versions table (never kill the connection);
+    the client re-sends v0 on the SAME socket and proceeds at the
+    advertised revisions. v3 itself is served natively since round 10
+    (test_apiversions_v3_served_natively). ADR:
     docs/architecture-decision-records/20260815-kafka-wire-nonflexible-scope.md
     """
     import socket as _socket
@@ -391,7 +392,7 @@ def test_modern_client_apiversions_downgrade(broker):
         # the flexibility is the trailing tagged-field buffer + the
         # compact-encoded body)
         req = (
-            _struct.pack(">hhi", 18, 3, 7)     # api_key, version, corr
+            _struct.pack(">hhi", 18, 4, 7)     # api_key, version, corr
             + _w_str("franz-go-alike")          # header v2 client_id
             + uvarint(0)                        # header tagged fields
             + compact_str("conduit-test")       # client_software_name
@@ -404,7 +405,7 @@ def test_modern_client_apiversions_downgrade(broker):
         assert r.i32() == 7                     # response header v0
         assert r.i16() == ERR_UNSUPPORTED_VERSION
         table = {r.i16(): (r.i16(), r.i16()) for _ in range(r.i32())}
-        assert table[18] == (0, 0)              # broker advertises its max
+        assert table[18] == (0, 3)              # broker advertises its max
 
         # -- exchange 2: the downgraded retry, same socket
         req = _struct.pack(">hhi", 18, 0, 8) + _w_str("franz-go-alike")
@@ -560,3 +561,61 @@ def test_sasl_wire_transport_end_to_end(spark):
             registry.build_source(
                 spark, "builtin:kafka", plain, "k2", streaming=False
             )
+
+
+def test_apiversions_v3_served_natively(broker):
+    """A modern client's first request (ApiVersions v3, request header
+    v2, compact body with client software name/version) is served
+    natively since round 10 — no downgrade round-trip. Response header
+    is v0 (the one PINNED exchange: no TAG_BUFFER after correlation
+    id even at v3) with a flexible body; v1/v2 are served too so the
+    advertised 0-3 range is contiguous and honest."""
+    import socket as _socket
+    import struct as _struct
+
+    from conduit_spark.functions.minikafka import (
+        _Reader,
+        _recv_exact,
+        _w_compact_str,
+        _w_str,
+        _w_uvarint,
+    )
+
+    host, port = broker.bootstrap.rsplit(":", 1)
+    sock = _socket.create_connection((host, int(port)))
+    try:
+        req = (
+            _struct.pack(">hhi", 18, 3, 11)
+            + _w_str("franz-go-alike")
+            + _w_uvarint(0)                      # header tagged fields
+            + _w_compact_str("conduit-test")     # client_software_name
+            + _w_compact_str("1.0.0")            # client_software_version
+            + _w_uvarint(0)                      # body tagged fields
+        )
+        sock.sendall(_struct.pack(">i", len(req)) + req)
+        (size,) = _struct.unpack(">i", _recv_exact(sock, 4))
+        r = _Reader(_recv_exact(sock, size))
+        assert r.i32() == 11                     # header v0: corr only
+        assert r.i16() == 0                      # error_code NONE
+        table = {}
+        for _ in range(r.uvarint() - 1):         # compact array
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            r.tags()
+            table[k] = (lo, hi)
+        assert r.i32() == 0                      # throttle_time_ms
+        assert r.tags() == {}                    # body TAG_BUFFER
+        assert table[18] == (0, 3)
+        assert table[0] == (3, 9) and table[1] == (4, 12)
+
+        # v1 and v2 also served (v0 shape + trailing throttle)
+        for v, corr in ((1, 12), (2, 13)):
+            req = _struct.pack(">hhi", 18, v, corr) + _w_str("c")
+            sock.sendall(_struct.pack(">i", len(req)) + req)
+            (size,) = _struct.unpack(">i", _recv_exact(sock, 4))
+            r = _Reader(_recv_exact(sock, size))
+            assert r.i32() == corr and r.i16() == 0
+            t = {r.i16(): (r.i16(), r.i16()) for _ in range(r.i32())}
+            assert t == table
+            assert r.i32() == 0                  # throttle
+    finally:
+        sock.close()
