@@ -116,6 +116,7 @@ _EXTENDED = (
     # Round-10 NEW query (never driver-verified; r11 rotation candidate
     # — locally oracle-exact via gate_check/pytest):
     "d_lsh_recall",  # new in r10: banded-LSH recall audit vs exact jaccard truth
+    "rag_hard_negatives",  # new in r10: DPR-style BM25 hard-negative mining
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

@@ -273,3 +273,117 @@ def _hybrid_rrf_sql() -> str:
 
 
 ORACLES["rag_hybrid_rrf"] = _hybrid_rrf_sql()
+
+
+# --- hard-negative mining (round-10 addition) --------------------------
+#
+# Contrastive retriever training (DPR / sentence-transformers / E5
+# recipes) needs, per training query, one positive plus the TOP-SCORING
+# non-positives as "hard negatives" — random negatives are trivially
+# separable and teach nothing. BM25-mined hard negatives are the
+# standard recipe (the DPR paper's best configuration).
+
+HN_QUERIES = (
+    (1, ("merge", "spark", "window")),  # = text.BM25_QUERY
+    (2, ("join", "hash", "filter")),
+    (3, ("stream", "vector", "sort")),
+)
+HN_K = 5  # hard negatives per query (ranks 2..HN_K+1)
+
+
+def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining for retriever training: for each
+    training query, rank-1 is the positive, ranks 2..6 are the hard
+    negatives (reference scope: the RAG/training-data families of
+    SURVEY §2's operators; DPR-style contrastive data prep).
+
+    Plan shape: each query leg is the SF-linear ``text.bm25_scores``
+    pipeline (|q|-row broadcast relations, no windows) ended by
+    orderBy+limit — TakeOrdered, never a global sort. The three
+    (1+HN_K)-row legs union into an 18-row pool, materialized once
+    (``localCheckpoint``) and ranked by a count-of-better self-join —
+    a broadcast join on a constant-size relation, the same shape the
+    plan audit whitelists for s_mmr_rerank's bounded pool; no
+    single-partition window anywhere. At 100 TB the legs are the only
+    corpus-sized work and each is one BM25 scan; real workloads batch
+    many queries per leg (tf filter on a broadcast term set), which is
+    this exact DAG with a wider isin."""
+    from conduit_spark.analytics.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = None
+    for qid, terms in HN_QUERIES:
+        leg = (
+            bm25_scores(docs, terms)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(1 + HN_K)
+            .select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                "doc_id",
+                "bm25",
+            )
+        )
+        pool = leg if pool is None else pool.unionByName(leg)
+    pool = pool.localCheckpoint()  # 18 rows; feeds both rank-join sides
+    a, b = pool.alias("a"), pool.alias("b")
+    better = (F.col("b.bm25") > F.col("a.bm25")) | (
+        (F.col("b.bm25") == F.col("a.bm25"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.query_id") == F.col("b.query_id")) & better,
+            "left",
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.bm25").alias("bm25"),
+        )
+        .agg((F.count(F.col("b.doc_id")) + 1).cast("bigint").alias("rank"))
+    )
+    from conduit_spark.analytics import ordered_result
+
+    return ranked.select(
+        "query_id",
+        "doc_id",
+        "bm25",
+        "rank",
+        F.when(F.col("rank") == 1, "positive")
+        .otherwise("hard_negative")
+        .alias("role"),
+    ).transform(ordered_result, "query_id", "rank")
+
+
+def _hard_negatives_sql() -> str:
+    from conduit_spark.analytics.text import bm25_cte_sql
+
+    legs = " UNION ALL ".join(
+        f"""SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, bm25
+            FROM (WITH {bm25_cte_sql(terms)}
+                  SELECT doc_id, bm25 FROM bm25_per
+                  ORDER BY bm25 DESC, doc_id ASC LIMIT {1 + HN_K})"""
+        for qid, terms in HN_QUERIES
+    )
+    return f"""
+        WITH pool AS ({legs})
+        SELECT a.query_id, a.doc_id, a.bm25,
+               CAST(1 + (SELECT count(*) FROM pool b
+                         WHERE b.query_id = a.query_id
+                           AND (b.bm25 > a.bm25
+                                OR (b.bm25 = a.bm25 AND b.doc_id < a.doc_id)))
+                    AS BIGINT) AS rank,
+               CASE WHEN 1 + (SELECT count(*) FROM pool b
+                              WHERE b.query_id = a.query_id
+                                AND (b.bm25 > a.bm25
+                                     OR (b.bm25 = a.bm25
+                                         AND b.doc_id < a.doc_id))) = 1
+                    THEN 'positive' ELSE 'hard_negative' END AS role
+        FROM pool a
+        ORDER BY a.query_id, rank
+    """
+
+
+QUERIES["rag_hard_negatives"] = rag_hard_negatives
+ORACLES["rag_hard_negatives"] = _hard_negatives_sql()
