@@ -113,10 +113,17 @@ _EXTENDED = (
     # sk_hist_quantiles; multimodal keeps png/jpeg/alaw/mp4 + the
     # incoming gif). After a green r10, every suite query has held a
     # driver CORRECTNESS row at least once — never-verified count = 0.
-    # Round-10 NEW query (never driver-verified; r11 rotation candidate
-    # — locally oracle-exact via gate_check/pytest):
-    "d_lsh_recall",  # new in r10: banded-LSH recall audit vs exact jaccard truth
-    "rag_hard_negatives",  # new in r10: DPR-style BM25 hard-negative mining
+    # Round-11 rotation (VERDICT r10 item 1): the two
+    # never-driver-verified r10 additions (d_lsh_recall,
+    # rag_hard_negatives) take gate slots. Displaced: two multi-green
+    # keepers below, chosen so every family keeps at least one gate
+    # row (dedup keeps d_substring/d_incremental/d_containment/d_url
+    # plus the incoming d_lsh_recall; text keeps six slots; rag keeps
+    # rag_hybrid_rrf plus the incoming rag_hard_negatives). After a
+    # green r11, every suite query has held a driver CORRECTNESS row
+    # at least once — never-verified count = 0 again.
+    "d_simhash_pairs",  # driver-green 2x (r9-r10); dedup keeps 5 gate slots
+    "t_repetition",  # driver-green 3x (r8-r10); text keeps 6 gate slots
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

@@ -1172,10 +1172,24 @@ class MiniKafkaClient:
         old broker it stays at the non-flexible floor (v3/v4). Returns
         the broker's full version table."""
         table = self.api_versions()
-        _, p_hi = table.get(API_PRODUCE, (3, 3))
-        self._produce_version = max(3, min(self.MAX_PRODUCE_VERSION, p_hi))
-        _, f_hi = table.get(API_FETCH, (4, 4))
-        self._fetch_version = max(4, min(self.MAX_FETCH_VERSION, f_hi))
+        p_lo, p_hi = table.get(API_PRODUCE, (3, 3))
+        picked = max(3, min(self.MAX_PRODUCE_VERSION, p_hi))
+        if picked < p_lo:
+            raise RuntimeError(
+                f"no mutually supported Produce version: broker serves "
+                f"v{p_lo}-v{p_hi}, client speaks up to "
+                f"v{self.MAX_PRODUCE_VERSION}"
+            )
+        self._produce_version = picked
+        f_lo, f_hi = table.get(API_FETCH, (4, 4))
+        picked = max(4, min(self.MAX_FETCH_VERSION, f_hi))
+        if picked < f_lo:
+            raise RuntimeError(
+                f"no mutually supported Fetch version: broker serves "
+                f"v{f_lo}-v{f_hi}, client speaks up to "
+                f"v{self.MAX_FETCH_VERSION}"
+            )
+        self._fetch_version = picked
         return table
 
     def metadata(self, topics: list[str] | None = None) -> dict:

@@ -235,7 +235,13 @@ class MiniPGServer:
         grammar; pg_recvlogical --create-slot sends it)."""
         parts = query.split()
         name = parts[1] if len(parts) > 1 else "conduit_spark"
-        plugin = parts[-1].lower()
+        # the plugin is the token immediately after LOGICAL — parts[-1]
+        # would mis-read trailing options like "(EXPORT_SNAPSHOT)" or
+        # "RESERVE_WAL" that pg_recvlogical's grammar allows
+        upper = [p.upper() for p in parts]
+        plugin = (parts[upper.index("LOGICAL") + 1].lower()
+                  if "LOGICAL" in upper and upper.index("LOGICAL") + 1 < len(parts)
+                  else parts[-1].lower())
         with self._lock:
             self._slots = getattr(self, "_slots", set())
             if name in self._slots:

@@ -101,11 +101,18 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     runs = int(os.environ.get("SF1_RUNS", "1"))
+    queries = entrymod.extended_queries()
+    # validate CLI names BEFORE the expensive sf1 build — a typo should
+    # fail in milliseconds, not after minutes of dataset replication
+    unknown = [n for n in sys.argv[1:] if n not in queries]
+    if unknown:
+        sys.exit(f"unknown query name(s): {', '.join(unknown)} "
+                 f"(see extended_queries() for the registry)")
+
     spark = get_spark("sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
 
-    queries = entrymod.extended_queries()
     names = sys.argv[1:] or sorted(
         n for n in queries if not n.startswith(SKIP_PREFIXES)
     )

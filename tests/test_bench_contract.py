@@ -108,9 +108,11 @@ def test_suspects_survive_partial_runs(monkeypatch, tmp_path):
 
 def test_env_shift_demotes_alarms_to_watches(monkeypatch, tmp_path):
     """When the MEDIAN t/best across the run shows the whole box
-    shifted (>1.25x on >=10 queries), a second-consecutive trip is a
-    watch, not an alarm — but the streak survives, so a real
-    regression still alarms on the next normal-level session."""
+    shifted (>1.25x on >=10 queries), a trip whose excess is fully
+    explained by the shift (median-normalized value back inside the
+    thresholds) is a watch, not an alarm — but the streak survives,
+    so a real regression still alarms on the next normal-level
+    session."""
     hist = {f"q{i}": 1.0 for i in range(12)}
     hist["__suspects__"] = ["q0"]
     # whole fleet reads 1.5x: box shift
@@ -126,3 +128,39 @@ def test_env_shift_demotes_alarms_to_watches(monkeypatch, tmp_path):
     bad, out = _report_in_tmp(monkeypatch, tmp_path, hist2, timings2)
     assert len(bad) == 1 and "q0 2.20s" in bad[0]
     assert out["__env_shift__"] == 1.0
+
+
+def test_env_shift_normalized_alarm_catches_sparse_regression(
+    monkeypatch, tmp_path
+):
+    """VERDICT r10 item 2 (shift-immune gate): a sparse REAL 1.5x
+    single-query regression must still ALARM inside a 1.45x
+    fleet-shifted window. Weather multiplies the whole fleet and
+    cancels out of the median-normalized ratio; a real regression is
+    sparse and survives normalization. Round 10's detector demoted
+    everything to watches inside a shift — two weather-dominated
+    rounds in a row meant a real regression rode free."""
+    hist = {f"q{i}": 3.0 for i in range(20)}
+    hist["q_reg"] = 3.0
+    hist["__suspects__"] = ["q_reg"]  # tripped last session too
+    timings = {f"q{i}": 4.35 for i in range(20)}  # fleet at 1.45x: weather
+    timings["q_reg"] = 3.0 * 1.45 * 1.5  # real 1.5x ON TOP of the weather
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert len(bad) == 1 and "q_reg" in bad[0]
+    assert "median-normalized" in bad[0]
+    assert out["__env_shift__"] == 1.45
+    # the fleet-wide 1.45x is weather: watches only, streaks kept
+    assert all(f"q{i}" in out["__suspects__"] for i in range(20))
+
+
+def test_quiet_box_aa_pair_stays_silent(monkeypatch, tmp_path):
+    """The flip side of the shift-immune alarm: a quiet-box A/A pair
+    (same code, timings at level) raises nothing and clears every
+    pending streak — normalization must not create alarms where
+    neither weather nor regression exists."""
+    hist = {f"q{i}": 3.0 for i in range(20)}
+    hist["__suspects__"] = [f"q{i}" for i in range(20)]
+    timings = {f"q{i}": 3.02 for i in range(20)}  # at level
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert bad == [] and out["__suspects__"] == []
+    assert out["__env_shift__"] < 1.05

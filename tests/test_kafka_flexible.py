@@ -297,3 +297,18 @@ def test_flexible_error_paths():
             assert recs == [] and hwm == 3
             recs, hwm = c.fetch("errs", 0, 0, version=12)  # still usable
             assert len(recs) == 3
+
+
+def test_negotiate_versions_rejects_disjoint_ranges():
+    """ADVICE r10: a future broker whose MINIMUM Produce/Fetch revision
+    exceeds what this client speaks must fail AT NEGOTIATION with a
+    clear error, not silently pick an unsupported version and die
+    mid-request."""
+    c = MiniKafkaClient.__new__(MiniKafkaClient)
+    c._produce_version, c._fetch_version = 3, 4
+    c.api_versions = lambda: {API_PRODUCE: (12, 15), API_FETCH: (4, 12)}
+    with pytest.raises(RuntimeError, match="no mutually supported Produce"):
+        MiniKafkaClient.negotiate_versions(c)
+    c.api_versions = lambda: {API_PRODUCE: (3, 9), API_FETCH: (14, 17)}
+    with pytest.raises(RuntimeError, match="no mutually supported Fetch"):
+        MiniKafkaClient.negotiate_versions(c)

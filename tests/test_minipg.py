@@ -315,3 +315,21 @@ def test_create_and_drop_replication_slot():
         c.drop_slot()
         assert c.create_slot("pgoutput")["output_plugin"] == "pgoutput"
         c.close()
+
+
+def test_create_slot_trailing_options_parse_plugin():
+    """pg_recvlogical's grammar allows options after the plugin
+    (``... LOGICAL pgoutput (SNAPSHOT 'export')``); the server must
+    record the token after LOGICAL as the plugin, not the last token
+    (ADVICE r10: parts[-1] would have answered "'export')")."""
+    from conduit_spark.functions.minipg import _cstr, _msg
+
+    with MiniPGServer(keepalive_s=0.05) as srv:
+        c = ReplicationClient(srv.dsn, slot="slot_opt")
+        q = ("CREATE_REPLICATION_SLOT slot_opt TEMPORARY LOGICAL "
+             "pgoutput (SNAPSHOT 'export')")
+        c._sock.sendall(_msg(b"Q", _cstr(q)))
+        row = c._simple_result()
+        assert row["output_plugin"] == "pgoutput"
+        assert row["slot_name"] == "slot_opt"
+        c.close()
