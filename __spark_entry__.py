@@ -124,6 +124,9 @@ _EXTENDED = (
     # at least once — never-verified count = 0 again.
     "d_simhash_pairs",  # driver-green 2x (r9-r10); dedup keeps 5 gate slots
     "t_repetition",  # driver-green 3x (r8-r10); text keeps 6 gate slots
+    # Round-11 NEW query (never driver-verified; r12 rotation candidate
+    # — locally oracle-exact via gate_check/pytest):
+    "s_incremental",  # new in r11: incremental IVF maintenance (occupancy drift + boundary margin)
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

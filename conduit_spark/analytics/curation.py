@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from conduit_spark.analytics.dedup import (
     CONTAM_MOD,
-    contamination_scores,
+    _contamination_from_grams,
+    contam_grams_cached,
 )
 from conduit_spark.analytics.sampling import RATES, stratified_sample
 from conduit_spark.analytics.text import STOPWORDS
@@ -67,10 +68,12 @@ def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3: benchmark holdout + decontamination. The contaminated-id
-    # relation is tiny (flagged doc ids) but its subtree is the whole
-    # n-gram pipeline — pin it so stage 4's count doesn't run it twice.
+    # relation is tiny (flagged doc ids); its gram-relation subtree is
+    # session-materialized (contam_grams_cached — shared with
+    # d_contamination), and the id list itself is pinned so stage 4's
+    # count doesn't run the semi-join twice.
     contaminated = (
-        contamination_scores(docs)
+        _contamination_from_grams(contam_grams_cached(spark, sf_dir))
         .filter(F.col("contamination_frac") >= CONTAM_MAX)
         .select("doc_id")
         .localCheckpoint(eager=False)

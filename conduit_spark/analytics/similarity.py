@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from conduit_spark.analytics import ordered_result
 from conduit_spark.plans import iteration_barrier
-from conduit_spark.functions.hashing import hyperplanes
+from conduit_spark.functions.hashing import (
+    hyperplanes,
+    md5_int32,
+    sql_md5_int32,
+)
 from conduit_spark.sources.tables import load_table
 
 N_PLANES = 8
@@ -870,8 +874,120 @@ def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+# --- incremental IVF maintenance (continuous-ingest story) -----------
+
+SINC_MOD = 10  # ~1/10 of vectors arrive as the "new batch"
+# nano-unit fixed point for the margin sums: BIGINT sums are
+# order-independent, so avg margins hash-match across engines (the
+# same reason s_kmeans_centroids works in micro-units)
+SINC_SCALE = 1_000_000_000
+# top1-top2 cell-sim margin below which an assignment is "boundary":
+# the vector sits between two cells, exactly the class nprobe=1 misses
+SINC_MARGIN_EPS_U = SINC_SCALE // 20  # 0.05 in nano-units
+
+
+def s_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r10 item 7 — the
+    similarity-family analog of ``d_incremental``): assign a new
+    embedding batch to the EXISTING IVF structure and report, per
+    cell, the occupancy drift the batch causes plus a recall-impact
+    estimate — the continuous-ingest audit an ANN deployment runs on
+    every ingest before deciding whether to retrain centroids
+    (reference precedent: the AI pipeline components design,
+    ``docs/architecture-decision-records/20260724-ai-pipeline-components.md``).
+
+    Columns: ``share_before/share_after/occupancy_drift`` quantify
+    cell-balance skew (a drifting ingest distribution concentrates
+    cells and degrades probe cost); ``avg_margin_new`` is the mean
+    top1−top2 centroid-similarity margin of the batch (assignment
+    confidence), and ``boundary_frac_new`` the fraction of new
+    vectors inside ``SINC_MARGIN_EPS`` of a cell boundary — the class
+    the existing ``s_ivf_recall`` nprobe=1 audit shows gets missed,
+    so it estimates the batch's recall impact without re-running the
+    corpus-linear exact audit.
+
+    Scale shape: the centroid table is a constant-size broadcast (in
+    the expression itself — K×d literals); assignment is one narrow
+    per-row projection, then ONE K-group agg with map-side partials.
+    The new batch never joins the corpus; the existing side
+    contributes only its per-cell counts (at 100 TB those live in the
+    index metadata and this becomes batch-only work). Margin sums ride
+    nano-unit BIGINTs so the cross-engine avg is exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sims = F.array(
+        *[
+            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
+            for c in _CENTROIDS
+        ]
+    )
+    top = F.reverse(F.array_sort(sims))
+    margin_u = F.floor(
+        (top.getItem(0) - top.getItem(1)) * SINC_SCALE
+    ).cast("bigint")
+    assign = emb.select(
+        ((md5_int32(F.col("vec_id")) % SINC_MOD) == 0).alias("is_new"),
+        ivf_cell(F.col("embedding")).alias("cell"),
+        margin_u.alias("margin_u"),
+    )
+    per = assign.groupBy("cell").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_existing"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("is_new"), F.col("margin_u")).otherwise(0)).alias(
+            "sum_margin_u"
+        ),
+        F.sum(
+            F.when(
+                F.col("is_new") & (F.col("margin_u") < SINC_MARGIN_EPS_U), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_boundary"),
+    )
+    tot = per.agg(
+        F.sum("n_existing").alias("tot_existing"),
+        F.sum(F.col("n_existing") + F.col("n_new")).alias("tot_all"),
+    )
+    after = (F.col("n_existing") + F.col("n_new")).cast("double")
+    before = F.col("n_existing").cast("double")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_existing",
+            "n_new",
+            F.round(before / F.col("tot_existing"), 9).alias("share_before"),
+            F.round(after / F.col("tot_all"), 9).alias("share_after"),
+            F.round(
+                after / F.col("tot_all") - before / F.col("tot_existing"), 9
+            ).alias("occupancy_drift"),
+            F.when(
+                F.col("n_new") > 0,
+                F.round(
+                    F.col("sum_margin_u").cast("double")
+                    / SINC_SCALE
+                    / F.col("n_new"),
+                    9,
+                ),
+            ).alias("avg_margin_new"),
+            F.when(
+                F.col("n_new") > 0,
+                F.round(
+                    F.col("n_boundary").cast("double") / F.col("n_new"), 9
+                ),
+            ).alias("boundary_frac_new"),
+        )
+        .transform(ordered_result, "cell")
+    )
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_incremental": s_incremental,
     "s_mmr_rerank": s_mmr_rerank,
     "s_semantic_dedup": s_semantic_dedup,
     "s_lsh_buckets": s_lsh_buckets,
@@ -1227,4 +1343,54 @@ ORACLES["s_ivf_recall"] = f"""
            round(CAST(count(*) AS DOUBLE) / {float(RECALL_K)}, 9)
                AS recall_at_k
     FROM ivf JOIN exact USING (vec_id)
+"""
+
+# incremental IVF maintenance: sims list computed once per row in a
+# CTE, then cell = first-max argmax and margin = top1 - top2 over the
+# descending-sorted list; margin sums ride nano-unit BIGINTs so the
+# cross-engine avg is exact (s_kmeans_centroids' micro-unit trick)
+ORACLES["s_incremental"] = f"""
+    WITH sims AS (
+        SELECT vec_id,
+               [{", ".join(_sql_dot("embedding", _sql_plane_array(c)) for c in _CENTROIDS)}] AS s
+        FROM embeddings),
+    assign AS (
+        SELECT ({sql_md5_int32("CAST(vec_id AS VARCHAR)")} % {SINC_MOD} = 0)
+                   AS is_new,
+               CAST(list_position(s, list_max(s)) - 1 AS INT) AS cell,
+               CAST(floor((list_reverse(list_sort(s))[1]
+                           - list_reverse(list_sort(s))[2])
+                          * {SINC_SCALE}) AS BIGINT) AS margin_u
+        FROM sims),
+    per AS (
+        SELECT cell,
+               CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_existing,
+               CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN is_new THEN margin_u ELSE 0 END) AS BIGINT)
+                   AS sum_margin_u,
+               CAST(sum(CASE WHEN is_new AND margin_u < {SINC_MARGIN_EPS_U}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+        FROM assign GROUP BY cell),
+    tot AS (
+        SELECT CAST(sum(n_existing) AS BIGINT) AS tot_existing,
+               CAST(sum(n_existing + n_new) AS BIGINT) AS tot_all
+        FROM per)
+    SELECT cell, n_existing, n_new,
+           round(CAST(n_existing AS DOUBLE) / tot_existing, 9)
+               AS share_before,
+           round(CAST(n_existing + n_new AS DOUBLE) / tot_all, 9)
+               AS share_after,
+           round(CAST(n_existing + n_new AS DOUBLE) / tot_all
+                 - CAST(n_existing AS DOUBLE) / tot_existing, 9)
+               AS occupancy_drift,
+           CASE WHEN n_new > 0
+                THEN round(CAST(sum_margin_u AS DOUBLE) / {SINC_SCALE}
+                           / n_new, 9) END AS avg_margin_new,
+           CASE WHEN n_new > 0
+                THEN round(CAST(n_boundary AS DOUBLE) / n_new, 9) END
+               AS boundary_frac_new
+    FROM per, tot
+    ORDER BY cell
 """

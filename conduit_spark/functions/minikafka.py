@@ -475,10 +475,26 @@ class MiniKafkaBroker:
             if api_version >= 12:
                 hdr += _TAGS
             return hdr + self._fetch(r, api_version)
+        # Control plane (round-11): Metadata v1-v9 / ListOffsets v1-v6
+        # are version-parameterized like the data plane; v9/v6 are the
+        # KIP-482 flexible revisions (request header v2, response
+        # header v1).
+        if api_key == API_METADATA and 1 <= api_version <= 9:
+            if api_version >= 9:
+                r.tags()
+            hdr = struct.pack(">i", correlation_id)
+            if api_version >= 9:
+                hdr += _TAGS
+            return hdr + self._metadata(r, api_version)
+        if api_key == API_LIST_OFFSETS and 1 <= api_version <= 6:
+            if api_version >= 6:
+                r.tags()
+            hdr = struct.pack(">i", correlation_id)
+            if api_version >= 6:
+                hdr += _TAGS
+            return hdr + self._list_offsets(r, api_version)
         handlers = {
             API_VERSIONS: (0, self._api_versions),
-            API_METADATA: (1, self._metadata),
-            API_LIST_OFFSETS: (1, self._list_offsets),
             API_OFFSET_COMMIT: (2, self._offset_commit),
             API_OFFSET_FETCH: (1, self._offset_fetch),
             API_FIND_COORDINATOR: (0, self._find_coordinator),
@@ -532,8 +548,8 @@ class MiniKafkaBroker:
         if api_key not in handlers or api_version != handlers[api_key][0]:
             raise ValueError(
                 f"unsupported api_key={api_key} version={api_version}; "
-                "this broker speaks ApiVersions v0, Metadata v1, "
-                "Produce v3-v9, Fetch v4-v12, ListOffsets v1, "
+                "this broker speaks ApiVersions v0-v3, Metadata v1-v9, "
+                "Produce v3-v9, Fetch v4-v12, ListOffsets v1-v6, "
                 "OffsetCommit v2, OffsetFetch v1, FindCoordinator v0, "
                 "JoinGroup/Heartbeat/LeaveGroup/SyncGroup v0"
             )
@@ -543,8 +559,8 @@ class MiniKafkaBroker:
         return struct.pack(">i", correlation_id) + body_out
 
     def _api_version_rows(self) -> list[tuple[int, int, int]]:
-        return [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 1),
-                (API_METADATA, 1, 1), (API_VERSIONS, 0, 3),
+        return [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 6),
+                (API_METADATA, 1, 9), (API_VERSIONS, 0, 3),
                 (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
                 (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
@@ -784,16 +800,43 @@ class MiniKafkaBroker:
                 )
         return out
 
-    def _metadata(self, r: _Reader) -> bytes:
-        n = r.i32()
-        wanted = None if n < 0 else [r.string() for _ in range(n)]
+    def _metadata(self, r: _Reader, version: int = 1) -> bytes:
+        """Metadata v1-v9 (round-11, VERDICT r10 item 6 — the control
+        plane joins the data plane's version range). Request grows:
+        allow_auto_topic_creation (v4+), authorized-operations asks
+        (v8+), compact/flexible framing (v9, KIP-482). Response grows:
+        cluster_id (v2+), throttle_time_ms first (v3+),
+        offline_replicas per partition (v5+), leader_epoch (v7+),
+        topic/cluster_authorized_operations (v8+, INT32_MIN = "not
+        requested"), compact framing + TAG_BUFFERs (v9)."""
+        flexible = version >= 9
+        if flexible:
+            n = r.uvarint() - 1  # compact NULLABLE array: 0 encodes null
+            wanted = None
+            if n >= 0:
+                wanted = []
+                for _ in range(n):
+                    wanted.append(r.compact_string() or "")
+                    r.tags()  # per-topic TAG_BUFFER
+        else:
+            n = r.i32()
+            wanted = None if n < 0 else [r.string() or "" for _ in range(n)]
+        allow_auto = True
+        if version >= 4:
+            allow_auto = bool(r.i8())
+        if version >= 8:
+            r.i8()  # include_cluster_authorized_operations
+            r.i8()  # include_topic_authorized_operations
+        if flexible:
+            r.tags()
         with self._lock:
-            if wanted is not None:
+            if wanted is not None and allow_auto:
                 # Kafka with auto.create.topics.enable=true creates a
                 # topic on an explicitly-named metadata request (the
-                # all-topics listing never creates). Without this, a
-                # producer that sizes its partitioner from pre-produce
-                # metadata would see 0 partitions, route everything to
+                # all-topics listing never creates; v4+ clients can
+                # opt out per request). Without this, a producer that
+                # sizes its partitioner from pre-produce metadata
+                # would see 0 partitions, route everything to
                 # partition 0, then diverge from every later run once
                 # the first produce auto-creates default_partitions.
                 for t in wanted:
@@ -802,19 +845,43 @@ class MiniKafkaBroker:
             topics = dict(self._topics) if wanted is None else {
                 t: self._topics.get(t, 0) for t in wanted
             }
-        out = struct.pack(">i", 1)  # one broker
-        out += struct.pack(">i", self.node_id) + _w_str(self.host)
-        out += struct.pack(">i", self.port) + _w_str(None)  # rack
+
+        def s(x: str | None) -> bytes:
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        def arr(k: int) -> bytes:
+            return _w_uvarint(k + 1) if flexible else struct.pack(">i", k)
+
+        tagsb = _TAGS if flexible else b""
+        out = b""
+        if version >= 3:
+            out += struct.pack(">i", 0)  # throttle_time_ms
+        out += arr(1)  # one broker
+        out += struct.pack(">i", self.node_id) + s(self.host)
+        out += struct.pack(">i", self.port) + s(None) + tagsb  # rack
+        if version >= 2:
+            out += s("minikafka")  # cluster_id
         out += struct.pack(">i", self.node_id)  # controller_id
-        out += struct.pack(">i", len(topics))
+        out += arr(len(topics))
         for t, n_parts in topics.items():
             err = ERR_NONE if n_parts else ERR_UNKNOWN_TOPIC_OR_PARTITION
-            out += struct.pack(">h", err) + _w_str(t) + struct.pack(">?", False)
-            out += struct.pack(">i", n_parts)
+            out += struct.pack(">h", err) + s(t) + struct.pack(">?", False)
+            out += arr(n_parts)
             for p in range(n_parts):
                 out += struct.pack(">hii", ERR_NONE, p, self.node_id)
-                out += struct.pack(">ii", 1, self.node_id)  # replicas
-                out += struct.pack(">ii", 1, self.node_id)  # isr
+                if version >= 7:
+                    out += struct.pack(">i", 0)  # leader_epoch
+                out += arr(1) + struct.pack(">i", self.node_id)  # replicas
+                out += arr(1) + struct.pack(">i", self.node_id)  # isr
+                if version >= 5:
+                    out += arr(0)  # offline_replicas
+                out += tagsb
+            if version >= 8:
+                out += struct.pack(">i", -(2**31))  # topic_authorized_operations
+            out += tagsb
+        if version >= 8:
+            out += struct.pack(">i", -(2**31))  # cluster_authorized_operations
+        out += tagsb
         return out
 
     def _produce(self, r: _Reader, version: int = 3) -> bytes | None:
@@ -976,27 +1043,55 @@ class MiniKafkaBroker:
             out += _TAGS
         return out
 
-    def _list_offsets(self, r: _Reader) -> bytes:
+    def _list_offsets(self, r: _Reader, version: int = 1) -> bytes:
+        """ListOffsets v1-v6 (round-11, VERDICT r10 item 6). Request
+        grows: isolation_level (v2+), current_leader_epoch per
+        partition (v4+), compact/flexible framing (v6, KIP-482).
+        Response grows: throttle_time_ms first (v2+), leader_epoch per
+        partition (v4+), compact framing + TAG_BUFFERs (v6)."""
+        flexible = version >= 6
         r.i32()  # replica_id
-        n_topics = r.i32()
-        out = struct.pack(">i", n_topics)
+        if version >= 2:
+            r.i8()  # isolation_level
+
+        def s(x: str | None) -> bytes:
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        def arr(k: int) -> bytes:
+            return _w_uvarint(k + 1) if flexible else struct.pack(">i", k)
+
+        tagsb = _TAGS if flexible else b""
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
+        out = arr(n_topics)
         for _ in range(n_topics):
-            topic = r.string()
-            n_parts = r.i32()
-            out += _w_str(topic) + struct.pack(">i", n_parts)
+            topic = (r.compact_string() if flexible else r.string()) or ""
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
+            out += s(topic) + arr(n_parts)
             for _ in range(n_parts):
                 partition = r.i32()
+                if version >= 4:
+                    r.i32()  # current_leader_epoch
                 ts = r.i64()
+                if flexible:
+                    r.tags()
                 with self._lock:
                     log = self._logs.get((topic, partition))
                     if log is None:
                         out += struct.pack(
                             ">ihqq", partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
                         )
-                        continue
-                    offset = 0 if ts == EARLIEST else log.next_offset
-                out += struct.pack(">ihqq", partition, ERR_NONE, -1, offset)
-        return out
+                    else:
+                        offset = 0 if ts == EARLIEST else log.next_offset
+                        out += struct.pack(">ihqq", partition, ERR_NONE, -1, offset)
+                if version >= 4:
+                    out += struct.pack(">i", 0)  # leader_epoch
+                out += tagsb
+            out += tagsb
+        if flexible:
+            r.tags()
+        if version >= 2:
+            out = struct.pack(">i", 0) + out  # throttle_time_ms FIRST
+        return out + tagsb
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
@@ -1050,6 +1145,8 @@ class MiniKafkaClient:
         # non-flexible floor until negotiate_versions() raises them
         self._produce_version = 3
         self._fetch_version = 4
+        self._metadata_version = 1
+        self._listoffsets_version = 1
         if sasl:
             self._sasl_login(
                 str(sasl.get("mechanism", "SCRAM-SHA-256")).upper(),
@@ -1163,6 +1260,8 @@ class MiniKafkaClient:
     # highest revisions this client can speak (flexible per KIP-482)
     MAX_PRODUCE_VERSION = 9
     MAX_FETCH_VERSION = 12
+    MAX_METADATA_VERSION = 9
+    MAX_LISTOFFSETS_VERSION = 6
 
     def negotiate_versions(self) -> dict[int, tuple[int, int]]:
         """ApiVersions handshake → pin produce/fetch to the highest
@@ -1190,35 +1289,100 @@ class MiniKafkaClient:
                 f"v{self.MAX_FETCH_VERSION}"
             )
         self._fetch_version = picked
+        # control plane (round-11): same negotiation for Metadata /
+        # ListOffsets — modern brokers retire old control-plane
+        # revisions too, and franz-go pins these the same way
+        m_lo, m_hi = table.get(API_METADATA, (1, 1))
+        picked = max(1, min(self.MAX_METADATA_VERSION, m_hi))
+        if picked < m_lo:
+            raise RuntimeError(
+                f"no mutually supported Metadata version: broker serves "
+                f"v{m_lo}-v{m_hi}, client speaks up to "
+                f"v{self.MAX_METADATA_VERSION}"
+            )
+        self._metadata_version = picked
+        o_lo, o_hi = table.get(API_LIST_OFFSETS, (1, 1))
+        picked = max(1, min(self.MAX_LISTOFFSETS_VERSION, o_hi))
+        if picked < o_lo:
+            raise RuntimeError(
+                f"no mutually supported ListOffsets version: broker "
+                f"serves v{o_lo}-v{o_hi}, client speaks up to "
+                f"v{self.MAX_LISTOFFSETS_VERSION}"
+            )
+        self._listoffsets_version = picked
         return table
 
-    def metadata(self, topics: list[str] | None = None) -> dict:
-        body = struct.pack(">i", -1) if topics is None else (
-            struct.pack(">i", len(topics)) + b"".join(_w_str(t) for t in topics)
-        )
-        r = self._call(API_METADATA, 1, body)
+    def metadata(
+        self, topics: list[str] | None = None, *, version: int | None = None
+    ) -> dict:
+        """Metadata v1-v9; default rides the negotiated revision (v1
+        floor before :meth:`negotiate_versions`, v9 flexible against
+        this broker)."""
+        version = self._metadata_version if version is None else version
+        flexible = version >= 9
+        if flexible:
+            body = _w_uvarint(0) if topics is None else (
+                _w_uvarint(len(topics) + 1)
+                + b"".join(_w_compact_str(t) + _TAGS for t in topics)
+            )
+        else:
+            body = struct.pack(">i", -1) if topics is None else (
+                struct.pack(">i", len(topics))
+                + b"".join(_w_str(t) for t in topics)
+            )
+        if version >= 4:
+            body += struct.pack(">?", True)  # allow_auto_topic_creation
+        if version >= 8:
+            body += struct.pack(">??", False, False)  # authz-ops asks
+        if flexible:
+            body += _TAGS
+        r = self._call(API_METADATA, version, body, flexible=flexible)
+
+        def rstr() -> str | None:
+            return r.compact_string() if flexible else r.string()
+
+        def rn() -> int:
+            return (r.uvarint() - 1) if flexible else r.i32()
+
+        if version >= 3:
+            r.i32()  # throttle_time_ms
         brokers = []
-        for _ in range(r.i32()):
+        for _ in range(rn()):
             node = r.i32()
-            host = r.string()
+            host = rstr()
             port = r.i32()
-            rack = r.string()
+            rack = rstr()
+            if flexible:
+                r.tags()
             brokers.append({"node_id": node, "host": host, "port": port, "rack": rack})
+        if version >= 2:
+            rstr()  # cluster_id
         controller = r.i32()
         topics_out = {}
-        for _ in range(r.i32()):
+        for _ in range(rn()):
             err = r.i16()
-            name = r.string()
+            name = rstr()
             r.i8()  # is_internal bool
             parts = []
-            for _ in range(r.i32()):
+            for _ in range(rn()):
                 p_err = r.i16()
                 idx = r.i32()
                 leader = r.i32()
-                replicas = [r.i32() for _ in range(r.i32())]
-                isr = [r.i32() for _ in range(r.i32())]
+                if version >= 7:
+                    r.i32()  # leader_epoch
+                replicas = [r.i32() for _ in range(rn())]
+                isr = [r.i32() for _ in range(rn())]
+                if version >= 5:
+                    for _ in range(rn()):
+                        r.i32()  # offline_replicas
+                if flexible:
+                    r.tags()
                 parts.append({"error": p_err, "partition": idx, "leader": leader,
                               "replicas": replicas, "isr": isr})
+            if version >= 8:
+                r.i32()  # topic_authorized_operations
+            if flexible:
+                r.tags()
             topics_out[name] = {"error": err, "partitions": parts}
         return {"brokers": brokers, "controller": controller, "topics": topics_out}
 
@@ -1535,21 +1699,52 @@ class MiniKafkaClient:
                 out[(t, p)] = off
         return out
 
-    def list_offsets(self, topic: str, partition: int, timestamp: int = LATEST) -> int:
-        body = (
-            struct.pack(">i", -1)
-            + struct.pack(">i", 1) + _w_str(topic)
-            + struct.pack(">i", 1) + struct.pack(">iq", partition, timestamp)
-        )
-        r = self._call(API_LIST_OFFSETS, 1, body)
+    def list_offsets(
+        self, topic: str, partition: int, timestamp: int = LATEST,
+        *, version: int | None = None,
+    ) -> int:
+        """ListOffsets v1-v6; default rides the negotiated revision
+        (v1 floor before :meth:`negotiate_versions`, v6 flexible
+        against this broker)."""
+        version = self._listoffsets_version if version is None else version
+        flexible = version >= 6
+        body = struct.pack(">i", -1)  # replica_id
+        if version >= 2:
+            body += struct.pack(">b", 0)  # isolation_level read_uncommitted
+        part = struct.pack(">i", partition)
+        if version >= 4:
+            part += struct.pack(">i", -1)  # current_leader_epoch
+        part += struct.pack(">q", timestamp)
+        if flexible:
+            part += _TAGS
+            body += (
+                _w_uvarint(2) + _w_compact_str(topic)
+                + _w_uvarint(2) + part + _TAGS + _TAGS
+            )
+        else:
+            body += (
+                struct.pack(">i", 1) + _w_str(topic)
+                + struct.pack(">i", 1) + part
+            )
+        r = self._call(API_LIST_OFFSETS, version, body, flexible=flexible)
+        if version >= 2:
+            r.i32()  # throttle_time_ms
         offset = -1
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
+        n_topics = (r.uvarint() - 1) if flexible else r.i32()
+        for _ in range(n_topics):
+            r.compact_string() if flexible else r.string()
+            n_parts = (r.uvarint() - 1) if flexible else r.i32()
+            for _ in range(n_parts):
                 r.i32()
                 err = r.i16()
                 r.i64()  # timestamp
                 offset = r.i64()
+                if version >= 4:
+                    r.i32()  # leader_epoch
+                if flexible:
+                    r.tags()
                 if err:
                     raise RuntimeError(f"list_offsets error {err}")
+            if flexible:
+                r.tags()
         return offset

@@ -930,3 +930,23 @@ def test_ngram_novelty_first_owner_semantics(spark, tmp_path, monkeypatch):
     assert 0.0 < got[3].novelty < 1.0
     # doc3: 10 words -> 8 shingles, 3 inherited from doc1's 5-word text
     assert got[3].n_grams == 8 and got[3].n_novel == 5
+
+
+def test_s_incremental_semantics(spark, sf_dir):
+    """Invariants of the incremental IVF maintenance audit beyond the
+    oracle hash: existing+new partition the corpus, shares each sum to
+    1, drift sums to ~0 (it's a redistribution), margins are
+    non-negative (top1 >= top2 by construction) and boundary fractions
+    live in [0, 1]."""
+    rows = similarity.s_incremental(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_existing + r.n_new for r in rows) == emb_n
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.occupancy_drift for r in rows)) < 1e-6
+    for r in rows:
+        if r.n_new > 0:
+            assert r.avg_margin_new >= 0.0
+            assert 0.0 <= r.boundary_frac_new <= 1.0
+        else:
+            assert r.avg_margin_new is None and r.boundary_frac_new is None

@@ -312,3 +312,86 @@ def test_negotiate_versions_rejects_disjoint_ranges():
     c.api_versions = lambda: {API_PRODUCE: (3, 9), API_FETCH: (14, 17)}
     with pytest.raises(RuntimeError, match="no mutually supported Fetch"):
         MiniKafkaClient.negotiate_versions(c)
+
+
+def test_metadata_version_matrix():
+    """Control-plane flexibility (VERDICT r10 item 6): Metadata v1-v9
+    must answer every revision with the same topology — v2 adds
+    cluster_id, v3 throttle, v4 allow_auto_topic_creation, v5
+    offline_replicas, v7 leader_epoch, v8 authorized operations, v9
+    the KIP-482 compact framing. One broker, nine requests, identical
+    parsed content."""
+    with MiniKafkaBroker(default_partitions=3) as b:
+        b.create_topic("ctrl", partitions=4)
+        with MiniKafkaClient(b.bootstrap) as c:
+            for v in range(1, 10):
+                md = c.metadata(["ctrl"], version=v)
+                assert md["controller"] == 0, f"v{v}"
+                assert md["brokers"][0]["port"] == b.port, f"v{v}"
+                t = md["topics"]["ctrl"]
+                assert t["error"] == 0 and len(t["partitions"]) == 4, f"v{v}"
+                assert all(p["leader"] == 0 and p["isr"] == [0]
+                           for p in t["partitions"]), f"v{v}"
+
+
+def test_list_offsets_version_matrix():
+    """ListOffsets v1-v6 must agree on earliest/latest at every
+    revision (v2 adds isolation_level+throttle, v4 leader epochs, v6
+    compact framing)."""
+    from conduit_spark.functions.minikafka import EARLIEST, LATEST
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        b.create_topic("offs", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("offs", 0, RECORDS)
+            for v in range(1, 7):
+                assert c.list_offsets("offs", 0, EARLIEST, version=v) == 0, f"v{v}"
+                assert c.list_offsets("offs", 0, LATEST, version=v) == 3, f"v{v}"
+
+
+def test_negotiate_pins_control_plane_and_rides_it():
+    """negotiate_versions() now pins Metadata/ListOffsets alongside
+    Produce/Fetch; the default calls ride the negotiated flexible
+    revisions end-to-end against this broker."""
+    from conduit_spark.functions.minikafka import (
+        API_LIST_OFFSETS,
+        API_METADATA,
+        LATEST,
+    )
+
+    with MiniKafkaBroker(default_partitions=2) as b:
+        b.create_topic("nego2", partitions=2)
+        with MiniKafkaClient(b.bootstrap) as c:
+            table = c.negotiate_versions()
+            assert table[API_METADATA] == (1, 9)
+            assert table[API_LIST_OFFSETS] == (1, 6)
+            assert c._metadata_version == 9 and c._listoffsets_version == 6
+            md = c.metadata(["nego2"])  # rides v9
+            assert len(md["topics"]["nego2"]["partitions"]) == 2
+            c.produce("nego2", 1, RECORDS)
+            assert c.list_offsets("nego2", 1, LATEST) == 3  # rides v6
+            # the broker's request log shows the negotiated revisions
+            assert (API_METADATA, 9) in {(k, v) for k, v, _, _ in b.request_log}
+            assert (API_LIST_OFFSETS, 6) in {
+                (k, v) for k, v, _, _ in b.request_log
+            }
+
+
+def test_negotiate_rejects_disjoint_control_plane_ranges():
+    """Same lo-bound guard as the data plane: a broker whose minimum
+    Metadata/ListOffsets revision exceeds this client fails at
+    negotiation with a clear error."""
+    from conduit_spark.functions.minikafka import API_LIST_OFFSETS, API_METADATA
+
+    base = {API_PRODUCE: (3, 9), API_FETCH: (4, 12)}
+    c = MiniKafkaClient.__new__(MiniKafkaClient)
+    c._produce_version, c._fetch_version = 3, 4
+    c._metadata_version, c._listoffsets_version = 1, 1
+    c.api_versions = lambda: {
+        **base, API_METADATA: (12, 13), API_LIST_OFFSETS: (1, 6)}
+    with pytest.raises(RuntimeError, match="no mutually supported Metadata"):
+        MiniKafkaClient.negotiate_versions(c)
+    c.api_versions = lambda: {
+        **base, API_METADATA: (1, 9), API_LIST_OFFSETS: (8, 9)}
+    with pytest.raises(RuntimeError, match="no mutually supported ListOffsets"):
+        MiniKafkaClient.negotiate_versions(c)

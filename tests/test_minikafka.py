@@ -33,7 +33,7 @@ def test_api_versions_and_metadata(broker):
         versions = c.api_versions()
         # core data-plane APIs plus the consumer-group coordinator set
         assert versions == {
-            0: (3, 9), 1: (4, 12), 2: (1, 1), 3: (1, 1), 18: (0, 3),
+            0: (3, 9), 1: (4, 12), 2: (1, 6), 3: (1, 9), 18: (0, 3),
             8: (2, 2), 9: (1, 1), 10: (0, 0), 11: (0, 0), 12: (0, 0),
             13: (0, 0), 14: (0, 0), 17: (1, 1), 36: (0, 0),
         }
