@@ -206,10 +206,108 @@ def dq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(load_table(spark, sf_dir, "events"), events_checks())
 
 
+# -- distribution drift between corpus and ingest batch (PSI) ---------
+
+DRIFT_LEN_BIN_W = 16  # token-length bin width
+DRIFT_LEN_BINS = 32  # bins 0..31 (last bin open-ended)
+DRIFT_PSI_MINOR = 0.1  # industry PSI rule of thumb: 0.1 minor shift
+DRIFT_PSI_MAJOR = 0.2  # 0.2 major shift (retrain / investigate)
+
+
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift gate between the EXISTING
+    corpus and the incoming batch (same deterministic md5 ingest gate
+    as ``d_incremental``/``s_incremental``) — the fully-distributed,
+    oracle-backed companion to the driver-side
+    :func:`profile_documents`/:func:`drift_report` JSON diff: one row
+    per monitored feature with its PSI and severity level. PSI =
+    Σ_bins (q−p)·ln(q/p) over Laplace-smoothed bin shares (the
+    standard ML-monitoring drift metric); features are the token-length
+    histogram (width-``DRIFT_LEN_BIN_W`` integer bins, zero-padded bin
+    labels so lexical ORDER = numeric) and the language mix.
+
+    Scale shape: ONE narrow scan explodes each doc to two (feature,
+    bin) rows; one keyed agg with conditional sums crushes the corpus
+    to ≤ (bins+langs) rows; totals are a per-feature agg over that
+    relation; the PSI fold runs over a bin-sorted collect_list of ≤ 32
+    structs per feature — bounded by construction, never corpus-sized.
+    ln() + a bin-sorted left fold keep the doubles cross-engine exact
+    (the t_unigram_logprob / cur_lang_temperature discipline).
+    """
+    from conduit_spark.analytics.dedup import INCR_BATCH_MOD
+    from conduit_spark.functions.hashing import md5_int32
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    len_bin = F.lpad(
+        F.least(
+            (n_tok / DRIFT_LEN_BIN_W).cast("int"), F.lit(DRIFT_LEN_BINS - 1)
+        ).cast("string"),
+        2,
+        "0",
+    )
+    feats = F.array(
+        F.struct(F.lit("len").alias("feature"), len_bin.alias("bin")),
+        F.struct(F.lit("lang").alias("feature"), F.col("lang").alias("bin")),
+    )
+    rel = docs.select(
+        ((md5_int32(F.col("doc_id")) % INCR_BATCH_MOD) == 0).alias("is_new"),
+        F.explode(feats).alias("fb"),
+    ).select("is_new", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+    cnt = rel.groupBy("feature", "bin").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+    )
+    tot = cnt.groupBy("feature").agg(
+        F.sum("n_old").alias("tot_old"),
+        F.sum("n_new").alias("tot_new"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    p = (F.col("n_old") + 1).cast("double") / (F.col("tot_old") + F.col("n_bins"))
+    q = (F.col("n_new") + 1).cast("double") / (F.col("tot_new") + F.col("n_bins"))
+    terms = cnt.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "n_bins",
+        F.struct(F.col("bin"), ((q - p) * F.log(q / p)).alias("term")).alias("bt"),
+    )
+    out = (
+        terms.groupBy("feature")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.array_sort(F.collect_list("bt")).alias("bts"),
+        )
+        .select(
+            "feature",
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.round(
+                F.aggregate(
+                    F.expr("transform(bts, x -> x.term)"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("psi"),
+        )
+        .select(
+            "feature",
+            "n_bins",
+            "psi",
+            F.when(F.col("psi") >= DRIFT_PSI_MAJOR, "major")
+            .when(F.col("psi") >= DRIFT_PSI_MINOR, "minor")
+            .otherwise("stable")
+            .alias("level"),
+        )
+    )
+    from conduit_spark.analytics import ordered_result
+
+    return ordered_result(out, "feature")
+
+
 QUERIES = {
     "dq_documents": dq_documents,
     "dq_embeddings": dq_embeddings,
     "dq_events": dq_events,
+    "dq_drift": dq_drift,
 }
 
 _SQL_ALL = ",".join(f"'{x}'" for x in ALL_LANGS)
@@ -427,3 +525,55 @@ def drift_report(
             }
         )
     return findings
+
+
+# module-level imports for the drift oracle f-string (no cycle: dedup
+# does not import quality_checks)
+from conduit_spark.analytics.dedup import INCR_BATCH_MOD  # noqa: E402
+from conduit_spark.functions.hashing import sql_md5_int32  # noqa: E402
+
+ORACLES["dq_drift"] = f"""
+    WITH rel AS (
+        SELECT ({sql_md5_int32("CAST(doc_id AS VARCHAR)")} % {INCR_BATCH_MOD} = 0)
+                   AS is_new,
+               u.feature AS feature, u.bin AS bin
+        FROM (
+            SELECT doc_id,
+                   unnest([
+                       {{'feature': 'len',
+                         'bin': lpad(CAST(least(
+                             len(string_split(text, ' ')) // {DRIFT_LEN_BIN_W},
+                             {DRIFT_LEN_BINS - 1}) AS VARCHAR), 2, '0')}},
+                       {{'feature': 'lang', 'bin': lang}}
+                   ]) AS u
+            FROM documents)),
+    cnt AS (
+        SELECT feature, bin,
+               sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS n_old,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+        FROM rel GROUP BY feature, bin),
+    tot AS (
+        SELECT feature, sum(n_old) AS tot_old, sum(n_new) AS tot_new,
+               count(*) AS n_bins
+        FROM cnt GROUP BY feature),
+    terms AS (
+        SELECT c.feature, t.n_bins, c.bin,
+               ((CAST(c.n_new + 1 AS DOUBLE) / (t.tot_new + t.n_bins))
+                - (CAST(c.n_old + 1 AS DOUBLE) / (t.tot_old + t.n_bins)))
+               * ln((CAST(c.n_new + 1 AS DOUBLE) / (t.tot_new + t.n_bins))
+                    / (CAST(c.n_old + 1 AS DOUBLE) / (t.tot_old + t.n_bins)))
+                   AS term
+        FROM cnt c JOIN tot t USING (feature)),
+    psi AS (
+        SELECT feature, CAST(max(n_bins) AS BIGINT) AS n_bins,
+               round(list_sum(list_transform(
+                   list_sort(list(struct_pack(bin := bin, term := term))),
+                   e -> e.term)), 9) AS psi
+        FROM terms GROUP BY feature)
+    SELECT feature, n_bins, psi,
+           CASE WHEN psi >= {DRIFT_PSI_MAJOR} THEN 'major'
+                WHEN psi >= {DRIFT_PSI_MINOR} THEN 'minor'
+                ELSE 'stable' END AS level
+    FROM psi
+    ORDER BY feature
+"""

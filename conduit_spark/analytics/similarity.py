@@ -355,10 +355,20 @@ def _pq_sub(vec: Column, m: int) -> Column:
     return F.slice(vec, m * PQ_DSUB + 1, PQ_DSUB)
 
 
-def pq_code(vec: Column, m: int) -> Column:
+def pq_code(
+    vec: Column, m: int, codebooks: list[list[list[float]]] | None = None
+) -> Column:
     """Sub-vector m's PQ code: argmin L2² against the subspace
     codebook (first-min wins) — a narrow per-row projection, exactly
-    like ``ivf_cell``'s argmax."""
+    like ``ivf_cell``'s argmax.
+
+    ``codebooks`` defaults to the fixed deterministic ones (oracle
+    stays exact, plan shape identical). A production index passes
+    LEARNED codebooks instead: train with :func:`s_pq_train`, divide
+    the integer micro-unit components by ``KMEANS_SCALE``, and hand
+    the per-subspace lists here — the same handoff ``ivf_cell``
+    documents for :func:`s_kmeans_centroids`."""
+    cbs = codebooks if codebooks is not None else _PQ_CODEBOOKS
     dists = F.array(
         *[
             F.aggregate(
@@ -371,7 +381,7 @@ def pq_code(vec: Column, m: int) -> Column:
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            for cw in _PQ_CODEBOOKS[m]
+            for cw in cbs[m]
         ]
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -985,9 +995,93 @@ def s_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_TRAIN_ITERS = 2  # Lloyd iterations per subspace (mirrors KMEANS_ITERS)
+
+
+def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING (Jégou et al. TPAMI 2011 §II.C) — the
+    trainer that closes the IVF-PQ loop: :func:`s_kmeans_centroids`
+    learns the coarse cells, this learns the ``PQ_M`` per-subspace
+    codebooks that :func:`pq_code`/:func:`s_pq_topk` would consume
+    instead of their fixed pseudo-random ones, and
+    :func:`s_incremental` maintains the structure under ingest.
+    Per subspace: ``PQ_TRAIN_ITERS`` quantized Lloyd iterations over
+    the 16-dim subvectors (deterministic init = first ``PQ_K``
+    vectors' subvectors, integer micro-unit arithmetic, truncating
+    integer mean — the exact :func:`s_kmeans_centroids` recipe, so
+    the DuckDB oracle unrolls the same iterations bit-exactly).
+
+    Scale shape: ONE quantized scan materializes the vector relation,
+    shared by all ``PQ_M`` subspace loops (the slice is a narrow
+    projection). Per iteration: assignment is an Arrow-batched argmin
+    over a broadcast K×d_sub codeword matrix (zero shuffle, the
+    `_assign_udf` path); the update is one posexplode + keyed sum on
+    ``(codeword, dim)`` with map-side partials; O(K·d_sub) state
+    returns to the driver between iterations. Total driver state:
+    PQ_M × 16 × 16 ints.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr(_QUANT_EXPR).alias("fq")
+    ).localCheckpoint()
+    comp = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr("abs(s) div n")
+    out = None
+    for m in range(PQ_M):
+        off = m * PQ_DSUB
+        sub = vecs.select(
+            "vec_id", F.expr(f"slice(fq, {off + 1}, {PQ_DSUB})").alias("q")
+        )
+        cents = [
+            (r["vec_id"], list(r["q"]))
+            for r in sub.filter(F.col("vec_id") < PQ_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        cents_df = None
+        for it in range(PQ_TRAIN_ITERS):
+            assigned = sub.select(
+                "q", _assign_udf(cents)(F.col("q")).alias("cl")
+            )
+            upd = (
+                assigned.select("cl", F.posexplode("q").alias("pos", "v"))
+                .groupBy("cl", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            )
+            cents_df = (
+                upd.groupBy("cl")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", comp.alias("c")))
+                    ).alias("pc"),
+                    F.max("n").alias("n_members"),
+                )
+                .select(
+                    "cl",
+                    F.expr("transform(pc, x -> x.c)").alias("carr"),
+                    "n_members",
+                )
+            )
+            if it < PQ_TRAIN_ITERS - 1:
+                cents = [
+                    (r["cl"], list(r["carr"]))
+                    for r in cents_df.orderBy("cl").collect()
+                ]
+        res = cents_df.select(
+            F.lit(m).cast("bigint").alias("subspace"),
+            F.col("cl").cast("bigint").alias("codeword_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.array_join(
+                F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
+            ).alias("centroid"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("subspace", "codeword_id")
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_incremental": s_incremental,
+    "s_pq_train": s_pq_train,
     "s_mmr_rerank": s_mmr_rerank,
     "s_semantic_dedup": s_semantic_dedup,
     "s_lsh_buckets": s_lsh_buckets,
@@ -1034,6 +1128,39 @@ def _sql_kmeans_iter(t: int) -> str:
                         ORDER BY pos) AS carr,
                    max(n) AS n_members
             FROM u{t}
+            GROUP BY cl)"""
+
+
+def _sql_pq_train_iter(m: int, t: int) -> str:
+    """One unrolled Lloyd iteration for PQ subspace ``m`` (DuckDB CTEs
+    over the sliced subvector relation v{m}; same integer arithmetic
+    and ``dist*K + cl`` argmin encoding as :func:`_sql_kmeans_iter`)."""
+    K, D = PQ_K, PQ_DSUB
+    return f"""
+        p{m}a{t} AS (
+            SELECT vec_id, q,
+                   CAST(min(list_sum(list_transform(
+                           generate_series(1, {D}),
+                           i -> (q[i] - carr[i]) * (q[i] - carr[i])
+                       )) * {K} + cl) % {K} AS BIGINT) AS cl
+            FROM v{m}, p{m}c{t}
+            GROUP BY vec_id, q),
+        p{m}u{t} AS (
+            SELECT cl, u.i AS pos, sum(u.v) AS s, count(*) AS n
+            FROM (
+                SELECT cl,
+                       unnest(list_transform(
+                           generate_series(1, {D}),
+                           i -> {{'i': i, 'v': q[i]}})) AS u
+                FROM p{m}a{t})
+            GROUP BY cl, u.i),
+        p{m}c{t + 1} AS (
+            SELECT cl,
+                   list(CAST(CASE WHEN s < 0 THEN -(abs(s) // n)
+                                  ELSE abs(s) // n END AS BIGINT)
+                        ORDER BY pos) AS carr,
+                   max(n) AS n_members
+            FROM p{m}u{t}
             GROUP BY cl)"""
 
 
@@ -1344,6 +1471,35 @@ ORACLES["s_ivf_recall"] = f"""
                AS recall_at_k
     FROM ivf JOIN exact USING (vec_id)
 """
+
+# PQ codebook training: one quantized base relation, then per
+# subspace the sliced subvector view + the same unrolled Lloyd CTEs
+# s_kmeans_centroids uses (integer micro-units, truncating mean,
+# dist*K+cl argmin encoding)
+_PQ_TRAIN_SQL = f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
+                        AS BIGINT)) AS fq
+        FROM embeddings),
+    {", ".join(
+        f"v{m} AS (SELECT vec_id, fq[{m * PQ_DSUB + 1}:{(m + 1) * PQ_DSUB}] AS q FROM base), "
+        f"p{m}c0 AS (SELECT vec_id AS cl, q AS carr FROM v{m} WHERE vec_id < {PQ_K})"
+        + "".join("," + _sql_pq_train_iter(m, t) for t in range(PQ_TRAIN_ITERS))
+        for m in range(PQ_M)
+    )}
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(cl AS BIGINT) AS codeword_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           array_to_string(carr, ',') AS centroid
+    FROM ({" UNION ALL ".join(
+        f"SELECT {m} AS subspace, cl, carr, n_members FROM p{m}c{PQ_TRAIN_ITERS}"
+        for m in range(PQ_M)
+    )}) u
+    ORDER BY subspace, codeword_id
+"""
+ORACLES["s_pq_train"] = _PQ_TRAIN_SQL
 
 # incremental IVF maintenance: sims list computed once per row in a
 # CTE, then cell = first-max argmax and margin = top1 - top2 over the

@@ -1086,9 +1086,11 @@ class MiniKafkaBroker:
                 if version >= 4:
                     out += struct.pack(">i", 0)  # leader_epoch
                 out += tagsb
+            if flexible:
+                r.tags()  # per-topic request TAG_BUFFER
             out += tagsb
         if flexible:
-            r.tags()
+            r.tags()  # trailing request-body TAG_BUFFER
         if version >= 2:
             out = struct.pack(">i", 0) + out  # throttle_time_ms FIRST
         return out + tagsb

@@ -8,6 +8,7 @@ from conduit_spark.analytics import (
     curation,
     dedup,
     multimodal,
+    quality_checks,
     sampling,
     similarity,
     sketches,
@@ -26,6 +27,7 @@ MODULES = {
     "sketches": sketches,
     "curation": curation,
     "webdata": webdata,
+    "quality_checks": quality_checks,
 }
 
 CASES = [
@@ -950,3 +952,72 @@ def test_s_incremental_semantics(spark, sf_dir):
             assert 0.0 <= r.boundary_frac_new <= 1.0
         else:
             assert r.avg_margin_new is None and r.boundary_frac_new is None
+
+
+def test_s_pq_train_semantics(spark, sf_dir):
+    """Invariants beyond the oracle hash: every subspace trains at
+    most PQ_K codewords whose member counts sum to the corpus size,
+    and every centroid has exactly PQ_DSUB dims."""
+    from conduit_spark.analytics.similarity import PQ_DSUB, PQ_K, PQ_M
+
+    rows = similarity.s_pq_train(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, []).append(r)
+        assert 0 <= r.codeword_id < PQ_K
+        assert len(r.centroid.split(",")) == PQ_DSUB
+    assert set(by_sub) == set(range(PQ_M))
+    for m, sub_rows in by_sub.items():
+        assert len(sub_rows) <= PQ_K
+        assert sum(r.n_members for r in sub_rows) == emb_n, f"subspace {m}"
+
+
+def test_pq_code_consumes_learned_codebooks(spark, sf_dir):
+    """The s_pq_train -> pq_code handoff the docstrings promise: train,
+    divide micro-units by KMEANS_SCALE, hand the per-subspace lists to
+    pq_code — codes come back in range for every subspace."""
+    from conduit_spark.analytics.similarity import (
+        KMEANS_SCALE,
+        PQ_K,
+        PQ_M,
+        pq_code,
+    )
+
+    rows = similarity.s_pq_train(spark, sf_dir).collect()
+    cbs = [[] for _ in range(PQ_M)]
+    for r in sorted(rows, key=lambda r: (r.subspace, r.codeword_id)):
+        cbs[r.subspace].append(
+            [int(v) / KMEANS_SCALE for v in r.centroid.split(",")]
+        )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    got = emb.select(
+        *[
+            pq_code(F.col("embedding"), m, cbs).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    ).collect()
+    assert len(got) == 50
+    for row in got:
+        for m in range(PQ_M):
+            assert 0 <= row[f"c{m}"] < PQ_K
+
+
+def test_dq_drift_semantics(spark, sf_dir):
+    """PSI invariants beyond the oracle hash: PSI is non-negative (it
+    is a sum of (q-p)ln(q/p) terms, each >= 0), one row per monitored
+    feature, and the severity level matches the thresholds."""
+    from conduit_spark.analytics.quality_checks import (
+        DRIFT_PSI_MAJOR,
+        DRIFT_PSI_MINOR,
+        dq_drift,
+    )
+
+    rows = {r.feature: r for r in dq_drift(spark, sf_dir).collect()}
+    assert set(rows) == {"len", "lang"}
+    for r in rows.values():
+        assert r.psi >= 0.0
+        expect = ("major" if r.psi >= DRIFT_PSI_MAJOR
+                  else "minor" if r.psi >= DRIFT_PSI_MINOR else "stable")
+        assert r.level == expect
+        assert r.n_bins >= 1

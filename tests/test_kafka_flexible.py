@@ -395,3 +395,54 @@ def test_negotiate_rejects_disjoint_control_plane_ranges():
         **base, API_METADATA: (1, 9), API_LIST_OFFSETS: (8, 9)}
     with pytest.raises(RuntimeError, match="no mutually supported ListOffsets"):
         MiniKafkaClient.negotiate_versions(c)
+
+
+def test_list_offsets_flexible_multi_topic():
+    """A MULTI-topic flexible ListOffsets v6 request exercises the
+    per-topic TAG_BUFFER positions the single-topic client path never
+    hits (caught in round-11 self-review: the broker consumed the
+    topic tags as the body tags, which misparses any request with
+    more than one topic)."""
+    import struct
+
+    from conduit_spark.functions.minikafka import (
+        _TAGS,
+        API_LIST_OFFSETS,
+        LATEST,
+        _w_uvarint,
+    )
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        b.create_topic("lo_a", partitions=1)
+        b.create_topic("lo_b", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("lo_a", 0, RECORDS)
+            c.produce("lo_b", 0, RECORDS[:2])
+            part = (
+                struct.pack(">i", 0)      # partition_index
+                + struct.pack(">i", -1)   # current_leader_epoch
+                + struct.pack(">q", LATEST)
+                + _TAGS
+            )
+            body = (
+                struct.pack(">i", -1)     # replica_id
+                + struct.pack(">b", 0)    # isolation_level
+                + _w_uvarint(3)           # 2 topics (compact array)
+                + _w_compact_str("lo_a") + _w_uvarint(2) + part + _TAGS
+                + _w_compact_str("lo_b") + _w_uvarint(2) + part + _TAGS
+                + _TAGS                   # request-body TAG_BUFFER
+            )
+            r = c._call(API_LIST_OFFSETS, 6, body, flexible=True)
+            r.i32()  # throttle
+            got = {}
+            for _ in range(r.uvarint() - 1):
+                name = r.compact_string()
+                for _ in range(r.uvarint() - 1):
+                    r.i32()  # partition
+                    assert r.i16() == 0  # error
+                    r.i64()  # timestamp
+                    got[name] = r.i64()  # offset
+                    r.i32()  # leader_epoch
+                    r.tags()
+                r.tags()
+            assert got == {"lo_a": 3, "lo_b": 2}
