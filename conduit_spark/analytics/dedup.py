@@ -1031,16 +1031,20 @@ def d_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in SQL.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # split ONCE into a projected column — referencing `t` inside the
-    # transform keeps Catalyst from re-splitting the text per gram
-    base = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
-    ).filter(F.size("t") >= SUB_W)
+    # a projected `t = split(text)` column gets INLINED back into every
+    # lambda reference by CollapseProject — bind the token array once
+    # per row via the 1-element-array lambda capture instead (the
+    # word_grams trick; ~20% on this scan at sf0.1)
+    base = docs.filter(F.size(F.split(F.col("text"), " ")) >= SUB_W)
     grams = F.expr(
-        f"transform(sequence(1, size(t) - {SUB_W} + 1),"
-        f" j -> array_join(slice(t, j, {SUB_W}), ' '))"
+        f"transform(array(split(text, ' ')), t ->"
+        f" transform(sequence(1, size(t) - {SUB_W} + 1),"
+        f" j -> array_join(slice(t, j, {SUB_W}), ' ')))[0]"
     )
-    tn = base.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    tn = base.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
     occ = (
         base.select("doc_id", F.posexplode(grams).alias("j", "gram"))
         .select("doc_id", "j", md5_int32(F.col("gram")).alias("h"))

@@ -657,3 +657,33 @@ def test_lang_temperature_matches_naive_model(spark, tmp_path, monkeypatch):
     for lang in expected:
         for a, b in zip(got[lang], expected[lang]):
             assert abs(a - b) < 1e-6, lang  # pow/ULP tolerance
+
+
+def test_word_grams_matches_naive_model(spark):
+    """The bound-once word_grams expression (round-11 rewrite: token
+    array captured via the 1-element-array lambda trick) must produce
+    EXACTLY the naive Python sliding window for every k — this is the
+    hottest scan in the dedup/decontamination family, so a silent
+    off-by-one here would corrupt a dozen oracle families at once.
+    Edge cases: len == k (one gram), repeated tokens, single doc."""
+    from conduit_spark.analytics.dedup import word_grams
+
+    rng = random.Random(411)
+    docs = _random_corpus(rng, 30, 40)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (2, 4, 8, 16):
+        got = {
+            r.doc_id: list(r.grams)
+            for r in df.filter(
+                F.size(F.split(F.col("text"), " ")) >= k
+            ).select("doc_id", word_grams(k).alias("grams")).collect()
+        }
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            if len(toks) < k:
+                assert doc_id not in got
+                continue
+            expect = [
+                " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+            ]
+            assert got[doc_id] == expect, (doc_id, k)
