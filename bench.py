@@ -144,8 +144,11 @@ def _regression_report(
     )
     env_shift = ratios[len(ratios) // 2] if len(ratios) >= 10 else 1.0
     env_slow = env_shift > 1.25
-    # never divide by <1: a fast box must not make alarms EASIER
-    eff = max(1.0, env_shift)
+    # normalization applies ONLY inside a declared shift — below the
+    # 1.25 trip the raw thresholds stand unchanged (a sub-trip median
+    # must not silently raise the alarm bar), and a fast box (median
+    # < 1) must never make alarms easier
+    eff = env_shift if env_slow else 1.0
     if env_slow:
         print(
             f"bench-environment: median t/best across {len(ratios)} "

@@ -234,9 +234,6 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() + a bin-sorted left fold keep the doubles cross-engine exact
     (the t_unigram_logprob / cur_lang_temperature discipline).
     """
-    from conduit_spark.analytics.dedup import INCR_BATCH_MOD
-    from conduit_spark.functions.hashing import md5_int32
-
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     len_bin = F.lpad(
@@ -298,8 +295,6 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("level"),
         )
     )
-    from conduit_spark.analytics import ordered_result
-
     return ordered_result(out, "feature")
 
 
@@ -527,10 +522,15 @@ def drift_report(
     return findings
 
 
-# module-level imports for the drift oracle f-string (no cycle: dedup
-# does not import quality_checks)
+# module-level imports for dq_drift + its oracle f-string (placed
+# after the core module body; no cycle: dedup does not import
+# quality_checks)
+from conduit_spark.analytics import ordered_result  # noqa: E402
 from conduit_spark.analytics.dedup import INCR_BATCH_MOD  # noqa: E402
-from conduit_spark.functions.hashing import sql_md5_int32  # noqa: E402
+from conduit_spark.functions.hashing import (  # noqa: E402
+    md5_int32,
+    sql_md5_int32,
+)
 
 ORACLES["dq_drift"] = f"""
     WITH rel AS (

@@ -911,7 +911,7 @@ def s_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and degrades probe cost); ``avg_margin_new`` is the mean
     top1−top2 centroid-similarity margin of the batch (assignment
     confidence), and ``boundary_frac_new`` the fraction of new
-    vectors inside ``SINC_MARGIN_EPS`` of a cell boundary — the class
+    vectors inside ``SINC_MARGIN_EPS_U`` of a cell boundary — the class
     the existing ``s_ivf_recall`` nprobe=1 audit shows gets missed,
     so it estimates the batch's recall impact without re-running the
     corpus-linear exact audit.

@@ -237,11 +237,16 @@ class MiniPGServer:
         name = parts[1] if len(parts) > 1 else "conduit_spark"
         # the plugin is the token immediately after LOGICAL — parts[-1]
         # would mis-read trailing options like "(EXPORT_SNAPSHOT)" or
-        # "RESERVE_WAL" that pg_recvlogical's grammar allows
+        # "RESERVE_WAL" that pg_recvlogical's grammar allows. Search
+        # from index 2: index 1 is the slot NAME, which may itself be
+        # the word "logical"
         upper = [p.upper() for p in parts]
-        plugin = (parts[upper.index("LOGICAL") + 1].lower()
-                  if "LOGICAL" in upper and upper.index("LOGICAL") + 1 < len(parts)
-                  else parts[-1].lower())
+        try:
+            kw = upper.index("LOGICAL", 2)
+            plugin = (parts[kw + 1].lower() if kw + 1 < len(parts)
+                      else parts[-1].lower())
+        except ValueError:
+            plugin = parts[-1].lower()
         with self._lock:
             self._slots = getattr(self, "_slots", set())
             if name in self._slots:

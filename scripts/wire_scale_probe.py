@@ -38,7 +38,19 @@ WIRE_QUERIES = {
     "pg-live-walsender": ("g_pg_live_wal_cdc", ("CONDUIT_PG_LIVE_N",)),
 }
 
-BASE = {"CONDUIT_SNAP_N": 300, "CONDUIT_SECURE_N": 120, "CONDUIT_PG_LIVE_N": 300}
+def _base_constants() -> dict[str, int]:
+    """Read the committed seed constants from pipeline_queries itself
+    (env overrides in the parent apply consistently to both points) —
+    duplicating the numbers here would let the probe silently measure
+    stale values after a constant change."""
+    sys.path.insert(0, REPO)
+    from conduit_spark.analytics import pipeline_queries as pq
+
+    return {
+        "CONDUIT_SNAP_N": pq.SNAP_N,
+        "CONDUIT_SECURE_N": pq.SECURE_N,
+        "CONDUIT_PG_LIVE_N": pq.PG_LIVE_N,
+    }
 
 
 def _child(name: str) -> None:
@@ -89,7 +101,15 @@ def main() -> None:
         return
 
     mult = int(os.environ.get("WIRE_PROBE_MULT", "10"))
-    wanted = sys.argv[1:] or [q for q, _ in WIRE_QUERIES.values()]
+    known = {q for q, _ in WIRE_QUERIES.values()}
+    unknown = [n for n in sys.argv[1:] if n not in known]
+    if unknown:
+        # fail fast like sf1_probe: a typo must not yield an
+        # empty-but-green probe run
+        sys.exit(f"unknown wire query name(s): {', '.join(unknown)} "
+                 f"(known: {', '.join(sorted(known))})")
+    wanted = sys.argv[1:] or sorted(known)
+    base_consts = _base_constants()
     rows = []
     for transport, (name, knobs) in WIRE_QUERIES.items():
         if name not in wanted:
@@ -98,7 +118,7 @@ def main() -> None:
         for label, m in (("base", 1), (f"x{mult}", mult)):
             env = dict(os.environ)
             for k in knobs:
-                env[k] = str(BASE[k] * m)
+                env[k] = str(base_consts[k] * m)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", name],
                 env=env, capture_output=True, text=True, timeout=1800,

@@ -164,3 +164,17 @@ def test_quiet_box_aa_pair_stays_silent(monkeypatch, tmp_path):
     bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
     assert bad == [] and out["__suspects__"] == []
     assert out["__env_shift__"] < 1.05
+
+
+def test_sub_trip_median_does_not_raise_alarm_bar(monkeypatch, tmp_path):
+    """Review r11: below the 1.25x environment trip the RAW thresholds
+    stand — a 1.20x fleet median must not normalize a repeat-suspect
+    1.55x regression down into a watch."""
+    hist = {f"q{i}": 3.0 for i in range(20)}
+    hist["q_reg"] = 3.0
+    hist["__suspects__"] = ["q_reg"]
+    timings = {f"q{i}": 3.60 for i in range(20)}  # fleet 1.20x: no trip
+    timings["q_reg"] = 3.0 * 1.55
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert len(bad) == 1 and "q_reg" in bad[0]
+    assert "median-normalized" not in bad[0]  # no shift was declared

@@ -333,3 +333,20 @@ def test_create_slot_trailing_options_parse_plugin():
         assert row["output_plugin"] == "pgoutput"
         assert row["slot_name"] == "slot_opt"
         c.close()
+
+
+def test_create_slot_named_logical():
+    """A slot literally named "logical" must not shadow the LOGICAL
+    keyword: the plugin search starts at token index 2 (review r11 —
+    the first trailing-options fix regressed this input vs the old
+    parts[-1] parse)."""
+    from conduit_spark.functions.minipg import _cstr, _msg
+
+    with MiniPGServer(keepalive_s=0.05) as srv:
+        c = ReplicationClient(srv.dsn, slot="logical")
+        c._sock.sendall(_msg(
+            b"Q", _cstr("CREATE_REPLICATION_SLOT logical LOGICAL pgoutput")))
+        row = c._simple_result()
+        assert row["slot_name"] == "logical"
+        assert row["output_plugin"] == "pgoutput"
+        c.close()
