@@ -660,6 +660,113 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "doc_id")
 
 
+SCHED_ALPHA = 0.5  # source-temperature exponent for schedule weights
+SCHED_N = 500  # schedule prefix emitted (the audit window)
+SCHED_BUCKETS = 64  # intra-source rank buckets (two-phase prefix sum)
+
+
+def cur_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING-ORDER scheduler — the step after
+    ``cur_mix`` (what rate per source) and ``cur_shuffle`` (what order
+    within a shard): the actual interleaved global order a trainer
+    reads, via stride scheduling (Waldspurger & Weihl, OSDI 1994 —
+    the same algorithm fair queuing and data-mixing loaders use).
+    Each source advances a virtual time ``vt = intra_rank / w_s`` with
+    temperature-adjusted weight ``w_s ∝ (n_s/N)^SCHED_ALPHA``; the
+    global order is ascending vt — sources interleave proportionally
+    to their weights without any RNG, and the first ``SCHED_N``
+    positions are emitted as the audit window.
+
+    Scale shape: weights come from one source-level agg (+ a
+    source-sorted normalizer fold, the cur_lang_temperature
+    exactness rule); intra-source rank never windows the corpus in
+    one partition — rank within (source, md5-bucket) partitions, plus
+    bucket offsets from a window over the (source, bucket)-level
+    COUNT relation (64 rows/source), the c_pack_blocks two-phase
+    prefix-sum shape. The schedule prefix is TakeOrdered-bounded;
+    position comes from a count-of-better broadcast self-join on that
+    ``SCHED_N``-row pool (the rag_hard_negatives pattern), never a
+    global single-partition window. vt is 9-rounded BEFORE ordering
+    so both engines sort identical keys.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    p = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.pow(F.col("n").cast("double") / F.col("t"), F.lit(SCHED_ALPHA)).alias(
+            "pw"
+        ),
+    )
+    z = p.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "pw"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["pw"],
+        ).alias("z")
+    )
+    w = p.join(F.broadcast(z)).select(
+        "source", (F.col("pw") / F.col("z")).alias("w")
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        (md5_int32(F.col("doc_id")) % SCHED_BUCKETS).alias("b"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    wb = Window.partitionBy("source", "b").orderBy("k", "doc_id")
+    ranked = d.withColumn("rb", F.row_number().over(wb))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .withColumn("off", F.coalesce(F.sum("nb").over(wo), F.lit(0)))
+        .select("source", "b", "off")
+    )
+    vt = (
+        ranked.join(offs, ["source", "b"])
+        .join(F.broadcast(w), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rb") + F.col("off")).cast("bigint").alias("intra_rank"),
+            F.round((F.col("rb") + F.col("off")) / F.col("w"), 9).alias("vt"),
+        )
+    )
+    pool = vt.orderBy("vt", "doc_id").limit(SCHED_N).localCheckpoint(
+        eager=False
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    better = (F.col("b.vt") < F.col("a.vt")) | (
+        (F.col("b.vt") == F.col("a.vt"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    return (
+        a.join(b, better, "left")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.source").alias("source"),
+            F.col("a.intra_rank").alias("intra_rank"),
+            F.col("a.vt").alias("vt"),
+        )
+        .agg(F.count(F.col("b.doc_id")).alias("n_better"))
+        .select(
+            (F.col("n_better") + 1).cast("bigint").alias("position"),
+            "doc_id",
+            "source",
+            "intra_rank",
+            "vt",
+        )
+        .transform(ordered_result, "position")
+    )
+
+
 QUERIES = {
     "cur_funnel": cur_funnel,
     "cur_token_budget": cur_token_budget,
@@ -670,6 +777,7 @@ QUERIES = {
     "cur_ppl_buckets": cur_ppl_buckets,
     "cur_zorder": cur_zorder,
     "cur_lang_temperature": cur_lang_temperature,
+    "cur_schedule": cur_schedule,
 }
 
 
@@ -943,6 +1051,48 @@ ORACLES["cur_lang_temperature"] = f"""
            round(pw / z.z * {LANG_TEMP_BUDGET} * t, 6) AS mix_tokens
     FROM p, z
     ORDER BY lang
+"""
+
+ORACLES["cur_schedule"] = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+    p AS (
+        SELECT source, pow(CAST(n AS DOUBLE) / tot.t, {SCHED_ALPHA}) AS pw
+        FROM counts, tot),
+    z AS (
+        SELECT list_sum(list_transform(
+            list_sort(list(struct_pack(source := source, pw := pw))),
+            e -> e.pw)) AS z
+        FROM p),
+    w AS (SELECT source, pw / z.z AS w FROM p, z),
+    d AS (
+        SELECT doc_id, source,
+               {sql_md5_int32("CAST(doc_id AS VARCHAR)")} % {SCHED_BUCKETS} AS b,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents),
+    rb AS (
+        SELECT doc_id, source, b,
+               row_number() OVER (PARTITION BY source, b ORDER BY k, doc_id)
+                   AS rb
+        FROM d),
+    offs AS (
+        SELECT source, b,
+               COALESCE(sum(nb) OVER (PARTITION BY source ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM (SELECT source, b, count(*) AS nb FROM d GROUP BY source, b)),
+    vt AS (
+        SELECT doc_id, source,
+               CAST(rb.rb + offs.off AS BIGINT) AS intra_rank,
+               round((rb.rb + offs.off) / w.w, 9) AS vt
+        FROM rb JOIN offs USING (source, b) JOIN w USING (source)),
+    pool AS (SELECT * FROM vt ORDER BY vt, doc_id LIMIT {SCHED_N})
+    SELECT CAST(row_number() OVER (ORDER BY vt, doc_id) AS BIGINT)
+               AS position,
+           doc_id, source, intra_rank, vt
+    FROM pool
+    ORDER BY position
 """
 
 ORACLES["cur_token_budget"] = f"""

@@ -1021,3 +1021,34 @@ def test_dq_drift_semantics(spark, sf_dir):
                   else "minor" if r.psi >= DRIFT_PSI_MINOR else "stable")
         assert r.level == expect
         assert r.n_bins >= 1
+
+
+def test_cur_schedule_interleaves_proportionally(spark, sf_dir):
+    """Stride-scheduling invariants beyond the oracle hash: positions
+    are 1..SCHED_N with no gaps, vt is non-decreasing, per-source
+    intra_ranks appear in order (a source's doc k never schedules
+    before its doc k-1), and over the whole window each source's
+    share tracks its temperature weight (within the granularity a
+    finite window allows)."""
+    from conduit_spark.analytics.curation import SCHED_ALPHA, SCHED_N, cur_schedule
+
+    rows = cur_schedule(spark, sf_dir).collect()
+    assert [r.position for r in rows] == list(range(1, SCHED_N + 1))
+    assert all(
+        rows[i].vt <= rows[i + 1].vt for i in range(len(rows) - 1)
+    )
+    last_rank = {}
+    seen = {}
+    for r in rows:
+        assert r.intra_rank == last_rank.get(r.source, 0) + 1
+        last_rank[r.source] = r.intra_rank
+        seen[r.source] = seen.get(r.source, 0) + 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = sum(counts.values())
+    pw = {s: (n / tot) ** SCHED_ALPHA for s, n in counts.items()}
+    z = sum(pw[s] for s in sorted(pw))
+    for s, n_sched in seen.items():
+        expect = SCHED_N * pw[s] / z
+        assert abs(n_sched - expect) <= 2, (s, n_sched, expect)
