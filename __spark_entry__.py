@@ -130,6 +130,7 @@ _EXTENDED = (
     "s_pq_train",  # new in r11: PQ codebook trainer (per-subspace quantized Lloyd)
     "dq_drift",  # new in r11: PSI drift gate, corpus vs md5-gated ingest batch
     "cur_schedule",  # new in r11: stride-scheduling training order (source-interleaved)
+    "m_ahash_pairs",  # new in r11: perceptual-hash image near-dup pairs over real decodes
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

@@ -1138,6 +1138,131 @@ def m_decode_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AHASH_BANDS = 4  # 16-bit bands of the 64-bit perceptual hash
+AHASH_BUCKET_CAP = 100  # max fingerprints per band bucket (blowup guard)
+AHASH_MAX_HAMMING = 2  # verified near-dup threshold
+
+
+def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs via perceptual average-hash over
+    REALLY-decoded pixels — the multimodal leg of the dedup family
+    (text has minhash/simhash/substring; embeddings have cosine
+    near-dup; this covers raw image columns, the aHash member of the
+    standard aHash/dHash/pHash trio web-scale image dedup runs).
+
+    Per image: the actual PNG decode (``decode_png(return_pixels=
+    True)`` — inflate + unfilter, nothing read from the generator),
+    8x8 block-mean downsample, bit = block mean > GLOBAL pixel mean
+    (integer-exact: ``block_sum * w * h > total_sum * block_count`` —
+    no float thresholds), packed into two 32-bit halves so the SQL
+    side never touches the sign bit. Candidates share one of
+    ``AHASH_BANDS`` 16-bit bands (Manku-style banding, bucket-capped
+    like the simhash path — never all-pairs); verify =
+    ``bit_count(xor)`` ≤ ``AHASH_MAX_HAMMING``. The oracle recomputes
+    every hash ANALYTICALLY from the pixel-generation formula, so a
+    wrong inflate, unfilter, block boundary, or threshold cannot
+    produce matching pairs.
+
+    Scale shape: one mapInPandas decode pass (the only Python; codec
+    territory), a (doc, int, int) fingerprint relation checkpointed
+    once, band equi-join with broadcast hot-bucket anti-join, O(1)
+    verify per candidate. At corpus scale the fingerprint relation is
+    the image count, not pixels.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "ahash_hi": [], "ahash_lo": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+                w, h = meta["width"], meta["height"]
+                px = meta["pixels"]  # row-major greyscale bytes
+                total = sum(px)
+                bits = 0
+                for i in range(8):
+                    r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+                    for j in range(8):
+                        c0, c1 = (j * w) // 8, ((j + 1) * w) // 8
+                        bs = sum(
+                            px[r * w + c]
+                            for r in range(r0, r1)
+                            for c in range(c0, c1)
+                        )
+                        if bs * w * h > total * (r1 - r0) * (c1 - c0):
+                            bits |= 1 << (i * 8 + j)
+                out["media_id"].append(did)
+                out["ahash_hi"].append((bits >> 32) & 0xFFFFFFFF)
+                out["ahash_lo"].append(bits & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    fps = docs.mapInPandas(
+        run, "media_id long, ahash_hi long, ahash_lo long"
+    ).localCheckpoint()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(
+                    F.col("ahash_hi") if b >= 2 else F.col("ahash_lo"),
+                    (b % 2) * 16,
+                )
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bucket"),
+            )
+            for b in range(AHASH_BANDS)
+        ]
+    )
+    bb = fps.select(
+        "media_id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bb")
+    ).select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > AHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash_hi").alias("ha"),
+            F.col("a.ahash_lo").alias("la"),
+            F.col("b.ahash_hi").alias("hb"),
+            F.col("b.ahash_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .transform(ordered_result, "id_a", "id_b")
+    )
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
@@ -1150,6 +1275,7 @@ QUERIES = {
     "m_frame_sample": m_frame_sample,
     "m_features": m_features,
     "m_resize": m_resize,
+    "m_ahash_pairs": m_ahash_pairs,
 }
 
 ORACLES = {
@@ -1475,3 +1601,61 @@ ORACLES = {
         ORDER BY media_id
     """,
 }
+
+# image near-dup pairs: hashes recomputed ANALYTICALLY from the pixel
+# formula pixel(r,c) = (did + 31r + 7c) mod 256, then the same band
+# join + bucket cap + bit_count(xor) verify as the Spark side
+ORACLES["m_ahash_pairs"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS did,
+               {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    blocks AS (
+        SELECT did, w, h, ij,
+               ((ij // 8) * h) // 8 AS r0, (((ij // 8) + 1) * h) // 8 AS r1,
+               ((ij % 8) * w) // 8 AS c0, (((ij % 8) + 1) * w) // 8 AS c1
+        FROM dims CROSS JOIN unnest(generate_series(0, 63)) AS t(ij)),
+    bsum AS (
+        SELECT did, w, h, ij, (r1 - r0) * (c1 - c0) AS bc,
+               list_sum(list_transform(generate_series(r0, r1 - 1), r ->
+                   list_sum(list_transform(generate_series(c0, c1 - 1), c ->
+                       (did + 31 * r + 7 * c) % 256)))) AS s
+        FROM blocks),
+    tot AS (SELECT did, sum(s) AS total FROM bsum GROUP BY did),
+    bits AS (
+        SELECT bsum.did, bsum.ij,
+               CASE WHEN bsum.s * bsum.w * bsum.h
+                         > tot.total * bsum.bc THEN 1 ELSE 0 END AS bit
+        FROM bsum JOIN tot USING (did)),
+    hs AS (
+        SELECT did,
+               CAST(sum(CASE WHEN ij >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (ij - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN ij < 32
+                             THEN bit * (CAST(1 AS BIGINT) << ij)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY did),
+    bands AS (
+        SELECT did, hi, lo, bnd,
+               CASE WHEN bnd >= 2 THEN (hi >> ((bnd % 2) * 16)) & 65535
+                    ELSE (lo >> ((bnd % 2) * 16)) & 65535 END AS bucket
+        FROM hs CROSS JOIN unnest([0, 1, 2, 3]) AS u(bnd)),
+    hot AS (
+        SELECT bnd, bucket FROM bands GROUP BY bnd, bucket
+        HAVING count(*) > {AHASH_BUCKET_CAP}),
+    bb AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, bucket)),
+    cand AS (
+        SELECT DISTINCT x.did AS id_a, y.did AS id_b,
+               x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+        FROM bb x JOIN bb y
+          ON x.bnd = y.bnd AND x.bucket = y.bucket AND x.did < y.did)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+          <= {AHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
