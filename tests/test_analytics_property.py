@@ -687,3 +687,40 @@ def test_word_grams_matches_naive_model(spark):
                 " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
             ]
             assert got[doc_id] == expect, (doc_id, k)
+
+
+def test_span_expr_matches_naive_model(spark):
+    """The d_span_dedup span expression (round-11 bound-once rewrite)
+    must produce exactly the naive non-overlapping SPAN_W-word windows
+    — same guard as test_word_grams_matches_naive_model for the other
+    rewritten hot expression. Edge cases: len == SPAN_W (one span),
+    len % SPAN_W != 0 (tail dropped), len < SPAN_W (filtered out)."""
+    import pyspark.sql.functions as FF
+
+    from conduit_spark.analytics.dedup import SPAN_W
+
+    rng = random.Random(1105)
+    docs = _random_corpus(rng, 30, 45)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = FF.expr(
+        f"transform(array(split(text, ' ')), toks ->"
+        f" transform(sequence(1, size(toks) div {SPAN_W}),"
+        f" j -> array_join(slice(toks, (j - 1) * {SPAN_W} + 1,"
+        f" {SPAN_W}), ' ')))[0]"
+    )
+    got = {
+        r.doc_id: list(r.spans)
+        for r in df.filter(
+            FF.size(FF.split(FF.col("text"), " ")) >= SPAN_W
+        ).select("doc_id", spans.alias("spans")).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < SPAN_W:
+            assert doc_id not in got
+            continue
+        expect = [
+            " ".join(toks[i * SPAN_W:(i + 1) * SPAN_W])
+            for i in range(len(toks) // SPAN_W)
+        ]
+        assert got[doc_id] == expect, doc_id
