@@ -124,13 +124,25 @@ _EXTENDED = (
     # at least once — never-verified count = 0 again.
     "d_simhash_pairs",  # driver-green 2x (r9-r10); dedup keeps 5 gate slots
     "t_repetition",  # driver-green 3x (r8-r10); text keeps 6 gate slots
-    # Round-11 NEW query (never driver-verified; r12 rotation candidate
+    # Round-12 rotation (VERDICT r11 item 1): the five never-driver-
+    # verified r11 additions (s_incremental, s_pq_train, dq_drift,
+    # cur_schedule, m_ahash_pairs) take gate slots. Displaced: five
+    # multi-green keepers below, chosen so every family keeps at least
+    # one gate row (similarity keeps the two incoming trainers;
+    # quality keeps the incoming dq_drift; curation keeps
+    # funnel/shards/token_budget/zorder + the incoming cur_schedule;
+    # multimodal keeps jpeg/gif/alaw/mp4 decodes + the incoming
+    # m_ahash_pairs; text keeps six slots). After a green r12, every
+    # suite query has held a driver CORRECTNESS row at least once —
+    # never-verified count = 0 again.
+    "s_quantized_topk",  # driver-green 5x (r3-r6, r11); similarity kept via s_incremental + s_pq_train
+    "dq_events",  # driver-green 3x (r9-r11); quality kept via dq_drift
+    "cur_mix",  # driver-green 2x (r10-r11); curation keeps 4 siblings + cur_schedule
+    "m_decode_png_real",  # driver-green 7x (r5-r11); multimodal keeps jpeg/gif/alaw/mp4 + m_ahash_pairs
+    "t_tfidf_top_terms",  # driver-green 2x (r10-r11); text keeps bm25/bpe_train/quality_lr/redact_pii/ngram_novelty
+    # Round-12 NEW query (never driver-verified; r13 rotation candidate
     # — locally oracle-exact via gate_check/pytest):
-    "s_incremental",  # new in r11: incremental IVF maintenance (occupancy drift + boundary margin)
-    "s_pq_train",  # new in r11: PQ codebook trainer (per-subspace quantized Lloyd)
-    "dq_drift",  # new in r11: PSI drift gate, corpus vs md5-gated ingest batch
-    "cur_schedule",  # new in r11: stride-scheduling training order (source-interleaved)
-    "m_ahash_pairs",  # new in r11: perceptual-hash image near-dup pairs over real decodes
+    "a_fp_pairs",  # new in r12: audio spectral-fingerprint near-dup pairs over real G.711 decodes
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

@@ -176,8 +176,19 @@ def _regression_report(
             if t <= factor * best:
                 print(f"bench-watch: {line} — inside the session A/A "
                       f"band ({factor:.2f}x); streak kept, no alarm")
-            elif t_norm <= 1.3 * best or t_norm - best <= 0.75:
-                # the excess is fully explained by the fleet-wide shift
+            elif env_slow and (
+                t_norm <= max(1.3, factor) * best
+                or t_norm - best <= max(0.25, 0.3 * best)
+            ):
+                # The excess is fully explained by the fleet-wide shift.
+                # ADVICE r11: the normalized comparison honors the
+                # session's A/A-derived factor (a high-jitter shifted
+                # session must not alarm inside its own noise band), and
+                # the absolute slack scales with `best` (max(0.25,
+                # 0.3*best)) instead of a fixed 0.75s — a sub-second
+                # query with a large NORMALIZED regression is no longer
+                # unconditionally demoted during shifts, while multi-
+                # second queries keep a proportional jitter allowance.
                 print(f"bench-watch: {line} — inside the box-level "
                       f"shift (median {env_shift:.2f}x); streak kept, "
                       "no alarm")

@@ -356,7 +356,7 @@ def _pq_sub(vec: Column, m: int) -> Column:
 
 
 def pq_code(
-    vec: Column, m: int, codebooks: list[list[list[float]]] | None = None
+    vec: Column, m: int, codebooks: list | None = None
 ) -> Column:
     """Sub-vector m's PQ code: argmin L2² against the subspace
     codebook (first-min wins) — a narrow per-row projection, exactly
@@ -367,8 +367,18 @@ def pq_code(
     LEARNED codebooks instead: train with :func:`s_pq_train`, divide
     the integer micro-unit components by ``KMEANS_SCALE``, and hand
     the per-subspace lists here — the same handoff ``ivf_cell``
-    documents for :func:`s_kmeans_centroids`."""
+    documents for :func:`s_kmeans_centroids`. Each subspace entry may
+    be either a plain centroid ``list[float]`` (code = list position)
+    or an ``(id, centroid)`` pair — the pair form maps the argmin
+    POSITION back to the trainer's ``codeword_id`` label (ADVICE r11:
+    :func:`s_pq_train` can emit fewer than ``PQ_K`` rows when a
+    codeword empties during Lloyd iterations, so positional codes
+    would silently stop matching the trainer's labels; pairs keep the
+    handoff id-stable, exactly like ``_assign_udf``)."""
     cbs = codebooks if codebooks is not None else _PQ_CODEBOOKS
+    entries = [
+        e if isinstance(e, tuple) else (i, e) for i, e in enumerate(cbs[m])
+    ]
     dists = F.array(
         *[
             F.aggregate(
@@ -381,10 +391,13 @@ def pq_code(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            for cw in cbs[m]
+            for _, cw in entries
         ]
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    return F.element_at(
+        F.array(*[F.lit(int(cid)).cast("int") for cid, _ in entries]), pos
+    )
 
 
 def _pq_adc_udf(qvec: list[float]):
@@ -1005,6 +1018,10 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks that :func:`pq_code`/:func:`s_pq_topk` would consume
     instead of their fixed pseudo-random ones, and
     :func:`s_incremental` maintains the structure under ingest.
+    Consumers should hand :func:`pq_code` the ``(codeword_id,
+    centroid)`` PAIRS, not bare centroid lists — a codeword can empty
+    during Lloyd iterations (fewer than ``PQ_K`` output rows), and the
+    pair form keeps codes matched to this trainer's ids (ADVICE r11).
     Per subspace: ``PQ_TRAIN_ITERS`` quantized Lloyd iterations over
     the 16-dim subvectors (deterministic init = first ``PQ_K``
     vectors' subvectors, integer micro-unit arithmetic, truncating

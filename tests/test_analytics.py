@@ -975,8 +975,11 @@ def test_s_pq_train_semantics(spark, sf_dir):
 
 def test_pq_code_consumes_learned_codebooks(spark, sf_dir):
     """The s_pq_train -> pq_code handoff the docstrings promise: train,
-    divide micro-units by KMEANS_SCALE, hand the per-subspace lists to
-    pq_code — codes come back in range for every subspace."""
+    divide micro-units by KMEANS_SCALE, hand the per-subspace
+    (codeword_id, centroid) PAIRS to pq_code — codes come back as
+    TRAINED ids for every subspace (ADVICE r11: the pair form keeps the
+    handoff id-stable even when a codeword empties during Lloyd
+    iterations and the trainer emits fewer than PQ_K rows)."""
     from conduit_spark.analytics.similarity import (
         KMEANS_SCALE,
         PQ_K,
@@ -988,8 +991,12 @@ def test_pq_code_consumes_learned_codebooks(spark, sf_dir):
     cbs = [[] for _ in range(PQ_M)]
     for r in sorted(rows, key=lambda r: (r.subspace, r.codeword_id)):
         cbs[r.subspace].append(
-            [int(v) / KMEANS_SCALE for v in r.centroid.split(",")]
+            (
+                int(r.codeword_id),
+                [int(v) / KMEANS_SCALE for v in r.centroid.split(",")],
+            )
         )
+    trained_ids = [{cid for cid, _ in cbs[m]} for m in range(PQ_M)]
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
     got = emb.select(
         *[
@@ -1000,7 +1007,95 @@ def test_pq_code_consumes_learned_codebooks(spark, sf_dir):
     assert len(got) == 50
     for row in got:
         for m in range(PQ_M):
+            assert row[f"c{m}"] in trained_ids[m]
             assert 0 <= row[f"c{m}"] < PQ_K
+
+
+def test_pq_code_pairs_survive_emptied_codeword(spark):
+    """pq_code with a GAPPED (id, centroid) codebook — the emptied-
+    codeword scenario ADVICE r11 flagged: ids [0, 2, 3] (1 died during
+    training) must come back as labels 0/2/3, never a positional 1."""
+    from conduit_spark.analytics.similarity import PQ_DSUB, PQ_M, pq_code
+
+    gapped = [
+        [
+            (0, [0.0] * PQ_DSUB),
+            (2, [10.0] * PQ_DSUB),
+            (3, [-10.0] * PQ_DSUB),
+        ]
+        for _ in range(PQ_M)
+    ]
+    df = spark.createDataFrame(
+        [([9.5] * (PQ_DSUB * PQ_M),), ([-9.5] * (PQ_DSUB * PQ_M),)],
+        "embedding: array<double>",
+    )
+    got = df.select(
+        pq_code(F.col("embedding"), 0, gapped).alias("c")
+    ).collect()
+    assert [r.c for r in got] == [2, 3]
+
+
+def test_m_ahash_pairs_matches_naive_model(spark, sf_dir):
+    """The grouped banded path (r12 restructure: groupBy+combination
+    explode instead of a bucket self-join) must emit exactly the pairs
+    a naive Python model produces: decode every image, compute the
+    64-bit aHash, band into 4x16-bit buckets, drop buckets over the
+    cap, all-pairs within surviving buckets, keep hamming <= max."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics.media_codecs import decode_png
+    from conduit_spark.analytics.multimodal import (
+        AHASH_BUCKET_CAP,
+        AHASH_MAX_HAMMING,
+        _synth_png_bytes,
+        m_ahash_pairs,
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def ahash(did):
+        meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+        w, h, px = meta["width"], meta["height"], meta["pixels"]
+        total = sum(px)
+        bits = 0
+        for i in range(8):
+            r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+            for j in range(8):
+                c0, c1 = (j * w) // 8, ((j + 1) * w) // 8
+                bs = sum(
+                    px[r * w + c]
+                    for r in range(r0, r1)
+                    for c in range(c0, c1)
+                )
+                if bs * w * h > total * (r1 - r0) * (c1 - c0):
+                    bits |= 1 << (i * 8 + j)
+        return bits
+
+    hashes = {did: ahash(did) for did in doc_ids}
+    buckets = defaultdict(list)
+    for did, bits in hashes.items():
+        for b in range(4):
+            buckets[(b, (bits >> (b * 16)) & 0xFFFF)].append(did)
+    expect = set()
+    for members in buckets.values():
+        if len(members) > AHASH_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                ham = bin(hashes[ms[i]] ^ hashes[ms[j]]).count("1")
+                if ham <= AHASH_MAX_HAMMING:
+                    expect.add((ms[i], ms[j], ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in m_ahash_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(expect) > 0
 
 
 def test_dq_drift_semantics(spark, sf_dir):

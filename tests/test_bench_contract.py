@@ -115,10 +115,13 @@ def test_env_shift_demotes_alarms_to_watches(monkeypatch, tmp_path):
     session."""
     hist = {f"q{i}": 1.0 for i in range(12)}
     hist["__suspects__"] = ["q0"]
-    # whole fleet reads 1.5x: box shift
-    timings = {f"q{i}": 1.5 if i else 2.2 for i in range(12)}
+    # whole fleet reads 1.5x: box shift; q0 at 1.875x raw = 1.25x
+    # median-normalized — back inside the 1.3x threshold (ADVICE r11
+    # tightened the normalized slack to max(0.25, 0.3*best), so the
+    # demotion now requires the NORMALIZED value to genuinely clear)
+    timings = {f"q{i}": 1.5 if i else 1.875 for i in range(12)}
     bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
-    assert bad == []  # q0 at 2.2x with a prior streak: demoted
+    assert bad == []  # q0 normalizes to 1.25x: demoted
     assert "q0" in out["__suspects__"]
     assert out["__env_shift__"] == 1.5
     # normal-level session, q0 still regressed -> alarms
@@ -178,3 +181,38 @@ def test_sub_trip_median_does_not_raise_alarm_bar(monkeypatch, tmp_path):
     bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
     assert len(bad) == 1 and "q_reg" in bad[0]
     assert "median-normalized" not in bad[0]  # no shift was declared
+
+
+def test_shift_normalized_alarm_honors_aa_factor(monkeypatch, tmp_path):
+    """ADVICE r11: inside a declared shift the normalized comparison
+    uses max(1.3, factor), not a hard-coded 1.3x — a high-jitter
+    session (A/A 35% -> factor 1.7) must not ALARM a repeat-suspect
+    whose normalized ratio (1.6x) sits inside its own noise band."""
+    hist = {f"q{i}": 3.0 for i in range(20)}
+    hist["q_reg"] = 3.0
+    hist["__suspects__"] = ["q_reg"]
+    aa = {"query": "x", "a_sec": 1.0, "b_sec": 1.35, "delta_pct": 35.0}
+    timings = {f"q{i}": 4.35 for i in range(20)}  # fleet 1.45x shift
+    timings["q_reg"] = 3.0 * 1.45 * 1.6  # 1.6x normalized < factor 1.7
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings, aa)
+    assert bad == [] and "q_reg" in out["__suspects__"]  # streak kept
+    # same session with a QUIET A/A pair (factor stays 1.3): alarms
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert len(bad) == 1 and "q_reg" in bad[0]
+
+
+def test_shift_slack_scales_with_best_for_small_queries(
+    monkeypatch, tmp_path
+):
+    """ADVICE r11: the normalized absolute slack is max(0.25, 0.3*best)
+    — a 1-second query at 1.5x MEDIAN-NORMALIZED inside a shift (raw
+    excess small in absolute terms) is no longer unconditionally
+    demoted: with a prior streak it alarms."""
+    hist = {f"q{i}": 1.0 for i in range(20)}
+    hist["q_reg"] = 1.0
+    hist["__suspects__"] = ["q_reg"]
+    timings = {f"q{i}": 1.45 for i in range(20)}  # fleet 1.45x shift
+    timings["q_reg"] = 1.45 * 1.5  # 1.5x normalized on a 1s query
+    bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
+    assert len(bad) == 1 and "q_reg" in bad[0]
+    assert "median-normalized" in bad[0]

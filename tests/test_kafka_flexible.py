@@ -457,6 +457,17 @@ def _fuzz_broker() -> MiniKafkaBroker:
     return _FUZZ_BROKER[0]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _stop_fuzz_broker():
+    """ADVICE r11: the module-cached fuzz broker must not leak its
+    listener socket/thread for the rest of the pytest session — stop
+    it when this module's tests finish (other broker tests use
+    context managers)."""
+    yield
+    while _FUZZ_BROKER:
+        _FUZZ_BROKER.pop().close()
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     names=st.lists(
