@@ -1143,6 +1143,89 @@ AHASH_BUCKET_CAP = 100  # max fingerprints per band bucket (blowup guard)
 AHASH_MAX_HAMMING = 2  # verified near-dup threshold
 
 
+def _banded_hamming_pairs(
+    fps: DataFrame, n_bands: int, bucket_cap: int, max_hamming: int
+) -> DataFrame:
+    """Shared banded near-dup tail over a checkpointed ``(media_id,
+    fp_hi, fp_lo)`` 64-bit fingerprint relation (two 32-bit halves so
+    SQL mirrors never touch the sign bit) — used by the image
+    (:func:`m_ahash_pairs`) and audio (:func:`a_fp_pairs`) legs of the
+    multimodal dedup family.
+
+    Manku-style banding: candidates share one of ``n_bands`` 16-bit
+    bands. Hot buckets are detected by a slim COUNT aggregation
+    (map-side partials) and excluded via broadcast anti-join BEFORE
+    any group is materialized — a degenerate banding collision must
+    never reach collect_list. Pair generation is ONE groupBy per
+    (band, bucket) collecting the (cap-guaranteed ≤ ``bucket_cap``)
+    fingerprints, then an i<j combination explode in whole-stage
+    codegen — no bucket self-join — and the O(1) hamming verify runs
+    before the distinct so the dedup shuffle carries only verified
+    near-dups."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(
+                    F.col("fp_hi") if b >= 2 else F.col("fp_lo"),
+                    (b % 2) * 16,
+                )
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bb = fps.select(
+        "media_id", "fp_hi", "fp_lo", F.explode(bands).alias("bb")
+    ).select(
+        "media_id",
+        "fp_hi",
+        "fp_lo",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    grouped = (
+        bb.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("media_id", "fp_hi", "fp_lo"))
+            ).alias("g")
+        )
+        .filter(F.size("g") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(g)-2), i -> "
+                "transform(sequence(i+1, size(g)-1), j -> "
+                "struct(g[i] as a, g[j] as b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.media_id").alias("id_a"),
+        F.col("p.b.media_id").alias("id_b"),
+        (
+            F.bit_count(F.col("p.a.fp_hi").bitwiseXOR(F.col("p.b.fp_hi")))
+            + F.bit_count(F.col("p.a.fp_lo").bitwiseXOR(F.col("p.b.fp_lo")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .transform(ordered_result, "id_a", "id_b")
+    )
+
+
 def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate pairs via perceptual average-hash over
     REALLY-decoded pixels — the multimodal leg of the dedup family
@@ -1187,7 +1270,7 @@ def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from conduit_spark.analytics.media_codecs import decode_png
 
         for pdf in batches:
-            out = {"media_id": [], "ahash_hi": [], "ahash_lo": []}
+            out = {"media_id": [], "fp_hi": [], "fp_lo": []}
             for did in pdf["doc_id"]:
                 did = int(did)
                 meta = decode_png(_synth_png_bytes(did), return_pixels=True)
@@ -1213,8 +1296,8 @@ def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mask = bs * (w * h) > total * area
                 bits = int((_WEIGHTS * mask).sum(dtype=np.uint64))
                 out["media_id"].append(did)
-                out["ahash_hi"].append((bits >> 32) & 0xFFFFFFFF)
-                out["ahash_lo"].append(bits & 0xFFFFFFFF)
+                out["fp_hi"].append((bits >> 32) & 0xFFFFFFFF)
+                out["fp_lo"].append(bits & 0xFFFFFFFF)
             yield pd.DataFrame(out)
 
     # Decode in parallel: the documents scan arrives as few partitions
@@ -1226,80 +1309,113 @@ def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
     fps = docs.mapInPandas(
-        run, "media_id long, ahash_hi long, ahash_lo long"
+        run, "media_id long, fp_hi long, fp_lo long"
     ).localCheckpoint()
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(
-                    F.col("ahash_hi") if b >= 2 else F.col("ahash_lo"),
-                    (b % 2) * 16,
-                )
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("bucket"),
-            )
-            for b in range(AHASH_BANDS)
-        ]
-    )
-    bb = fps.select(
-        "media_id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bb")
-    ).select(
-        "media_id",
-        "ahash_hi",
-        "ahash_lo",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
-    # Hot buckets are detected by a slim COUNT aggregation (map-side
-    # partials) and excluded via broadcast anti-join BEFORE any group
-    # is materialized — a degenerate banding collision (millions of
-    # near-black images in one bucket) must never reach collect_list.
-    hot = (
-        bb.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > AHASH_BUCKET_CAP)
-        .select("band", "bucket")
-    )
-    bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    # Pair generation: ONE groupBy per (band, bucket) collecting the
-    # (cap-guaranteed ≤ AHASH_BUCKET_CAP) fingerprints, then an i<j
-    # combination explode in whole-stage codegen — replaces the r11
-    # bucket self-join (two shuffle legs + join) with a single
-    # shuffle, and the hamming verify runs BEFORE the distinct so the
-    # dedup shuffle only carries verified near-dups (VERDICT r12 prep:
+    # Banding + capped pair generation + hamming verify: the shared
+    # tail (r12 restructure: groupBy + in-codegen combination explode
+    # replaces the r11 bucket self-join — two shuffle legs + join down
+    # to one shuffle — and the verify runs before the distinct;
     # measured 2.0s -> 1.1s at sf0.1, byte-identical output).
-    grouped = (
-        bb.groupBy("band", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("media_id", "ahash_hi", "ahash_lo"))
-            ).alias("g")
-        )
-        .filter(F.size("g") >= 2)
+    return _banded_hamming_pairs(
+        fps, AHASH_BANDS, AHASH_BUCKET_CAP, AHASH_MAX_HAMMING
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(g)-2), i -> "
-                "transform(sequence(i+1, size(g)-1), j -> "
-                "struct(g[i] as a, g[j] as b))))"
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.a.media_id").alias("id_a"),
-        F.col("p.b.media_id").alias("id_b"),
-        (
-            F.bit_count(F.col("p.a.ahash_hi").bitwiseXOR(F.col("p.b.ahash_hi")))
-            + F.bit_count(F.col("p.a.ahash_lo").bitwiseXOR(F.col("p.b.ahash_lo")))
-        )
-        .cast("bigint")
-        .alias("hamming"),
-    )
-    return (
-        pairs.filter(F.col("hamming") <= AHASH_MAX_HAMMING)
-        .distinct()
-        .transform(ordered_result, "id_a", "id_b")
+
+
+A_FP_FRAMES = 8  # time frames of the audio fingerprint grid
+A_FP_LAGS = 8  # lag-difference bands (lag = band index + 1 samples)
+A_FP_BANDS = 4  # 16-bit bands of the 64-bit fingerprint
+A_FP_BUCKET_CAP = 50  # max fingerprints per band bucket (blowup guard)
+A_FP_MAX_HAMMING = 2  # verified near-dup threshold
+
+
+def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate pairs via spectral-band energy fingerprint
+    over REALLY-decoded G.711 A-law samples — the audio leg of the
+    multimodal dedup trio (text: minhash/simhash; image:
+    :func:`m_ahash_pairs`; this covers raw audio columns). Reference
+    precedent: the multimodal AI-pipeline design doc
+    (docs/architecture-decision-records — reference
+    `20260724-ai-pipeline-components.md`); fingerprint design follows
+    Haitsma & Kalker's banded energy-difference scheme (ISMIR 2002),
+    with a LAG-DIFFERENCE filterbank instead of an FFT so every bit is
+    integer-exact and the SQL oracle can recompute it analytically.
+
+    Per clip: the actual RIFF walk + A-law companding-table decode
+    (``decode_wav`` on the fmt-tag-6 telephony WAV — nothing read from
+    the generator), then an ``A_FP_FRAMES`` × ``A_FP_LAGS`` energy
+    grid: band *b*'s energy in time frame *t* is the sum of
+    ``|s[i] - s[i-(b+1)]|`` over the frame (lag-domain filterbank — a
+    crude spectral-tilt estimator; larger lags emphasise lower
+    frequencies), and bit ``(t*8+b)`` is set when the frame's band
+    energy exceeds the clip's per-band mean (integer-exact cross
+    multiplication: ``E[t][b] * ctot_b > total_b * cnt[t][b]`` — no
+    float thresholds). Packed into two 32-bit halves; candidates share
+    one of ``A_FP_BANDS`` 16-bit bands (Manku banding, bucket-capped);
+    verify = ``bit_count(xor)`` ≤ ``A_FP_MAX_HAMMING``. The oracle
+    re-derives every sample through the G.711 A-law roundtrip in plain
+    SQL (the exhaustively-validated :func:`m_decode_alaw_real` chain,
+    per-sample) and recomputes the full grid, so a wrong RIFF walk,
+    companding table, frame boundary, lag indexing, or threshold
+    cannot produce matching pairs.
+
+    Scale shape: identical to :func:`m_ahash_pairs` — one PARALLEL
+    mapInPandas decode pass (the only Python; codec territory; numpy
+    lag diffs + slice sums, no per-sample loops), a (clip, int, int)
+    fingerprint relation checkpointed once, then the shared
+    :func:`_banded_hamming_pairs` tail (slim count-agg hot-bucket
+    anti-join before any group materializes, one groupBy + in-codegen
+    combination explode, verify before distinct). At corpus scale the
+    fingerprint relation is the clip count, not samples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_wav
+
+        T, B = A_FP_FRAMES, A_FP_LAGS
+        for pdf in batches:
+            out = {"media_id": [], "fp_hi": [], "fp_lo": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_wav(
+                    _synth_alaw_wav_bytes(did), return_samples=True
+                )
+                s = np.asarray(meta["samples"], dtype=np.int64)
+                n = len(s)
+                f = [(t * n) // T for t in range(T + 1)]
+                bits = 0
+                for b in range(B):
+                    lag = b + 1
+                    # d[k] = |s[i] - s[i-lag]| with i = k + lag; all
+                    # int64, exact
+                    d = np.abs(s[lag:] - s[:-lag])
+                    E = np.zeros(T, dtype=np.int64)
+                    C = np.zeros(T, dtype=np.int64)
+                    for t in range(T):
+                        lo, hi = max(f[t], lag), f[t + 1]
+                        if hi > lo:
+                            E[t] = d[lo - lag : hi - lag].sum()
+                            C[t] = hi - lo
+                    tot, ctot = int(E.sum()), int(C.sum())
+                    for t in range(T):
+                        if E[t] * ctot > tot * C[t]:
+                            bits |= 1 << (t * 8 + b)
+                out["media_id"].append(did)
+                out["fp_hi"].append((bits >> 32) & 0xFFFFFFFF)
+                out["fp_lo"].append(bits & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    fps = docs.mapInPandas(
+        run, "media_id long, fp_hi long, fp_lo long"
+    ).localCheckpoint()
+    return _banded_hamming_pairs(
+        fps, A_FP_BANDS, A_FP_BUCKET_CAP, A_FP_MAX_HAMMING
     )
 
 
@@ -1316,6 +1432,7 @@ QUERIES = {
     "m_features": m_features,
     "m_resize": m_resize,
     "m_ahash_pairs": m_ahash_pairs,
+    "a_fp_pairs": a_fp_pairs,
 }
 
 ORACLES = {
@@ -1697,5 +1814,106 @@ ORACLES["m_ahash_pairs"] = f"""
     FROM cand
     WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
           <= {AHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
+
+# Audio fingerprint near-dup pairs: every decoded sample is re-derived
+# through the exhaustively-validated G.711 A-law roundtrip chain
+# (m_decode_alaw_real's CTEs, carrying the sample index), then the
+# full 8x8 lag-band energy grid, the per-band mean threshold, the
+# 64-bit pack, and the banded-pairs tail are recomputed in plain SQL —
+# all integer arithmetic, so a wrong companding table, frame boundary,
+# lag indexing, or threshold cannot produce matching pairs.
+ORACLES["a_fp_pairs"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS did,
+               {WAV_FRAMES_BASE} + doc_id % {WAV_FRAMES_MOD} AS n
+        FROM documents),
+    s AS (
+        SELECT did, n, i.i AS i,
+               ((did * 31 + i.i * 17) % 65536) - 32768 AS v
+        FROM dims,
+             generate_series(0, {WAV_FRAMES_BASE + WAV_FRAMES_MOD - 2}) AS i(i)
+        WHERE i.i < n),
+    c AS (
+        SELECT did, n, i,
+               CASE WHEN v >= 0 THEN v // 8
+                    ELSE -((-v + 7) // 8) END AS p
+        FROM s),
+    c2 AS (
+        SELECT did, n, i,
+               CASE WHEN p >= 0 THEN 1 ELSE -1 END AS sg,
+               CASE WHEN p >= 0 THEN p ELSE -p - 1 END AS q
+        FROM c),
+    c3 AS (
+        SELECT did, n, i, sg, q,
+               CASE WHEN q < 32 THEN 0 WHEN q < 64 THEN 1
+                    WHEN q < 128 THEN 2 WHEN q < 256 THEN 3
+                    WHEN q < 512 THEN 4 WHEN q < 1024 THEN 5
+                    WHEN q < 2048 THEN 6 WHEN q < 4096 THEN 7
+                    ELSE 8 END AS g
+        FROM c2),
+    rt AS (
+        SELECT did, n, i,
+               sg * (CASE WHEN g = 0 THEN mant * 16 + 8
+                          WHEN g = 1 THEN mant * 16 + 264
+                          ELSE (mant * 16 + 264)
+                               * (1 << (least(g, 7) - 1)) END) AS r
+        FROM (SELECT *,
+                     CASE WHEN g = 0 THEN (q // 2) % 16
+                          WHEN g >= 8 THEN 15
+                          ELSE (q // (1 << g)) % 16 END AS mant
+              FROM c3)),
+    rl AS (SELECT did, n, list(r ORDER BY i) AS rl FROM rt GROUP BY did, n),
+    -- energy grid: frame t covers sample indices [(t*n)//8, ((t+1)*n)//8);
+    -- band b sums |s[i] - s[i-(b+1)]| over the frame (i >= b+1); rl is
+    -- 1-indexed, so sample i is rl[i+1] and s[i-(b+1)] is rl[i-b]
+    e AS (
+        SELECT did, b.b AS b, t.t AS t,
+               coalesce(list_sum(list_transform(
+                   generate_series(greatest((t.t * n) // 8, b.b + 1),
+                                   ((t.t + 1) * n) // 8 - 1),
+                   i -> abs(rl[i + 1] - rl[i - b.b]))), 0) AS en,
+               greatest(((t.t + 1) * n) // 8
+                        - greatest((t.t * n) // 8, b.b + 1), 0) AS cnt
+        FROM rl,
+             generate_series(0, {A_FP_LAGS - 1}) AS b(b),
+             generate_series(0, {A_FP_FRAMES - 1}) AS t(t)),
+    tot AS (SELECT did, b, sum(en) AS tote, sum(cnt) AS totc
+            FROM e GROUP BY did, b),
+    bits AS (
+        SELECT e.did, e.t * 8 + e.b AS ij,
+               CASE WHEN e.en * tot.totc > tot.tote * e.cnt
+                    THEN 1 ELSE 0 END AS bit
+        FROM e JOIN tot USING (did, b)),
+    hs AS (
+        SELECT did,
+               CAST(sum(CASE WHEN ij >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (ij - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN ij < 32
+                             THEN bit * (CAST(1 AS BIGINT) << ij)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY did),
+    bands AS (
+        SELECT did, hi, lo, bnd,
+               CASE WHEN bnd >= 2 THEN (hi >> ((bnd % 2) * 16)) & 65535
+                    ELSE (lo >> ((bnd % 2) * 16)) & 65535 END AS bucket
+        FROM hs CROSS JOIN unnest([0, 1, 2, 3]) AS u(bnd)),
+    hot AS (
+        SELECT bnd, bucket FROM bands GROUP BY bnd, bucket
+        HAVING count(*) > {A_FP_BUCKET_CAP}),
+    bb AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, bucket)),
+    cand AS (
+        SELECT DISTINCT x.did AS id_a, y.did AS id_b,
+               x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+        FROM bb x JOIN bb y
+          ON x.bnd = y.bnd AND x.bucket = y.bucket AND x.did < y.did)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+          <= {A_FP_MAX_HAMMING}
     ORDER BY id_a, id_b
 """

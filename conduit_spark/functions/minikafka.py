@@ -88,6 +88,7 @@ ERR_UNSUPPORTED_VERSION = 35  # KIP-511 ApiVersions downgrade signal
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTHENTICATION_FAILED = 58
+ERR_MEMBER_ID_REQUIRED = 79  # KIP-394: JoinGroup v4+ empty-member reject
 
 EARLIEST = -2
 LATEST = -1
@@ -493,15 +494,22 @@ class MiniKafkaBroker:
             if api_version >= 6:
                 hdr += _TAGS
             return hdr + self._list_offsets(r, api_version)
+        # Group-coordination plane (round-12): every API is version-
+        # parameterized across its published schema evolution; the top
+        # of each range is the KIP-482 flexible revision (request
+        # header v2 / response header v1 TAG_BUFFERs) except
+        # OffsetFetch, capped below its v8 multi-group restructure.
+        group = self._GROUP_API_VERSIONS.get(api_key)
+        if group and group[0] <= api_version <= group[1]:
+            flexible = api_version >= group[2]
+            if flexible:
+                r.tags()  # request header v2 TAG_BUFFER
+            hdr = struct.pack(">i", correlation_id)
+            if flexible:
+                hdr += _TAGS  # response header v1 TAG_BUFFER
+            return hdr + group[3](r, api_version)
         handlers = {
             API_VERSIONS: (0, self._api_versions),
-            API_OFFSET_COMMIT: (2, self._offset_commit),
-            API_OFFSET_FETCH: (1, self._offset_fetch),
-            API_FIND_COORDINATOR: (0, self._find_coordinator),
-            API_JOIN_GROUP: (0, self._join_group),
-            API_HEARTBEAT: (0, self._heartbeat),
-            API_LEAVE_GROUP: (0, self._leave_group),
-            API_SYNC_GROUP: (0, self._sync_group),
         }
         if api_key == API_VERSIONS and api_version in (1, 2):
             # v1/v2: v0 shape + trailing throttle_time_ms (the range we
@@ -550,8 +558,9 @@ class MiniKafkaBroker:
                 f"unsupported api_key={api_key} version={api_version}; "
                 "this broker speaks ApiVersions v0-v3, Metadata v1-v9, "
                 "Produce v3-v9, Fetch v4-v12, ListOffsets v1-v6, "
-                "OffsetCommit v2, OffsetFetch v1, FindCoordinator v0, "
-                "JoinGroup/Heartbeat/LeaveGroup/SyncGroup v0"
+                "OffsetCommit v2-v8, OffsetFetch v1-v7, "
+                "FindCoordinator v0-v4, JoinGroup v0-v6, Heartbeat v0-v4, "
+                "LeaveGroup v0-v5, SyncGroup v0-v5"
             )
         body_out = handlers[api_key][1](r)
         if body_out is None:  # acks=0 produce: the protocol sends NOTHING
@@ -561,11 +570,30 @@ class MiniKafkaBroker:
     def _api_version_rows(self) -> list[tuple[int, int, int]]:
         return [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 6),
                 (API_METADATA, 1, 9), (API_VERSIONS, 0, 3),
-                (API_OFFSET_COMMIT, 2, 2), (API_OFFSET_FETCH, 1, 1),
-                (API_FIND_COORDINATOR, 0, 0), (API_JOIN_GROUP, 0, 0),
-                (API_HEARTBEAT, 0, 0), (API_LEAVE_GROUP, 0, 0),
-                (API_SYNC_GROUP, 0, 0), (API_SASL_HANDSHAKE, 1, 1),
+                (API_OFFSET_COMMIT, 2, 8), (API_OFFSET_FETCH, 1, 7),
+                (API_FIND_COORDINATOR, 0, 4), (API_JOIN_GROUP, 0, 6),
+                (API_HEARTBEAT, 0, 4), (API_LEAVE_GROUP, 0, 5),
+                (API_SYNC_GROUP, 0, 5), (API_SASL_HANDSHAKE, 1, 1),
                 (API_SASL_AUTHENTICATE, 0, 0)]
+
+    @property
+    def _GROUP_API_VERSIONS(self):
+        """Group-coordination dispatch table: api_key -> (lo, hi,
+        flexible_from, handler). Tops are the KIP-482 flexible
+        revisions — OffsetCommit v8, OffsetFetch v6 (range capped at
+        v7, below the v8 multi-group restructure), FindCoordinator v3
+        (capped at v4, the KIP-699 batched-keys revision, which IS
+        served), JoinGroup v6, Heartbeat v4, LeaveGroup v4 (v5 adds
+        per-member reason), SyncGroup v4 (v5 adds protocol echo)."""
+        return {
+            API_OFFSET_COMMIT: (2, 8, 8, self._offset_commit),
+            API_OFFSET_FETCH: (1, 7, 6, self._offset_fetch),
+            API_FIND_COORDINATOR: (0, 4, 3, self._find_coordinator),
+            API_JOIN_GROUP: (0, 6, 6, self._join_group),
+            API_HEARTBEAT: (0, 4, 4, self._heartbeat),
+            API_LEAVE_GROUP: (0, 5, 4, self._leave_group),
+            API_SYNC_GROUP: (0, 5, 4, self._sync_group),
+        }
 
     def _api_versions_table(self) -> bytes:
         rows = self._api_version_rows()
@@ -670,134 +698,387 @@ class MiniKafkaBroker:
             return ERR_ILLEGAL_GENERATION
         return ERR_NONE
 
-    def _find_coordinator(self, r: _Reader) -> bytes:
-        r.string()  # coordinator key (group id) — we coordinate all
-        return (
-            struct.pack(">h", ERR_NONE)
-            + struct.pack(">i", self.node_id)
-            + _w_str(self.host)
+    def _find_coordinator(self, r: _Reader, version: int = 0) -> bytes:
+        """FindCoordinator v0-v4 per the published schema evolution:
+        v1 adds key_type (request) + throttle/error_message (response),
+        v3 is the KIP-482 flexible revision, v4 is KIP-699's batched
+        form (coordinator_keys array in, coordinators array out)."""
+        flexible = version >= 3
+        if version >= 4:
+            r.i8()  # key_type (group = 0; we coordinate all)
+            keys = [
+                r.compact_string() or "" for _ in range(r.uvarint() - 1)
+            ]
+            r.tags()
+        else:
+            keys = [(r.compact_string() if flexible else r.string()) or ""]
+            if version >= 1:
+                r.i8()  # key_type
+            if flexible:
+                r.tags()
+        me = (
+            struct.pack(">i", self.node_id)
+            + (_w_compact_str(self.host) if flexible else _w_str(self.host))
             + struct.pack(">i", self.port)
         )
+        if version >= 4:
+            out = struct.pack(">i", 0)  # throttle_time_ms
+            out += _w_uvarint(len(keys) + 1)
+            for k in keys:
+                out += (
+                    _w_compact_str(k)
+                    + me
+                    + struct.pack(">h", ERR_NONE)
+                    + _w_compact_str(None)  # error_message
+                    + _TAGS
+                )
+            return out + _TAGS
+        out = b""
+        if version >= 1:
+            out += struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">h", ERR_NONE)
+        if version >= 1:
+            out += _w_compact_str(None) if flexible else _w_str(None)
+        out += me
+        if flexible:
+            out += _TAGS
+        return out
 
-    def _join_group(self, r: _Reader) -> bytes:
-        gid = r.string()
+    def _join_group(self, r: _Reader, version: int = 0) -> bytes:
+        """JoinGroup v0-v6: v1 adds rebalance_timeout, v2 adds response
+        throttle, v4 adds the KIP-394 empty-member reject (the broker
+        assigns an id and answers MEMBER_ID_REQUIRED; the client
+        re-joins with it — prevents ghost members from retry storms),
+        v5 adds group_instance_id (KIP-345 static membership), v6 is
+        the KIP-482 flexible revision."""
+        flexible = version >= 6
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        gid = rstr()
         r.i32()  # session_timeout_ms (no expiry timers in-process)
-        member = r.string() or ""
-        protocol_type = r.string()  # "consumer"
+        if version >= 1:
+            r.i32()  # rebalance_timeout_ms
+        member = rstr() or ""
+        if version >= 5:
+            rstr()  # group_instance_id (nullable; dynamic members: null)
+        protocol_type = rstr()  # "consumer"
         protocols = []
-        for _ in range(r.i32()):
-            protocols.append((r.string(), r.bytes_()))
+        for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+            name = rstr()
+            meta = (r.compact_bytes() if flexible else r.bytes_()) or b""
+            if flexible:
+                r.tags()
+            protocols.append((name, meta))
+        if flexible:
+            r.tags()
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        def wbytes(x):
+            return _w_compact_bytes(x) if flexible else _w_bytes(x)
+
+        tagsb = _TAGS if flexible else b""
+        throttle = struct.pack(">i", 0) if version >= 2 else b""
         with self._lock:
             g = self._group(gid)
             if not member:
                 g["counter"] += 1
                 member = f"{protocol_type or 'member'}-{g['counter']}"
+                if version >= 4:
+                    # KIP-394: reject the FIRST join of an unknown
+                    # member but hand back the assigned id
+                    out = (
+                        throttle
+                        + struct.pack(">h", ERR_MEMBER_ID_REQUIRED)
+                        + struct.pack(">i", -1)  # generation_id
+                        + wstr("")  # protocol_name
+                        + wstr("")  # leader
+                        + wstr(member)
+                        + (_w_uvarint(1) if flexible
+                           else struct.pack(">i", 0))  # members: empty
+                    )
+                    return out + tagsb
             g["members"][member] = protocols[0][1] if protocols else b""
             if g["leader"] not in g["members"]:
                 g["leader"] = member
             g["generation"] += 1
             g["protocol"] = protocols[0][0] if protocols else ""
+            g["protocol_type"] = protocol_type or ""
             members = list(g["members"].items())
             out = (
-                struct.pack(">h", ERR_NONE)
+                throttle
+                + struct.pack(">h", ERR_NONE)
                 + struct.pack(">i", g["generation"])
-                + _w_str(g["protocol"])
-                + _w_str(g["leader"])
-                + _w_str(member)
-                + struct.pack(">i", len(members))
+                + wstr(g["protocol"])
+                + wstr(g["leader"])
+                + wstr(member)
+                + (_w_uvarint(len(members) + 1) if flexible
+                   else struct.pack(">i", len(members)))
             )
             for mid, meta in members:
-                out += _w_str(mid) + _w_bytes(meta)
-            return out
+                out += wstr(mid)
+                if version >= 5:
+                    out += wstr(None)  # group_instance_id
+                out += wbytes(meta) + tagsb
+            return out + tagsb
 
-    def _sync_group(self, r: _Reader) -> bytes:
-        gid = r.string()
+    def _sync_group(self, r: _Reader, version: int = 0) -> bytes:
+        """SyncGroup v0-v5: v1 adds response throttle, v3 adds
+        group_instance_id, v4 is the flexible revision, v5 echoes
+        protocol_type/protocol_name both ways (KIP-497 consistency
+        check)."""
+        flexible = version >= 4
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        gid = rstr()
         generation = r.i32()
-        member = r.string() or ""
+        member = rstr() or ""
+        if version >= 3:
+            rstr()  # group_instance_id
+        if version >= 5:
+            rstr()  # protocol_type (nullable; not validated in-process)
+            rstr()  # protocol_name
         assignments = {}
-        for _ in range(r.i32()):
-            mid = r.string()  # read order matters: id, then blob
-            assignments[mid] = r.bytes_()
+        for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+            mid = rstr()  # read order matters: id, then blob
+            assignments[mid] = (
+                r.compact_bytes() if flexible else r.bytes_()
+            ) or b""
+            if flexible:
+                r.tags()
+        if flexible:
+            r.tags()
         with self._lock:
             g = self._group(gid)
             err = self._member_check(g, generation, member)
             if err == ERR_NONE and assignments:  # the leader's sync
                 g["assignments"] = assignments
             mine = g["assignments"].get(member, b"") if err == ERR_NONE else b""
-            return struct.pack(">h", err) + _w_bytes(mine)
+            out = struct.pack(">i", 0) if version >= 1 else b""
+            out += struct.pack(">h", err)
+            if version >= 5:
+                out += _w_compact_str(g.get("protocol_type"))
+                out += _w_compact_str(g.get("protocol"))
+            out += _w_compact_bytes(mine) if flexible else _w_bytes(mine)
+            if flexible:
+                out += _TAGS
+            return out
 
-    def _heartbeat(self, r: _Reader) -> bytes:
-        gid = r.string()
+    def _heartbeat(self, r: _Reader, version: int = 0) -> bytes:
+        """Heartbeat v0-v4: v1 adds response throttle, v3 adds
+        group_instance_id, v4 is the flexible revision."""
+        flexible = version >= 4
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        gid = rstr()
         generation = r.i32()
-        member = r.string() or ""
+        member = rstr() or ""
+        if version >= 3:
+            rstr()  # group_instance_id
+        if flexible:
+            r.tags()
         with self._lock:
-            return struct.pack(
-                ">h", self._member_check(self._group(gid), generation, member)
-            )
+            err = self._member_check(self._group(gid), generation, member)
+        out = struct.pack(">i", 0) if version >= 1 else b""
+        out += struct.pack(">h", err)
+        if flexible:
+            out += _TAGS
+        return out
 
-    def _leave_group(self, r: _Reader) -> bytes:
-        gid = r.string()
-        member = r.string() or ""
+    def _leave_group(self, r: _Reader, version: int = 0) -> bytes:
+        """LeaveGroup v0-v5: v1 adds response throttle, v3 batches
+        (members array both ways, per-member error codes — KIP-345),
+        v4 is the flexible revision, v5 adds per-member reason."""
+        flexible = version >= 4
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        gid = rstr()
+        if version >= 3:
+            members = []
+            for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+                mid = rstr() or ""
+                gi = rstr()  # group_instance_id (nullable)
+                if version >= 5:
+                    rstr()  # reason (nullable)
+                if flexible:
+                    r.tags()
+                members.append((mid, gi))
+        else:
+            members = [(rstr() or "", None)]
+        if flexible:
+            r.tags()
+        per_member = []
         with self._lock:
             g = self._group(gid)
-            if member not in g["members"]:
-                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
-            del g["members"][member]
-            g["assignments"].pop(member, None)
-            if g["leader"] == member:
-                g["leader"] = next(iter(g["members"]), None)
-            g["generation"] += 1
-            return struct.pack(">h", ERR_NONE)
+            for mid, gi in members:
+                if mid not in g["members"]:
+                    per_member.append((mid, gi, ERR_UNKNOWN_MEMBER_ID))
+                    continue
+                del g["members"][mid]
+                g["assignments"].pop(mid, None)
+                if g["leader"] == mid:
+                    g["leader"] = next(iter(g["members"]), None)
+                g["generation"] += 1
+                per_member.append((mid, gi, ERR_NONE))
+        if version < 3:
+            out = struct.pack(">i", 0) if version >= 1 else b""
+            return out + struct.pack(">h", per_member[0][2])
+        out = struct.pack(">i", 0) + struct.pack(">h", ERR_NONE)
+        out += (
+            _w_uvarint(len(per_member) + 1) if flexible
+            else struct.pack(">i", len(per_member))
+        )
+        for mid, gi, err in per_member:
+            if flexible:
+                out += (
+                    _w_compact_str(mid) + _w_compact_str(gi)
+                    + struct.pack(">h", err) + _TAGS
+                )
+            else:
+                out += _w_str(mid) + _w_str(gi) + struct.pack(">h", err)
+        if flexible:
+            out += _TAGS
+        return out
 
-    def _offset_commit(self, r: _Reader) -> bytes:
-        gid = r.string()
+    def _offset_commit(self, r: _Reader, version: int = 2) -> bytes:
+        """OffsetCommit v2-v8: v3 adds response throttle, v5 drops
+        retention_time_ms, v6 adds committed_leader_epoch per
+        partition, v7 adds group_instance_id, v8 is the flexible
+        revision."""
+        flexible = version >= 8
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        def rn():
+            return (r.uvarint() - 1) if flexible else r.i32()
+
+        gid = rstr()
         generation = r.i32()
-        member = r.string() or ""
-        r.i64()  # retention_time_ms
+        member = rstr() or ""
+        if version >= 7:
+            rstr()  # group_instance_id
+        if version <= 4:
+            r.i64()  # retention_time_ms
         with self._lock:
             g = self._group(gid)
             err = self._member_check(g, generation, member)
             out_topics = []
-            for _ in range(r.i32()):
-                topic = r.string()
+            for _ in range(rn()):
+                topic = rstr()
                 parts = []
-                for _ in range(r.i32()):
+                for _ in range(rn()):
                     p = r.i32()
                     off = r.i64()
-                    meta = r.string()
+                    if version >= 6:
+                        r.i32()  # committed_leader_epoch
+                    meta = rstr()
+                    if flexible:
+                        r.tags()
                     if err == ERR_NONE:
                         g["offsets"][(topic, p)] = (off, meta or "")
                     parts.append((p, err))
+                if flexible:
+                    r.tags()
                 out_topics.append((topic, parts))
-        out = struct.pack(">i", len(out_topics))
+        if flexible:
+            r.tags()
+        out = struct.pack(">i", 0) if version >= 3 else b""
+        out += (
+            _w_uvarint(len(out_topics) + 1) if flexible
+            else struct.pack(">i", len(out_topics))
+        )
         for topic, parts in out_topics:
-            out += _w_str(topic) + struct.pack(">i", len(parts))
+            out += _w_compact_str(topic) if flexible else _w_str(topic)
+            out += (
+                _w_uvarint(len(parts) + 1) if flexible
+                else struct.pack(">i", len(parts))
+            )
             for p, e in parts:
                 out += struct.pack(">ih", p, e)
+                if flexible:
+                    out += _TAGS
+            if flexible:
+                out += _TAGS
+        if flexible:
+            out += _TAGS
         return out
 
-    def _offset_fetch(self, r: _Reader) -> bytes:
-        gid = r.string()
+    def _offset_fetch(self, r: _Reader, version: int = 1) -> bytes:
+        """OffsetFetch v1-v7: v2 makes the topics array nullable
+        (null = every committed partition) and adds a trailing
+        top-level error_code, v3 adds throttle, v5 adds
+        committed_leader_epoch, v6 is the flexible revision, v7 adds
+        require_stable (KIP-447). Capped below v8's multi-group
+        restructure."""
+        flexible = version >= 6
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        gid = rstr()
+        n = (r.uvarint() - 1) if flexible else r.i32()
+        wanted: list[tuple[str, list[int]]] | None = None
+        if n >= 0 or version < 2:
+            wanted = []
+            for _ in range(max(n, 0)):
+                topic = rstr() or ""
+                nparts = (r.uvarint() - 1) if flexible else r.i32()
+                wanted.append((topic, [r.i32() for _ in range(nparts)]))
+                if flexible:
+                    r.tags()
+        if version >= 7:
+            r.i8()  # require_stable (all in-process commits are stable)
+        if flexible:
+            r.tags()
         with self._lock:
             g = self._group(gid)
+            if wanted is None:  # v2+ null topics: everything committed
+                by_topic: dict[str, list[int]] = {}
+                for t, p in sorted(g["offsets"]):
+                    by_topic.setdefault(t, []).append(p)
+                wanted = list(by_topic.items())
             out_topics = []
-            for _ in range(r.i32()):
-                topic = r.string()
+            for topic, ps in wanted:
                 parts = []
-                for _ in range(r.i32()):
-                    p = r.i32()
+                for p in ps:
                     off, meta = g["offsets"].get((topic, p), (-1, ""))
                     parts.append((p, off, meta))
                 out_topics.append((topic, parts))
-        out = struct.pack(">i", len(out_topics))
+        out = struct.pack(">i", 0) if version >= 3 else b""
+        out += (
+            _w_uvarint(len(out_topics) + 1) if flexible
+            else struct.pack(">i", len(out_topics))
+        )
         for topic, parts in out_topics:
-            out += _w_str(topic) + struct.pack(">i", len(parts))
+            out += _w_compact_str(topic) if flexible else _w_str(topic)
+            out += (
+                _w_uvarint(len(parts) + 1) if flexible
+                else struct.pack(">i", len(parts))
+            )
             for p, off, meta in parts:
-                out += (
-                    struct.pack(">iq", p, off)
-                    + _w_str(meta)
-                    + struct.pack(">h", ERR_NONE)
-                )
+                out += struct.pack(">iq", p, off)
+                if version >= 5:
+                    out += struct.pack(">i", -1)  # committed_leader_epoch
+                out += _w_compact_str(meta) if flexible else _w_str(meta)
+                out += struct.pack(">h", ERR_NONE)
+                if flexible:
+                    out += _TAGS
+            if flexible:
+                out += _TAGS
+        if version >= 2:
+            out += struct.pack(">h", ERR_NONE)  # top-level error_code
+        if flexible:
+            out += _TAGS
         return out
 
     def _metadata(self, r: _Reader, version: int = 1) -> bytes:
@@ -1149,6 +1430,14 @@ class MiniKafkaClient:
         self._fetch_version = 4
         self._metadata_version = 1
         self._listoffsets_version = 1
+        # group-coordination floors (round-12: all seven negotiate too)
+        self._offsetcommit_version = 2
+        self._offsetfetch_version = 1
+        self._findcoordinator_version = 0
+        self._joingroup_version = 0
+        self._heartbeat_version = 0
+        self._leavegroup_version = 0
+        self._syncgroup_version = 0
         if sasl:
             self._sasl_login(
                 str(sasl.get("mechanism", "SCRAM-SHA-256")).upper(),
@@ -1264,54 +1553,67 @@ class MiniKafkaClient:
     MAX_FETCH_VERSION = 12
     MAX_METADATA_VERSION = 9
     MAX_LISTOFFSETS_VERSION = 6
+    MAX_OFFSETCOMMIT_VERSION = 8
+    MAX_OFFSETFETCH_VERSION = 7
+    MAX_FINDCOORDINATOR_VERSION = 4
+    MAX_JOINGROUP_VERSION = 6
+    MAX_HEARTBEAT_VERSION = 4
+    MAX_LEAVEGROUP_VERSION = 5
+    MAX_SYNCGROUP_VERSION = 5
+
+    # (api_key, api name, non-flexible floor, client max attr,
+    #  negotiated-version slot) — one row per API this client pins
+    # after the ApiVersions handshake, franz-go style
+    _NEGOTIATED_APIS = (
+        (API_PRODUCE, "Produce", 3,
+         "MAX_PRODUCE_VERSION", "_produce_version"),
+        (API_FETCH, "Fetch", 4, "MAX_FETCH_VERSION", "_fetch_version"),
+        (API_METADATA, "Metadata", 1,
+         "MAX_METADATA_VERSION", "_metadata_version"),
+        (API_LIST_OFFSETS, "ListOffsets", 1,
+         "MAX_LISTOFFSETS_VERSION", "_listoffsets_version"),
+        (API_OFFSET_COMMIT, "OffsetCommit", 2,
+         "MAX_OFFSETCOMMIT_VERSION", "_offsetcommit_version"),
+        (API_OFFSET_FETCH, "OffsetFetch", 1,
+         "MAX_OFFSETFETCH_VERSION", "_offsetfetch_version"),
+        (API_FIND_COORDINATOR, "FindCoordinator", 0,
+         "MAX_FINDCOORDINATOR_VERSION", "_findcoordinator_version"),
+        (API_JOIN_GROUP, "JoinGroup", 0,
+         "MAX_JOINGROUP_VERSION", "_joingroup_version"),
+        (API_HEARTBEAT, "Heartbeat", 0,
+         "MAX_HEARTBEAT_VERSION", "_heartbeat_version"),
+        (API_LEAVE_GROUP, "LeaveGroup", 0,
+         "MAX_LEAVEGROUP_VERSION", "_leavegroup_version"),
+        (API_SYNC_GROUP, "SyncGroup", 0,
+         "MAX_SYNCGROUP_VERSION", "_syncgroup_version"),
+    )
 
     def negotiate_versions(self) -> dict[int, tuple[int, int]]:
-        """ApiVersions handshake → pin produce/fetch to the highest
-        mutually supported revisions (the franz-go startup flow the
-        reference connector rides on). Against this repo's broker that
-        lands on the flexible pair Produce v9 + Fetch v12; against an
-        old broker it stays at the non-flexible floor (v3/v4). Returns
-        the broker's full version table."""
+        """ApiVersions handshake → pin EVERY api this client speaks
+        (data plane, control plane, and — round-12 — all seven
+        group-coordination APIs) to the highest mutually supported
+        revisions, the franz-go startup flow the reference connector
+        rides on. Against this repo's broker that lands on the
+        flexible tops (Produce v9, Fetch v12, Metadata v9, ListOffsets
+        v6, OffsetCommit v8, OffsetFetch v7, FindCoordinator v4,
+        JoinGroup v6, Heartbeat v4, LeaveGroup v5, SyncGroup v5);
+        against an old broker every slot stays at its non-flexible
+        floor. Returns the broker's full version table."""
+        # One lo-bound disjoint-range guard per API (round-12: the
+        # group-coordination seven negotiate exactly like the data and
+        # control planes — modern brokers retire old revisions there
+        # too, and franz-go pins all of these the same way).
         table = self.api_versions()
-        p_lo, p_hi = table.get(API_PRODUCE, (3, 3))
-        picked = max(3, min(self.MAX_PRODUCE_VERSION, p_hi))
-        if picked < p_lo:
-            raise RuntimeError(
-                f"no mutually supported Produce version: broker serves "
-                f"v{p_lo}-v{p_hi}, client speaks up to "
-                f"v{self.MAX_PRODUCE_VERSION}"
-            )
-        self._produce_version = picked
-        f_lo, f_hi = table.get(API_FETCH, (4, 4))
-        picked = max(4, min(self.MAX_FETCH_VERSION, f_hi))
-        if picked < f_lo:
-            raise RuntimeError(
-                f"no mutually supported Fetch version: broker serves "
-                f"v{f_lo}-v{f_hi}, client speaks up to "
-                f"v{self.MAX_FETCH_VERSION}"
-            )
-        self._fetch_version = picked
-        # control plane (round-11): same negotiation for Metadata /
-        # ListOffsets — modern brokers retire old control-plane
-        # revisions too, and franz-go pins these the same way
-        m_lo, m_hi = table.get(API_METADATA, (1, 1))
-        picked = max(1, min(self.MAX_METADATA_VERSION, m_hi))
-        if picked < m_lo:
-            raise RuntimeError(
-                f"no mutually supported Metadata version: broker serves "
-                f"v{m_lo}-v{m_hi}, client speaks up to "
-                f"v{self.MAX_METADATA_VERSION}"
-            )
-        self._metadata_version = picked
-        o_lo, o_hi = table.get(API_LIST_OFFSETS, (1, 1))
-        picked = max(1, min(self.MAX_LISTOFFSETS_VERSION, o_hi))
-        if picked < o_lo:
-            raise RuntimeError(
-                f"no mutually supported ListOffsets version: broker "
-                f"serves v{o_lo}-v{o_hi}, client speaks up to "
-                f"v{self.MAX_LISTOFFSETS_VERSION}"
-            )
-        self._listoffsets_version = picked
+        for api, name, floor, max_attr, slot in self._NEGOTIATED_APIS:
+            lo, hi = table.get(api, (floor, floor))
+            cap = getattr(self, max_attr)
+            picked = max(floor, min(cap, hi))
+            if picked < lo:
+                raise RuntimeError(
+                    f"no mutually supported {name} version: broker serves "
+                    f"v{lo}-v{hi}, client speaks up to v{cap}"
+                )
+            setattr(self, slot, picked)
         return table
 
     def metadata(
@@ -1551,14 +1853,55 @@ class MiniKafkaClient:
 
     # -- consumer-group protocol --------------------------------------
 
-    def find_coordinator(self, group_id: str) -> tuple[int, str, int]:
-        """(node_id, host, port) of the group's coordinator."""
-        r = self._call(API_FIND_COORDINATOR, 0, _w_str(group_id))
+    def find_coordinator(
+        self, group_id: str, *, version: int | None = None
+    ) -> tuple[int, str, int]:
+        """(node_id, host, port) of the group's coordinator.
+        FindCoordinator v0-v4; default rides the negotiated revision
+        (v0 floor before :meth:`negotiate_versions`, v4 batched
+        KIP-699 form against this broker)."""
+        version = self._findcoordinator_version if version is None else version
+        flexible = version >= 3
+        if version >= 4:
+            body = (
+                struct.pack(">b", 0)  # key_type: group
+                + _w_uvarint(2)
+                + _w_compact_str(group_id)
+                + _TAGS
+            )
+        else:
+            body = (
+                _w_compact_str(group_id) if flexible else _w_str(group_id)
+            )
+            if version >= 1:
+                body += struct.pack(">b", 0)  # key_type: group
+            if flexible:
+                body += _TAGS
+        r = self._call(API_FIND_COORDINATOR, version, body, flexible=flexible)
+        if version >= 4:
+            r.i32()  # throttle
+            n = r.uvarint() - 1
+            node = host = port = err = None
+            for _ in range(n):
+                r.compact_string()  # key
+                node = r.i32()
+                host = r.compact_string()
+                port = r.i32()
+                err = r.i16()
+                r.compact_string()  # error_message
+                r.tags()
+            if err:
+                raise RuntimeError(f"find_coordinator error {err}")
+            return node, host, port
+        if version >= 1:
+            r.i32()  # throttle
         err = r.i16()
+        if version >= 1:
+            r.compact_string() if flexible else r.string()  # error_message
         if err:
             raise RuntimeError(f"find_coordinator error {err}")
         node = r.i32()
-        host = r.string()
+        host = r.compact_string() if flexible else r.string()
         port = r.i32()
         return node, host, port
 
@@ -1570,32 +1913,72 @@ class MiniKafkaClient:
         session_timeout_ms: int = 30000,
         protocol_type: str = "consumer",
         protocols: list[tuple[str, bytes]] | None = None,
+        version: int | None = None,
     ) -> dict:
         """Join (or re-join) a consumer group; returns generation,
         assigned member id, leader, protocol, and the member list (the
-        leader uses it to compute assignments for sync_group)."""
+        leader uses it to compute assignments for sync_group).
+        JoinGroup v0-v6; default rides the negotiated revision. At
+        v4+ an empty member_id triggers the broker's KIP-394
+        MEMBER_ID_REQUIRED reject — this client re-joins once with the
+        assigned id, exactly like franz-go."""
+        version = self._joingroup_version if version is None else version
+        flexible = version >= 6
         protos = protocols or [("range", b"")]
-        body = (
-            _w_str(group_id)
-            + struct.pack(">i", session_timeout_ms)
-            + _w_str(member_id)
-            + _w_str(protocol_type)
-            + struct.pack(">i", len(protos))
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        body = wstr(group_id) + struct.pack(">i", session_timeout_ms)
+        if version >= 1:
+            body += struct.pack(">i", session_timeout_ms)  # rebalance_timeout
+        body += wstr(member_id)
+        if version >= 5:
+            body += wstr(None)  # group_instance_id (dynamic member)
+        body += wstr(protocol_type)
+        body += (
+            _w_uvarint(len(protos) + 1) if flexible
+            else struct.pack(">i", len(protos))
         )
         for name, meta in protos:
-            body += _w_str(name) + _w_bytes(meta)
-        r = self._call(API_JOIN_GROUP, 0, body)
+            body += wstr(name)
+            body += _w_compact_bytes(meta) if flexible else _w_bytes(meta)
+            if flexible:
+                body += _TAGS
+        if flexible:
+            body += _TAGS
+        r = self._call(API_JOIN_GROUP, version, body, flexible=flexible)
+        if version >= 2:
+            r.i32()  # throttle
         err = r.i16()
+
+        def rstr():
+            return r.compact_string() if flexible else r.string()
+
+        generation = r.i32()
+        protocol = rstr()
+        leader = rstr()
+        me = rstr()
+        members = {}
+        for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+            mid = rstr()  # read order matters: id, then metadata
+            if version >= 5:
+                rstr()  # group_instance_id
+            members[mid] = (
+                r.compact_bytes() if flexible else r.bytes_()
+            )
+            if flexible:
+                r.tags()
+        if err == ERR_MEMBER_ID_REQUIRED and not member_id and me:
+            # KIP-394 second round: re-join with the assigned id
+            return self.join_group(
+                group_id, member_id=me,
+                session_timeout_ms=session_timeout_ms,
+                protocol_type=protocol_type, protocols=protocols,
+                version=version,
+            )
         if err:
             raise RuntimeError(f"join_group error {err}")
-        generation = r.i32()
-        protocol = r.string()
-        leader = r.string()
-        me = r.string()
-        members = {}
-        for _ in range(r.i32()):
-            mid = r.string()  # read order matters: id, then metadata
-            members[mid] = r.bytes_()
         return {
             "generation": generation, "protocol": protocol,
             "leader": leader, "member_id": me, "members": members,
@@ -1611,32 +1994,92 @@ class MiniKafkaClient:
         """The leader passes everyone's assignments; followers pass
         none and receive their own."""
         a = assignments or {}
-        body = (
-            _w_str(group_id)
-            + struct.pack(">i", generation)
-            + _w_str(member_id)
-            + struct.pack(">i", len(a))
+        version = self._syncgroup_version
+        flexible = version >= 4
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        body = wstr(group_id) + struct.pack(">i", generation) + wstr(member_id)
+        if version >= 3:
+            body += wstr(None)  # group_instance_id
+        if version >= 5:
+            body += wstr(None) + wstr(None)  # protocol_type/name echo
+        body += (
+            _w_uvarint(len(a) + 1) if flexible
+            else struct.pack(">i", len(a))
         )
         for mid, blob in a.items():
-            body += _w_str(mid) + _w_bytes(blob)
-        r = self._call(API_SYNC_GROUP, 0, body)
+            body += wstr(mid)
+            body += _w_compact_bytes(blob) if flexible else _w_bytes(blob)
+            if flexible:
+                body += _TAGS
+        if flexible:
+            body += _TAGS
+        r = self._call(API_SYNC_GROUP, version, body, flexible=flexible)
+        if version >= 1:
+            r.i32()  # throttle
         err = r.i16()
         if err:
             raise RuntimeError(f"sync_group error {err}")
-        return r.bytes_() or b""
+        if version >= 5:
+            r.compact_string()  # protocol_type
+            r.compact_string()  # protocol_name
+        return (r.compact_bytes() if flexible else r.bytes_()) or b""
 
     def heartbeat(self, group_id: str, generation: int, member_id: str) -> None:
-        body = _w_str(group_id) + struct.pack(">i", generation) + _w_str(member_id)
-        r = self._call(API_HEARTBEAT, 0, body)
+        version = self._heartbeat_version
+        flexible = version >= 4
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        body = wstr(group_id) + struct.pack(">i", generation) + wstr(member_id)
+        if version >= 3:
+            body += wstr(None)  # group_instance_id
+        if flexible:
+            body += _TAGS
+        r = self._call(API_HEARTBEAT, version, body, flexible=flexible)
+        if version >= 1:
+            r.i32()  # throttle
         err = r.i16()
         if err:
             raise RuntimeError(f"heartbeat error {err}")
 
     def leave_group(self, group_id: str, member_id: str) -> None:
-        r = self._call(API_LEAVE_GROUP, 0, _w_str(group_id) + _w_str(member_id))
+        version = self._leavegroup_version
+        flexible = version >= 4
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        body = wstr(group_id)
+        if version >= 3:
+            body += _w_uvarint(2) if flexible else struct.pack(">i", 1)
+            body += wstr(member_id) + wstr(None)  # group_instance_id
+            if version >= 5:
+                body += wstr(None)  # reason
+            if flexible:
+                body += _TAGS
+        else:
+            body += wstr(member_id)
+        if flexible:
+            body += _TAGS
+        r = self._call(API_LEAVE_GROUP, version, body, flexible=flexible)
+        if version >= 1:
+            r.i32()  # throttle
         err = r.i16()
         if err:
             raise RuntimeError(f"leave_group error {err}")
+        if version >= 3:
+            for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+                r.compact_string() if flexible else r.string()  # member
+                r.compact_string() if flexible else r.string()  # instance
+                m_err = r.i16()
+                if flexible:
+                    r.tags()
+                if m_err:
+                    raise RuntimeError(f"leave_group member error {m_err}")
 
     def offset_commit(
         self,
@@ -1651,54 +2094,109 @@ class MiniKafkaClient:
         member is the simple-consumer path; group members pass their
         join_group generation/member and a stale generation refuses
         (ILLEGAL_GENERATION) — commits cannot cross a rebalance."""
+        version = self._offsetcommit_version
+        flexible = version >= 8
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
+        def warr(k):
+            return _w_uvarint(k + 1) if flexible else struct.pack(">i", k)
+
         topics: dict[str, list[tuple[int, int]]] = {}
         for (t, p), off in offsets.items():
             topics.setdefault(t, []).append((p, off))
-        body = (
-            _w_str(group_id)
-            + struct.pack(">i", generation)
-            + _w_str(member_id)
-            + struct.pack(">q", -1)  # retention: broker default
-            + struct.pack(">i", len(topics))
-        )
+        body = wstr(group_id) + struct.pack(">i", generation) + wstr(member_id)
+        if version >= 7:
+            body += wstr(None)  # group_instance_id
+        if version <= 4:
+            body += struct.pack(">q", -1)  # retention: broker default
+        body += warr(len(topics))
         for t, parts in topics.items():
-            body += _w_str(t) + struct.pack(">i", len(parts))
+            body += wstr(t) + warr(len(parts))
             for p, off in parts:
-                body += struct.pack(">iq", p, off) + _w_str(metadata)
-        r = self._call(API_OFFSET_COMMIT, 2, body)
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
+                body += struct.pack(">iq", p, off)
+                if version >= 6:
+                    body += struct.pack(">i", -1)  # committed_leader_epoch
+                body += wstr(metadata)
+                if flexible:
+                    body += _TAGS
+            if flexible:
+                body += _TAGS
+        if flexible:
+            body += _TAGS
+        r = self._call(API_OFFSET_COMMIT, version, body, flexible=flexible)
+        if version >= 3:
+            r.i32()  # throttle
+        for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+            r.compact_string() if flexible else r.string()
+            for _ in range((r.uvarint() - 1) if flexible else r.i32()):
                 r.i32()
                 err = r.i16()
+                if flexible:
+                    r.tags()
                 if err:
                     raise RuntimeError(f"offset_commit error {err}")
+            if flexible:
+                r.tags()
 
     def offset_fetch(
         self, group_id: str, parts: list[tuple[str, int]]
     ) -> dict[tuple[str, int], int]:
         """Committed offsets for (topic, partition) pairs; -1 when the
         group has no commit there."""
+        version = self._offsetfetch_version
+        flexible = version >= 6
+
+        def wstr(x):
+            return _w_compact_str(x) if flexible else _w_str(x)
+
         topics: dict[str, list[int]] = {}
         for t, p in parts:
             topics.setdefault(t, []).append(p)
-        body = _w_str(group_id) + struct.pack(">i", len(topics))
+        body = wstr(group_id)
+        body += (
+            _w_uvarint(len(topics) + 1) if flexible
+            else struct.pack(">i", len(topics))
+        )
         for t, ps in topics.items():
-            body += _w_str(t) + struct.pack(">i", len(ps))
+            body += wstr(t)
+            body += (
+                _w_uvarint(len(ps) + 1) if flexible
+                else struct.pack(">i", len(ps))
+            )
             for p in ps:
                 body += struct.pack(">i", p)
-        r = self._call(API_OFFSET_FETCH, 1, body)
+            if flexible:
+                body += _TAGS
+        if version >= 7:
+            body += struct.pack(">b", 0)  # require_stable
+        if flexible:
+            body += _TAGS
+        r = self._call(API_OFFSET_FETCH, version, body, flexible=flexible)
+        if version >= 3:
+            r.i32()  # throttle
         out: dict[tuple[str, int], int] = {}
-        for _ in range(r.i32()):
-            t = r.string()
-            for _ in range(r.i32()):
+        for _ in range((r.uvarint() - 1) if flexible else r.i32()):
+            t = r.compact_string() if flexible else r.string()
+            for _ in range((r.uvarint() - 1) if flexible else r.i32()):
                 p = r.i32()
                 off = r.i64()
-                r.string()  # metadata
+                if version >= 5:
+                    r.i32()  # committed_leader_epoch
+                r.compact_string() if flexible else r.string()  # metadata
                 err = r.i16()
+                if flexible:
+                    r.tags()
                 if err:
                     raise RuntimeError(f"offset_fetch error {err}")
                 out[(t, p)] = off
+            if flexible:
+                r.tags()
+        if version >= 2:
+            err = r.i16()  # top-level error_code
+            if err:
+                raise RuntimeError(f"offset_fetch group error {err}")
         return out
 
     def list_offsets(

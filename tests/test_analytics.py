@@ -1098,6 +1098,74 @@ def test_m_ahash_pairs_matches_naive_model(spark, sf_dir):
     assert got == expect and len(expect) > 0
 
 
+def test_a_fp_pairs_matches_naive_model(spark, sf_dir):
+    """The audio leg of the multimodal dedup trio must emit exactly
+    the pairs a naive Python model produces: really decode every
+    A-law clip, compute the 8x8 lag-band energy grid and the per-band
+    mean-threshold bits, band into 4x16-bit buckets, drop buckets over
+    the cap, all-pairs within surviving buckets, keep hamming <= max."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics.media_codecs import decode_wav
+    from conduit_spark.analytics.multimodal import (
+        A_FP_BUCKET_CAP,
+        A_FP_FRAMES,
+        A_FP_LAGS,
+        A_FP_MAX_HAMMING,
+        _synth_alaw_wav_bytes,
+        a_fp_pairs,
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def fp(did):
+        s = decode_wav(_synth_alaw_wav_bytes(did), return_samples=True)[
+            "samples"
+        ]
+        n, T = len(s), A_FP_FRAMES
+        f = [(t * n) // T for t in range(T + 1)]
+        bits = 0
+        for b in range(A_FP_LAGS):
+            lag = b + 1
+            grid = []
+            for t in range(T):
+                lo, hi = max(f[t], lag), f[t + 1]
+                e = sum(abs(s[i] - s[i - lag]) for i in range(lo, hi))
+                grid.append((e, max(hi - lo, 0)))
+            tot = sum(e for e, _ in grid)
+            ctot = sum(c for _, c in grid)
+            for t, (e, c) in enumerate(grid):
+                if e * ctot > tot * c:
+                    bits |= 1 << (t * 8 + b)
+        return bits
+
+    hashes = {did: fp(did) for did in doc_ids}
+    buckets = defaultdict(list)
+    for did, bits in hashes.items():
+        for b in range(4):
+            buckets[(b, (bits >> (b * 16)) & 0xFFFF)].append(did)
+    expect = set()
+    for members in buckets.values():
+        if len(members) > A_FP_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                ham = bin(hashes[ms[i]] ^ hashes[ms[j]]).count("1")
+                if ham <= A_FP_MAX_HAMMING:
+                    expect.add((ms[i], ms[j], ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a_fp_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
 def test_dq_drift_semantics(spark, sf_dir):
     """PSI invariants beyond the oracle hash: PSI is non-negative (it
     is a sum of (q-p)ln(q/p) terms, each >= 0), one row per monitored

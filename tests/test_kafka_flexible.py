@@ -513,3 +513,246 @@ def test_list_offsets_roundtrip_property(version, n_records):
         c.produce(topic, 0, RECORDS[:1] * n_records)
         assert c.list_offsets(topic, 0, EARLIEST, version=version) == 0
         assert c.list_offsets(topic, 0, LATEST, version=version) >= n_records
+
+
+# -- group-coordination plane (round-12): OffsetCommit v2-v8,
+# OffsetFetch v1-v7, FindCoordinator v0-v4, JoinGroup v0-v6,
+# Heartbeat v0-v4, LeaveGroup v0-v5, SyncGroup v0-v5 -----------------
+
+
+def test_group_coordination_negotiates_flexible_tops():
+    """negotiate_versions pins all seven group APIs to the broker's
+    advertised tops — the flexible revisions (OffsetFetch capped at v7
+    below the multi-group restructure, FindCoordinator at the KIP-699
+    batched v4)."""
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.negotiate_versions()
+            assert c._offsetcommit_version == 8
+            assert c._offsetfetch_version == 7
+            assert c._findcoordinator_version == 4
+            assert c._joingroup_version == 6
+            assert c._heartbeat_version == 4
+            assert c._leavegroup_version == 5
+            assert c._syncgroup_version == 5
+            # full lifecycle at the negotiated (flexible) revisions —
+            # the v6 join exercises the KIP-394 two-round member id
+            j = c.join_group("gflex")
+            assert j["generation"] >= 1 and j["member_id"]
+            assert j["leader"] == j["member_id"]
+            blob = c.sync_group(
+                "gflex", j["generation"], j["member_id"],
+                {j["member_id"]: b"assigned-parts"},
+            )
+            assert blob == b"assigned-parts"
+            c.heartbeat("gflex", j["generation"], j["member_id"])
+            c.offset_commit(
+                "gflex", {("t", 0): 42},
+                generation=j["generation"], member_id=j["member_id"],
+            )
+            assert c.offset_fetch("gflex", [("t", 0)]) == {("t", 0): 42}
+            c.leave_group("gflex", j["member_id"])
+
+
+def test_find_coordinator_version_matrix():
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            for v in range(0, 5):
+                node, host, port = c.find_coordinator("g", version=v)
+                assert (node, port) == (b.node_id, b.port)
+
+
+def test_join_group_version_matrix():
+    """Every JoinGroup revision joins and leads its own group; v4+
+    rides the KIP-394 reject-then-rejoin path transparently."""
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            for v in range(0, 7):
+                res = c.join_group(f"gj{v}", version=v)
+                assert res["generation"] >= 1
+                assert res["member_id"] in res["members"]
+                assert res["leader"] == res["member_id"]
+                assert res["protocol"] == "range"
+
+
+def test_join_group_kip394_reject_is_on_the_wire():
+    """At v4+ the broker's FIRST answer to an empty member_id must be
+    MEMBER_ID_REQUIRED (79) carrying the assigned id — pinned at the
+    frame level so the client-side retry can't mask a silent join."""
+    import struct
+
+    from conduit_spark.functions.minikafka import (
+        API_JOIN_GROUP,
+        ERR_MEMBER_ID_REQUIRED,
+        _w_bytes,
+        _w_str,
+    )
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            body = (
+                _w_str("g394") + struct.pack(">i", 30000)
+                + struct.pack(">i", 30000)  # rebalance_timeout (v1+)
+                + _w_str("")  # member_id: empty -> reject
+                + _w_str("consumer")
+                + struct.pack(">i", 1) + _w_str("range") + _w_bytes(b"")
+            )
+            r = c._call(API_JOIN_GROUP, 4, body)
+            r.i32()  # throttle
+            assert r.i16() == ERR_MEMBER_ID_REQUIRED
+            assert r.i32() == -1  # generation
+            r.string()  # protocol_name
+            r.string()  # leader
+            assigned = r.string()
+            assert assigned  # the id the client must re-join with
+            assert r.i32() == 0  # members: empty
+            # second round with the assigned id succeeds
+            res = c.join_group("g394", member_id=assigned, version=4)
+            assert res["member_id"] == assigned
+
+
+def test_sync_heartbeat_leave_version_matrix():
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            for v in range(0, 6):
+                c._syncgroup_version = v
+                gid = f"gs{v}"
+                j = c.join_group(gid)
+                blob = c.sync_group(
+                    gid, j["generation"], j["member_id"],
+                    {j["member_id"]: b"a" + bytes([v])},
+                )
+                assert blob == b"a" + bytes([v])
+            for v in range(0, 5):
+                c._heartbeat_version = v
+                gid = f"gh{v}"
+                j = c.join_group(gid)
+                c.heartbeat(gid, j["generation"], j["member_id"])
+                with pytest.raises(RuntimeError, match="heartbeat error"):
+                    c.heartbeat(gid, j["generation"] + 5, j["member_id"])
+            for v in range(0, 6):
+                c._leavegroup_version = v
+                gid = f"gl{v}"
+                j = c.join_group(gid)
+                c.leave_group(gid, j["member_id"])
+                with pytest.raises(RuntimeError, match="leave_group"):
+                    c.leave_group(gid, j["member_id"])  # already gone
+
+
+def test_offset_commit_fetch_version_matrix():
+    """Every OffsetCommit revision's commit is readable by every
+    OffsetFetch revision — the stored offset is framing-independent."""
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            for cv in range(2, 9):
+                c._offsetcommit_version = cv
+                c.offset_commit(f"goc{cv}", {("t", 0): 100 + cv})
+                for fv in range(1, 8):
+                    c._offsetfetch_version = fv
+                    got = c.offset_fetch(f"goc{cv}", [("t", 0)])
+                    assert got == {("t", 0): 100 + cv}, (cv, fv)
+
+
+def test_offset_fetch_null_topics_returns_all_commits():
+    """OffsetFetch v2+ with a NULL topics array returns every
+    committed partition of the group (pinned at the frame level for
+    both the non-flexible v2 and flexible v6 encodings)."""
+    import struct
+
+    from conduit_spark.functions.minikafka import API_OFFSET_FETCH, _w_str
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.offset_commit("gall", {("ta", 0): 7, ("tb", 1): 9})
+            # v2, topics = null (-1)
+            r = c._call(
+                API_OFFSET_FETCH, 2, _w_str("gall") + struct.pack(">i", -1)
+            )
+            got = {}
+            for _ in range(r.i32()):
+                t = r.string()
+                for _ in range(r.i32()):
+                    p = r.i32()
+                    off = r.i64()
+                    r.string()
+                    assert r.i16() == 0
+                    got[(t, p)] = off
+            assert r.i16() == 0  # top-level error
+            assert got == {("ta", 0): 7, ("tb", 1): 9}
+            # v6 flexible, topics = null (compact 0)
+            body = _w_compact_str("gall") + _w_uvarint(0) + b"\x00"
+            r = c._call(API_OFFSET_FETCH, 6, body, flexible=True)
+            r.i32()  # throttle
+            got = {}
+            for _ in range(r.uvarint() - 1):
+                t = r.compact_string()
+                for _ in range(r.uvarint() - 1):
+                    p = r.i32()
+                    off = r.i64()
+                    r.i32()  # committed_leader_epoch
+                    r.compact_string()
+                    assert r.i16() == 0
+                    r.tags()
+                    got[(t, p)] = off
+                r.tags()
+            assert r.i16() == 0
+            assert got == {("ta", 0): 7, ("tb", 1): 9}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    cv=st.integers(min_value=2, max_value=8),
+    fv=st.integers(min_value=1, max_value=7),
+    offs=st.dictionaries(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                min_size=1, max_size=12,
+            ),
+            st.integers(min_value=0, max_value=3),
+        ),
+        st.integers(min_value=0, max_value=2**40),
+        min_size=1, max_size=6,
+    ),
+)
+def test_offset_commit_fetch_roundtrip_property(cv, fv, offs):
+    """Fuzz commit/fetch across every served revision pair with
+    arbitrary (topic, partition) -> offset maps: what is committed at
+    ANY commit revision is read back exactly at ANY fetch revision
+    (one shared broker; unique group per example input)."""
+    b = _fuzz_broker()
+    gid = f"gfz{cv}_{fv}_{abs(hash(tuple(sorted(offs)))) % 10**8}"
+    with MiniKafkaClient(b.bootstrap) as c:
+        c._offsetcommit_version = cv
+        c._offsetfetch_version = fv
+        offsets = {(f"t{t}", p): o for (t, p), o in offs.items()}
+        c.offset_commit(gid, offsets)
+        assert c.offset_fetch(gid, list(offsets)) == offsets
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    jv=st.integers(min_value=0, max_value=6),
+    sv=st.integers(min_value=0, max_value=5),
+    hv=st.integers(min_value=0, max_value=4),
+    lv=st.integers(min_value=0, max_value=5),
+    blob=st.binary(max_size=64),
+)
+def test_group_lifecycle_roundtrip_property(jv, sv, hv, lv, blob):
+    """Fuzz the full join→sync→heartbeat→leave lifecycle across every
+    served revision combination: the assignment blob round-trips
+    byte-exactly regardless of framing (one shared broker; unique
+    group per version combo so regenerated examples re-join cleanly)."""
+    b = _fuzz_broker()
+    gid = f"glc{jv}_{sv}_{hv}_{lv}"
+    with MiniKafkaClient(b.bootstrap) as c:
+        c._syncgroup_version = sv
+        c._heartbeat_version = hv
+        c._leavegroup_version = lv
+        j = c.join_group(gid, version=jv)
+        got = c.sync_group(
+            gid, j["generation"], j["member_id"], {j["member_id"]: blob}
+        )
+        assert got == blob
+        c.heartbeat(gid, j["generation"], j["member_id"])
+        c.leave_group(gid, j["member_id"])
