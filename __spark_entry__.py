@@ -140,9 +140,10 @@ _EXTENDED = (
     "cur_mix",  # driver-green 2x (r10-r11); curation keeps 4 siblings + cur_schedule
     "m_decode_png_real",  # driver-green 7x (r5-r11); multimodal keeps jpeg/gif/alaw/mp4 + m_ahash_pairs
     "t_tfidf_top_terms",  # driver-green 2x (r10-r11); text keeps bm25/bpe_train/quality_lr/redact_pii/ngram_novelty
-    # Round-12 NEW query (never driver-verified; r13 rotation candidate
-    # — locally oracle-exact via gate_check/pytest):
+    # Round-12 NEW queries (never driver-verified; r13 rotation
+    # candidates — locally oracle-exact via gate_check/pytest):
     "a_fp_pairs",  # new in r12: audio spectral-fingerprint near-dup pairs over real G.711 decodes
+    "smp_coreset",  # new in r12: greedy k-center coreset selection (farthest-point traversal)
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

@@ -287,12 +287,115 @@ def smp_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORESET_K = 8  # centers selected by the greedy k-center traversal
+
+
+def smp_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection over the embedding table —
+    farthest-point traversal (Gonzalez 1985's 2-approximation; the
+    geometry-coverage data-pruning selector used for active learning
+    and training-set downsizing, e.g. Sener & Savarese ICLR 2018):
+    start from the smallest ``vec_id``, then ``CORESET_K - 1`` times
+    pick the vector FARTHEST from everything chosen so far (max of
+    min-distance-to-chosen; ties to the smallest id). Returns each
+    selected center with its selection round, its distance to the
+    prior set at selection time, and how many corpus vectors it
+    covers (argmin assignment over the final centers).
+
+    Exactness: all distances ride the :mod:`similarity` quantized
+    integer micro-unit arithmetic (``_QUANT_EXPR``; int64 sums are
+    order-free), max/argmax tie-breaks are id-deterministic, and the
+    DuckDB oracle unrolls the identical ``CORESET_K - 1`` selection
+    rounds, so a wrong distance, exclusion, or tie-break cannot match.
+
+    Scale shape: per round, ONE narrow scan computes each vector's
+    min-distance to ≤ K broadcast center literals in whole-stage
+    codegen and a single max(struct) aggregation returns O(1) driver
+    state — the canonical distributed farthest-point loop (K scans
+    total, no joins, no shuffles beyond each round's tiny agg). The
+    final coverage relation is one more projection + K-group count.
+    Driver state: K centers × d ints, exactly like the Lloyd trainer.
+    """
+    from conduit_spark.analytics.similarity import _QUANT_EXPR
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr(_QUANT_EXPR).alias("q")
+    ).localCheckpoint()
+    first = (
+        vecs.orderBy("vec_id").limit(1).select("vec_id", "q").collect()[0]
+    )
+    chosen = [(int(first["vec_id"]), list(first["q"]))]
+    rows = [(0, int(first["vec_id"]), 0)]
+    for _ in range(1, CORESET_K):
+        arrs = ", ".join(
+            "array(" + ",".join(f"{v}L" for v in c) + ")"
+            for _, c in chosen
+        )
+        dexpr = (
+            f"array_min(transform(array({arrs}), c -> "
+            f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+            f"BIGINT(0), (acc, x) -> acc + x)))"
+        )
+        top = (
+            vecs.filter(~F.col("vec_id").isin([cid for cid, _ in chosen]))
+            .select("vec_id", F.expr(dexpr).alias("d"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("d"), (-F.col("vec_id")).alias("nid")
+                    )
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        pick, dist = -int(top["nid"]), int(top["d"])
+        q = list(
+            vecs.filter(F.col("vec_id") == pick).collect()[0]["q"]
+        )
+        chosen.append((pick, q))
+        rows.append((len(chosen) - 1, pick, dist))
+    # coverage: argmin assignment over the final centers (ties to the
+    # earliest selection round — the same dist*K + position encoding
+    # the k-means assignment uses), then one K-group count
+    n = len(chosen)
+    arrs = ", ".join(
+        "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in chosen
+    )
+    assign = (
+        f"CAST(array_min(transform(array({arrs}), (c, i) -> "
+        f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+        f"BIGINT(0), (acc, x) -> acc + x) * {n}L + i)) % {n}L AS INT)"
+    )
+    covered = (
+        vecs.select(F.expr(assign).alias("rnd"))
+        .groupBy("rnd")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    sel = spark.createDataFrame(
+        rows, "sel_round int, vec_id long, sel_dist long"
+    )
+    return (
+        sel.join(covered, sel["sel_round"] == covered["rnd"], "left")
+        .select(
+            F.col("sel_round").cast("bigint").alias("sel_round"),
+            "vec_id",
+            "sel_dist",
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .orderBy("sel_round")
+    )
+
+
 QUERIES = {
     "smp_stratified": smp_stratified,
     "smp_importance": smp_importance,
     "smp_stratified_ids": smp_stratified_ids,
     "smp_dsir": smp_dsir,
     "smp_reservoir": smp_reservoir,
+    "smp_coreset": smp_coreset,
 }
 
 _GATE = f"CAST({sql_md5_int32('CAST(doc_id AS VARCHAR)')} AS DOUBLE) / {float(_SCALE)}"
@@ -356,6 +459,65 @@ ORACLES = {
     """,
 }
 
+def _coreset_oracle() -> str:
+    """Unrolled greedy k-center selection in plain SQL: the identical
+    CORESET_K - 1 rounds (quantized int64 distances, NOT-IN exclusion,
+    max-distance pick with ties to the smallest vec_id), then the same
+    dist*K + round argmin assignment for coverage counts."""
+    from conduit_spark.analytics.similarity import DIM, KMEANS_SCALE
+
+    K = CORESET_K
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> (v.q[i] - ch.q[i]) * (v.q[i] - ch.q[i])))"
+    )
+    # Every ch{t} is referenced three times (next round's distances,
+    # the NOT-IN exclusion, and the next union) — AS MATERIALIZED
+    # pins each to one evaluation; plain CTE inlining re-expands the
+    # chain exponentially and never finishes at K=8.
+    blocks = [
+        "v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0) "
+        "AS BIGINT)) AS q FROM embeddings)",
+        "ch0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS rnd, vec_id, "
+        "CAST(0 AS BIGINT) AS d, q FROM v ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(1, K):
+        prev = f"ch{t - 1}"
+        blocks.append(
+            f"d{t} AS (SELECT vec_id, min(dd) AS d FROM "
+            f"(SELECT v.vec_id AS vec_id, {dist} AS dd "
+            f"FROM v, {prev} ch) dx GROUP BY vec_id)"
+        )
+        blocks.append(
+            f"p{t} AS (SELECT CAST({t} AS BIGINT) AS rnd, d.vec_id, "
+            f"d.d, v.q FROM d{t} d JOIN v USING (vec_id) "
+            f"WHERE d.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"ORDER BY d.d DESC, d.vec_id LIMIT 1)"
+        )
+        blocks.append(
+            f"ch{t} AS MATERIALIZED "
+            f"(SELECT * FROM {prev} UNION ALL SELECT * FROM p{t})"
+        )
+    blocks.append(
+        f"a AS (SELECT vec_id, CAST(min(dd * {K} + rnd) % {K} AS BIGINT) "
+        f"AS rnd FROM (SELECT v.vec_id AS vec_id, ch.rnd AS rnd, "
+        f"{dist} AS dd FROM v, ch{K - 1} ch) ax GROUP BY vec_id)"
+    )
+    blocks.append(
+        "cov AS (SELECT rnd, count(*) AS n_covered FROM a GROUP BY rnd)"
+    )
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+        SELECT ch.rnd AS sel_round, ch.vec_id,
+               CAST(ch.d AS BIGINT) AS sel_dist,
+               CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered
+        FROM ch{K - 1} ch LEFT JOIN cov USING (rnd)
+        ORDER BY sel_round
+    """
+    )
+
+
 _DSIR_TGT = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
 ORACLES["smp_dsir"] = f"""
@@ -411,3 +573,5 @@ ORACLES["smp_dsir"] = f"""
     ORDER BY gumbel_key DESC, doc_id ASC
     LIMIT {DSIR_K}
 """
+
+ORACLES["smp_coreset"] = _coreset_oracle()

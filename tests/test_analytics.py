@@ -1166,6 +1166,44 @@ def test_a_fp_pairs_matches_naive_model(spark, sf_dir):
     assert got == expect and len(expect) > 0
 
 
+def test_smp_coreset_greedy_invariants(spark, sf_dir):
+    """k-center invariants beyond the oracle hash: CORESET_K distinct
+    centers in round order starting from the smallest vec_id,
+    selection distances non-increasing (each pick is the current
+    farthest point, so the cover radius shrinks monotonically),
+    coverage counts sum to the corpus, and round 1's pick really is
+    the exact farthest vector from center 0 (recomputed naively)."""
+    from conduit_spark.analytics.sampling import CORESET_K, smp_coreset
+    from conduit_spark.analytics.similarity import KMEANS_SCALE
+
+    rows = smp_coreset(spark, sf_dir).collect()
+    assert [r.sel_round for r in rows] == list(range(CORESET_K))
+    assert len({r.vec_id for r in rows}) == CORESET_K
+    dists = [r.sel_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    emb = {
+        r.vec_id: [int(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> floor(CAST(x AS DOUBLE) "
+            f"* {KMEANS_SCALE}.0)) AS embedding",
+        )
+        .collect()
+    }
+    assert rows[0].vec_id == min(emb)
+    assert rows[0].sel_dist == 0
+    assert sum(r.n_covered for r in rows) == len(emb)
+    c0 = emb[rows[0].vec_id]
+    far = max(
+        ((sum((a - b) ** 2 for a, b in zip(q, c0)), -vid), vid)
+        for vid, q in emb.items()
+        if vid != rows[0].vec_id
+    )
+    assert rows[1].vec_id == far[1]
+    assert rows[1].sel_dist == far[0][0]
+
+
 def test_dq_drift_semantics(spark, sf_dir):
     """PSI invariants beyond the oracle hash: PSI is non-negative (it
     is a sum of (q-p)ln(q/p) terms, each >= 0), one row per monitored

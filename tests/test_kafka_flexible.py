@@ -756,3 +756,55 @@ def test_group_lifecycle_roundtrip_property(jv, sv, hv, lv, blob):
         assert got == blob
         c.heartbeat(gid, j["generation"], j["member_id"])
         c.leave_group(gid, j["member_id"])
+
+
+def test_two_member_rebalance_at_negotiated_flexible_revisions():
+    """The full two-member rebalance the reference connector's
+    franz-go client drives, entirely at the NEGOTIATED (flexible)
+    revisions: leader joins (v6, via the KIP-394 two-round id
+    handshake), follower joins and bumps the generation, leader
+    re-joins and distributes assignments through SyncGroup v5,
+    the follower receives its own, heartbeats fence across the
+    rebalance, and LeaveGroup v5's batched form removes members."""
+    with MiniKafkaBroker(default_partitions=2) as b:
+        with MiniKafkaClient(b.bootstrap) as lead, \
+                MiniKafkaClient(b.bootstrap) as follow:
+            lead.negotiate_versions()
+            follow.negotiate_versions()
+            g1 = lead.join_group("reb")
+            assert g1["leader"] == g1["member_id"]
+            g2 = follow.join_group("reb")
+            assert g2["generation"] > g1["generation"]
+            assert len(g2["members"]) == 2
+            # the old generation is fenced at the flexible revisions
+            with pytest.raises(RuntimeError, match="heartbeat error 22"):
+                lead.heartbeat("reb", g1["generation"], g1["member_id"])
+            # leader re-joins at the new generation and assigns
+            g1b = lead.join_group("reb", member_id=g1["member_id"])
+            assignments = {
+                g1b["member_id"]: b"parts:0",
+                g2["member_id"]: b"parts:1",
+            }
+            assert set(g1b["members"]) == set(assignments)
+            assert lead.sync_group(
+                "reb", g1b["generation"], g1b["member_id"], assignments
+            ) == b"parts:0"
+            assert follow.sync_group(
+                "reb", g1b["generation"], g2["member_id"]
+            ) == b"parts:1"
+            lead.heartbeat("reb", g1b["generation"], g1b["member_id"])
+            follow.heartbeat("reb", g1b["generation"], g2["member_id"])
+            # per-member commits at v8 land; fetch at v7 reads them
+            lead.offset_commit(
+                "reb", {("t", 0): 10},
+                generation=g1b["generation"], member_id=g1b["member_id"],
+            )
+            follow.offset_commit(
+                "reb", {("t", 1): 20},
+                generation=g1b["generation"], member_id=g2["member_id"],
+            )
+            assert lead.offset_fetch("reb", [("t", 0), ("t", 1)]) == {
+                ("t", 0): 10, ("t", 1): 20,
+            }
+            follow.leave_group("reb", g2["member_id"])
+            lead.leave_group("reb", g1b["member_id"])
