@@ -497,8 +497,8 @@ class MiniKafkaBroker:
         # Group-coordination plane (round-12): every API is version-
         # parameterized across its published schema evolution; the top
         # of each range is the KIP-482 flexible revision (request
-        # header v2 / response header v1 TAG_BUFFERs) except
-        # OffsetFetch, capped below its v8 multi-group restructure.
+        # header v2 / response header v1 TAG_BUFFERs); OffsetFetch's
+        # top is KIP-709's v8 multi-group batched restructure.
         group = self._GROUP_API_VERSIONS.get(api_key)
         if group and group[0] <= api_version <= group[1]:
             flexible = api_version >= group[2]
@@ -558,7 +558,7 @@ class MiniKafkaBroker:
                 f"unsupported api_key={api_key} version={api_version}; "
                 "this broker speaks ApiVersions v0-v3, Metadata v1-v9, "
                 "Produce v3-v9, Fetch v4-v12, ListOffsets v1-v6, "
-                "OffsetCommit v2-v8, OffsetFetch v1-v7, "
+                "OffsetCommit v2-v8, OffsetFetch v1-v8, "
                 "FindCoordinator v0-v4, JoinGroup v0-v6, Heartbeat v0-v4, "
                 "LeaveGroup v0-v5, SyncGroup v0-v5"
             )
@@ -570,7 +570,7 @@ class MiniKafkaBroker:
     def _api_version_rows(self) -> list[tuple[int, int, int]]:
         return [(API_PRODUCE, 3, 9), (API_FETCH, 4, 12), (API_LIST_OFFSETS, 1, 6),
                 (API_METADATA, 1, 9), (API_VERSIONS, 0, 3),
-                (API_OFFSET_COMMIT, 2, 8), (API_OFFSET_FETCH, 1, 7),
+                (API_OFFSET_COMMIT, 2, 8), (API_OFFSET_FETCH, 1, 8),
                 (API_FIND_COORDINATOR, 0, 4), (API_JOIN_GROUP, 0, 6),
                 (API_HEARTBEAT, 0, 4), (API_LEAVE_GROUP, 0, 5),
                 (API_SYNC_GROUP, 0, 5), (API_SASL_HANDSHAKE, 1, 1),
@@ -580,14 +580,14 @@ class MiniKafkaBroker:
     def _GROUP_API_VERSIONS(self):
         """Group-coordination dispatch table: api_key -> (lo, hi,
         flexible_from, handler). Tops are the KIP-482 flexible
-        revisions — OffsetCommit v8, OffsetFetch v6 (range capped at
-        v7, below the v8 multi-group restructure), FindCoordinator v3
+        revisions — OffsetCommit v8, OffsetFetch v6 (v8 IS served:
+        KIP-709's multi-group batched form), FindCoordinator v3
         (capped at v4, the KIP-699 batched-keys revision, which IS
         served), JoinGroup v6, Heartbeat v4, LeaveGroup v4 (v5 adds
         per-member reason), SyncGroup v4 (v5 adds protocol echo)."""
         return {
             API_OFFSET_COMMIT: (2, 8, 8, self._offset_commit),
-            API_OFFSET_FETCH: (1, 7, 6, self._offset_fetch),
+            API_OFFSET_FETCH: (1, 8, 6, self._offset_fetch),
             API_FIND_COORDINATOR: (0, 4, 3, self._find_coordinator),
             API_JOIN_GROUP: (0, 6, 6, self._join_group),
             API_HEARTBEAT: (0, 4, 4, self._heartbeat),
@@ -1014,13 +1014,59 @@ class MiniKafkaBroker:
         return out
 
     def _offset_fetch(self, r: _Reader, version: int = 1) -> bytes:
-        """OffsetFetch v1-v7: v2 makes the topics array nullable
+        """OffsetFetch v1-v8: v2 makes the topics array nullable
         (null = every committed partition) and adds a trailing
         top-level error_code, v3 adds throttle, v5 adds
         committed_leader_epoch, v6 is the flexible revision, v7 adds
-        require_stable (KIP-447). Capped below v8's multi-group
-        restructure."""
+        require_stable (KIP-447), v8 is KIP-709's multi-group batched
+        restructure (groups array both ways, per-GROUP error codes
+        replacing the top-level one)."""
         flexible = version >= 6
+        if version >= 8:
+            groups = []
+            for _ in range(r.uvarint() - 1):
+                gid8 = r.compact_string() or ""
+                n8 = r.uvarint() - 1
+                wanted8 = None
+                if n8 >= 0:
+                    wanted8 = []
+                    for _ in range(n8):
+                        topic = r.compact_string() or ""
+                        nparts = r.uvarint() - 1
+                        wanted8.append(
+                            (topic, [r.i32() for _ in range(nparts)])
+                        )
+                        r.tags()
+                r.tags()  # per-group TAG_BUFFER
+                groups.append((gid8, wanted8))
+            r.i8()  # require_stable (all in-process commits are stable)
+            r.tags()
+            out = struct.pack(">i", 0)  # throttle_time_ms
+            out += _w_uvarint(len(groups) + 1)
+            with self._lock:
+                for gid8, wanted8 in groups:
+                    g = self._group(gid8)
+                    if wanted8 is None:  # null topics: everything
+                        by_topic: dict[str, list[int]] = {}
+                        for t, p in sorted(g["offsets"]):
+                            by_topic.setdefault(t, []).append(p)
+                        wanted8 = list(by_topic.items())
+                    out += _w_compact_str(gid8)
+                    out += _w_uvarint(len(wanted8) + 1)
+                    for topic, ps in wanted8:
+                        out += _w_compact_str(topic)
+                        out += _w_uvarint(len(ps) + 1)
+                        for p in ps:
+                            off, meta = g["offsets"].get(
+                                (topic, p), (-1, "")
+                            )
+                            out += struct.pack(">iq", p, off)
+                            out += struct.pack(">i", -1)  # leader_epoch
+                            out += _w_compact_str(meta)
+                            out += struct.pack(">h", ERR_NONE) + _TAGS
+                        out += _TAGS
+                    out += struct.pack(">h", ERR_NONE) + _TAGS  # group err
+            return out + _TAGS
 
         def rstr():
             return r.compact_string() if flexible else r.string()
@@ -1554,7 +1600,7 @@ class MiniKafkaClient:
     MAX_METADATA_VERSION = 9
     MAX_LISTOFFSETS_VERSION = 6
     MAX_OFFSETCOMMIT_VERSION = 8
-    MAX_OFFSETFETCH_VERSION = 7
+    MAX_OFFSETFETCH_VERSION = 8
     MAX_FINDCOORDINATOR_VERSION = 4
     MAX_JOINGROUP_VERSION = 6
     MAX_HEARTBEAT_VERSION = 4
@@ -2154,6 +2200,40 @@ class MiniKafkaClient:
         topics: dict[str, list[int]] = {}
         for t, p in parts:
             topics.setdefault(t, []).append(p)
+        if version >= 8:
+            # KIP-709 batched form: this simple consumer sends one group
+            body = _w_uvarint(2) + _w_compact_str(group_id)
+            body += _w_uvarint(len(topics) + 1)
+            for t, ps in topics.items():
+                body += _w_compact_str(t) + _w_uvarint(len(ps) + 1)
+                for p in ps:
+                    body += struct.pack(">i", p)
+                body += _TAGS
+            body += _TAGS  # per-group TAG_BUFFER
+            body += struct.pack(">b", 0) + _TAGS  # require_stable, body tags
+            r = self._call(API_OFFSET_FETCH, version, body, flexible=True)
+            r.i32()  # throttle
+            out: dict[tuple[str, int], int] = {}
+            for _ in range(r.uvarint() - 1):
+                r.compact_string()  # group_id
+                for _ in range(r.uvarint() - 1):
+                    t = r.compact_string()
+                    for _ in range(r.uvarint() - 1):
+                        p = r.i32()
+                        off = r.i64()
+                        r.i32()  # committed_leader_epoch
+                        r.compact_string()  # metadata
+                        err = r.i16()
+                        r.tags()
+                        if err:
+                            raise RuntimeError(f"offset_fetch error {err}")
+                        out[(t, p)] = off
+                    r.tags()
+                g_err = r.i16()
+                r.tags()
+                if g_err:
+                    raise RuntimeError(f"offset_fetch group error {g_err}")
+            return out
         body = wstr(group_id)
         body += (
             _w_uvarint(len(topics) + 1) if flexible

@@ -516,20 +516,20 @@ def test_list_offsets_roundtrip_property(version, n_records):
 
 
 # -- group-coordination plane (round-12): OffsetCommit v2-v8,
-# OffsetFetch v1-v7, FindCoordinator v0-v4, JoinGroup v0-v6,
+# OffsetFetch v1-v8, FindCoordinator v0-v4, JoinGroup v0-v6,
 # Heartbeat v0-v4, LeaveGroup v0-v5, SyncGroup v0-v5 -----------------
 
 
 def test_group_coordination_negotiates_flexible_tops():
     """negotiate_versions pins all seven group APIs to the broker's
-    advertised tops — the flexible revisions (OffsetFetch capped at v7
-    below the multi-group restructure, FindCoordinator at the KIP-699
-    batched v4)."""
+    advertised tops — the flexible revisions (OffsetFetch at the
+    KIP-709 multi-group v8, FindCoordinator at the KIP-699 batched
+    v4)."""
     with MiniKafkaBroker(default_partitions=1) as b:
         with MiniKafkaClient(b.bootstrap) as c:
             c.negotiate_versions()
             assert c._offsetcommit_version == 8
-            assert c._offsetfetch_version == 7
+            assert c._offsetfetch_version == 8
             assert c._findcoordinator_version == 4
             assert c._joingroup_version == 6
             assert c._heartbeat_version == 4
@@ -647,7 +647,7 @@ def test_offset_commit_fetch_version_matrix():
             for cv in range(2, 9):
                 c._offsetcommit_version = cv
                 c.offset_commit(f"goc{cv}", {("t", 0): 100 + cv})
-                for fv in range(1, 8):
+                for fv in range(1, 9):
                     c._offsetfetch_version = fv
                     got = c.offset_fetch(f"goc{cv}", [("t", 0)])
                     assert got == {("t", 0): 100 + cv}, (cv, fv)
@@ -702,7 +702,7 @@ def test_offset_fetch_null_topics_returns_all_commits():
 @settings(max_examples=25, deadline=None)
 @given(
     cv=st.integers(min_value=2, max_value=8),
-    fv=st.integers(min_value=1, max_value=7),
+    fv=st.integers(min_value=1, max_value=8),
     offs=st.dictionaries(
         st.tuples(
             st.text(
@@ -808,3 +808,55 @@ def test_two_member_rebalance_at_negotiated_flexible_revisions():
             }
             follow.leave_group("reb", g2["member_id"])
             lead.leave_group("reb", g1b["member_id"])
+
+
+def test_offset_fetch_v8_multi_group_batched():
+    """OffsetFetch v8 (KIP-709): ONE request reads several groups'
+    commits, with per-group error codes and null-topics = everything —
+    pinned at the frame level (the client's simple-consumer path only
+    sends single-group batches)."""
+    import struct
+
+    from conduit_spark.functions.minikafka import API_OFFSET_FETCH
+
+    with MiniKafkaBroker(default_partitions=1) as b:
+        with MiniKafkaClient(b.bootstrap) as c:
+            c.offset_commit("ga", {("t", 0): 5})
+            c.offset_commit("gb", {("t", 0): 7, ("u", 2): 9})
+            body = _w_uvarint(3)  # two groups
+            # ga: explicit (t, 0)
+            body += _w_compact_str("ga") + _w_uvarint(2)
+            body += _w_compact_str("t") + _w_uvarint(2)
+            body += struct.pack(">i", 0) + b"\x00" + b"\x00"
+            # gb: null topics -> every commit
+            body += _w_compact_str("gb") + _w_uvarint(0) + b"\x00"
+            body += struct.pack(">b", 0) + b"\x00"  # require_stable, tags
+            r = c._call(API_OFFSET_FETCH, 8, body, flexible=True)
+            r.i32()  # throttle
+            got = {}
+            for _ in range(r.uvarint() - 1):
+                gid = r.compact_string()
+                for _ in range(r.uvarint() - 1):
+                    t = r.compact_string()
+                    for _ in range(r.uvarint() - 1):
+                        p = r.i32()
+                        off = r.i64()
+                        r.i32()  # committed_leader_epoch
+                        r.compact_string()
+                        assert r.i16() == 0
+                        r.tags()
+                        got[(gid, t, p)] = off
+                    r.tags()
+                assert r.i16() == 0  # per-group error
+                r.tags()
+            assert got == {
+                ("ga", "t", 0): 5,
+                ("gb", "t", 0): 7,
+                ("gb", "u", 2): 9,
+            }
+            # the negotiated client path rides v8 transparently
+            c.negotiate_versions()
+            assert c._offsetfetch_version == 8
+            assert c.offset_fetch("gb", [("t", 0), ("u", 2)]) == {
+                ("t", 0): 7, ("u", 2): 9,
+            }

@@ -34,7 +34,7 @@ def test_api_versions_and_metadata(broker):
         # core data-plane APIs plus the consumer-group coordinator set
         assert versions == {
             0: (3, 9), 1: (4, 12), 2: (1, 6), 3: (1, 9), 18: (0, 3),
-            8: (2, 8), 9: (1, 7), 10: (0, 4), 11: (0, 6), 12: (0, 4),
+            8: (2, 8), 9: (1, 8), 10: (0, 4), 11: (0, 6), 12: (0, 4),
             13: (0, 5), 14: (0, 5), 17: (1, 1), 36: (0, 0),
         }
         broker.create_topic("t1", partitions=4)
