@@ -387,3 +387,179 @@ def _hard_negatives_sql() -> str:
 
 QUERIES["rag_hard_negatives"] = rag_hard_negatives
 ORACLES["rag_hard_negatives"] = _hard_negatives_sql()
+
+# --- context packing (the prompt-assembly step) -----------------------
+
+PACK_POOL = 10  # BM25 candidates per query
+PACK_BUDGET = 280  # context token budget per query
+
+
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted context assembly — the step between retrieval
+    and generation: for each query take the BM25 top-``PACK_POOL``
+    candidates in rank order and GREEDILY pack them into a
+    ``PACK_BUDGET``-token context, SKIPPING any candidate that would
+    overflow and continuing with later (smaller) ones — the
+    skip-and-continue greedy packer real prompt assemblers use, not
+    the stop-at-first-overflow truncation (that global variant is
+    :func:`curation.cur_token_budget`'s territory). Emits every
+    candidate with its rank, kept/skipped decision, and the running
+    kept-token total after its decision.
+
+    Exactness: token counts are integers, BM25 ranking reuses the
+    :func:`rag_hard_negatives` count-of-better recipe, and the greedy
+    fold is a per-query sequential recurrence — Spark runs it as an
+    ``aggregate`` fold over the rank-sorted candidate array (≤
+    ``PACK_POOL`` structs per query, whole-stage codegen), DuckDB as a
+    recursive CTE stepping rank-by-rank; both walk the identical
+    integer recurrence so decisions match bit-for-bit.
+
+    Scale shape: each query leg is the SF-linear BM25 scan ended by
+    TakeOrdered (never a global sort); the pool is 3 × PACK_POOL rows
+    materialized once; ranking is the broadcast count-of-better
+    self-join on that constant relation; the fold and the final
+    explode touch only pool-sized data. At 100 TB the legs are the
+    only corpus-sized work — identical posture to the hard-negative
+    miner; batching many queries per leg widens the isin, not the
+    plan."""
+    from conduit_spark.analytics.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    pool = None
+    for qid, terms in HN_QUERIES:
+        leg = (
+            bm25_scores(docs, terms)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(PACK_POOL)
+            .select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                "doc_id",
+                "bm25",
+            )
+        )
+        pool = leg if pool is None else pool.unionByName(leg)
+    pool = (
+        pool.join(ntok, "doc_id")
+        .select("query_id", "doc_id", "bm25", "n_tokens")
+        .localCheckpoint()  # 3 x PACK_POOL rows; feeds both rank sides
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    better = (F.col("b.bm25") > F.col("a.bm25")) | (
+        (F.col("b.bm25") == F.col("a.bm25"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.query_id") == F.col("b.query_id")) & better,
+            "left",
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.n_tokens").alias("n_tokens"),
+        )
+        .agg((F.count(F.col("b.doc_id")) + 1).cast("bigint").alias("rank"))
+    )
+    # greedy skip-and-continue fold over the rank-sorted candidates:
+    # acc = (cum, decisions[]); keep iff cum + n_tokens <= BUDGET
+    packed = (
+        ranked.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "doc_id", "n_tokens"))
+            ).alias("cand")
+        )
+        .select(
+            "query_id",
+            F.expr(
+                f"""aggregate(
+                    cand,
+                    named_struct(
+                        'cum', CAST(0 AS BIGINT),
+                        'out', CAST(array() AS
+                            array<struct<rank:bigint, doc_id:bigint,
+                                         n_tokens:bigint, kept:boolean,
+                                         cum_tokens:bigint>>)),
+                    (acc, x) -> CASE
+                        WHEN acc.cum + x.n_tokens <= {PACK_BUDGET}
+                        THEN named_struct(
+                            'cum', acc.cum + x.n_tokens,
+                            'out', concat(acc.out, array(named_struct(
+                                'rank', x.rank, 'doc_id', x.doc_id,
+                                'n_tokens', CAST(x.n_tokens AS BIGINT),
+                                'kept', true,
+                                'cum_tokens', acc.cum + x.n_tokens))))
+                        ELSE named_struct(
+                            'cum', acc.cum,
+                            'out', concat(acc.out, array(named_struct(
+                                'rank', x.rank, 'doc_id', x.doc_id,
+                                'n_tokens', CAST(x.n_tokens AS BIGINT),
+                                'kept', false,
+                                'cum_tokens', acc.cum))))
+                    END).out"""
+            ).alias("out"),
+        )
+        .select("query_id", F.explode("out").alias("o"))
+        .select(
+            "query_id",
+            F.col("o.rank").alias("rank"),
+            F.col("o.doc_id").alias("doc_id"),
+            F.col("o.n_tokens").alias("n_tokens"),
+            F.col("o.kept").alias("kept"),
+            F.col("o.cum_tokens").alias("cum_tokens"),
+        )
+    )
+    from conduit_spark.analytics import ordered_result
+
+    return packed.transform(ordered_result, "query_id", "rank")
+
+
+def _context_pack_sql() -> str:
+    from conduit_spark.analytics.text import bm25_cte_sql
+
+    legs = " UNION ALL ".join(
+        f"""SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, bm25, n_tokens
+            FROM (WITH {bm25_cte_sql(terms)}
+                  SELECT b.doc_id, b.bm25, CAST(l.dl AS BIGINT) AS n_tokens
+                  FROM bm25_per b JOIN dl l USING (doc_id)
+                  ORDER BY bm25 DESC, doc_id ASC LIMIT {PACK_POOL})"""
+        for qid, terms in HN_QUERIES
+    )
+    return f"""
+        WITH RECURSIVE pool AS MATERIALIZED ({legs}),
+        cand AS MATERIALIZED (
+            SELECT a.query_id, a.doc_id, a.n_tokens,
+                   CAST(1 + (SELECT count(*) FROM pool b
+                             WHERE b.query_id = a.query_id
+                               AND (b.bm25 > a.bm25
+                                    OR (b.bm25 = a.bm25
+                                        AND b.doc_id < a.doc_id)))
+                        AS BIGINT) AS rank
+            FROM pool a),
+        steps AS (
+            SELECT query_id, CAST(0 AS BIGINT) AS rank,
+                   CAST(0 AS BIGINT) AS cum
+            FROM (SELECT DISTINCT query_id FROM cand)
+            UNION ALL
+            SELECT s.query_id, s.rank + 1,
+                   CASE WHEN s.cum + c.n_tokens <= {PACK_BUDGET}
+                        THEN s.cum + c.n_tokens ELSE s.cum END
+            FROM steps s
+            JOIN cand c ON c.query_id = s.query_id
+                       AND c.rank = s.rank + 1)
+        SELECT c.query_id, c.rank, c.doc_id, c.n_tokens,
+               (s.cum > sp.cum) AS kept,
+               s.cum AS cum_tokens
+        FROM cand c
+        JOIN steps s  ON s.query_id = c.query_id AND s.rank = c.rank
+        JOIN steps sp ON sp.query_id = c.query_id AND sp.rank = c.rank - 1
+        ORDER BY c.query_id, c.rank
+    """
+
+
+QUERIES["rag_context_pack"] = rag_context_pack
+ORACLES["rag_context_pack"] = _context_pack_sql()

@@ -1204,6 +1204,44 @@ def test_smp_coreset_greedy_invariants(spark, sf_dir):
     assert rows[1].sel_dist == far[0][0]
 
 
+def test_rag_context_pack_greedy_skip_semantics(spark, sf_dir):
+    """Greedy-pack invariants beyond the oracle hash: every query
+    emits all PACK_POOL candidates in rank order, each decision
+    replays the skip-and-continue recurrence (kept iff running kept
+    total + n_tokens <= budget), the running total never exceeds the
+    budget, and at least one query SKIPS a candidate and then KEEPS a
+    later one — the property that distinguishes this packer from
+    stop-at-first-overflow truncation."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics.rag import (
+        PACK_BUDGET,
+        PACK_POOL,
+        rag_context_pack,
+    )
+
+    rows = rag_context_pack(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    skip_then_keep = False
+    for q, cands in by_q.items():
+        assert [r.rank for r in cands] == list(range(1, PACK_POOL + 1))
+        cum = 0
+        skipped = False
+        for r in cands:
+            want_keep = cum + r.n_tokens <= PACK_BUDGET
+            assert r.kept == want_keep, (q, r.rank)
+            if want_keep:
+                cum += r.n_tokens
+                if skipped:
+                    skip_then_keep = True
+            else:
+                skipped = True
+            assert r.cum_tokens == cum <= PACK_BUDGET
+    assert skip_then_keep
+
+
 def test_dq_drift_semantics(spark, sf_dir):
     """PSI invariants beyond the oracle hash: PSI is non-negative (it
     is a sum of (q-p)ln(q/p) terms, each >= 0), one row per monitored
