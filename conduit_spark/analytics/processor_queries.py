@@ -627,6 +627,20 @@ def p_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("event_id", "value", "last_op")
 
 
+def warm_processor_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize every processor query's envelope fixture OUTSIDE a
+    timed path (bench.py calls this next to ``warm_wire_endpoints`` —
+    same r9/r10 rationale): constructing each query runs its
+    ``_materialized_fixture`` builds eagerly (the parquet write
+    happens at construction), so the first TIMED run measures the
+    operator, not 3-4s of envelope synthesis. Without this the
+    alphabetically-first extended processor query (single-run timed)
+    absorbs the whole family's fixture seeding — the r12
+    ``p_avro_decode`` watch. Constructors run no other actions."""
+    for fn in QUERIES.values():
+        fn(spark, sf_dir)
+
+
 QUERIES = {
     "p_filter": p_filter,
     "p_avro_encode": p_avro_encode,
