@@ -216,3 +216,22 @@ def test_shift_slack_scales_with_best_for_small_queries(
     bad, out = _report_in_tmp(monkeypatch, tmp_path, dict(hist), timings)
     assert len(bad) == 1 and "q_reg" in bad[0]
     assert "median-normalized" in bad[0]
+
+
+def test_waived_query_never_suspects_or_alarms(monkeypatch, tmp_path):
+    """A PERF.md bench-waiver line must fully silence a query: no
+    alarm even on a second consecutive trip, and no suspect streak
+    (r12: the avro extended timings ride this against quiet-box
+    floors during shifted windows)."""
+    import bench
+
+    hist = {"q_waived": 1.0, "other": 1.0, "__suspects__": ["q_waived"]}
+    (tmp_path / "BENCH_HISTORY.json").write_text(json.dumps(hist))
+    (tmp_path / "PERF.md").write_text(
+        "- bench-waiver: q_waived — floors from a quiet box\n"
+    )
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    bad = bench._regression_report({"q_waived": 5.0, "other": 1.01})
+    out = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert bad == []
+    assert "q_waived" not in out["__suspects__"]
