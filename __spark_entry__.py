@@ -145,6 +145,7 @@ _EXTENDED = (
     "a_fp_pairs",  # new in r12: audio spectral-fingerprint near-dup pairs over real G.711 decodes
     "smp_coreset",  # new in r12: greedy k-center coreset selection (farthest-point traversal)
     "rag_context_pack",  # new in r12: token-budgeted greedy context assembly (skip-and-continue)
+    "sk_hll_merge",  # new in r12: per-source HLL registers merged vs direct global sketch (lossless-rollup invariant)
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

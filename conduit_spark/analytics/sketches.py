@@ -548,12 +548,103 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE algebra that makes sketches work at 100 TB, shown
+    end-to-end: per-source HLL register vectors are combined by
+    element-wise ``max`` into a global sketch, and the merged estimate
+    is emitted NEXT TO the direct global sketch (built from the
+    globally-distinct gram relation in one pass) plus the exact count
+    — with a ``merge_matches`` invariant column proving
+    merge(per-source sketches) == sketch(union), the lossless-rollup
+    property that lets a trillion-row fleet keep per-partition
+    register state and never re-scan on aggregation windows.
+
+    Exactness: registers are integers (max over first-set-bit
+    positions of the shared md5 hash), both Z folds run over
+    bucket-sorted exact powers of two, and the two estimates come from
+    IDENTICAL register vectors by construction (a gram present in many
+    sources lands in the same bucket with the same rho), so
+    ``merge_matches`` is provably true and the oracle reproduces every
+    float bit-for-bit.
+
+    Scale shape: one gram scan feeds both paths; per-source and
+    merged registers are keyed aggs with map-side partials (≤ 64 rows
+    per source / globally); the exact branch is the audit-only leg a
+    production run drops."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= SHINGLE_W)
+        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
+        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .distinct()
+    ).localCheckpoint()  # feeds both sketch paths AND the exact count
+    rest = F.expr(f"x div {HLL_M}")
+    rho = F.instr(F.lpad(F.bin(rest), _REST_BITS, "0"), "1")
+    rho_c = F.when(rho == 0, F.lit(_REST_BITS + 1)).otherwise(rho)
+    per_source = (
+        rel.select(
+            "source", (F.col("x") % HLL_M).alias("bucket"), rho_c.alias("rho")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # merge = element-wise max across the per-source register vectors
+    merged = per_source.groupBy("bucket").agg(F.max("mj").alias("mj"))
+    # direct = one global sketch over the globally-distinct grams
+    direct = (
+        rel.select((F.col("x") % HLL_M).alias("bucket"), rho_c.alias("rho"))
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+    def z_of(regs: DataFrame) -> DataFrame:
+        z = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "mj"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.pow(F.lit(2.0), -s["mj"].cast("double")),
+        ) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+        return regs.agg(z.alias("z"))
+
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M)
+    zm = z_of(merged).select(F.col("z").alias("zm"))
+    zd = z_of(direct).select(F.col("z").alias("zd"))
+    exact = rel.select("x").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact_global")
+    )
+    n_src = rel.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        n_src.crossJoin(exact)
+        .crossJoin(zm)
+        .crossJoin(zd)
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("n_exact_global").cast("bigint").alias("n_exact_global"),
+            F.round(est / F.col("zm"), 6).alias("est_merged"),
+            F.round(est / F.col("zd"), 6).alias("est_direct"),
+            (
+                F.round(est / F.col("zm"), 6)
+                == F.round(est / F.col("zd"), 6)
+            ).alias("merge_matches"),
+            F.round(
+                F.abs(est / F.col("zm") - F.col("n_exact_global").cast("double"))
+                / F.col("n_exact_global").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_kmv_overlap": sk_kmv_overlap,
     "sk_bloom_filter": sk_bloom_filter,
     "sk_cms_topk": sk_cms_topk,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_hll_merge": sk_hll_merge,
     "sk_hist_quantiles": sk_hist_quantiles,
 }
 
@@ -681,6 +772,50 @@ ORACLES = {
                      / CAST(e.n_exact AS DOUBLE), 6) AS rel_error
         FROM exact e JOIN sk USING (source)
         ORDER BY e.source
+    """,
+    "sk_hll_merge": f"""
+        WITH rel AS ({_REL_SQL}),
+        b AS (
+            SELECT source, x % {HLL_M} AS bucket,
+                   CASE WHEN instr(lpad(bin(x // {HLL_M}), {_REST_BITS}, '0'), '1') = 0
+                        THEN {_REST_BITS + 1}
+                        ELSE instr(lpad(bin(x // {HLL_M}), {_REST_BITS}, '0'), '1')
+                   END AS rho
+            FROM rel),
+        per_source AS (SELECT source, bucket, max(rho) AS mj
+                       FROM b GROUP BY 1, 2),
+        merged AS (SELECT bucket, max(mj) AS mj FROM per_source GROUP BY 1),
+        direct AS (SELECT bucket, max(rho) AS mj
+                   FROM (SELECT DISTINCT bucket, rho FROM b) GROUP BY 1),
+        zm AS (
+            SELECT list_reduce(
+                       list_prepend(0.0, list_transform(
+                           list_sort(list({{'bucket': bucket, 'mj': mj}})),
+                           s -> pow(2.0, -CAST(s.mj AS DOUBLE)))),
+                       (acc, x) -> acc + x)
+                   + CAST({HLL_M} - count(*) AS DOUBLE) AS z
+            FROM merged),
+        zd AS (
+            SELECT list_reduce(
+                       list_prepend(0.0, list_transform(
+                           list_sort(list({{'bucket': bucket, 'mj': mj}})),
+                           s -> pow(2.0, -CAST(s.mj AS DOUBLE)))),
+                       (acc, x) -> acc + x)
+                   + CAST({HLL_M} - count(*) AS DOUBLE) AS z
+            FROM direct),
+        exact AS (SELECT count(DISTINCT x) AS n_exact_global FROM rel),
+        nsrc AS (SELECT count(DISTINCT source) AS n_sources FROM rel)
+        SELECT CAST(nsrc.n_sources AS BIGINT) AS n_sources,
+               CAST(exact.n_exact_global AS BIGINT) AS n_exact_global,
+               round({HLL_ALPHA} * {HLL_M} * {HLL_M} / zm.z, 6) AS est_merged,
+               round({HLL_ALPHA} * {HLL_M} * {HLL_M} / zd.z, 6) AS est_direct,
+               round({HLL_ALPHA} * {HLL_M} * {HLL_M} / zm.z, 6)
+                   = round({HLL_ALPHA} * {HLL_M} * {HLL_M} / zd.z, 6)
+                   AS merge_matches,
+               round(abs({HLL_ALPHA} * {HLL_M} * {HLL_M} / zm.z
+                         - CAST(exact.n_exact_global AS DOUBLE))
+                     / CAST(exact.n_exact_global AS DOUBLE), 6) AS rel_error
+        FROM nsrc, exact, zm, zd
     """,
     "sk_kmv_overlap": f"""
         WITH rel AS ({_REL_SQL}),

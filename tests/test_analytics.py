@@ -1242,6 +1242,22 @@ def test_rag_context_pack_greedy_skip_semantics(spark, sf_dir):
     assert skip_then_keep
 
 
+def test_sk_hll_merge_lossless_rollup(spark, sf_dir):
+    """The sketch-merge law beyond the oracle hash: merging per-source
+    HLL register vectors by element-wise max must equal the direct
+    global sketch (merge_matches is the emitted invariant), and the
+    64-bucket estimate lands within 3 standard errors (3 * 1.04/sqrt(64)
+    ~ 39 pct) of the exact global distinct count."""
+    from conduit_spark.analytics.sketches import sk_hll_merge
+
+    row = sk_hll_merge(spark, sf_dir).collect()[0]
+    assert row.merge_matches is True
+    assert row.est_merged == row.est_direct
+    assert row.n_sources > 1  # the merge actually merged something
+    assert row.n_exact_global > 0
+    assert row.rel_error <= 0.39
+
+
 def test_dq_drift_semantics(spark, sf_dir):
     """PSI invariants beyond the oracle hash: PSI is non-negative (it
     is a sum of (q-p)ln(q/p) terms, each >= 0), one row per monitored
