@@ -140,12 +140,24 @@ _EXTENDED = (
     "cur_mix",  # driver-green 2x (r10-r11); curation keeps 4 siblings + cur_schedule
     "m_decode_png_real",  # driver-green 7x (r5-r11); multimodal keeps jpeg/gif/alaw/mp4 + m_ahash_pairs
     "t_tfidf_top_terms",  # driver-green 2x (r10-r11); text keeps bm25/bpe_train/quality_lr/redact_pii/ngram_novelty
-    # Round-12 NEW queries (never driver-verified; r13 rotation
+    # Round-13 rotation (VERDICT r12 item 1): the four never-driver-
+    # verified r12 additions (a_fp_pairs, smp_coreset, rag_context_pack,
+    # sk_hll_merge) take gate slots. Displaced: four multi-green keepers
+    # below, chosen so every family keeps at least one gate row
+    # (multimodal keeps jpeg/gif/mp4/ahash + the incoming a_fp_pairs,
+    # which itself exercises the G.711 A-law decode path; sampling
+    # keeps smp_reservoir + the incoming smp_coreset; rag keeps
+    # rag_hard_negatives + the incoming rag_context_pack; sketches keep
+    # sk_hist_quantiles + the incoming sk_hll_merge). After a green r13,
+    # every suite query has held a driver CORRECTNESS row at least once
+    # — never-verified count = 0 again.
+    "m_decode_alaw_real",  # driver-green 5x (r8-r12); G.711 decode still gate-exercised inside a_fp_pairs
+    "smp_dsir",  # driver-green 6x (r7-r12); sampling kept via smp_reservoir + smp_coreset
+    "rag_hybrid_rrf",  # driver-green 6x (r7-r12); rag kept via rag_hard_negatives + rag_context_pack
+    "sk_kmv_overlap",  # driver-green 5x (r8-r12); sketches kept via sk_hist_quantiles + sk_hll_merge
+    # Round-13 NEW queries (never driver-verified; r14 rotation
     # candidates — locally oracle-exact via gate_check/pytest):
-    "a_fp_pairs",  # new in r12: audio spectral-fingerprint near-dup pairs over real G.711 decodes
-    "smp_coreset",  # new in r12: greedy k-center coreset selection (farthest-point traversal)
-    "rag_context_pack",  # new in r12: token-budgeted greedy context assembly (skip-and-continue)
-    "sk_hll_merge",  # new in r12: per-source HLL registers merged vs direct global sketch (lossless-rollup invariant)
+    "d_semantic_contamination",  # new in r13: embedding-space decontamination (train x benchmark within-cell cosine)
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

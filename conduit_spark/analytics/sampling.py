@@ -337,23 +337,27 @@ def smp_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
             f"BIGINT(0), (acc, x) -> acc + x)))"
         )
+        # q rides along as a NON-ordering third struct field: struct
+        # comparison is lexicographic and nid = -vec_id is unique, so
+        # (d, nid) always decides before q is consulted — one scan per
+        # round returns both the pick and its vector (K scans total,
+        # not 2K; VERDICT r12 item 4).
         top = (
             vecs.filter(~F.col("vec_id").isin([cid for cid, _ in chosen]))
-            .select("vec_id", F.expr(dexpr).alias("d"))
+            .select("vec_id", F.expr(dexpr).alias("d"), "q")
             .agg(
                 F.max(
                     F.struct(
-                        F.col("d"), (-F.col("vec_id")).alias("nid")
+                        F.col("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("q"),
                     )
                 ).alias("s")
             )
             .collect()[0]["s"]
         )
         pick, dist = -int(top["nid"]), int(top["d"])
-        q = list(
-            vecs.filter(F.col("vec_id") == pick).collect()[0]["q"]
-        )
-        chosen.append((pick, q))
+        chosen.append((pick, list(top["q"])))
         rows.append((len(chosen) - 1, pick, dist))
     # coverage: argmin assignment over the final centers (ties to the
     # earliest selection round — the same dist*K + position encoding

@@ -502,9 +502,27 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- k-means centroid training (IVF learns its cells from this) ------
 
-KMEANS_K = 8
+KMEANS_K = 8  # FLOOR on the cluster count, not the count itself
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1_000_000  # fixed-point micro-units: floor(x * 1e6)
+
+# SemDeDup's own remedy for its Σ|cluster|² candidate stage is K ∝ N
+# (Abbas et al. 2023 use ~11k clusters for 100M docs precisely to keep
+# the expected cluster size CONSTANT); a fixed K makes the
+# within-cluster pair stage quadratic in corpus size. K is therefore
+# derived from the corpus row count: n // TARGET rows per cluster,
+# floored at KMEANS_K so the small-SF gate keeps its historical
+# 8-cluster results (sf0.01 n=500 and sf0.1 n=2000 both resolve to 8;
+# the sf1 probe's n=20000 resolves to 80, holding clusters at ~250
+# rows and the candidate stage ~linear). The DuckDB oracles compute
+# the SAME formula from COUNT(*) (the `kp` CTE), so a drifted K
+# cannot hash-match.
+KMEANS_TARGET_CLUSTER = 250
+
+
+def _kmeans_k(n_vecs: int) -> int:
+    """Scale-aware cluster count: ``max(KMEANS_K, n // TARGET)``."""
+    return max(KMEANS_K, n_vecs // KMEANS_TARGET_CLUSTER)
 
 # q = the embedding in integer micro-units. floor() (not round) because
 # floor is defined identically in every engine; from here on ALL math
@@ -615,16 +633,20 @@ def _lloyd_cached(spark: SparkSession, sf_dir: str):
 def _lloyd(emb: DataFrame):
     """``KMEANS_ITERS`` Lloyd iterations (deterministic init: first K
     vectors; integer micro-unit arithmetic; truncating integer mean).
-    Returns ``(vecs, cents_df)`` — the quantized checkpointed vector
-    relation and the final centroid relation — so the trainer query
-    and consumers (semantic dedup's assignment) share one loop and
-    cannot drift from the SQL oracle's unrolled iterations."""
+    K is scale-aware (:func:`_kmeans_k` — corpus rows / target cluster
+    size, floored at ``KMEANS_K``), so the downstream Σ|cluster|²
+    SemDeDup candidate stage stays ~linear in corpus size. Returns
+    ``(vecs, cents_df)`` — the quantized checkpointed vector relation
+    and the final centroid relation — so the trainer query and
+    consumers (semantic dedup's assignment) share one loop and cannot
+    drift from the SQL oracle's unrolled iterations."""
     vecs = emb.select(
         "vec_id", F.expr(_QUANT_EXPR).alias("q")
     ).localCheckpoint()
+    k = _kmeans_k(vecs.count())
     cents = [
         (r["vec_id"], list(r["q"]))
-        for r in vecs.filter(F.col("vec_id") < KMEANS_K)
+        for r in vecs.filter(F.col("vec_id") < k)
         .orderBy("vec_id")
         .collect()
     ]
@@ -705,10 +727,12 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive there runs on K tasks; embeddings (with norms
     precomputed once per VECTOR, not per pair) join back by vec_id,
     which shuffles uniformly, so the per-pair dot products spread
-    across every core (measured 25s → ~2s at sf0.1). At 100 TB, K
-    scales with n (the paper uses ~11k clusters for 100M) to keep
-    clusters bounded, and an oversized cluster would be capped like a
-    hot LSH bucket.
+    across every core (measured 25s → ~2s at sf0.1). K is scale-aware
+    (:func:`_kmeans_k`: corpus rows / ``KMEANS_TARGET_CLUSTER``, the
+    paper's own K ∝ N remedy — ~11k clusters for 100M docs), which
+    holds the expected cluster size constant and the Σ|cluster|²
+    candidate stage ~linear in corpus size; an individually oversized
+    cluster would additionally be capped like a hot LSH bucket.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecs, cents_df = _lloyd_cached(spark, sf_dir)
@@ -1113,13 +1137,24 @@ QUERIES = {
 }
 
 
+# the scale-aware K as a 1-row oracle CTE — the exact _kmeans_k
+# formula over COUNT(*), MATERIALIZED because it is referenced from
+# every unrolled iteration (plain CTEs re-inline per reference)
+_SQL_KP = (
+    f"kp AS MATERIALIZED (SELECT GREATEST({KMEANS_K}, "
+    f"COUNT(*) // {KMEANS_TARGET_CLUSTER}) AS k FROM embeddings)"
+)
+_SQL_K = "(SELECT k FROM kp)"
+
+
 def _sql_kmeans_iter(t: int) -> str:
     """One unrolled Lloyd iteration as DuckDB CTEs (cross-join argmin
     — the oracle mirrors semantics, not the plan). Distances and the
     ``dist*K + cl`` argmin encoding stay in exact integer arithmetic
     (DuckDB sums BIGINT into HUGEINT), matching the Spark side's
-    tie-break toward the smallest cluster id."""
-    K, D = KMEANS_K, DIM
+    tie-break toward the smallest cluster id. K comes from the ``kp``
+    scalar CTE (the scale-aware :func:`_kmeans_k` formula)."""
+    K, D = _SQL_K, DIM
     return f"""
         a{t} AS (
             SELECT vec_id, q,
@@ -1300,7 +1335,8 @@ def _mmr_sql() -> str:
 ORACLES = {
     "s_mmr_rerank": _mmr_sql(),
     "s_kmeans_centroids": f"""
-        WITH v AS (
+        WITH {_SQL_KP},
+        v AS (
             SELECT vec_id,
                    list_transform(embedding, x ->
                        CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
@@ -1308,7 +1344,7 @@ ORACLES = {
             FROM embeddings),
         c0 AS (
             SELECT vec_id AS cl, q AS carr FROM v
-            WHERE vec_id < {KMEANS_K}),
+            WHERE vec_id < {_SQL_K}),
         {_sql_kmeans_iter(0)},
         {_sql_kmeans_iter(1)}
         SELECT CAST(cl AS BIGINT) AS cluster_id,
@@ -1318,7 +1354,8 @@ ORACLES = {
         ORDER BY cluster_id
     """,
     "s_semantic_dedup": f"""
-        WITH v AS (
+        WITH {_SQL_KP},
+        v AS (
             SELECT vec_id,
                    list_transform(embedding, x ->
                        CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
@@ -1326,7 +1363,7 @@ ORACLES = {
             FROM embeddings),
         c0 AS (
             SELECT vec_id AS cl, q AS carr FROM v
-            WHERE vec_id < {KMEANS_K}),
+            WHERE vec_id < {_SQL_K}),
         {_sql_kmeans_iter(0)},
         {_sql_kmeans_iter(1)},
         af AS (
@@ -1334,7 +1371,7 @@ ORACLES = {
                    CAST(min(list_sum(list_transform(
                            generate_series(1, {DIM}),
                            i -> (q[i] - carr[i]) * (q[i] - carr[i])
-                       )) * {KMEANS_K} + cl) % {KMEANS_K} AS BIGINT)
+                       )) * {_SQL_K} + cl) % {_SQL_K} AS BIGINT)
                        AS cluster_id
             FROM v, c{KMEANS_ITERS}
             GROUP BY vec_id, q)

@@ -369,6 +369,10 @@ class MiniKafkaBroker:
         # tests assert the producer's batchBytes request-size cap
         self.produce_set_sizes: deque[int] = deque(maxlen=100_000)
         self._lock = threading.RLock()  # produce auto-creates topics under the lock
+        # group-coordination dispatch table built ONCE — it sits in the
+        # per-request hot path, and rebuilding it per request would
+        # rebind seven bound methods on every incoming frame
+        self._GROUP_API_VERSIONS = self._build_group_api_versions()
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -576,10 +580,10 @@ class MiniKafkaBroker:
                 (API_SYNC_GROUP, 0, 5), (API_SASL_HANDSHAKE, 1, 1),
                 (API_SASL_AUTHENTICATE, 0, 0)]
 
-    @property
-    def _GROUP_API_VERSIONS(self):
+    def _build_group_api_versions(self):
         """Group-coordination dispatch table: api_key -> (lo, hi,
-        flexible_from, handler). Tops are the KIP-482 flexible
+        flexible_from, handler). Built once in ``__init__`` (hot
+        path). Tops are the KIP-482 flexible
         revisions — OffsetCommit v8, OffsetFetch v6 (v8 IS served:
         KIP-709's multi-group batched form), FindCoordinator v3
         (capped at v4, the KIP-699 batched-keys revision, which IS
@@ -919,6 +923,7 @@ class MiniKafkaBroker:
         per_member = []
         with self._lock:
             g = self._group(gid)
+            removed = 0
             for mid, gi in members:
                 if mid not in g["members"]:
                     per_member.append((mid, gi, ERR_UNKNOWN_MEMBER_ID))
@@ -927,8 +932,13 @@ class MiniKafkaBroker:
                 g["assignments"].pop(mid, None)
                 if g["leader"] == mid:
                     g["leader"] = next(iter(g["members"]), None)
-                g["generation"] += 1
+                removed += 1
                 per_member.append((mid, gi, ERR_NONE))
+            # one rebalance per request, however many members left —
+            # a real coordinator bumps the generation once for the
+            # whole batched KIP-345 leave, not once per member
+            if removed:
+                g["generation"] += 1
         if version < 3:
             out = struct.pack(">i", 0) if version >= 1 else b""
             return out + struct.pack(">h", per_member[0][2])
@@ -1641,7 +1651,8 @@ class MiniKafkaClient:
         revisions, the franz-go startup flow the reference connector
         rides on. Against this repo's broker that lands on the
         flexible tops (Produce v9, Fetch v12, Metadata v9, ListOffsets
-        v6, OffsetCommit v8, OffsetFetch v7, FindCoordinator v4,
+        v6, OffsetCommit v8, OffsetFetch v8 — KIP-709's multi-group
+        batched form — FindCoordinator v4,
         JoinGroup v6, Heartbeat v4, LeaveGroup v5, SyncGroup v5);
         against an old broker every slot stays at its non-flexible
         floor. Returns the broker's full version table."""
@@ -1938,6 +1949,14 @@ class MiniKafkaClient:
                 r.tags()
             if err:
                 raise RuntimeError(f"find_coordinator error {err}")
+            if node is None:
+                # v4 batched form: a conformant broker echoes one
+                # coordinator entry per requested key — zero entries
+                # means the response is malformed, not "no coordinator"
+                raise RuntimeError(
+                    "find_coordinator v4 response contained no "
+                    "coordinator entry for the requested key"
+                )
             return node, host, port
         if version >= 1:
             r.i32()  # throttle
