@@ -785,6 +785,88 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CONTAM_MOD = 11  # vec_id % MOD == 0 → "benchmark" membership
+SEM_CONTAM_MIN_COS = 0.2
+
+
+def d_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: flag training
+    vectors whose embedding sits cosine-close to a held-out benchmark
+    vector — the paraphrase-leakage check that the lexical n-gram pass
+    (``d_contamination``, GPT-3 App. C style) cannot catch, because a
+    reworded eval question shares no 4-grams with its source. The
+    recipe is SemDeDup's (Abbas et al. 2023) pointed at the
+    train × benchmark CROSS instead of train × train: k-means-cluster
+    the corpus (the shared scale-aware Lloyd trainer), assign both
+    sides to cells, and compare ONLY within a cell — candidate pairs
+    are bounded by cell occupancy, never corpus × benchmark.
+
+    Benchmark membership mirrors the lexical operator's convention
+    (``vec_id % SEM_CONTAM_MOD == 0``); a real pipeline would join the
+    eval suite's embedding table instead. Emits one row per
+    (benchmark, training) pair with cosine ≥ ``SEM_CONTAM_MIN_COS``.
+
+    Plan shape: training is the shared :func:`_lloyd` loop (cached per
+    session; O(K·d) driver state), assignment is a zero-shuffle
+    Arrow-batched projection, the within-cell bench × train join
+    carries IDS ONLY (K distinct keys), and embeddings join back by
+    vec_id so the per-pair dot products spread uniformly — identical
+    shape to :func:`s_semantic_dedup`, whose 100 TB posture (K ∝ N
+    keeps cells constant-size, so the cross stays ~linear) carries
+    over. Exactness: integer micro-unit assignment; cosine rounded at
+    the end only, matching the oracle's float structure.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs, cents_df = _lloyd_cached(spark, sf_dir)
+    cents = [
+        (r["cl"], list(r["carr"])) for r in cents_df.orderBy("cl").collect()
+    ]
+    assigned = vecs.select(
+        "vec_id", _assign_udf(cents)(F.col("q")).alias("cluster_id")
+    ).localCheckpoint()
+    is_bench = F.col("vec_id") % SEM_CONTAM_MOD == 0
+    bench = assigned.filter(is_bench).select(
+        F.col("cluster_id"), F.col("vec_id").alias("bench_id")
+    )
+    train = assigned.filter(~is_bench).select(
+        F.col("cluster_id"), F.col("vec_id").alias("train_id")
+    )
+    cand = bench.join(train, "cluster_id").select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "bench_id",
+        "train_id",
+    )
+    feat = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ka = feat.select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    kb = feat.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(ka, "bench_id")
+        .join(kb, "train_id")
+        .select(
+            "cluster_id",
+            "bench_id",
+            "train_id",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                9,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEM_CONTAM_MIN_COS)
+        .transform(ordered_result, "cluster_id", "bench_id", "train_id")
+    )
+
+
 RECALL_K = 5  # recall audit depth (matches the ANN queries' top-5)
 
 
@@ -1125,6 +1207,7 @@ QUERIES = {
     "s_pq_train": s_pq_train,
     "s_mmr_rerank": s_mmr_rerank,
     "s_semantic_dedup": s_semantic_dedup,
+    "d_semantic_contamination": d_semantic_contamination,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
@@ -1387,6 +1470,43 @@ ORACLES = {
         WHERE round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
               >= {SEMDEDUP_MIN_COS}
         ORDER BY a.cluster_id, id_keep, id_prune
+    """,
+    "d_semantic_contamination": f"""
+        WITH {_SQL_KP},
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0)
+                            AS BIGINT)) AS q
+            FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cl, q AS carr FROM v
+            WHERE vec_id < {_SQL_K}),
+        {_sql_kmeans_iter(0)},
+        {_sql_kmeans_iter(1)},
+        af AS (
+            SELECT vec_id,
+                   CAST(min(list_sum(list_transform(
+                           generate_series(1, {DIM}),
+                           i -> (q[i] - carr[i]) * (q[i] - carr[i])
+                       )) * {_SQL_K} + cl) % {_SQL_K} AS BIGINT)
+                       AS cluster_id
+            FROM v, c{KMEANS_ITERS}
+            GROUP BY vec_id, q)
+        SELECT a.cluster_id,
+               a.vec_id AS bench_id,
+               b.vec_id AS train_id,
+               round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
+                   AS cos_sim
+        FROM af a
+        JOIN af b ON a.cluster_id = b.cluster_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE a.vec_id % {SEM_CONTAM_MOD} = 0
+          AND b.vec_id % {SEM_CONTAM_MOD} <> 0
+          AND round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
+              >= {SEM_CONTAM_MIN_COS}
+        ORDER BY a.cluster_id, bench_id, train_id
     """,
     "s_pq_topk": f"""
         WITH codes AS (

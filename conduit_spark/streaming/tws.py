@@ -159,6 +159,122 @@ def running_dedup_state_v2(
     )
 
 
+_HLL_STATE_DDL = "regs STRING"
+
+HLL_OUT_SCHEMA = (
+    "source STRING, n_buckets_hit BIGINT, est_distinct DOUBLE"
+)
+
+
+class HllDistinctProcessor(StatefulProcessor):
+    """Continuous distinct-count via mergeable HyperLogLog register
+    state — the streaming leg of the merge algebra that
+    ``analytics.sketches.sk_hll_merge`` proves in batch (register
+    merge = element-wise ``max`` is lossless, so per-micro-batch
+    partial sketches roll up to exactly the sketch of the union).
+
+    Input rows carry ``(bucket, rho)`` precomputed by the SAME
+    JVM-side expressions the batch sketch uses (``hll_bucket_cols``),
+    so the Python side only max-merges integers into the per-key
+    64-register vector and re-emits the estimate — one row per key per
+    micro-batch, the continuously-updated distinct count a 100 TB
+    ingest pipeline reads off its monitoring stream.
+
+    Exactness: registers are integers; Z is a sum of exact powers of
+    two (every term ≥ 2^-27, total < 2^6 — all inside one 53-bit
+    mantissa window, so the float sum is exact regardless of order)
+    plus an exact integer, and the final division has identical
+    operands to the batch fold — the emitted estimate is bit-identical
+    to ``sk_hll_distinct``'s unrounded value on the same rows.
+
+    Scale: state is one 64-byte-ish vector per key, sharded by the
+    grouping key across the cluster's state stores; merge work per
+    batch is O(distinct buckets touched). No TTL — a distinct-count
+    register set is meant to live for the stream's lifetime (bound the
+    keyspace upstream if sources churn).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._regs = handle.getValueState("regs", _HLL_STATE_DDL)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        from conduit_spark.analytics.sketches import (
+            HLL_ALPHA,
+            HLL_M,
+        )
+
+        regs = [0] * HLL_M
+        if self._regs.exists():
+            regs = [int(v) for v in self._regs.get()[0].split(",")]
+        for pdf in rows:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b = int(b)
+                if int(r) > regs[b]:
+                    regs[b] = int(r)
+        self._regs.update((",".join(str(m) for m in regs),))
+        # Z in bucket order: exact powers of two + exact integer (see
+        # class docstring) — bit-identical to the batch fold
+        hit = sum(1 for m in regs if m > 0)
+        z = 0.0
+        for m in regs:
+            if m > 0:
+                z += 2.0 ** -m
+        z += float(HLL_M - hit)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_buckets_hit": [hit],
+                "est_distinct": [HLL_ALPHA * HLL_M * HLL_M / z],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def hll_bucket_cols(df: DataFrame, hash_col: str = "x") -> DataFrame:
+    """Project the ``(bucket, rho)`` pair the HLL processor consumes,
+    with the exact JVM-side expressions of the batch sketch
+    (``sk_hll_distinct``): bucket = low 6 bits of the 32-bit md5 hash,
+    rho = 1-based first-set-bit position of the top 26 bits (27 when
+    zero). Keeping this in Spark SQL means the streaming and batch
+    paths share one definition and the Python processor never touches
+    the hash."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics.sketches import HLL_M, _REST_BITS
+
+    rest = F.expr(f"{hash_col} div {HLL_M}")
+    rho = F.instr(F.lpad(F.bin(rest), _REST_BITS, "0"), "1")
+    return df.withColumns(
+        {
+            "bucket": (F.col(hash_col) % HLL_M).cast("int"),
+            "rho": F.when(rho == 0, F.lit(_REST_BITS + 1))
+            .otherwise(rho)
+            .cast("int"),
+        }
+    )
+
+
+def running_hll_distinct_v2(
+    stream: DataFrame, key_col: str = "source"
+) -> DataFrame:
+    """Per-key continuous HLL distinct count on the v2 stateful API:
+    group by ``key_col``, max-merge each micro-batch's ``(bucket,
+    rho)`` rows into checkpointed register state, emit the updated
+    estimate every batch. Restarting from the checkpoint resumes the
+    registers exactly (merge is lossless), so the final estimate
+    equals the batch sketch over everything ever ingested."""
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=HllDistinctProcessor(),
+        outputStructType=HLL_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -168,6 +168,10 @@ def main():
     con = duckdb.connect()
     for t in TABLE_NAMES:
         path = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.isdir(path):
+            # Spark-written table (e.g. the sf1 probe dataset): a
+            # directory of part files, globbed for DuckDB
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries = entry_mod.extended_queries()

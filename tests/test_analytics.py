@@ -1307,3 +1307,76 @@ def test_cur_schedule_interleaves_proportionally(spark, sf_dir):
     for s, n_sched in seen.items():
         expect = SCHED_N * pw[s] / z
         assert abs(n_sched - expect) <= 2, (s, n_sched, expect)
+
+
+def test_semantic_contamination_naive_model(spark, sf_dir):
+    """Beyond the oracle hash: recompute the whole operator naively in
+    Python — quantized assignment to the trained centroids (same
+    min(dist*K + pos) tie-break), then every same-cell
+    benchmark x training pair with cosine >= threshold — and require
+    the exact same (cluster, bench, train) triple set, with matching
+    cosines. Also pins the membership convention (bench = vec_id %
+    SEM_CONTAM_MOD == 0) and that no train x train or bench x bench
+    pair ever leaks through."""
+    import math
+
+    from conduit_spark.analytics.similarity import (
+        KMEANS_SCALE,
+        SEM_CONTAM_MIN_COS,
+        SEM_CONTAM_MOD,
+        d_semantic_contamination,
+        s_kmeans_centroids,
+    )
+
+    out = d_semantic_contamination(spark, sf_dir).collect()
+    assert out, "no contaminated pairs at test SF — vacuous"
+    for r in out:
+        assert r.bench_id % SEM_CONTAM_MOD == 0
+        assert r.train_id % SEM_CONTAM_MOD != 0
+        assert r.cos_sim >= SEM_CONTAM_MIN_COS
+
+    cents = [
+        (r.cluster_id, [int(x) for x in r.centroid.split(",")])
+        for r in s_kmeans_centroids(spark, sf_dir).collect()
+    ]  # already ordered by cluster_id = the assignment position order
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    q = {
+        vid: [math.floor(float(x) * KMEANS_SCALE) for x in v]
+        for vid, v in vecs.items()
+    }
+
+    def assign(qv):
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)) * len(cents) + i)
+            for i, (_, c) in enumerate(cents)
+        )
+        return cents[best % len(cents)][0]
+
+    cells = {vid: assign(qv) for vid, qv in q.items()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(dot / (na * nb), 9)
+
+    naive = {}
+    for b_id, b_cell in cells.items():
+        if b_id % SEM_CONTAM_MOD != 0:
+            continue
+        for t_id, t_cell in cells.items():
+            if t_id % SEM_CONTAM_MOD == 0 or t_cell != b_cell:
+                continue
+            c = cos(vecs[b_id], vecs[t_id])
+            if c >= SEM_CONTAM_MIN_COS:
+                naive[(b_cell, b_id, t_id)] = c
+
+    got = {(r.cluster_id, r.bench_id, r.train_id): r.cos_sim for r in out}
+    assert set(got) == set(naive)
+    for k, v in got.items():
+        assert v == pytest.approx(naive[k], abs=1e-9), k

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from conduit_spark.functions import miniproto
 from conduit_spark.streaming.tws import (
     running_dedup_state_v2,
+    running_hll_distinct_v2,
     use_rocksdb_state_store,
 )
 
@@ -243,3 +244,102 @@ def test_tws_dedup_across_batches(spark, tmp_path, rocksdb):
     (src / "batch2.json").write_text(json.dumps({"k": "a", "p": "v-again"}))
     results = _run_stream(spark, src, tmp_path / "ckpt")
     assert results == []
+
+
+# --- continuous HLL distinct count (streaming sk_hll_merge leg) -------
+
+
+def _run_hll_stream(spark, src, ckpt):
+    stream = (
+        spark.readStream.schema("source string, bucket int, rho int")
+        .json(str(src))
+    )
+    est = running_hll_distinct_v2(stream)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        est.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return results
+
+
+def test_tws_hll_running_distinct_matches_batch_sketch(
+    spark, sf_dir, tmp_path, rocksdb
+):
+    """The sk_hll_merge rollup algebra end-to-end in streaming: two
+    micro-batches of per-half partial (bucket, rho) rows max-merge
+    through checkpointed register state — WITH a restart between them
+    — and the final per-source estimate equals the batch
+    sk_hll_distinct sketch over the union of both halves."""
+    from conduit_spark.analytics.dedup import SHINGLE_W, word_grams
+    from conduit_spark.analytics.sketches import sk_hll_distinct
+    from conduit_spark.functions.hashing import md5_int32
+    from conduit_spark.sources.tables import load_table
+    from conduit_spark.streaming.tws import hll_bucket_cols
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    n = F.size(F.split(F.col("text"), " "))
+    rel = (
+        docs.filter(n >= SHINGLE_W)
+        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
+        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .distinct()
+    )
+    # per-half partial registers (the per-partition pre-reduction a
+    # real ingest pipeline ships): max rho per (source, bucket)
+    halves = []
+    for h in (0, 1):
+        half = (
+            hll_bucket_cols(rel.filter(F.pmod(F.col("x"), 2) == h))
+            .groupBy("source", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        )
+        halves.append(half)
+    assert halves[0] and halves[1]
+
+    src = tmp_path / "hll-in"
+    src.mkdir()
+    src_of = lambda rows: "\n".join(
+        json.dumps({"source": r["source"], "bucket": r["bucket"], "rho": r["rho"]})
+        for r in rows
+    )
+    (src / "half0.json").write_text(src_of(halves[0]))
+    first = _run_hll_stream(spark, src, tmp_path / "hll-ckpt")
+    assert first  # every source emitted an estimate for batch 0
+
+    # restart against the same checkpoint with the second half: the
+    # registers resume from state and absorb the new partials
+    (src / "half1.json").write_text(src_of(halves[1]))
+    second = _run_hll_stream(spark, src, tmp_path / "hll-ckpt")
+    final = {r["source"]: r for _, r in second}
+    assert final  # the resumed run emitted updated estimates
+
+    batch = {
+        r["source"]: r for r in sk_hll_distinct(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    # round the streaming double with the SAME engine-side round the
+    # batch query uses, then require bit-equality
+    rounded = {
+        r["source"]: (r["n_buckets_hit"], r["est"])
+        for r in spark.createDataFrame(
+            [
+                (s, v["n_buckets_hit"], v["est_distinct"])
+                for s, v in final.items()
+            ],
+            "source string, n_buckets_hit long, est double",
+        )
+        .select("source", "n_buckets_hit", F.round("est", 6).alias("est"))
+        .collect()
+    }
+    for s, b in batch.items():
+        assert rounded[s] == (b["n_buckets_hit"], b["est_distinct"]), s
