@@ -1419,6 +1419,117 @@ def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BANDS = 4  # 16-bit bands of the 64-bit DCT hash
+PHASH_BUCKET_CAP = 100  # max fingerprints per band bucket (blowup guard)
+PHASH_MAX_HAMMING = 10  # verified near-dup threshold (the classic pHash <=10/64)
+PHASH_CSCALE = 10_000  # fixed-point DCT basis: round(cos * 1e4)
+PHASH_MSCALE = 256  # fixed-point block means: (sum * 256) // area
+
+
+def _phash_cos_table() -> list[int]:
+    """The 8×8 DCT-II basis as a flat row-major table of scaled
+    integers ``round(cos(pi*(2i+1)*u/16) * PHASH_CSCALE)`` — computed
+    once and shared VERBATIM by the numpy fingerprint and the SQL
+    oracle's literal list, so both engines multiply identical
+    integers and the transform is exact by construction."""
+    import math
+
+    return [
+        round(math.cos(math.pi * (2 * i + 1) * u / 16) * PHASH_CSCALE)
+        for u in range(8)
+        for i in range(8)
+    ]
+
+
+_PHASH_COS = _phash_cos_table()
+
+
+def m_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs via the DCT perceptual hash (pHash)
+    over REALLY-decoded pixels — the frequency-domain member of the
+    aHash/dHash/pHash trio next to :func:`m_ahash_pairs`'s
+    average-hash: a 2-D DCT-II of the downsampled grid, bits from a
+    MEDIAN threshold over the non-DC coefficients. Median-of-AC
+    thresholding makes the hash brightness-invariant (the DC term
+    carries all uniform offset) and guarantees balanced bits, so
+    random pairs sit near hamming 31/63 and the verify threshold has
+    real discriminative margin — the properties that made pHash the
+    standard web-scale image fingerprint.
+
+    Adaptation for the fixture corpus: the synthetic images are
+    16–32 × 8–20 px, below pHash's canonical 32×32 resize, so the DCT
+    runs on the same 8×8 block-mean grid the aHash uses (the grid IS
+    the low-pass downsample; the canonical pipeline's 32×32→top-left
+    8×8 step reduces to it). Everything is integer fixed-point:
+    block means ``(sum * PHASH_MSCALE) // area`` (floor division,
+    non-negative), the DCT basis a shared ``round(cos * PHASH_CSCALE)``
+    integer table (|coef| ≤ 8·8·65280·1e8 < 2^49 — no overflow on
+    either engine), the threshold the exact 32nd-smallest of the 63
+    AC coefficients, bit ``uv`` set on strict inequality, DC bit
+    always 0. The oracle recomputes every hash ANALYTICALLY from the
+    pixel-generation formula through the same integer pipeline, so a
+    wrong decode, block boundary, basis value, or median rank cannot
+    produce matching pairs.
+
+    Scale shape: identical to :func:`m_ahash_pairs` — one PARALLEL
+    mapInPandas decode pass (numpy block sums + two 8×8 integer
+    matmuls per image), a (doc, int, int) fingerprint relation
+    checkpointed once, then the shared :func:`_banded_hamming_pairs`
+    tail (hot-bucket anti-join before materialization, one groupBy +
+    in-codegen combination explode, verify before distinct).
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    _WEIGHTS = 1 << np.arange(64, dtype=np.uint64)
+    _C = np.asarray(_PHASH_COS, dtype=np.int64).reshape(8, 8)
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "fp_hi": [], "fp_lo": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+                w, h = meta["width"], meta["height"]
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                grid = px.astype(np.int64).reshape(h, w)
+                r_edges = np.array([(i * h) // 8 for i in range(8)])
+                c_edges = np.array([(j * w) // 8 for j in range(8)])
+                bs = np.add.reduceat(
+                    np.add.reduceat(grid, r_edges, axis=0), c_edges, axis=1
+                )
+                area = np.outer(
+                    np.diff(np.append(r_edges, h)),
+                    np.diff(np.append(c_edges, w)),
+                )
+                # fixed-point means, then the exact integer DCT-II:
+                # coef[u,v] = sum_ij C[u,i] * m[i,j] * C[v,j]
+                m = (bs * PHASH_MSCALE) // area
+                coef = (_C @ m @ _C.T).reshape(64)
+                med = int(np.sort(coef[1:])[31])  # 32nd-smallest AC
+                mask = coef > med
+                mask[0] = False  # DC excluded (brightness invariance)
+                bits = int((_WEIGHTS * mask).sum(dtype=np.uint64))
+                out["media_id"].append(did)
+                out["fp_hi"].append((bits >> 32) & 0xFFFFFFFF)
+                out["fp_lo"].append(bits & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    fps = docs.mapInPandas(
+        run, "media_id long, fp_hi long, fp_lo long"
+    ).localCheckpoint()
+    return _banded_hamming_pairs(
+        fps, PHASH_BANDS, PHASH_BUCKET_CAP, PHASH_MAX_HAMMING
+    )
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
@@ -1432,6 +1543,7 @@ QUERIES = {
     "m_features": m_features,
     "m_resize": m_resize,
     "m_ahash_pairs": m_ahash_pairs,
+    "m_phash_pairs": m_phash_pairs,
     "a_fp_pairs": a_fp_pairs,
 }
 
@@ -1814,6 +1926,82 @@ ORACLES["m_ahash_pairs"] = f"""
     FROM cand
     WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
           <= {AHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
+
+# DCT perceptual-hash pairs: pixels re-derived from the generation
+# formula, then the same integer pipeline as the numpy side — fixed-
+# point block means, the SHARED scaled-cos literal table (the exact
+# integers _PHASH_COS holds), the 32nd-smallest-AC median, strict-
+# inequality bits, and the banded tail — so a wrong decode, basis
+# value, or median rank cannot produce matching pairs.
+ORACLES["m_phash_pairs"] = f"""
+    WITH ctab AS (SELECT {_PHASH_COS} AS ct),
+    dims AS (
+        SELECT doc_id AS did,
+               {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    blocks AS (
+        SELECT did, w, h, ij,
+               ((ij // 8) * h) // 8 AS r0, (((ij // 8) + 1) * h) // 8 AS r1,
+               ((ij % 8) * w) // 8 AS c0, (((ij % 8) + 1) * w) // 8 AS c1
+        FROM dims CROSS JOIN unnest(generate_series(0, 63)) AS t(ij)),
+    bsum AS (
+        SELECT did, w, h, ij, (r1 - r0) * (c1 - c0) AS bc,
+               list_sum(list_transform(generate_series(r0, r1 - 1), r ->
+                   list_sum(list_transform(generate_series(c0, c1 - 1), c ->
+                       (did + 31 * r + 7 * c) % 256)))) AS s
+        FROM blocks),
+    ml AS (
+        SELECT did,
+               list((s * {PHASH_MSCALE}) // bc ORDER BY ij) AS ml
+        FROM bsum GROUP BY did),
+    coefs AS (
+        SELECT did, uv,
+               list_sum(list_transform(generate_series(0, 63), k ->
+                   ml[k + 1]
+                   * ct[(uv // 8) * 8 + (k // 8) + 1]
+                   * ct[(uv % 8) * 8 + (k % 8) + 1])) AS cf
+        FROM ml CROSS JOIN ctab
+             CROSS JOIN unnest(generate_series(0, 63)) AS t(uv)),
+    med AS (
+        SELECT did, list_sort(list(cf))[32] AS med
+        FROM coefs WHERE uv > 0 GROUP BY did),
+    bits AS (
+        SELECT coefs.did, coefs.uv AS ij,
+               CASE WHEN coefs.uv > 0 AND coefs.cf > med.med
+                    THEN 1 ELSE 0 END AS bit
+        FROM coefs JOIN med USING (did)),
+    hs AS (
+        SELECT did,
+               CAST(sum(CASE WHEN ij >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (ij - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN ij < 32
+                             THEN bit * (CAST(1 AS BIGINT) << ij)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY did),
+    bands AS (
+        SELECT did, hi, lo, bnd,
+               CASE WHEN bnd >= 2 THEN (hi >> ((bnd % 2) * 16)) & 65535
+                    ELSE (lo >> ((bnd % 2) * 16)) & 65535 END AS bucket
+        FROM hs CROSS JOIN unnest([0, 1, 2, 3]) AS u(bnd)),
+    hot AS (
+        SELECT bnd, bucket FROM bands GROUP BY bnd, bucket
+        HAVING count(*) > {PHASH_BUCKET_CAP}),
+    bb AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, bucket)),
+    cand AS (
+        SELECT DISTINCT x.did AS id_a, y.did AS id_b,
+               x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+        FROM bb x JOIN bb y
+          ON x.bnd = y.bnd AND x.bucket = y.bucket AND x.did < y.did)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+          <= {PHASH_MAX_HAMMING}
     ORDER BY id_a, id_b
 """
 

@@ -1380,3 +1380,93 @@ def test_semantic_contamination_naive_model(spark, sf_dir):
     assert set(got) == set(naive)
     for k, v in got.items():
         assert v == pytest.approx(naive[k], abs=1e-9), k
+
+
+def test_m_phash_pairs_matches_naive_model(spark, sf_dir):
+    """pHash through a pure-Python model: decode every image, compute
+    the fixed-point 8x8 block means, the integer DCT-II against the
+    SHARED scaled-cos table, the 32nd-smallest-AC median threshold,
+    band/cap/all-pairs/hamming — and require the exact pair set. Also
+    pins the brightness-invariance property the DC exclusion buys:
+    adding a constant to every pixel (no wraparound) leaves the hash
+    unchanged."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics.media_codecs import decode_png
+    from conduit_spark.analytics.multimodal import (
+        _PHASH_COS,
+        PHASH_BUCKET_CAP,
+        PHASH_MAX_HAMMING,
+        PHASH_MSCALE,
+        _synth_png_bytes,
+        m_phash_pairs,
+    )
+
+    C = [_PHASH_COS[u * 8 : u * 8 + 8] for u in range(8)]
+
+    def phash_of_grid(px, w, h):
+        m = [[0] * 8 for _ in range(8)]
+        for i in range(8):
+            r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+            for j in range(8):
+                c0, c1 = (j * w) // 8, ((j + 1) * w) // 8
+                bs = sum(
+                    px[r * w + c]
+                    for r in range(r0, r1)
+                    for c in range(c0, c1)
+                )
+                m[i][j] = (bs * PHASH_MSCALE) // ((r1 - r0) * (c1 - c0))
+        coef = [
+            sum(
+                C[u][i] * m[i][j] * C[v][j]
+                for i in range(8)
+                for j in range(8)
+            )
+            for u in range(8)
+            for v in range(8)
+        ]
+        med = sorted(coef[1:])[31]
+        bits = 0
+        for k in range(1, 64):
+            if coef[k] > med:
+                bits |= 1 << k
+        return bits
+
+    def phash(did):
+        meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+        return phash_of_grid(
+            list(meta["pixels"]), meta["width"], meta["height"]
+        )
+
+    # brightness invariance: constant offset (no mod wrap) -> same hash
+    px = [(3 * r + 5 * c) % 100 for r in range(16) for c in range(24)]
+    assert phash_of_grid(px, 24, 16) == phash_of_grid(
+        [p + 100 for p in px], 24, 16
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {did: phash(did) for did in doc_ids}
+    buckets = defaultdict(list)
+    for did, bits in hashes.items():
+        for b in range(4):
+            buckets[(b, (bits >> (b * 16)) & 0xFFFF)].append(did)
+    expect = set()
+    for members in buckets.values():
+        if len(members) > PHASH_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                ham = bin(hashes[ms[i]] ^ hashes[ms[j]]).count("1")
+                if ham <= PHASH_MAX_HAMMING:
+                    expect.add((ms[i], ms[j], ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in m_phash_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(expect) > 0
