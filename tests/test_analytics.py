@@ -1470,3 +1470,73 @@ def test_m_phash_pairs_matches_naive_model(spark, sf_dir):
         for r in m_phash_pairs(spark, sf_dir).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_cdc_chunks_naive_model_and_shift_resistance(spark, sf_dir):
+    """c_cdc_chunks vs a pure-Python replay of the boundary gate +
+    cut list + chunk hashing (exact per-doc equality), plus the
+    property content-defined chunking exists for: inserting one word
+    changes only the chunks overlapping the edit — every chunk hash
+    outside the affected neighborhood survives verbatim, where a
+    fixed-window chunker would shift (and lose) every downstream
+    chunk."""
+    import hashlib
+
+    from conduit_spark.analytics.chunking import (
+        CDC_DIV,
+        CDC_W,
+        c_cdc_chunks,
+    )
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def chunks_of(words):
+        n = len(words)
+        cuts = [
+            i
+            for i in range(CDC_W, n)
+            if md5i(" ".join(words[i - CDC_W : i])) % CDC_DIV == 0
+        ]
+        st = [0] + cuts
+        en = cuts + [n]
+        return [md5i(" ".join(words[a:b])) for a, b in zip(st, en)]
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    naive = {did: chunks_of(t.split(" ")) for did, t in docs.items()}
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for did, hs in naive.items():
+        for ch in hs:
+            owners[ch].add(did)
+    expect = {
+        did: (
+            len(t.split(" ")),
+            len(naive[did]),
+            sum(1 for ch in naive[did] if len(owners[ch]) >= 2),
+        )
+        for did, t in docs.items()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_chunks, r.n_shared_chunks)
+        for r in c_cdc_chunks(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[2] for v in expect.values()) > 0  # shared chunks exist
+
+    # shift resistance: one inserted word preserves all chunk hashes
+    # outside the edited neighborhood (multiset intersection large),
+    # while fixed-window chunking would lose every downstream chunk
+    words = next(t for t in docs.values() if len(t.split()) > 60).split(" ")
+    edited = words[: len(words) // 2] + ["INSERTED"] + words[len(words) // 2 :]
+    a, b = chunks_of(words), chunks_of(edited)
+    from collections import Counter
+
+    common = sum((Counter(a) & Counter(b)).values())
+    assert common >= len(a) - 3  # at most the edit-local chunks differ
