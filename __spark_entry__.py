@@ -160,6 +160,7 @@ _EXTENDED = (
     "d_semantic_contamination",  # new in r13: embedding-space decontamination (train x benchmark within-cell cosine)
     "m_phash_pairs",  # new in r13: DCT perceptual-hash (pHash) image near-dup pairs, median-of-AC thresholding
     "c_cdc_chunks",  # new in r13: content-defined chunking (Rabin/FastCDC family) with shared-chunk dedup audit
+    "m_dhash_pairs",  # new in r13: difference-hash (gradient) image near-dup pairs, completing the aHash/dHash/pHash trio
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

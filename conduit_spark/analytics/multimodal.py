@@ -1530,6 +1530,81 @@ def m_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_BANDS = 4  # 16-bit bands of the 64-bit gradient hash
+DHASH_BUCKET_CAP = 100  # max fingerprints per band bucket (blowup guard)
+DHASH_MAX_HAMMING = 2  # verified near-dup threshold (the synthetic gradient field is dense at higher radii)
+DHASH_MSCALE = 256  # fixed-point block means: (sum * 256) // area
+
+
+def m_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs via the difference hash (dHash),
+    completing the classic aHash/dHash/pHash trio
+    (:func:`m_ahash_pairs` / :func:`m_phash_pairs`): downsample to an
+    8×9 block-mean grid and set bit ``i*8+j`` when block (i, j) is
+    STRICTLY darker than its right neighbor (i, j+1) — a horizontal
+    gradient-sign hash. Gradients are invariant to uniform brightness
+    shifts (like pHash's DC exclusion) but cost one subtraction
+    instead of a DCT, which is why dHash is the throughput choice in
+    web-scale image dedup.
+
+    All integer fixed-point: block means ``(sum * DHASH_MSCALE) //
+    area`` (floor division, non-negative), bit on strict ``<``. The
+    oracle recomputes every hash ANALYTICALLY from the
+    pixel-generation formula through the identical 8×9 grid, so a
+    wrong decode, edge boundary, or comparison direction cannot
+    produce matching pairs.
+
+    Scale shape: identical to the other two legs — one PARALLEL
+    mapInPandas decode pass (numpy reduceat block sums), a (doc, int,
+    int) fingerprint relation checkpointed once, then the shared
+    :func:`_banded_hamming_pairs` tail.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    _WEIGHTS = (1 << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+
+    def run(batches):
+        from conduit_spark.analytics.media_codecs import decode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "fp_hi": [], "fp_lo": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+                w, h = meta["width"], meta["height"]
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                grid = px.astype(np.int64).reshape(h, w)
+                r_edges = np.array([(i * h) // 8 for i in range(8)])
+                c_edges = np.array([(j * w) // 9 for j in range(9)])
+                bs = np.add.reduceat(
+                    np.add.reduceat(grid, r_edges, axis=0), c_edges, axis=1
+                )
+                area = np.outer(
+                    np.diff(np.append(r_edges, h)),
+                    np.diff(np.append(c_edges, w)),
+                )
+                m = (bs * DHASH_MSCALE) // area  # 8x9 fixed-point means
+                mask = m[:, :-1] < m[:, 1:]  # strict horizontal gradient
+                bits = int((_WEIGHTS * mask).sum(dtype=np.uint64))
+                out["media_id"].append(did)
+                out["fp_hi"].append((bits >> 32) & 0xFFFFFFFF)
+                out["fp_lo"].append(bits & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    fps = docs.mapInPandas(
+        run, "media_id long, fp_hi long, fp_lo long"
+    ).localCheckpoint()
+    return _banded_hamming_pairs(
+        fps, DHASH_BANDS, DHASH_BUCKET_CAP, DHASH_MAX_HAMMING
+    )
+
+
 QUERIES = {
     "m_decode_stub": m_decode_stub,
     "m_decode_jpeg_real": m_decode_jpeg_real,
@@ -1544,6 +1619,7 @@ QUERIES = {
     "m_resize": m_resize,
     "m_ahash_pairs": m_ahash_pairs,
     "m_phash_pairs": m_phash_pairs,
+    "m_dhash_pairs": m_dhash_pairs,
     "a_fp_pairs": a_fp_pairs,
 }
 
@@ -2002,6 +2078,66 @@ ORACLES["m_phash_pairs"] = f"""
     FROM cand
     WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
           <= {PHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
+
+# Difference-hash pairs: the same analytic pixel re-derivation over an
+# 8x9 block grid, fixed-point means, strict horizontal-gradient bits,
+# and the banded tail — a wrong edge boundary or comparison direction
+# cannot produce matching pairs.
+ORACLES["m_dhash_pairs"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS did,
+               {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+               {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+        FROM documents),
+    blocks AS (
+        SELECT did, w, h, ij,
+               ((ij // 9) * h) // 8 AS r0, (((ij // 9) + 1) * h) // 8 AS r1,
+               ((ij % 9) * w) // 9 AS c0, (((ij % 9) + 1) * w) // 9 AS c1
+        FROM dims CROSS JOIN unnest(generate_series(0, 71)) AS t(ij)),
+    means AS (
+        SELECT did, ij,
+               (list_sum(list_transform(generate_series(r0, r1 - 1), r ->
+                   list_sum(list_transform(generate_series(c0, c1 - 1), c ->
+                       (did + 31 * r + 7 * c) % 256))))
+                * {DHASH_MSCALE}) // ((r1 - r0) * (c1 - c0)) AS m
+        FROM blocks),
+    bits AS (
+        SELECT a.did, (a.ij // 9) * 8 + (a.ij % 9) AS ij,
+               CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+        FROM means a JOIN means b
+          ON a.did = b.did AND b.ij = a.ij + 1
+        WHERE a.ij % 9 < 8),
+    hs AS (
+        SELECT did,
+               CAST(sum(CASE WHEN ij >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (ij - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN ij < 32
+                             THEN bit * (CAST(1 AS BIGINT) << ij)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY did),
+    bands AS (
+        SELECT did, hi, lo, bnd,
+               CASE WHEN bnd >= 2 THEN (hi >> ((bnd % 2) * 16)) & 65535
+                    ELSE (lo >> ((bnd % 2) * 16)) & 65535 END AS bucket
+        FROM hs CROSS JOIN unnest([0, 1, 2, 3]) AS u(bnd)),
+    hot AS (
+        SELECT bnd, bucket FROM bands GROUP BY bnd, bucket
+        HAVING count(*) > {DHASH_BUCKET_CAP}),
+    bb AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, bucket)),
+    cand AS (
+        SELECT DISTINCT x.did AS id_a, y.did AS id_b,
+               x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+        FROM bb x JOIN bb y
+          ON x.bnd = y.bnd AND x.bucket = y.bucket AND x.did < y.did)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+          <= {DHASH_MAX_HAMMING}
     ORDER BY id_a, id_b
 """
 

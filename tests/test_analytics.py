@@ -1540,3 +1540,77 @@ def test_cdc_chunks_naive_model_and_shift_resistance(spark, sf_dir):
 
     common = sum((Counter(a) & Counter(b)).values())
     assert common >= len(a) - 3  # at most the edit-local chunks differ
+
+
+def test_m_dhash_pairs_matches_naive_model(spark, sf_dir):
+    """dHash through a pure-Python model: 8x9 fixed-point block means,
+    strict horizontal-gradient bits, band/cap/all-pairs/hamming — the
+    exact pair set. Plus the brightness-invariance property gradients
+    buy: a constant offset (no wraparound) leaves the hash unchanged."""
+    from collections import defaultdict
+
+    from conduit_spark.analytics.media_codecs import decode_png
+    from conduit_spark.analytics.multimodal import (
+        DHASH_BUCKET_CAP,
+        DHASH_MAX_HAMMING,
+        DHASH_MSCALE,
+        _synth_png_bytes,
+        m_dhash_pairs,
+    )
+
+    def dhash_of_grid(px, w, h):
+        m = [[0] * 9 for _ in range(8)]
+        for i in range(8):
+            r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+            for j in range(9):
+                c0, c1 = (j * w) // 9, ((j + 1) * w) // 9
+                bs = sum(
+                    px[r * w + c]
+                    for r in range(r0, r1)
+                    for c in range(c0, c1)
+                )
+                m[i][j] = (bs * DHASH_MSCALE) // ((r1 - r0) * (c1 - c0))
+        bits = 0
+        for i in range(8):
+            for j in range(8):
+                if m[i][j] < m[i][j + 1]:
+                    bits |= 1 << (i * 8 + j)
+        return bits
+
+    def dhash(did):
+        meta = decode_png(_synth_png_bytes(did), return_pixels=True)
+        return dhash_of_grid(
+            list(meta["pixels"]), meta["width"], meta["height"]
+        )
+
+    px = [(3 * r + 5 * c) % 100 for r in range(16) for c in range(27)]
+    assert dhash_of_grid(px, 27, 16) == dhash_of_grid(
+        [p + 120 for p in px], 27, 16
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {did: dhash(did) for did in doc_ids}
+    buckets = defaultdict(list)
+    for did, bits in hashes.items():
+        for b in range(4):
+            buckets[(b, (bits >> (b * 16)) & 0xFFFF)].append(did)
+    expect = set()
+    for members in buckets.values():
+        if len(members) > DHASH_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                ham = bin(hashes[ms[i]] ^ hashes[ms[j]]).count("1")
+                if ham <= DHASH_MAX_HAMMING:
+                    expect.add((ms[i], ms[j], ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in m_dhash_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(expect) > 0
