@@ -161,6 +161,7 @@ _EXTENDED = (
     "m_phash_pairs",  # new in r13: DCT perceptual-hash (pHash) image near-dup pairs, median-of-AC thresholding
     "c_cdc_chunks",  # new in r13: content-defined chunking (Rabin/FastCDC family) with shared-chunk dedup audit
     "m_dhash_pairs",  # new in r13: difference-hash (gradient) image near-dup pairs, completing the aHash/dHash/pHash trio
+    "s_matryoshka_topk",  # new in r13: Matryoshka (MRL) prefix-dim coarse search + full-dim exact re-rank
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

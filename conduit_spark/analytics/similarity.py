@@ -500,6 +500,65 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16  # coarse-search prefix dimensions (of DIM=64)
+MRL_CANDIDATES = 50  # prefix-score candidates re-ranked exactly
+
+
+def s_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval — Kusupati et al., NeurIPS
+    2022: embeddings trained with matryoshka losses pack a usable
+    coarse representation into their PREFIX dims, so retrieval scores
+    candidates on the first ``MRL_DIM`` of ``DIM`` dimensions (a 4×
+    cheaper scan — at 100 TB the prefix is a separate narrow stored
+    column and the full vector is only fetched for the shortlist),
+    then re-ranks the top ``MRL_CANDIDATES`` by full-dimension exact
+    cosine for the final top-5. The adaptive-dimension counterpart of
+    :func:`s_pq_topk`'s code-compression: PQ shrinks bytes/dim, MRL
+    drops dims.
+
+    Emits both scores so the approximation is auditable per hit
+    (``prefix_sim`` vs ``cos_sim`` — the gap is the price of the 4×
+    scan cut). Exactness: both cosines have the same float structure
+    as :func:`cosine` (sequential fold, round(9) at the end), ordering
+    is on the ROUNDED scores + vec_id, and the oracle replays the
+    identical prefix slice, shortlist, and re-rank.
+
+    Plan shape: the prefix score is a pure projection over the
+    broadcast query row; the only exchanges are the two top-k
+    sort-limits (per-partition top-k + tiny merge), exactly
+    :func:`s_pq_topk`'s shape. The re-rank stage touches
+    ``MRL_CANDIDATES`` rows only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    pre = lambda c: F.slice(c, 1, MRL_DIM)  # noqa: E731
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qvec",
+            F.round(
+                cosine(pre(F.col("embedding")), pre(F.col("qvec"))), 9
+            ).alias("prefix_sim"),
+        )
+        .orderBy(F.desc("prefix_sim"), F.asc("vec_id"))
+        .limit(MRL_CANDIDATES)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "prefix_sim",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 # --- k-means centroid training (IVF learns its cells from this) ------
 
 KMEANS_K = 8  # FLOOR on the cluster count, not the count itself
@@ -1208,6 +1267,7 @@ QUERIES = {
     "s_mmr_rerank": s_mmr_rerank,
     "s_semantic_dedup": s_semantic_dedup,
     "d_semantic_contamination": d_semantic_contamination,
+    "s_matryoshka_topk": s_matryoshka_topk,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh_topk": s_ann_lsh_topk,
     "s_ivf_topk": s_ivf_topk,
@@ -1507,6 +1567,23 @@ ORACLES = {
           AND round({_sql_cosine("ea.embedding", "eb.embedding")}, 9)
               >= {SEM_CONTAM_MIN_COS}
         ORDER BY a.cluster_id, bench_id, train_id
+    """,
+    "s_matryoshka_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT vec_id, embedding, qv,
+                   round({_sql_cosine(f"e.embedding[1:{MRL_DIM}]", f"qv[1:{MRL_DIM}]")}, 9)
+                       AS prefix_sim
+            FROM embeddings e, q
+            WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY prefix_sim DESC, vec_id ASC
+            LIMIT {MRL_CANDIDATES})
+        SELECT vec_id, prefix_sim,
+               round({_sql_cosine("embedding", "qv")}, 9) AS cos_sim
+        FROM cand
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 5
     """,
     "s_pq_topk": f"""
         WITH codes AS (

@@ -1614,3 +1614,51 @@ def test_m_dhash_pairs_matches_naive_model(spark, sf_dir):
         for r in m_dhash_pairs(spark, sf_dir).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_matryoshka_topk_two_stage_semantics(spark, sf_dir):
+    """Replays the full MRL pipeline naively: prefix-16 cosine
+    shortlist of 50 (rounded-score ordering, id tiebreak), exact
+    full-dim re-rank top-5 — and requires identical rows. Pins that
+    every emitted hit came from the prefix shortlist and that both
+    scores are genuine cosines of the respective dimension slices."""
+    import math
+
+    from conduit_spark.analytics.similarity import (
+        MRL_CANDIDATES,
+        MRL_DIM,
+        QUERY_VEC_ID,
+        s_matryoshka_topk,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    qv = vecs[QUERY_VEC_ID]
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 9)
+
+    pre = {
+        vid: cos(v[:MRL_DIM], qv[:MRL_DIM])
+        for vid, v in vecs.items()
+        if vid != QUERY_VEC_ID
+    }
+    shortlist = sorted(pre, key=lambda vid: (-pre[vid], vid))[:MRL_CANDIDATES]
+    rerank = sorted(
+        ((vid, pre[vid], cos(vecs[vid], qv)) for vid in shortlist),
+        key=lambda t: (-t[2], t[0]),
+    )[:5]
+    got = [
+        (r.vec_id, r.prefix_sim, r.cos_sim)
+        for r in s_matryoshka_topk(spark, sf_dir).collect()
+    ]
+    assert got == rerank
+    # the two scores genuinely differ (prefix is an approximation)
+    assert any(abs(p - c) > 1e-6 for _, p, c in got)
