@@ -275,6 +275,118 @@ def running_hll_distinct_v2(
     )
 
 
+_HIST_STATE_DDL = "bins STRING"
+
+HIST_OUT_SCHEMA = (
+    "event_type STRING, n BIGINT, p50_est DOUBLE, p90_est DOUBLE, "
+    "p99_est DOUBLE"
+)
+
+
+class HistQuantilesProcessor(StatefulProcessor):
+    """Continuous percentile monitoring via mergeable histogram-sketch
+    state — the ADDITIVE counterpart of :class:`HllDistinctProcessor`
+    (HLL merges by register max; a fixed-bin histogram merges by
+    element-wise SUM, the other half of the sketch-merge algebra
+    ``analytics.sketches`` proves in batch). Input rows carry the bin
+    index precomputed by the SAME JVM clamp/floor expression the batch
+    sketch uses (:func:`hist_bin_col`); the Python side adds the
+    micro-batch's bin counts into the per-key 64-bin integer vector
+    and re-emits p50/p90/p99 every batch.
+
+    Exactness: bins and cumulative counts are integers, the estimate
+    is (first bin whose cumulative count reaches p·n, + 1) × bin
+    width — the identical order-statistic rule as
+    ``sk_hll_quantiles``'s batch form, so the emitted floats are
+    bit-identical to the batch sketch on the same rows.
+
+    Scale: one 64-int vector per key in the state store; merge work
+    per batch is O(bins touched). The continuously-updated latency/
+    value percentile per event type is the canonical streaming-
+    monitoring aggregation.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._bins = handle.getValueState("bins", _HIST_STATE_DDL)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        from conduit_spark.analytics.sketches import (
+            _HIST_PS,
+            HIST_BIN_W,
+            HIST_NBINS,
+        )
+
+        bins = [0] * HIST_NBINS
+        if self._bins.exists():
+            bins = [int(v) for v in self._bins.get()[0].split(",")]
+        for pdf in rows:
+            for b in pdf["bin"]:
+                bins[int(b)] += 1
+        self._bins.update((",".join(str(c) for c in bins),))
+        n = sum(bins)
+        ests = []
+        for p in _HIST_PS:
+            cum = 0
+            est = None
+            for b, c in enumerate(bins):
+                cum += c
+                if float(cum) >= p * float(n):
+                    est = (b + 1) * HIST_BIN_W
+                    break
+            ests.append(est)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "p50_est": [ests[0]],
+                "p90_est": [ests[1]],
+                "p99_est": [ests[2]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def hist_bin_col(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Project the clamped bin index the histogram processor consumes,
+    with the exact JVM-side expression of the batch sketch
+    (``sk_hist_quantiles``): ``clamp(floor(value / w), 0, nbins-1)``.
+    One definition shared by the streaming and batch paths."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics.sketches import HIST_BIN_W, HIST_NBINS
+
+    return df.withColumn(
+        "bin",
+        F.least(
+            F.greatest(
+                F.floor(F.col(value_col) / F.lit(HIST_BIN_W)), F.lit(0)
+            ),
+            F.lit(HIST_NBINS - 1),
+        ).cast("int"),
+    )
+
+
+def running_hist_quantiles_v2(
+    stream: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Per-key continuous histogram percentiles on the v2 stateful
+    API: group by ``key_col``, sum each micro-batch's bin counts into
+    checkpointed 64-bin state, emit updated p50/p90/p99 every batch.
+    Restarting from the checkpoint resumes the bins exactly (vector
+    sum is lossless), so the final estimates equal the batch sketch
+    over everything ever ingested."""
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=HistQuantilesProcessor(),
+        outputStructType=HIST_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

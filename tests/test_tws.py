@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from conduit_spark.functions import miniproto
 from conduit_spark.streaming.tws import (
     running_dedup_state_v2,
+    running_hist_quantiles_v2,
     running_hll_distinct_v2,
     use_rocksdb_state_store,
 )
@@ -343,3 +344,77 @@ def test_tws_hll_running_distinct_matches_batch_sketch(
     }
     for s, b in batch.items():
         assert rounded[s] == (b["n_buckets_hit"], b["est_distinct"]), s
+
+
+# --- continuous histogram quantiles (additive sketch-merge leg) -------
+
+
+def _run_hist_stream(spark, src, ckpt):
+    stream = (
+        spark.readStream.schema("event_type string, bin int")
+        .json(str(src))
+    )
+    est = running_hist_quantiles_v2(stream)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        est.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return results
+
+
+def test_tws_hist_quantiles_match_batch_sketch(
+    spark, sf_dir, tmp_path, rocksdb
+):
+    """The additive half of the sketch-merge algebra in streaming: two
+    micro-batches of binned events vector-sum through checkpointed
+    histogram state — WITH a restart between them — and the final
+    per-type p50/p90/p99 equal the batch sk_hist_quantiles sketch over
+    the union bit-for-bit."""
+    from conduit_spark.analytics.sketches import sk_hist_quantiles
+    from conduit_spark.sources.tables import load_table
+    from conduit_spark.streaming.tws import hist_bin_col
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = []
+    for h in (0, 1):
+        rows = (
+            hist_bin_col(ev.filter(F.pmod(F.col("event_id"), 2) == h))
+            .select("event_type", "bin")
+            .collect()
+        )
+        halves.append(rows)
+    assert halves[0] and halves[1]
+
+    src = tmp_path / "hist-in"
+    src.mkdir()
+    src_of = lambda rows: "\n".join(
+        json.dumps({"event_type": r["event_type"], "bin": r["bin"]})
+        for r in rows
+    )
+    (src / "half0.json").write_text(src_of(halves[0]))
+    first = _run_hist_stream(spark, src, tmp_path / "hist-ckpt")
+    assert first
+
+    (src / "half1.json").write_text(src_of(halves[1]))
+    second = _run_hist_stream(spark, src, tmp_path / "hist-ckpt")
+    final = {r["event_type"]: r for _, r in second}
+    assert final
+
+    batch = {
+        r["event_type"]: r for r in sk_hist_quantiles(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for t, b in batch.items():
+        f = final[t]
+        assert (f["n"], f["p50_est"], f["p90_est"], f["p99_est"]) == (
+            b["n"], b["p50_est"], b["p90_est"], b["p99_est"]
+        ), t
