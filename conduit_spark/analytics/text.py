@@ -806,7 +806,76 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5  # bigram count floor (Church & Hanks' sparsity guard)
+PMI_TOP_K = 20
+
+
+def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation extraction by pointwise mutual
+    information (Church & Hanks, CL 1990) — the classic "which word
+    pairs co-occur far more than chance" analysis used for phrase
+    mining, tokenizer-merge candidates, and stopword-pair diagnostics:
+    ``PMI(w1, w2) = ln(c12 · N / (c1 · c2))`` over the corpus bigram
+    relation (c1/c2 = the word's count in first/second position, N =
+    total bigrams — all four counts from ONE relation, so the measure
+    is self-consistent), gated by a ``PMI_MIN_COUNT`` occurrence floor
+    (raw PMI promotes hapax pairs), top ``PMI_TOP_K`` emitted.
+
+    Exactness: counts are integers; the single float expression
+    ``ln((c12 · N) / (c1 · c2))`` has identical structure in both
+    engines (cast-to-double, one multiply, one divide, one ln) and
+    ordering is on the ROUNDED pmi + the pair, so ties break
+    deterministically.
+
+    Plan shape: one zip_with bigram explode (zero-shuffle per row),
+    three keyed count-aggs over it (map-side partials), two joins onto
+    the floor-filtered pair relation (vocab-sized sides — AQE
+    broadcasts when they fit; at 100 TB they shard by key), a 1-row N
+    cross, and a TakeOrdered(K). No windows, no corpus self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    bg = bg.localCheckpoint()  # feeds all four counts
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("n").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(pmi, 9).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
+    "t_pmi_collocations": t_pmi_collocations,
     "t_token_count": t_token_count,
     "t_ngram_novelty": t_ngram_novelty,
     "t_quality_lr": t_quality_lr,
@@ -851,6 +920,30 @@ def _langid_sql() -> str:
 
 
 ORACLES = {
+    "t_pmi_collocations": f"""
+        WITH bg AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT string_split(text, ' ') AS t FROM documents
+                  WHERE len(string_split(text, ' ')) >= 2),
+                 unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        c12 AS (
+            SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            HAVING count(*) >= {PMI_MIN_COUNT}),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+        n AS (SELECT count(*) AS n FROM bg)
+        SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+               round(ln((CAST(c12.c12 AS DOUBLE) * CAST(n.n AS DOUBLE))
+                        / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))),
+                     9) AS pmi
+        FROM c12
+        JOIN c1 ON c12.w1 = c1.w1
+        JOIN c2 ON c12.w2 = c2.w2
+        CROSS JOIN n
+        ORDER BY pmi DESC, c12.w1 ASC, c12.w2 ASC
+        LIMIT {PMI_TOP_K}
+    """,
+
     "t_unigram_logprob": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok

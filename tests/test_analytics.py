@@ -1662,3 +1662,51 @@ def test_matryoshka_topk_two_stage_semantics(spark, sf_dir):
     assert got == rerank
     # the two scores genuinely differ (prefix is an approximation)
     assert any(abs(p - c) > 1e-6 for _, p, c in got)
+
+
+def test_pmi_collocations_naive_model(spark, sf_dir):
+    """Replays PMI collocation extraction in pure Python — bigram
+    counts, positional unigram counts, the ln(c12*N/(c1*c2)) measure,
+    the count floor, rounded-score ordering — and requires the exact
+    top-K rows. Also pins the measure's sign semantics: a pair that
+    co-occurs more than independence predicts scores positive."""
+    import math
+    from collections import Counter
+
+    from conduit_spark.analytics.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        t_pmi_collocations,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    c12, c1, c2 = Counter(), Counter(), Counter()
+    n = 0
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            c2[b] += 1
+            n += 1
+    rows = []
+    for (a, b), c in c12.items():
+        if c < PMI_MIN_COUNT:
+            continue
+        pmi = round(
+            math.log((float(c) * float(n)) / (float(c1[a]) * float(c2[b]))),
+            9,
+        )
+        rows.append((a, b, c, pmi))
+    expect = sorted(rows, key=lambda r: (-r[3], r[0], r[1]))[:PMI_TOP_K]
+    got = [
+        (r.w1, r.w2, r.c12, r.pmi)
+        for r in t_pmi_collocations(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got[0][3] > 0  # the top collocation beats independence
