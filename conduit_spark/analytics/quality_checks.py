@@ -298,7 +298,76 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_result(out, "feature")
 
 
+# (child_table, child_key, parent_table, parent_key) — the warehouse's
+# FK graph; a production deployment reads this from its catalog
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity gate — the multi-table member
+    of the dq family (the others audit one table at a time): for every
+    foreign-key edge in the warehouse graph, count child rows whose
+    key has no parent (orphans) and child rows with a NULL key, and
+    emit a pass verdict. Orphaned facts silently vanish from inner
+    joins — every revenue/retention query upstream assumes this gate
+    holds, which is why Deequ/dbt ship it as a first-class test.
+
+    Exactness: pure integer counting (anti-join cardinalities), no
+    floats anywhere.
+
+    Scale shape: one anti-join + one conditional-sum scan per edge.
+    Dimension parents broadcast; the one fact-to-fact edge
+    (lineitem → orders) is a keyed shuffle anti-join AQE plans like
+    any large join — there is never a row-level collect, and each
+    edge's result is a single aggregated row (7-row output total).
+    """
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        n_child = c.agg(F.count(F.lit(1)).alias("n"))
+        n_null = c.agg(
+            F.sum(F.col(ck).isNull().cast("bigint")).alias("n")
+        )
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = (
+            n_child.crossJoin(
+                n_null.select(F.col("n").alias("n_null"))
+            )
+            .crossJoin(orphans.select(F.col("n").alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+                F.col("n").cast("bigint").alias("n_child_rows"),
+                F.col("n_null").cast("bigint").alias("n_null_keys"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                ((F.col("n_orphans") == 0) & (F.col("n_null") == 0)).alias(
+                    "passed"
+                ),
+            )
+        )
+        rows.append(row)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")
+
+
 QUERIES = {
+    "dq_referential": dq_referential,
     "dq_documents": dq_documents,
     "dq_embeddings": dq_embeddings,
     "dq_events": dq_events,
@@ -309,6 +378,58 @@ _SQL_ALL = ",".join(f"'{x}'" for x in ALL_LANGS)
 _SQL_LATIN = ",".join(f"'{x}'" for x in LATIN_LANGS)
 
 ORACLES = {
+    "dq_referential": """
+        SELECT 'orders.o_custkey -> customer.c_custkey' AS fk_edge,
+               CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM orders c ANTI JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k WHERE c.o_custkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM orders c ANTI JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k WHERE c.o_custkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk_edge,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k WHERE c.l_orderkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k WHERE c.l_orderkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part.p_partkey' AS fk_edge,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM lineitem WHERE l_partkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON c.l_partkey = p.k WHERE c.l_partkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON c.l_partkey = p.k WHERE c.l_partkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier.s_suppkey' AS fk_edge,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k WHERE c.l_suppkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM lineitem c ANTI JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k WHERE c.l_suppkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation.n_nationkey' AS fk_edge,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM customer WHERE c_nationkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM customer c ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.c_nationkey = p.k WHERE c.c_nationkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM customer c ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.c_nationkey = p.k WHERE c.c_nationkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM customer WHERE c_nationkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'supplier.s_nationkey -> nation.n_nationkey' AS fk_edge,
+               CAST((SELECT count(*) FROM supplier) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM supplier WHERE s_nationkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM supplier c ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.s_nationkey = p.k WHERE c.s_nationkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM supplier c ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.s_nationkey = p.k WHERE c.s_nationkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL) = 0) AS passed
+        UNION ALL
+        SELECT 'nation.n_regionkey -> region.r_regionkey' AS fk_edge,
+               CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM nation WHERE n_regionkey IS NULL) AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM nation c ANTI JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON c.n_regionkey = p.k WHERE c.n_regionkey IS NOT NULL) AS BIGINT) AS n_orphans,
+               ((SELECT count(*) FROM nation c ANTI JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON c.n_regionkey = p.k WHERE c.n_regionkey IS NOT NULL) = 0
+                AND (SELECT count(*) FROM nation WHERE n_regionkey IS NULL) = 0) AS passed
+        ORDER BY fk_edge
+    """,
+
     "dq_documents": f"""
         WITH m AS (
             SELECT CAST(count(*) AS DOUBLE) AS n,

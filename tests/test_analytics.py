@@ -1710,3 +1710,52 @@ def test_pmi_collocations_naive_model(spark, sf_dir):
     ]
     assert got == expect
     assert got[0][3] > 0  # the top collocation beats independence
+
+
+def test_dq_referential_detects_injected_orphans(spark, sf_dir, tmp_path):
+    """All seven FK edges pass on the shipped testdata; corrupting the
+    corpus (dropping a referenced customer, nulling one nation key)
+    flips exactly the affected edges with exact orphan/NULL counts."""
+    import shutil
+
+    from conduit_spark.analytics.quality_checks import dq_referential
+
+    clean = {r.fk_edge: r for r in dq_referential(spark, sf_dir).collect()}
+    assert len(clean) == 7 and all(r.passed for r in clean.values())
+    assert all(r.n_orphans == 0 and r.n_null_keys == 0 for r in clean.values())
+
+    bad = tmp_path / "sf-corrupt"
+    bad.mkdir()
+    for t in ("region nation customer supplier part orders "
+              "lineitem events documents embeddings").split():
+        src = f"{sf_dir}/{t}.parquet"
+        shutil.copy(src, bad / f"{t}.parquet")
+    # drop one referenced customer -> its orders become orphans
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    victim = orders.select("o_custkey").first()[0]
+    n_victim_orders = orders.filter(F.col("o_custkey") == victim).count()
+    cust.filter(F.col("c_custkey") != victim).write.mode(
+        "overwrite"
+    ).parquet(str(bad / "customer.parquet"))
+    # null one supplier nation key
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    first_supp = supp.select("s_suppkey").first()[0]
+    supp.withColumn(
+        "s_nationkey",
+        F.when(F.col("s_suppkey") == first_supp, F.lit(None)).otherwise(
+            F.col("s_nationkey")
+        ),
+    ).write.mode("overwrite").parquet(str(bad / "supplier.parquet"))
+
+    out = {r.fk_edge: r for r in dq_referential(spark, str(bad)).collect()}
+    oc = out["orders.o_custkey -> customer.c_custkey"]
+    assert not oc.passed and oc.n_orphans == n_victim_orders
+    sn = out["supplier.s_nationkey -> nation.n_nationkey"]
+    assert not sn.passed and sn.n_null_keys == 1 and sn.n_orphans == 0
+    for edge, r in out.items():
+        if edge not in (
+            "orders.o_custkey -> customer.c_custkey",
+            "supplier.s_nationkey -> nation.n_nationkey",
+        ):
+            assert r.passed, edge
