@@ -164,6 +164,7 @@ _EXTENDED = (
     "s_matryoshka_topk",  # new in r13: Matryoshka (MRL) prefix-dim coarse search + full-dim exact re-rank
     "t_pmi_collocations",  # new in r13: PMI collocation extraction (Church & Hanks) with a count floor
     "dq_referential",  # new in r13: cross-table FK referential-integrity gate (orphan + NULL-key counts per edge)
+    "smp_balanced_classes",  # new in r13: class-balanced undersampling (exact minority-class-size bottom-k per label)
     "s_semantic_dedup",  # driver-green 6x (r4-r9)
     "sk_kmv_distinct",  # driver-green 6x (r4-r9, incl. post-restructure r8+r9)
     "m_resize",  # driver-green 4x (r6-r9)

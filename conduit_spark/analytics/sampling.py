@@ -287,6 +287,64 @@ def smp_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BALANCED_SALTS = 8  # two-phase partial bottom-k fan-in (reservoir shape)
+
+
+def smp_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subset selection over the labeled embedding
+    table — the undersampling step probe/classifier training runs on
+    a skewed corpus: every label keeps exactly ``k = |minority
+    class|`` vectors (the k smallest ``md5(vec_id)`` per label, ties
+    impossible — ids are unique), so the resulting set is perfectly
+    balanced and REPRODUCIBLE with no RNG. Emits (label, rank,
+    vec_id, sample_key) per kept vector.
+
+    k is data-dependent (the minority-class count, one tiny
+    two-level agg → O(1) driver state, the :func:`_kmeans_k`
+    pattern); the oracle recomputes the same k from its own GROUP BY
+    and replays the identical hash order, so a drifted gate or rank
+    cannot match.
+
+    Scale shape: the same two-phase bottom-k as :func:`smp_reservoir`
+    — per-(label, salt) partial sorted-top-k arrays (map-side
+    partials), merge the ≤ ``BALANCED_SALTS`` k-sized arrays per
+    label, slice k, posexplode. No window ever ranks the full
+    relation; per-label state is mergeable O(k).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = int(
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    keyed = emb.select(
+        "label",
+        F.struct(
+            md5_int32(F.col("vec_id")).alias("h"),
+            F.col("vec_id").alias("vec_id"),
+        ).alias("s"),
+    )
+    partial = keyed.groupBy(
+        "label", (F.col("s.vec_id") % BALANCED_SALTS).alias("salt")
+    ).agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("m"))
+    merged = partial.groupBy("label").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("m"))), 1, k).alias(
+            "res"
+        )
+    )
+    return (
+        merged.select("label", F.posexplode("res").alias("pos", "s"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.h").cast("bigint").alias("sample_key"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
 CORESET_K = 8  # centers selected by the greedy k-center traversal
 
 
@@ -399,6 +457,7 @@ QUERIES = {
     "smp_stratified_ids": smp_stratified_ids,
     "smp_dsir": smp_dsir,
     "smp_reservoir": smp_reservoir,
+    "smp_balanced_classes": smp_balanced_classes,
     "smp_coreset": smp_coreset,
 }
 
@@ -410,6 +469,24 @@ _RATE = (
 )
 
 ORACLES = {
+    # balanced undersampling: k = minority-class count via a scalar
+    # CTE (the data-dependent-parameter pattern the k-means kp CTE
+    # uses), bottom-k by md5(vec_id) per label
+    "smp_balanced_classes": f"""
+        WITH kp AS MATERIALIZED (
+            SELECT min(n) AS k FROM (
+                SELECT count(*) AS n FROM embeddings GROUP BY label))
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY {sql_md5_int32('CAST(vec_id AS VARCHAR)')}, vec_id
+               ) AS INT) AS rank,
+               vec_id,
+               {sql_md5_int32('CAST(vec_id AS VARCHAR)')} AS sample_key
+        FROM embeddings
+        QUALIFY rank <= (SELECT k FROM kp)
+        ORDER BY label, rank
+    """,
     # bottom-k by md5(doc_id) per source; ties impossible (doc_id
     # unique, hash ties broken by doc_id in the struct sort)
     "smp_reservoir": f"""

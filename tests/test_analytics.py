@@ -1759,3 +1759,35 @@ def test_dq_referential_detects_injected_orphans(spark, sf_dir, tmp_path):
             "supplier.s_nationkey -> nation.n_nationkey",
         ):
             assert r.passed, edge
+
+
+def test_balanced_classes_exact_undersampling(spark, sf_dir):
+    """Every label keeps exactly the minority-class count of vectors,
+    ranks are 1..k in md5 order, and the kept set per label equals the
+    naive bottom-k — so the subset is perfectly balanced, deterministic,
+    and stable (growth can only displace the largest hash)."""
+    import hashlib
+    from collections import defaultdict
+
+    from conduit_spark.analytics.sampling import smp_balanced_classes
+
+    def md5i(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    labels = defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect():
+        labels[r.label].append(r.vec_id)
+    k = min(len(v) for v in labels.values())
+    assert max(len(v) for v in labels.values()) > k  # real skew to fix
+
+    out = defaultdict(list)
+    for r in smp_balanced_classes(spark, sf_dir).collect():
+        out[r.label].append((r.rank, r.vec_id, r.sample_key))
+    assert set(out) == set(labels)
+    for lab, ids in labels.items():
+        expect = sorted(((md5i(v), v) for v in ids))[:k]
+        got = out[lab]
+        assert [r for r, _, _ in got] == list(range(1, k + 1))
+        assert [(h, v) for _, v, h in [(r, v, h) for r, v, h in got]] == [
+            (h, v) for h, v in expect
+        ]
