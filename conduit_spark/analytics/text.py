@@ -833,16 +833,19 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts when they fit; at 100 TB they shard by key), a 1-row N
     cross, and a TakeOrdered(K). No windows, no corpus self-join.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        F.split(F.col("text"), " ").alias("t")
-    ).filter(F.size("t") >= 2)
-    bg = base.select(
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    # token array bound ONCE per row via the 1-element-array lambda
+    # capture (the word_grams trick; ADVICE r13: the projected-column
+    # form re-tokenized per reference site through CollapseProject).
+    # No size filter needed: a 1-token doc yields two empty slices →
+    # empty zip_with → explode drops the row, identical to the old
+    # ``size(t) >= 2`` gate (split never returns an empty array).
+    bg = docs.select(
         F.explode(
-            F.zip_with(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            F.expr(
+                "transform(array(split(text, ' ')), t -> "
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2)))[0]"
             )
         ).alias("z")
     ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))

@@ -42,6 +42,12 @@ _DEFAULTS = {
     # UI off for test speed; harmless on a cluster where the operator
     # overrides it.
     "spark.ui.showConsoleProgress": "false",
+    # Per-op Python call-site capture (error-message enrichment) costs
+    # one stack inspection + one extra JVM round trip for EVERY
+    # DataFrame operation — measured at ~0.5s of pure plan-construction
+    # overhead on a 7-edge query (r14 profile, guide §1.2). Off in
+    # production; exceptions still carry the JVM-side context.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -58,7 +64,21 @@ _RUNTIME_REQUIRED = {
 }
 
 
+_CONFS_ENSURED: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    # Once per SESSION (not per call): every load_table call funnels
+    # through here, and the per-call conf round-trips were measurable
+    # construction overhead (r14 profile). Keyed by the JVM session
+    # UUID, not applicationId — ``spark.newSession()`` shares the
+    # context but needs its own conf repair (driver-contract test).
+    try:
+        sess_key = str(spark._jsparkSession.sessionUUID())
+    except Exception:  # noqa: BLE001 — fall back to one pass per call
+        sess_key = None
+    if sess_key is not None and sess_key in _CONFS_ENSURED:
+        return spark
     for k, v in _RUNTIME_REQUIRED.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -66,6 +86,8 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         except Exception:  # noqa: BLE001 — non-settable on some builds
             pass
     _ensure_package_on_executors(spark)
+    if sess_key is not None:
+        _CONFS_ENSURED.add(sess_key)
     return spark
 
 

@@ -27,6 +27,27 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Resolved parquet schema per (applicationId, path) — r14 (guide §1.2:
+# the profiled dominant CONSTRUCTION cost suite-wide was
+# ``spark.read.parquet`` re-resolving the same footer schema ~90 ms per
+# call; dq_referential alone paid it 12x per build). Passing the
+# once-resolved StructType back through ``spark.read.schema(...)``
+# skips resolution while returning a FRESH DataFrame (no self-join
+# alias aliasing), with identical scan semantics — pruning/pushdown
+# unaffected, no data cached. This is catalog-metadata caching, the
+# thing a real ``spark.table()`` deployment gets from its metastore.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _read_parquet_resolved(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    st = _SCHEMA_CACHE.get(key)
+    if st is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(st).parquet(path)
+
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
@@ -39,7 +60,7 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conduit_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = _read_parquet_resolved(spark, os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") != "bigint":  # pre-nanos parquet writer
         df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
@@ -101,13 +122,13 @@ def load_table(
         # rejects; the nanosAsLong flag (set above) reads it as long;
         # convert to a micros timestamp with exact integer division —
         # identical to DuckDB's nanos->micros truncation.
-        df = spark.read.parquet(path)
+        df = _read_parquet_resolved(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     else:
-        df = spark.read.parquet(path)
+        df = _read_parquet_resolved(spark, path)
     return _scan_fanout(spark, df, path) if fanout else df
 
 

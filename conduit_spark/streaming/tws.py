@@ -297,7 +297,7 @@ class HistQuantilesProcessor(StatefulProcessor):
     Exactness: bins and cumulative counts are integers, the estimate
     is (first bin whose cumulative count reaches p·n, + 1) × bin
     width — the identical order-statistic rule as
-    ``sk_hll_quantiles``'s batch form, so the emitted floats are
+    ``sk_hist_quantiles``'s batch form, so the emitted floats are
     bit-identical to the batch sketch on the same rows.
 
     Scale: one 64-int vector per key in the state store; merge work

@@ -94,7 +94,9 @@ def test_ngram_df_cap_bounds_hot_shingle_blowup(spark, tmp_path, monkeypatch):
 
     orig = dedup.load_table
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup,
+        "load_table",
+        lambda sp, d, name, **kw: sp.read.parquet(path),
     )
     try:
         out = dedup.d_ngram_jaccard(spark, str(tmp_path)).collect()
@@ -122,7 +124,7 @@ def test_quality_lr_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     docs.write.parquet(path)
     orig = text.load_table
-    monkeypatch.setattr(text, "load_table", lambda sp, d, name: sp.read.parquet(path))
+    monkeypatch.setattr(text, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path))
     try:
         got = {r.doc_id: r for r in text.t_quality_lr(spark, str(tmp_path)).collect()}
     finally:
@@ -593,7 +595,7 @@ def test_dsir_prefers_target_like_docs(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     docs.repartition(1).write.parquet(path)
     monkeypatch.setattr(
-        sampling, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        sampling, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     out = {r.doc_id: r.log_weight for r in sampling.smp_dsir(spark, str(tmp_path)).collect()}
     assert set(out) == {100, *range(101, 110)}  # raw docs only, all kept (K=64)
@@ -655,7 +657,9 @@ def test_substring_dedup_merges_maximal_spans(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     docs.repartition(1).write.parquet(path)
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup,
+        "load_table",
+        lambda sp, d, name, **kw: sp.read.parquet(path),
     )
     out = {r.doc_id: r for r in dedup.d_substring_dedup(spark, str(tmp_path)).collect()}
     for d in (1, 2):
@@ -687,7 +691,9 @@ def test_incremental_dedup_verdicts(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     docs.repartition(1).write.parquet(path)
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup,
+        "load_table",
+        lambda sp, d, name, **kw: sp.read.parquet(path),
     )
     out = {r.doc_id: r for r in dedup.d_incremental(spark, str(tmp_path)).collect()}
     assert set(out) == {1, 3, 6}
@@ -786,7 +792,7 @@ def test_dq_embeddings_catches_each_corruption(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "embeddings.parquet")
     emb.repartition(1).write.parquet(path)
     monkeypatch.setattr(
-        qc, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        qc, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     out = {r.check_name: r for r in qc.dq_embeddings(spark, str(tmp_path)).collect()}
     assert not out["dim_exact"].passed and abs(out["dim_exact"].metric - 0.2) < 1e-9
@@ -877,7 +883,9 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(
     docs.write.parquet(path)
     orig = dedup.load_table
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup,
+        "load_table",
+        lambda sp, d, name, **kw: sp.read.parquet(path),
     )
     try:
         cont = {
@@ -918,7 +926,7 @@ def test_ngram_novelty_first_owner_semantics(spark, tmp_path, monkeypatch):
 
     orig = dedup.load_table
     monkeypatch.setattr(
-        text_mod, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        text_mod, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     try:
         got = {

@@ -78,7 +78,7 @@ def test_substring_dedup_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         r.doc_id: (r.n_tokens, r.n_dup_grams, r.n_dup_spans, r.n_dup_tokens)
@@ -244,7 +244,7 @@ def test_dsir_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        sampling, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        sampling, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         r.doc_id: (r.log_weight, r.gumbel_key, r.source)
@@ -310,7 +310,7 @@ def test_ppl_buckets_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        curation, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         (r.lang, r.bucket): [r.n_docs, r.n_tokens]
@@ -418,7 +418,7 @@ def test_incremental_dedup_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        dedup, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        dedup, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         r.doc_id: (r.verdict, r.match_id, r.jaccard)
@@ -599,7 +599,7 @@ def test_zorder_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "orders.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        curation, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         r.layout: [r.n_shards, r.n_pruned, r.rows_scanned, r.rows_total]
@@ -647,7 +647,7 @@ def test_lang_temperature_matches_naive_model(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.repartition(3).write.parquet(path)
     monkeypatch.setattr(
-        curation, "load_table", lambda sp, d, name: sp.read.parquet(path)
+        curation, "load_table", lambda sp, d, name, **kw: sp.read.parquet(path)
     )
     got = {
         r.lang: (r.nat_share, r.temp_share, r.boost, r.mix_tokens)
