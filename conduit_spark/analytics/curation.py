@@ -583,7 +583,7 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.col("text"), " ")
     wsum = F.aggregate(
         F.transform(toks, lambda t: md5_int32(t) % 2001 - F.lit(1000)),

@@ -326,6 +326,22 @@ def extract_features(df: DataFrame, *, real_model: bool = False) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+
+def _spread_ids(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """Round-robin-spread the slim doc_id relation across the session's
+    cores before a mapInPandas decode. At fixture scale the documents
+    scan is ONE parquet split, so without this every real-codec decode
+    runs single-task no matter the core count (r14: m_decode_gif_real
+    measured 3.6s -> 1.3s at sf0.1 on local[32]); at corpus scale the
+    scan already has >= cores splits and the branch is a no-op. The
+    repartition is on ids only — the heavy synthesis/decode bytes are
+    produced inside the task."""
+    par = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        return ids.repartition(par)
+    return ids
+
+
 def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as fake image bytes → decode metadata."""
     docs = load_table(spark, sf_dir, "documents")
@@ -352,7 +368,9 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, no shuffle beyond the presentation sort."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_wav
@@ -415,7 +433,9 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced in scripts/gate_check.py)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         import numpy as np
@@ -468,7 +488,9 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares every output pixel of the resize, not a summary."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         import numpy as np
@@ -631,7 +653,9 @@ def m_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the JPEG sibling (r8 rotation candidate)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         import numpy as np  # noqa: F401 (decode_jpeg needs it importable)
@@ -724,7 +748,9 @@ def m_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_png
@@ -827,7 +853,9 @@ def m_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression family next to PNG's LZ77+Huffman and JPEG's transform
     coding. Scale shape: one ``mapInPandas`` pass, zero shuffles beyond
     the presentation sort."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_gif
@@ -925,7 +953,9 @@ def m_decode_ulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r8 rotation candidate)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_wav
@@ -984,7 +1014,9 @@ def m_decode_alaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation candidate next to m_decode_ulaw_real)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_wav
@@ -1023,7 +1055,9 @@ def m_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``((doc_id * 31 + i * 17) % 65536) - 32768``."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_wav
@@ -1106,7 +1140,9 @@ def m_decode_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/design-documents/20260724-ai-pipeline-components.md)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_mp4
@@ -1256,7 +1292,9 @@ def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     # bit weight of block (i, j) = 2^(i*8 + j); uint64 sum of distinct
     # powers of two is exact (< 2^64)
@@ -1301,9 +1339,6 @@ def m_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise run single-worker; a round-robin repartition of
     # the slim doc_id relation is ~free. At corpus scale the scan is
     # already thousands of partitions and the branch is skipped.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     fps = docs.mapInPandas(
         run, "media_id long, fp_hi long, fp_lo long"
     ).localCheckpoint()
@@ -1366,7 +1401,9 @@ def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_wav
@@ -1404,9 +1441,6 @@ def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fp_lo"].append(bits & 0xFFFFFFFF)
             yield pd.DataFrame(out)
 
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     fps = docs.mapInPandas(
         run, "media_id long, fp_hi long, fp_lo long"
     ).localCheckpoint()
@@ -1486,7 +1520,9 @@ def m_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     _WEIGHTS = 1 << np.arange(64, dtype=np.uint64)
     _C = np.asarray(_PHASH_COS, dtype=np.int64).reshape(8, 8)
@@ -1524,9 +1560,6 @@ def m_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fp_lo"].append(bits & 0xFFFFFFFF)
             yield pd.DataFrame(out)
 
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     fps = docs.mapInPandas(
         run, "media_id long, fp_hi long, fp_lo long"
     ).localCheckpoint()
@@ -1567,7 +1600,9 @@ def m_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_ids(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     _WEIGHTS = (1 << np.arange(64, dtype=np.uint64)).reshape(8, 8)
 
@@ -1599,9 +1634,6 @@ def m_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fp_lo"].append(bits & 0xFFFFFFFF)
             yield pd.DataFrame(out)
 
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     fps = docs.mapInPandas(
         run, "media_id long, fp_hi long, fp_lo long"
     ).localCheckpoint()

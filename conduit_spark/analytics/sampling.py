@@ -153,7 +153,7 @@ def smp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing here exceeds: one corpus-linear explode, keyed aggs, a
     512-row broadcast, top-k.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     base = docs.select(
         "doc_id",
         "source",

@@ -599,7 +599,7 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\)\\(")
         ).cast("bigint").alias("n_sym"),
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     occ = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
@@ -737,7 +737,7 @@ def t_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one transcendental (exp in the sigmoid) is rounded to 9 digits on
     both sides.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     d = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     wsum = F.aggregate(
         F.transform(
@@ -781,7 +781,7 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side and the DuckDB oracle shingle identically."""
     from conduit_spark.analytics.dedup import _shingles_df
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = _shingles_df(docs).localCheckpoint()
     first = sh.groupBy("x").agg(F.min("doc_id").alias("first_id"))
     out = (
