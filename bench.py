@@ -284,6 +284,11 @@ def main() -> None:
             import numpy  # noqa: F401
 
             from conduit_spark.analytics import media_codecs  # noqa: F401
+            from conduit_spark.functions import minis3  # noqa: F401
+            from conduit_spark.sources import (  # noqa: F401
+                postgres_wal,
+                s3_wire,
+            )
         except Exception:  # noqa: BLE001
             pass
 
