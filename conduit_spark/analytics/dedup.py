@@ -108,20 +108,54 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_grams_df(docs: DataFrame) -> DataFrame:
+    """doc_id → the in-row ARRAY of distinct int32 shingle hashes —
+    the un-exploded sibling of :func:`_shingles_df` (same values: its
+    explode IS this array). r14: signatures, per-doc counts and
+    pair-verify intersections are all duplicate-insensitive (min /
+    size / array_intersect over distinct arrays), so consumers that
+    never need the inverted (x → docs) orientation can stay fully
+    narrow on this relation instead of shuffling the exploded one."""
+    n = F.size(F.split(F.col("text"), " "))
+    hashes = F.array_distinct(
+        F.transform(word_grams(SHINGLE_W), lambda g: md5_int32(g))
+    )
+    return docs.filter(n >= SHINGLE_W).select(
+        "doc_id", hashes.alias("hs")
+    )
+
+
+def _sig_cols() -> list:
+    """The K in-row MinHash signature columns over the ``hs`` array:
+    ``h_j = array_min(transform(hs, x -> (a_j*x + b_j) mod P))`` — the
+    identical ``(a*x+b) % P`` bigint arithmetic as the historical
+    groupBy-min, evaluated per row with ZERO exchange (min over a
+    multiset equals min over its distinct support, so ``array_distinct``
+    upstream changes nothing)."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"h{j}")
+        for j, (a, b) in enumerate(_PARAMS)
+    ]
+
+
 def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (the sketch itself).
 
-    h_j = min((a_j * x + b_j) mod P) over shingle hashes x — one
-    groupBy(doc_id) with K min-aggregates: single shuffle, partial
-    aggregation map-side, signature width constant in data size.
+    h_j = min((a_j * x + b_j) mod P) over shingle hashes x — r14: the
+    min folds IN-ROW over each document's distinct-hash array
+    (:func:`_doc_grams_df` + :func:`_sig_cols`), so the plan is a
+    single narrow projection: no explode, no groupBy(doc_id) exchange.
+    Values are identical to the historical exploded groupBy-min.
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    sh = _shingles_df(docs)
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
-        for j, (a, b) in enumerate(_PARAMS)
-    ]
-    return ordered_result(sh.groupBy("doc_id").agg(*aggs), "doc_id")
+    return ordered_result(
+        _doc_grams_df(docs).select("doc_id", *_sig_cols()), "doc_id"
+    )
 
 
 def _band_buckets(sigs: DataFrame) -> DataFrame:
@@ -155,17 +189,15 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task (the same guard as the simhash/sign-LSH paths).
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    # shingling (split + md5 + distinct) feeds both signature building
-    # and the verify join — materialize so it computes once, not 3×.
+    # r14: the per-doc distinct-hash ARRAY (not the exploded relation)
+    # feeds signature building, per-doc counts and the verify — all
+    # three are duplicate-insensitive in-row folds, so the corpus-wide
+    # groupBy(doc_id) exchanges of the r1-r13 shapes disappear.
     # localCheckpoint, not persist: CacheManager entries outlive the
     # query (the cur_boilerplate leak class, ADVICE r7) while
     # checkpoint blocks free with the DataFrame
-    sh_cached = _shingles_df(docs).localCheckpoint()
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
-        for j, (a, b) in enumerate(_PARAMS)
-    ]
-    sigs = sh_cached.groupBy("doc_id").agg(*aggs)
+    garr = _doc_grams_df(docs).localCheckpoint()
+    sigs = garr.select("doc_id", *_sig_cols())
     # checkpoint the small (doc_id, band, bucket) relation so the
     # hot-bucket agg and both sides of the candidate self-join read the
     # materialization instead of re-running the signature pipeline
@@ -191,23 +223,27 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
     ).distinct()
-    sh = sh_cached
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("id_a"), "x")
-    shb = sh.select(F.col("doc_id").alias("id_b"), "x")
-    inter = (
-        cand.join(sha, "id_a")  # (id_a, id_b, x) — shingles of a per pair
-        .join(shb, ["id_b", "x"])  # keep only shingles b also has
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # r14 verify: join the candidate pairs to the per-doc hash arrays
+    # and intersect IN-ROW — ``size(array_intersect)`` over two
+    # distinct arrays equals the historical exploded join-count, and
+    # the per-doc sizes ride along, so the two corpus-sized shuffle
+    # legs and both count joins collapse into two candidate-keyed
+    # joins against the checkpointed array relation.
+    ga = garr.select(
+        F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")
+    )
+    gb = garr.select(
+        F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
     )
     joined = (
-        inter.join(
-            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"),
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
             "id_a",
-        ).join(
-            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"),
             "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
         )
     )
     jacc = F.col("n_inter").cast("double") / (
@@ -951,15 +987,11 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "exact_match_id")
     )
     # both roles read the same relation; localCheckpoint (not
-    # persist) so the blocks free with the DataFrame
-    sh = _shingles_df(docs).localCheckpoint()
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"h{j}"
-        )
-        for j, (a, b) in enumerate(_PARAMS)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    # persist) so the blocks free with the DataFrame. r14: per-doc
+    # distinct-hash ARRAYS — signatures, counts and the verify are all
+    # in-row folds (see :func:`_doc_grams_df`), no groupBy(doc_id).
+    garr = _doc_grams_df(docs).localCheckpoint()
+    sigs = garr.select("doc_id", *_sig_cols())
     bb = _band_buckets(sigs).withColumn("is_new", _is_new()).localCheckpoint()
     hot = (
         bb.filter(~F.col("is_new"))
@@ -987,24 +1019,32 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_new", F.col("o.doc_id").alias("id_old"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id_new"), "x"), "id_new")
-        .join(sh.select(F.col("doc_id").alias("id_old"), "x"), ["id_old", "x"])
-        .groupBy("id_new", "id_old")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    # r14 verify: candidate-keyed joins against the per-doc hash
+    # arrays, intersection + both sizes computed in-row — the two
+    # corpus-sized (doc_id, x) shuffle legs and both count joins of
+    # the r13 shape collapse away (same shape as ``_lsh_pairs``).
     jacc = F.col("ni").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("ni")
     ).cast("double")
     ver = (
-        inter.join(
-            counts.withColumnRenamed("doc_id", "id_new").withColumnRenamed("n", "n_a"),
+        cand.join(
+            garr.select(
+                F.col("doc_id").alias("id_new"), F.col("hs").alias("hs_n")
+            ),
             "id_new",
         )
         .join(
-            counts.withColumnRenamed("doc_id", "id_old").withColumnRenamed("n", "n_b"),
+            garr.select(
+                F.col("doc_id").alias("id_old"), F.col("hs").alias("hs_o")
+            ),
             "id_old",
+        )
+        .select(
+            "id_new",
+            "id_old",
+            F.size(F.array_intersect("hs_n", "hs_o")).alias("ni"),
+            F.size("hs_n").alias("n_a"),
+            F.size("hs_o").alias("n_b"),
         )
         .select("id_new", "id_old", F.round(jacc, 9).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -106,24 +106,32 @@ RRF_TOPK = 10
 def _rank_topn(df: DataFrame, score_col: str, n: int) -> DataFrame:
     """(doc_id, rank) for the top-``n`` rows by (score desc, doc_id) —
     rank WITHOUT a global window: the top-n relation (orderBy+limit =
-    TakeOrdered) is checkpointed, then ranked by an n x n self-join
-    count. n is a constant (20), so the join is bounded by construction
-    at any corpus size — the global-window smell never appears."""
-    top = (
-        df.orderBy(F.desc(score_col), F.asc("doc_id"))
-        .limit(n)
-        .localCheckpoint(eager=False)
+    TakeOrdered) is collapsed into ONE array row, and each member's
+    rank is an in-row count over that array. n is a constant (20), so
+    the array is bounded by construction at any corpus size — the
+    global-window smell never appears. r14: this replaced a
+    checkpointed n x n rank self-join — ``localCheckpoint`` (even
+    lazy) forces full Catalyst planning of the scoring subtree at
+    construction, ~0.9s per leg for the embed pipeline, and the
+    self-join added two more plan copies. Same (doc_id, rank) rows."""
+    top = df.orderBy(F.desc(score_col), F.asc("doc_id")).limit(n)
+    arr = top.agg(
+        F.collect_list(F.struct(score_col, "doc_id")).alias("t")
     )
-    a, b = top.alias("a"), top.alias("b")
-    sa, sb = F.col(f"a.{score_col}"), F.col(f"b.{score_col}")
-    return (
-        a.join(
-            b,
-            (sb > sa)
-            | ((sb == sa) & (F.col("b.doc_id") <= F.col("a.doc_id"))),
+    r = F.col("r")
+    rank = F.size(
+        F.filter(
+            F.col("t"),
+            lambda x: (x[score_col] > r[score_col])
+            | (
+                (x[score_col] == r[score_col])
+                & (x["doc_id"] <= r["doc_id"])
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("rank"))
+    )
+    return arr.select(F.explode("t").alias("r"), "t").select(
+        F.col("r.doc_id").alias("doc_id"),
+        rank.cast("bigint").alias("rank"),
     )
 
 

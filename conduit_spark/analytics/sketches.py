@@ -76,8 +76,20 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
-        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
-        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .select(
+            "source",
+            # r14: hash + dedupe in-row first (each distinct gram is
+            # hashed ONCE, duplicates never leave the row — the
+            # dedup._doc_grams_df shape), so the cross-document
+            # distinct exchange sees fewer rows and no gram strings
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
+                    )
+                )
+            ).alias("x"),
+        )
         .distinct()
     ).localCheckpoint()  # feeds both the sketch and the exact count
     kth = _kmv_sketch(rel).select(
@@ -136,8 +148,20 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
-        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
-        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .select(
+            "source",
+            # r14: hash + dedupe in-row first (each distinct gram is
+            # hashed ONCE, duplicates never leave the row — the
+            # dedup._doc_grams_df shape), so the cross-document
+            # distinct exchange sees fewer rows and no gram strings
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
+                    )
+                )
+            ).alias("x"),
+        )
         .distinct()
     ).localCheckpoint()  # feeds the sketch AND the exact count
     rest = F.expr(f"x div {HLL_M}")  # top 26 bits
@@ -276,8 +300,15 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
-        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
-        .select("source", "gram")
+        .select(
+            "source",
+            # r14: dedupe grams in-row before the cross-document
+            # distinct (cheap on the ~doc-length string array; fewer
+            # rows into the exchange, same distinct result)
+            F.explode(F.array_distinct(word_grams(SHINGLE_W))).alias(
+                "gram"
+            ),
+        )
         .distinct()
     ).localCheckpoint()  # feeds the filter AND the exact count
     seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
@@ -446,8 +477,20 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
-        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
-        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .select(
+            "source",
+            # r14: hash + dedupe in-row first (each distinct gram is
+            # hashed ONCE, duplicates never leave the row — the
+            # dedup._doc_grams_df shape), so the cross-document
+            # distinct exchange sees fewer rows and no gram strings
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
+                    )
+                )
+            ).alias("x"),
+        )
         .distinct()
     ).localCheckpoint()
     # two-phase k-min sketch (see _kmv_sketch) — replaces the r1-r7
@@ -575,8 +618,20 @@ def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.split(F.col("text"), " "))
     rel = (
         docs.filter(n >= SHINGLE_W)
-        .select("source", F.explode(word_grams(SHINGLE_W)).alias("gram"))
-        .select("source", md5_int32(F.col("gram")).alias("x"))
+        .select(
+            "source",
+            # r14: hash + dedupe in-row first (each distinct gram is
+            # hashed ONCE, duplicates never leave the row — the
+            # dedup._doc_grams_df shape), so the cross-document
+            # distinct exchange sees fewer rows and no gram strings
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
+                    )
+                )
+            ).alias("x"),
+        )
         .distinct()
     ).localCheckpoint()  # feeds both sketch paths AND the exact count
     rest = F.expr(f"x div {HLL_M}")

@@ -656,7 +656,15 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r14: doc length in-row — ``size(split(...))`` is exactly the
+    # explode's per-doc row count (split of "" yields [""], count 1),
+    # so the corpus-wide token explode + groupBy(doc_id) exchange the
+    # r1 shape paid for lengths disappears; only the |q|-term-filtered
+    # explode below ever shuffles.
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
