@@ -496,17 +496,22 @@ def _capped_shingle_stats(docs: DataFrame):
       enforced by a slim COUNT aggregation + broadcast anti-join
       BEFORE any group materializes — a boilerplate shingle in 10⁶
       docs must never reach collect_list.
-    - ``counts``: per-doc capped shingle count (explode of grouped —
-      never a second scan of the corpus).
+    - ``counts``: per-doc capped shingle count — IN-ROW (r14 batch 2):
+      ``size(hs) - |hs ∩ hot|`` over the per-doc distinct-hash array,
+      with the (tiny) hot-shingle list attached as one broadcast array
+      row. Equal by construction to counting the post-anti-join
+      exploded rows, with no second corpus exchange.
     - ``inter``: per-pair intersection counts from an in-codegen i<j
       combination explode over each (≤ cap)-sized doc list — replacing
       the r13 shingle self-join, whose TWO shuffle legs over the
       shingle relation plus a second corpus-sized checkpoint were the
       dominant cost. Pair keys come out pre-ordered (id_a < id_b from
       the sorted list), identical to the join's ``a.doc_id <
-      b.doc_id`` predicate.
+      b.doc_id`` predicate. With ``counts`` in-row, ``grouped`` has a
+      single consumer and needs no checkpoint of its own.
     """
-    raw_sh = _shingles_df(docs).localCheckpoint()
+    garr = _doc_grams_df(docs).localCheckpoint()
+    raw_sh = garr.select("doc_id", F.explode("hs").alias("x"))
     hot = (
         raw_sh.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -517,12 +522,13 @@ def _capped_shingle_stats(docs: DataFrame):
         raw_sh.join(F.broadcast(hot), "x", "left_anti")
         .groupBy("x")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("g"))
-        .localCheckpoint()  # feeds the per-doc counts AND the pairs
     )
-    counts = (
-        grouped.select(F.explode("g").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    hot_arr = hot.agg(F.collect_list("x").alias("hot"))
+    counts = garr.crossJoin(F.broadcast(hot_arr)).select(
+        "doc_id",
+        (
+            F.size("hs") - F.size(F.array_intersect("hs", "hot"))
+        ).cast("bigint").alias("n"),
     )
     inter = (
         combination_pairs(

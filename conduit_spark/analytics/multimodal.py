@@ -1410,36 +1410,74 @@ def a_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         T, B = A_FP_FRAMES, A_FP_LAGS
         for pdf in batches:
-            out = {"media_id": [], "fp_hi": [], "fp_lo": []}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                meta = decode_wav(
-                    _synth_alaw_wav_bytes(did), return_samples=True
+            ids = [int(d) for d in pdf["doc_id"]]
+            if not ids:
+                yield pd.DataFrame(
+                    {"media_id": [], "fp_hi": [], "fp_lo": []}
                 )
-                s = np.asarray(meta["samples"], dtype=np.int64)
-                n = len(s)
-                f = [(t * n) // T for t in range(T + 1)]
-                bits = 0
-                for b in range(B):
-                    lag = b + 1
-                    # d[k] = |s[i] - s[i-lag]| with i = k + lag; all
-                    # int64, exact
-                    d = np.abs(s[lag:] - s[:-lag])
-                    E = np.zeros(T, dtype=np.int64)
-                    C = np.zeros(T, dtype=np.int64)
-                    for t in range(T):
-                        lo, hi = max(f[t], lag), f[t + 1]
-                        if hi > lo:
-                            E[t] = d[lo - lag : hi - lag].sum()
-                            C[t] = hi - lo
-                    tot, ctot = int(E.sum()), int(C.sum())
-                    for t in range(T):
-                        if E[t] * ctot > tot * C[t]:
-                            bits |= 1 << (t * 8 + b)
-                out["media_id"].append(did)
-                out["fp_hi"].append((bits >> 32) & 0xFFFFFFFF)
-                out["fp_lo"].append(bits & 0xFFFFFFFF)
-            yield pd.DataFrame(out)
+                continue
+            # r14 (guide §4.2): the decode stays per clip (the real
+            # RIFF+A-law codec IS the operator), but the fingerprint
+            # math runs ONCE per batch as (N, L) matrix ops — the
+            # per-clip 8x8 tiny-slice loop was ~2x the decode cost.
+            # Clips are zero-padded to the batch max length; every
+            # sum is taken through an exact int64 cumsum indexed by
+            # each clip's own frame bounds, so padding is never read
+            # and every E/C/threshold value is bit-identical to the
+            # per-clip loop.
+            samples = [
+                np.asarray(
+                    decode_wav(
+                        _synth_alaw_wav_bytes(did), return_samples=True
+                    )["samples"],
+                    dtype=np.int64,
+                )
+                for did in ids
+            ]
+            nv = np.array([len(s) for s in samples], dtype=np.int64)
+            N, L = len(ids), int(nv.max())
+            S = np.zeros((N, L), dtype=np.int64)
+            for j, s in enumerate(samples):
+                S[j, : len(s)] = s
+            # per-clip frame bounds f[t] = (t*n)//T, t = 0..T
+            fmat = (np.arange(T + 1, dtype=np.int64)[None, :] * nv[:, None]) // T
+            bits = np.zeros(N, dtype=np.uint64)
+            for b in range(B):
+                lag = b + 1
+                # d[k] = |s[i] - s[i-lag]| with i = k + lag; int64 exact
+                D = np.abs(S[:, lag:] - S[:, :-lag])
+                Dc = np.concatenate(
+                    [np.zeros((N, 1), dtype=np.int64), np.cumsum(D, axis=1)],
+                    axis=1,
+                )
+                lo = np.maximum(fmat[:, :T], lag)
+                hi = fmat[:, 1:]
+                valid = hi > lo
+                C = np.where(valid, hi - lo, 0)
+                loi = np.minimum(lo - lag, hi - lag)  # clamp when invalid
+                E = np.where(
+                    valid,
+                    np.take_along_axis(Dc, hi - lag, 1)
+                    - np.take_along_axis(Dc, loi, 1),
+                    0,
+                )
+                tot = E.sum(axis=1, keepdims=True)
+                ctot = C.sum(axis=1, keepdims=True)
+                on = E * ctot > tot * C  # (N, T) — identical comparisons
+                w = (
+                    np.uint64(1)
+                    << (np.arange(T, dtype=np.uint64) * np.uint64(8) + np.uint64(b))
+                )
+                bits |= (on * w).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "fp_hi": ((bits >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(
+                        np.int64
+                    ),
+                    "fp_lo": (bits & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                }
+            )
 
     fps = docs.mapInPandas(
         run, "media_id long, fp_hi long, fp_lo long"
