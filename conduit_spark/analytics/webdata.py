@@ -170,32 +170,47 @@ def cur_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conduit_spark.functions.hashing import md5_int60
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    # r14 restructure (same outputs, proven oracle-exact): grams hash
+    # into a per-doc in-row array first, so
+    # - the DF agg explodes the per-doc DISTINCT grams and counts
+    #   plain rows — the old countDistinct's two-phase expand is gone;
+    # - per-doc n_grams is ``size(hs)`` in-row — the old corpus-sized
+    #   count agg disappears;
+    # - the boilerplate gram set is tiny by construction, so the
+    #   instance recount is a BROADCAST join + a boiler-rows-only agg
+    #   instead of a corpus-sized shuffle join.
+    # (A first cut also computed per-distinct-gram multiplicities
+    # in-row; the O(distinct x len) array scan cost MORE than the
+    # exchange it saved — A/B'd and dropped, guide §1.1.)
+    hs = F.transform(word_grams(BOILER_K), lambda g: md5_int60(g))
+    base = (
         docs.filter(F.size(F.split(F.col("text"), " ")) >= BOILER_K)
-        .select("doc_id", "source", F.explode(word_grams(BOILER_K)).alias("g"))
-        .select("doc_id", "source", md5_int60(F.col("g")).alias("g"))
+        .select("doc_id", "source", hs.alias("hs"))
         .localCheckpoint()  # not persist: checkpoint blocks are freed
         # when the DataFrame is GC'd, while the old persist() was never
         # unpersisted and accumulated cached partitions across the
         # gate+bench+scale_probe invocations of one session (ADVICE r7)
     )
     boiler = (
-        grams.groupBy("source", "g")
-        .agg(F.countDistinct("doc_id").alias("__df"))
+        base.select(
+            "source", F.explode(F.array_distinct("hs")).alias("g")
+        )  # one row per (doc, distinct gram): plain count IS the DF
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= BOILER_DF)
-        .select("source", "g", F.lit(1).alias("__b"))
+        .select("source", "g")
     )
-    stats = (
-        grams.join(boiler, ["source", "g"], "left")
+    nb = (
+        base.select("doc_id", "source", F.explode("hs").alias("g"))
+        .join(F.broadcast(boiler), ["source", "g"])
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
+    ng = base.select("doc_id", F.size("hs").cast("bigint").alias("n_grams"))
     out = (
         docs.select("doc_id")
-        .join(stats, "doc_id", "left")
+        .join(ng, "doc_id", "left")
+        .join(nb, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),

@@ -118,7 +118,7 @@ def test_neardup_embedding_candidates_stay_linear(spark, sf):
         hists.append(
             emb.select(
                 F.lit(band).alias("band"),
-                similarity._band_bucket(F.col("embedding"), band).alias("bucket"),
+                similarity._band_bucket("embedding", band).alias("bucket"),
             )
         )
     bb = hists[0]
