@@ -39,74 +39,74 @@ HASH_SPACE = float(2**32)  # md5_int32 range
 KMV_SALTS = 64
 
 
-def _kmv_sketch(rel: DataFrame) -> DataFrame:
-    """(source, x) distinct-hash relation → (source, hs) where ``hs``
-    is the ascending array of the source's ``KMV_K`` smallest hashes.
-
-    Two-phase k-min (the c_pack_blocks prefix-sum shape), replacing the
-    r1–r7 ``Window.partitionBy(source).orderBy(x)`` rank: the window
-    ranked EVERY distinct hash of a source in a single task — at 100 TB
-    with a handful of sources, a billions-of-rows one-task sort in the
-    operator family whose selling point is O(k) mergeable state
-    (VERDICT r7 "what's wrong" #2). Here the widest task touches
-    distinct/SALTS rows and the merge state is SALTS·k values.
-    """
-    partial = rel.groupBy(
-        "source", (F.col("x") % F.lit(KMV_SALTS)).alias("salt")
-    ).agg(F.slice(F.array_sort(F.collect_list("x")), 1, KMV_K).alias("mins"))
-    return partial.groupBy("source").agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
-        ).alias("hs")
-    )
+# The two-phase k-min (formerly the standalone ``_kmv_sketch`` helper)
+# now lives inline in both KMV queries, fused with their exact-count
+# phases: phase 1 groups by (source, x % KMV_SALTS) so no task ever
+# sorts more than ~distinct/SALTS rows (the r7 fix for the one-task
+# window rank), and phase 2 merges ≤ SALTS k-sized arrays per source.
 
 
 def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct word-``SHINGLE_W``-gram count: exact vs the
     KMV-``KMV_K`` estimate, with relative error.
 
-    Plan: narrow explode → hashed distinct (source, x) relation (one
-    shuffle), then the two-phase k-min (:func:`_kmv_sketch`) picks
-    ``h_k`` and a keyed count covers the exact side. With fewer than k
-    distinct values the sketch degenerates to the exact count (the
-    k-th element is absent → estimate := exact), mirrored in the
-    oracle (whose row_number formulation is plan-free and unchanged).
+    Plan (r14 session 3, guide §2.4): the corpus-wide ``distinct`` and
+    its checkpoint are SUBSUMED into the two-phase k-min itself —
+    phase 1 groups the raw hashed-gram stream by ``(source, x % salt)``
+    and ``collect_set`` dedupes (map-side partials dedupe per
+    partition, exactly what ``.distinct()`` paid a dedicated exchange
+    for); each group's sorted set yields its k smallest AND its
+    distinct count, so phase 2's tiny per-source merge emits ``h_k``
+    and ``n_exact`` from ONE relation — no checkpoint, no count join.
+    4 exchanges + checkpoint + join → 2 exchanges. Values are
+    identical: the salt groups partition the hash space, so the union
+    of per-group distinct sets IS the distinct relation (min-k and
+    count are both salt-invariant). With fewer than k distinct values
+    the sketch degenerates to the exact count (the k-th element is
+    absent → estimate := exact), mirrored in the oracle (whose
+    row_number formulation is plan-free and unchanged).
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
-    rel = (
-        docs.filter(n >= SHINGLE_W)
+    raw = docs.filter(n >= SHINGLE_W).select(
+        "source",
+        # hash + dedupe in-row first (each distinct gram is hashed
+        # ONCE, duplicates never leave the row)
+        F.explode(
+            F.array_distinct(
+                F.transform(word_grams(SHINGLE_W), lambda g: md5_int32(g))
+            )
+        ).alias("x"),
+    )
+    p1 = (
+        raw.groupBy("source", (F.col("x") % F.lit(KMV_SALTS)).alias("salt"))
+        .agg(F.collect_set("x").alias("cs"))
         .select(
             "source",
-            # r14: hash + dedupe in-row first (each distinct gram is
-            # hashed ONCE, duplicates never leave the row — the
-            # dedup._doc_grams_df shape), so the cross-document
-            # distinct exchange sees fewer rows and no gram strings
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
-                    )
-                )
-            ).alias("x"),
+            F.slice(F.array_sort("cs"), 1, KMV_K).alias("mins"),
+            F.size("cs").cast("bigint").alias("cnt"),
         )
-        .distinct()
-    ).localCheckpoint()  # feeds both the sketch and the exact count
-    kth = _kmv_sketch(rel).select(
-        "source",
-        F.when(
-            F.size("hs") >= KMV_K, F.element_at("hs", KMV_K)
-        ).alias("kth_hash"),
     )
-    exact = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    sk = p1.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+        ).alias("hs"),
+        F.sum("cnt").alias("n_exact"),
+    )
+    kth = sk.select(
+        "source",
+        "n_exact",
+        F.when(F.size("hs") >= KMV_K, F.element_at("hs", KMV_K)).alias(
+            "kth_hash"
+        ),
+    )
     est = F.when(
         F.col("kth_hash").isNull(), F.col("n_exact").cast("double")
     ).otherwise(
         F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash").cast("double")
     )
     return (
-        exact.join(kth, "source", "left")
-        .select(
+        kth.select(
             "source",
             F.col("n_exact").cast("bigint").alias("n_exact"),
             F.col("kth_hash").cast("bigint").alias("kth_hash"),
@@ -139,44 +139,46 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact power of two (``pow(2, -Mj)``) summed in sorted bucket
     order — so even the *estimate* is bit-identical vs DuckDB.
 
-    Scale: per-bucket ``max(rho)`` is a keyed agg with map-side
-    partials — each executor partition reduces to ≤ 64 rows per
-    source before the shuffle, the textbook mergeable-sketch shape
-    (KMV needs a top-k merge; HLL's merge is just ``max``).
+    Scale (r14 session 3, guide §2.4): the bucket id partitions the
+    hash space, so ONE ``groupBy(source, bucket)`` carries BOTH
+    sketch halves — ``max(rho)`` (duplicate-insensitive, so the old
+    corpus-wide ``.distinct()`` exchange was never needed for it) and
+    the group's distinct-hash count via ``collect_set`` (map-side
+    partials dedupe per partition, which is what the distinct
+    exchange did). Per-source totals are a 64-rows-per-source merge:
+    ``n_exact = Σ_bucket |set_b|`` is exact because a hash's bucket
+    is a function of its value. 3 exchanges + checkpoint + join → 2
+    exchanges, identical values.
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
-    rel = (
-        docs.filter(n >= SHINGLE_W)
-        .select(
-            "source",
-            # r14: hash + dedupe in-row first (each distinct gram is
-            # hashed ONCE, duplicates never leave the row — the
-            # dedup._doc_grams_df shape), so the cross-document
-            # distinct exchange sees fewer rows and no gram strings
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
-                    )
-                )
-            ).alias("x"),
-        )
-        .distinct()
-    ).localCheckpoint()  # feeds the sketch AND the exact count
+    raw = docs.filter(n >= SHINGLE_W).select(
+        "source",
+        # hash + dedupe in-row first (each distinct gram is hashed
+        # ONCE, duplicates never leave the row)
+        F.explode(
+            F.array_distinct(
+                F.transform(word_grams(SHINGLE_W), lambda g: md5_int32(g))
+            )
+        ).alias("x"),
+    )
     rest = F.expr(f"x div {HLL_M}")  # top 26 bits
     # rho = 1-based position of the first set bit in the 26-bit field,
     # scanning from the high bit; all-zero field → 27. String-domain
     # bit scan (bin/lpad/instr) is defined identically in both engines.
     rho = F.instr(F.lpad(F.bin(rest), _REST_BITS, "0"), "1")
     buckets = (
-        rel.select(
+        raw.select(
             "source",
             (F.col("x") % HLL_M).alias("bucket"),
             F.when(rho == 0, F.lit(_REST_BITS + 1)).otherwise(rho).alias("rho"),
+            "x",
         )
         .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("mj"))
+        .agg(
+            F.max("rho").alias("mj"),
+            F.size(F.collect_set("x")).cast("bigint").alias("nb"),
+        )
     )
     # Z = sum 2^-Mj over all 64 buckets (absent buckets contribute
     # 2^0 = 1), folded in sorted bucket order
@@ -186,13 +188,13 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, s: acc + F.pow(F.lit(2.0), -s["mj"].cast("double")),
     ) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
     sk = buckets.groupBy("source").agg(
-        z.alias("z"), F.count(F.lit(1)).alias("n_buckets_hit")
+        z.alias("z"),
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum("nb").alias("n_exact"),
     )
-    exact = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
     est = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("z")
     return (
-        exact.join(sk, "source")
-        .select(
+        sk.select(
             "source",
             F.col("n_exact").cast("bigint").alias("n_exact"),
             F.col("n_buckets_hit").cast("bigint").alias("n_buckets_hit"),
@@ -295,25 +297,30 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the single shuffle (same shape as the HLL max). Words are
     32-bit inside bigint slots so shift/or semantics are identical in
     Spark and DuckDB (no sign-bit divergence at 1<<63).
+
+    r14 session 3 (guide §2.4): the corpus-wide string ``.distinct()``
+    exchange is gone — OR is duplicate-insensitive, so the filter
+    words come straight from the per-doc deduped gram stream (the only
+    exchange is the tiny bit_or partial merge), and the exact distinct
+    count re-keys that stream by (source, salt-of-gram) where
+    map-side ``collect_set`` partials dedupe per partition — exactly
+    what the dedicated distinct exchange did, minus the checkpoint of
+    the distinct relation. The checkpoint now holds the per-DOC gram
+    arrays so both branches share one corpus scan. Identical bitmap
+    (OR idempotent), identical ``n_exact`` (salt groups partition the
+    gram space).
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
-    rel = (
+    per_doc = (
         docs.filter(n >= SHINGLE_W)
-        .select(
-            "source",
-            # r14: dedupe grams in-row before the cross-document
-            # distinct (cheap on the ~doc-length string array; fewer
-            # rows into the exchange, same distinct result)
-            F.explode(F.array_distinct(word_grams(SHINGLE_W))).alias(
-                "gram"
-            ),
-        )
-        .distinct()
-    ).localCheckpoint()  # feeds the filter AND the exact count
+        .select("source", F.array_distinct(word_grams(SHINGLE_W)).alias("gs"))
+        .localCheckpoint()  # one scan feeds the filter AND the exact count
+    )
+    grams = per_doc.select("source", F.explode("gs").alias("gram"))
     seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
     pos = (
-        rel.select(
+        grams.select(
             "source",
             F.explode(
                 F.transform(
@@ -352,7 +359,17 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("w")).alias("bits_set"),
         fingerprint.alias("filter_md5"),
     )
-    exact = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    # exact distinct grams per source: salt-partitioned collect_set
+    # (the salt hash is internal grouping only — any deterministic
+    # function works and never reaches the oracle-visible values)
+    exact = (
+        grams.groupBy(
+            "source", F.pmod(F.crc32("gram"), F.lit(KMV_SALTS)).alias("salt")
+        )
+        .agg(F.size(F.collect_set("gram")).cast("bigint").alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum("cnt").alias("n_exact"))
+    )
     fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_M))
     # a saturated filter (all bits set) has no estimate: ln(0) diverges
     # and differs across engines (null vs -inf) — report NULL, the
@@ -472,30 +489,52 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate case mirrored exactly in the oracle: when the combined
     sketch union holds fewer than k hashes, both sketches are
     exhaustive and the sketch estimates ARE exact.
+
+    r14 session 3 (guide §2.4): the corpus-wide ``.distinct()`` and
+    the separate ``groupBy(x)`` for the exact side merged into ONE
+    hash-keyed aggregation — ``collect_set(source)`` per hash both
+    dedupes (subsuming the distinct exchange) and IS the inverted
+    source-set relation the exact intersections need. The per-source
+    sketches re-derive (source, x) by exploding that checkpointed
+    relation, and the per-source distinct counts ride the two k-min
+    phases (each phase-1 group's size sums to the source's distinct
+    count), so the old ``counts`` aggregation and both count joins
+    disappear. 5 exchanges + a (source,x)-wide checkpoint → 3
+    exchanges + a per-hash checkpoint; identical values.
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
-    rel = (
-        docs.filter(n >= SHINGLE_W)
-        .select(
-            "source",
-            # r14: hash + dedupe in-row first (each distinct gram is
-            # hashed ONCE, duplicates never leave the row — the
-            # dedup._doc_grams_df shape), so the cross-document
-            # distinct exchange sees fewer rows and no gram strings
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_grams(SHINGLE_W), lambda g: md5_int32(g)
-                    )
-                )
-            ).alias("x"),
-        )
-        .distinct()
-    ).localCheckpoint()
-    # two-phase k-min sketch (see _kmv_sketch) — replaces the r1-r7
-    # per-source full-relation window rank
-    sk = _kmv_sketch(rel)
+    raw = docs.filter(n >= SHINGLE_W).select(
+        "source",
+        # hash + dedupe in-row first (each distinct gram is hashed
+        # ONCE, duplicates never leave the row)
+        F.explode(
+            F.array_distinct(
+                F.transform(word_grams(SHINGLE_W), lambda g: md5_int32(g))
+            )
+        ).alias("x"),
+    )
+    byhash = (
+        raw.groupBy("x")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint()
+    )
+    # two-phase k-min (the _kmv_sketch shape) over the re-exploded
+    # (source, x) orientation — already distinct by construction; the
+    # per-salt group sizes sum to each source's exact distinct count
+    ex = byhash.select(F.explode("ss").alias("source"), "x")
+    p1 = ex.groupBy(
+        "source", (F.col("x") % F.lit(KMV_SALTS)).alias("salt")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list("x")), 1, KMV_K).alias("mins"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    sk = p1.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+        ).alias("hs"),
+        F.sum("cnt").alias("n"),
+    ).localCheckpoint(eager=False)  # tiny; read by both pair legs
     a, b = sk.alias("a"), sk.alias("b")
     pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
         F.col("a.source").alias("source_a"),
@@ -506,6 +545,8 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             KMV_K,
         ).alias("uk"),
         F.array_intersect(F.col("a.hs"), F.col("b.hs")).alias("both"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
     )
     exhaustive = F.size("uk") < KMV_K
     theta = F.element_at("uk", KMV_K).cast("double")
@@ -523,14 +564,14 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jacc_est, 6).alias("jaccard_est"),
         F.round(union_est, 2).alias("union_est"),
         F.round(jacc_est * union_est, 2).alias("inter_est"),
+        "n_a",
+        "n_b",
     )
-    # exact side (the full-shuffle path the sketches avoid). One keyed
-    # agg by hash then an in-row pair expansion of each hash's source
-    # set (≤ n_sources² pairs per row) — no self-join of the big
-    # relation against itself.
-    src_sets = rel.groupBy("x").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
-    )
+    # exact side (the full-shuffle path the sketches avoid): an in-row
+    # pair expansion of each hash's source set (≤ n_sources² pairs per
+    # row) over the SAME checkpointed per-hash relation — no self-join
+    # of the big relation against itself, and the per-source sizes
+    # already ride the sketch relation.
     pair_structs = F.flatten(
         F.transform(
             F.col("ss"),
@@ -541,7 +582,7 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        src_sets.filter(F.size("ss") >= 2)
+        byhash.filter(F.size("ss") >= 2)
         .select(F.explode(pair_structs).alias("p"))
         .groupBy(
             F.col("p.source_a").alias("source_a"),
@@ -549,43 +590,20 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    counts = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    exact = (
-        inter.join(
-            counts.select(
-                F.col("source").alias("source_a"), F.col("n").alias("n_a")
-            ),
-            "source_a",
-        )
-        .join(
-            counts.select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            ),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("jaccard_exact"),
-        )
+    jaccard_exact = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        6,
     )
     return (
-        est.join(exact, ["source_a", "source_b"], "left")
+        est.join(inter, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
             "jaccard_est",
             "union_est",
             "inter_est",
-            F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias(
-                "jaccard_exact"
-            ),
+            F.coalesce(jaccard_exact, F.lit(0.0)).alias("jaccard_exact"),
         )
         .transform(ordered_result, "source_a", "source_b")
     )
