@@ -35,18 +35,28 @@ def chunk_text(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # one start per stride; last partial window included iff it adds tokens
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
-        F.lit(1),
-    )
-    starts = F.sequence(F.lit(0), n_chunks - 1)
+
+    # r14: bind the token array ONCE per row via the 1-element-array
+    # lambda capture (the word_grams trick) — the previous free
+    # ``toks = split(...)`` reference inside the slice lambda
+    # re-tokenized the document once per chunk (plus once for the
+    # start sequence), the CollapseProject trap the project convention
+    # flags. Values unchanged: same split, same windows.
+    def _windows(t):
+        n_chunks = F.greatest(
+            F.ceil(
+                (F.size(t) - F.lit(overlap)).cast("double") / F.lit(stride)
+            ).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda s: F.slice(t, s * stride + 1, size),
+        )
+
     chunks = F.transform(
-        starts,
-        lambda s: F.slice(toks, s * stride + 1, size),
-    )
+        F.array(F.split(F.col(text_col), " ")), _windows
+    )[0]
     out = df.withColumn("__chunks", chunks).select(
         "*",
         F.posexplode("__chunks").alias("chunk_idx", "__chunk_toks"),

@@ -299,6 +299,22 @@ HN_QUERIES = (
 HN_K = 5  # hard negatives per query (ranks 2..HN_K+1)
 
 
+def _hn_scored(docs: DataFrame) -> DataFrame:
+    """The shared (query_id, doc_id, bm25) relation of the HN_QUERIES
+    batch — ONE :func:`text.bm25_scores_multi` corpus pass,
+    checkpointed so each consumer leg's sort-limit reads executor
+    blocks instead of re-running the scan (r14, guide §2.4/§5; the
+    per-leg floats are bit-equal to the old three bm25_scores legs,
+    see bm25_scores_multi)."""
+    from conduit_spark.analytics.text import bm25_scores_multi
+
+    return (
+        bm25_scores_multi(docs, HN_QUERIES)
+        .select("query_id", "doc_id", "bm25")
+        .localCheckpoint()
+    )
+
+
 def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 hard-negative mining for retriever training: for each
     training query, rank-1 is the positive, ranks 2..6 are the hard
@@ -316,20 +332,18 @@ def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work and each is one BM25 scan; real workloads batch
     many queries per leg (tf filter on a broadcast term set), which is
     this exact DAG with a wider isin."""
-    from conduit_spark.analytics.text import bm25_scores
-
     docs = load_table(spark, sf_dir, "documents")
+    # r14: the three legs share ONE scored relation (bm25_scores_multi
+    # — one corpus scan for all queries, bit-equal per-leg floats);
+    # the checkpoint pins it so each leg's TakeOrdered reads blocks
+    scored = _hn_scored(docs)
     pool = None
-    for qid, terms in HN_QUERIES:
+    for qid, _ in HN_QUERIES:
         leg = (
-            bm25_scores(docs, terms)
+            scored.filter(F.col("query_id") == qid)
             .orderBy(F.desc("bm25"), F.asc("doc_id"))
             .limit(1 + HN_K)
-            .select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                "doc_id",
-                "bm25",
-            )
+            .select("query_id", "doc_id", "bm25")
         )
         pool = leg if pool is None else pool.unionByName(leg)
     pool = pool.localCheckpoint()  # 18 rows; feeds both rank-join sides
@@ -430,23 +444,20 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-sized work — identical posture to the hard-negative
     miner; batching many queries per leg widens the isin, not the
     plan."""
-    from conduit_spark.analytics.text import bm25_scores
-
     docs = load_table(spark, sf_dir, "documents")
     ntok = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
+    # r14: one shared scored relation for all three legs (see
+    # _hn_scored / bm25_scores_multi — bit-equal per-leg floats)
+    scored = _hn_scored(docs)
     pool = None
-    for qid, terms in HN_QUERIES:
+    for qid, _ in HN_QUERIES:
         leg = (
-            bm25_scores(docs, terms)
+            scored.filter(F.col("query_id") == qid)
             .orderBy(F.desc("bm25"), F.asc("doc_id"))
             .limit(PACK_POOL)
-            .select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                "doc_id",
-                "bm25",
-            )
+            .select("query_id", "doc_id", "bm25")
         )
         pool = leg if pool is None else pool.unionByName(leg)
     pool = (

@@ -749,6 +749,98 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     )
 
 
+def bm25_scores_multi(
+    docs: DataFrame, queries: tuple[tuple[int, tuple[str, ...]], ...]
+) -> DataFrame:
+    """(query_id, doc_id, n_query_terms, bm25) for EVERY query in one
+    pass — the batched form of :func:`bm25_scores` (r14, guide §2.4):
+    the per-leg loop the RAG miners ran scanned the corpus once per
+    query (token explode + tf agg + dl join, ×|Q|); here ONE explode
+    filtered by the union term set feeds one (doc, tok) tf relation,
+    and a broadcast (tok → query_id) mapping fans each term row out to
+    the queries that reference it. Every per-leg value is reproduced
+    exactly: df/tf/dl/avgdl/N don't depend on which query references a
+    term, and the per-(query, doc) fold sums the identical term-sorted
+    structs the single-query fold sorts — so the legs' floats are
+    bit-equal and the oracles are untouched. At 100 TB this is the
+    "wider isin" batching the per-leg docstring promised: corpus-sized
+    work is ONE scan regardless of |Q|."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    tf = (
+        toks.filter(F.col("tok").isin(*all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # (tok → query_id) fan-out as a literal 1-row explode (no driver
+    # table round trip); a term shared by two queries scores in both
+    qmap = (
+        docs.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).cast("bigint").alias("query_id"),
+                            F.lit(t).alias("tok"),
+                        )
+                        for qid, ts in queries
+                        for t in ts
+                    ]
+                )
+            ).alias("qt")
+        )
+        .select("qt.query_id", "qt.tok")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    num = F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    j = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(qmap), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "tok", (idf * num / den).alias("s"))
+    )
+    return (
+        j.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "s"))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["s"],
+            ).alias("score"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "n_query_terms",
+            F.round(F.col("score"), 6).alias("bm25"),
+        )
+    )
+
+
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 for a fixed query (see
     :func:`bm25_scores` for the scoring math and plan shape)."""
