@@ -1060,16 +1060,26 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_new", "id_old", F.round(jacc, 9).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    bj = ver.groupBy("id_new").agg(F.max("jaccard").alias("mj"))
+    # best match = ONE max(struct) agg (r14 session 3, guide §2.4 —
+    # the smp_coreset keyed-argmax shape): struct comparison is
+    # lexicographic, so max(jaccard, -id_old) picks the max Jaccard
+    # with ties to the min existing id — identical to the former
+    # max-agg + self-join + filter + re-agg (2 exchanges + a join
+    # fewer)
     best = (
-        ver.join(bj, "id_new")
-        .filter(F.col("jaccard") == F.col("mj"))
-        .groupBy("id_new")
+        ver.groupBy("id_new")
         .agg(
-            F.min("id_old").alias("near_match_id"),
-            F.max("jaccard").alias("near_jaccard"),
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("id_old")).alias("nio")
+                )
+            ).alias("s")
         )
-        .withColumnRenamed("id_new", "doc_id")
+        .select(
+            F.col("id_new").alias("doc_id"),
+            (-F.col("s.nio")).alias("near_match_id"),
+            F.col("s.jaccard").alias("near_jaccard"),
+        )
     )
     return (
         new_ids.join(exact, "doc_id", "left")

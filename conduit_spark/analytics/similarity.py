@@ -25,7 +25,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from conduit_spark.analytics import combination_pairs, ordered_result
-from conduit_spark.plans import iteration_barrier
 from conduit_spark.functions.hashing import (
     hyperplanes,
     md5_int32,
@@ -1081,13 +1080,19 @@ def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     after ANN candidate generation, so near-duplicate passages don't
     crowd the context window.
 
-    The greedy loop is K-1 UNROLLED DataFrame stages over the
-    checkpointed 16-row candidate pool and its 16x15 similarity
-    matrix — bounded by construction (top-C candidates), never
-    corpus-sized, so the "iteration" costs K tiny jobs regardless of
-    SF. All similarities are 9-rounded before the argmax, and the
-    lambda/mu literals are written identically in both engines, so
-    selection order is bit-deterministic (ties break on vec_id).
+    r14: the greedy loop is ONE in-row ``aggregate`` fold over the
+    collected candidate pool (the rag_context_pack / c_pack_blocks
+    greedy-fold shape) instead of K-1 unrolled DataFrame stages with
+    per-step lazy checkpoints — 22 Spark jobs → ~6. The pool is a
+    single collect_list row (top-C candidates, bounded by
+    construction, never corpus-sized; the scalar agg is the waived
+    keys=[] idiom). Each step's argmax rides a struct max with the
+    unique ``-vec_id`` tie-break, every pairwise cosine is the
+    identical zip_with/aggregate fold 9-rounded per pair before the
+    max, and the 0.7/0.3 literals parse to the same doubles — so the
+    selection sequence is bit-equal to the unrolled form (proven by
+    the unchanged oracle at both SFs). All similarities are 9-rounded
+    before the argmax; ties break on vec_id.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vec(emb)
@@ -1102,66 +1107,66 @@ def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_CANDIDATES)
-        .localCheckpoint(eager=False)  # 16 rows, reused by every step
     )
-    sims = (
-        cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-        .crossJoin(
-            F.broadcast(
-                cand.select(
-                    F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
-                )
-            )
+    pool = cand.agg(
+        F.collect_list(
+            F.struct("vec_id", "label", "rel", "embedding")
+        ).alias("cs")
+    )
+
+    def _cos(a: str, b: str) -> str:
+        # the identical _dot/_norm zip_with + aggregate fold, as SQL
+        return (
+            f"(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v) / "
+            f"(sqrt(aggregate(transform({a}, v -> "
+            f"CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)) * "
+            f"sqrt(aggregate(transform({b}, v -> "
+            f"CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v))))"
         )
-        .filter(F.col("ia") != F.col("ib"))
+
+    mk_row = (
+        "struct(step AS step, p.c.vec_id AS vec_id, p.c.label AS label, "
+        "p.c.rel AS rel, p.mmr AS mmr_score, p.c.embedding AS embedding)"
+    )
+    # step 1: pure-relevance argmax (mmr_score := rel), ties to min id
+    first = (
+        "transform(array(array_max(transform(cs, c -> "
+        "struct(c.rel AS rel, -c.vec_id AS nid, c AS c)))), "
+        "p -> array(struct(1 AS step, p.c.vec_id AS vec_id, "
+        "p.c.label AS label, p.c.rel AS rel, p.c.rel AS mmr_score, "
+        "p.c.embedding AS embedding)))[0]"
+    )
+    # step k: argmax of round(0.7*rel - 0.3*max_sel round(cos, 9), 9)
+    # over the not-yet-selected candidates; the pick binds once via
+    # the 1-element-array capture so an exhausted pool appends nothing
+    pick = (
+        f"array_max(transform("
+        f"filter(cs, c -> NOT exists(sel, s -> s.vec_id = c.vec_id)), "
+        f"c -> struct(round({MMR_LAMBDA}D * c.rel - {MMR_MU}D * "
+        f"array_max(transform(sel, s -> "
+        f"round({_cos('c.embedding', 's.embedding')}, 9))), 9) AS mmr, "
+        f"-c.vec_id AS nid, c AS c)))"
+    )
+    sel_expr = (
+        f"aggregate(sequence(2, {MMR_K}), {first}, (sel, step) -> "
+        f"transform(array({pick}), p -> "
+        f"IF(p IS NULL, sel, array_append(sel, {mk_row})))[0])"
+    )
+    return (
+        pool.select(F.explode(F.expr(sel_expr)).alias("r"))
         .select(
-            "ia",
-            "ib",
-            F.round(cosine(F.col("ea"), F.col("eb")), 9).alias("s"),
+            F.col("r.step").alias("step"),
+            F.col("r.vec_id").alias("vec_id"),
+            F.col("r.label").alias("label"),
+            F.col("r.rel").alias("rel"),
+            F.col("r.mmr_score").alias("mmr_score"),
         )
-        .localCheckpoint(eager=False)  # 16x15 rows
+        .orderBy("step")
     )
-    out = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("step"),
-            "vec_id",
-            "label",
-            "rel",
-            F.col("rel").alias("mmr_score"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    for step in range(2, MMR_K + 1):
-        mx = (
-            sims.join(out.select(F.col("vec_id").alias("ib")), "ib")
-            .groupBy("ia")
-            .agg(F.max("s").alias("mx"))
-        )
-        nxt = (
-            cand.join(out.select("vec_id"), "vec_id", "left_anti")
-            .join(mx, F.col("vec_id") == F.col("ia"))
-            .select(
-                "vec_id",
-                "label",
-                "rel",
-                F.round(
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(MMR_MU) * F.col("mx"),
-                    9,
-                ).alias("mmr_score"),
-            )
-            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-            .limit(1)
-            .select(F.lit(step).alias("step"), "vec_id", "label", "rel", "mmr_score")
-        )
-        # checkpoint each 1-row pick: `out` is referenced three times
-        # per later stage, so an unpinned tree re-plans 3^k subtrees —
-        # iteration_barrier keeps the cut even under the plan audit's
-        # barriers_disabled (which would otherwise hang in analysis)
-        out = iteration_barrier(out.unionByName(nxt), eager=False)
-    return out.orderBy("step")
 
 
 # --- incremental IVF maintenance (continuous-ingest story) -----------
