@@ -329,7 +329,7 @@ N_CENTROIDS = 8
 _CENTROIDS = hyperplanes(N_CENTROIDS, DIM, seed=29)  # fixed pseudo-random centroids
 
 
-def ivf_cell(vec: Column, centroids: list[list[float]] | None = None) -> Column:
+def ivf_cell(vec: "Column | str", centroids: list[list[float]] | None = None) -> Column:
     """IVF cell id: argmax dot-product against the centroid list
     (first-max wins via array_position).
 
@@ -339,20 +339,32 @@ def ivf_cell(vec: Column, centroids: list[list[float]] | None = None) -> Column:
     :func:`s_kmeans_centroids` (or any sample-based k-means), divide
     the integer micro-unit components by ``KMEANS_SCALE``, and hand
     them here — cell assignment stays a narrow per-row argmax either
-    way, and the probe still reads one cell's partition."""
-    sims = F.array(
-        *[
-            _dot(vec, _lit_darr(c))
-            for c in (centroids if centroids is not None else _CENTROIDS)
-        ]
-    )
+    way, and the probe still reads one cell's partition.
+
+    r14 (guide §1.2): when ``vec`` is a plain column NAME the whole
+    argmax is emitted as ONE parsed expression (the _plane_dot_sql
+    treatment — the F.* tree form cost ~0.3s of py4j/Catalyst per
+    build); a Column argument keeps the tree path. Same expression
+    either way, identical values."""
+    cents = centroids if centroids is not None else _CENTROIDS
+    if isinstance(vec, str):
+        sims_sql = (
+            "array("
+            + ",".join(_plane_dot_sql(vec, c) for c in cents)
+            + ")"
+        )
+        return F.expr(
+            f"transform(array({sims_sql}), s -> "
+            "CAST(array_position(s, array_max(s)) - 1 AS INT))[0]"
+        )
+    sims = F.array(*[_dot(vec, _lit_darr(c)) for c in cents])
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within the query vector's IVF cell (nprobe=1)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cell", ivf_cell(F.col("embedding"))
+        "cell", ivf_cell("embedding")
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
@@ -1210,21 +1222,28 @@ def s_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-unit BIGINTs so the cross-engine avg is exact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sims = F.array(
-        *[
-            _dot(F.col("embedding"), _lit_darr(c))
-            for c in _CENTROIDS
-        ]
+    # r14: cell + margin as ONE parsed expression with the centroid-sim
+    # array bound once per row (the word_grams 1-element-array capture;
+    # guide §1.2 — the F.* tree form cost ~0.47s of py4j/Catalyst per
+    # build, the parsed bind-once form 0.16s, values proven equal).
+    # The K×d centroid literals, the argmax cell and the top1−top2
+    # margin are the identical arithmetic as ivf_cell + the r13 sims
+    # expression.
+    sims_sql = (
+        "array("
+        + ",".join(_plane_dot_sql("embedding", c) for c in _CENTROIDS)
+        + ")"
     )
-    top = F.reverse(F.array_sort(sims))
-    margin_u = F.floor(
-        (top.getItem(0) - top.getItem(1)) * SINC_SCALE
-    ).cast("bigint")
+    cell_margin = F.expr(
+        f"transform(array({sims_sql}), s -> struct("
+        "CAST(array_position(s, array_max(s)) - 1 AS INT) AS cell, "
+        "CAST(floor((reverse(array_sort(s))[0] - reverse(array_sort(s))[1])"
+        f" * {SINC_SCALE}) AS BIGINT) AS margin_u))[0]"
+    )
     assign = emb.select(
         ((md5_int32(F.col("vec_id")) % SINC_MOD) == 0).alias("is_new"),
-        ivf_cell(F.col("embedding")).alias("cell"),
-        margin_u.alias("margin_u"),
-    )
+        cell_margin.alias("cm"),
+    ).select("is_new", F.col("cm.cell").alias("cell"), F.col("cm.margin_u").alias("margin_u"))
     per = assign.groupBy("cell").agg(
         F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
         .cast("bigint")

@@ -865,10 +865,15 @@ def test_jpeg_roundtrip_property():
         assert meta["channels"] == (3 if color else 1)
         err = np.abs(meta["pixels"].astype(float) - img)
         # smooth images stay within a few quant steps; white noise has
-        # unbounded per-pixel DCT error in theory but tiny mean error
+        # unbounded per-pixel DCT error in theory but tiny mean error.
+        # The smooth MEAN bound is 5, not 4: over a single 4x4 MCU the
+        # mean is taken over as few as 16 pixels, and hypothesis found
+        # (h=4, w=4, seed=45011, grayscale) reading 4.52 on the
+        # unchanged codec — small-sample variance of the mean, not a
+        # codec regression (the max bound still pins per-pixel error).
         if smooth:
             assert err.max() <= 24
-        assert err.mean() <= (30 if not smooth else 4)
+        assert err.mean() <= (30 if not smooth else 5)
 
     check()
 
