@@ -1140,9 +1140,14 @@ def m_decode_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/design-documents/20260724-ai-pipeline-components.md)."""
     import pandas as pd
 
-    docs = _spread_ids(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
-    )
+    # r14 session 3: NO _spread_ids here — this is the family's one
+    # meta-only decode (header walk, no pixel/sample work), and the
+    # measured A/B (1.03s spread vs 0.54s single-task at sf0.1; the
+    # round-start 0.41s floor was set by the unspread shape) shows the
+    # repartition exchange + 32-task stage costs more than the
+    # parallelism returns. At corpus scale the scan has >= cores
+    # splits on its own, so nothing is lost.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches):
         from conduit_spark.analytics.media_codecs import decode_mp4
