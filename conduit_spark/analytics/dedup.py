@@ -517,11 +517,17 @@ def _capped_shingle_stats(docs: DataFrame):
     """
     garr = _doc_grams_df(docs).localCheckpoint()
     raw_sh = garr.select("doc_id", F.explode("hs").alias("x"))
+    # r14 session 3: hot is TINY but has TWO consumers (the anti-join
+    # build side and the ``hot_arr`` broadcast row), and the calm-box
+    # A/B showed its corpus-sized groupBy subtree was executed once
+    # per consumer (2.21 → 1.72s / 1.95 → 1.73s for the two queries
+    # with the checkpoint). Guide §5/§3.3: pin the reduced relation.
     hot = (
         raw_sh.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_DF_CAP)
         .select("x")
+        .localCheckpoint()
     )
     grouped = (
         raw_sh.join(F.broadcast(hot), "x", "left_anti")
