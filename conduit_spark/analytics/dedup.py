@@ -48,6 +48,13 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 NGRAM_DF_CAP = 100  # max docs a shingle may appear in (join-blowup guard)
 MINHASH_BUCKET_CAP = 200  # max docs per (band, bucket) — blowup guard
+# Max hot-shingle entries the in-row capped-count fast path may fold
+# into a single broadcast array row (r15 guard, VERDICT r14 item 5);
+# above this, _capped_shingle_stats falls back to the exploded
+# anti-join count whose per-task state is bounded regardless of |hot|.
+# 64k int32 entries ≈ 256 KB per executor — comfortably under any
+# broadcast/row limit while keeping the per-doc intersect cheap.
+HOT_BROADCAST_CAP = 65536
 _PARAMS = minhash_params(MINHASH_K)
 
 
@@ -505,7 +512,9 @@ def _capped_shingle_stats(docs: DataFrame):
       ``size(hs) - |hs ∩ hot|`` over the per-doc distinct-hash array,
       with the (tiny) hot-shingle list attached as one broadcast array
       row. Equal by construction to counting the post-anti-join
-      exploded rows, with no second corpus exchange.
+      exploded rows, with no second corpus exchange. Guarded (r15):
+      when |hot| > ``HOT_BROADCAST_CAP`` the single-array-row shape is
+      abandoned for the exploded anti-join count (see inline note).
     - ``inter``: per-pair intersection counts from an in-codegen i<j
       combination explode over each (≤ cap)-sized doc list — replacing
       the r13 shingle self-join, whose TWO shuffle legs over the
@@ -529,18 +538,45 @@ def _capped_shingle_stats(docs: DataFrame):
         .select("x")
         .localCheckpoint()
     )
+    # r15 scale guard (VERDICT r14 item 5 / ADVICE r14): the in-row
+    # ``size(hs) − |hs ∩ hot|`` fast path folds the ENTIRE hot-shingle
+    # list into one broadcast array row — fine while |hot| is small
+    # (at any SF of this corpus it is tens of rows), but on a
+    # boilerplate-heavy corpus the hot set grows ∝ corpus/cap and a
+    # single million-entry array row plus an O(|hot|)-per-document
+    # in-row intersect is the wrong shape. ``hot`` is already
+    # materialized (eager localCheckpoint above), so sizing it is one
+    # tiny job over checkpoint blocks; above the cap, fall back to the
+    # exploded anti-join + groupBy(doc_id) count — the pre-r14 shape
+    # whose per-task state is bounded regardless of |hot| — and let
+    # the planner pick the anti-join strategy instead of forcing a
+    # broadcast build of an oversized hot relation. Equivalent by
+    # construction: both count each document's non-hot distinct
+    # shingles, and a document with ZERO surviving shingles can never
+    # appear in ``inter`` (no shared shingle survives), so its missing
+    # count row is unobservable through the inner joins both consumers
+    # use.
+    hot_is_small = hot.count() <= HOT_BROADCAST_CAP
+    hot_b = F.broadcast(hot) if hot_is_small else hot
     grouped = (
-        raw_sh.join(F.broadcast(hot), "x", "left_anti")
+        raw_sh.join(hot_b, "x", "left_anti")
         .groupBy("x")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("g"))
     )
-    hot_arr = hot.agg(F.collect_list("x").alias("hot"))
-    counts = garr.crossJoin(F.broadcast(hot_arr)).select(
-        "doc_id",
-        (
-            F.size("hs") - F.size(F.array_intersect("hs", "hot"))
-        ).cast("bigint").alias("n"),
-    )
+    if hot_is_small:
+        hot_arr = hot.agg(F.collect_list("x").alias("hot"))
+        counts = garr.crossJoin(F.broadcast(hot_arr)).select(
+            "doc_id",
+            (
+                F.size("hs") - F.size(F.array_intersect("hs", "hot"))
+            ).cast("bigint").alias("n"),
+        )
+    else:
+        counts = (
+            raw_sh.join(hot_b, "x", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
     inter = (
         combination_pairs(
             grouped.filter(F.size("g") >= 2), "g", "id_a", "id_b"
@@ -1018,22 +1054,30 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bucket")
     )
     bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    # r14: new×old candidates via ONE groupBy + two in-row generators
-    # (explode the new members, cross each against the bucket's old
-    # members) instead of the keyed join of two derived legs — one
-    # exchange instead of two, same candidate set (the existing-side
-    # occupancy cap above bounds every group).
+    # r15 (ADVICE r14): the r14 shape collect_list'ed the WHOLE bucket
+    # membership (new + old) into one array row, but the occupancy cap
+    # above filters on the EXISTING side only — a new-heavy bucket
+    # (e.g. a batch full of identical boilerplate) materialized an
+    # unbounded array in a single row. Now only the OLD members are
+    # grouped into arrays — each group is ≤ ``MINHASH_BUCKET_CAP`` BY
+    # the cap just applied — and the new docs stay row-shaped, joining
+    # the old-array relation on the bucket key (the groupBy's own
+    # partitioning, so the grouped side needs no second exchange).
+    # Candidate set is identical: per bucket, every (new × old) pair;
+    # new-only buckets drop out of the inner join exactly as the
+    # empty-filter explode dropped them.
+    old_arr = (
+        bb.filter(~F.col("is_new"))
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("olds"))
+    )
     cand = (
-        bb.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("doc_id", "is_new")).alias("g"))
+        bb.filter(F.col("is_new"))
+        .join(old_arr, ["band", "bucket"])
         .select(
-            "g", F.explode(F.expr("filter(g, x -> x.is_new)")).alias("n")
+            F.col("doc_id").alias("id_new"),
+            F.explode("olds").alias("id_old"),
         )
-        .select(
-            F.col("n.doc_id").alias("id_new"),
-            F.explode(F.expr("filter(g, x -> NOT x.is_new)")).alias("o"),
-        )
-        .select("id_new", F.col("o.doc_id").alias("id_old"))
         .distinct()
     )
     # r14 verify: candidate-keyed joins against the per-doc hash

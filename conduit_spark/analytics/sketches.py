@@ -128,6 +128,20 @@ HLL_M = 1 << HLL_B
 # alpha_64 = 0.7213 / (1 + 1.079/64), the standard bias constant
 HLL_ALPHA = 0.709366
 _REST_BITS = 32 - HLL_B  # md5_int32 is 32-bit
+# Sub-salt fan-out for the EXACT-count side of sk_hll_distinct (r15):
+# bounds each phase-1 collect_set group at ~distinct/(HLL_M·fine).
+# Like KMV_SALTS, results are salt-invariant (the (bucket, fsalt)
+# classes partition the hash space), so the count is sized ∝ the
+# session's parallelism — a scale proxy that grows with the cluster —
+# with a measured local floor (8 on local[32]: finer salts only add
+# per-group partial-agg overhead at fixture scale; 64 cost +0.26s).
+_HLL_FINE_SALTS_MIN = 8
+
+
+def _hll_fine_salts(spark: SparkSession) -> int:
+    return max(
+        _HLL_FINE_SALTS_MIN, spark.sparkContext.defaultParallelism // 4
+    )
 
 
 def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +161,10 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials dedupe per partition, which is what the distinct
     exchange did). Per-source totals are a 64-rows-per-source merge:
     ``n_exact = Σ_bucket |set_b|`` is exact because a hash's bucket
-    is a function of its value. 3 exchanges + checkpoint + join → 2
-    exchanges, identical values.
+    is a function of its value. r15: the exact side groups by an
+    additional ``_hll_fine_salts``-way sub-salt first so no single
+    group ever holds a corpus-fraction set (ADVICE r14), then merges
+    per bucket — identical values, bounded per-task state.
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     n = F.size(F.split(F.col("text"), " "))
@@ -167,30 +183,77 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanning from the high bit; all-zero field → 27. String-domain
     # bit scan (bin/lpad/instr) is defined identically in both engines.
     rho = F.instr(F.lpad(F.bin(rest), _REST_BITS, "0"), "1")
-    buckets = (
+    # r15 (ADVICE r14): the r14 fusion collect_set'ed per (source,
+    # bucket) with only HLL_M=64 buckets — each group held
+    # ~distinct/64 hashes, a shape that OOMs at the billions-of-
+    # distinct scale HLL exists for (the bucket count is sketch
+    # geometry, NOT a tunable salt). The exact-count side now salts
+    # FINER: phase 1 groups by (source, bucket, fsalt) with
+    # ``fsalt = (x div HLL_M) % fine`` (``fine`` ∝ parallelism,
+    # floor 8) — (bucket, fsalt)
+    # partitions the hash space, so per-group state drops to
+    # ~distinct/(HLL_M·fine). The per-bucket merge does NOT
+    # get its own exchange (a first cut did, +0.25s warm — the extra
+    # stage's fixed cost): the per-source agg collects the ≤
+    # HLL_M·fine (bucket, -mj) structs — a bounded-size
+    # array — and the bucket-max falls out of the sorted fold (first
+    # struct of each bucket run carries the max mj, later ones are
+    # skipped). Same 2 exchanges as r14; every float step is still an
+    # exact power-of-two sum (order-free in doubles: 64 terms, each
+    # 2^-1..2^-27 — all partial sums exact), so the estimate stays
+    # bit-identical.
+    sub = (
         raw.select(
             "source",
             (F.col("x") % HLL_M).alias("bucket"),
+            (rest % F.lit(_hll_fine_salts(spark))).alias("fsalt"),
             F.when(rho == 0, F.lit(_REST_BITS + 1)).otherwise(rho).alias("rho"),
             "x",
         )
-        .groupBy("source", "bucket")
+        .groupBy("source", "bucket", "fsalt")
         .agg(
-            F.max("rho").alias("mj"),
-            F.size(F.collect_set("x")).cast("bigint").alias("nb"),
+            F.max("rho").alias("mjf"),
+            F.size(F.collect_set("x")).cast("bigint").alias("nbf"),
+        )
+        .select(
+            "source",
+            F.col("bucket").cast("int").alias("bucket"),
+            (-F.col("mjf")).cast("int").alias("nmj"),
+            "nbf",
         )
     )
+    per_src = sub.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "nmj"))).alias("bm"),
+        F.sum("nbf").cast("bigint").alias("n_exact"),
+    )
     # Z = sum 2^-Mj over all 64 buckets (absent buckets contribute
-    # 2^0 = 1), folded in sorted bucket order
-    z = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("bucket", "mj"))),
-        F.lit(0.0),
-        lambda acc, s: acc + F.pow(F.lit(2.0), -s["mj"].cast("double")),
-    ) + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
-    sk = buckets.groupBy("source").agg(
-        z.alias("z"),
-        F.count(F.lit(1)).alias("n_buckets_hit"),
-        F.sum("nb").alias("n_exact"),
+    # 2^0 = 1), folded in sorted bucket order: ascending (bucket, -mj)
+    # puts each bucket's MAX mj first in its run; the fold adds 2^-mj
+    # on bucket change and carries the bucket id to skip the rest.
+    zfold = F.aggregate(
+        F.col("bm"),
+        F.struct(
+            F.lit(0.0).alias("z"), F.lit(-1).cast("int").alias("last")
+        ),
+        lambda acc, s: F.struct(
+            (
+                acc["z"]
+                + F.when(s["bucket"] == acc["last"], F.lit(0.0)).otherwise(
+                    F.pow(F.lit(2.0), s["nmj"].cast("double"))
+                )
+            ).alias("z"),
+            s["bucket"].alias("last"),
+        ),
+        lambda acc: acc["z"],
+    )
+    nbh = F.size(
+        F.array_distinct(F.transform(F.col("bm"), lambda s: s["bucket"]))
+    )
+    sk = per_src.select(
+        "source",
+        (zfold + (F.lit(HLL_M) - nbh).cast("double")).alias("z"),
+        nbh.cast("bigint").alias("n_buckets_hit"),
+        "n_exact",
     )
     est = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("z")
     return (

@@ -109,6 +109,51 @@ def test_ngram_df_cap_bounds_hot_shingle_blowup(spark, tmp_path, monkeypatch):
     assert all(a >= 900 for a, b in pairs), pairs
 
 
+def test_hot_broadcast_cap_fallback_is_equivalent(
+    spark, tmp_path, monkeypatch
+):
+    """r15 scale guard (VERDICT r14 item 5): when the hot-shingle list
+    exceeds ``HOT_BROADCAST_CAP``, ``_capped_shingle_stats`` must swap
+    the single-broadcast-array in-row count for the exploded anti-join
+    count — with IDENTICAL query results. Forcing the cap to 0 drives
+    every hot set down the fallback path on a fixture whose hot set is
+    non-empty (the boilerplate corpus above)."""
+    n_docs = 120  # > NGRAM_DF_CAP so the hot set is non-empty
+    rows = [
+        (i, f"terms of service apply here uniquely{i} tail{i} end{i}")
+        for i in range(n_docs)
+    ]
+    rows.append((900, "alpha beta gamma delta epsilon zeta"))
+    rows.append((901, "alpha beta gamma delta epsilon zeta extra"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "documents.parquet")
+    docs.repartition(1).write.parquet(path)
+    monkeypatch.setattr(
+        dedup,
+        "load_table",
+        lambda sp, d, name, **kw: sp.read.parquet(path),
+    )
+    fast = {
+        tuple(r)
+        for r in dedup.d_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    cont_fast = {
+        tuple(r)
+        for r in dedup.d_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    monkeypatch.setattr(dedup, "HOT_BROADCAST_CAP", 0)
+    slow = {
+        tuple(r)
+        for r in dedup.d_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    cont_slow = {
+        tuple(r)
+        for r in dedup.d_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert fast == slow and fast  # same rows, and the fixture has some
+    assert cont_fast == cont_slow
+
+
 def test_quality_lr_matches_naive_model(spark, tmp_path, monkeypatch):
     """Score a 3-doc fixture against an independent pure-Python
     implementation of the hashed-weight linear model."""
