@@ -10,6 +10,14 @@ holds the engine's query library: the TPC-H-ish relational suite
 
 from pyspark.sql import Column, DataFrame
 
+# Results at or below this materialized size take the single-task
+# presentation sort (one narrow job); larger results keep the
+# distributed range sort. 32 MB sorts in tens of ms on one core —
+# far below the fixed cost of the range sort's sampling job + shuffle
+# stage it replaces — while anything corpus-sized at cluster scale
+# stays distributed.
+SMALL_SORT_BYTES = 32 << 20
+
 
 def ordered_result(df: DataFrame, *cols: "Column | str") -> DataFrame:
     """Final presentation sort with a materialization barrier.
@@ -17,16 +25,47 @@ def ordered_result(df: DataFrame, *cols: "Column | str") -> DataFrame:
     A bare ``orderBy`` on an expensive subtree executes it TWICE: the
     range partitioner's sampling job runs the full child once to pick
     split points, then the sort stage runs it again (measured 5.7s →
-    3.8s on the SemDeDup pair join at sf0.1). A lazy ``localCheckpoint``
-    pins the subtree's result on first execution, so the sample pass
-    materializes it and the sort re-reads executor-local blocks.
+    3.8s on the SemDeDup pair join at sf0.1). A ``localCheckpoint``
+    pins the subtree's result on first execution so the sort re-reads
+    executor-local blocks.
+
+    r15 (VERDICT r14 item 3 — the per-query job floor): the checkpoint
+    is now EAGER, and when the materialized result is small (≤
+    ``SMALL_SORT_BYTES``, read from the block manager — no extra job)
+    the global sort becomes ``coalesce(1).sortWithinPartitions`` — ONE
+    narrow task over the checkpoint blocks, no range-sampling job, no
+    range exchange. Identical rows in the identical global order (a
+    single sorted partition IS a total order; tie order is as
+    undefined as the range sort's). Large results keep the
+    distributed range sort — the size gate is read per execution, so
+    the same code picks the scalable shape at cluster scale. Under a
+    plan audit (barriers suspended) the plain ``orderBy`` form is
+    built, as before.
 
     Scale note: the checkpointed relation is the query RESULT (already
     reduced), not the input — output-sized executor memory, freed when
-    the DataFrame is GC'd. The sort itself stays a distributed range
-    sort; use only as the outermost presentation step.
+    the DataFrame is GC'd. Use only as the outermost presentation step.
     """
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    from conduit_spark.plans import barriers_suspended
+
+    if barriers_suspended():
+        return df.orderBy(*cols)
+    try:
+        jsc = df.sparkSession.sparkContext._jsc
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+        chk = df.localCheckpoint(eager=True)
+        new_ids = {
+            int(k) for k in jsc.getPersistentRDDs().keySet().toArray()
+        } - before
+        size = 0
+        for ri in jsc.sc().getRDDStorageInfo():
+            if int(ri.id()) in new_ids:
+                size += int(ri.memSize()) + int(ri.diskSize())
+        if new_ids and size <= SMALL_SORT_BYTES:
+            return chk.coalesce(1).sortWithinPartitions(*cols)
+        return chk.orderBy(*cols)
+    except Exception:  # noqa: BLE001 — introspection must never break a query
+        return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
 def combination_pairs(

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.sources.tables import load_table
+from conduit_spark.analytics import ordered_result
 
 CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
@@ -132,7 +133,7 @@ def c_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(token_offset + n_tokens - 1) div {PACK_BLOCK}"
             ).alias("end_block"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 
@@ -229,7 +230,7 @@ def c_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_shared_chunks"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 

@@ -98,7 +98,7 @@ def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, "dedup", s2))
         .unionByName(stage(3, "decontaminate", s3))
         .unionByName(stage(4, "sample", s4))
-        .orderBy("stage_idx")
+        .transform(ordered_result, "stage_idx")
     )
 
 
@@ -131,7 +131,7 @@ def cur_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("shard_id")
+        .transform(ordered_result, "shard_id")
     )
 
 
@@ -222,7 +222,7 @@ def cur_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard_id").orderBy("shuffle_key")
     return (
         d.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
-        .orderBy("shard_id", "pos_in_shard")
+        .transform(ordered_result, "shard_id", "pos_in_shard")
     )
 
 
@@ -267,7 +267,7 @@ def cur_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exp_tokens"
             ),
         )
-        .orderBy("source")
+        .transform(ordered_result, "source")
     )
 
 
@@ -370,7 +370,7 @@ def cur_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
         )
-        .orderBy("lang", "bucket")
+        .transform(ordered_result, "lang", "bucket")
     )
 
 
@@ -436,7 +436,7 @@ def cur_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q * F.lit(LANG_TEMP_BUDGET) * F.col("t"), 6
             ).alias("mix_tokens"),
         )
-        .orderBy("lang")
+        .transform(ordered_result, "lang")
     )
 
 
@@ -529,7 +529,7 @@ def cur_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("scan_frac"),
         )
-        .orderBy("layout")
+        .transform(ordered_result, "layout")
     )
 
 

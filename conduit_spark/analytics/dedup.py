@@ -67,7 +67,7 @@ def d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("keep_doc_id"),
         )
-        .orderBy("keep_doc_id")
+        .transform(ordered_result, "keep_doc_id")
     )
 
 
@@ -493,7 +493,7 @@ def d_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_pruned").alias("n_pruned"),
             (F.count(F.lit(1)) - F.count("is_pruned")).alias("n_kept"),
         )
-        .orderBy("source")
+        .transform(ordered_result, "source")
     )
 
 

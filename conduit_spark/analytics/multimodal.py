@@ -346,7 +346,7 @@ def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as fake image bytes → decode metadata."""
     docs = load_table(spark, sf_dir, "documents")
     media = as_media(docs, "text", "doc_id", "image")
-    return decode_media(media).orderBy("media_id")
+    return decode_media(media).transform(ordered_result, "media_id")
 
 
 N_SAMPLE_FRAMES = 4

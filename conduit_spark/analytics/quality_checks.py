@@ -94,7 +94,7 @@ def run_checks(
     return (
         metrics.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.check_name", "e.metric", "e.threshold", "e.passed")
-        .orderBy("check_name")
+        .transform(ordered_result, "check_name")
     )
 
 
@@ -389,7 +389,7 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.orderBy("fk_edge")
+    return out.transform(ordered_result, "fk_edge")
 
 
 QUERIES = {

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
 from conduit_spark.sources.tables import load_table
+from conduit_spark.analytics import ordered_result
 
 # per-language keep rates (the stratification config)
 RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
@@ -62,7 +63,7 @@ def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
-        .orderBy("lang")
+        .transform(ordered_result, "lang")
     )
 
 
@@ -72,7 +73,7 @@ def smp_stratified_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stratified_sample(docs, "lang", "doc_id", RATES)
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 
@@ -112,7 +113,7 @@ def smp_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("g") < F.col("keep_rate"))
         .drop("g")
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 
@@ -283,7 +284,7 @@ def smp_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.doc_id").alias("doc_id"),
             F.col("s.h").cast("bigint").alias("sample_key"),
         )
-        .orderBy("source", "rank")
+        .transform(ordered_result, "source", "rank")
     )
 
 
@@ -341,7 +342,7 @@ def smp_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.vec_id").alias("vec_id"),
             F.col("s.h").cast("bigint").alias("sample_key"),
         )
-        .orderBy("label", "rank")
+        .transform(ordered_result, "label", "rank")
     )
 
 
@@ -447,7 +448,7 @@ def smp_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_covered"),
         )
-        .orderBy("sel_round")
+        .transform(ordered_result, "sel_round")
     )
 
 

@@ -134,7 +134,7 @@ def s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(lsh_bucket("embedding").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("bucket")
+        .transform(ordered_result, "bucket")
     )
 
 
@@ -281,7 +281,7 @@ def s_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KNN_K)
-        .orderBy("src", "rank")
+        .transform(ordered_result, "src", "rank")
     )
 
 
@@ -878,7 +878,7 @@ def s_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
         ).alias("centroid"),
-    ).orderBy("cluster_id")
+    ).transform(ordered_result, "cluster_id")
 
 
 SEMDEDUP_MIN_COS = 0.2
@@ -1177,7 +1177,7 @@ def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.rel").alias("rel"),
             F.col("r.mmr_score").alias("mmr_score"),
         )
-        .orderBy("step")
+        .transform(ordered_result, "step")
     )
 
 
@@ -1400,7 +1400,7 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.expr("transform(carr, x -> CAST(x AS STRING))"), ","
         ).alias("centroid"),
-    ).orderBy("subspace", "codeword_id")
+    ).transform(ordered_result, "subspace", "codeword_id")
 
 
 QUERIES = {

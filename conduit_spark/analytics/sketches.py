@@ -117,7 +117,7 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rel_error"),
         )
-        .orderBy("source")
+        .transform(ordered_result, "source")
     )
 
 
@@ -268,7 +268,7 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rel_error"),
         )
-        .orderBy("source")
+        .transform(ordered_result, "source")
     )
 
 
@@ -334,7 +334,7 @@ def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in _HIST_PS
             ],
         )
-        .orderBy("event_type")
+        .transform(ordered_result, "event_type")
     )
 
 
@@ -455,7 +455,7 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
             "filter_md5",
         )
-        .orderBy("source")
+        .transform(ordered_result, "source")
     )
 
 _REL_SQL = f"""

@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from conduit_spark.sources.tables import load_table
+from conduit_spark.analytics import ordered_result
 
 __all__ = ["asof_join", "range_join", "QUERIES", "ORACLES"]
 
@@ -161,7 +162,7 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.unix_micros(F.col("ts")) - F.col("r_ts_us"), F.lit(-1)
         ).alias("gap_us"),
-    ).orderBy("event_id")
+    ).transform(ordered_result, "event_id")
 
 
 def q_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +185,7 @@ def q_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("band_idx")
+        .transform(ordered_result, "band_idx")
     )
 
 
@@ -212,7 +213,7 @@ def q_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hourly.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TRENDING_K)
-        .orderBy("hour", "rank")
+        .transform(ordered_result, "hour", "rank")
     )
 
 
@@ -305,7 +306,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.selectExpr(
         f"stack({len(FUNNEL_STEPS)}, {stack_args}) "
         "AS (step, step_name, n_users, pct_of_entry)"
-    ).orderBy("step")
+    ).transform(ordered_result, "step")
 
 
 QUERIES = {

@@ -181,7 +181,7 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TFIDF_TOP)
-        .orderBy("doc_id", "rank")
+        .transform(ordered_result, "doc_id", "rank")
     )
 
 
@@ -549,7 +549,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-2 reported a 6-row parquet scan as "training"). Every
     # invocation of this query PAYS the K merge iterations.
     merged, _ = _bpe_merges_vocab(spark, sf_dir)
-    return merged.orderBy("merge_rank")
+    return merged.transform(ordered_result, "merge_rank")
 
 
 def _bpe_learn(spark: SparkSession, sf_dir: str):

@@ -164,14 +164,22 @@ def test_audit_plan_scalar_aggs_benign_and_waivers(spark):
     assert audit["smells"] == []
 
     from conduit_spark.analytics.chunking import c_pack_blocks
+    from conduit_spark.plans import barriers_disabled
 
-    audit = audit_plan(
-        c_pack_blocks(spark, "/root/testdata/sf0.001"), query="c_pack_blocks"
-    )
+    # Build under barriers_disabled like the CLI audit entry points do
+    # (cli.py plan/audit): since r15 every presentation sort ends in
+    # ordered_result's checkpoint, so an audit on a barrier-mode build
+    # sees only the post-checkpoint sort fragment (the r7 blind-audit
+    # class this contract exists to prevent).
+    with barriers_disabled():
+        audit = audit_plan(
+            c_pack_blocks(spark, "/root/testdata/sf0.001"),
+            query="c_pack_blocks",
+        )
+        audit_anon = audit_plan(c_pack_blocks(spark, "/root/testdata/sf0.001"))
     assert audit["smells"] == []
     assert set(audit["waived"]) == {"global-window", "single-partition-exchange"}
     # without the query name the same plan DOES fail the audit
-    audit_anon = audit_plan(c_pack_blocks(spark, "/root/testdata/sf0.001"))
     assert "single-partition-exchange" in audit_anon["smells"]
 
 

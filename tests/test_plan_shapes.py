@@ -24,6 +24,21 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def built_plan(fn, spark, sf) -> str:
+    """Construct a query under barriers_disabled and return its plan.
+
+    r15: ``ordered_result``'s presentation-sort checkpoint became EAGER
+    (the single-task small-sort path needs the materialized size), so a
+    barrier-mode build shows only the post-checkpoint sort fragment —
+    upstream shape assertions must build the way the CLI audit does
+    (plans.barriers_disabled), which is the documented plan-evidence
+    methodology since the r7 blind-audit finding."""
+    from conduit_spark.plans import barriers_disabled
+
+    with barriers_disabled():
+        return plan_of(fn(spark, sf))
+
+
 @pytest.fixture(scope="module")
 def sf(sf_dir):
     return sf_dir
@@ -54,7 +69,7 @@ def test_q6_pushdown_and_pruning(no_aqe, sf):
 
 
 def test_q5_dimension_joins_broadcast(spark, sf):
-    plan = plan_of(relational.q5_region_revenue(spark, sf))
+    plan = built_plan(relational.q5_region_revenue, spark, sf)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -78,7 +93,7 @@ def test_processor_chain_single_codegen_over_scan(no_aqe, sf):
 def test_dedup_exact_partial_aggregation(no_aqe, sf):
     from conduit_spark.analytics import dedup
 
-    plan = plan_of(dedup.d_exact(no_aqe, sf))
+    plan = built_plan(dedup.d_exact, no_aqe, sf)
     # map-side partial agg before the exchange: two HashAggregate levels
     assert plan.count("* HashAggregate") >= 2
     assert "hashpartitioning" in plan
@@ -87,7 +102,7 @@ def test_dedup_exact_partial_aggregation(no_aqe, sf):
 def test_q8_dims_broadcast_facts_pushdown(spark, sf):
     """q8's four dim joins must all broadcast; the date range on orders
     and the p_type filter must reach their parquet scans."""
-    plan = plan_of(relational.q8_market_share(spark, sf))
+    plan = built_plan(relational.q8_market_share, spark, sf)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     pushed = [
@@ -113,7 +128,7 @@ def test_dedup_clusters_keyed_joins_only(spark, sf):
     bucket key), never an all-pairs comparison."""
     from conduit_spark.analytics import dedup
 
-    plan = plan_of(dedup.d_dedup_clusters(spark, sf))
+    plan = built_plan(dedup.d_dedup_clusters, spark, sf)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -123,7 +138,7 @@ def test_knn_join_keyed_only(spark, sf):
     windowed top-k — no cartesian/nested-loop pairing."""
     from conduit_spark.analytics import similarity
 
-    plan = plan_of(similarity.s_knn_join(spark, sf))
+    plan = built_plan(similarity.s_knn_join, spark, sf)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
@@ -134,7 +149,7 @@ def test_stratified_sample_single_scan_no_join(no_aqe, sf):
     variant must not shuffle at all before the gate filter."""
     from conduit_spark.analytics import sampling
 
-    plan = plan_of(sampling.smp_stratified_ids(no_aqe, sf))
+    plan = built_plan(sampling.smp_stratified_ids, no_aqe, sf)
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
 
@@ -142,7 +157,7 @@ def test_stratified_sample_single_scan_no_join(no_aqe, sf):
 def test_tfidf_no_cartesian(spark, sf):
     from conduit_spark.analytics import text
 
-    plan = plan_of(text.t_tfidf_top_terms(spark, sf))
+    plan = built_plan(text.t_tfidf_top_terms, spark, sf)
     assert "CartesianProduct" not in plan
     # the scalar N crosses in as a broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
@@ -151,7 +166,7 @@ def test_tfidf_no_cartesian(spark, sf):
 def test_simhash_pairs_keyed_only(spark, sf):
     from conduit_spark.analytics import dedup
 
-    plan = plan_of(dedup.d_simhash_pairs(spark, sf))
+    plan = built_plan(dedup.d_simhash_pairs, spark, sf)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -216,7 +231,7 @@ def test_pack_blocks_global_window_is_bucket_level(spark, sf):
 
     import re
 
-    plan = plan_of(c_pack_blocks(spark, sf))
+    plan = built_plan(c_pack_blocks, spark, sf)
     # the global running sum exists and consumes sum(bt) — the bucket
     # aggregate, already reduced 4096× before it funnels to one task
     assert _global_windows(plan)
@@ -293,6 +308,45 @@ def test_ordered_result_equals_plain_orderby(spark):
     assert plain2 == barred2
 
 
+def test_ordered_result_small_result_single_task_sort(spark):
+    """A small materialized result (far under SMALL_SORT_BYTES) takes
+    the one-task presentation sort: Coalesce(1) + local sort, no range
+    exchange and no range-sampling job (VERDICT r14 item 3)."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics import ordered_result
+    from conduit_spark.plans import executed_plan
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    out = ordered_result(df, "k", "v")
+    plan = executed_plan(out)
+    assert "Coalesce 1" in plan
+    assert "rangepartitioning" not in plan
+    assert out.collect() == df.orderBy("k", "v").collect()
+
+
+def test_ordered_result_large_result_keeps_range_sort(spark):
+    """Above SMALL_SORT_BYTES the presentation sort must STAY a
+    distributed range sort — the size gate is what keeps the one-task
+    shape from ever funneling a corpus-sized result at cluster scale."""
+    import pyspark.sql.functions as F
+
+    from conduit_spark.analytics import ordered_result
+    from conduit_spark.plans import executed_plan
+
+    # ~64 MB materialized: 65k rows x ~1 KB payload
+    df = spark.range(65_536).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 1024), F.col("id").cast("string")).alias("pad"),
+    )
+    out = ordered_result(df, F.desc("k"))
+    plan = executed_plan(out)
+    assert "rangepartitioning" in plan
+    assert "Coalesce 1" not in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf):
     """q_bucketed_join's SortMergeJoin must read the pre-bucketed
     tables directly: no Exchange on the JOIN KEY anywhere in the
@@ -302,9 +356,12 @@ def test_bucketed_join_is_shuffle_free(spark, sf):
     100 TB (join shuffles paid once at write time, not per query)."""
     import re
 
-    from conduit_spark.plans import executed_plan
+    from conduit_spark.plans import barriers_disabled, executed_plan
 
-    df = relational.q_bucketed_join(spark, sf)
+    # built under barriers_disabled so the presentation-sort checkpoint
+    # doesn't hide the join (see built_plan); still executed for real
+    with barriers_disabled():
+        df = relational.q_bucketed_join(spark, sf)
     df.write.format("noop").mode("overwrite").save()
     plan = executed_plan(df)
     assert "SortMergeJoin" in plan  # the merge hint held

@@ -65,7 +65,12 @@ def test_asof_tolerance_nulls_stale_matches(spark):
 
 
 def test_asof_plan_is_single_keyed_window(spark, sf_dir):
-    df = temporal.q_asof_attribution(spark, sf_dir)
+    from conduit_spark.plans import barriers_disabled
+
+    # r15: build under barriers_disabled so the eager ordered_result
+    # checkpoint doesn't hide the asof window from the assertion
+    with barriers_disabled():
+        df = temporal.q_asof_attribution(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "No Partition" not in plan  # never a global window
     assert "CartesianProduct" not in plan
@@ -74,7 +79,10 @@ def test_asof_plan_is_single_keyed_window(spark, sf_dir):
 
 
 def test_range_join_broadcasts_bands(spark, sf_dir):
-    df = temporal.q_range_value_bands(spark, sf_dir)
+    from conduit_spark.plans import barriers_disabled
+
+    with barriers_disabled():
+        df = temporal.q_range_value_bands(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # bands built+broadcast
     assert "Exchange hashpartitioning(value" not in plan  # no fact shuffle
