@@ -68,6 +68,40 @@ def ordered_result(df: DataFrame, *cols: "Column | str") -> DataFrame:
         return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
+def tiny_loop_aqe_off(spark, n_rows: "int | None" = None, cap: int = 4_000_000):
+    """Context manager: disable AQE around an EAGERLY-executed
+    iteration loop whose per-round shuffle state is tiny.
+
+    Every AQE query-stage materialization is a separate Spark job
+    (scheduler round + exchange setup), so a K-round driver loop of
+    tiny aggregations — farthest-point rounds, Lloyd centroid updates,
+    BPE merge argmaxes, label propagation on a reduced graph — pays
+    2-3× the job count for nothing: a single-partition or K-row
+    exchange leaves AQE no partition-count or skew decision to make
+    (guide §1.2; the r14 scaling block showed the sf0.1 suite is
+    per-job fixed-overhead bound). Scale-adaptive: when the loop-state
+    row count is known, pass it — above ``cap`` AQE stays ON so
+    billion-row iteration state keeps skew/coalesce handling. The conf
+    is restored on exit, so lazily-executed parts of the query (the
+    final assembled plan run by the sink) still execute under AQE.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        if n_rows is not None and n_rows > cap:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    return _ctx()
+
+
 def combination_pairs(
     df: DataFrame, arr_col: str = "g", a: str = "a", b: str = "b"
 ) -> DataFrame:

@@ -25,7 +25,7 @@ from conduit_spark.analytics.dedup import (
     _contamination_from_grams,
     contam_grams_cached,
 )
-from conduit_spark.analytics.sampling import RATES, stratified_sample
+from conduit_spark.analytics.sampling import DEFAULT_RATE, RATES, _SCALE
 from conduit_spark.analytics.text import STOPWORDS
 from conduit_spark.functions.hashing import md5_int32, sql_md5_int32
 from conduit_spark.analytics import ordered_result
@@ -50,54 +50,89 @@ def _quality_score():
 
 
 def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stage document counts of the curation pipeline."""
+    """Per-stage document counts of the curation pipeline.
+
+    r15 shape (guide §2.4 — one pass instead of five counted
+    subtrees): every stage membership is a per-row FLAG over one
+    checkpointed base relation, and all five counts come from ONE
+    aggregation — sum(flag_i) over the corpus — instead of five
+    separate scalar-agg subtrees each re-reading the survivor
+    checkpoints through its own exchange. Stage semantics are
+    unchanged and oracle-checked: quality gate, keeper = min doc_id
+    per md5(text) among survivors, benchmark-holdout mod + contaminated
+    anti-flag, stratified hash gate (the same predicate
+    ``sampling.stratified_sample`` applies)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # stage 1: quality gate — materialize the survivors once
-    q1 = (
-        docs.filter(F.round(_quality_score(), 9) >= QUALITY_MIN)
-        .select("doc_id", "lang", F.md5(F.col("text")).alias("h"))
+    # one corpus pass: id, lang, text hash, quality flag
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        (F.round(_quality_score(), 9) >= QUALITY_MIN).alias("q_ok"),
     ).localCheckpoint()
 
-    # stage 2: exact dedup among survivors — keeper = min doc_id per
-    # hash. Lazily checkpointed: three later stage counts reuse it, and
-    # without the pin each would re-run the keyed agg + semi-join.
-    keepers = q1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    s2 = q1.join(keepers, ["h", "doc_id"], "left_semi").localCheckpoint(
-        eager=False
+    # exact-dedup keepers among quality survivors (min doc_id per hash)
+    keepers = (
+        base.filter(F.col("q_ok"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
 
-    # stage 3: benchmark holdout + decontamination. The contaminated-id
-    # relation is tiny (flagged doc ids); its gram-relation subtree is
-    # session-materialized (contam_grams_cached — shared with
-    # d_contamination), and the id list itself is pinned so stage 4's
-    # count doesn't run the semi-join twice.
+    # contaminated ids: tiny flagged relation (broadcast by the planner)
     contaminated = (
         _contamination_from_grams(contam_grams_cached(spark, sf_dir))
         .filter(F.col("contamination_frac") >= CONTAM_MAX)
-        .select("doc_id")
-        .localCheckpoint(eager=False)
-    )
-    s3 = s2.filter(F.col("doc_id") % CONTAM_MOD != 0).join(
-        contaminated, "doc_id", "left_anti"
+        .select("doc_id", F.lit(True).alias("is_contam"))
     )
 
-    # stage 4: stratified hash-gated sample
-    s4 = stratified_sample(s3, "lang", "doc_id", RATES)
+    # the stratified_sample hash gate as a predicate (same expression)
+    rate = None
+    for s_, r_ in sorted(RATES.items()):
+        b = F.when(F.col("lang") == s_, F.lit(r_))
+        rate = b if rate is None else rate.when(F.col("lang") == s_, F.lit(r_))
+    rate = rate.otherwise(F.lit(DEFAULT_RATE))
+    gate = md5_int32(F.col("doc_id")).cast("double") / F.lit(float(_SCALE))
 
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(i).cast("bigint").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs").cast("bigint").alias("n_docs"),
+    is_s2 = F.col("q_ok") & (F.col("doc_id") == F.col("keep_id"))
+    is_s3 = (
+        is_s2
+        & (F.col("doc_id") % CONTAM_MOD != 0)
+        & F.col("is_contam").isNull()
+    )
+    is_s4 = is_s3 & (gate < rate)
+    flags = (
+        base.join(keepers, "h", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            F.col("q_ok").cast("int").alias("f1"),
+            is_s2.cast("int").alias("f2"),
+            is_s3.cast("int").alias("f3"),
+            is_s4.cast("int").alias("f4"),
         )
-
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum("f3").alias("n3"),
+        F.sum("f4").alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage_idx"),
+                F.lit(nm).alias("stage"),
+                F.col(f"n{i}").cast("bigint").alias("n_docs"),
+            )
+            for i, nm in enumerate(
+                ["input", "quality", "dedup", "decontaminate", "sample"]
+            )
+        ]
+    )
     return (
-        stage(0, "input", docs)
-        .unionByName(stage(1, "quality", q1))
-        .unionByName(stage(2, "dedup", s2))
-        .unionByName(stage(3, "decontaminate", s3))
-        .unionByName(stage(4, "sample", s4))
+        agg.select(F.explode(stages).alias("e"))
+        .select("e.stage_idx", "e.stage", "e.n_docs")
         .transform(ordered_result, "stage_idx")
     )
 

@@ -389,36 +389,45 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = (1.0 - PAGERANK_D) / n_nodes
     rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
-    for _ in range(PAGERANK_ITERS):
-        contrib = (
-            edges.join(rank, edges.src == rank.node)
-            .join(outdeg, "src")
-            .select(
-                "dst",
-                "src",
-                (F.col("r") / F.col("deg").cast("double")).alias("c"),
+    # r15: the power iterations materialize eagerly (per-round
+    # localCheckpoint), and each round's exchanges carry the node-sized
+    # rank relation — on the 4096x-reduced near-dup graph AQE's
+    # per-stage jobs triple the round's job count for nothing. Gated on
+    # the known n_nodes so a billion-node graph keeps AQE skew/coalesce
+    # handling on the edge⋈rank join.
+    from conduit_spark.analytics import tiny_loop_aqe_off
+
+    with tiny_loop_aqe_off(pairs.sparkSession, n_rows=n_nodes):
+        for _ in range(PAGERANK_ITERS):
+            contrib = (
+                edges.join(rank, edges.src == rank.node)
+                .join(outdeg, "src")
+                .select(
+                    "dst",
+                    "src",
+                    (F.col("r") / F.col("deg").cast("double")).alias("c"),
+                )
             )
-        )
-        summed = contrib.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "c"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["c"],
-            ).alias("s")
-        )
-        # checkpoint per iteration: the rank relation is node-sized
-        # (the 4096x-reduced output of the LSH pipeline), and without
-        # the cut each iteration's plan re-nests the previous one —
-        # Catalyst analysis triples while the data stays tiny
-        rank = nodes.join(
-            summed, nodes.node == summed.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(PAGERANK_D) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("r"),
-        ).localCheckpoint()
+            summed = contrib.groupBy("dst").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
+                ).alias("s")
+            )
+            # checkpoint per iteration: the rank relation is node-sized
+            # (the 4096x-reduced output of the LSH pipeline), and without
+            # the cut each iteration's plan re-nests the previous one —
+            # Catalyst analysis triples while the data stays tiny
+            rank = nodes.join(
+                summed, nodes.node == summed.dst, "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(PAGERANK_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            ).localCheckpoint()
     return ordered_result(
         rank.select(
             F.col("node").alias("doc_id"), F.round("r", 9).alias("pagerank")

@@ -375,49 +375,56 @@ def smp_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     final coverage relation is one more projection + K-group count.
     Driver state: K centers × d ints, exactly like the Lloyd trainer.
     """
+    from conduit_spark.analytics import tiny_loop_aqe_off
     from conduit_spark.analytics.similarity import _QUANT_EXPR
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.expr(_QUANT_EXPR).alias("q")
-    ).localCheckpoint()
-    first = (
-        vecs.orderBy("vec_id").limit(1).select("vec_id", "q").collect()[0]
-    )
-    chosen = [(int(first["vec_id"]), list(first["q"]))]
-    rows = [(0, int(first["vec_id"]), 0)]
-    for _ in range(1, CORESET_K):
-        arrs = ", ".join(
-            "array(" + ",".join(f"{v}L" for v in c) + ")"
-            for _, c in chosen
+    # r15: the K selection rounds are eager collects whose shuffles
+    # carry ONE row past the partial agg — AQE's per-stage job split
+    # doubled every round's job count for no decision it could make
+    # (warm A/B below in OPTIMIZATION_r15.md); unconditional because a
+    # scalar agg's exchange is O(partitions) rows at ANY corpus size.
+    with tiny_loop_aqe_off(spark):
+        vecs = emb.select(
+            "vec_id", F.expr(_QUANT_EXPR).alias("q")
+        ).localCheckpoint()
+        first = (
+            vecs.orderBy("vec_id").limit(1).select("vec_id", "q").collect()[0]
         )
-        dexpr = (
-            f"array_min(transform(array({arrs}), c -> "
-            f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
-            f"BIGINT(0), (acc, x) -> acc + x)))"
-        )
-        # q rides along as a NON-ordering third struct field: struct
-        # comparison is lexicographic and nid = -vec_id is unique, so
-        # (d, nid) always decides before q is consulted — one scan per
-        # round returns both the pick and its vector (K scans total,
-        # not 2K; VERDICT r12 item 4).
-        top = (
-            vecs.filter(~F.col("vec_id").isin([cid for cid, _ in chosen]))
-            .select("vec_id", F.expr(dexpr).alias("d"), "q")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("d"),
-                        (-F.col("vec_id")).alias("nid"),
-                        F.col("q"),
-                    )
-                ).alias("s")
+        chosen = [(int(first["vec_id"]), list(first["q"]))]
+        rows = [(0, int(first["vec_id"]), 0)]
+        for _ in range(1, CORESET_K):
+            arrs = ", ".join(
+                "array(" + ",".join(f"{v}L" for v in c) + ")"
+                for _, c in chosen
             )
-            .collect()[0]["s"]
-        )
-        pick, dist = -int(top["nid"]), int(top["d"])
-        chosen.append((pick, list(top["q"])))
-        rows.append((len(chosen) - 1, pick, dist))
+            dexpr = (
+                f"array_min(transform(array({arrs}), c -> "
+                f"aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+                f"BIGINT(0), (acc, x) -> acc + x)))"
+            )
+            # q rides along as a NON-ordering third struct field: struct
+            # comparison is lexicographic and nid = -vec_id is unique, so
+            # (d, nid) always decides before q is consulted — one scan per
+            # round returns both the pick and its vector (K scans total,
+            # not 2K; VERDICT r12 item 4).
+            top = (
+                vecs.filter(~F.col("vec_id").isin([cid for cid, _ in chosen]))
+                .select("vec_id", F.expr(dexpr).alias("d"), "q")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("d"),
+                            (-F.col("vec_id")).alias("nid"),
+                            F.col("q"),
+                        )
+                    ).alias("s")
+                )
+                .collect()[0]["s"]
+            )
+            pick, dist = -int(top["nid"]), int(top["d"])
+            chosen.append((pick, list(top["q"])))
+            rows.append((len(chosen) - 1, pick, dist))
     # coverage: argmin assignment over the final centers (ties to the
     # earliest selection round — the same dist*K + position encoding
     # the k-means assignment uses), then one K-group count

@@ -519,11 +519,13 @@ def _bpe_trained_state(spark: SparkSession, sf_dir: str):
 
 
 def _bpe_merges_vocab(spark: SparkSession, sf_dir: str):
-    """The live training DAG: (unioned merge table, final vocab)."""
+    """The live training DAG: (merge table, final vocab)."""
     merges, vocab = _bpe_learn(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
+    out = spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
     return out, vocab
 
 
@@ -553,9 +555,22 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_learn(spark: SparkSession, sf_dir: str):
-    """Run the K merge iterations; returns (per-rank 1-row merge
-    DataFrames, the final vocab relation (w, s, wc) with every merge
-    applied) — shared by the trainer and the encoder."""
+    """Run the K merge iterations; returns (the merge rows as plain
+    tuples, the final vocab relation (w, s, wc) with every merge
+    applied) — shared by the trainer and the encoder.
+
+    r15 (guide §1.2 — the per-round fixed cost IS the bottleneck at
+    fixture scale): each round's best pair comes to the DRIVER as one
+    argmax row (the smp_coreset / Lloyd pattern — O(1) driver state),
+    and the merge is applied to the vocab relation as a parsed string
+    LITERAL, replacing the per-round 1-row checkpoint + broadcast
+    crossJoin (two extra jobs per merge). The per-round argmax runs
+    AQE-free: its exchange carries symbol-pair partial counts
+    (Zipf-vocab-sized at any corpus scale), so AQE's per-stage jobs
+    bought nothing. Training math, tie-breaks and results are
+    bit-identical; the corpus is still touched exactly once."""
+    from conduit_spark.analytics import tiny_loop_aqe_off
+
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -566,69 +581,46 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     w_rel = words.select(
         "w", F.regexp_replace(F.col("w"), "(.)", "($1)").alias("s"), "wc"
     ).localCheckpoint(eager=False)
-    merges = []
-    for t in range(1, BPE_MERGES + 1):
-        sy = F.split(
-            F.expr("substring(s, 2, length(s) - 2)"), "\\)\\("
-        )
-        pairs = (
-            w_rel.select(sy.alias("sy"), "wc")
-            .filter(F.size("sy") >= 2)
-            .select(
-                F.explode(
-                    F.zip_with(
-                        F.expr("slice(sy, 1, size(sy) - 1)"),
-                        F.expr("slice(sy, 2, size(sy) - 1)"),
-                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                    )
-                ).alias("z"),
-                "wc",
+    merges: list[tuple] = []
+    with tiny_loop_aqe_off(spark):
+        for t in range(1, BPE_MERGES + 1):
+            sy = F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), "\\)\\("
             )
-            .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
-            .agg(F.sum("wc").alias("cnt"))
-        )
-        m = (
-            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select(
-                F.lit(t).cast("bigint").alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").cast("bigint").alias("pair_count"),
+            pairs = (
+                w_rel.select(sy.alias("sy"), "wc")
+                .filter(F.size("sy") >= 2)
+                .select(
+                    F.explode(
+                        F.zip_with(
+                            F.expr("slice(sy, 1, size(sy) - 1)"),
+                            F.expr("slice(sy, 2, size(sy) - 1)"),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    ).alias("z"),
+                    "wc",
+                )
+                .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+                .agg(F.sum("wc").alias("cnt"))
             )
-            .transform(iteration_barrier, eager=False)
-            # reused by the update AND the output; iteration_barrier so
-            # the audit's barriers_disabled can't unroll the merge loop
-        )
-        merges.append(m)
-        w_rel = (
-            w_rel.crossJoin(
-                F.broadcast(m.select("left_sym", "right_sym"))
-            )
-            .select(
+            top = (
+                pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )[0]
+            a, b, cnt = top["a"], top["b"], int(top["cnt"])
+            merges.append((t, a, b, cnt))
+            # words are [A-Za-z0-9]+ by construction, so the merge pair
+            # is literal-safe (no regex/quote metacharacters)
+            w_rel = w_rel.select(
                 "w",
                 F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("("),
-                        F.col("left_sym"),
-                        F.lit(")("),
-                        F.col("right_sym"),
-                        F.lit(")"),
-                    ),
-                    F.concat(
-                        F.lit("("),
-                        F.col("left_sym"),
-                        F.col("right_sym"),
-                        F.lit(")"),
-                    ),
+                    F.col("s"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
                 ).alias("s"),
                 "wc",
-            )
-            .transform(iteration_barrier, eager=False)
-            # in-loop: w_rel is referenced twice per round (pair count
-            # + merge apply) — an unpinned tree doubles per merge
-        )
+            ).transform(iteration_barrier, eager=False)
+            # in-loop: w_rel is referenced by the next round's pair
+            # count — an unpinned tree doubles per merge
     return merges, w_rel
 
 
