@@ -919,22 +919,46 @@ def contamination_scores(docs: DataFrame) -> DataFrame:
 
 
 def _contamination_from_grams(rel: DataFrame) -> DataFrame:
-    """Score computation over a prebuilt hashed-gram relation."""
-    bench = rel.filter(F.col("doc_id") % CONTAM_MOD == 0).select("x").distinct()
-    nonb = rel.filter(F.col("doc_id") % CONTAM_MOD != 0)
-    totals = nonb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    matched = (
-        nonb.join(bench, "x", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    """Score computation over a prebuilt hashed-gram relation.
+
+    r15 (guide §2.4): totals and matches come from ONE pass. The old
+    shape ran the non-benchmark gram relation through TWO subtrees — a
+    left-semi join + count for ``n_matched`` and a separate
+    groupBy(doc_id) count for ``n_grams`` — then joined the two
+    doc-keyed aggregates back together (two corpus-gram passes, three
+    exchanges, one join). Because the benchmark side is DISTINCT on
+    ``x``, a plain left join preserves the gram relation's row count
+    exactly (at most one match per row), so one join + one aggregation
+    computes both counts: ``count(*)`` = n_grams, ``count(match
+    marker)`` = n_matched, and the old inner join's "only docs with at
+    least one matched gram" contract becomes ``n_matched >= 1``.
+    Identical rows by construction; the benchmark relation stays
+    Zipf-small so the planner broadcasts it at any corpus scale."""
+    bench = (
+        rel.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("x")
+        .distinct()
+        .withColumn("__m", F.lit(1))
     )
-    return matched.join(totals, "doc_id").select(
-        "doc_id",
-        F.col("n_grams").cast("bigint").alias("n_grams"),
-        F.col("n_matched").cast("bigint").alias("n_matched"),
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_grams").cast("double"), 9
-        ).alias("contamination_frac"),
+    nonb = rel.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return (
+        nonb.join(bench, "x", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__m").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= 1)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.col("n_grams").cast("double"),
+                9,
+            ).alias("contamination_frac"),
+        )
     )
 
 

@@ -1004,9 +1004,22 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__salt",
         F.pmod(F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(SALT_BUCKETS)),
     )
+    # r15: hint the replicated side SHUFFLE_HASH. Salting only does
+    # anything under a SHUFFLE join — the salt spreads a hot key across
+    # reducers; a broadcast join has no reducers to spread. At fixture
+    # SF the planner's size estimate put the 8x-replicated orders side
+    # under the broadcast threshold, so the executed plan broadcast
+    # 1.2M built rows (a ~0.8s single-threaded driver build + a probe
+    # at scan parallelism) and the demonstrated pattern was inert. The
+    # hint makes the query EXECUTE what it documents at every scale —
+    # both sides hash-shuffle on (key, salt), the replicated dim side
+    # is the per-partition build (guide §3.1's shuffled-hash case:
+    # build = orders x SALT_BUCKETS / shuffle.partitions per task) —
+    # and it is 2.3x faster at sf0.1 (2.31/1.80 -> 0.89/0.71s same
+    # window, identical rows).
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
-    )
+    ).hint("shuffle_hash")
     revenue = F.sum(
         _dec(F.col("l_extendedprice"))
         * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
