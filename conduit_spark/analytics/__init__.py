@@ -84,8 +84,21 @@ def tiny_loop_aqe_off(spark, n_rows: "int | None" = None, cap: int = 4_000_000):
     billion-row iteration state keeps skew/coalesce handling. The conf
     is restored on exit, so lazily-executed parts of the query (the
     final assembled plan run by the sink) still execute under AQE.
+
+    r15 addendum: when the loop-state row count IS known, the loop's
+    shuffle-partition count is derived from it (ceil(n_rows / 100k),
+    clamped to the session setting) — with AQE off there is no
+    coalescing, so a K-row rank/vocab exchange otherwise fans out to
+    the full static partition count and every round pays
+    ``partitions`` task launches to move kilobytes (measured on
+    d_pagerank: 64-96 task stages per round on a ~4k-node graph).
+    This is the size-derived partitioning AQE would have picked, made
+    static for the loop; it scales with the data, not the core count,
+    and a corpus-sized loop never reaches here (the ``cap`` gate keeps
+    AQE on).
     """
     import contextlib
+    import math
 
     @contextlib.contextmanager
     def _ctx():
@@ -93,11 +106,16 @@ def tiny_loop_aqe_off(spark, n_rows: "int | None" = None, cap: int = 4_000_000):
             yield
             return
         prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if n_rows is not None:
+            target = max(1, min(int(prev_sp), math.ceil(n_rows / 100_000)))
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
         try:
             yield
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     return _ctx()
 

@@ -1211,18 +1211,31 @@ def bloom_runtime_filter(build_df: DataFrame, key: str):
     )
 
     def might_contain(probe_key):
-        out = None
-        for j in range(BLOOM_RF_K):
-            p = F.pmod(F.xxhash64(probe_key, F.lit(j)), F.lit(m))
-            word = F.get(arr_lit, (p / 64).cast("int"))
-            t = (
-                F.call_function(
-                    "getbit", word, F.pmod(p, F.lit(64)).cast("int")
+        # Bind the word array ONCE via the 1-element-array lambda
+        # capture (the word_grams trick, r15): the K=4 probe terms each
+        # referenced ``arr_lit`` directly, so the (up to 256k-element)
+        # literal subtree appeared FOUR times in the filter expression
+        # and every analyzer/optimizer pass re-walked all four copies —
+        # measured as a ~0.6s zero-job driver gap between the vector
+        # collect and the probe job. With the capture, the literal is
+        # one subtree and the probes reference the lambda variable.
+        # Identical probe semantics: same xxhash64/pmod positions, same
+        # getbit word/bit test, evaluated in the same codegen.
+        def probe(ws):
+            out = None
+            for j in range(BLOOM_RF_K):
+                p = F.pmod(F.xxhash64(probe_key, F.lit(j)), F.lit(m))
+                word = F.get(ws, (p / 64).cast("int"))
+                t = (
+                    F.call_function(
+                        "getbit", word, F.pmod(p, F.lit(64)).cast("int")
+                    )
+                    == 1
                 )
-                == 1
-            )
-            out = t if out is None else (out & t)
-        return out
+                out = t if out is None else (out & t)
+            return out
+
+        return F.transform(F.array(arr_lit), lambda ws: probe(ws))[0]
 
     return might_contain
 
