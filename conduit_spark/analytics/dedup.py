@@ -534,12 +534,28 @@ def _capped_shingle_stats(docs: DataFrame):
       single consumer and needs no checkpoint of its own.
     """
     garr = _doc_grams_df(docs).localCheckpoint()
-    raw_sh = garr.select("doc_id", F.explode("hs").alias("x"))
-    # r14 session 3: hot is TINY but has TWO consumers (the anti-join
-    # build side and the ``hot_arr`` broadcast row), and the calm-box
-    # A/B showed its corpus-sized groupBy subtree was executed once
-    # per consumer (2.21 → 1.72s / 1.95 → 1.73s for the two queries
-    # with the checkpoint). Guide §5/§3.3: pin the reduced relation.
+    # r15: ONE explode, ONE exchange over the gram relation. The r14
+    # shape exploded ``garr`` twice — once under the hot-count
+    # aggregation, once under ``grouped`` — and each pass paid the
+    # explode plus a high-cardinality hash aggregation (profiled at
+    # 11.6 + 13.6 core-s, the query's two dominant stages). The
+    # exploded relation is now hash-repartitioned by shingle ONCE and
+    # cached; a cached repartition PRESERVES its output partitioning
+    # (unlike localCheckpoint), so both the hot count and the
+    # collect_list grouping aggregate in place with no further
+    # exchange and no second explode. The repartition width is left to
+    # AQE (the explicit-width variant measured slower at fixture scale
+    # and a constant would be wrong at cluster scale). Cache posture:
+    # MEMORY_AND_DISK of the same bytes the r14 shape wrote through
+    # its second exchange; the bench frees the blocks synchronously
+    # after each run and other consumers free via the ContextCleaner.
+    # Same-window A/B d_containment_pairs 2.35 -> 1.85s, rows
+    # identical; hot keeps its eager checkpoint (two consumers).
+    raw_sh = (
+        garr.select("doc_id", F.explode("hs").alias("x"))
+        .repartition("x")
+        .persist()
+    )
     hot = (
         raw_sh.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
