@@ -919,37 +919,36 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2's text-analysis family; complements d_span_dedup, which
     finds the duplicated spans rather than scoring the docs).
 
-    r15 shape (guide §2.3 — shuffle partial aggregates, never the gram
-    relation): every exchange carries map-side-reduced rows. The old
-    shape joined the FULL shingle relation back against the first-owner
-    relation on the gram key — a corpus-gram-sized shuffle whose only
-    purpose was to count, per doc, the grams it owns first. But "doc d
-    owns gram x first" is a property of the (x, min doc_id) aggregate
-    alone: since the per-doc shingle relation is distinct, each x with
-    ``min(doc_id) == d`` contributes exactly one novel gram to d. So
-    ``n_novel`` = a count over the first-owner relation keyed by the
-    winning doc (two partial-agg exchanges, both reduced map-side) and
-    ``n_grams`` = a per-doc count of the checkpointed relation (one
-    partial-agg exchange) — the gram-keyed equi-join of the full
-    relation disappears. Docs owning zero grams first get ``n_novel =
-    0`` via the left join (the old join+sum produced the same zeros).
-    Reuses dedup's shingle relation so the Spark side and the DuckDB
-    oracle shingle identically."""
+    Two shuffles, both mergeable: a gram-keyed min-agg for first
+    owners (partial min map-side), then the gram-keyed equi-join back
+    — each shingle row matches EXACTLY one first-owner row, so the
+    join output is linear in the shingle relation (no F² hot-gram
+    blowup; hot grams are fine here, unlike the pair queries), and a
+    final doc-keyed count agg. Reuses dedup's shingle relation so the
+    Spark side and the DuckDB oracle shingle identically.
+
+    r15 measured rejection: a "shuffle only partial aggregates" rewrite
+    (n_novel counted from the (x, min doc_id) relation re-keyed by the
+    winning doc + a doc-keyed left join, no gram-keyed join back) was
+    byte-identical and a wash at sf0.1 (0.96-1.39s vs 1.21-1.34s
+    interleaved same-window) but REGRESSED ~8x at the sf1 probe
+    (28.3s vs 3.35s for this shape, same weather window) — the
+    two-level aggregate chain lost to the join the planner picks here.
+    The join shape stands; do not re-attempt without an sf1 ratio."""
     from conduit_spark.analytics.dedup import _shingles_df
 
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = _shingles_df(docs).localCheckpoint()
-    n_grams = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    n_novel = (
-        sh.groupBy("x")
-        .agg(F.min("doc_id").alias("doc_id"))
+    first = sh.groupBy("x").agg(F.min("doc_id").alias("first_id"))
+    out = (
+        sh.join(first, "x")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
-    )
-    out = n_grams.join(n_novel, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
     )
     novelty = F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
     return ordered_result(
