@@ -507,7 +507,10 @@ def d_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capped_shingle_stats(docs: DataFrame):
-    """``(grouped, counts, inter)`` over the DF-capped shingle space —
+    """``(counts, inter, sh_cache)`` over the DF-capped shingle space —
+    callers MUST ``sh_cache.unpersist()`` once their result is
+    materialized (both consumers do, right after ``ordered_result``'s
+    eager checkpoint) —
     the shared engine of :func:`d_ngram_jaccard` and
     :func:`d_containment_pairs` (r14 restructure, guide §2.4 + the
     ``_banded_hamming_pairs`` precedent measured 2.0→1.1s in r12):
@@ -609,7 +612,7 @@ def _capped_shingle_stats(docs: DataFrame):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return counts, inter
+    return counts, inter, raw_sh
 
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +631,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared :func:`_capped_shingle_stats` group-and-combine shape (r14)
     — no shingle self-join."""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    counts, inter = _capped_shingle_stats(docs)
+    counts, inter, sh_cache = _capped_shingle_stats(docs)
     joined = (
         inter.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
@@ -636,7 +639,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return (
+    out = (
         joined.select(
             "id_a",
             "id_b",
@@ -645,6 +648,14 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.05)
         .transform(ordered_result, "id_a", "id_b")
     )
+    # ordered_result materialized the result eagerly, so the shingle
+    # cache has served both aggregations — release it NOW instead of
+    # leaving a CacheManager entry pinned for the session (the
+    # ADVICE-r7 leak class; a corpus-gram-sized cache at 100 TB must
+    # not outlive its query). Under a plan audit the sort is lazy and
+    # the unpersist merely makes a re-execution recompute the cache.
+    sh_cache.unpersist()
+    return out
 
 
 # Asymmetric containment threshold: c(A,B) = |S_A ∩ S_B| / |S_A| (Broder's
@@ -673,7 +684,7 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast-sized count joins. The only delta is the final ratio
     arithmetic — containment adds no new shuffle."""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    counts, inter = _capped_shingle_stats(docs)
+    counts, inter, sh_cache = _capped_shingle_stats(docs)
     joined = inter.join(
         counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"),
         "id_a",
@@ -683,7 +694,7 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
-    return (
+    out = (
         joined.filter(F.greatest(c_ab, c_ba) >= CONTAIN_MIN)
         .select(
             "id_a",
@@ -693,6 +704,8 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered_result, "id_a", "id_b")
     )
+    sh_cache.unpersist()  # see d_ngram_jaccard — freed post-materialization
+    return out
 
 
 def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
