@@ -1088,7 +1088,16 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup is one hash equi-join.
     """
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    flagged = docs.select("doc_id", "text", _is_new().alias("is_new"))
+    # r15: the exact-dup leg reads the UNFANNED scan — md5-per-doc is
+    # light, so the fanout's round-robin exchange (one per leg: the
+    # old-side groupBy and the new-side projection each re-ran
+    # scan+sort+shuffle) was pure overhead on this branch. The
+    # gram/signature legs below keep the fanned scan — their per-row
+    # compute is what fanout exists for. Same-window A/B of the leg:
+    # 0.69-0.91s -> 0.34-0.47s, rows identical. At cluster scale the
+    # fanout helper is a no-op for well-split files either way.
+    docs_slim = load_table(spark, sf_dir, "documents")
+    flagged = docs_slim.select("doc_id", "text", _is_new().alias("is_new"))
     new_ids = flagged.filter(F.col("is_new")).select("doc_id")
     old_hash = (
         flagged.filter(~F.col("is_new"))
